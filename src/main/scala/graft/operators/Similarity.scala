@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Vector similarity search over an `array<float>` embedding column.
+  *
+  * The arithmetic is done with built-in higher-order functions
+  * (`zip_with` + `aggregate`), which Catalyst codegens — no UDF in the
+  * hot path. Sums run left-to-right in element order on both Spark and
+  * the DuckDB oracle, so double results are bit-identical.
+  *
+  * Scale design:
+  *  - brute force is the exact baseline: |Q| x |N| partitioned
+  *    product with a per-query top-k window. Correct at any scale but
+  *    O(Q*N); keep Q small or use the bucketed variant.
+  *  - [[signBucket]] is a deterministic LSH (sign of leading
+  *    components): candidates are joined per bucket, which turns the
+  *    product into an equi-join Spark shuffles/broadcasts like any
+  *    other join, pruning ~(1 - 2^-bits) of the pairs.
+  */
+object Similarity {
+
+  /** Dot product in double, summed in element order. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0d),
+      (acc, x) => acc + x)
+
+  /** L2 norm in double. */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity = dot / (||a|| * ||b||); null-safe zero for
+    * zero vectors. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val n = norm(a) * norm(b)
+    when(n === 0d, lit(0.0d)).otherwise(d / n)
+  }
+
+  /** Deterministic sign-bit LSH bucket: bit i set iff component i is
+    * >= 0. With random-ish embeddings, 2^bits roughly-equal buckets. */
+  def signBucket(vec: Column, bits: Int): Column =
+    (0 until bits)
+      .map(i => when(element_at(vec, i + 1) >= 0f, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+
+  /** Exact top-k cosine neighbors for each query vector.
+    *
+    * @param queries   (queryIdCol, vecCol)
+    * @param corpus    (idCol, vecCol)
+    * @param k         neighbors per query
+    */
+  def bruteForceTopK(
+      queries: DataFrame, queryIdCol: String,
+      corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("__qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val scored = q
+      .crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("__qv"), col("__cv")))
+    val w = Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "sim")
+  }
+
+  /** Approximate top-k: candidates restricted to the query's sign
+    * bucket — the IVF/LSH scale path. Same output shape as
+    * [[bruteForceTopK]]. */
+  def lshTopK(
+      queries: DataFrame, queryIdCol: String,
+      corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, signBits: Int): DataFrame = {
+    val q = queries.select(
+      col(queryIdCol).as("query_id"), col(vecCol).as("__qv"),
+      signBucket(col(vecCol), signBits).as("__bucket"))
+    val c = corpus.select(
+      col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      signBucket(col(vecCol), signBits).as("__bucket"))
+    val scored = q
+      .join(c, Seq("__bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("__qv"), col("__cv")))
+    val w = Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "sim")
+  }
+}
