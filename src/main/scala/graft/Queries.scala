@@ -1,0 +1,337 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.AsOfJoin
+import graft.util.Exact.{dec, dec2, dsum}
+
+/** The relational query suite wired into the driver contract
+  * (SparkEntry.queries / oracleSql). Covers the SURVEY §2.8 operator
+  * families — joins (inner / semi / anti / as-of), aggregations,
+  * windows, rollup, set ops, top-k, string/regex/date functions, JSON
+  * serialization — over the driver's TPC-H-ish tables.
+  *
+  * Oracle-exactness rules (every query MUST follow them, the driver
+  * hash-compares values against DuckDB):
+  *  - double SUMs go through decimal ([[graft.util.Exact]]): shuffle
+  *    order then cannot change the result;
+  *  - never a triple decimal product (Spark and DuckDB disagree on
+  *    precision-loss rescaling past 38 digits) — fold double factors
+  *    first, cast once;
+  *  - output column names are aliased identically here and in the SQL;
+  *  - every query ends in a deterministic total ORDER BY (ties broken
+  *    by a unique key) so the compare is row-order-proof;
+  *  - timestamps are output as formatted strings or epoch longs, never
+  *    raw TIMESTAMP (tz-awareness round-trips differently).
+  */
+object Queries {
+
+  final case class Q(
+      name: String,
+      oracle: Option[String],
+      run: (SparkSession, String) => DataFrame)
+
+  /** The TPC-H revenue term, computed entirely in exact decimal:
+    * the 2dp operands cast exactly to decimal(9,2), multiplied without
+    * rescale. Never cast a computed double product to decimal — DuckDB
+    * truncates where Spark rounds (see [[graft.util.Exact]]). */
+  private def revenue(price: Column, discount: Column): Column =
+    dec2(price) * (lit(1) - dec2(discount))
+
+  // ---------------------------------------------------------------- q1
+  private val q1 = Q(
+    "q1_pricing_summary",
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2)) * (1 - CAST(l_discount AS DECIMAL(9,2)))) AS DOUBLE) AS sum_disc_price,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2)) * (1 - CAST(l_discount AS DECIMAL(9,2))) * (1 + CAST(l_tax AS DECIMAL(9,2)))) AS DOUBLE) AS sum_charge,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_price,
+             CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
+             COUNT(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1999-09-02 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""),
+    (s, dir) => {
+      val l = Tables(s, dir).lineitem
+      l.filter(col("l_shipdate") <= lit("1999-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum(revenue(col("l_extendedprice"), col("l_discount"))).cast("double").as("sum_disc_price"),
+          sum(revenue(col("l_extendedprice"), col("l_discount")) * (lit(1) + dec2(col("l_tax"))))
+            .cast("double").as("sum_charge"),
+          (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          (dsum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
+          (dsum(col("l_discount")) / count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    })
+
+  // ---------------------------------------------------------------- q3
+  private val q3 = Q(
+    "q3_shipping_priority",
+    Some("""
+      SELECT o_orderkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2)) * (1 - CAST(l_discount AS DECIMAL(9,2)))) AS DOUBLE) AS revenue,
+             strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+             o_orderpriority
+      FROM customer, orders, lineitem
+      WHERE c_mktsegment = 'BUILDING'
+        AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+        AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+        AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+      GROUP BY o_orderkey, o_orderdate, o_orderpriority
+      ORDER BY revenue DESC, o_orderkey
+      LIMIT 10"""),
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.customer.filter(col("c_mktsegment") === "BUILDING")
+        .join(t.orders.filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp")),
+          col("c_custkey") === col("o_custkey"))
+        .join(t.lineitem.filter(col("l_shipdate") > lit("1998-03-15").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(sum(revenue(col("l_extendedprice"), col("l_discount"))).cast("double").as("revenue"))
+        .select(
+          col("o_orderkey"), col("revenue"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+          col("o_orderpriority"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    })
+
+  // ---------------------------------------------------------------- q5
+  private val q5 = Q(
+    "q5_local_supplier_volume",
+    Some("""
+      SELECT r_name, n_name,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2)) * (1 - CAST(l_discount AS DECIMAL(9,2)))) AS DOUBLE) AS revenue
+      FROM customer, orders, lineitem, supplier, nation, region
+      WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY r_name, n_name
+      ORDER BY revenue DESC, n_name"""),
+    (s, dir) => {
+      val t = Tables(s, dir)
+      // Dims are broadcast (small at any SF that keeps them dimension-
+      // shaped); the orders⋈lineitem fact join shuffles on orderkey.
+      t.customer
+        .join(t.orders.filter(
+          col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+          col("c_custkey") === col("o_custkey"))
+        .join(t.lineitem, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t.supplier),
+          col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(sum(revenue(col("l_extendedprice"), col("l_discount"))).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    })
+
+  // ------------------------------------------------------- window rank
+  private val qWindow = Q(
+    "q_window_top_orders",
+    Some("""
+      SELECT * FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+                 PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+                 ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
+        FROM orders)
+      WHERE rnk <= 3
+      ORDER BY o_custkey, rnk"""),
+    (s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables(s, dir).orders
+        .select(
+          col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(w).as("rnk"),
+          sum(dec(col("o_totalprice")))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double").as("running_total"))
+        .filter(col("rnk") <= 3)
+        .orderBy("o_custkey", "rnk")
+    })
+
+  // ------------------------------------------------------------ rollup
+  private val qRollup = Q(
+    "q_rollup_order_totals",
+    Some("""
+      SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+             COALESCE(o_orderpriority, 'ALL') AS priority,
+             COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+      FROM orders
+      GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+      ORDER BY status, priority"""),
+    (s, dir) =>
+      Tables(s, dir).orders
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n_orders"), col("total"))
+        .orderBy("status", "priority"))
+
+  // ------------------------------------------------------------ set op
+  private val qSetop = Q(
+    "q_setop_open_not_filled",
+    Some("""
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      EXCEPT
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      ORDER BY o_custkey"""),
+    (s, dir) => {
+      val o = Tables(s, dir).orders
+      o.filter(col("o_orderstatus") === "O").select("o_custkey")
+        .except(o.filter(col("o_orderstatus") === "F").select("o_custkey"))
+        .orderBy("o_custkey")
+    })
+
+  // ------------------------------------------------------- semi + anti
+  private val qSemi = Q(
+    "q_semi_urgent_customers",
+    Some("""
+      SELECT c_nationkey, COUNT(*) AS n_customers
+      FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+      GROUP BY c_nationkey
+      ORDER BY c_nationkey"""),
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.customer
+        .join(t.orders.filter(col("o_orderpriority") === "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy("c_nationkey")
+    })
+
+  private val qAnti = Q(
+    "q_anti_no_urgent_customers",
+    Some("""
+      SELECT c_custkey, c_name
+      FROM customer c
+      WHERE NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+      ORDER BY c_custkey"""),
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.customer
+        .join(t.orders.filter(col("o_orderpriority") === "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    })
+
+  // ------------------------------------------------------------- top-k
+  private val qTopk = Q(
+    "q_topk_orders",
+    Some("""
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 20"""),
+    (s, dir) =>
+      Tables(s, dir).orders
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20))
+
+  // ----------------------------------------------------- events: daily
+  private val qEventsDaily = Q(
+    "q_events_daily",
+    Some("""
+      SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      FROM events
+      GROUP BY event_type, day
+      ORDER BY event_type, day"""),
+    (s, dir) =>
+      Tables(s, dir).events
+        .groupBy(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+        .orderBy("event_type", "day"))
+
+  // ------------------------------------------------- events: JSON prop
+  private val qEventsJson = Q(
+    "q_events_json_extract",
+    Some("""
+      SELECT event_type,
+             SUM(TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS sum_k,
+             MAX(TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS max_k
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type"""),
+    (s, dir) => {
+      val k = expr("try_cast(regexp_extract(props, '\"k\": (\\\\d+)', 1) as bigint)")
+      Tables(s, dir).events
+        .groupBy("event_type")
+        .agg(sum(k).as("sum_k"), max(k).as("max_k"))
+        .orderBy("event_type")
+    })
+
+  // ------------------------------------------------ P2: JSON serialize
+  private val qJsonSerialize = Q(
+    "q_json_serialize",
+    Some("""
+      SELECT event_id,
+             '{"event_type":"' || event_type || '","user_id":' || user_id || '}' AS payload
+      FROM events
+      ORDER BY event_id
+      LIMIT 100"""),
+    (s, dir) =>
+      Tables(s, dir).events
+        .select(
+          col("event_id"),
+          to_json(struct(col("event_type"), col("user_id"))).as("payload"))
+        .orderBy("event_id")
+        .limit(100))
+
+  // ----------------------------------------------------- as-of join
+  private val qAsOf = Q(
+    "q_asof_latest_order",
+    Some("""
+      SELECT event_id, user_id, o_orderkey, o_totalprice FROM (
+        SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY e.event_id
+                 ORDER BY o.o_orderdate DESC NULLS LAST, o.o_orderkey DESC) AS rn
+        FROM events e
+        LEFT JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+      WHERE rn = 1
+      ORDER BY event_id"""),
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val left = t.events.select(col("event_id"), col("user_id"), col("ts"))
+      val right = t.orders.select(
+        col("o_custkey").as("user_id"), col("o_orderdate"),
+        col("o_orderkey"), col("o_totalprice"))
+      AsOfJoin.leftAsOf(
+        left, right,
+        key = "user_id", leftTime = "ts", rightTime = "o_orderdate",
+        rightPayload = Seq("o_orderkey", "o_totalprice"),
+        rightTieBreak = "o_orderkey")
+        .select("event_id", "user_id", "o_orderkey", "o_totalprice")
+        .orderBy("event_id")
+    })
+
+  val relational: Seq[Q] = Seq(
+    q1, q3, q5, qWindow, qRollup, qSetop, qSemi, qAnti, qTopk,
+    qEventsDaily, qEventsJson, qJsonSerialize, qAsOf)
+}

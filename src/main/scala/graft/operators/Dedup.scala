@@ -59,6 +59,8 @@ object Dedup {
     * per-band on the band hash — never an all-pairs product. */
   def minhashCandidatePairs(
       sig: DataFrame, idCol: String, k: Int, rowsPerBand: Int): DataFrame = {
+    require(k % rowsPerBand == 0,
+      s"k=$k must be a multiple of rowsPerBand=$rowsPerBand (trailing positions would be silently dropped)")
     val nBands = k / rowsPerBand
     val banded = sig.select(
       col(idCol),
@@ -100,65 +102,99 @@ object Dedup {
       .select("id_a", "id_b", "jac")
   }
 
-  /** Word n-gram (shingle) array: tokens i..i+n-1 joined by a space. */
+  /** Word n-gram (shingle) array: tokens i..i+n-1 joined by a space.
+    * Documents shorter than n tokens yield an empty array (guarded:
+    * an unguarded `sequence(1, size-(n-1))` would step DOWN through 0
+    * and hit `element_at(toks, 0)` — illegal index under ANSI mode). */
   def wordShingles(text: Column, n: Int): Column = {
     val toks = tokens(text)
-    transform(
-      sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
-      i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*))
+    when(size(toks) >= n,
+      transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*)))
+      .otherwise(array().cast("array<string>"))
   }
 
-  /** All-pairs n-gram Jaccard above a threshold, bucketed by a cheap
-    * length band first so the self-join is not a full cross product.
-    * (For corpora where LSH recall matters more than exactness, use
+  /** All-pairs n-gram Jaccard above a threshold via a geometric
+    * length-bucket EQUI-join (shuffle-partitionable; never a
+    * cartesian / nested-loop plan).
+    *
+    * Jaccard >= t bounds the distinct-shingle-count ratio to
+    * [t, 1/t], i.e. |ln len_a − ln len_b| <= ln(1/t). With buckets of
+    * width ln(1/t) on the log scale, any qualifying pair is at most
+    * one bucket apart, so side A explodes into buckets {b−1, b, b+1}
+    * and side B stays at {b}: every qualifying pair meets on exactly
+    * one equi-key, Catalyst plans a shuffled hash / sort-merge join on
+    * `bucket`, and the length-ratio predicate remains as a cheap
+    * post-filter. Cost: 3× row duplication of one side — linear, vs
+    * the quadratic BroadcastNestedLoopJoin a pure range predicate
+    * forces. (For recall-over-exactness at corpus scale use
     * [[nearDupPairs]]; this variant is the exact verifier.) */
   def ngramJaccardPairs(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame = {
-    val sh = docs.select(
-      col(idCol),
-      array_distinct(wordShingles(col(textCol), n)).as("sh"))
-    // Jaccard >= t bounds the size ratio: |A|/|B| within [t, 1/t].
-    // Band by shingle-count bucket and join adjacent buckets only.
-    val withLen = sh.withColumn("len", size(col("sh")))
-    val a = withLen.select(col(idCol).as("id_a"), col("sh").as("sh_a"), col("len").as("len_a"))
-    val b = withLen.select(col(idCol).as("id_b"), col("sh").as("sh_b"), col("len").as("len_b"))
-    a.join(b,
+    require(threshold > 0 && threshold < 1, s"threshold in (0,1), got $threshold")
+    val bucketWidth = math.log(1.0 / threshold)
+    val sh = docs
+      .select(col(idCol), array_distinct(wordShingles(col(textCol), n)).as("sh"))
+      .withColumn("len", size(col("sh")))
+      .filter(col("len") > 0) // empty shingle sets can never reach jaccard >= t
+      .withColumn("bucket", floor(log(col("len").cast("double")) / bucketWidth).cast("long"))
+    val a = sh
+      .withColumn("bucket", explode(array(col("bucket") - 1, col("bucket"), col("bucket") + 1)))
+      .select(col(idCol).as("id_a"), col("sh").as("sh_a"), col("len").as("len_a"), col("bucket"))
+    val b = sh.select(col(idCol).as("id_b"), col("sh").as("sh_b"), col("len").as("len_b"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(
         col("id_a") < col("id_b") &&
-          col("len_b") >= ceil(col("len_a") * threshold) &&
-          col("len_a") >= ceil(col("len_b") * threshold))
+          col("len_b").cast("double") >= col("len_a") * threshold &&
+          col("len_a").cast("double") >= col("len_b") * threshold)
       .withColumn("jac", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jac") >= threshold)
       .select("id_a", "id_b", "jac")
   }
 
-  /** 64-bit SimHash over tokens: per token take the first 16 hex chars
-    * of md5 as a 64-bit value; each output bit is the sign of the sum
-    * of +/-1 votes across tokens. Computed with integer expressions
-    * only (codegen-friendly, no UDF). Returned as a 16-hex-char
-    * string so unsigned top bits survive every engine. */
-  def simhash64(text: Column): Column = {
+  /** SimHash vote vector: ONE pass over the distinct tokens, each
+    * token contributing ±1 to all 64 bit positions via a single
+    * `aggregate` + `zip_with` (vs 64 independent aggregate passes —
+    * the round-1 version — whose expression tree was O(64·tokens)
+    * traversals). Bit i of a token = bit (i%4) of hex nibble
+    * (16 − i/4) of its 16-hex-char md5 prefix. */
+  def simhashVotes(text: Column): Column = {
     val toks = array_distinct(tokens(text))
-    // Per token keep the 16-hex-char md5 prefix; test bit i of the
-    // 64-bit word by extracting the owning nibble and shifting. All
-    // integer/string built-ins => whole-stage codegen keeps the loop
-    // tight; at true 100 TB scale this becomes one custom Expression,
-    // but the declarative form is the correctness reference.
     val words = transform(toks, t => substring(md5(t), 1, 16))
-    val bits = (0 until 64).map { i =>
-      val nibbleIdx = 16 - i / 4 // hex char 1 is the most-significant nibble
-      val vote = aggregate(
-        words,
-        lit(0),
-        (acc, w) => {
-          val nibble = conv(substring(w, nibbleIdx, 1), 16, 10).cast("int")
-          acc + when(shiftright(nibble, i % 4).bitwiseAND(1) === 1, 1).otherwise(-1)
-        })
-      when(vote > 0, lit(new java.math.BigDecimal(java.math.BigInteger.valueOf(2).pow(i))))
-        .otherwise(lit(java.math.BigDecimal.ZERO))
+    def bitVote(w: Column, i: Int): Column = {
+      val nibble = conv(substring(w, 16 - i / 4, 1), 16, 10).cast("int")
+      when(shiftright(nibble, i % 4).bitwiseAND(1) === 1, 1).otherwise(-1)
     }
-    lpad(conv(bits.reduce(_ + _).cast("decimal(20,0)").cast("string"), 10, 16), 16, "0")
+    aggregate(
+      words,
+      array_repeat(lit(0), 64),
+      (acc, w) => zip_with(acc, array((0 until 64).map(i => bitVote(w, i)): _*), (a, b) => a + b))
   }
+
+  /** 16-hex-char (lowercase) SimHash from a 64-int vote vector: bit i
+    * set iff votes(i) > 0. Keep votes in a materialized column before
+    * calling this (it references the vote array 64 times — cheap on an
+    * attribute, pathological on the full aggregate expression). */
+  def simhashHexFromVotes(votes: Column): Column = {
+    def bit(i: Int): Column = when(element_at(votes, i + 1) > 0, 1).otherwise(0)
+    val hexChars = (0 until 16).map { p => // p=0 → most-significant nibble (bits 63..60)
+      val base = (15 - p) * 4
+      lower(conv((bit(base + 3) * 8 + bit(base + 2) * 4 + bit(base + 1) * 2 + bit(base)).cast("string"), 10, 16))
+    }
+    concat(hexChars: _*)
+  }
+
+  /** 64-bit SimHash over tokens as a lowercase 16-hex-char string
+    * (lowercase matches every other fingerprint in this module and
+    * common oracle hex conventions). Adds/removes a `__simhash_votes`
+    * scratch column so the vote aggregate is evaluated once per row. */
+  def withSimhash64(docs: DataFrame, textCol: String, outCol: String): DataFrame =
+    docs
+      .withColumn("__simhash_votes", simhashVotes(col(textCol)))
+      .withColumn(outCol, simhashHexFromVotes(col("__simhash_votes")))
+      .drop("__simhash_votes")
 
   /** Embedding near-duplicate pairs: cosine >= threshold among
     * same-LSH-bucket candidates (see [[Similarity.signBucket]]). */

@@ -41,10 +41,14 @@ object Similarity {
   }
 
   /** Deterministic sign-bit LSH bucket: bit i set iff component i is
-    * >= 0. With random-ish embeddings, 2^bits roughly-equal buckets. */
+    * >= 0. With random-ish embeddings, 2^bits roughly-equal buckets.
+    * `try_element_at` + coalesce(0) so vectors shorter than `bits`
+    * (or NULL) don't throw under ANSI mode: missing components count
+    * as >= 0, and NULL vectors all land in the all-ones bucket rather
+    * than silently dropping out of the join. */
   def signBucket(vec: Column, bits: Int): Column =
     (0 until bits)
-      .map(i => when(element_at(vec, i + 1) >= 0f, lit(1L << i)).otherwise(lit(0L)))
+      .map(i => when(coalesce(try_element_at(vec, lit(i + 1)), lit(0f)) >= 0f, lit(1L << i)).otherwise(lit(0L)))
       .reduce(_ + _)
 
   /** Exact top-k cosine neighbors for each query vector.
