@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.cdc._
+
+/** CDC operator queries wired into the driver contract. The fixture
+  * is deterministic (UsersFixture), so the oracles are literal
+  * expected-row VALUES — decoded output and materialized state are
+  * checked value-for-value, not merely row-counted.
+  */
+object CdcQueries {
+
+  /** Canonical text form of a wire image map: sorted `k=v` pairs
+    * joined by `|`, NULL values as `NULL`, absent images as ''.
+    * (Maps have no deterministic iteration order on either engine —
+    * canonicalize before comparing.) */
+  private def canonImage(m: Column): Column =
+    when(m.isNull, lit(""))
+      .otherwise(
+        array_join(
+          transform(
+            array_sort(map_entries(m)),
+            e => concat(e("key"), lit("="), coalesce(e("value"), lit("NULL")))),
+          "|"))
+
+  private def decodedWire(s: SparkSession): DataFrame = {
+    CdcDecode.resetStream("users_fixture")
+    CdcDecode.toWireDf(
+      CdcDecode.decode(
+        CdcDecode.framesDataset(s, UsersFixture.frames), streamId = "users_fixture"))
+  }
+
+  // -------------------------------------------------- decode pipeline
+  private val qDecode = Queries.Q(
+    "cdc_decode_events",
+    Some("""
+      SELECT operation, schema_name, table_name, columns_csv, old_image, new_image,
+             CAST(lsn_small AS BIGINT) AS lsn
+      FROM (VALUES
+        ('INSERT', 'public', 'users', 'id,name,email,status,created_at,updated_at', '',
+         'created_at=2026-01-02 10:00:00|email=test@example.com|id=3|name=Test User|status=active|updated_at=2026-01-02 10:00:00', 1002),
+        ('UPDATE', 'public', 'users', 'id,name,email,status,created_at,updated_at',
+         'created_at=2026-01-02 10:00:00|email=test@example.com|id=3|name=Test User|status=active|updated_at=2026-01-02 10:00:00',
+         'created_at=2026-01-02 10:00:00|email=[unchanged]|id=3|name=Updated User|status=inactive|updated_at=2026-01-02 10:00:01', 1005),
+        ('DELETE', 'public', 'users', 'id,name,email,status,created_at,updated_at',
+         'created_at=2026-01-02 10:00:00|email=test@example.com|id=3|name=Updated User|status=inactive|updated_at=2026-01-02 10:00:01',
+         '', 1008),
+        ('INSERT', 'public', 'users', 'id,name,email,status,created_at,updated_at', '',
+         'created_at=2026-01-02 10:00:00|email=NULL|id=4|name=Bin User|status=cafe|updated_at=2026-01-02 10:00:00', 1011),
+        ('UPDATE', 'public', 'users', 'id,name,email,status,created_at,updated_at',
+         'created_at=NULL|email=NULL|id=4|name=NULL|status=NULL|updated_at=NULL',
+         'created_at=[unchanged]|email=bin@example.com|id=4|name=[unchanged]|status=[unchanged]|updated_at=2026-01-02 10:00:02', 1012)
+      ) AS t(operation, schema_name, table_name, columns_csv, old_image, new_image, lsn_small)
+      ORDER BY lsn"""),
+    (s, _) =>
+      decodedWire(s).select(
+        col("operation"),
+        col("schema").as("schema_name"),
+        col("table").as("table_name"),
+        array_join(col("columns"), ",").as("columns_csv"),
+        canonImage(col("old_values")).as("old_image"),
+        canonImage(col("new_values")).as("new_image"),
+        col("lsn"))
+        .orderBy("lsn"))
+
+  // --------------------------------------- changelog materialization
+  private val qUsersCurrent = Queries.Q(
+    "cdc_users_current",
+    Some("""
+      SELECT * FROM (VALUES
+        ('1', 'Ashish Kumar', 'ashish@example.com', 'active',
+         '2026-01-01 00:00:00', '2026-01-01 00:00:00'),
+        ('2', 'John Doe', 'john@example.com', 'active',
+         '2026-01-01 00:00:00', '2026-01-01 00:00:00'),
+        ('4', 'Bin User', 'bin@example.com', 'cafe',
+         '2026-01-02 10:00:00', '2026-01-02 10:00:02')
+      ) AS t(id, name, email, status, created_at, updated_at)
+      ORDER BY id"""),
+    (s, _) => {
+      val current = Changelog.apply(
+        base = UsersFixture.baseState(s),
+        events = decodedWire(s),
+        table = "users",
+        keyCol = "id",
+        valueCols = UsersFixture.Cols.tail)
+      current.orderBy(col("id").cast("int"))
+    })
+
+  // ------------------------------------------- event envelope to JSON
+  private val qEnvelopeJson = Queries.Q(
+    "cdc_envelope_json",
+    Some("""
+      SELECT CAST(lsn_small AS BIGINT) AS lsn, envelope
+      FROM (VALUES
+        (1002, '{"operation":"INSERT","schema":"public","table":"users"}'),
+        (1005, '{"operation":"UPDATE","schema":"public","table":"users"}'),
+        (1008, '{"operation":"DELETE","schema":"public","table":"users"}'),
+        (1011, '{"operation":"INSERT","schema":"public","table":"users"}'),
+        (1012, '{"operation":"UPDATE","schema":"public","table":"users"}')
+      ) AS t(lsn_small, envelope)
+      ORDER BY lsn"""),
+    (s, _) =>
+      decodedWire(s).select(
+        col("lsn"),
+        to_json(struct(col("operation"), col("schema"), col("table"))).as("envelope"))
+        .orderBy("lsn"))
+
+  val all: Seq[Queries.Q] = Seq(qDecode, qUsersCurrent, qEnvelopeJson)
+}

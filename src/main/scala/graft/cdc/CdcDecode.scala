@@ -1,0 +1,86 @@
+package graft.cdc
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, SparkSession}
+
+/** One raw replication frame: `lsn` is the frame's commit-order
+  * position (monotone per stream), `ingestMicros` the ingest
+  * timestamp, `payload` the pgoutput wire bytes. */
+final case class CdcFrame(lsn: Long, ingestMicros: Long, payload: Array[Byte])
+
+/** Spark-side decode: raw pgoutput frames → `Dataset[CdcEvent]`.
+  *
+  * Parallelism model (SURVEY §3.1 / §4.2): one replication stream is
+  * totally ordered, so frames of a stream live in ONE partition and
+  * decode sequentially there (the registry is built from Relation
+  * frames seen earlier in that partition); parallelism comes from
+  * many streams/tables (one partition each) and from everything
+  * downstream of decode, which is ordinary partitioned DataFrame
+  * work. This fixes the reference's unordered worker pool (X2,
+  * cdc_consumer.py:43-74) by construction: per-partition order is
+  * preserved, and downstream stateful ops repartition by
+  * (schema, table, key).
+  *
+  * Across micro-batches the decoder must remember Relation frames
+  * from earlier batches, so registries live in a process-wide
+  * concurrent map keyed by stream id (executor-local; on a multi-node
+  * cluster pin a stream's partition with a deterministic partitioner,
+  * or replay the Relation frame per batch as PG does on reconnect).
+  */
+object CdcDecode {
+
+  implicit val cdcEventEncoder: Encoder[CdcEvent] = Encoders.product[CdcEvent]
+
+  /** Registries that survive micro-batch boundaries (per-JVM). */
+  private val registries =
+    new java.util.concurrent.ConcurrentHashMap[String, PgOutput.Decoder]()
+
+  private[cdc] def decoderFor(streamId: String): PgOutput.Decoder =
+    registries.computeIfAbsent(streamId, _ => new PgOutput.Decoder)
+
+  /** Drop state for a stream (tests / stream teardown). */
+  def resetStream(streamId: String): Unit = registries.remove(streamId)
+
+  /** Decode a dataset of frames. `dropMalformed=true` skips frames
+    * that throw [[PgOutput.MalformedFrame]] (PERMISSIVE-style);
+    * otherwise the task fails (FAILFAST). */
+  def decode(
+      frames: Dataset[CdcFrame],
+      streamId: String,
+      dropMalformed: Boolean = false): Dataset[CdcEvent] =
+    frames.mapPartitions { it =>
+      val decoder = decoderFor(streamId)
+      it.flatMap { f =>
+        try decoder.decode(f.payload, f.lsn, f.ingestMicros)
+        catch { case _: PgOutput.MalformedFrame if dropMalformed => None }
+      }
+    }
+
+  /** Pure driver-side decode of an ordered frame sequence (tests,
+    * fixtures, foreachBatch micro-batches that fit in memory). */
+  def decodeSeq(frames: Seq[CdcFrame], dropMalformed: Boolean = false): Seq[CdcEvent] = {
+    val decoder = new PgOutput.Decoder
+    frames.flatMap { f =>
+      try decoder.decode(f.payload, f.lsn, f.ingestMicros)
+      catch { case _: PgOutput.MalformedFrame if dropMalformed => None }
+    }
+  }
+
+  /** Events as a DataFrame in the wire-envelope column layout
+    * (FIXTURES.md §A.2): snake_case names, timestamp column. */
+  def toWireDf(events: Dataset[CdcEvent]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    events.toDF()
+      .select(
+        col("operation"), col("schema"), col("table"), col("columns"),
+        col("oldValues").as("old_values"), col("newValues").as("new_values"),
+        col("lsn"),
+        timestamp_micros(col("timestampMicros")).as("timestamp"))
+  }
+
+  /** Fixture helper: frames as a one-partition Dataset (a replication
+    * stream is a single ordered partition by construction). */
+  def framesDataset(spark: SparkSession, frames: Seq[CdcFrame]): Dataset[CdcFrame] = {
+    implicit val enc: Encoder[CdcFrame] = Encoders.product[CdcFrame]
+    spark.createDataset(frames).coalesce(1)
+  }
+}

@@ -1,0 +1,47 @@
+package graft.cdc
+
+import org.apache.spark.sql.types._
+
+/** Row-change event — the engine's unit of data, mirroring the
+  * reference's CDCEvent record (see /root/reference/utils/cdc_event.py:6-25
+  * for the field inventory; SURVEY.md §1.1).
+  *
+  * Values are the pgoutput text-mode wire values: every column value is
+  * a string (ints, timestamps, bools included), `null` for SQL NULL,
+  * the `"[unchanged]"` sentinel for TOASTed/unchanged update columns,
+  * and lowercase hex for binary-format values (SURVEY.md §1.3). Typed
+  * projection happens downstream against a table schema registry.
+  *
+  * Unlike the reference (consumer wall clock at decode time,
+  * cdc_event.py:14), the event timestamp is supplied by the caller —
+  * ingest time in the streaming pipeline, a fixed literal in
+  * deterministic tests.
+  */
+final case class CdcEvent(
+    operation: String, // INSERT | UPDATE | DELETE
+    schema: String,
+    table: String,
+    columns: Seq[String], // ordered column names from the relation registry
+    oldValues: Option[Map[String, String]], // pre-image (UPDATE/DELETE)
+    newValues: Option[Map[String, String]], // post-image (INSERT/UPDATE)
+    lsn: Long, // commit-order position in the stream (drives MERGE ordering;
+               // the reference keeps its LSN only for acks — we surface it)
+    timestampMicros: Long)
+
+object CdcEvent {
+  /** TOASTed/unchanged column sentinel (reference pg_output_parser.py:113).
+    * Lossy on the wire; the MERGE materializer treats it as
+    * "keep previous value" (SURVEY.md §7.3). */
+  val UnchangedSentinel = "[unchanged]"
+
+  /** Wire StructType of the event envelope (FIXTURES.md §A.2). */
+  val wireSchema: StructType = StructType(Seq(
+    StructField("operation", StringType, nullable = false),
+    StructField("schema", StringType, nullable = false),
+    StructField("table", StringType, nullable = false),
+    StructField("columns", ArrayType(StringType, containsNull = false), nullable = false),
+    StructField("old_values", MapType(StringType, StringType, valueContainsNull = true), nullable = true),
+    StructField("new_values", MapType(StringType, StringType, valueContainsNull = true), nullable = true),
+    StructField("lsn", LongType, nullable = false),
+    StructField("timestamp", TimestampType, nullable = false)))
+}

@@ -1,0 +1,265 @@
+package graft.cdc
+
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** pgoutput logical-replication protocol (proto v1) — pure, zero-I/O
+  * decode over `Array[Byte]`, plus the encoder used by tests/fixtures.
+  *
+  * Wire grammar implemented to the reference's observable semantics
+  * (/root/reference/utils/pg_output_parser.py:15-218; SURVEY.md §2.2):
+  *
+  *  - dispatch on the first byte: R (relation), I/U/D (changes),
+  *    B/C (transaction markers, deliberately dropped — reference
+  *    :32-37), anything else → no event;
+  *  - Relation: u32 id, NUL-terminated namespace + name, replica
+  *    identity byte, u16 column count, per column (u8 flags,
+  *    NUL-terminated name, u32 type OID, i32 typmod). Registered in a
+  *    per-stream registry; changes for unregistered relations are
+  *    dropped with a warning counter (reference :138-141);
+  *  - tuple data: u16 column count, then per column one tag:
+  *    'n' → NULL, 'u' → the "[unchanged]" sentinel, 't' → u32 length +
+  *    UTF-8 text, 'b' → u32 length + bytes surfaced as lowercase hex
+  *    (reference :99-128, SURVEY §1.3);
+  *  - INSERT: u32 relation id, 'N', new image (:130-156);
+  *  - UPDATE: u32 relation id, optional 'O'(full)/'K'(key-only) old
+  *    image, then 'N' new image (:158-192);
+  *  - DELETE: u32 relation id, 'O'/'K', old image (:194-218).
+  *
+  * The decoder is a small mutable class (the relation registry is
+  * inherently stateful per stream) with pure methods; one instance per
+  * stream partition keeps decode embarrassingly parallel across
+  * partitions while preserving in-partition frame order.
+  */
+object PgOutput {
+
+  final case class ColumnInfo(name: String, typeId: Int, flags: Int, typeMod: Int)
+  final case class RelationInfo(
+      id: Int, schema: String, table: String,
+      replicaIdentity: Char, columns: IndexedSeq[ColumnInfo])
+
+  /** Tuple image as ordered (columnName → wire value) pairs; value is
+    * null for SQL NULL and "[unchanged]" for the TOAST sentinel. */
+  type Image = Map[String, String]
+
+  // ------------------------------------------------------------ decode
+
+  final class Decoder {
+    private val relations = scala.collection.mutable.Map[Int, RelationInfo]()
+    private var unknownRelationDrops = 0L
+
+    /** Registered relations (read-only view). */
+    def relationRegistry: collection.Map[Int, RelationInfo] = relations
+
+    /** Count of change messages dropped because their relation id was
+      * never registered (reference logs a warning; we count). */
+    def droppedUnknownRelation: Long = unknownRelationDrops
+
+    /** Decode one frame. Relation messages update the registry and
+      * yield no event; B/C markers are dropped; I/U/D yield an event
+      * unless malformed or the relation is unregistered.
+      * `lsn` is the frame's position in the stream (commit order;
+      * drives MERGE ordering downstream); `timestampMicros` stamps the
+      * event (ingest time or a fixed test literal — never a hidden
+      * wall-clock read). Malformed frames throw
+      * [[MalformedFrame]] — callers choose drop vs fail. */
+    def decode(payload: Array[Byte], lsn: Long, timestampMicros: Long): Option[CdcEvent] = {
+      if (payload == null || payload.isEmpty) return None
+      val buf = ByteBuffer.wrap(payload, 1, payload.length - 1)
+      try payload(0).toChar match {
+        case 'R' => parseRelation(buf); None
+        case 'I' => parseInsert(buf, lsn, timestampMicros)
+        case 'U' => parseUpdate(buf, lsn, timestampMicros)
+        case 'D' => parseDelete(buf, lsn, timestampMicros)
+        case 'B' | 'C' => None // txn markers: no grouping downstream (SURVEY §2.2 D7)
+        case _ => None
+      } catch {
+        case e: MalformedFrame => throw e
+        case e: java.nio.BufferUnderflowException =>
+          throw new MalformedFrame(s"truncated ${payload(0).toChar} frame (${payload.length} bytes)", e)
+      }
+    }
+
+    private def parseRelation(buf: ByteBuffer): Unit = {
+      val id = buf.getInt
+      val schema = readCString(buf)
+      val table = readCString(buf)
+      val replicaIdentity = (buf.get() & 0xff).toChar
+      val nCols = buf.getShort & 0xffff
+      val cols = (0 until nCols).map { _ =>
+        val flags = buf.get() & 0xff
+        val name = readCString(buf)
+        val typeId = buf.getInt
+        val typeMod = buf.getInt
+        ColumnInfo(name, typeId, flags, typeMod)
+      }
+      relations(id) = RelationInfo(id, schema, table, replicaIdentity, cols.toIndexedSeq)
+    }
+
+    private def parseInsert(buf: ByteBuffer, lsn: Long, ts: Long): Option[CdcEvent] =
+      withRelation(buf) { rel =>
+        if (buf.get().toChar != 'N') None
+        else Some(event("INSERT", rel, old = None, neu = Some(readTuple(buf, rel)), lsn, ts))
+      }
+
+    private def parseUpdate(buf: ByteBuffer, lsn: Long, ts: Long): Option[CdcEvent] =
+      withRelation(buf) { rel =>
+        var old: Option[Image] = None
+        var tag = buf.get().toChar
+        if (tag == 'O' || tag == 'K') {
+          old = Some(readTuple(buf, rel))
+          tag = buf.get().toChar
+        }
+        val neu = if (tag == 'N') Some(readTuple(buf, rel)) else None
+        Some(event("UPDATE", rel, old, neu, lsn, ts))
+      }
+
+    private def parseDelete(buf: ByteBuffer, lsn: Long, ts: Long): Option[CdcEvent] =
+      withRelation(buf) { rel =>
+        val tag = buf.get().toChar
+        if (tag != 'O' && tag != 'K') None
+        else Some(event("DELETE", rel, old = Some(readTuple(buf, rel)), neu = None, lsn, ts))
+      }
+
+    private def withRelation(buf: ByteBuffer)(f: RelationInfo => Option[CdcEvent]): Option[CdcEvent] = {
+      val id = buf.getInt
+      relations.get(id) match {
+        case Some(rel) => f(rel)
+        case None => unknownRelationDrops += 1; None
+      }
+    }
+
+    private def event(
+        op: String, rel: RelationInfo,
+        old: Option[Image], neu: Option[Image], lsn: Long, ts: Long): CdcEvent =
+      CdcEvent(op, rel.schema, rel.table, rel.columns.map(_.name),
+        old, neu, lsn, ts)
+
+    private def readTuple(buf: ByteBuffer, rel: RelationInfo): Image = {
+      val nCols = buf.getShort & 0xffff
+      val b = Map.newBuilder[String, String]
+      var i = 0
+      while (i < nCols) {
+        val name = rel.columns(i).name
+        buf.get().toChar match {
+          case 'n' => b += name -> null
+          case 'u' => b += name -> CdcEvent.UnchangedSentinel
+          case 't' =>
+            val len = buf.getInt
+            val bytes = new Array[Byte](len); buf.get(bytes)
+            b += name -> new String(bytes, UTF_8)
+          case 'b' =>
+            val len = buf.getInt
+            val bytes = new Array[Byte](len); buf.get(bytes)
+            b += name -> toHex(bytes)
+          case other =>
+            throw new MalformedFrame(s"unknown tuple tag '$other' at column $name")
+        }
+        i += 1
+      }
+      b.result()
+    }
+  }
+
+  /** A structurally invalid frame (truncated buffer, unknown tuple
+    * tag). Decode callers decide drop-vs-fail (bad-record policy). */
+  final class MalformedFrame(msg: String, cause: Throwable = null)
+    extends IllegalArgumentException(msg, cause)
+
+  private def readCString(buf: ByteBuffer): String = {
+    val sb = new java.io.ByteArrayOutputStream()
+    var c = buf.get()
+    while (c != 0) { sb.write(c.toInt); c = buf.get() }
+    new String(sb.toByteArray, UTF_8)
+  }
+
+  private def toHex(bytes: Array[Byte]): String = {
+    val sb = new StringBuilder(bytes.length * 2)
+    bytes.foreach(b => sb.append(f"${b & 0xff}%02x"))
+    sb.toString
+  }
+
+  // ------------------------------------------------------------ encode
+  //
+  // Fixture/test encoder: builds wire frames the decoder (and any
+  // spec-conforming pgoutput consumer) accepts. Lives in main (not
+  // test) because deterministic fixture generation is part of the
+  // library surface (the reference ships its change generator too,
+  // test_changes.py — SURVEY §2.1 S3).
+
+  /** Wire value for one column in an encoded tuple. */
+  sealed trait WireValue
+  case object WNull extends WireValue
+  case object WUnchanged extends WireValue
+  final case class WText(value: String) extends WireValue
+  final case class WBinary(bytes: Array[Byte]) extends WireValue
+
+  object Encoder {
+    def relation(rel: RelationInfo): Array[Byte] = {
+      val out = new ByteOut('R')
+      out.u32(rel.id)
+      out.cstr(rel.schema); out.cstr(rel.table)
+      out.u8(rel.replicaIdentity.toInt)
+      out.u16(rel.columns.size)
+      rel.columns.foreach { c =>
+        out.u8(c.flags); out.cstr(c.name); out.u32(c.typeId); out.u32(c.typeMod)
+      }
+      out.result()
+    }
+
+    def insert(relationId: Int, values: Seq[WireValue]): Array[Byte] = {
+      val out = new ByteOut('I')
+      out.u32(relationId); out.u8('N')
+      tuple(out, values)
+      out.result()
+    }
+
+    def update(
+        relationId: Int,
+        old: Option[(Char, Seq[WireValue])], // ('O' | 'K', image)
+        neu: Seq[WireValue]): Array[Byte] = {
+      val out = new ByteOut('U')
+      out.u32(relationId)
+      old.foreach { case (tag, img) => out.u8(tag.toInt); tuple(out, img) }
+      out.u8('N'); tuple(out, neu)
+      out.result()
+    }
+
+    def delete(relationId: Int, tag: Char, old: Seq[WireValue]): Array[Byte] = {
+      val out = new ByteOut('D')
+      out.u32(relationId); out.u8(tag.toInt)
+      tuple(out, old)
+      out.result()
+    }
+
+    def begin(): Array[Byte] = new ByteOut('B').result()
+    def commit(): Array[Byte] = new ByteOut('C').result()
+
+    private def tuple(out: ByteOut, values: Seq[WireValue]): Unit = {
+      out.u16(values.size)
+      values.foreach {
+        case WNull => out.u8('n')
+        case WUnchanged => out.u8('u')
+        case WText(v) =>
+          val b = v.getBytes(UTF_8)
+          out.u8('t'); out.u32(b.length); out.bytes(b)
+        case WBinary(b) =>
+          out.u8('b'); out.u32(b.length); out.bytes(b)
+      }
+    }
+
+    private final class ByteOut(msgType: Char) {
+      private val bos = new java.io.ByteArrayOutputStream()
+      bos.write(msgType.toInt)
+      def u8(v: Int): Unit = bos.write(v & 0xff)
+      def u16(v: Int): Unit = { bos.write((v >> 8) & 0xff); bos.write(v & 0xff) }
+      def u32(v: Int): Unit = {
+        bos.write((v >> 24) & 0xff); bos.write((v >> 16) & 0xff)
+        bos.write((v >> 8) & 0xff); bos.write(v & 0xff)
+      }
+      def cstr(s: String): Unit = { bos.write(s.getBytes(UTF_8)); bos.write(0) }
+      def bytes(b: Array[Byte]): Unit = bos.write(b, 0, b.length)
+      def result(): Array[Byte] = bos.toByteArray
+    }
+  }
+}

@@ -1,0 +1,103 @@
+package graft.cdc
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Changelog MERGE semantics over hand-built event batches: sentinel
+  * keep-previous, explicit NULL set, delete fences, re-insert after
+  * delete, untouched base rows. */
+class ChangelogSpec extends SparkSpec {
+
+  private val cols = Seq("name", "status")
+
+  private def wireEvents(rows: Seq[(String, Long, String, Map[String, String])]) = {
+    import scala.jdk.CollectionConverters._
+    val s = spark
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("operation", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("table", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("lsn", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("old_values",
+        org.apache.spark.sql.types.MapType(org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.StringType)),
+      org.apache.spark.sql.types.StructField("new_values",
+        org.apache.spark.sql.types.MapType(org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.StringType))))
+    val data = rows.map { case (op, lsn, _, img) =>
+      val (old, neu) =
+        if (op == "DELETE") (img, null) else (null: Map[String, String], img)
+      Row(op, "t", lsn, old, neu)
+    }
+    s.createDataFrame(data.asJava, schema)
+  }
+
+  private def base = {
+    import spark.implicits._
+    Seq(("1", "one", "active"), ("2", "two", "active")).toDF("id", "name", "status")
+  }
+
+  private def stateOf(events: Seq[(String, Long, String, Map[String, String])]): Set[(String, String, String)] =
+    Changelog.apply(base, wireEvents(events), "t", "id", cols)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+
+  test("insert adds a row; untouched base rows survive") {
+    assert(stateOf(Seq(
+      ("INSERT", 1, "t", Map("id" -> "3", "name" -> "three", "status" -> "new")))) ==
+      Set(("1", "one", "active"), ("2", "two", "active"), ("3", "three", "new")))
+  }
+
+  test("update with TOAST sentinel keeps the previous value") {
+    assert(stateOf(Seq(
+      ("UPDATE", 1, "t", Map("id" -> "1", "name" -> CdcEvent.UnchangedSentinel, "status" -> "idle")))) ==
+      Set(("1", "one", "idle"), ("2", "two", "active")))
+  }
+
+  test("update explicitly setting NULL beats the base value") {
+    assert(stateOf(Seq(
+      ("UPDATE", 1, "t", Map("id" -> "1", "name" -> null, "status" -> "x")))) ==
+      Set(("1", null, "x"), ("2", "two", "active")))
+  }
+
+  test("delete removes the row") {
+    assert(stateOf(Seq(
+      ("DELETE", 1, "t", Map("id" -> "2", "name" -> "two", "status" -> "active")))) ==
+      Set(("1", "one", "active")))
+  }
+
+  test("delete fences history: re-insert does not inherit pre-delete values") {
+    assert(stateOf(Seq(
+      ("UPDATE", 1, "t", Map("id" -> "1", "name" -> "pre-del", "status" -> "pre")),
+      ("DELETE", 2, "t", Map("id" -> "1")),
+      ("INSERT", 3, "t", Map("id" -> "1", "name" -> "reborn", "status" -> CdcEvent.UnchangedSentinel)))) ==
+      // status sentinel after the fence: no live value, falls back to base
+      Set(("1", "reborn", "active"), ("2", "two", "active")))
+  }
+
+  test("last event wins in lsn order, not input order") {
+    assert(stateOf(Seq(
+      ("UPDATE", 5, "t", Map("id" -> "1", "name" -> "late", "status" -> "s2")),
+      ("UPDATE", 1, "t", Map("id" -> "1", "name" -> "early", "status" -> "s1")))) ==
+      Set(("1", "late", "s2"), ("2", "two", "active")))
+  }
+
+  test("key whose last event is delete disappears even after earlier insert") {
+    assert(stateOf(Seq(
+      ("INSERT", 1, "t", Map("id" -> "9", "name" -> "ephemeral", "status" -> "a")),
+      ("DELETE", 2, "t", Map("id" -> "9")))) ==
+      Set(("1", "one", "active"), ("2", "two", "active")))
+  }
+
+  test("golden users fixture materializes to the expected final state") {
+    val events = CdcDecode.toWireDf(
+      CdcDecode.decode(
+        CdcDecode.framesDataset(spark, UsersFixture.frames), "spec_users"))
+    val out = Changelog.apply(
+      UsersFixture.baseState(spark), events, "users", "id", UsersFixture.Cols.tail)
+      .orderBy(col("id").cast("int"))
+      .collect().map(_.toSeq).toSeq
+    assert(out == Seq(
+      Seq("1", "Ashish Kumar", "ashish@example.com", "active", UsersFixture.T0, UsersFixture.T0),
+      Seq("2", "John Doe", "john@example.com", "active", UsersFixture.T0, UsersFixture.T0),
+      Seq("4", "Bin User", "bin@example.com", "cafe", UsersFixture.T1, UsersFixture.T3)))
+    CdcDecode.resetStream("spec_users")
+  }
+}

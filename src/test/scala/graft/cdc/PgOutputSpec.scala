@@ -1,0 +1,125 @@
+package graft.cdc
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import PgOutput._
+
+/** Decoder unit + property tests: encode↔decode round-trip over
+  * arbitrary relations/images, and the reference's documented edge
+  * semantics (SURVEY §2.2): B/C dropped, unknown relation dropped,
+  * n/u/t/b tags, O/K/N images, malformed-frame errors.
+  *
+  * (ScalaCheck is driven directly — the scalatestplus bridge is not
+  * in the offline artifact cache.) */
+class PgOutputSpec extends AnyFunSuite {
+
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(100), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val colName = Gen.choose(1, 12).flatMap(n => Gen.listOfN(n, Gen.alphaNumChar).map(_.mkString))
+  private val identifier = Gen.choose(1, 16).flatMap(n => Gen.listOfN(n, Gen.alphaNumChar).map(_.mkString))
+
+  private val genRelation: Gen[RelationInfo] = for {
+    id <- Gen.choose(1, Int.MaxValue)
+    schema <- identifier
+    table <- identifier
+    ident <- Gen.oneOf('d', 'n', 'f', 'i')
+    nCols <- Gen.choose(1, 8)
+    names <- Gen.listOfN(nCols, colName).map(_.zipWithIndex.map { case (n, i) => s"${n}_$i" }) // unique
+    types <- Gen.listOfN(nCols, Gen.choose(16, 5000))
+  } yield RelationInfo(id, schema, table, ident,
+    names.zip(types).map { case (n, t) => ColumnInfo(n, t, 0, -1) }.toIndexedSeq)
+
+  private def genValue: Gen[WireValue] = Gen.frequency(
+    2 -> Gen.const(WNull),
+    1 -> Gen.const(WUnchanged),
+    5 -> Gen.asciiPrintableStr.map(WText.apply),
+    1 -> Gen.listOf(Gen.choose(0x20, 0x2fff)).map(cs => WText(cs.map(_.toChar).mkString)), // UTF-8 length ≠ char count
+    2 -> Gen.listOf(Gen.choose(0, 255)).map(l => WBinary(l.map(_.toByte).toArray)))
+
+  private def expected(rel: RelationInfo, vals: Seq[WireValue]): Map[String, String] =
+    rel.columns.map(_.name).zip(vals).map {
+      case (n, WNull) => n -> (null: String)
+      case (n, WUnchanged) => n -> CdcEvent.UnchangedSentinel
+      case (n, WText(v)) => n -> v
+      case (n, WBinary(b)) => n -> b.map(x => f"${x & 0xff}%02x").mkString
+    }.toMap
+
+  test("insert round-trips for arbitrary relations and images") {
+    check(Prop.forAll(genRelation.flatMap(r => Gen.listOfN(r.columns.size, genValue).map(r -> _))) {
+      case (rel, vals) =>
+        val d = new Decoder
+        val noEvent = d.decode(Encoder.relation(rel), 1, 0).isEmpty
+        val ev = d.decode(Encoder.insert(rel.id, vals), 2, 77).get
+        noEvent &&
+          ev.operation == "INSERT" &&
+          ev.schema == rel.schema && ev.table == rel.table &&
+          ev.columns == rel.columns.map(_.name) &&
+          ev.oldValues.isEmpty &&
+          ev.newValues.get == expected(rel, vals) &&
+          ev.lsn == 2 && ev.timestampMicros == 77
+    })
+  }
+
+  test("update round-trips with O and K old images; delete round-trips") {
+    check(Prop.forAll(genRelation, Gen.oneOf('O', 'K')) { (rel, tag) =>
+      val d = new Decoder
+      d.decode(Encoder.relation(rel), 1, 0)
+      val old = rel.columns.map(_ => WText("old"): WireValue)
+      val neu = rel.columns.map(_ => WText("new"): WireValue)
+      val up = d.decode(Encoder.update(rel.id, Some((tag, old)), neu), 2, 0).get
+      val del = d.decode(Encoder.delete(rel.id, tag, old), 3, 0).get
+      up.operation == "UPDATE" &&
+        up.oldValues.get == expected(rel, old) &&
+        up.newValues.get == expected(rel, neu) &&
+        del.operation == "DELETE" &&
+        del.oldValues.get == expected(rel, old) &&
+        del.newValues.isEmpty
+    })
+  }
+
+  test("update without old image yields empty oldValues") {
+    val d = new Decoder
+    d.decode(Encoder.relation(UsersFixture.relation), 1, 0)
+    val neu = UsersFixture.Cols.map(_ => WText("x"))
+    val ev = d.decode(Encoder.update(UsersFixture.RelId, None, neu), 2, 0).get
+    assert(ev.oldValues.isEmpty && ev.newValues.nonEmpty)
+  }
+
+  test("B/C markers and unknown message types decode to no event") {
+    val d = new Decoder
+    assert(d.decode(Encoder.begin(), 1, 0).isEmpty)
+    assert(d.decode(Encoder.commit(), 2, 0).isEmpty)
+    assert(d.decode(Array('Z'.toByte, 1, 2, 3), 3, 0).isEmpty)
+    assert(d.decode(Array.emptyByteArray, 4, 0).isEmpty)
+  }
+
+  test("changes for unregistered relations are dropped and counted") {
+    val d = new Decoder
+    assert(d.decode(Encoder.insert(42, Seq(WText("v"))), 1, 0).isEmpty)
+    assert(d.droppedUnknownRelation == 1)
+  }
+
+  test("truncated frames raise MalformedFrame") {
+    val d = new Decoder
+    d.decode(Encoder.relation(UsersFixture.relation), 1, 0)
+    val full = Encoder.insert(UsersFixture.RelId, UsersFixture.Cols.map(_ => WText("abcdef")))
+    intercept[MalformedFrame] {
+      d.decode(full.take(full.length - 3), 2, 0)
+    }
+  }
+
+  test("decodeSeq over the users fixture yields the golden event sequence") {
+    val evs = CdcDecode.decodeSeq(UsersFixture.frames)
+    assert(evs.map(_.operation) == Seq("INSERT", "UPDATE", "DELETE", "INSERT", "UPDATE"))
+    assert(evs.map(_.lsn) == Seq(1002L, 1005L, 1008L, 1011L, 1012L))
+    val up = evs(1)
+    assert(up.newValues.get("email") == CdcEvent.UnchangedSentinel)
+    val bin = evs(3)
+    assert(bin.newValues.get("status") == "cafe") // 'b' tag → lowercase hex
+    assert(bin.newValues.get("email") == null)    // 'n' tag → NULL
+  }
+}

@@ -1,0 +1,179 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Hand-computed expectations for the LLM-pipeline operator library. */
+class OperatorsSpec extends SparkSpec {
+
+  import org.apache.spark.sql.DataFrame
+
+  private def docs(rows: (Long, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toSeq.toDF("doc_id", "text")
+  }
+
+  // ------------------------------------------------------------ dedup
+
+  test("jaccard: hand-computed token-set overlap") {
+    val df = docs(1L -> "a b c").select(
+      Dedup.jaccard(split(lit("a b c"), " "), split(lit("b c d"), " ")).as("j"),
+      Dedup.jaccard(array().cast("array<string>"), array().cast("array<string>")).as("empty"))
+    val r = df.head()
+    assert(r.getDouble(0) == 0.5) // |{b,c}| / |{a,b,c,d}|
+    assert(r.getDouble(1) == 0.0) // empty union defined as 0
+  }
+
+  test("wordShingles: n-grams, and short docs yield empty (no ANSI crash)") {
+    val df = docs(1L -> "ignored").select(
+      Dedup.wordShingles(lit("a b c d"), 2).as("s2"),
+      Dedup.wordShingles(lit("a"), 2).as("short"),
+      Dedup.wordShingles(lit("a b"), 3).as("nMinus1"))
+    val r = df.head()
+    assert(r.getSeq[String](0) == Seq("a b", "b c", "c d"))
+    assert(r.getSeq[String](1) == Seq())
+    assert(r.getSeq[String](2) == Seq())
+  }
+
+  test("exactGroups: normalized duplicates collapse, min id survives") {
+    val out = Dedup.exactGroups(
+      docs(1L -> "Hello  World", 2L -> "hello world", 3L -> "other"),
+      "doc_id", "text")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val dupRow = out.find(_._2 == 1L).get
+    assert(dupRow._3 == 2L) // two copies
+    assert(out.size == 2)
+  }
+
+  test("nearDupPairs: identical docs are found with jaccard 1.0") {
+    val out = Dedup.nearDupPairs(
+      docs(1L -> "alpha beta gamma delta", 2L -> "alpha beta gamma delta", 3L -> "unrelated words here now"),
+      "doc_id", "text", k = 8, rowsPerBand = 2, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((1L, 2L, 1.0)))
+  }
+
+  test("minhashCandidatePairs rejects non-divisible banding") {
+    intercept[IllegalArgumentException] {
+      Dedup.minhashCandidatePairs(docs(1L -> "x"), "doc_id", k = 7, rowsPerBand = 2)
+    }
+  }
+
+  test("ngramJaccardPairs: finds near-dup pair, survives 1-token docs, no cartesian plan") {
+    val df = docs(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "the quick brown fox jumps over the lazy cat",
+      3L -> "q",
+      4L -> "completely different text with other words entirely")
+    val q = Dedup.ngramJaccardPairs(df, "doc_id", "text", n = 2, threshold = 0.5)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+    val out = q.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // 8 shingles each, 6 shared → jaccard 6/10 = 0.6 >= 0.5
+    assert(out.toSeq == Seq((1L, 2L)))
+  }
+
+  test("simhash64: deterministic, lowercase 16-hex, order-insensitive over token sets") {
+    val out = Dedup.withSimhash64(
+      docs(1L -> "alpha beta gamma", 2L -> "gamma alpha beta", 3L -> "different content entirely"),
+      "text", "sh")
+      .select("doc_id", "sh").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == out(2L)) // same token set
+    assert(out(1L) != out(3L))
+    assert(out(1L).matches("[0-9a-f]{16}"))
+  }
+
+  test("embeddingNearDupPairs: identical vectors pair at cosine 1.0") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Seq(1.0f, 2.0f, 3.0f)),
+      (2L, Seq(1.0f, 2.0f, 3.0f)),
+      (3L, Seq(-1.0f, -2.0f, -3.0f))).toDF("vec_id", "embedding")
+    val out = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", signBits = 2, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 2L)))
+  }
+
+  // ------------------------------------------------------- similarity
+
+  test("cosine: hand-computed values") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(4.0f, 5.0f, 6.0f))).toDF("a", "b")
+      .select(
+        Similarity.cosine(col("a"), col("b")).as("c"),
+        Similarity.cosine(col("a"), col("a")).as("self"),
+        Similarity.cosine(typedLit(Seq(1.0f, 0.0f)), typedLit(Seq(0.0f, 1.0f))).as("orth"),
+        Similarity.cosine(typedLit(Seq(0.0f, 0.0f)), typedLit(Seq(1.0f, 0.0f))).as("zero"))
+    val r = df.head()
+    assert(math.abs(r.getDouble(0) - 32.0 / math.sqrt(14.0 * 77.0)) < 1e-15)
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-15)
+    assert(r.getDouble(2) == 0.0)
+    assert(r.getDouble(3) == 0.0) // zero-vector convention
+  }
+
+  test("signBucket: bit per leading component sign; short vectors don't throw") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0f, -1.0f))).toDF("v").select(
+      Similarity.signBucket(col("v"), 2).as("b2"),
+      Similarity.signBucket(col("v"), 4).as("b4"))
+    val r = df.head()
+    assert(r.getLong(0) == 1L) // bit0 set (1>=0), bit1 clear (-1<0)
+    assert(r.getLong(1) == 13L) // missing components count as >= 0
+  }
+
+  test("bruteForceTopK: exact neighbors ranked by cosine then id") {
+    import spark.implicits._
+    val corpus = Seq(
+      (10L, Seq(1.0f, 0.0f)),
+      (11L, Seq(0.9f, 0.1f)),
+      (12L, Seq(0.0f, 1.0f)),
+      (13L, Seq(-1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val queries = Seq((1L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(queries, "vec_id", corpus, "vec_id", "embedding", k = 3)
+      .orderBy("rank").collect().map(r => r.getLong(2))
+    assert(out.toSeq == Seq(10L, 11L, 12L))
+  }
+
+  // ---------------------------------------------------- text analysis
+
+  test("text stats: hand-computed counts and ratios") {
+    val df = docs(1L -> "x").select(
+      TextAnalysis.tokenCount(lit("the cat and the dog")).as("n"),
+      TextAnalysis.stopwordRatio(lit("the cat and the dog")).as("sr"),
+      TextAnalysis.avgTokenLen(lit("the cat and the dog")).as("avg"),
+      TextAnalysis.punctCount(lit("a, b. c!")).as("punct"),
+      TextAnalysis.langGuess(lit("the cat and of dog is here")).as("lang"),
+      TextAnalysis.langGuess(lit("el la los zz")).as("es"),
+      TextAnalysis.langGuess(lit("zz qq ww")).as("und"))
+    val r = df.head()
+    assert(r.getLong(0) == 5L)
+    assert(r.getDouble(1) == 3.0 / 5.0) // the, and, the
+    assert(r.getDouble(2) == 15.0 / 5.0) // 19 chars - 4 spaces
+    assert(r.getLong(3) == 3L)
+    assert(r.getString(4) == "en")
+    assert(r.getString(5) == "es")
+    assert(r.getString(6) == "und")
+  }
+
+  // --------------------------------------------------------- as-of join
+
+  test("leftAsOf: inclusive equality, tie-break, and no-prior-row null") {
+    import spark.implicits._
+    val left = Seq(
+      ("k1", 10L, "e1"), // equal-timestamp right must match (inclusive)
+      ("k1", 5L, "e2"),  // before any right row → nulls
+      ("k2", 100L, "e3") // two rights at t=50: larger tie-break wins
+    ).toDF("key", "t", "name")
+    val right = Seq(
+      ("k1", 10L, 1L, "r1"),
+      ("k2", 50L, 2L, "r2a"),
+      ("k2", 50L, 3L, "r2b")).toDF("key", "rt", "rid", "payload")
+    val out = AsOfJoin.leftAsOf(left, right, "key", "t", "rt", Seq("rid", "payload"), "rid")
+      .orderBy("name")
+      .collect().map(r => (r.getString(2), r.get(3), r.get(4)))
+    assert(out.toSeq == Seq(
+      ("e1", 1L, "r1"),
+      ("e2", null, null),
+      ("e3", 3L, "r2b")))
+  }
+}
