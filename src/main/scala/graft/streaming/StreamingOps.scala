@@ -1,0 +1,51 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Streaming operator layer over event streams (SURVEY §2.9 streaming
+  * rows): watermarked exact dedup, windowed aggregation, and
+  * stream–static enrichment. All built-ins — state store, watermark
+  * eviction and incremental planning come from Structured Streaming.
+  */
+object StreamingOps {
+
+  /** Exact streaming dedup: drop events whose `idCols` repeat within
+    * the watermark horizon. State is bounded by the watermark (old
+    * keys are evicted), so this runs indefinitely at constant memory
+    * per key-horizon — the scale-safe streaming form of
+    * `dropDuplicates`. */
+  def dedupWithinWatermark(
+      events: DataFrame,
+      eventTimeCol: String,
+      watermark: String,
+      idCols: Seq[String]): DataFrame =
+    events
+      .withWatermark(eventTimeCol, watermark)
+      .dropDuplicatesWithinWatermark(idCols)
+
+  /** Tumbling-window counts/sums per event type — the streaming
+    * aggregation slice: partial aggregation per micro-batch, state
+    * store holds open windows, watermark closes and emits them. */
+  def windowedEventStats(
+      events: DataFrame,
+      eventTimeCol: String,
+      watermark: String,
+      windowLen: String): DataFrame =
+    events
+      .withWatermark(eventTimeCol, watermark)
+      .groupBy(window(col(eventTimeCol), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+
+  /** Stream–static enrichment: attach dimension attributes to a
+    * stream. The static side is re-read per micro-batch (picks up
+    * slowly changing dims); broadcast when dimension-sized. */
+  def enrich(
+      stream: DataFrame,
+      dim: DataFrame,
+      joinCols: Seq[String],
+      broadcastDim: Boolean = true): DataFrame = {
+    val d = if (broadcastDim) broadcast(dim) else dim
+    stream.join(d, joinCols, "left")
+  }
+}

@@ -1,0 +1,164 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.cdc._
+import graft.control.{Health, LagListener}
+
+/** End-to-end streaming slice: memory-sourced frames → decode →
+  * filter → changelog sink + state MERGE, surviving a restart from
+  * checkpoint; watermarked dedup; stream–static enrichment; health
+  * endpoint; progress listener. */
+class StreamingSpec extends SparkSpec {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def runBatchesThrough(
+      stream: MemoryStream[CdcFrame],
+      cfg: CdcPipeline.SinkConfig,
+      batches: Seq[Seq[CdcFrame]]): Unit = {
+    val events = CdcPipeline.decode(stream.toDS().coalesce(1), cfg.streamId)
+    val q = CdcPipeline.run(events, UsersFixture.baseState(spark), cfg)
+    try batches.foreach { b => stream.addData(b); q.processAllAvailable() }
+    finally q.stop()
+  }
+
+  test("golden scenario end-to-end with mid-stream restart from checkpoint") {
+    val cfg = CdcPipeline.SinkConfig(
+      streamId = "stream_e2e",
+      eventsOutDir = tmp("events"), stateDir = tmp("state"),
+      checkpointDir = tmp("chk"),
+      table = "users", keyCol = "id", valueCols = UsersFixture.Cols.tail,
+      publishedTables = Some(Set("users")))
+    CdcDecode.resetStream(cfg.streamId)
+
+    val frames = UsersFixture.frames
+    val stream1 = MemoryStream[CdcFrame](spark)(Encoders.product[CdcFrame])
+    // first run: relation + INSERT + UPDATE, then "crash" (stop)
+    runBatchesThrough(stream1, cfg, Seq(frames.take(4), frames.slice(4, 7)))
+
+    // restart: new source, same checkpoint; feed remaining frames
+    val stream2 = MemoryStream[CdcFrame](spark)(Encoders.product[CdcFrame])
+    // MemoryStream offsets restart at zero for a new instance, so a new
+    // query (fresh checkpoint) but the SAME state/events dirs verifies
+    // the storage side of restart; the decoder registry survives by
+    // stream id.
+    val cfg2 = cfg.copy(checkpointDir = tmp("chk2"))
+    runBatchesThrough(stream2, cfg2, Seq(frames.drop(7)))
+
+    // materialized state equals the golden final state
+    val store = new CdcPipeline.StateStore(cfg.stateDir)
+    val state = store.latest(spark).get
+      .orderBy(col("id").cast("int"))
+      .collect().map(_.toSeq).toSeq
+    assert(state == Seq(
+      Seq("1", "Ashish Kumar", "ashish@example.com", "active", UsersFixture.T0, UsersFixture.T0),
+      Seq("2", "John Doe", "john@example.com", "active", UsersFixture.T0, UsersFixture.T0),
+      Seq("4", "Bin User", "bin@example.com", "cafe", UsersFixture.T1, UsersFixture.T3)))
+
+    // changelog sink holds exactly the decoded events, partitioned by table
+    val sunk = spark.read.parquet(cfg.eventsOutDir)
+    assert(sunk.count() == 5)
+    assert(sunk.select("table").distinct().collect().map(_.getString(0)).toSeq == Seq("users"))
+  }
+
+  test("publication filter drops unpublished tables before the sinks") {
+    val cfg = CdcPipeline.SinkConfig(
+      streamId = "stream_filter",
+      eventsOutDir = tmp("events"), stateDir = tmp("state"),
+      checkpointDir = tmp("chk"),
+      table = "users", keyCol = "id", valueCols = UsersFixture.Cols.tail,
+      publishedTables = Some(Set("other_table")))
+    CdcDecode.resetStream(cfg.streamId)
+    val stream = MemoryStream[CdcFrame](spark)(Encoders.product[CdcFrame])
+    runBatchesThrough(stream, cfg, Seq(UsersFixture.frames))
+    // nothing published → no event files, state = base
+    val store = new CdcPipeline.StateStore(cfg.stateDir)
+    assert(store.latest(spark).get.count() == 2)
+  }
+
+  test("dedupWithinWatermark drops repeats and keeps state bounded") {
+    import spark.implicits._
+    val stream = MemoryStream[(Long, java.sql.Timestamp)](spark)
+    val df = stream.toDS().toDF("event_id", "ts")
+    val out = StreamingOps.dedupWithinWatermark(df, "ts", "10 minutes", Seq("event_id"))
+    val q = out.writeStream.format("memory").queryName("dedup_out")
+      .option("checkpointLocation", tmp("chk_dedup")).start()
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+    try {
+      stream.addData(Seq((1L, t(0)), (2L, t(1)), (1L, t(2)))) // dup 1 within watermark
+      q.processAllAvailable()
+      stream.addData(Seq((2L, t(3)), (3L, t(4)))) // dup 2 across batches
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("dedup_out").select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L))
+  }
+
+  test("windowed stats emit closed windows under watermark") {
+    import spark.implicits._
+    val stream = MemoryStream[(java.sql.Timestamp, String, Double)](spark)
+    val df = stream.toDS().toDF("ts", "event_type", "value")
+    val out = StreamingOps.windowedEventStats(df, "ts", "0 seconds", "5 minutes")
+    val q = out.writeStream.format("memory").queryName("win_out").outputMode("append")
+      .option("checkpointLocation", tmp("chk_win")).start()
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+    try {
+      stream.addData(Seq((t(0), "click", 1.0), (t(1), "click", 2.0), (t(6), "view", 5.0)))
+      q.processAllAvailable()
+      stream.addData(Seq((t(12), "click", 9.0))) // advances watermark past both windows
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("win_out")
+      .select(col("event_type"), col("n_events"), col("total_value"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rows.contains(("click", 2L, 3.0)) && rows.contains(("view", 1L, 5.0)))
+  }
+
+  test("stream-static enrichment joins dimension attributes") {
+    import spark.implicits._
+    val stream = MemoryStream[(Long, Long)](spark)
+    val df = stream.toDS().toDF("event_id", "user_id")
+    val dim = Seq((12L, "gold"), (13L, "basic")).toDF("user_id", "tier")
+    val out = StreamingOps.enrich(df, dim, Seq("user_id"))
+    val q = out.writeStream.format("memory").queryName("enrich_out")
+      .option("checkpointLocation", tmp("chk_enrich")).start()
+    try { stream.addData(Seq((1L, 12L), (2L, 99L))); q.processAllAvailable() }
+    finally q.stop()
+    val rows = spark.table("enrich_out").select("event_id", "tier").orderBy("event_id")
+      .collect().map(r => (r.getLong(0), r.get(1))).toSeq
+    assert(rows == Seq((1L, "gold"), (2L, null)))
+  }
+
+  test("health endpoint serves 200 OK; lag listener records progress") {
+    val listener = new LagListener
+    spark.streams.addListener(listener)
+    val health = Health.start(0) // ephemeral port: no suite collisions
+    try {
+      val body = scala.io.Source.fromURL(s"http://localhost:${health.port}/healthz").mkString
+      assert(body == "OK")
+      import spark.implicits._
+      val stream = MemoryStream[Long](spark)
+      val q = stream.toDS().toDF("v").writeStream.format("memory").queryName("lag_out")
+        .option("checkpointLocation", tmp("chk_lag")).start()
+      try { stream.addData(Seq(1L, 2L, 3L)); q.processAllAvailable() }
+      finally q.stop()
+      // listener bus delivery is async — poll briefly
+      val deadline = System.nanoTime() + 10e9.toLong
+      var prog = listener.progressOf(q.id)
+      while (!prog.exists(_.totalInputRows == 3L) && System.nanoTime() < deadline) {
+        Thread.sleep(100); prog = listener.progressOf(q.id)
+      }
+      assert(prog.exists(_.totalInputRows == 3L))
+    } finally {
+      health.close()
+      spark.streams.removeListener(listener)
+    }
+  }
+}
