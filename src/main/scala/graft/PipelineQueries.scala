@@ -1,0 +1,309 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Training-data-pipeline queries (SURVEY §2.9): dedup, similarity
+  * search, text analysis, multimodal columns — wired to the driver
+  * contract with DuckDB oracles.
+  *
+  * Oracle strategy: EXACT operators (n-gram Jaccard, brute-force
+  * top-k, text stats, exact dedup) get an independent exact oracle.
+  * APPROXIMATE operators (minhash/LSH, sign-bucket ANN) get the
+  * **algorithm as the oracle**: the identical deterministic md5
+  * minhashes / band hashes / sign buckets expressed in SQL — the
+  * oracle recomputes the algorithm from scratch, so every stage
+  * (shingling, hashing, banding, candidate join, verify) is checked
+  * value-for-value without demanding impossible exactness from an
+  * approximation.
+  */
+object PipelineQueries {
+
+  // DuckDB fragment: distinct word n-gram (3) shingle list per doc.
+  private val duckShingles3 =
+    """list_distinct(list_transform(
+      |  generate_series(1, greatest(len(string_split(text,' ')) - 2, 0)),
+      |  i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2]))"""
+      .stripMargin
+
+  // ------------------------------------------------------- text stats
+  private val qTextStats = Queries.Q(
+    "p_text_stats",
+    Some(s"""
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_filter(string_split(text, ' '),
+                 t -> list_contains(['the','a','an','and','or','of','to','in','is','it'], t))) AS n_stopwords,
+             CASE WHEN len(string_split(text, ' ')) = 0 THEN 0.0
+                  ELSE CAST(len(list_filter(string_split(text, ' '),
+                       t -> list_contains(['the','a','an','and','or','of','to','in','is','it'], t))) AS DOUBLE)
+                       / len(string_split(text, ' ')) END AS stopword_ratio,
+             CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+               / len(string_split(text, ' ')) AS avg_token_len,
+             length(text) - length(regexp_replace(text, '[.,;:!?''"()\\[\\]{}-]', '', 'g')) AS n_punct,
+             len(regexp_extract_all(text, '[a-z]+')) AS n_word_tokens,
+             md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint
+      FROM documents
+      ORDER BY doc_id"""),
+    (s, dir) =>
+      Tables(s, dir).documents.select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.stopwordCount(col("text")).as("n_stopwords"),
+        TextAnalysis.stopwordRatio(col("text")).as("stopword_ratio"),
+        TextAnalysis.avgTokenLen(col("text")).as("avg_token_len"),
+        TextAnalysis.punctCount(col("text")).as("n_punct"),
+        regexp_count(col("text"), lit("[a-z]+")).cast("long").as("n_word_tokens"),
+        TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+        .orderBy("doc_id"))
+
+  // ------------------------------------------- quality + language mix
+  // Per-doc quality + language guess. Output stays per-row double
+  // (identical arithmetic order both engines → bit-identical); never
+  // SUM a computed double through decimal (DuckDB truncates where
+  // Spark rounds — Exact.scala rule 1).
+  private val qLangQuality = Queries.Q(
+    "p_lang_quality",
+    Some("""
+      WITH v AS (
+        SELECT doc_id, text,
+               len(string_split(text,' ')) AS n,
+               len(list_filter(string_split(text,' '),
+                   t -> list_contains(['the','a','an','and','or','of','to','in','is','it'], t))) AS nstop,
+               len(list_filter(string_split(text,' '), t -> list_contains(['the','and','of','is','with'], t))) AS en,
+               len(list_filter(string_split(text,' '), t -> list_contains(['el','la','los','las','es'], t))) AS es,
+               len(list_filter(string_split(text,' '), t -> list_contains(['le','la','les','est','et'], t))) AS fr,
+               len(list_filter(string_split(text,' '), t -> list_contains(['der','die','das','und','ist'], t))) AS de,
+               len(list_filter(string_split(text,' '), t -> list_contains(['的','是','了','和','在'], t))) AS zh
+        FROM documents)
+      SELECT doc_id,
+             least(CAST(n AS DOUBLE) / 100.0, 1.0) * 0.4 +
+             least((CASE WHEN n = 0 THEN 0.0 ELSE CAST(nstop AS DOUBLE) / n END) * 5.0, 1.0) * 0.3 +
+             (CASE WHEN CAST(length(text) - (n - 1) AS DOUBLE) / n BETWEEN 3.0 AND 10.0
+                   THEN 1.0 ELSE 0.5 END) * 0.3 AS quality,
+             CASE WHEN greatest(en, es, fr, de, zh) = 0 THEN 'und'
+                  WHEN en = greatest(en, es, fr, de, zh) THEN 'en'
+                  WHEN es = greatest(en, es, fr, de, zh) THEN 'es'
+                  WHEN fr = greatest(en, es, fr, de, zh) THEN 'fr'
+                  WHEN de = greatest(en, es, fr, de, zh) THEN 'de'
+                  ELSE 'zh' END AS lang_guess
+      FROM v
+      ORDER BY doc_id"""),
+    (s, dir) =>
+      Tables(s, dir).documents.select(
+        col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality"),
+        TextAnalysis.langGuess(col("text")).as("lang_guess"))
+        .orderBy("doc_id"))
+
+  // ------------------------------------------------------ exact dedup
+  private val qExactDedup = Queries.Q(
+    "p_exact_dedup_groups",
+    Some("""
+      SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint,
+             MIN(doc_id) AS keep_id,
+             COUNT(*) AS n_copies
+      FROM documents
+      GROUP BY 1
+      ORDER BY fingerprint"""),
+    (s, dir) =>
+      Dedup.exactGroups(Tables(s, dir).documents, "doc_id", "text")
+        .orderBy("fingerprint"))
+
+  // --------------------------------------- exact n-gram Jaccard pairs
+  private val qNgramJaccard = Queries.Q(
+    "p_ngram_jaccard_pairs",
+    Some(s"""
+      WITH t AS (SELECT doc_id, $duckShingles3 AS sh FROM documents),
+      t2 AS (SELECT doc_id, sh, len(sh) AS l FROM t WHERE len(sh) > 0)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.sh, b.sh))) AS jac
+      FROM t2 a JOIN t2 b
+        ON a.doc_id < b.doc_id
+       AND CAST(b.l AS DOUBLE) >= a.l * 0.5 AND CAST(a.l AS DOUBLE) >= b.l * 0.5
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+      ORDER BY id_a, id_b"""),
+    (s, dir) =>
+      Dedup.ngramJaccardPairs(Tables(s, dir).documents, "doc_id", "text", n = 3, threshold = 0.5)
+        .orderBy("id_a", "id_b"))
+
+  // ----------------------------- minhash/LSH near-dup (algorithm-as-oracle)
+  private val qMinhashNearDup = Queries.Q(
+    "p_minhash_near_dup_pairs",
+    Some(s"""
+      WITH t AS (SELECT doc_id, $duckShingles3 AS sh FROM documents),
+      t2 AS (SELECT doc_id, sh FROM t WHERE len(sh) > 0),
+      sig AS (SELECT doc_id, sh,
+                list_transform(generate_series(0, 11),
+                  j -> list_min(list_transform(sh, x -> md5(j || ':' || x)))) AS s
+              FROM t2),
+      bands AS (SELECT doc_id, b.generate_series AS band,
+                  md5(s[b.generate_series*3+1] || '|' || s[b.generate_series*3+2] || '|' || s[b.generate_series*3+3]) AS bh
+                FROM sig, generate_series(0, 3) b),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+               FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
+      SELECT id_a, id_b,
+             CAST(len(list_intersect(ta.sh, tb.sh)) AS DOUBLE)
+               / len(list_distinct(list_concat(ta.sh, tb.sh))) AS jac
+      FROM cand
+      JOIN t2 ta ON ta.doc_id = id_a
+      JOIN t2 tb ON tb.doc_id = id_b
+      WHERE CAST(len(list_intersect(ta.sh, tb.sh)) AS DOUBLE)
+              / len(list_distinct(list_concat(ta.sh, tb.sh))) >= 0.5
+      ORDER BY id_a, id_b"""),
+    (s, dir) =>
+      Dedup.nearDupPairsShingled(Tables(s, dir).documents, "doc_id", "text",
+        n = 3, k = 12, rowsPerBand = 3, threshold = 0.5)
+        .orderBy("id_a", "id_b"))
+
+  // ------------------------------------------------ simhash fingerprints
+  private val qSimhash = Queries.Q(
+    "p_simhash64",
+    Some("""
+      WITH toks AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS tk FROM documents),
+      words AS (SELECT doc_id, unnest(list_transform(tk, t -> substr(md5(t), 1, 16))) AS w FROM toks),
+      votes AS (
+        SELECT doc_id, g.generate_series AS i,
+               SUM(CASE WHEN (((strpos('0123456789abcdef', substr(w, 16 - g.generate_series // 4, 1)) - 1)
+                              >> (g.generate_series % 4)) & 1) = 1 THEN 1 ELSE -1 END) AS v
+        FROM words, generate_series(0, 63) g
+        GROUP BY doc_id, g.generate_series),
+      bits AS (SELECT doc_id, i, CASE WHEN v > 0 THEN 1 ELSE 0 END AS bit FROM votes),
+      nibbles AS (SELECT doc_id, i // 4 AS nib, CAST(SUM(bit << (i % 4)) AS INT) AS nv
+                  FROM bits GROUP BY doc_id, i // 4),
+      hexes AS (SELECT doc_id, string_agg(substr('0123456789abcdef', nv + 1, 1), '' ORDER BY nib DESC) AS simhash
+                FROM nibbles GROUP BY doc_id)
+      SELECT doc_id, simhash FROM hexes ORDER BY doc_id"""),
+    (s, dir) =>
+      Dedup.withSimhash64(Tables(s, dir).documents, "text", "simhash")
+        .select("doc_id", "simhash")
+        .orderBy("doc_id"))
+
+  // ------------------------------------------------ brute-force top-k
+  private val duckCosine =
+    """list_sum(list_transform(list_zip(qv, embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+      |(sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+      | sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
+
+  private val qBruteTopK = Queries.Q(
+    "p_brute_topk",
+    Some(s"""
+      WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
+      s AS (SELECT query_id, vec_id AS neighbor_id, $duckCosine AS sim
+            FROM q CROSS JOIN embeddings
+            WHERE query_id != vec_id)
+      SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id, sim FROM (
+        SELECT query_id, neighbor_id, sim,
+               row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+        FROM s)
+      WHERE rnk <= 10
+      ORDER BY query_id, rank"""),
+    (s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") < 20), "vec_id", emb, "vec_id", "embedding", k = 10)
+        .orderBy("query_id", "rank")
+    })
+
+  // ------------------------------------- sign-bucket LSH top-k (ANN)
+  private val duckSignBucket =
+    (0 until 8).map(i => s"(CASE WHEN embedding[${i + 1}] >= 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+
+  private val qLshTopK = Queries.Q(
+    "p_lsh_topk",
+    Some(s"""
+      WITH e AS (SELECT vec_id, embedding, $duckSignBucket AS bucket FROM embeddings),
+      q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM e WHERE vec_id < 20),
+      s AS (SELECT query_id, e.vec_id AS neighbor_id, $duckCosine AS sim
+            FROM q JOIN e USING (bucket)
+            WHERE query_id != e.vec_id)
+      SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id, sim FROM (
+        SELECT query_id, neighbor_id, sim,
+               row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+        FROM s)
+      WHERE rnk <= 10
+      ORDER BY query_id, rank"""),
+    (s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      Similarity.lshTopK(
+        emb.filter(col("vec_id") < 20), "vec_id", emb, "vec_id", "embedding",
+        k = 10, signBits = 8)
+        .orderBy("query_id", "rank")
+    })
+
+  // -------------------------------------- embedding near-dup (cosine)
+  private val qEmbeddingNearDup = Queries.Q(
+    "p_embedding_near_dup",
+    Some(s"""
+      WITH e AS (SELECT vec_id, embedding, $duckSignBucket AS bucket FROM embeddings)
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_sum(list_transform(list_zip(a.embedding, b.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+             (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+              sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+      FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+            (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+             sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) >= 0.35
+      ORDER BY id_a, id_b"""),
+    (s, dir) =>
+      Dedup.embeddingNearDupPairs(Tables(s, dir).embeddings, "vec_id", "embedding",
+        signBits = 8, threshold = 0.35)
+        .orderBy("id_a", "id_b"))
+
+  // ------------------------------------------------ multimodal columns
+  private val qMultimodal = Queries.Q(
+    "p_multimodal_stats",
+    Some("""
+      SELECT doc_id,
+             octet_length(encode(text)) AS payload_len,
+             md5(text) AS payload_md5,
+             lower(substr(hex(encode(text)), 1, 16)) AS head_hex,
+             octet_length(encode(text)) % 640 + 1 AS width,
+             (octet_length(encode(text)) * 7) % 480 + 1 AS height,
+             octet_length(encode(text)) % 3 + 1 AS channels
+      FROM documents
+      ORDER BY doc_id"""),
+    (s, dir) => {
+      val df = Multimodal.withPayloadColumns(Tables(s, dir).documents, "text")
+      df.select(
+        col("doc_id"),
+        col("payload_len"),
+        col("payload_md5"),
+        Multimodal.headHex(col("payload"), 8).as("head_hex"),
+        col("image_meta.width").as("width"),
+        col("image_meta.height").as("height"),
+        col("image_meta.channels").as("channels"))
+        .orderBy("doc_id")
+    })
+
+  // ---------------------------------------------- batch event dedup
+  private val qEventsDedup = Queries.Q(
+    "p_events_dedup",
+    Some("""
+      SELECT user_id, event_type, event_id FROM (
+        SELECT user_id, event_type, event_id,
+               row_number() OVER (PARTITION BY user_id, event_type ORDER BY epoch_ns(ts), event_id) AS rn
+        FROM events)
+      WHERE rn = 1
+      ORDER BY user_id, event_type"""),
+    (s, dir) => {
+      // order on raw ns (ts_ns), not the µs-truncated timestamp: the
+      // oracle sees ns precision, and a µs-collision tie would break
+      // differently otherwise.
+      val w = Window.partitionBy("user_id", "event_type").orderBy(col("ts_ns"), col("event_id"))
+      Tables(s, dir).events
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("user_id", "event_type", "event_id")
+        .orderBy("user_id", "event_type")
+    })
+
+  val all: Seq[Queries.Q] = Seq(
+    qTextStats, qLangQuality, qExactDedup, qNgramJaccard, qMinhashNearDup,
+    qSimhash, qBruteTopK, qLshTopK, qEmbeddingNearDup, qMultimodal, qEventsDedup)
+}

@@ -10,7 +10,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * for the exactness rules).
   */
 object SparkEntry {
-  private def all: Seq[Queries.Q] = Queries.relational ++ CdcQueries.all
+  private def all: Seq[Queries.Q] =
+    Queries.relational ++ CdcQueries.all ++ PipelineQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -30,8 +30,13 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame       = t("part")
   def orders: DataFrame     = t("orders")
   def lineitem: DataFrame   = t("lineitem")
+  /** `ts` truncated to µs (Spark timestamp); `ts_ns` keeps the raw
+    * ns-since-epoch long for exact ordering/tiebreaks against the
+    * ns-precision oracle. */
   def events: DataFrame =
-    eventsRaw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    eventsRaw
+      .withColumn("ts_ns", org.apache.spark.sql.functions.col("ts"))
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")
 }
