@@ -30,7 +30,12 @@ object Bench {
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(120)
           false
         }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // Operators that persist shared intermediates (dedup family)
+      // would otherwise accumulate cached blocks across all queries
+      // and GC-thrash later ones; measure each query isolated.
+      spark.catalog.clearCache()
+      name -> (if (ok) elapsed else -1.0)
     }
     def q(s: String): String =
       "\"" + s.flatMap {

@@ -129,8 +129,9 @@ object PipelineQueries {
               / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
       ORDER BY id_a, id_b"""),
     (s, dir) =>
-      Dedup.ngramJaccardPairs(Tables(s, dir).documents, "doc_id", "text", n = 3, threshold = 0.5)
-        .orderBy("id_a", "id_b"))
+      Queries.sortedSmall(
+        Dedup.ngramJaccardPairs(Tables(s, dir).documents, "doc_id", "text", n = 3, threshold = 0.5),
+        "id_a", "id_b"))
 
   // ----------------------------- minhash/LSH near-dup (algorithm-as-oracle)
   private val qMinhashNearDup = Queries.Q(
@@ -157,9 +158,10 @@ object PipelineQueries {
               / len(list_distinct(list_concat(ta.sh, tb.sh))) >= 0.5
       ORDER BY id_a, id_b"""),
     (s, dir) =>
-      Dedup.nearDupPairsShingled(Tables(s, dir).documents, "doc_id", "text",
-        n = 3, k = 12, rowsPerBand = 3, threshold = 0.5)
-        .orderBy("id_a", "id_b"))
+      Queries.sortedSmall(
+        Dedup.nearDupPairsShingled(Tables(s, dir).documents, "doc_id", "text",
+          n = 3, k = 12, rowsPerBand = 3, threshold = 0.5),
+        "id_a", "id_b"))
 
   // ------------------------------------------------ simhash fingerprints
   private val qSimhash = Queries.Q(
@@ -180,9 +182,10 @@ object PipelineQueries {
                 FROM nibbles GROUP BY doc_id)
       SELECT doc_id, simhash FROM hexes ORDER BY doc_id"""),
     (s, dir) =>
-      Dedup.withSimhash64(Tables(s, dir).documents, "text", "simhash")
-        .select("doc_id", "simhash")
-        .orderBy("doc_id"))
+      Queries.sortedSmall(
+        Dedup.withSimhash64(Tables(s, dir).documents, "text", "simhash")
+          .select("doc_id", "simhash"),
+        "doc_id"))
 
   // ------------------------------------------------ brute-force top-k
   private val duckCosine =

@@ -33,6 +33,14 @@ object Queries {
       oracle: Option[String],
       run: (SparkSession, String) => DataFrame)
 
+  /** Deterministic total order for SMALL outputs of HEAVY subtrees:
+    * a global `orderBy` plans a range-partitioned sort whose sampling
+    * pass re-executes the whole child once more — for a few hundred
+    * output rows that doubles the query. One partition + in-partition
+    * sort yields the identical row order with a single execution. */
+  def sortedSmall(df: DataFrame, cols: String*): DataFrame =
+    df.repartition(1).sortWithinPartitions(cols.map(org.apache.spark.sql.functions.col): _*)
+
   /** The TPC-H revenue term, computed entirely in exact decimal:
     * the 2dp operands cast exactly to decimal(9,2), multiplied without
     * rescale. Never cast a computed double product to decimal — DuckDB

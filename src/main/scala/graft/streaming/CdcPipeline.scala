@@ -84,6 +84,23 @@ object CdcPipeline {
       .start()
   }
 
+  /** Console sink for ad-hoc observation (reference P3: the worker's
+    * pretty-printer, cdc_consumer.py:58-68). */
+  def consoleSink(events: Dataset[CdcEvent], numRows: Int = 20): StreamingQuery =
+    CdcDecode.toWireDf(events)
+      .writeStream.format("console")
+      .option("numRows", numRows).option("truncate", false)
+      .start()
+
+  /** Graceful shutdown (reference C4, cdc_consumer.py:108-116): stop
+    * the query on JVM shutdown, then block until termination. */
+  def awaitWithShutdownHook(query: StreamingQuery): Unit = {
+    val hook = new Thread(() => if (query.isActive) query.stop(), "graft-shutdown")
+    Runtime.getRuntime.addShutdownHook(hook)
+    try query.awaitTermination()
+    finally scala.util.Try(Runtime.getRuntime.removeShutdownHook(hook))
+  }
+
   /** Versioned parquet state store with an atomically renamed LATEST
     * pointer: write v=<batch>, then point LATEST at it. Replayed
     * batches overwrite their own version — idempotent. */
