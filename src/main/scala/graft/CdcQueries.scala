@@ -107,5 +107,36 @@ object CdcQueries {
         to_json(struct(col("operation"), col("schema"), col("table"))).as("envelope"))
         .orderBy("lsn"))
 
-  val all: Seq[Queries.Q] = Seq(qDecode, qUsersCurrent, qEnvelopeJson)
+  // ----------------------------------------------- typed projection
+  // The reference stores PG type OIDs and never uses them (SURVEY
+  // §1.2); TypedView applies a target schema to the string wire
+  // images: ints become ints, timestamps parse, the TOAST sentinel
+  // and malformed values surface as NULL (permissive).
+  private val qTypedView = Queries.Q(
+    "cdc_typed_view",
+    Some("""
+      SELECT CAST(lsn_small AS BIGINT) AS lsn, CAST(id_small AS INT) AS id,
+             name, email, updated_at_str
+      FROM (VALUES
+        (1002, 3, 'Test User', 'test@example.com', '2026-01-02 10:00:00'),
+        (1005, 3, 'Updated User', NULL, '2026-01-02 10:00:01'),
+        (1011, 4, 'Bin User', NULL, '2026-01-02 10:00:00'),
+        (1012, 4, NULL, 'bin@example.com', '2026-01-02 10:00:02')
+      ) AS t(lsn_small, id_small, name, email, updated_at_str)
+      ORDER BY lsn"""),
+    (s, _) => {
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("id", IntegerType), StructField("name", StringType),
+        StructField("email", StringType), StructField("updated_at", TimestampType)))
+      TypedView.project(
+        decodedWire(s).filter(col("operation").isin("INSERT", "UPDATE")),
+        "new_values", schema, keep = Seq("lsn"))
+        .select(
+          col("lsn"), col("id"), col("name"), col("email"),
+          date_format(col("updated_at"), "yyyy-MM-dd HH:mm:ss").as("updated_at_str"))
+        .orderBy("lsn")
+    })
+
+  val all: Seq[Queries.Q] = Seq(qDecode, qUsersCurrent, qEnvelopeJson, qTypedView)
 }

@@ -183,8 +183,7 @@ object PipelineQueries {
       SELECT doc_id, simhash FROM hexes ORDER BY doc_id"""),
     (s, dir) =>
       Queries.sortedSmall(
-        Dedup.withSimhash64(Tables(s, dir).documents, "text", "simhash")
-          .select("doc_id", "simhash"),
+        Dedup.simhash64ByKey(Tables(s, dir).documents, "doc_id", "text", "simhash"),
         "doc_id"))
 
   // ------------------------------------------------ brute-force top-k

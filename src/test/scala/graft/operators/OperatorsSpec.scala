@@ -83,6 +83,17 @@ class OperatorsSpec extends SparkSpec {
     assert(out(1L).matches("[0-9a-f]{16}"))
   }
 
+  test("simhash64ByKey equals the column-expression simhash on every doc") {
+    val df = docs(
+      1L -> "alpha beta gamma", 2L -> "the quick brown fox", 3L -> "", 4L -> "solo",
+      5L -> "repeat repeat repeat distinct")
+    val a = Dedup.withSimhash64(df, "text", "sh").select("doc_id", "sh")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = Dedup.simhash64ByKey(df, "doc_id", "text", "sh")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b)
+  }
+
   test("embeddingNearDupPairs: identical vectors pair at cosine 1.0") {
     import spark.implicits._
     val emb = Seq(
