@@ -339,7 +339,41 @@ object Queries {
         .orderBy("event_id")
     })
 
+  // -------------------------------------------------------------- cube
+  private val qCube = Q(
+    "q_cube_lineitem",
+    Some("""
+      SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+             COUNT(*) AS n, COUNT(DISTINCT l_partkey) AS n_parts
+      FROM lineitem
+      GROUP BY CUBE(l_returnflag, l_linestatus)
+      ORDER BY rf, ls"""),
+    (s, dir) =>
+      Tables(s, dir).lineitem
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), countDistinct(col("l_partkey")).as("n_parts"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("n_parts"))
+        .orderBy("rf", "ls"))
+
+  // --------------------------------------------------------- intersect
+  private val qIntersect = Q(
+    "q_intersect_customers",
+    Some("""
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+      ORDER BY o_custkey"""),
+    (s, dir) => {
+      val o = Tables(s, dir).orders
+      o.filter(col("o_orderstatus") === "O").select("o_custkey")
+        .intersect(o.filter(col("o_orderstatus") === "P").select("o_custkey"))
+        .orderBy("o_custkey")
+    })
+
   val relational: Seq[Q] = Seq(
-    q1, q3, q5, qWindow, qRollup, qSetop, qSemi, qAnti, qTopk,
+    q1, q3, q5, qWindow, qRollup, qCube, qSetop, qIntersect, qSemi, qAnti, qTopk,
     qEventsDaily, qEventsJson, qJsonSerialize, qAsOf)
 }
