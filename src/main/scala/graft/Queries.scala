@@ -282,7 +282,7 @@ object Queries {
     "q_events_json_extract",
     Some("""
       SELECT event_type,
-             SUM(TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS sum_k,
+             CAST(SUM(TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
              MAX(TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS max_k
       FROM events
       GROUP BY event_type

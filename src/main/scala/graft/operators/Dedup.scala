@@ -60,28 +60,46 @@ object Dedup {
       col(idCol) +:
         (0 until k).map(j => minhash(j, shingles).as(s"h$j")): _*)
 
+  /** Sorted i<j pairs from a bucket-member array: exactly the pairs a
+    * bucket-key equi-self-join would emit, generated in ONE pass over
+    * the grouped bucket instead of reading a persisted exchange twice.
+    * `members` must be a plain attribute (not an inline subtree: the
+    * slice lambda references it per output element — cheap on an
+    * attribute, pathological on an expression). O(b²) per bucket — the
+    * same cardinality the join would produce. */
+  private def bucketPairs(members: Column): Column =
+    flatten(transform(members, (x, i) =>
+      transform(
+        slice(members, i + 2, greatest(size(members) - i - 1, lit(0))),
+        y => struct(x.as("a"), y.as("b")))))
+
   /** LSH candidate pairs: docs agreeing on any band (a contiguous run
-    * of `rowsPerBand` signature positions) become a candidate. Join is
-    * per-band on the band hash — never an all-pairs product. */
+    * of `rowsPerBand` signature positions) become a candidate.
+    *
+    * Shape: ONE hash shuffle on (band, band_hash) collapsing each band
+    * bucket into a member list, then in-bucket i<j pair generation —
+    * never an all-pairs product, never a persisted self-join (heap-
+    * resident caches made bench timings heap-size-dependent; round-2
+    * driver runs thrashed GC on exactly these queries). Bucket sizes
+    * are near-dup cluster sizes — run exact dedup first so identical-
+    * doc floods can't concentrate one giant bucket on one task. */
   def minhashCandidatePairs(
       sig: DataFrame, idCol: String, k: Int, rowsPerBand: Int): DataFrame = {
     require(k % rowsPerBand == 0,
       s"k=$k must be a multiple of rowsPerBand=$rowsPerBand (trailing positions would be silently dropped)")
     val nBands = k / rowsPerBand
-    // Persisted: both sides of the band self-join read `banded`; see
-    // ngramJaccardPairs for why multi-use subplans must persist.
     val banded = sig.select(
       col(idCol),
       posexplode(array((0 until nBands).map { b =>
         md5(concat_ws("|",
           (b * rowsPerBand until (b + 1) * rowsPerBand).map(j => col(s"h$j")): _*))
       }: _*)).as(Seq("band", "band_hash")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = banded.select(col(idCol).as("id_a"), col("band"), col("band_hash"))
-    val b = banded.select(col(idCol).as("id_b"), col("band"), col("band_hash"))
-    a.join(b, Seq("band", "band_hash"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
+    banded
+      .groupBy("band", "band_hash")
+      .agg(array_sort(collect_list(col(idCol))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(bucketPairs(col("ids"))).as("p"))
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
       .distinct()
   }
 
@@ -119,13 +137,16 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       n: Int, k: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
     // Repartition by id BEFORE the expensive per-doc hashing: a
-    // single-file corpus scans as one partition, and persisting on
-    // top of that would pin all signature work onto one task.
+    // single-file corpus scans as one partition and would pin all
+    // signature work onto one task. The repartition also makes the
+    // three uses of `sh` (signatures + both verify joins) share one
+    // canonically-identical Exchange, which ReuseExchange materializes
+    // ONCE in shuffle files — disk-backed branch reuse with zero heap
+    // footprint, where an explicit persist made timings heap-fragile.
     val sh = docs.select(
       col(idCol), array_distinct(wordShingles(col(textCol), n)).as("sh"))
       .filter(size(col("sh")) > 0)
       .repartition(col(idCol))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sig = minhashSignatureOver(sh, idCol, col("sh"), k)
     val cand = minhashCandidatePairs(sig, idCol, k, rowsPerBand)
     cand

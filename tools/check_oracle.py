@@ -56,8 +56,15 @@ def main(sf_dir, out_dir):
             continue
         try:
             cur = con.execute(oracle[name])
-            duck_names = [d[0] for d in cur.description]
-            duck_rows = cur.fetchall()
+            # Fetch through Arrow, like the driver: DuckDB renders
+            # HUGEINT (e.g. a bare SUM(BIGINT)) as float64 in Arrow —
+            # fetchall() would hide that class of oracle-type bug
+            # (round-2 q_events_json_extract passed locally, failed on
+            # the driver).
+            duck_tbl = cur.fetch_arrow_table()
+            duck_names = duck_tbl.column_names
+            duck_rows = [tuple(r[c] for c in duck_names)
+                         for r in duck_tbl.to_pylist()]
         except Exception as e:
             results[name] = {"status": "ORACLE_ERROR", "error": str(e)[:300]}
             continue
