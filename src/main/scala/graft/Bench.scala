@@ -31,10 +31,17 @@ object Bench {
           false
         }
       val elapsed = (System.nanoTime() - t0) / 1e9
-      // Operators that persist shared intermediates (dedup family)
-      // would otherwise accumulate cached blocks across all queries
-      // and GC-thrash later ones; measure each query isolated.
+      // Isolate queries from each other — all OUTSIDE the timers:
+      // clearCache() initiates block removal asynchronously, so a
+      // query's GC/eviction debt would otherwise land on the NEXT
+      // timer (measured: a 3.5 s query attributed 100+ s). Unpersist
+      // blocking, then force a full GC so each timer starts from a
+      // quiet heap. (The library operators no longer persist anything
+      // — this is belt-and-braces for future queries that might.)
+      val cached = spark.sparkContext.getPersistentRDDs.values
       spark.catalog.clearCache()
+      cached.foreach(_.unpersist(blocking = true))
+      System.gc()
       name -> (if (ok) elapsed else -1.0)
     }
     def q(s: String): String =

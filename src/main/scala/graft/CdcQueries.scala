@@ -63,7 +63,7 @@ object CdcQueries {
         canonImage(col("old_values")).as("old_image"),
         canonImage(col("new_values")).as("new_image"),
         col("lsn"))
-        .orderBy("lsn"))
+        .transform(Queries.sortedSmall(_, "lsn")))
 
   // --------------------------------------- changelog materialization
   private val qUsersCurrent = Queries.Q(
@@ -85,7 +85,7 @@ object CdcQueries {
         table = "users",
         keyCol = "id",
         valueCols = UsersFixture.Cols.tail)
-      current.orderBy(col("id").cast("int"))
+      Queries.sortedSmallBy(current, col("id").cast("int"))
     })
 
   // ------------------------------------------- event envelope to JSON
@@ -105,7 +105,7 @@ object CdcQueries {
       decodedWire(s).select(
         col("lsn"),
         to_json(struct(col("operation"), col("schema"), col("table"))).as("envelope"))
-        .orderBy("lsn"))
+        .transform(Queries.sortedSmall(_, "lsn")))
 
   // ----------------------------------------------- typed projection
   // The reference stores PG type OIDs and never uses them (SURVEY
@@ -135,7 +135,7 @@ object CdcQueries {
         .select(
           col("lsn"), col("id"), col("name"), col("email"),
           date_format(col("updated_at"), "yyyy-MM-dd HH:mm:ss").as("updated_at_str"))
-        .orderBy("lsn")
+        .transform(Queries.sortedSmall(_, "lsn"))
     })
 
   val all: Seq[Queries.Q] = Seq(qDecode, qUsersCurrent, qEnvelopeJson, qTypedView)

@@ -58,7 +58,7 @@ object PipelineQueries {
         TextAnalysis.punctCount(col("text")).as("n_punct"),
         regexp_count(col("text"), lit("[a-z]+")).cast("long").as("n_word_tokens"),
         TextAnalysis.fingerprint(col("text")).as("fingerprint"))
-        .orderBy("doc_id"))
+        .transform(Queries.sortedSmall(_, "doc_id")))
 
   // ------------------------------------------- quality + language mix
   // Per-doc quality + language guess. Output stays per-row double
@@ -97,7 +97,7 @@ object PipelineQueries {
         col("doc_id"),
         TextAnalysis.qualityScore(col("text")).as("quality"),
         TextAnalysis.langGuess(col("text")).as("lang_guess"))
-        .orderBy("doc_id"))
+        .transform(Queries.sortedSmall(_, "doc_id")))
 
   // ------------------------------------------------------ exact dedup
   private val qExactDedup = Queries.Q(
@@ -111,7 +111,7 @@ object PipelineQueries {
       ORDER BY fingerprint"""),
     (s, dir) =>
       Dedup.exactGroups(Tables(s, dir).documents, "doc_id", "text")
-        .orderBy("fingerprint"))
+        .transform(Queries.sortedSmall(_, "fingerprint")))
 
   // --------------------------------------- exact n-gram Jaccard pairs
   private val qNgramJaccard = Queries.Q(
@@ -209,7 +209,8 @@ object PipelineQueries {
       val emb = Tables(s, dir).embeddings
       Similarity.bruteForceTopK(
         emb.filter(col("vec_id") < 20), "vec_id", emb, "vec_id", "embedding", k = 10)
-        .orderBy("query_id", "rank")
+        // small output, crossJoin+window child: never global orderBy
+        .transform(Queries.sortedSmall(_, "query_id", "rank"))
     })
 
   // ------------------------------------- sign-bucket LSH top-k (ANN)
@@ -235,7 +236,7 @@ object PipelineQueries {
       Similarity.lshTopK(
         emb.filter(col("vec_id") < 20), "vec_id", emb, "vec_id", "embedding",
         k = 10, signBits = 8)
-        .orderBy("query_id", "rank")
+        .transform(Queries.sortedSmall(_, "query_id", "rank"))
     })
 
   // -------------------------------------- embedding near-dup (cosine)
@@ -255,7 +256,7 @@ object PipelineQueries {
     (s, dir) =>
       Dedup.embeddingNearDupPairs(Tables(s, dir).embeddings, "vec_id", "embedding",
         signBits = 8, threshold = 0.35)
-        .orderBy("id_a", "id_b"))
+        .transform(Queries.sortedSmall(_, "id_a", "id_b")))
 
   // ------------------------------------------------ multimodal columns
   private val qMultimodal = Queries.Q(
@@ -280,7 +281,7 @@ object PipelineQueries {
         col("image_meta.width").as("width"),
         col("image_meta.height").as("height"),
         col("image_meta.channels").as("channels"))
-        .orderBy("doc_id")
+        .transform(Queries.sortedSmall(_, "doc_id"))
     })
 
   // ---------------------------------------------- batch event dedup
@@ -302,7 +303,7 @@ object PipelineQueries {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select("user_id", "event_type", "event_id")
-        .orderBy("user_id", "event_type")
+        .transform(Queries.sortedSmall(_, "user_id", "event_type"))
     })
 
   val all: Seq[Queries.Q] = Seq(

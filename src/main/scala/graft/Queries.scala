@@ -39,7 +39,11 @@ object Queries {
     * output rows that doubles the query. One partition + in-partition
     * sort yields the identical row order with a single execution. */
   def sortedSmall(df: DataFrame, cols: String*): DataFrame =
-    df.repartition(1).sortWithinPartitions(cols.map(org.apache.spark.sql.functions.col): _*)
+    sortedSmallBy(df, cols.map(org.apache.spark.sql.functions.col): _*)
+
+  /** [[sortedSmall]] with arbitrary sort expressions (desc, casts). */
+  def sortedSmallBy(df: DataFrame, cols: Column*): DataFrame =
+    df.repartition(1).sortWithinPartitions(cols: _*)
 
   /** The TPC-H revenue term, computed entirely in exact decimal:
     * the 2dp operands cast exactly to decimal(9,2), multiplied without
@@ -79,7 +83,7 @@ object Queries {
           (dsum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
           (dsum(col("l_discount")) / count(lit(1))).as("avg_disc"),
           count(lit(1)).as("count_order"))
-        .orderBy("l_returnflag", "l_linestatus")
+        .transform(sortedSmall(_, "l_returnflag", "l_linestatus"))
     })
 
   // ---------------------------------------------------------------- q3
@@ -145,7 +149,10 @@ object Queries {
         .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
         .groupBy("r_name", "n_name")
         .agg(sum(revenue(col("l_extendedprice"), col("l_discount"))).cast("double").as("revenue"))
-        .orderBy(col("revenue").desc, col("n_name"))
+        // 25 output rows of a 6-table join: a global orderBy would
+        // re-execute the whole join for range-partition sampling
+        // (the one consistently >2x query in round-3 bench runs).
+        .transform(sortedSmallBy(_, col("revenue").desc, col("n_name")))
     })
 
   // ------------------------------------------------------- window rank
@@ -171,7 +178,7 @@ object Queries {
             .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
             .cast("double").as("running_total"))
         .filter(col("rnk") <= 3)
-        .orderBy("o_custkey", "rnk")
+        .transform(sortedSmall(_, "o_custkey", "rnk"))
     })
 
   // ------------------------------------------------------------ rollup
@@ -193,7 +200,7 @@ object Queries {
           coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
           coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
           col("n_orders"), col("total"))
-        .orderBy("status", "priority"))
+        .transform(sortedSmall(_, "status", "priority")))
 
   // ------------------------------------------------------------ set op
   private val qSetop = Q(
@@ -207,7 +214,7 @@ object Queries {
       val o = Tables(s, dir).orders
       o.filter(col("o_orderstatus") === "O").select("o_custkey")
         .except(o.filter(col("o_orderstatus") === "F").select("o_custkey"))
-        .orderBy("o_custkey")
+        .transform(sortedSmall(_, "o_custkey"))
     })
 
   // ------------------------------------------------------- semi + anti
@@ -227,7 +234,7 @@ object Queries {
           col("c_custkey") === col("o_custkey"), "left_semi")
         .groupBy("c_nationkey")
         .agg(count(lit(1)).as("n_customers"))
-        .orderBy("c_nationkey")
+        .transform(sortedSmall(_, "c_nationkey"))
     })
 
   private val qAnti = Q(
@@ -244,7 +251,7 @@ object Queries {
         .join(t.orders.filter(col("o_orderpriority") === "1-URGENT"),
           col("c_custkey") === col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name")
-        .orderBy("c_custkey")
+        .transform(sortedSmall(_, "c_custkey"))
     })
 
   // ------------------------------------------------------------- top-k
@@ -275,7 +282,7 @@ object Queries {
       Tables(s, dir).events
         .groupBy(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
         .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
-        .orderBy("event_type", "day"))
+        .transform(sortedSmall(_, "event_type", "day")))
 
   // ------------------------------------------------- events: JSON prop
   private val qEventsJson = Q(
@@ -292,7 +299,7 @@ object Queries {
       Tables(s, dir).events
         .groupBy("event_type")
         .agg(sum(k).as("sum_k"), max(k).as("max_k"))
-        .orderBy("event_type")
+        .transform(sortedSmall(_, "event_type"))
     })
 
   // ------------------------------------------------ P2: JSON serialize
@@ -336,7 +343,9 @@ object Queries {
         rightPayload = Seq("o_orderkey", "o_totalprice"),
         rightTieBreak = "o_orderkey")
         .select("event_id", "user_id", "o_orderkey", "o_totalprice")
-        .orderBy("event_id")
+        // output is one row per event but the child is the heavy
+        // as-of join — avoid the orderBy resampling re-execution
+        .transform(sortedSmall(_, "event_id"))
     })
 
   // -------------------------------------------------------------- cube
@@ -356,7 +365,7 @@ object Queries {
           coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
           coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
           col("n"), col("n_parts"))
-        .orderBy("rf", "ls"))
+        .transform(sortedSmall(_, "rf", "ls")))
 
   // --------------------------------------------------------- intersect
   private val qIntersect = Q(
@@ -370,7 +379,7 @@ object Queries {
       val o = Tables(s, dir).orders
       o.filter(col("o_orderstatus") === "O").select("o_custkey")
         .intersect(o.filter(col("o_orderstatus") === "P").select("o_custkey"))
-        .orderBy("o_custkey")
+        .transform(sortedSmall(_, "o_custkey"))
     })
 
   val relational: Seq[Q] = Seq(

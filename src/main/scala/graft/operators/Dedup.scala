@@ -13,10 +13,30 @@ import org.apache.spark.sql.functions._
   *
   * Scale notes (100 TB): exact dedup is one hash-shuffle on the
   * fingerprint; minhash/LSH shuffles signatures (tiny: k strings per
-  * doc) and joins docs only within LSH bands, never all-pairs. The
-  * band self-join is the standard linear-ish LSH candidate generation;
-  * pathological vocabularies collapse many docs into one band, which
-  * AQE skew-join splitting handles at runtime.
+  * doc) and generates candidates by collapsing each (band, band_hash)
+  * bucket into its member list in ONE shuffle, then enumerating i<j
+  * pairs inside the bucket — never all-pairs, never a persisted
+  * self-join. A bucket's pair count is quadratic in its size, so
+  * bucket sizes are capped ([[minhashCandidatePairs]] `maxBucket`):
+  * a flood of identical documents would otherwise concentrate one
+  * giant O(b²) row on one task. Run [[exactGroups]] first so exact
+  * duplicates can't form such floods, and audit drops with
+  * [[minhashBucketOverflow]].
+  *
+  * Multi-use subtrees (the shingle arrays feeding both the index
+  * build and the verify joins) are NOT persisted: each operator
+  * repartitions the shared frontier by doc id so every consumer
+  * branch hangs off one canonically-identical Exchange, which Spark
+  * materializes once as shuffle files and reuses (ReuseExchange /
+  * AQE stage reuse) — disk-backed branch reuse with zero heap
+  * footprint. Explicit MEMORY_AND_DISK persists here made benchmark
+  * timings heap-shape-dependent (block churn + GC debt smearing into
+  * neighboring queries). For reuse to fire the branches must stay
+  * canonically IDENTICAL: equi-joins infer `IsNotNull` on their keys
+  * and push it below the repartition on join branches only, so the
+  * shared subtree pre-filters `id IS NOT NULL` itself. Plan shape is
+  * asserted in OperatorsSpec (single materialization of the shingle
+  * projection).
   */
 object Dedup {
 
@@ -73,6 +93,26 @@ object Dedup {
         slice(members, i + 2, greatest(size(members) - i - 1, lit(0))),
         y => struct(x.as("a"), y.as("b")))))
 
+  /** (band, band_hash, ids) buckets for a signature frame: the shared
+    * shape behind candidate generation and the overflow audit. */
+  private def bandBuckets(
+      sig: DataFrame, idCol: String, k: Int, rowsPerBand: Int): DataFrame = {
+    require(k % rowsPerBand == 0,
+      s"k=$k must be a multiple of rowsPerBand=$rowsPerBand (trailing positions would be silently dropped)")
+    val nBands = k / rowsPerBand
+    sig.select(
+      col(idCol),
+      posexplode(array((0 until nBands).map { b =>
+        md5(concat_ws("|",
+          (b * rowsPerBand until (b + 1) * rowsPerBand).map(j => col(s"h$j")): _*))
+      }: _*)).as(Seq("band", "band_hash")))
+      // collect_set: duplicate input ids would otherwise appear twice
+      // in a bucket and the sorted i<j enumeration would emit (id,id)
+      // self-pairs, diverging from strict id_a < id_b semantics.
+      .groupBy("band", "band_hash")
+      .agg(array_sort(collect_set(col(idCol))).as("ids"))
+  }
+
   /** LSH candidate pairs: docs agreeing on any band (a contiguous run
     * of `rowsPerBand` signature positions) become a candidate.
     *
@@ -80,28 +120,35 @@ object Dedup {
     * bucket into a member list, then in-bucket i<j pair generation —
     * never an all-pairs product, never a persisted self-join (heap-
     * resident caches made bench timings heap-size-dependent; round-2
-    * driver runs thrashed GC on exactly these queries). Bucket sizes
-    * are near-dup cluster sizes — run exact dedup first so identical-
-    * doc floods can't concentrate one giant bucket on one task. */
+    * driver runs thrashed GC on exactly these queries).
+    *
+    * Buckets larger than `maxBucket` are DROPPED (a bucket of b ids
+    * materializes b·(b−1)/2 pair structs in one row on one task —
+    * unbounded, that is an OOM; the default caps a bucket's pair
+    * array at ~0.5M structs). A bucket that large is an identical/
+    * near-identical-document flood: run [[exactGroups]] first so
+    * exact duplicates collapse to one representative, and audit any
+    * residual drops with [[minhashBucketOverflow]] — at the default
+    * cap a drop means ≥1024 mutually-near-dup distinct docs, which a
+    * downstream clustering pass should handle as one group anyway. */
   def minhashCandidatePairs(
-      sig: DataFrame, idCol: String, k: Int, rowsPerBand: Int): DataFrame = {
-    require(k % rowsPerBand == 0,
-      s"k=$k must be a multiple of rowsPerBand=$rowsPerBand (trailing positions would be silently dropped)")
-    val nBands = k / rowsPerBand
-    val banded = sig.select(
-      col(idCol),
-      posexplode(array((0 until nBands).map { b =>
-        md5(concat_ws("|",
-          (b * rowsPerBand until (b + 1) * rowsPerBand).map(j => col(s"h$j")): _*))
-      }: _*)).as(Seq("band", "band_hash")))
-    banded
-      .groupBy("band", "band_hash")
-      .agg(array_sort(collect_list(col(idCol))).as("ids"))
-      .filter(size(col("ids")) > 1)
+      sig: DataFrame, idCol: String, k: Int, rowsPerBand: Int,
+      maxBucket: Int = 1024): DataFrame =
+    bandBuckets(sig, idCol, k, rowsPerBand)
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
       .select(explode(bucketPairs(col("ids"))).as("p"))
       .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
       .distinct()
-  }
+
+  /** Audit companion of [[minhashCandidatePairs]]: the buckets its
+    * `maxBucket` cap would drop, as (band, band_hash, n_ids). Empty
+    * output = the cap lost nothing. */
+  def minhashBucketOverflow(
+      sig: DataFrame, idCol: String, k: Int, rowsPerBand: Int,
+      maxBucket: Int = 1024): DataFrame =
+    bandBuckets(sig, idCol, k, rowsPerBand)
+      .filter(size(col("ids")) > maxBucket)
+      .select(col("band"), col("band_hash"), size(col("ids")).as("n_ids"))
 
   /** Exact token-set Jaccard for a pair of token arrays. */
   def jaccard(a: Column, b: Column): Column = {
@@ -143,9 +190,14 @@ object Dedup {
     // canonically-identical Exchange, which ReuseExchange materializes
     // ONCE in shuffle files — disk-backed branch reuse with zero heap
     // footprint, where an explicit persist made timings heap-fragile.
+    // `id IS NOT NULL` must sit in this SHARED subtree: the verify
+    // equi-joins infer IsNotNull(id) and push it below the repartition
+    // on their branches only, which would make the branch plans
+    // canonically different and silently disable the reuse (measured:
+    // the whole shingle+signature pipeline re-ran per branch).
     val sh = docs.select(
       col(idCol), array_distinct(wordShingles(col(textCol), n)).as("sh"))
-      .filter(size(col("sh")) > 0)
+      .filter(col(idCol).isNotNull && size(col("sh")) > 0)
       .repartition(col(idCol))
     val sig = minhashSignatureOver(sh, idCol, col("sh"), k)
     val cand = minhashCandidatePairs(sig, idCol, k, rowsPerBand)
@@ -202,24 +254,53 @@ object Dedup {
     * Every step is a hash shuffle on a high-cardinality key (shingle
     * or doc id) — linear-ish at 100 TB; frequency-ordered prefixes
     * keep hot shingles out of the index, and AQE skew splitting covers
-    * residual skew. */
+    * residual skew.
+    *
+    * Shingles are hashed to 64-bit longs (`xxhash64`) ONCE in the
+    * shared frontier and every downstream step — postings, prefix
+    * index, candidate join, exact verify — runs on primitive longs:
+    *  - the verify's `array_intersect` takes Spark's codegen'd
+    *    primitive-OpenHashSet path; over string arrays it evaluates
+    *    interpreted per pair (measured at sf0.1: 310k candidates ×
+    *    ~120-element string arrays ≈ 2000 s of CPU — the whole
+    *    operator is that verify);
+    *  - `jac = inter / (len_a + len_b − inter)` (sets are distinct,
+    *    so |A∪B| = |A|+|B|−|A∩B|) avoids ArrayUnion entirely;
+    *  - shuffle payloads shrink ~20× (8-byte longs vs shingle text).
+    * A 64-bit collision inside one pair's ~240-element union has
+    * probability ~2⁻⁵⁰ — far below any realistic corpus size — so
+    * results equal true string-shingle Jaccard (the DuckDB oracle
+    * computes the string version and hash-matches). The frequency
+    * total order becomes (df, hashed value) — any consistent total
+    * order keeps the prefix-filter proof intact. */
   def ngramJaccardPairs(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame = {
     require(threshold > 0 && threshold < 1, s"threshold in (0,1), got $threshold")
-    // Persisted: `sh` feeds both the index build and the verify join,
-    // and `prefix` feeds both sides of the self-join — without
-    // persistence Spark re-derives each branch from scratch (no
-    // cross-branch subplan reuse), turning a ~90 s pipeline into
-    // ~300 s at sf0.1. Iterative/multi-use operators persist their
-    // shared frontier; sizes are O(corpus shingles), spilling to disk.
+    // `sh` feeds the index build AND both verify joins; `prefix` feeds
+    // both sides of the candidate self-join. Neither is persisted:
+    // Spark has no cross-branch subplan reuse, but it DOES reuse
+    // canonically-identical Exchanges, so each shared frontier is
+    // repartitioned (sh explicitly by id; prefix implicitly — both
+    // self-join sides require the same hash partitioning on shingle)
+    // and every consumer reads the one materialized shuffle. This is
+    // disk-backed reuse with zero heap footprint; the previous
+    // MEMORY_AND_DISK persists here were the prime suspect for the
+    // heap-shape-dependent bench chaos (blocks + GC debt smearing
+    // across queries). `id IS NOT NULL` lives in the shared subtree
+    // for the same reason as in [[nearDupPairsShingled]]: inferred
+    // join-key null filters must not differ across branches below the
+    // shared Exchange. `len` is re-derived per consumer (size() on an
+    // attribute is free) so column pruning also stays identical.
     val sh = docs
-      .select(col(idCol), array_distinct(wordShingles(col(textCol), n)).as("sh"))
-      .withColumn("len", size(col("sh")))
-      .filter(col("len") > 0) // empty shingle sets can never reach jaccard >= t
-      .repartition(col(idCol)) // parallelize past a single-file scan before persisting
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val posts = sh.select(col(idCol), col("len"), explode(col("sh")).as("shingle"))
+      .select(col(idCol),
+        // hash AFTER distinct: distinct strings → distinct longs
+        // (modulo the ~2⁻⁵⁰ collision documented above)
+        transform(array_distinct(wordShingles(col(textCol), n)), s => xxhash64(s)).as("sh"))
+      .filter(col(idCol).isNotNull && size(col("sh")) > 0) // empty sets can never reach jaccard >= t
+      .repartition(col(idCol)) // parallelize past a single-file scan; shared Exchange
+    val posts = sh.select(
+      col(idCol), size(col("sh")).as("len"), explode(col("sh")).as("shingle"))
     val docFreq = posts.groupBy("shingle").agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("df"), col("shingle"))
@@ -228,7 +309,6 @@ object Dedup {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= col("len") - ceil(col("len") * threshold).cast("int") + 1)
       .select(col(idCol), col("len"), col("shingle"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = prefix.select(col(idCol).as("id_a"), col("len").as("len_a"), col("shingle"))
     val b = prefix.select(col(idCol).as("id_b"), col("len").as("len_b"), col("shingle"))
     val cand = a.join(b, Seq("shingle"))
@@ -236,12 +316,15 @@ object Dedup {
         col("id_a") < col("id_b") &&
           col("len_b").cast("double") >= col("len_a") * threshold &&
           col("len_a").cast("double") >= col("len_b") * threshold)
-      .select("id_a", "id_b")
+      // lengths ride along through distinct (functionally dependent on
+      // the ids) so the verify needs no union: |A∪B| = len_a+len_b−inter
+      .select("id_a", "id_b", "len_a", "len_b")
       .distinct()
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
     cand
       .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
-      .withColumn("jac", jaccard(col("sh_a"), col("sh_b")))
+      .withColumn("jac", inter / (col("len_a") + col("len_b") - inter))
       .filter(col("jac") >= threshold)
       .select("id_a", "id_b", "jac")
   }

@@ -73,6 +73,61 @@ class OperatorsSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 2L)))
   }
 
+  /** Materializations of the operator's explicit `repartition(id)`
+    * exchange (rendered `REPARTITION_BY_COL`) in the FINAL adaptive
+    * plan. The dedup operators rely on Exchange/stage reuse instead of
+    * persist() for their multi-use shingle subtree — if the consumer
+    * branches drift canonically apart (e.g. an inferred join-key
+    * IsNotNull pushed below the shared repartition on one branch
+    * only), the expensive shingling silently recomputes per branch.
+    * A reused occurrence prints as `ReusedExchange ..,
+    * Exchange .. REPARTITION_BY_COL ..` on one line, so counting
+    * non-Reused REPARTITION_BY_COL lines counts real
+    * materializations: 1 = shared; >1 = reuse broken. The
+    * AdaptiveSparkPlan string also appends an "Initial Plan" section
+    * (pre-reuse) — only the section above it is the executed shape. */
+  private def shingleMaterializations(q: DataFrame): Int = {
+    q.collect() // run so AQE finalizes the adaptive plan
+    val plan = q.queryExecution.executedPlan.toString
+    val finalPlan = plan.split("Initial Plan").head
+    finalPlan.linesIterator
+      .count(l => l.contains("REPARTITION_BY_COL") && !l.contains("ReusedExchange"))
+  }
+
+  test("ngramJaccardPairs materializes the shingle projection exactly once") {
+    val df = docs(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "the quick brown fox jumps over the lazy cat",
+      3L -> "completely different text with other words entirely")
+    val q = Dedup.ngramJaccardPairs(df, "doc_id", "text", n = 2, threshold = 0.5)
+    val n = shingleMaterializations(q)
+    assert(n == 1, s"shingle subtree materialized $n times — Exchange reuse broken")
+  }
+
+  test("nearDupPairsShingled materializes the shingle projection exactly once") {
+    val df = docs(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta",
+      2L -> "alpha beta gamma delta epsilon zeta eta iota",
+      3L -> "unrelated words entirely here and now today yes")
+    val q = Dedup.nearDupPairsShingled(df, "doc_id", "text",
+      n = 2, k = 12, rowsPerBand = 3, threshold = 0.5)
+    val n = shingleMaterializations(q)
+    assert(n == 1, s"shingle subtree materialized $n times — Exchange reuse broken")
+  }
+
+  test("minhashCandidatePairs: bucket cap drops flood buckets and overflow audit reports them") {
+    // 5 identical docs → every band bucket has all 5 ids
+    val df = docs((1L to 5L).map(i => i -> "alpha beta gamma delta"): _*)
+    val sig = Dedup.minhashSignature(df, "doc_id", "text", k = 8)
+    val capped = Dedup.minhashCandidatePairs(sig, "doc_id", k = 8, rowsPerBand = 2, maxBucket = 4)
+    assert(capped.count() == 0) // all buckets have 5 > 4 members
+    val overflow = Dedup.minhashBucketOverflow(sig, "doc_id", k = 8, rowsPerBand = 2, maxBucket = 4)
+      .collect().map(_.getInt(2))
+    assert(overflow.nonEmpty && overflow.forall(_ == 5))
+    val uncapped = Dedup.minhashCandidatePairs(sig, "doc_id", k = 8, rowsPerBand = 2)
+    assert(uncapped.count() == 10) // C(5,2), strict i<j, no self-pairs
+  }
+
   test("simhash64: deterministic, lowercase 16-hex, order-insensitive over token sets") {
     val out = Dedup.withSimhash64(
       docs(1L -> "alpha beta gamma", 2L -> "gamma alpha beta", 3L -> "different content entirely"),
