@@ -29,5 +29,18 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++ {
+  // Heap for the forked single-JVM Spark driver+executor. CLAMPED to
+  // 16g: local[32] at the bench scale (sf0.1) peaks well under 8g,
+  // and oversized heaps actively destroy local-mode performance —
+  // G1's adaptive young gen grows to ~60% of the heap, so every TLAB
+  // allocation sweeps cold never-touched pages (faults + zeroing tens
+  // of GB per young cycle). Measured on identical code/data: the
+  // dedup verify stage costs 15s CPU at -Xmx8g vs 210s at -Xmx90g,
+  // and repeated same-session queries oscillate 15s -> 375s. A real
+  // cluster sizes EXECUTOR heaps (8-32g each) — a giant local heap
+  // models nothing and just makes benchmarks unreproducible.
+  val req = "([0-9]+)[gG]".r.findFirstMatchIn(
+    sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")).map(_.group(1).toInt).getOrElse(8)
+  Seq(s"-Xmx${math.min(req, 16)}g")
+}

@@ -31,6 +31,7 @@ object Bench {
           false
         }
       val elapsed = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] $name%-32s ${elapsed}%8.2f s")
       // Isolate queries from each other — all OUTSIDE the timers:
       // clearCache() initiates block removal asynchronously, so a
       // query's GC/eviction debt would otherwise land on the NEXT

@@ -37,19 +37,63 @@ object CdcDecode {
   private[cdc] def decoderFor(streamId: String): PgOutput.Decoder =
     registries.computeIfAbsent(streamId, _ => new PgOutput.Decoder)
 
+  /** [[decoderFor]] with registry durability: a decoder created fresh
+    * (JVM-cold restart) first replays the Relation frames snapshotted
+    * under `registryDir`, so change events arriving before their
+    * R-frame reappears are not silently dropped (the reference relies
+    * on PG replaying R-frames on reconnect; a file/offset feed has no
+    * such courtesy). */
+  private[cdc] def decoderFor(streamId: String, registryDir: Option[String]): PgOutput.Decoder =
+    registries.computeIfAbsent(streamId, _ => {
+      val d = new PgOutput.Decoder
+      registryDir.foreach { dir =>
+        val p = java.nio.file.Paths.get(dir, streamId)
+        if (java.nio.file.Files.isDirectory(p)) {
+          val files = java.nio.file.Files.list(p).iterator()
+          val sorted = scala.collection.mutable.ArrayBuffer[java.nio.file.Path]()
+          while (files.hasNext) sorted += files.next()
+          sorted.sortBy(_.getFileName.toString).foreach { f =>
+            d.decode(java.nio.file.Files.readAllBytes(f), 0L, 0L)
+          }
+        }
+      }
+      d
+    })
+
+  /** Snapshot one R-frame's wire bytes (idempotent: lsn-named file,
+    * overwritten on replay). Zero-padded name keeps lexicographic
+    * replay order = lsn order. */
+  private def backupRFrame(registryDir: String, streamId: String, f: CdcFrame): Unit = {
+    val dir = java.nio.file.Paths.get(registryDir, streamId)
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.write(dir.resolve(f"r_${f.lsn}%020d.bin"), f.payload)
+  }
+
   /** Drop state for a stream (tests / stream teardown). */
   def resetStream(streamId: String): Unit = registries.remove(streamId)
 
   /** Decode a dataset of frames. `dropMalformed=true` skips frames
     * that throw [[PgOutput.MalformedFrame]] (PERMISSIVE-style);
-    * otherwise the task fails (FAILFAST). */
+    * otherwise the task fails (FAILFAST). `sortByLsn` restores the
+    * stream's total order within each partition before decoding (file
+    * feeds list files in name/mtime order, not lsn order; a Relation
+    * frame must decode before its changes) — the sort buffers the
+    * partition, which is admission-bounded in a micro-batch
+    * (`maxFilesPerTrigger`). `registryDir` persists Relation frames
+    * for JVM-restart recovery (see [[decoderFor]]). */
   def decode(
       frames: Dataset[CdcFrame],
       streamId: String,
-      dropMalformed: Boolean = false): Dataset[CdcEvent] =
+      dropMalformed: Boolean = false,
+      sortByLsn: Boolean = false,
+      registryDir: Option[String] = None): Dataset[CdcEvent] =
     frames.mapPartitions { it =>
-      val decoder = decoderFor(streamId)
-      it.flatMap { f =>
+      val decoder = decoderFor(streamId, registryDir)
+      val ordered = if (sortByLsn) it.toArray.sortBy(_.lsn).iterator else it
+      ordered.flatMap { f =>
+        if (registryDir.isDefined && f.payload != null &&
+            f.payload.nonEmpty && f.payload(0) == 'R')
+          backupRFrame(registryDir.get, streamId, f)
         try decoder.decode(f.payload, f.lsn, f.ingestMicros)
         catch { case _: PgOutput.MalformedFrame if dropMalformed => None }
       }

@@ -62,8 +62,15 @@ object PgOutput {
       * drives MERGE ordering downstream); `timestampMicros` stamps the
       * event (ingest time or a fixed test literal — never a hidden
       * wall-clock read). Malformed frames throw
-      * [[MalformedFrame]] — callers choose drop vs fail. */
-    def decode(payload: Array[Byte], lsn: Long, timestampMicros: Long): Option[CdcEvent] = {
+      * [[MalformedFrame]] — callers choose drop vs fail.
+      *
+      * Synchronized: one decoder instance is shared per stream across
+      * micro-batches (CdcDecode registry), and although a stream
+      * decodes as a single partition, Spark may run tasks of
+      * overlapping batches or speculative retries concurrently — an
+      * unsynchronized registry map would race. A stream's decode is
+      * inherently sequential, so the lock costs nothing. */
+    def decode(payload: Array[Byte], lsn: Long, timestampMicros: Long): Option[CdcEvent] = synchronized {
       if (payload == null || payload.isEmpty) return None
       val buf = ByteBuffer.wrap(payload, 1, payload.length - 1)
       try payload(0).toChar match {
@@ -137,6 +144,13 @@ object PgOutput {
 
     private def readTuple(buf: ByteBuffer, rel: RelationInfo): Image = {
       val nCols = buf.getShort & 0xffff
+      // More wire columns than the registered relation has names for
+      // (ALTER TABLE racing the next R-frame, or corruption) must be
+      // MalformedFrame — an uncaught IndexOutOfBounds would escape the
+      // PERMISSIVE dropMalformed path and fail the whole task.
+      if (nCols > rel.columns.size)
+        throw new MalformedFrame(
+          s"tuple has $nCols columns but relation ${rel.schema}.${rel.table} registered ${rel.columns.size}")
       val b = Map.newBuilder[String, String]
       var i = 0
       while (i < nCols) {

@@ -176,29 +176,65 @@ object Dedup {
       .select("id_a", "id_b", "jac")
   }
 
+  /** The shared shingle frontier (id, sh) both near-dup operators
+    * build on. Shape is deliberate, each piece measured at sf0.1:
+    *
+    *  - FIRST repartition, below the shingling: a single-file corpus
+    *    scans as ONE partition, and any projection written before a
+    *    repartition fuses INTO that scan stage — all shingle work on
+    *    one core (measured: 46 s single-task stage at 90 GiB heap).
+    *    Shuffling raw (id, text) first distributes it across cores.
+    *  - Tokens materialize as their OWN projection so the shingle
+    *    lambda slices an attribute, not an inlined `split` (which
+    *    re-evaluates per output element, O(tokens²) — see
+    *    [[wordShinglesFromTokens]]). CollapseProject leaves the two
+    *    projections alone: the split is non-cheap and referenced
+    *    more than once.
+    *  - SECOND repartition, directly above the shingle projection:
+    *    the branch-sharing point. Every consumer (signature build,
+    *    postings, verify joins) hangs off this one canonically-
+    *    identical Exchange, which ReuseExchange/AQE materializes
+    *    ONCE as shuffle files — disk-backed branch reuse with zero
+    *    heap footprint (explicit persists here made bench timings
+    *    heap-shape-dependent). The shingle work between the two
+    *    exchanges runs once, distributed; only its few-MB output is
+    *    reshuffled.
+    *  - `id IS NOT NULL` sits on the RAW column in the shared
+    *    subtree: the downstream equi-joins infer IsNotNull on their
+    *    keys and push it down; if branches received it unevenly the
+    *    plans would drift canonically apart and silently disable the
+    *    reuse (measured: the whole pipeline re-ran per branch).
+    *  - NO `size(sh) > 0` filter: a filter on a projected alias is
+    *    pushed down with the full expression substituted, evaluating
+    *    the entire shingle tree a second time per input row. Empty
+    *    docs are harmless downstream — they emit no postings
+    *    (explode of an empty array) and any empty-set LSH pair dies
+    *    in verify (jaccard = 0).
+    *
+    * `hashed = true` maps each shingle to a 64-bit `xxhash64` (the
+    * exact-verify fast path, see the ngram notes above). */
+  private def shingleFrontier(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int, hashed: Boolean): DataFrame = {
+    val shingles = array_distinct(wordShinglesFromTokens(col("__toks"), n))
+    docs
+      .select(col(idCol), col(textCol))
+      .filter(col(idCol).isNotNull)
+      .repartition(col(idCol))
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol),
+        (if (hashed) transform(shingles, s => xxhash64(s)) else shingles).as("sh"))
+      .repartition(col(idCol))
+  }
+
   /** Near-duplicate pairs over n-gram SHINGLE sets: minhash/LSH
     * candidates (band equi-join) verified by exact shingle-set
     * Jaccard. The scale path for small-vocab corpora — see
-    * [[minhashSignatureOver]]. */
+    * [[minhashSignatureOver]] and [[shingleFrontier]]. */
   def nearDupPairsShingled(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int, k: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
-    // Repartition by id BEFORE the expensive per-doc hashing: a
-    // single-file corpus scans as one partition and would pin all
-    // signature work onto one task. The repartition also makes the
-    // three uses of `sh` (signatures + both verify joins) share one
-    // canonically-identical Exchange, which ReuseExchange materializes
-    // ONCE in shuffle files — disk-backed branch reuse with zero heap
-    // footprint, where an explicit persist made timings heap-fragile.
-    // `id IS NOT NULL` must sit in this SHARED subtree: the verify
-    // equi-joins infer IsNotNull(id) and push it below the repartition
-    // on their branches only, which would make the branch plans
-    // canonically different and silently disable the reuse (measured:
-    // the whole shingle+signature pipeline re-ran per branch).
-    val sh = docs.select(
-      col(idCol), array_distinct(wordShingles(col(textCol), n)).as("sh"))
-      .filter(col(idCol).isNotNull && size(col("sh")) > 0)
-      .repartition(col(idCol))
+    val sh = shingleFrontier(docs, idCol, textCol, n, hashed = false)
     val sig = minhashSignatureOver(sh, idCol, col("sh"), k)
     val cand = minhashCandidatePairs(sig, idCol, k, rowsPerBand)
     cand
@@ -214,19 +250,24 @@ object Dedup {
     * an unguarded `sequence(1, size-(n-1))` would step DOWN through 0
     * and blow up under ANSI mode).
     *
-    * Implementation note (measured at sf0.1, 5000 docs ≈ 60 tokens
-    * each): per-offset `element_at(toks, i+o)` inside the transform
-    * lambda re-evaluates the inlined `split` per output position —
-    * ~60s for the corpus. `slice + array_join` evaluates it once per
-    * row: 0.6s, two orders of magnitude faster, same result. */
-  def wordShingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
+    * `toks` MUST be a materialized attribute (a projected column),
+    * not an inline expression: `slice(toks, i, n)` inside the lambda
+    * evaluates `toks` per OUTPUT ELEMENT, so an inlined `split(text)`
+    * turns O(tokens) shingling into O(tokens²) — and higher-order
+    * functions run interpreted, so nothing saves it. See
+    * [[wordShingles]] for the inline-from-text convenience. */
+  def wordShinglesFromTokens(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       transform(
         sequence(lit(1), size(toks) - (n - 1)),
         i => array_join(slice(toks, i, lit(n)), " ")))
       .otherwise(array().cast("array<string>"))
-  }
+
+  /** [[wordShinglesFromTokens]] over an inline tokenization — fine
+    * for tests/small frames; the dedup pipelines project tokens into
+    * a column first (see the attribute warning there). */
+  def wordShingles(text: Column, n: Int): Column =
+    wordShinglesFromTokens(tokens(text), n)
 
   /** All-pairs EXACT n-gram Jaccard >= threshold via prefix-filtered
     * inverted-index join (the PPJoin/AllPairs family) — lossless and
@@ -278,27 +319,18 @@ object Dedup {
       n: Int, threshold: Double): DataFrame = {
     require(threshold > 0 && threshold < 1, s"threshold in (0,1), got $threshold")
     // `sh` feeds the index build AND both verify joins; `prefix` feeds
-    // both sides of the candidate self-join. Neither is persisted:
+    // both sides of the candidate self-join. Nothing is persisted:
     // Spark has no cross-branch subplan reuse, but it DOES reuse
-    // canonically-identical Exchanges, so each shared frontier is
-    // repartitioned (sh explicitly by id; prefix implicitly — both
-    // self-join sides require the same hash partitioning on shingle)
-    // and every consumer reads the one materialized shuffle. This is
-    // disk-backed reuse with zero heap footprint; the previous
-    // MEMORY_AND_DISK persists here were the prime suspect for the
-    // heap-shape-dependent bench chaos (blocks + GC debt smearing
-    // across queries). `id IS NOT NULL` lives in the shared subtree
-    // for the same reason as in [[nearDupPairsShingled]]: inferred
-    // join-key null filters must not differ across branches below the
-    // shared Exchange. `len` is re-derived per consumer (size() on an
-    // attribute is free) so column pruning also stays identical.
-    val sh = docs
-      .select(col(idCol),
-        // hash AFTER distinct: distinct strings → distinct longs
-        // (modulo the ~2⁻⁵⁰ collision documented above)
-        transform(array_distinct(wordShingles(col(textCol), n)), s => xxhash64(s)).as("sh"))
-      .filter(col(idCol).isNotNull && size(col("sh")) > 0) // empty sets can never reach jaccard >= t
-      .repartition(col(idCol)) // parallelize past a single-file scan; shared Exchange
+    // canonically-identical Exchanges, so the shared frontiers are
+    // repartitioned (sh explicitly — [[shingleFrontier]]; prefix
+    // implicitly: both self-join sides require the same hash
+    // partitioning on shingle) and every consumer reads the one
+    // materialized shuffle. Disk-backed reuse with zero heap
+    // footprint; the previous MEMORY_AND_DISK persists here were the
+    // prime suspect for the heap-shape-dependent bench chaos. `len`
+    // is re-derived per consumer (size() on an attribute is free) so
+    // column pruning stays identical across branches.
+    val sh = shingleFrontier(docs, idCol, textCol, n, hashed = true)
     val posts = sh.select(
       col(idCol), size(col("sh")).as("len"), explode(col("sh")).as("shingle"))
     val docFreq = posts.groupBy("shingle").agg(count(lit(1)).as("df"))

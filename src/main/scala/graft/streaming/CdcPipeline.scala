@@ -41,7 +41,17 @@ object CdcPipeline {
     CdcDecode.decode(frames, streamId)
 
   /** Frame stream from a parquet directory feed (the simplest durable
-    * CDC transport: the capture side drops frame files, we tail them). */
+    * CDC transport: the capture side drops frame files, we tail them).
+    *
+    * One replication stream is totally ordered, so the feed is
+    * coalesced to ONE partition: the file source would otherwise split
+    * a batch's frames across up to `maxFilesPerTrigger` partitions,
+    * letting change frames decode before their Relation frame (silent
+    * unknown-relation drops) and racing concurrent tasks on the
+    * per-stream decoder registry. Frames may still arrive out of lsn
+    * order WITHIN the partition (file listing order ≠ lsn order) —
+    * decode with `sortByLsn = true` ([[CdcDecode.decode]]), which
+    * sorts each (admission-bounded) micro-batch partition. */
   def framesFromParquetDir(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 16): Dataset[CdcFrame] = {
     import org.apache.spark.sql.Encoders
     implicit val enc = Encoders.product[CdcFrame]
@@ -50,11 +60,59 @@ object CdcPipeline {
       .option("maxFilesPerTrigger", maxFilesPerTrigger) // X1 admission control
       .parquet(dir)
       .as[CdcFrame]
+      .coalesce(1)
   }
 
-  /** Run the full slice. Each micro-batch appends the filtered wire
-    * events and folds them into the state store; both effects are
-    * idempotent per batch id, giving exactly-once on replay. */
+  /** Decode a parquet-directory frame feed with the ordering contract
+    * enforced: one partition per stream, frames sorted by lsn within
+    * each micro-batch, Relation frames snapshotted to `registryDir`
+    * (survives JVM restart — [[CdcDecode.decode]]). */
+  def decodeFileFeed(
+      spark: SparkSession, dir: String, streamId: String,
+      maxFilesPerTrigger: Int = 16,
+      registryDir: Option[String] = None): Dataset[CdcEvent] =
+    CdcDecode.decode(
+      framesFromParquetDir(spark, dir, maxFilesPerTrigger), streamId,
+      sortByLsn = true, registryDir = registryDir)
+
+  /** One micro-batch of the sink side: append the published wire
+    * events to the changelog and MERGE them into the state store.
+    * Idempotent per `batchId` — Structured Streaming replays the last
+    * uncommitted batch after a crash, so both effects guard on it:
+    *  - K1 writes to a `batch=<id>` subdirectory with OVERWRITE (a
+    *    replay rewrites the same files; plain append would duplicate
+    *    every event of the replayed batch);
+    *  - K2 skips the MERGE when the state store already holds a
+    *    version >= batchId (the replayed MERGE already happened; it
+    *    must ALSO not re-run because `latest` reads version N lazily
+    *    while `write` overwrites the same directory — Spark deletes
+    *    the target before the scan runs, corrupting recovery). */
+  def processBatch(batch: DataFrame, batchId: Long, base: DataFrame,
+      cfg: SinkConfig, store: StateStore): Unit = {
+    val published = cfg.publishedTables
+      .map(ts => batch.filter(col("table").isin(ts.toSeq: _*)))
+      .getOrElse(batch)
+    val b = published.cache()
+    try {
+      // K1: changelog sink, partitioned by table so downstream scans
+      // prune; repartition by (table, key) keeps a key's history in
+      // one file per batch (ordering within partition).
+      b.repartition(col("table"),
+          coalesce(col("new_values")(cfg.keyCol), col("old_values")(cfg.keyCol)))
+        .write.mode("overwrite").partitionBy("table")
+        .parquet(s"${cfg.eventsOutDir}/batch=$batchId")
+      // K2: state MERGE, guarded against replay.
+      if (store.latestVersion.forall(_ < batchId)) {
+        val current = store.latest(b.sparkSession).getOrElse(base)
+        val next = Changelog.apply(current, b, cfg.table, cfg.keyCol, cfg.valueCols)
+        store.write(next, batchId)
+      }
+    } finally { b.unpersist(); () }
+  }
+
+  /** Run the full slice. Offsets live in the checkpoint (write-ahead,
+    * replayable) and [[processBatch]] is idempotent per batch id, so
+    * the pipeline is exactly-once end-to-end across crash/restart. */
   def run(events: Dataset[CdcEvent], base: DataFrame, cfg: SinkConfig): StreamingQuery = {
     val store = new StateStore(cfg.stateDir)
     CdcDecode.toWireDf(events)
@@ -62,24 +120,7 @@ object CdcPipeline {
       .option("checkpointLocation", cfg.checkpointDir)
       .trigger(Trigger.ProcessingTime("0 seconds"))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val published = cfg.publishedTables
-          .map(ts => batch.filter(col("table").isin(ts.toSeq: _*)))
-          .getOrElse(batch)
-        val b = published.cache()
-        try {
-          // K1: changelog sink, partitioned by table so downstream scans
-          // prune; repartition by (table, key) keeps a key's history in
-          // one file per batch (ordering within partition).
-          b.repartition(col("table"),
-              coalesce(col("new_values")(cfg.keyCol), col("old_values")(cfg.keyCol)))
-            .write.mode("append").partitionBy("table")
-            .parquet(s"${cfg.eventsOutDir}")
-          // K2: state MERGE (idempotent per batchId).
-          val current = store.latest(b.sparkSession).getOrElse(base)
-          val next = Changelog.apply(current, b, cfg.table, cfg.keyCol, cfg.valueCols)
-          store.write(next, batchId)
-        } finally b.unpersist()
-        ()
+        processBatch(batch, batchId, base, cfg, store)
       }
       .start()
   }

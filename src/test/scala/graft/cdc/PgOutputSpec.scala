@@ -112,6 +112,23 @@ class PgOutputSpec extends AnyFunSuite {
     }
   }
 
+  test("tuple wider than the registered relation raises MalformedFrame; PERMISSIVE drops it") {
+    val d = new Decoder
+    d.decode(Encoder.relation(UsersFixture.relation), 1, 0)
+    // 7 wire columns against a 6-column relation (ALTER TABLE racing
+    // the next R-frame) — must be MalformedFrame, not IndexOutOfBounds
+    val wide = Encoder.insert(UsersFixture.RelId, (0 to 6).map(i => WText(s"v$i")))
+    intercept[MalformedFrame] { d.decode(wide, 2, 0) }
+    // and the PERMISSIVE path survives it
+    val evs = CdcDecode.decodeSeq(
+      Seq(
+        CdcFrame(1, 0, Encoder.relation(UsersFixture.relation)),
+        CdcFrame(2, 0, wide),
+        CdcFrame(3, 0, Encoder.insert(UsersFixture.RelId, UsersFixture.Cols.map(_ => WText("x"))))),
+      dropMalformed = true)
+    assert(evs.map(_.lsn) == Seq(3L))
+  }
+
   test("decodeSeq over the users fixture yields the golden event sequence") {
     val evs = CdcDecode.decodeSeq(UsersFixture.frames)
     assert(evs.map(_.operation) == Seq("INSERT", "UPDATE", "DELETE", "INSERT", "UPDATE"))

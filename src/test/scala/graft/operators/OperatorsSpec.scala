@@ -86,33 +86,51 @@ class OperatorsSpec extends SparkSpec {
     * materializations: 1 = shared; >1 = reuse broken. The
     * AdaptiveSparkPlan string also appends an "Initial Plan" section
     * (pre-reuse) — only the section above it is the executed shape. */
-  private def shingleMaterializations(q: DataFrame): Int = {
+  /** (real, reused) counts of the dedup frontier's explicit
+    * `repartition(id)` exchanges (rendered `REPARTITION_BY_COL`) in
+    * the FINAL adaptive plan. The frontier has two by design
+    * (distribute-then-share, [[Dedup.shingleFrontier]]); the SHARE
+    * exchange must materialize once and appear as `ReusedExchange` on
+    * every other consumer branch — if branches drift canonically
+    * apart (e.g. an inferred join-key IsNotNull pushed below the
+    * repartition on one branch only) the expensive shingling silently
+    * recomputes per branch and the real count grows. The
+    * AdaptiveSparkPlan string appends an "Initial Plan" section
+    * (pre-reuse) — only the section above it is the executed shape. */
+  private def frontierExchanges(q: DataFrame): (Int, Int) = {
+    spark.conf.set("spark.sql.debug.maxToStringFields", "2000")
     q.collect() // run so AQE finalizes the adaptive plan
     val plan = q.queryExecution.executedPlan.toString
     val finalPlan = plan.split("Initial Plan").head
-    finalPlan.linesIterator
-      .count(l => l.contains("REPARTITION_BY_COL") && !l.contains("ReusedExchange"))
+    val lines = finalPlan.linesIterator.filter(_.contains("REPARTITION_BY_COL")).toSeq
+    (lines.count(!_.contains("ReusedExchange")), lines.count(_.contains("ReusedExchange")))
   }
 
-  test("ngramJaccardPairs materializes the shingle projection exactly once") {
+  private def assertShared(q: DataFrame): Unit = {
+    val (real, reused) = frontierExchanges(q)
+    // two real = the frontier's own distribute + share exchanges; a
+    // broken-reuse plan re-materializes them per consumer branch (4+).
+    // Some branches may reuse a BroadcastExchange BUILT from the
+    // frontier instead of the shuffle itself, so >=1 (not 3) reuses.
+    assert(real <= 2, s"frontier materialized $real times — Exchange reuse broken")
+    assert(reused >= 1, s"expected >=1 ReusedExchange consumer branch, got $reused")
+  }
+
+  test("ngramJaccardPairs materializes the shingle frontier exactly once") {
     val df = docs(
       1L -> "the quick brown fox jumps over the lazy dog",
       2L -> "the quick brown fox jumps over the lazy cat",
       3L -> "completely different text with other words entirely")
-    val q = Dedup.ngramJaccardPairs(df, "doc_id", "text", n = 2, threshold = 0.5)
-    val n = shingleMaterializations(q)
-    assert(n == 1, s"shingle subtree materialized $n times — Exchange reuse broken")
+    assertShared(Dedup.ngramJaccardPairs(df, "doc_id", "text", n = 2, threshold = 0.5))
   }
 
-  test("nearDupPairsShingled materializes the shingle projection exactly once") {
+  test("nearDupPairsShingled materializes the shingle frontier exactly once") {
     val df = docs(
       1L -> "alpha beta gamma delta epsilon zeta eta theta",
       2L -> "alpha beta gamma delta epsilon zeta eta iota",
       3L -> "unrelated words entirely here and now today yes")
-    val q = Dedup.nearDupPairsShingled(df, "doc_id", "text",
-      n = 2, k = 12, rowsPerBand = 3, threshold = 0.5)
-    val n = shingleMaterializations(q)
-    assert(n == 1, s"shingle subtree materialized $n times — Exchange reuse broken")
+    assertShared(Dedup.nearDupPairsShingled(df, "doc_id", "text",
+      n = 2, k = 12, rowsPerBand = 3, threshold = 0.5))
   }
 
   test("minhashCandidatePairs: bucket cap drops flood buckets and overflow audit reports them") {

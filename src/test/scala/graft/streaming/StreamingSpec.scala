@@ -29,7 +29,24 @@ class StreamingSpec extends SparkSpec {
     finally q.stop()
   }
 
-  test("golden scenario end-to-end with mid-stream restart from checkpoint") {
+  private def goldenFinalState: Seq[Seq[Any]] = Seq(
+    Seq("1", "Ashish Kumar", "ashish@example.com", "active", UsersFixture.T0, UsersFixture.T0),
+    Seq("2", "John Doe", "john@example.com", "active", UsersFixture.T0, UsersFixture.T0),
+    Seq("4", "Bin User", "bin@example.com", "cafe", UsersFixture.T1, UsersFixture.T3))
+
+  private def assertGolden(cfg: CdcPipeline.SinkConfig): Unit = {
+    val store = new CdcPipeline.StateStore(cfg.stateDir)
+    val state = store.latest(spark).get
+      .orderBy(col("id").cast("int"))
+      .collect().map(_.toSeq).toSeq
+    assert(state == goldenFinalState)
+    // changelog holds exactly the decoded events — no replay duplicates
+    val sunk = spark.read.parquet(cfg.eventsOutDir)
+    assert(sunk.count() == 5)
+    assert(sunk.select("table").distinct().collect().map(_.getString(0)).toSeq == Seq("users"))
+  }
+
+  test("golden scenario end-to-end (memory stream, multi-batch)") {
     val cfg = CdcPipeline.SinkConfig(
       streamId = "stream_e2e",
       eventsOutDir = tmp("events"), stateDir = tmp("state"),
@@ -37,35 +54,112 @@ class StreamingSpec extends SparkSpec {
       table = "users", keyCol = "id", valueCols = UsersFixture.Cols.tail,
       publishedTables = Some(Set("users")))
     CdcDecode.resetStream(cfg.streamId)
-
     val frames = UsersFixture.frames
-    val stream1 = MemoryStream[CdcFrame](spark)(Encoders.product[CdcFrame])
-    // first run: relation + INSERT + UPDATE, then "crash" (stop)
-    runBatchesThrough(stream1, cfg, Seq(frames.take(4), frames.slice(4, 7)))
+    val stream = MemoryStream[CdcFrame](spark)(Encoders.product[CdcFrame])
+    runBatchesThrough(stream, cfg,
+      Seq(frames.take(4), frames.slice(4, 7), frames.drop(7)))
+    assertGolden(cfg)
+  }
 
-    // restart: new source, same checkpoint; feed remaining frames
-    val stream2 = MemoryStream[CdcFrame](spark)(Encoders.product[CdcFrame])
-    // MemoryStream offsets restart at zero for a new instance, so a new
-    // query (fresh checkpoint) but the SAME state/events dirs verifies
-    // the storage side of restart; the decoder registry survives by
-    // stream id.
-    val cfg2 = cfg.copy(checkpointDir = tmp("chk2"))
-    runBatchesThrough(stream2, cfg2, Seq(frames.drop(7)))
+  /** Write `fs` as ONE parquet frame file named `name` directly under
+    * `feedDir` (the streaming file source lists plain files). */
+  private def dropFrameFile(feedDir: String, name: String, fs: Seq[CdcFrame]): Unit = {
+    val staging = tmp("staging")
+    implicit val enc = Encoders.product[CdcFrame]
+    spark.createDataset(fs).coalesce(1).write.mode("overwrite").parquet(staging)
+    val part = new java.io.File(staging).listFiles()
+      .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
+    Files.move(part.toPath, java.nio.file.Paths.get(feedDir, s"$name.parquet"))
+  }
 
-    // materialized state equals the golden final state
+  test("file feed: kill + restart from the SAME checkpoint loses nothing, duplicates nothing") {
+    val feedDir = tmp("feed")
+    val cfg = CdcPipeline.SinkConfig(
+      streamId = "stream_filefeed",
+      eventsOutDir = tmp("events"), stateDir = tmp("state"),
+      checkpointDir = tmp("chk"), // ONE checkpoint for both runs
+      table = "users", keyCol = "id", valueCols = UsersFixture.Cols.tail,
+      publishedTables = Some(Set("users")))
+    CdcDecode.resetStream(cfg.streamId)
+    val frames = UsersFixture.frames
+
+    // run 1: relation + first transactions, then "crash" (stop)
+    dropFrameFile(feedDir, "0001", frames.take(7))
+    val q1 = CdcPipeline.run(
+      CdcPipeline.decodeFileFeed(spark, feedDir, cfg.streamId),
+      UsersFixture.baseState(spark), cfg)
+    try q1.processAllAvailable() finally q1.stop()
+
+    // restart: SAME checkpoint — offsets replay from the write-ahead
+    // log, already-committed files are not re-emitted, new file is
+    dropFrameFile(feedDir, "0002", frames.drop(7))
+    val q2 = CdcPipeline.run(
+      CdcPipeline.decodeFileFeed(spark, feedDir, cfg.streamId),
+      UsersFixture.baseState(spark), cfg)
+    try q2.processAllAvailable() finally q2.stop()
+
+    assertGolden(cfg)
+  }
+
+  test("processBatch replayed with the same batchId is idempotent (crash between sink and commit)") {
+    val cfg = CdcPipeline.SinkConfig(
+      streamId = "stream_idem",
+      eventsOutDir = tmp("events"), stateDir = tmp("state"),
+      checkpointDir = tmp("chk"),
+      table = "users", keyCol = "id", valueCols = UsersFixture.Cols.tail,
+      publishedTables = Some(Set("users")))
     val store = new CdcPipeline.StateStore(cfg.stateDir)
-    val state = store.latest(spark).get
-      .orderBy(col("id").cast("int"))
-      .collect().map(_.toSeq).toSeq
-    assert(state == Seq(
-      Seq("1", "Ashish Kumar", "ashish@example.com", "active", UsersFixture.T0, UsersFixture.T0),
-      Seq("2", "John Doe", "john@example.com", "active", UsersFixture.T0, UsersFixture.T0),
-      Seq("4", "Bin User", "bin@example.com", "cafe", UsersFixture.T1, UsersFixture.T3)))
+    implicit val enc = org.apache.spark.sql.Encoders.product[CdcEvent]
+    val batch = CdcDecode.toWireDf(
+      spark.createDataset(CdcDecode.decodeSeq(UsersFixture.frames)))
+    val base = UsersFixture.baseState(spark)
+    CdcPipeline.processBatch(batch, 0L, base, cfg, store)
+    // crash happened AFTER the state write but BEFORE the checkpoint
+    // commit → Structured Streaming re-runs the same batch id
+    CdcPipeline.processBatch(batch, 0L, base, cfg, store)
+    assertGolden(cfg)
+    assert(store.latestVersion.contains(0L))
+  }
 
-    // changelog sink holds exactly the decoded events, partitioned by table
-    val sunk = spark.read.parquet(cfg.eventsOutDir)
-    assert(sunk.count() == 5)
-    assert(sunk.select("table").distinct().collect().map(_.getString(0)).toSeq == Seq("users"))
+  test("file feed decodes R-frame before changes even when file order disagrees with lsn order") {
+    val feedDir = tmp("feed")
+    val cfg = CdcPipeline.SinkConfig(
+      streamId = "stream_order",
+      eventsOutDir = tmp("events"), stateDir = tmp("state"),
+      checkpointDir = tmp("chk"),
+      table = "users", keyCol = "id", valueCols = UsersFixture.Cols.tail,
+      publishedTables = Some(Set("users")))
+    CdcDecode.resetStream(cfg.streamId)
+    val frames = UsersFixture.frames
+    // change frames land in a file that lists BEFORE the relation
+    // frame's file (both by name and by mtime): only the lsn sort
+    // inside decode restores the stream order
+    dropFrameFile(feedDir, "0001_changes", frames.drop(1))
+    dropFrameFile(feedDir, "0002_relation", frames.take(1))
+    val q = CdcPipeline.run(
+      CdcPipeline.decodeFileFeed(spark, feedDir, cfg.streamId),
+      UsersFixture.baseState(spark), cfg)
+    try q.processAllAvailable() finally q.stop()
+    assertGolden(cfg)
+  }
+
+  test("relation registry survives a JVM-cold restart via the registry snapshot dir") {
+    val regDir = tmp("registry")
+    val frames = UsersFixture.frames
+    // batch 1 on a fresh stream sees the R-frame (snapshotted)
+    CdcDecode.resetStream("stream_reg")
+    val b1 = CdcDecode.decode(
+      CdcDecode.framesDataset(spark, frames.take(1)), "stream_reg",
+      registryDir = Some(regDir)).collect()
+    assert(b1.isEmpty) // R-frame yields no events
+    // "JVM restart": the in-memory registry is gone
+    CdcDecode.resetStream("stream_reg")
+    // batch 2 carries ONLY change frames — without the snapshot these
+    // would be silent unknown-relation drops
+    val b2 = CdcDecode.decode(
+      CdcDecode.framesDataset(spark, frames.slice(2, 3)), "stream_reg",
+      registryDir = Some(regDir)).collect()
+    assert(b2.length == 1 && b2.head.operation == "INSERT")
   }
 
   test("publication filter drops unpublished tables before the sinks") {
