@@ -9,12 +9,13 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side mechanics are real — schema, partition-friendly
   * column layout, deterministic per-row derivations that whole-stage
-  * codegen handles. The actual media DECODE step is stubbed with a
-  * deterministic fake (this container ships no image/audio codecs):
-  * [[imageMetaStub]] derives plausible metadata purely from payload
-  * bytes, so plans, schemas and tests are faithful while the codec
-  * call is the single swap-in point for a real decoder (a JNI/py
-  * bridge at the `mapPartitions` boundary in production).
+  * codegen handles. Header METADATA decode is real for PNG and BMP
+  * ([[imageMeta]]: pure byte-level expressions, no codec library);
+  * payloads in other formats fall back to the deterministic
+  * [[imageMetaStub]]. Full pixel decode / frame sampling still needs
+  * a codec and remains stubbed ([[frameSampleStub]]) — that call is
+  * the single swap-in point for a JNI/py bridge at the
+  * `mapPartitions` boundary in production.
   */
 object Multimodal {
 
@@ -34,14 +35,73 @@ object Multimodal {
     lower(hex(substring(payload, 1, n)))
 
   /** STUB decode: deterministic fake image metadata derived from the
-    * payload alone (no codec in this container). Real implementation
-    * would decode the header; the schema and call sites are final. */
+    * payload alone. Used as the fallback branch of [[imageMeta]] for
+    * payloads whose magic number is not a supported header format —
+    * including the driver corpus's UTF-8 stand-in payloads, which
+    * keeps the oracle for `p_multimodal_stats` purely arithmetic. */
   def imageMetaStub(payload: Column): Column = {
     val len = octet_length(payload).cast("long")
     struct(
       (len % 640 + 1).as("width"),
       ((len * 7) % 480 + 1).as("height"),
       (len % 3 + 1).as("channels"))
+  }
+
+  /** Unsigned byte at 1-based `pos` as a long (codegen: substr+hex+conv). */
+  private def byteAt(payload: Column, pos: Int): Column =
+    conv(hex(substring(payload, pos, 1)), 16, 10).cast("long")
+
+  /** Big-endian u32 at 1-based `pos` (PNG/network order). */
+  private def beU32(payload: Column, pos: Int): Column =
+    conv(hex(substring(payload, pos, 4)), 16, 10).cast("long")
+
+  /** Little-endian i32 at 1-based `pos` (BMP order; dims are
+    * non-negative in practice — top-down BMPs with negative height
+    * are out of scope for metadata stats). */
+  private def leI32(payload: Column, pos: Int): Column =
+    byteAt(payload, pos) +
+      byteAt(payload, pos + 1) * 256L +
+      byteAt(payload, pos + 2) * 65536L +
+      byteAt(payload, pos + 3) * 16777216L
+
+  /** REAL header decode for PNG and BMP — pure Spark expressions
+    * (substr/hex/conv, all codegen'd; no UDF, no codec library):
+    *
+    *  - PNG: 8-byte signature, then the IHDR chunk is mandatory and
+    *    first (PNG spec §11.2.2), so width/height are big-endian u32
+    *    at fixed offsets 17/21 and the color type byte at 26 maps to
+    *    channel count (0 gray→1, 2 RGB→3, 3 palette→1 index channel,
+    *    4 gray+alpha→2, 6 RGBA→4);
+    *  - BMP: "BM" magic; BITMAPINFOHEADER width/height are
+    *    little-endian i32 at offsets 19/23, bits-per-pixel u16 at 29
+    *    → channels = bpp/8 (min 1 for 1/4-bit palette formats).
+    *
+    * Anything else (including this repo's UTF-8 stand-in payloads)
+    * falls back to [[imageMetaStub]]. `when` branches evaluate
+    * conditionally per row, so header reads never run on non-matching
+    * payloads. */
+  def imageMeta(payload: Column): Column = {
+    val isPng = octet_length(payload) >= 26 &&
+      hex(substring(payload, 1, 8)) === "89504E470D0A1A0A" &&
+      hex(substring(payload, 13, 4)) === "49484452" // "IHDR"
+    val colorType = byteAt(payload, 26)
+    val pngChannels =
+      when(colorType === 2, 3L).when(colorType === 4, 2L)
+        .when(colorType === 6, 4L).otherwise(1L)
+    val isBmp = hex(substring(payload, 1, 2)) === "424D" && octet_length(payload) >= 30
+    val bpp = byteAt(payload, 29) + byteAt(payload, 30) * 256L
+    val bmpChannels = greatest(floor(bpp / 8).cast("long"), lit(1L))
+    when(isPng,
+      struct(
+        beU32(payload, 17).as("width"),
+        beU32(payload, 21).as("height"),
+        pngChannels.as("channels")))
+      .when(isBmp,
+        struct(
+          leI32(payload, 19).as("width"),
+          leI32(payload, 23).as("height"),
+          bmpChannels.as("channels")))
+      .otherwise(imageMetaStub(payload))
   }
 
   /** STUB frame sampling: every `stride`-th byte as lowercase hex —
@@ -59,5 +119,5 @@ object Multimodal {
     df.withColumn("payload", payloadOf(col(textCol)))
       .withColumn("payload_len", payloadLen(col("payload")))
       .withColumn("payload_md5", payloadMd5(col("payload")))
-      .withColumn("image_meta", imageMetaStub(col("payload")))
+      .withColumn("image_meta", imageMeta(col("payload")))
 }

@@ -1,0 +1,230 @@
+package graft.sources
+
+import java.io.{DataInputStream, DataOutputStream, EOFException}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSource V2 CDC frame source — the full-fidelity Spark mapping
+  * of the reference's replication consume loop (SURVEY §2.1 S1;
+  * /root/reference/utils/postgre_cdc_consumer.py:68-110):
+  *
+  *  - the replication slot's WAL position becomes an LSN
+  *    [[LsnOffset]], tracked write-ahead in the query checkpoint —
+  *    restart resumes exactly after the last COMMITTED lsn, where the
+  *    reference acks at enqueue time and can lose up to its queue
+  *    capacity on crash (`postgre_cdc_consumer.py:99` +
+  *    `cdc_consumer.py:16`);
+  *  - `commit(end)` is the `send_feedback` analogue
+  *    (`postgre_cdc_consumer.py:95-101`): it atomically publishes the
+  *    committed lsn to `_feedback/FEEDBACK` in the feed directory, so
+  *    the capture side can release WAL / frame files up to it;
+  *  - one [[InputPartition]] per stream: a replication stream is
+  *    totally ordered, so frames of a batch decode sequentially in
+  *    one task (parallelism comes from many streams and from
+  *    everything downstream of decode);
+  *  - admission control (X1, the bounded-queue analogue,
+  *    `cdc_consumer.py:16`): `maxFramesPerTrigger` caps each
+  *    micro-batch via [[SupportsAdmissionControl]] instead of a
+  *    blocking queue.
+  *
+  * Transport: a directory of immutable `.cdcf` files (the capture
+  * side drops them, atomically renamed), each a sequence of
+  * `[lsn i64][ingestMicros i64][len i32][payload bytes]` records —
+  * see [[CdcFrameFiles]]. Schema matches [[graft.cdc.CdcFrame]], so
+  * `load().as[CdcFrame]` feeds [[graft.cdc.CdcDecode.decode]]
+  * directly. Registered as `format("graft-cdc")`.
+  */
+final class CdcFrameProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-cdc"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    CdcFrameFiles.Schema
+  override def getTable(
+      schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new CdcFrameTable(properties.get("path"))
+}
+
+final class CdcFrameTable(dir: String) extends Table with SupportsRead {
+  require(dir != null, "graft-cdc requires .option(\"path\", <frame dir>)")
+  override def name(): String = s"graft-cdc:$dir"
+  override def schema(): StructType = CdcFrameFiles.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new CdcFrameScan(dir, options.getLong("maxFramesPerTrigger", Long.MaxValue))
+}
+
+final class CdcFrameScan(dir: String, maxFramesPerTrigger: Long) extends Scan {
+  override def readSchema(): StructType = CdcFrameFiles.Schema
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new CdcMicroBatchStream(dir, maxFramesPerTrigger)
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] =
+      Array(CdcFramePartition(dir, Long.MinValue, Long.MaxValue))
+    override def createReaderFactory(): PartitionReaderFactory = CdcFrameReaderFactory
+  }
+}
+
+/** Stream offset = last consumed LSN (inclusive). */
+final case class LsnOffset(lsn: Long) extends Offset {
+  override def json(): String = lsn.toString
+}
+
+final case class CdcFramePartition(dir: String, fromExclusive: Long, toInclusive: Long)
+  extends InputPartition
+
+final class CdcMicroBatchStream(dir: String, maxFramesPerTrigger: Long)
+  extends MicroBatchStream with SupportsAdmissionControl {
+
+  override def initialOffset(): Offset = LsnOffset(Long.MinValue)
+  override def deserializeOffset(json: String): Offset = LsnOffset(json.toLong)
+
+  override def getDefaultReadLimit: ReadLimit =
+    if (maxFramesPerTrigger == Long.MaxValue) ReadLimit.allAvailable()
+    else ReadLimit.maxRows(maxFramesPerTrigger)
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException("use latestOffset(start, limit)")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[LsnOffset].lsn
+    val lsns = CdcFrameFiles.lsnsAfter(dir, from)
+    if (lsns.isEmpty) start
+    else limit match {
+      case rl: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
+        LsnOffset(lsns.take(rl.maxRows().toInt).last)
+      case _ => LsnOffset(lsns.last)
+    }
+  }
+
+  override def reportLatestOffset(): Offset = {
+    val lsns = CdcFrameFiles.lsnsAfter(dir, Long.MinValue)
+    if (lsns.isEmpty) null else LsnOffset(lsns.last)
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    Array(CdcFramePartition(
+      dir, start.asInstanceOf[LsnOffset].lsn, end.asInstanceOf[LsnOffset].lsn))
+
+  override def createReaderFactory(): PartitionReaderFactory = CdcFrameReaderFactory
+
+  /** The `send_feedback` analogue: publish the committed LSN so the
+    * capture side can trim WAL / frame files up to it. Atomic
+    * tmp-write + move — readers never see a torn value. The engine
+    * commits batch N when batch N+1 starts, so feedback trails the
+    * newest processed lsn by one batch — exactly-once is carried by
+    * the checkpoint, feedback is only the trim signal (PG's flush
+    * feedback trails the same way). */
+  override def commit(end: Offset): Unit =
+    CdcFrameFiles.writeFeedback(dir, end.asInstanceOf[LsnOffset].lsn)
+
+  override def stop(): Unit = ()
+}
+
+object CdcFrameReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[CdcFramePartition]
+    new PartitionReader[InternalRow] {
+      // one stream = one ordered partition; sort restores lsn order
+      // across files regardless of listing order
+      private val frames = CdcFrameFiles
+        .readDir(p.dir)
+        .filter(r => r._1 > p.fromExclusive && r._1 <= p.toInclusive)
+        .sortBy(_._1)
+        .iterator
+      private var current: (Long, Long, Array[Byte]) = _
+      override def next(): Boolean =
+        if (frames.hasNext) { current = frames.next(); true } else false
+      override def get(): InternalRow =
+        InternalRow(current._1, current._2, current._3)
+      override def close(): Unit = ()
+    }
+  }
+}
+
+/** The `.cdcf` frame-file transport: reader/writer shared by the DSv2
+  * source, the capture side, and tests. */
+object CdcFrameFiles {
+
+  val Schema: StructType = StructType(Seq(
+    StructField("lsn", LongType, nullable = false),
+    StructField("ingestMicros", LongType, nullable = false),
+    StructField("payload", BinaryType)))
+
+  /** Write one immutable frame file (tmp + atomic rename; the source
+    * lists only `*.cdcf`, so half-written tmp files are invisible). */
+  def write(dir: String, name: String, frames: Seq[graft.cdc.CdcFrame]): Unit = {
+    val d = Paths.get(dir)
+    Files.createDirectories(d)
+    val tmp = d.resolve(s".$name.tmp")
+    val out = new DataOutputStream(Files.newOutputStream(tmp))
+    try frames.foreach { f =>
+      out.writeLong(f.lsn); out.writeLong(f.ingestMicros)
+      out.writeInt(f.payload.length); out.write(f.payload)
+    } finally out.close()
+    Files.move(tmp, d.resolve(s"$name.cdcf"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def frameFiles(dir: String): Seq[Path] = {
+    val d = Paths.get(dir)
+    if (!Files.isDirectory(d)) Seq.empty
+    else Files.list(d).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".cdcf")).toSeq.sortBy(_.getFileName.toString)
+  }
+
+  def readDir(dir: String): Seq[(Long, Long, Array[Byte])] =
+    frameFiles(dir).flatMap(readFile)
+
+  private def readFile(file: Path): Seq[(Long, Long, Array[Byte])] = {
+    val in = new DataInputStream(Files.newInputStream(file))
+    val buf = scala.collection.mutable.ArrayBuffer[(Long, Long, Array[Byte])]()
+    var eof = false
+    try {
+      while (!eof) {
+        val lsn = try Some(in.readLong()) catch { case _: EOFException => eof = true; None }
+        lsn.foreach { l =>
+          val ts = in.readLong()
+          val len = in.readInt()
+          val payload = new Array[Byte](len)
+          in.readFully(payload)
+          buf += ((l, ts, payload))
+        }
+      }
+    } finally in.close()
+    buf.toSeq
+  }
+
+  /** LSNs strictly after `from`, ascending (driver-side listing for
+    * offset planning; frame files are small metadata-wise but this
+    * does read payload records — fine for the file transport, a
+    * socket transport would track its own high-water mark). */
+  def lsnsAfter(dir: String, from: Long): Seq[Long] =
+    readDir(dir).map(_._1).filter(_ > from).sorted
+
+  /** Last committed LSN published to the capture side, if any. */
+  def readFeedback(dir: String): Option[Long] = {
+    val f = Paths.get(dir, "_feedback", "FEEDBACK")
+    if (Files.exists(f)) Some(new String(Files.readAllBytes(f)).trim.toLong) else None
+  }
+
+  def writeFeedback(dir: String, lsn: Long): Unit = {
+    val d = Paths.get(dir, "_feedback")
+    Files.createDirectories(d)
+    val tmp = d.resolve(s".FEEDBACK.$lsn.tmp")
+    Files.write(tmp, lsn.toString.getBytes)
+    Files.move(tmp, d.resolve("FEEDBACK"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+}

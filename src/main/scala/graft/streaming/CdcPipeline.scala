@@ -63,6 +63,23 @@ object CdcPipeline {
       .coalesce(1)
   }
 
+  /** Frame stream from the DSv2 `graft-cdc` source (LSN offsets in
+    * the checkpoint, `commit` publishes feedback, admission-capped —
+    * the full-fidelity S1 replication-loop mapping; see
+    * [[graft.sources.CdcFrameProvider]]). The source emits one
+    * ordered partition per stream, so no coalesce is needed. */
+  def framesFromCdcSource(
+      spark: SparkSession, dir: String,
+      maxFramesPerTrigger: Long = Long.MaxValue): Dataset[CdcFrame] = {
+    import org.apache.spark.sql.Encoders
+    implicit val enc = Encoders.product[CdcFrame]
+    spark.readStream.format("graft-cdc")
+      .option("path", dir)
+      .option("maxFramesPerTrigger", maxFramesPerTrigger)
+      .load()
+      .as[CdcFrame]
+  }
+
   /** Decode a parquet-directory frame feed with the ordering contract
     * enforced: one partition per stream, frames sorted by lsn within
     * each micro-batch, Relation frames snapshotted to `registryDir`

@@ -239,6 +239,34 @@ class OperatorsSpec extends SparkSpec {
     assert(r.getString(6) == "und")
   }
 
+  // -------------------------------------------------------- multimodal
+
+  test("imageMeta parses PNG IHDR and BMP headers; other payloads fall back to the stub") {
+    import spark.implicits._
+    def be32(v: Int): Seq[Byte] =
+      Seq((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def le32(v: Int): Seq[Byte] =
+      Seq(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    // PNG: signature, IHDR length+type, 640x480, bit depth 8, RGBA (6)
+    val png = (Seq(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+      be32(13) ++ "IHDR".getBytes.toSeq ++ be32(640) ++ be32(480) ++
+      Seq(8.toByte, 6.toByte)).toArray
+    // BMP: BM, file size, reserved, data offset, BITMAPINFOHEADER with
+    // 800x600 at 24bpp
+    val bmp = ("BM".getBytes.toSeq ++ le32(0) ++ le32(0) ++ le32(54) ++
+      le32(40) ++ le32(800) ++ le32(600) ++
+      Seq(1.toByte, 0.toByte) ++ Seq(24.toByte, 0.toByte)).toArray
+    val other = "just text bytes here".getBytes
+    val df = Seq((1L, png), (2L, bmp), (3L, other)).toDF("id", "payload")
+      .select(col("id"), Multimodal.imageMeta(col("payload")).as("m"))
+      .select(col("id"), col("m.width"), col("m.height"), col("m.channels"))
+    val rows = df.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rows(1L) == ((640L, 480L, 4L)))
+    assert(rows(2L) == ((800L, 600L, 3L)))
+    val len = other.length.toLong // stub fallback is the documented arithmetic
+    assert(rows(3L) == ((len % 640 + 1, (len * 7) % 480 + 1, len % 3 + 1)))
+  }
+
   // --------------------------------------------------------- as-of join
 
   test("leftAsOf: inclusive equality, tie-break, and no-prior-row null") {

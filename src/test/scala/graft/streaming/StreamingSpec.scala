@@ -143,6 +143,52 @@ class StreamingSpec extends SparkSpec {
     assertGolden(cfg)
   }
 
+  test("DSv2 graft-cdc source: LSN offsets, admission cap, restart, and feedback commit") {
+    import graft.sources.CdcFrameFiles
+    val feedDir = tmp("cdcf")
+    val cfg = CdcPipeline.SinkConfig(
+      streamId = "stream_dsv2",
+      eventsOutDir = tmp("events"), stateDir = tmp("state"),
+      checkpointDir = tmp("chk"), // ONE checkpoint for both runs
+      table = "users", keyCol = "id", valueCols = UsersFixture.Cols.tail,
+      publishedTables = Some(Set("users")))
+    CdcDecode.resetStream(cfg.streamId)
+    val frames = UsersFixture.frames
+
+    // batch-read surface doubles as a file-format check
+    CdcFrameFiles.write(feedDir, "0001", frames.take(7))
+    val batchRead = spark.read.format("graft-cdc").option("path", feedDir).load()
+    assert(batchRead.count() == 7)
+
+    // run 1: admission cap 3 forces multiple micro-batches
+    val q1 = CdcPipeline.run(
+      CdcPipeline.decode(
+        CdcPipeline.framesFromCdcSource(spark, feedDir, maxFramesPerTrigger = 3),
+        cfg.streamId),
+      UsersFixture.baseState(spark), cfg)
+    try q1.processAllAvailable() finally q1.stop()
+    // commit() published committed-batch lsns (send_feedback
+    // analogue). The engine commits batch N to the source when batch
+    // N+1 starts, so feedback trails the final batch by design — the
+    // CHECKPOINT prevents reprocessing; feedback only trims WAL.
+    val f1 = CdcFrameFiles.readFeedback(feedDir)
+    assert(f1.exists(_ >= frames(3).lsn), s"feedback after run1: $f1")
+
+    // "crash", then restart from the SAME checkpoint with new frames
+    CdcFrameFiles.write(feedDir, "0002", frames.drop(7))
+    val q2 = CdcPipeline.run(
+      CdcPipeline.decode(
+        CdcPipeline.framesFromCdcSource(spark, feedDir, maxFramesPerTrigger = 3),
+        cfg.streamId),
+      UsersFixture.baseState(spark), cfg)
+    try q2.processAllAvailable() finally q2.stop()
+
+    assertGolden(cfg)
+    // feedback advanced monotonically across the restart
+    val f2 = CdcFrameFiles.readFeedback(feedDir)
+    assert(f2.exists(l => l >= frames(7).lsn && f1.forall(_ <= l)), s"feedback after run2: $f2")
+  }
+
   test("relation registry survives a JVM-cold restart via the registry snapshot dir") {
     val regDir = tmp("registry")
     val frames = UsersFixture.frames
@@ -228,6 +274,47 @@ class StreamingSpec extends SparkSpec {
     val rows = spark.table("enrich_out").select("event_id", "tier").orderBy("event_id")
       .collect().map(r => (r.getLong(0), r.get(1))).toSeq
     assert(rows == Seq((1L, "gold"), (2L, null)))
+  }
+
+  test("console sink (P3) runs a micro-batch without error") {
+    val stream = MemoryStream[CdcFrame](spark)(Encoders.product[CdcFrame])
+    CdcDecode.resetStream("stream_console")
+    val events = CdcPipeline.decode(stream.toDS().coalesce(1), "stream_console")
+    val q = CdcPipeline.consoleSink(events, numRows = 5)
+    try { stream.addData(UsersFixture.frames); q.processAllAvailable() }
+    finally q.stop()
+    assert(q.exception.isEmpty)
+  }
+
+  test("CdcConfig.fromEnv (C2) parses a full env map and applies defaults") {
+    val cfg = graft.control.CdcConfig.fromEnv(Map(
+      "CDC_STREAM_ID" -> "s1",
+      "CDC_FRAMES_DIR" -> "/x/frames",
+      "CDC_PUBLICATION_TABLES" -> "users, orders ,,",
+      "PORT" -> "9191",
+      "CDC_WORKER_COUNT" -> "8"))
+    assert(cfg.streamId == "s1" && cfg.framesDir == "/x/frames")
+    assert(cfg.publishedTables == Set("users", "orders"))
+    assert(cfg.healthPort == 9191 && cfg.workerHint == 8)
+    // defaults fill unset keys
+    assert(cfg.stateDir == "/tmp/graft/state")
+    val dflt = graft.control.CdcConfig.fromEnv(Map.empty)
+    assert(dflt.publishedTables == Set("users") && dflt.healthPort == 8080)
+  }
+
+  test("awaitWithShutdownHook (C4) blocks until the query stops, then returns") {
+    val stream = MemoryStream[CdcFrame](spark)(Encoders.product[CdcFrame])
+    CdcDecode.resetStream("stream_hook")
+    val events = CdcPipeline.decode(stream.toDS().coalesce(1), "stream_hook")
+    val q = CdcPipeline.consoleSink(events)
+    val waiter = new Thread(() => CdcPipeline.awaitWithShutdownHook(q))
+    waiter.start()
+    stream.addData(UsersFixture.frames.take(3))
+    q.processAllAvailable()
+    assert(waiter.isAlive) // still blocked while the query is active
+    q.stop()               // the hook path does the same stop() on JVM exit
+    waiter.join(30000)
+    assert(!waiter.isAlive)
   }
 
   test("health endpoint serves 200 OK; lag listener records progress") {
