@@ -138,5 +138,36 @@ object CdcQueries {
         .transform(Queries.sortedSmall(_, "lsn"))
     })
 
-  val all: Seq[Queries.Q] = Seq(qDecode, qUsersCurrent, qEnvelopeJson, qTypedView)
+  // --------------------------------------------- transaction grouping
+  // The reference drops B/C markers and with them transactional
+  // atomicity (pg_output_parser.py:32-37). The decoder stamps events
+  // with a per-stream txn sequence (CdcEvent.txnSeq); grouping on it
+  // recovers transaction boundaries: fixture txns 1..3 hold one change
+  // each, the two bare (non-transactional) frames fold into group 0.
+  private val qTxnGroups = Queries.Q(
+    "cdc_txn_groups",
+    Some("""
+      SELECT CAST(txn_small AS BIGINT) AS txn_seq, CAST(n_small AS BIGINT) AS n_events,
+             CAST(lo_small AS BIGINT) AS min_lsn, CAST(hi_small AS BIGINT) AS max_lsn
+      FROM (VALUES
+        (0, 2, 1011, 1012),
+        (1, 1, 1002, 1002),
+        (2, 1, 1005, 1005),
+        (3, 1, 1008, 1008)
+      ) AS t(txn_small, n_small, lo_small, hi_small)
+      ORDER BY txn_seq"""),
+    (s, _) => {
+      CdcDecode.resetStream("users_fixture_txn")
+      CdcDecode.decode(
+        CdcDecode.framesDataset(s, UsersFixture.frames), streamId = "users_fixture_txn")
+        .toDF()
+        .groupBy(coalesce(col("txnSeq"), lit(0L)).as("txn_seq"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          min(col("lsn")).as("min_lsn"),
+          max(col("lsn")).as("max_lsn"))
+        .transform(Queries.sortedSmall(_, "txn_seq"))
+    })
+
+  val all: Seq[Queries.Q] = Seq(qDecode, qUsersCurrent, qEnvelopeJson, qTypedView, qTxnGroups)
 }

@@ -239,6 +239,33 @@ object PipelineQueries {
         .transform(Queries.sortedSmall(_, "query_id", "rank"))
     })
 
+  // ------------------------------- multi-probe LSH top-k (recall path)
+  private val qLshTopKMultiProbe = Queries.Q(
+    "p_lsh_topk_multiprobe",
+    Some(s"""
+      WITH e AS (SELECT vec_id, embedding, $duckSignBucket AS bucket FROM embeddings),
+      q0 AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM e WHERE vec_id < 20),
+      q AS (SELECT query_id, qv,
+                   unnest(list_prepend(bucket,
+                     list_transform(generate_series(0, 7), i -> xor(bucket, 1 << i)))) AS bucket
+            FROM q0),
+      s AS (SELECT query_id, e.vec_id AS neighbor_id, $duckCosine AS sim
+            FROM q JOIN e USING (bucket)
+            WHERE query_id != e.vec_id)
+      SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id, sim FROM (
+        SELECT query_id, neighbor_id, sim,
+               row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+        FROM s)
+      WHERE rnk <= 10
+      ORDER BY query_id, rank"""),
+    (s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      Similarity.lshTopKMultiProbe(
+        emb.filter(col("vec_id") < 20), "vec_id", emb, "vec_id", "embedding",
+        k = 10, signBits = 8)
+        .transform(Queries.sortedSmall(_, "query_id", "rank"))
+    })
+
   // -------------------------------------- embedding near-dup (cosine)
   private val qEmbeddingNearDup = Queries.Q(
     "p_embedding_near_dup",
@@ -308,5 +335,6 @@ object PipelineQueries {
 
   val all: Seq[Queries.Q] = Seq(
     qTextStats, qLangQuality, qExactDedup, qNgramJaccard, qMinhashNearDup,
-    qSimhash, qBruteTopK, qLshTopK, qEmbeddingNearDup, qMultimodal, qEventsDedup)
+    qSimhash, qBruteTopK, qLshTopK, qLshTopKMultiProbe, qEmbeddingNearDup,
+    qMultimodal, qEventsDedup)
 }

@@ -47,6 +47,8 @@ object PgOutput {
   final class Decoder {
     private val relations = scala.collection.mutable.Map[Int, RelationInfo]()
     private var unknownRelationDrops = 0L
+    private var txnSeq = 0L
+    private var inTxn = false
 
     /** Registered relations (read-only view). */
     def relationRegistry: collection.Map[Int, RelationInfo] = relations
@@ -78,7 +80,12 @@ object PgOutput {
         case 'I' => parseInsert(buf, lsn, timestampMicros)
         case 'U' => parseUpdate(buf, lsn, timestampMicros)
         case 'D' => parseDelete(buf, lsn, timestampMicros)
-        case 'B' | 'C' => None // txn markers: no grouping downstream (SURVEY §2.2 D7)
+        // Txn markers yield no event, but B/C delimit a transaction
+        // sequence stamped on the events in between — the opt-in
+        // grouping the reference drops (pg_output_parser.py:32-37;
+        // SURVEY §2.2 D7).
+        case 'B' => txnSeq += 1; inTxn = true; None
+        case 'C' => inTxn = false; None
         case _ => None
       } catch {
         case e: MalformedFrame => throw e
@@ -140,7 +147,7 @@ object PgOutput {
         op: String, rel: RelationInfo,
         old: Option[Image], neu: Option[Image], lsn: Long, ts: Long): CdcEvent =
       CdcEvent(op, rel.schema, rel.table, rel.columns.map(_.name),
-        old, neu, lsn, ts)
+        old, neu, lsn, ts, txnSeq = if (inTxn) Some(txnSeq) else None)
 
     private def readTuple(buf: ByteBuffer, rel: RelationInfo): Image = {
       val nCols = buf.getShort & 0xffff

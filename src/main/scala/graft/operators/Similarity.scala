@@ -101,4 +101,38 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "sim")
   }
+
+  /** [[lshTopK]] with MULTI-PROBE: each query also probes the
+    * `signBits` buckets at Hamming distance 1 from its own (one sign
+    * bit flipped) — the standard recall fix for vectors near a
+    * hyperplane boundary, whose true neighbors straddle the adjacent
+    * bucket. Cost is (signBits+1)× the candidate volume but the plan
+    * stays a bucket equi-join (never a cross product), and since a
+    * corpus vector lives in exactly ONE bucket the probes are
+    * disjoint — no duplicate candidates, no dedup pass. */
+  def lshTopKMultiProbe(
+      queries: DataFrame, queryIdCol: String,
+      corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, signBits: Int): DataFrame = {
+    val base = signBucket(col(vecCol), signBits)
+    val probes = array(
+      base +: (0 until signBits).map(i => base.bitwiseXOR(lit(1L << i))): _*)
+    val q = queries.select(
+      col(queryIdCol).as("query_id"), col(vecCol).as("__qv"),
+      explode(probes).as("__bucket"))
+    val c = corpus.select(
+      col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      signBucket(col(vecCol), signBits).as("__bucket"))
+    val scored = q
+      .join(c, Seq("__bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("__qv"), col("__cv")))
+    val w = Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "sim")
+  }
 }

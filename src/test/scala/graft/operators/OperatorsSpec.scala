@@ -218,6 +218,23 @@ class OperatorsSpec extends SparkSpec {
     assert(out.toSeq == Seq(10L, 11L, 12L))
   }
 
+  test("lshTopKMultiProbe recovers a boundary neighbor single-probe LSH misses") {
+    import spark.implicits._
+    // query sits just below the hyperplane on bit 0; its true nearest
+    // neighbor just above — different sign bucket (1 vs 0 on bit 0)
+    val corpus = Seq(
+      (10L, Seq(0.01f, 1.0f)),   // bucket 3 (both bits >= 0) — near dup of the query
+      (11L, Seq(-1.0f, -1.0f))). // bucket 0
+      toDF("vec_id", "embedding")
+    val queries = Seq((1L, Seq(-0.01f, 1.0f))).toDF("vec_id", "embedding") // bucket 2
+    val single = Similarity.lshTopK(queries, "vec_id", corpus, "vec_id", "embedding", 3, 2)
+      .collect()
+    assert(single.isEmpty) // bucket 2 holds no corpus vector: total miss
+    val multi = Similarity.lshTopKMultiProbe(queries, "vec_id", corpus, "vec_id", "embedding", 3, 2)
+      .orderBy("rank").collect().map(_.getLong(2))
+    assert(multi.head == 10L) // flipping bit 0 probes bucket 3 and finds it
+  }
+
   // ---------------------------------------------------- text analysis
 
   test("text stats: hand-computed counts and ratios") {
