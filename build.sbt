@@ -40,7 +40,16 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // and repeated same-session queries oscillate 15s -> 375s. A real
   // cluster sizes EXECUTOR heaps (8-32g each) — a giant local heap
   // models nothing and just makes benchmarks unreproducible.
-  val req = "([0-9]+)[gG]".r.findFirstMatchIn(
-    sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")).map(_.group(1).toInt).getOrElse(8)
-  Seq(s"-Xmx${math.min(req, 16)}g")
+  val raw = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")
+  // Accept both g/G and m/M suffixes (m rounds up to whole GiB).
+  val req = "([0-9]+)\\s*([gGmM])".r.findFirstMatchIn(raw).map { m =>
+    val n = m.group(1).toLong
+    if (m.group(2).equalsIgnoreCase("g")) n else math.max(1L, (n + 1023) / 1024)
+  }
+  if (req.isEmpty && sys.env.contains("SPARK_DRIVER_MEM"))
+    println(s"[warn] SPARK_DRIVER_MEM='$raw' unparseable (want e.g. 8g or 4096m); using 8g")
+  val wanted = req.getOrElse(8L)
+  if (wanted > 16)
+    println(s"[warn] SPARK_DRIVER_MEM='$raw' clamped to 16g (oversized local heaps destroy G1 performance; see comment above)")
+  Seq(s"-Xmx${math.min(wanted, 16L)}g")
 }

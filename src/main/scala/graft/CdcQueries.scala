@@ -141,9 +141,11 @@ object CdcQueries {
   // --------------------------------------------- transaction grouping
   // The reference drops B/C markers and with them transactional
   // atomicity (pg_output_parser.py:32-37). The decoder stamps events
-  // with a per-stream txn sequence (CdcEvent.txnSeq); grouping on it
-  // recovers transaction boundaries: fixture txns 1..3 hold one change
-  // each, the two bare (non-transactional) frames fold into group 0.
+  // with a restart-stable txn id — the Begin frame's LSN
+  // (CdcEvent.txnSeq); grouping on it recovers transaction boundaries:
+  // the fixture's three txns open at LSNs 1001/1004/1007 with one
+  // change each, the two bare (non-transactional) frames fold into
+  // group 0.
   private val qTxnGroups = Queries.Q(
     "cdc_txn_groups",
     Some("""
@@ -151,9 +153,9 @@ object CdcQueries {
              CAST(lo_small AS BIGINT) AS min_lsn, CAST(hi_small AS BIGINT) AS max_lsn
       FROM (VALUES
         (0, 2, 1011, 1012),
-        (1, 1, 1002, 1002),
-        (2, 1, 1005, 1005),
-        (3, 1, 1008, 1008)
+        (1001, 1, 1002, 1002),
+        (1004, 1, 1005, 1005),
+        (1007, 1, 1008, 1008)
       ) AS t(txn_small, n_small, lo_small, hi_small)
       ORDER BY txn_seq"""),
     (s, _) => {

@@ -163,6 +163,53 @@ object PipelineQueries {
           n = 3, k = 12, rowsPerBand = 3, threshold = 0.5),
         "id_a", "id_b"))
 
+  // -------------------------------------- minhash bucket-overflow audit
+  // Production surface for [[Dedup.minhashBucketOverflow]]: the audit
+  // companion of the `maxBucket` candidate cap (ADVICE r5 — callers
+  // must be able to SEE what a cap drops, not just trust it). Run with
+  // maxBucket = 1 it enumerates every multi-member band bucket, i.e.
+  // the full candidate-generation load map; with the production cap it
+  // lists exactly the dropped buckets (empty = the cap lost nothing).
+  // Same shingle/signature/banding parameters as
+  // p_minhash_near_dup_pairs, so the audit rows ARE that query's
+  // buckets. Corpus note: every doc has >= 10 tokens (verified), so
+  // no empty shingle sets reach the signature.
+  private val qMinhashBucketAudit = Queries.Q(
+    "p_minhash_bucket_audit",
+    Some(s"""
+      WITH t AS (SELECT doc_id, $duckShingles3 AS sh FROM documents),
+      sig AS (SELECT doc_id,
+                list_transform(generate_series(0, 11),
+                  j -> list_min(list_transform(sh, x -> md5(j || ':' || x)))) AS s
+              FROM t),
+      bands AS (SELECT doc_id, b.generate_series AS band,
+                  md5(s[b.generate_series*3+1] || '|' || s[b.generate_series*3+2] || '|' || s[b.generate_series*3+3]) AS bh
+                FROM sig, generate_series(0, 3) b)
+      SELECT CAST(band AS BIGINT) AS band, bh AS band_hash,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_ids
+      FROM bands
+      GROUP BY band, bh
+      HAVING COUNT(DISTINCT doc_id) > 1
+      ORDER BY band, band_hash"""),
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      // same two-step token materialization as the dedup frontier
+      // (inline split re-evaluates per output element — Dedup scaladoc)
+      val toks = docs
+        .select(col("doc_id"), Dedup.tokens(col("text")).as("__toks"))
+        .repartition(col("doc_id"))
+      val sh = toks.select(
+        col("doc_id"),
+        array_distinct(Dedup.wordShinglesFromTokens(col("__toks"), 3)).as("sh"))
+      val sig = Dedup.minhashSignatureOver(sh, "doc_id", col("sh"), 12)
+      Dedup.minhashBucketOverflow(sig, "doc_id", k = 12, rowsPerBand = 3, maxBucket = 1)
+        .select(
+          col("band").cast("long").as("band"),
+          col("band_hash"),
+          col("n_ids").cast("long").as("n_ids"))
+        .transform(Queries.sortedSmall(_, "band", "band_hash"))
+    })
+
   // ------------------------------------------------ simhash fingerprints
   private val qSimhash = Queries.Q(
     "p_simhash64",
@@ -335,6 +382,6 @@ object PipelineQueries {
 
   val all: Seq[Queries.Q] = Seq(
     qTextStats, qLangQuality, qExactDedup, qNgramJaccard, qMinhashNearDup,
-    qSimhash, qBruteTopK, qLshTopK, qLshTopKMultiProbe, qEmbeddingNearDup,
-    qMultimodal, qEventsDedup)
+    qMinhashBucketAudit, qSimhash, qBruteTopK, qLshTopK, qLshTopKMultiProbe,
+    qEmbeddingNearDup, qMultimodal, qEventsDedup)
 }

@@ -49,9 +49,13 @@ object CdcDecode {
       registryDir.foreach { dir =>
         val p = java.nio.file.Paths.get(dir, streamId)
         if (java.nio.file.Files.isDirectory(p)) {
-          val files = java.nio.file.Files.list(p).iterator()
+          // Files.list holds a directory fd until the stream is closed
+          val stream = java.nio.file.Files.list(p)
           val sorted = scala.collection.mutable.ArrayBuffer[java.nio.file.Path]()
-          while (files.hasNext) sorted += files.next()
+          try {
+            val files = stream.iterator()
+            while (files.hasNext) sorted += files.next()
+          } finally stream.close()
           sorted.sortBy(_.getFileName.toString).foreach { f =>
             d.decode(java.nio.file.Files.readAllBytes(f), 0L, 0L)
           }

@@ -27,13 +27,15 @@ final case class CdcEvent(
     lsn: Long, // commit-order position in the stream (drives MERGE ordering;
                // the reference keeps its LSN only for acks — we surface it)
     timestampMicros: Long,
-    // Monotone per-stream transaction sequence: events between a B and
-    // its C marker share one value; events outside any transaction are
-    // None. The reference DROPS B/C and loses atomicity grouping
-    // (pg_output_parser.py:32-37) — surfacing the sequence makes
-    // transactional grouping a groupBy away (opt-in: the wire envelope
-    // `toWireDf` does not include it, so downstream contracts are
-    // unchanged).
+    // Transaction id = the LSN of the enclosing Begin frame: events
+    // between a B and its C marker share one value; events outside any
+    // transaction are None. LSN-derived ids are stable across JVM
+    // restarts (a counter would restart at 0 and collide), monotone
+    // per stream, and safe to persist/join. The reference DROPS B/C
+    // and loses atomicity grouping (pg_output_parser.py:32-37) —
+    // surfacing the id makes transactional grouping a groupBy away
+    // (opt-in: the wire envelope `toWireDf` does not include it, so
+    // downstream contracts are unchanged).
     txnSeq: Option[Long] = None)
 
 object CdcEvent {

@@ -47,6 +47,8 @@ object PgOutput {
   final class Decoder {
     private val relations = scala.collection.mutable.Map[Int, RelationInfo]()
     private var unknownRelationDrops = 0L
+    // current transaction id = LSN of the open txn's Begin frame
+    // (restart-stable; see the 'B' case in decode)
     private var txnSeq = 0L
     private var inTxn = false
 
@@ -81,10 +83,13 @@ object PgOutput {
         case 'U' => parseUpdate(buf, lsn, timestampMicros)
         case 'D' => parseDelete(buf, lsn, timestampMicros)
         // Txn markers yield no event, but B/C delimit a transaction
-        // sequence stamped on the events in between — the opt-in
-        // grouping the reference drops (pg_output_parser.py:32-37;
-        // SURVEY §2.2 D7).
-        case 'B' => txnSeq += 1; inTxn = true; None
+        // id stamped on the events in between — the opt-in grouping
+        // the reference drops (pg_output_parser.py:32-37; SURVEY §2.2
+        // D7). The id is the Begin frame's LSN, not a counter: LSNs
+        // are durable in the stream, so the id is stable across JVM
+        // restarts / decoder re-creation (a counter restarts at 0 and
+        // collides with pre-crash ids if ever persisted or joined).
+        case 'B' => txnSeq = lsn; inTxn = true; None
         case 'C' => inTxn = false; None
         case _ => None
       } catch {

@@ -160,12 +160,20 @@ object Dedup {
   /** Near-duplicate pairs: minhash/LSH candidates verified by exact
     * token-set Jaccard >= `threshold`. The verify join only touches
     * candidate ids, so full documents are shipped once per candidate,
-    * not per band. */
+    * not per band.
+    *
+    * `maxBucket` is the candidate-generation bucket cap (see
+    * [[minhashCandidatePairs]]): band buckets larger than it are
+    * DROPPED, which can lose true near-dup pairs on flood-prone
+    * corpora. Callers opt in to the cap explicitly here; audit what a
+    * given cap loses with [[minhashBucketOverflow]] over
+    * [[minhashSignature]]. */
   def nearDupPairs(
       docs: DataFrame, idCol: String, textCol: String,
-      k: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
+      k: Int, rowsPerBand: Int, threshold: Double,
+      maxBucket: Int = 1024): DataFrame = {
     val sig   = minhashSignature(docs, idCol, textCol, k)
-    val cand  = minhashCandidatePairs(sig, idCol, k, rowsPerBand)
+    val cand  = minhashCandidatePairs(sig, idCol, k, rowsPerBand, maxBucket)
     val toks  = docs.select(
       col(idCol), array_distinct(tokens(col(textCol))).as("toks"))
     cand
@@ -230,13 +238,19 @@ object Dedup {
   /** Near-duplicate pairs over n-gram SHINGLE sets: minhash/LSH
     * candidates (band equi-join) verified by exact shingle-set
     * Jaccard. The scale path for small-vocab corpora — see
-    * [[minhashSignatureOver]] and [[shingleFrontier]]. */
+    * [[minhashSignatureOver]] and [[shingleFrontier]].
+    *
+    * `maxBucket` caps candidate band buckets — oversized buckets are
+    * DROPPED, losing their pairs (see [[minhashCandidatePairs]]).
+    * Callers opt in explicitly; audit residual drops with
+    * [[minhashBucketOverflow]] over the same signature frame. */
   def nearDupPairsShingled(
       docs: DataFrame, idCol: String, textCol: String,
-      n: Int, k: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
+      n: Int, k: Int, rowsPerBand: Int, threshold: Double,
+      maxBucket: Int = 1024): DataFrame = {
     val sh = shingleFrontier(docs, idCol, textCol, n, hashed = false)
     val sig = minhashSignatureOver(sh, idCol, col("sh"), k)
-    val cand = minhashCandidatePairs(sig, idCol, k, rowsPerBand)
+    val cand = minhashCandidatePairs(sig, idCol, k, rowsPerBand, maxBucket)
     cand
       .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")

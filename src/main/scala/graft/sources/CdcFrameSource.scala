@@ -103,7 +103,9 @@ final class CdcMicroBatchStream(dir: String, maxFramesPerTrigger: Long)
     if (lsns.isEmpty) start
     else limit match {
       case rl: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
-        LsnOffset(lsns.take(rl.maxRows().toInt).last)
+        // clamp before .toInt: a Long maxRows above Int.MaxValue would
+        // wrap negative and take(n) would return empty → .last throws
+        LsnOffset(lsns.take(math.min(rl.maxRows(), Int.MaxValue.toLong).toInt).last)
       case _ => LsnOffset(lsns.last)
     }
   }
@@ -180,8 +182,13 @@ object CdcFrameFiles {
   private def frameFiles(dir: String): Seq[Path] = {
     val d = Paths.get(dir)
     if (!Files.isDirectory(d)) Seq.empty
-    else Files.list(d).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".cdcf")).toSeq.sortBy(_.getFileName.toString)
+    else {
+      // Files.list streams hold a directory fd until closed
+      val s = Files.list(d)
+      try s.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".cdcf")).toSeq.sortBy(_.getFileName.toString)
+      finally s.close()
+    }
   }
 
   def readDir(dir: String): Seq[(Long, Long, Array[Byte])] =
@@ -206,12 +213,56 @@ object CdcFrameFiles {
     buf.toSeq
   }
 
+  /** Driver-side offset-planning cache: absolute file path →
+    * (size, mtimeMillis, lsns). Frame files are immutable once
+    * atomically renamed into place, so (size, mtime) validates an
+    * entry; `write` REPLACE_EXISTING overwrites change both. Without
+    * this, `latestOffset` re-read every frame file's full payload on
+    * the driver at every trigger (ProcessingTime 0 ⇒ unbounded IO/fd
+    * churn as the feed directory grows). */
+  private val lsnCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Seq[Long])]()
+
+  /** LSNs in one file, skipping payload bytes; cached (see above). */
+  private def lsnsInFile(file: Path): Seq[Long] = {
+    val key = file.toAbsolutePath.toString
+    val size = Files.size(file)
+    val mtime = Files.getLastModifiedTime(file).toMillis
+    val hit = lsnCache.get(key)
+    if (hit != null && hit._1 == size && hit._2 == mtime) hit._3
+    else {
+      val in = new DataInputStream(new java.io.BufferedInputStream(Files.newInputStream(file)))
+      val buf = scala.collection.mutable.ArrayBuffer[Long]()
+      try {
+        var eof = false
+        while (!eof) {
+          val lsn = try Some(in.readLong()) catch { case _: EOFException => eof = true; None }
+          lsn.foreach { l =>
+            in.readLong() // ingestMicros
+            val len = in.readInt()
+            in.skipNBytes(len.toLong) // EOFException on truncation, like readFully
+            buf += l
+          }
+        }
+      } finally in.close()
+      val lsns = buf.toSeq
+      lsnCache.put(key, (size, mtime, lsns))
+      lsns
+    }
+  }
+
   /** LSNs strictly after `from`, ascending (driver-side listing for
-    * offset planning; frame files are small metadata-wise but this
-    * does read payload records — fine for the file transport, a
-    * socket transport would track its own high-water mark). */
-  def lsnsAfter(dir: String, from: Long): Seq[Long] =
-    readDir(dir).map(_._1).filter(_ > from).sorted
+    * offset planning). Payloads are never read here: per-file LSN
+    * lists come from [[lsnsInFile]]'s skip-scan + immutability cache.
+    * Entries for files trimmed away (feedback-based deletion) are
+    * pruned so the cache tracks the live directory. */
+  def lsnsAfter(dir: String, from: Long): Seq[Long] = {
+    val files = frameFiles(dir)
+    val live = files.map(_.toAbsolutePath.toString).toSet
+    val prefix = Paths.get(dir).toAbsolutePath.toString + java.io.File.separator
+    lsnCache.keySet.removeIf(k => k.startsWith(prefix) && !live.contains(k))
+    files.flatMap(lsnsInFile).filter(_ > from).sorted
+  }
 
   /** Last committed LSN published to the capture side, if any. */
   def readFeedback(dir: String): Option[Long] = {

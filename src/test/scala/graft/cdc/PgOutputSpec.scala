@@ -133,8 +133,9 @@ class PgOutputSpec extends AnyFunSuite {
     val evs = CdcDecode.decodeSeq(UsersFixture.frames)
     assert(evs.map(_.operation) == Seq("INSERT", "UPDATE", "DELETE", "INSERT", "UPDATE"))
     assert(evs.map(_.lsn) == Seq(1002L, 1005L, 1008L, 1011L, 1012L))
-    // B/C markers stamp a txn sequence; bare frames carry none
-    assert(evs.map(_.txnSeq) == Seq(Some(1L), Some(2L), Some(3L), None, None))
+    // B/C markers stamp a txn id = the Begin frame's LSN (fixture B
+    // frames sit at 1001/1004/1007); bare frames carry none
+    assert(evs.map(_.txnSeq) == Seq(Some(1001L), Some(1004L), Some(1007L), None, None))
     val up = evs(1)
     assert(up.newValues.get("email") == CdcEvent.UnchangedSentinel)
     val bin = evs(3)
