@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Fingerprint, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** Training-data-pipeline queries (SURVEY §2.9): dedup, similarity
   * search, text analysis, multimodal columns — wired to the driver
@@ -233,6 +233,67 @@ object PipelineQueries {
         Dedup.simhash64ByKey(Tables(s, dir).documents, "doc_id", "text", "simhash"),
         "doc_id"))
 
+  // -------------------------------- winnowing fingerprints (rolling hash)
+  // Position-aware document fingerprints: Rabin–Karp k-gram hashes
+  // over md5-derived token hashes, winnowed (min per window of w,
+  // rightmost on ties). All-integer arithmetic ⇒ the oracle is
+  // bit-exact at every stage. k=3, w=4 ⇒ docs shorter than 6 tokens
+  // yield no rows (corpus min is 10 — every doc contributes).
+  private val qWinnowFingerprints = Queries.Q(
+    "p_winnow_fingerprints",
+    Some("""
+      WITH toks AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+      th AS (SELECT doc_id, list_transform(tk, t ->
+               list_reduce(list_prepend(0, list_transform(generate_series(1, 8),
+                 i -> strpos('0123456789abcdef', substr(md5(t), i, 1)) - 1)), (h,c) -> h*16 + c)) AS th
+             FROM toks),
+      kgd AS (SELECT doc_id, list_transform(generate_series(1, len(th) - 2),
+                i -> ((((th[i] * 1000003) % 1000000007 + th[i+1]) * 1000003) % 1000000007 + th[i+2]) % 1000000007) AS kg
+              FROM th WHERE len(th) >= 6),
+      win AS (SELECT doc_id, kg, unnest(generate_series(1, len(kg) - 3)) AS j FROM kgd),
+      sel AS (SELECT doc_id,
+                CAST(j - 1 + list_reduce(list_prepend(-1, generate_series(0, 3)),
+                  (acc, t) -> CASE WHEN kg[CAST(j + t AS INT)] = list_min(list_slice(kg, j, j + 3)) THEN t ELSE acc END) AS BIGINT) AS pos,
+                list_min(list_slice(kg, j, j + 3)) AS fp
+              FROM win)
+      SELECT DISTINCT doc_id, pos, fp FROM sel ORDER BY doc_id, pos, fp"""),
+    (s, dir) =>
+      Fingerprint.winnowFingerprints(Tables(s, dir).documents, "doc_id", "text", k = 3, w = 4)
+        .transform(Queries.sortedSmall(_, "doc_id", "pos", "fp")))
+
+  // --------------------------------- deterministic hash split + sample
+  // Salted-hash train/val/test assignment (80/10/10) and a nested 25%
+  // subsample, aggregated per (lang, split). Pure integer/md5
+  // arithmetic ⇒ exact oracle; independent salts keep split and
+  // sample decisions uncorrelated.
+  private val duckBucket = (salt: String) =>
+    s"""list_reduce(list_prepend(0, list_transform(generate_series(1, 8),
+       |  i -> strpos('0123456789abcdef', substr(md5('$salt:' || CAST(doc_id AS VARCHAR)), i, 1)) - 1)),
+       |  (h, c) -> h*16 + c) % 100""".stripMargin
+
+  private val qHashSplit = Queries.Q(
+    "p_hash_split",
+    Some(s"""
+      WITH b AS (SELECT lang,
+                   ${duckBucket("split25")} AS sb,
+                   ${duckBucket("sample7")} AS pb
+                 FROM documents)
+      SELECT lang,
+             CASE WHEN sb < 80 THEN 'train' WHEN sb < 90 THEN 'val' ELSE 'test' END AS split,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN pb < 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+      FROM b
+      GROUP BY 1, 2
+      ORDER BY lang, split"""),
+    (s, dir) =>
+      Sampling.withSplit(Tables(s, dir).documents, "doc_id", "split25", trainPct = 80, valPct = 10)
+        .withColumn("__samp", Sampling.hashBucket(col("doc_id"), "sample7", 100))
+        .groupBy(col("lang"), col("split"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("__samp") < 25, 1L).otherwise(0L)).as("n_sampled"))
+        .transform(Queries.sortedSmall(_, "lang", "split")))
+
   // ------------------------------------------------ brute-force top-k
   private val duckCosine =
     """list_sum(list_transform(list_zip(qv, embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
@@ -283,6 +344,51 @@ object PipelineQueries {
       Similarity.lshTopK(
         emb.filter(col("vec_id") < 20), "vec_id", emb, "vec_id", "embedding",
         k = 10, signBits = 8)
+        .transform(Queries.sortedSmall(_, "query_id", "rank"))
+    })
+
+  // ------------------------------------------- IVF-flat top-k (ANN)
+  // Inverted-file ANN: 16 deterministic centroids (the 16 lowest
+  // vec_ids — stands in for an offline k-means; quantizer choice
+  // tunes recall, not plan shape), argmax-cosine cell assignment,
+  // queries probe their 2 nearest cells. The oracle recomputes every
+  // stage (assignment argmax via lexicographic struct-min, probe
+  // ranking, in-cell top-k) with identical double arithmetic.
+  private val qIvfTopK = Queries.Q(
+    "p_ivf_topk",
+    Some(s"""
+      WITH c AS (SELECT vec_id AS cent, embedding AS cv FROM embeddings WHERE vec_id < 16),
+      a AS (SELECT e.vec_id, e.embedding, c.cent,
+              list_sum(list_transform(list_zip(e.embedding, c.cv), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+              (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+               sqrt(list_sum(list_transform(c.cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS ccos
+            FROM embeddings e CROSS JOIN c),
+      cell AS (SELECT vec_id, (min({'nc': -ccos, 'cent': cent})).cent AS cell FROM a GROUP BY vec_id),
+      base AS (SELECT e.vec_id AS neighbor_id, e.embedding AS cv2, cell.cell
+               FROM embeddings e JOIN cell ON e.vec_id = cell.vec_id),
+      qp AS (SELECT vec_id AS query_id, cent AS cell FROM (
+               SELECT vec_id, cent, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent) AS rn
+               FROM a WHERE vec_id < 20)
+             WHERE rn <= 2),
+      qv AS (SELECT qp.query_id, e.embedding AS qvec, qp.cell
+             FROM qp JOIN embeddings e ON e.vec_id = qp.query_id),
+      s AS (SELECT query_id, neighbor_id,
+              list_sum(list_transform(list_zip(qvec, cv2), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+              (sqrt(list_sum(list_transform(qvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+               sqrt(list_sum(list_transform(cv2, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+            FROM qv JOIN base USING (cell) WHERE query_id != neighbor_id)
+      SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id, sim FROM (
+        SELECT query_id, neighbor_id, sim,
+               row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+        FROM s)
+      WHERE rnk <= 10
+      ORDER BY query_id, rank"""),
+    (s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      Similarity.ivfTopK(
+        emb.filter(col("vec_id") < 20), "vec_id", emb, "vec_id", "embedding",
+        centroids = emb.filter(col("vec_id") < 16), "vec_id", "embedding",
+        k = 10, nProbe = 2)
         .transform(Queries.sortedSmall(_, "query_id", "rank"))
     })
 
@@ -382,6 +488,7 @@ object PipelineQueries {
 
   val all: Seq[Queries.Q] = Seq(
     qTextStats, qLangQuality, qExactDedup, qNgramJaccard, qMinhashNearDup,
-    qMinhashBucketAudit, qSimhash, qBruteTopK, qLshTopK, qLshTopKMultiProbe,
-    qEmbeddingNearDup, qMultimodal, qEventsDedup)
+    qMinhashBucketAudit, qSimhash, qWinnowFingerprints, qHashSplit, qBruteTopK,
+    qLshTopK, qLshTopKMultiProbe, qIvfTopK, qEmbeddingNearDup, qMultimodal,
+    qEventsDedup)
 }

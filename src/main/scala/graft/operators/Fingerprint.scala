@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Rolling-hash document fingerprinting via winnowing (Schleimer,
+  * Wilkerson, Aiken — "Winnowing: Local Algorithms for Document
+  * Fingerprinting", SIGMOD 2003).
+  *
+  * The batch form of the §2.9 "document fingerprinting (rolling
+  * hash)" operator: where [[Dedup.fingerprint]] gives ONE hash per
+  * normalized document (whole-doc exact dedup), winnowing gives a
+  * POSITION-AWARE fingerprint set that overlaps between documents
+  * sharing any run of `w + k - 1` tokens — the primitive behind
+  * copy/containment detection (quote mining, boilerplate discovery,
+  * license-text detection) that whole-doc hashing cannot express.
+  *
+  * Pipeline (all integer arithmetic — bit-identical across engines,
+  * so the DuckDB oracle checks every stage value-for-value):
+  *
+  *  1. token hash: the first 8 hex chars of `md5(token)` as a long
+  *     (md5 is the one hash portable across Spark/DuckDB/Java; Spark
+  *     and DuckDB disagree on `ascii()` for non-ASCII, so a
+  *     char-code fold is NOT portable);
+  *  2. k-gram hash: Rabin–Karp polynomial hash over each window of
+  *     `k` consecutive token hashes, Horner form
+  *     `((th(i)·B mod M + th(i+1))·B mod M + …) mod M` with
+  *     B = 1000003, M = 1e9+7 (all intermediates < 2^53 — no long
+  *     overflow; the rolling O(1)-per-slide update is the hash
+  *     family's property, the declarative plan computes each window
+  *     in O(k));
+  *  3. winnowing selection: over every window of `w` consecutive
+  *     k-gram hashes keep the minimum, rightmost occurrence on ties
+  *     (the paper's robust-winnowing rule); dedupe (pos, fp).
+  *
+  * Guarantees (paper §2): any match of length >= w + k - 1 tokens
+  * shares at least one selected fingerprint; expected density is
+  * 2/(w+1).
+  *
+  * Scale shape (100 TB): embarrassingly parallel per document — one
+  * narrow pipeline (no joins), one shuffle only for the final
+  * distinct on (id, pos, fp). Fingerprints are (long, long) pairs,
+  * ~1000× smaller than the text; downstream containment joins are
+  * hash equi-joins on `fp`.
+  */
+object Fingerprint {
+
+  /** Rabin–Karp modulus (1e9+7): keeps every Horner intermediate
+    * under 2^53 with 32-bit token hashes and base [[B]]. */
+  val M = 1000000007L
+
+  /** Rabin–Karp base for combining token hashes. */
+  val B = 1000003L
+
+  /** Stable 32-bit token hash: integer value of the first 8 hex chars
+    * of md5 (portable across engines — see class doc). */
+  def tokenHash(t: Column): Column =
+    conv(substring(md5(t), 1, 8), 16, 10).cast("long")
+
+  /** Polynomial k-gram hashes over a MATERIALIZED token-hash array
+    * attribute (an inlined expression would re-evaluate per output
+    * element — Dedup scaladoc). Docs with fewer than k tokens yield
+    * an empty array. */
+  def kgramHashes(th: Column, k: Int): Column =
+    when(size(th) >= k,
+      transform(sequence(lit(1), size(th) - (k - 1)), i =>
+        (1 until k).foldLeft(element_at(th, i)) { (acc, j) =>
+          acc * B % M + element_at(th, i + lit(j))
+        } % M))
+      .otherwise(array().cast("array<bigint>"))
+
+  /** Winnowed fingerprints: one row per selected (0-based k-gram
+    * position, fingerprint) pair, deduplicated. Output columns:
+    * (idCol, pos LONG, fp LONG). Documents shorter than w + k - 1
+    * tokens yield no rows (no full winnowing window exists). */
+  def winnowFingerprints(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, s"k=$k and w=$w must be >= 1")
+    val th = docs
+      .select(col(idCol), Dedup.tokens(col(textCol)).as("__toks"))
+      .repartition(col(idCol))
+      .select(col(idCol), transform(col("__toks"), tokenHash(_)).as("th"))
+      // filter on the ATTRIBUTE th (len(kg) >= w ⟺ len(th) >= w+k-1):
+      // a size(kg) filter on the projected alias would push down with
+      // the whole k-gram tree substituted and evaluate it twice.
+      .filter(size(col("th")) >= k + w - 1)
+    val kgd = th.select(col(idCol), kgramHashes(col("th"), k).as("kg"))
+    val win = kgd.select(
+      col(idCol), col("kg"),
+      explode(sequence(lit(1), size(col("kg")) - (w - 1))).as("j"))
+    // kg and j are attributes here, so the per-window slice/min/fold
+    // below touch materialized arrays only.
+    val m = array_min(slice(col("kg"), col("j"), lit(w)))
+    // rightmost index of the window minimum (robust winnowing):
+    // fold offsets 0..w-1, keeping the LAST offset whose hash == min.
+    val rel = aggregate(
+      sequence(lit(0), lit(w - 1)), lit(-1L),
+      (acc, t) =>
+        when(element_at(col("kg"), (col("j") + t).cast("int")) === m, t)
+          .otherwise(acc))
+    win
+      .select(
+        col(idCol),
+        (col("j").cast("long") - 1L + rel).as("pos"),
+        m.as("fp"))
+      .distinct()
+  }
+}

@@ -110,6 +110,63 @@ object Similarity {
     * stays a bucket equi-join (never a cross product), and since a
     * corpus vector lives in exactly ONE bucket the probes are
     * disjoint — no duplicate candidates, no dedup pass. */
+  /** IVF-flat approximate top-k — the inverted-file ANN scale path.
+    *
+    * A small set of coarse-quantizer centroids partitions the corpus
+    * into cells: every corpus vector is assigned to its max-cosine
+    * centroid (smallest centroid id on ties), and a query scores only
+    * the vectors in its `nProbe` nearest cells. Candidate volume
+    * drops to ~nProbe/nCells of the corpus while the plan stays
+    * broadcast + equi-join end to end: centroids broadcast (tiny),
+    * assignment is one map-side pass whose argmax is a
+    * partial-aggregable lexicographic struct-min, candidate
+    * generation is a hash join on cell id — never an all-pairs
+    * product, no driver-side state.
+    *
+    * `centroids` is caller-supplied: production trains k-means
+    * offline (quantizer quality tunes recall, never plan shape);
+    * tests and oracles pass a deterministic corpus subset so every
+    * stage stays value-checkable. Same output shape as
+    * [[bruteForceTopK]]. */
+  def ivfTopK(
+      queries: DataFrame, queryIdCol: String,
+      corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, centIdCol: String, centVecCol: String,
+      k: Int, nProbe: Int): DataFrame = {
+    val cents = broadcast(centroids.select(
+      col(centIdCol).as("__cent"), col(centVecCol).as("__cvec")))
+    def cellScores(df: DataFrame, dfIdCol: String, outId: String): DataFrame =
+      df.select(col(dfIdCol).as(outId), col(vecCol).as("__v"))
+        .crossJoin(cents)
+        .withColumn("__ccos", cosine(col("__v"), col("__cvec")))
+    // corpus → exactly one cell: argmax cosine as min(struct(-cos,
+    // cent)) — lexicographic, so highest cosine wins, then smallest
+    // centroid id; a plain aggregate, so map-side partials apply.
+    val cells = cellScores(corpus, idCol, "neighbor_id")
+      .groupBy("neighbor_id")
+      .agg(min(struct((-col("__ccos")).as("nc"), col("__cent").as("cent"))).as("__b"))
+      .select(col("neighbor_id"), col("__b.cent").as("__cell"))
+    val base = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .join(cells, Seq("neighbor_id"))
+    // queries probe their nProbe nearest cells (ranked like the
+    // assignment: cosine desc, centroid id asc)
+    val wp = Window.partitionBy("query_id").orderBy(col("__ccos").desc, col("__cent"))
+    val probes = cellScores(queries, queryIdCol, "query_id")
+      .withColumn("__rn", row_number().over(wp))
+      .filter(col("__rn") <= nProbe)
+      .select(col("query_id"), col("__v").as("__qv"), col("__cent").as("__cell"))
+    val scored = probes.join(base, Seq("__cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("__qv"), col("__cv")))
+    val w = Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "sim")
+  }
+
   def lshTopKMultiProbe(
       queries: DataFrame, queryIdCol: String,
       corpus: DataFrame, idCol: String,

@@ -284,6 +284,78 @@ class OperatorsSpec extends SparkSpec {
     assert(rows(3L) == ((len % 640 + 1, (len * 7) % 480 + 1, len % 3 + 1)))
   }
 
+  test("ivfTopK: cells restrict candidates at nProbe=1, widen at nProbe=2") {
+    import spark.implicits._
+    // centroids along the two axes; corpus split between the cells
+    val cents = Seq((0L, Seq(1f, 0f)), (1L, Seq(0f, 1f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (10L, Seq(0.9f, 0.1f)),  // cell 0
+      (11L, Seq(0.8f, 0.2f)),  // cell 0
+      (20L, Seq(0.1f, 0.9f)),  // cell 1
+      (21L, Seq(0.2f, 0.8f))   // cell 1
+    ).toDF("vec_id", "embedding")
+    val q = Seq((10L, Seq(0.9f, 0.1f))).toDF("vec_id", "embedding")
+    val one = Similarity.ivfTopK(q, "vec_id", corpus, "vec_id", "embedding",
+      cents, "vec_id", "embedding", k = 10, nProbe = 1)
+      .collect().map(_.getLong(2)).toSet
+    assert(one == Set(11L)) // own cell only, self excluded
+    val two = Similarity.ivfTopK(q, "vec_id", corpus, "vec_id", "embedding",
+      cents, "vec_id", "embedding", k = 10, nProbe = 2)
+      .collect().map(_.getLong(2)).toSet
+    assert(two == Set(11L, 20L, 21L)) // both cells probed
+  }
+
+  // --------------------------------------------- deterministic sampling
+
+  test("hash sampling: stable, salt-sensitive, nested subsets, sane proportions") {
+    import spark.implicits._
+    val keys = (1L to 1000L).toDF("id")
+    val s25 = Sampling.sampled(keys, "id", "s", 25).collect().map(_.getLong(0)).toSet
+    // deterministic: a second evaluation is identical
+    assert(Sampling.sampled(keys, "id", "s", 25).collect().map(_.getLong(0)).toSet == s25)
+    // nested: the 10% sample is contained in the 25% one (same salt)
+    val s10 = Sampling.sampled(keys, "id", "s", 10).collect().map(_.getLong(0)).toSet
+    assert(s10.subsetOf(s25))
+    // different salt re-draws
+    assert(Sampling.sampled(keys, "id", "other", 25).collect().map(_.getLong(0)).toSet != s25)
+    // proportions within ±5pp at n=1000
+    assert(math.abs(s25.size - 250) < 50)
+    val splits = Sampling.withSplit(keys, "id", "sp", 80, 10)
+      .groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(splits("train") - 800L) < 50)
+    assert(splits("train") + splits("val") + splits("test") == 1000L)
+  }
+
+  // ------------------------------------------- winnowing fingerprints
+
+  test("winnowFingerprints: shared run ⇒ shared fingerprint; short docs yield none; rightmost tie") {
+    // Two docs sharing a run of w+k-1 = 6 tokens must share >= 1
+    // fingerprint (the winnowing guarantee); a 5-token doc has no
+    // full window and yields no rows.
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val out = Fingerprint.winnowFingerprints(
+      docs(
+        1L -> s"one two $shared",
+        2L -> s"$shared nine ten",
+        3L -> "a b c d e"),
+      "doc_id", "text", k = 3, w = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byDoc = out.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    assert(byDoc.contains(1L) && byDoc.contains(2L))
+    assert((byDoc(1L) intersect byDoc(2L)).nonEmpty)
+    assert(!byDoc.contains(3L))
+    // a doc of identical tokens: every k-gram hash is equal, so every
+    // window's rightmost-min is its LAST position — selected positions
+    // are w-1 .. nKgrams-1 with one fingerprint value
+    val rep = Fingerprint.winnowFingerprints(
+      docs(9L -> "x x x x x x x x"), "doc_id", "text", k = 3, w = 4)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    // 8 tokens → 6 k-grams → windows at kg positions 0..2, rightmost
+    // min of window j..j+3 is j+3 → positions 3, 4, 5
+    assert(rep.map(_._1).sorted.toSeq == Seq(3L, 4L, 5L))
+    assert(rep.map(_._2).toSet.size == 1)
+  }
+
   // --------------------------------------------------------- as-of join
 
   test("leftAsOf: inclusive equality, tie-break, and no-prior-row null") {
