@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Fingerprint, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Fingerprint, Graph, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** Training-data-pipeline queries (SURVEY §2.9): dedup, similarity
   * search, text analysis, multimodal columns — wired to the driver
@@ -162,6 +162,48 @@ object PipelineQueries {
         Dedup.nearDupPairsShingled(Tables(s, dir).documents, "doc_id", "text",
           n = 3, k = 12, rowsPerBand = 3, threshold = 0.5),
         "id_a", "id_b"))
+
+  // ------------------------------------------- near-dup groups (CC)
+  // The resolution step: minhash near-dup PAIRS (exact same pipeline
+  // and parameters as p_minhash_near_dup_pairs) → connected
+  // components → one (doc_id, group_id) row per clustered doc, with
+  // group_id = smallest doc_id in the cluster. The oracle recomputes
+  // the pairs with the shared CTEs and resolves components with a
+  // recursive min-reachability CTE — every stage value-checked.
+  private val qDupGroups = Queries.Q(
+    "p_dup_groups",
+    Some(s"""
+      WITH RECURSIVE t AS (SELECT doc_id, $duckShingles3 AS sh FROM documents),
+      t2 AS (SELECT doc_id, sh FROM t WHERE len(sh) > 0),
+      sig AS (SELECT doc_id, sh,
+                list_transform(generate_series(0, 11),
+                  j -> list_min(list_transform(sh, x -> md5(j || ':' || x)))) AS s
+              FROM t2),
+      bands AS (SELECT doc_id, b.generate_series AS band,
+                  md5(s[b.generate_series*3+1] || '|' || s[b.generate_series*3+2] || '|' || s[b.generate_series*3+3]) AS bh
+                FROM sig, generate_series(0, 3) b),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+               FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+      pairs AS (SELECT id_a, id_b
+                FROM cand
+                JOIN t2 ta ON ta.doc_id = id_a
+                JOIN t2 tb ON tb.doc_id = id_b
+                WHERE CAST(len(list_intersect(ta.sh, tb.sh)) AS DOUBLE)
+                        / len(list_distinct(list_concat(ta.sh, tb.sh))) >= 0.5),
+      e AS (SELECT id_a AS u, id_b AS v FROM pairs
+            UNION SELECT id_b AS u, id_a AS v FROM pairs),
+      reach(node, r) AS (SELECT u, u FROM (SELECT DISTINCT u FROM e)
+                         UNION
+                         SELECT e.v, reach.r FROM reach JOIN e ON e.u = reach.node)
+      SELECT node AS doc_id, MIN(r) AS group_id
+      FROM reach GROUP BY node ORDER BY doc_id"""),
+    (s, dir) =>
+      Graph.connectedComponents(
+        Dedup.nearDupPairsShingled(Tables(s, dir).documents, "doc_id", "text",
+          n = 3, k = 12, rowsPerBand = 3, threshold = 0.5),
+        "id_a", "id_b")
+        .select(col("node").as("doc_id"), col("component").as("group_id"))
+        .transform(Queries.sortedSmall(_, "doc_id")))
 
   // -------------------------------------- minhash bucket-overflow audit
   // Production surface for [[Dedup.minhashBucketOverflow]]: the audit
@@ -488,7 +530,7 @@ object PipelineQueries {
 
   val all: Seq[Queries.Q] = Seq(
     qTextStats, qLangQuality, qExactDedup, qNgramJaccard, qMinhashNearDup,
-    qMinhashBucketAudit, qSimhash, qWinnowFingerprints, qHashSplit, qBruteTopK,
-    qLshTopK, qLshTopKMultiProbe, qIvfTopK, qEmbeddingNearDup, qMultimodal,
-    qEventsDedup)
+    qDupGroups, qMinhashBucketAudit, qSimhash, qWinnowFingerprints, qHashSplit,
+    qBruteTopK, qLshTopK, qLshTopKMultiProbe, qIvfTopK, qEmbeddingNearDup,
+    qMultimodal, qEventsDedup)
 }

@@ -6,10 +6,15 @@ import org.apache.spark.sql.functions._
 
 /** Vector similarity search over an `array<float>` embedding column.
   *
-  * The arithmetic is done with built-in higher-order functions
-  * (`zip_with` + `aggregate`), which Catalyst codegens — no UDF in the
-  * hot path. Sums run left-to-right in element order on both Spark and
-  * the DuckDB oracle, so double results are bit-identical.
+  * The similarity kernel is the native codegen'd
+  * [[graft.functions.CosineSimilarity]] expression: one fused
+  * zero-allocation pass computing dot and both norms inside
+  * whole-stage codegen (the higher-order-function formulation it
+  * replaced is CodegenFallback — an interpreted fold plus a zipped
+  * array allocation per candidate pair). Sums run left-to-right in
+  * element order in double on both Spark and the DuckDB oracle, so
+  * results stay bit-identical ([[dot]]/[[norm]] remain as the
+  * HOF reference implementation, property-tested equivalent).
   *
   * Scale design:
   *  - brute force is the exact baseline: |Q| x |N| partitioned
@@ -32,9 +37,14 @@ object Similarity {
   /** L2 norm in double. */
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity = dot / (||a|| * ||b||); null-safe zero for
-    * zero vectors. */
-  def cosine(a: Column, b: Column): Column = {
+  /** Cosine similarity = dot / (||a|| * ||b||); zero for zero
+    * vectors. Native codegen'd expression — see class doc. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.cosine(a, b)
+
+  /** The HOF reference formulation of [[cosine]] (kept for the
+    * equivalence property test; not used in any query plan). */
+  def cosineHof(a: Column, b: Column): Column = {
     val d = dot(a, b)
     val n = norm(a) * norm(b)
     when(n === 0d, lit(0.0d)).otherwise(d / n)

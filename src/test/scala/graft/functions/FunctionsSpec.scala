@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+import graft.SparkSpec
+import graft.operators.Similarity
+
+/** The native [[CosineSimilarity]] expression: bit-exact equivalence
+  * with the HOF reference formulation, SQL registration, and the NULL
+  * edge semantics the oracle relies on. */
+class FunctionsSpec extends SparkSpec {
+
+  test("native cosine == HOF cosine bit-for-bit on random float vectors") {
+    import spark.implicits._
+    // one Spark job over many generated pairs (a per-sample job would
+    // dominate the suite); bit-identical is the assertion, not ≈
+    val pairs = Gen.listOfN(500,
+      Gen.zip(Gen.listOfN(8, Gen.chooseNum(-10f, 10f)),
+              Gen.listOfN(8, Gen.chooseNum(-10f, 10f))))
+      .sample.get
+    val df = pairs.toDF("a", "b")
+    val out = df.select(
+      Similarity.cosine(col("a"), col("b")).as("native"),
+      Similarity.cosineHof(col("a"), col("b")).as("hof")).collect()
+    assert(out.length == 500)
+    out.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+             java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("cosine edge semantics: zero vector, NULL array, NULL element, length mismatch") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(0f, 0f), Seq(1f, 2f)),      // zero vector -> 0.0
+      (2L, Seq(3f, 4f), Seq(3f, 4f))       // identical -> 1.0
+    ).toDF("id", "a", "b")
+    val rows = df.select(col("id"), Similarity.cosine(col("a"), col("b")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rows(1L) == 0.0)
+    assert(math.abs(rows(2L) - 1.0) < 1e-15)
+    // NULL array / mismatched lengths -> NULL (zip_with semantics)
+    val edge = Seq(
+      (3L, null, Seq(1f)),                 // null array
+      (4L, Seq(1f, 2f), Seq(1f))           // length mismatch
+    ).toDF("id", "a", "b")
+    val nulls = edge.select(col("id"), Similarity.cosine(col("a"), col("b")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(nulls(3L) && nulls(4L))
+  }
+
+  test("graft_cosine is callable from SQL after register(); extensions inject the same") {
+    GraftFunctions.register(spark)
+    val v = spark.sql(
+      "SELECT graft_cosine(array(3.0F, 4.0F), array(4.0F, 3.0F)) AS c")
+      .head().getDouble(0)
+    assert(math.abs(v - 24.0 / 25.0) < 1e-15)
+    // the extensions entry point wires the identical descriptors
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext) // must not throw; descriptor count fixed
+    assert(GraftFunctions.descriptors.map(_._1.funcName) == Seq("graft_cosine"))
+  }
+
+  test("native cosine participates in whole-stage codegen (no CodegenFallback)") {
+    // non-foldable input (literals constant-fold to a LocalTableScan)
+    val df = spark.range(4).select(
+        array(col("id").cast("float"), lit(1f)).as("a"),
+        array(lit(2f), col("id").cast("float")).as("b"))
+      .select(Similarity.cosine(col("a"), col("b")).as("c"))
+    // "*(n)" is simpleString's WholeStageCodegen marker
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [graft_cosine"), s"expected codegen'd project in:\n$plan")
+    // the expression itself must implement doGenCode, not fall back
+    assert(!classOf[org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback]
+      .isAssignableFrom(classOf[CosineSimilarity]))
+    assert(df.collect().length == 4)
+  }
+}
