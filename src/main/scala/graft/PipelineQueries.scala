@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Fingerprint, Graph, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Fingerprint, Graph, Multimodal, Sampling, Search, Similarity, TextAnalysis}
 
 /** Training-data-pipeline queries (SURVEY §2.9): dedup, similarity
   * search, text analysis, multimodal columns — wired to the driver
@@ -275,6 +275,27 @@ object PipelineQueries {
         Dedup.simhash64ByKey(Tables(s, dir).documents, "doc_id", "text", "simhash"),
         "doc_id"))
 
+  // ----------------------------------------- inverted-index keyword search
+  // Disjunctive keyword top-k over the posting table. Ranking is
+  // all-integer (matched terms, summed tf, doc id) so the oracle is
+  // exact; the fully-deterministic tiebreak makes the top-k SET
+  // stable. DuckDB SUM(BIGINT) is HUGEINT -> explicit BIGINT cast.
+  private val qKeywordTopK = Queries.Q(
+    "p_keyword_topk",
+    Some("""
+      WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+             WHERE term IN ('join', 'vector', 'spark') GROUP BY doc_id, term),
+      r AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+                   CAST(SUM(tf) AS BIGINT) AS total_tf
+            FROM tf GROUP BY doc_id)
+      SELECT doc_id, n_terms, total_tf FROM r
+      ORDER BY n_terms DESC, total_tf DESC, doc_id LIMIT 50"""),
+    (s, dir) =>
+      Search.keywordTopK(Tables(s, dir).documents, "doc_id", "text",
+        terms = Seq("join", "vector", "spark"), k = 50)
+        .transform(Queries.sortedSmall(_, "doc_id")))
+
   // -------------------------------- winnowing fingerprints (rolling hash)
   // Position-aware document fingerprints: Rabin–Karp k-gram hashes
   // over md5-derived token hashes, winnowed (min per window of w,
@@ -531,6 +552,6 @@ object PipelineQueries {
   val all: Seq[Queries.Q] = Seq(
     qTextStats, qLangQuality, qExactDedup, qNgramJaccard, qMinhashNearDup,
     qDupGroups, qMinhashBucketAudit, qSimhash, qWinnowFingerprints, qHashSplit,
-    qBruteTopK, qLshTopK, qLshTopKMultiProbe, qIvfTopK, qEmbeddingNearDup,
-    qMultimodal, qEventsDedup)
+    qKeywordTopK, qBruteTopK, qLshTopK, qLshTopKMultiProbe, qIvfTopK,
+    qEmbeddingNearDup, qMultimodal, qEventsDedup)
 }

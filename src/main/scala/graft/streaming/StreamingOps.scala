@@ -37,6 +37,30 @@ object StreamingOps {
       .groupBy(window(col(eventTimeCol), windowLen), col("event_type"))
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
 
+  /** Session windows: group a key's events into activity sessions
+    * separated by at least `gap` of silence (`session_window` — state
+    * store merges overlapping windows as events arrive, watermark
+    * closes sessions `gap` past the last event). The sessionization
+    * primitive behind user-journey and burst analysis; state per key
+    * is one open session, watermark-bounded like every op here. */
+  def sessionStats(
+      events: DataFrame,
+      eventTimeCol: String,
+      watermark: String,
+      gap: String,
+      keyCol: String): DataFrame =
+    events
+      .withWatermark(eventTimeCol, watermark)
+      .groupBy(session_window(col(eventTimeCol), gap), col(keyCol))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value")).as("total_value"))
+      .select(
+        col(keyCol),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("total_value"))
+
   /** Stream–static enrichment: attach dimension attributes to a
     * stream. The static side is re-read per micro-batch (picks up
     * slowly changing dims); broadcast when dimension-sized. */

@@ -356,6 +356,25 @@ class OperatorsSpec extends SparkSpec {
     assert(rep.map(_._2).toSet.size == 1)
   }
 
+  // ------------------------------------------------------ keyword search
+
+  test("keywordTopK: integer rank (n_terms, total_tf, doc_id), limit, and filter") {
+    val corpus = docs(
+      1L -> "spark join join vector",   // 3 distinct terms, total tf 4
+      2L -> "join join join join",      // 1 distinct term, total tf 4
+      3L -> "vector spark",             // 2 distinct terms, total tf 2
+      4L -> "nothing relevant here")
+    val out = Search.keywordTopK(corpus, "doc_id", "text",
+      terms = Seq("spark", "join", "vector"), k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // doc 1 matches 3 distinct terms (tf 4), doc 3 matches 2, doc 2 one
+    assert(out.toSet == Set((1L, 3L, 4L), (3L, 2L, 2L)))
+    // postings: tf counted per (term, doc)
+    val p = Search.postings(corpus, "doc_id", "text")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(p(("join", 2L)) == 4L && p(("join", 1L)) == 2L && !p.contains(("spark", 2L)))
+  }
+
   // --------------------------------------------------------- as-of join
 
   test("leftAsOf: inclusive equality, tie-break, and no-prior-row null") {

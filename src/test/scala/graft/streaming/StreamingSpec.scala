@@ -261,6 +261,32 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains(("click", 2L, 3.0)) && rows.contains(("view", 1L, 5.0)))
   }
 
+  test("session windows merge within gap, split across it, close under watermark") {
+    import spark.implicits._
+    val stream = MemoryStream[(java.sql.Timestamp, String, Double)](spark)
+    val df = stream.toDS().toDF("ts", "user", "value")
+    val out = StreamingOps.sessionStats(df, "ts", "0 seconds", "5 minutes", "user")
+    val q = out.writeStream.format("memory").queryName("sess_out").outputMode("append")
+      .option("checkpointLocation", tmp("chk_sess")).start()
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+    try {
+      // u1: events at 10:00, 10:03 (merged, gap < 5m), then 10:20 (new session)
+      stream.addData(Seq((t(0), "u1", 1.0), (t(3), "u1", 2.0), (t(20), "u1", 7.0)))
+      q.processAllAvailable()
+      stream.addData(Seq((t(40), "u1", 0.0))) // watermark past both sessions
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("sess_out")
+      .select(col("user"), col("session_start"), col("session_end"),
+        col("n_events"), col("total_value"))
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3), r.getDouble(4)))
+      .toSet
+    // first session [10:00, 10:08): last event 10:03 + 5m gap
+    assert(rows.contains(("u1", t(0), java.sql.Timestamp.valueOf("2026-01-01 10:08:00"), 2L, 3.0)))
+    assert(rows.contains(("u1", t(20), java.sql.Timestamp.valueOf("2026-01-01 10:25:00"), 1L, 7.0)))
+  }
+
   test("stream-static enrichment joins dimension attributes") {
     import spark.implicits._
     val stream = MemoryStream[(Long, Long)](spark)
