@@ -348,6 +348,48 @@ object Queries {
         .transform(sortedSmall(_, "event_id"))
     })
 
+  // ----------------------------------------------------- interval join
+  // Point-in-interval join via binning (Intervals scaladoc): per
+  // urgent order of 1995-03, the lineitems shipped inside the order's
+  // 3-day window — an inequality join vanilla Spark would plan as a
+  // nested loop, rewritten as a bin equi-join. The oracle states the
+  // predicate directly; counts/min/max of timestamps are exact.
+  private val qIntervalJoin = Q(
+    "q_interval_ship_count",
+    Some("""
+      SELECT o_orderkey,
+             CAST(COUNT(*) AS BIGINT) AS n_shipped,
+             MIN(l_shipdate) AS first_ship,
+             MAX(l_shipdate) AS last_ship
+      FROM (SELECT o_orderkey, o_orderdate,
+                   o_orderdate + INTERVAL 3 DAY AS window_end
+            FROM orders
+            WHERE o_orderpriority = '1-URGENT'
+              AND o_orderdate >= TIMESTAMP '1995-03-01'
+              AND o_orderdate < TIMESTAMP '1995-04-01') o
+      JOIN lineitem l
+        ON l.l_shipdate >= o.o_orderdate AND l.l_shipdate <= o.window_end
+      GROUP BY o_orderkey
+      ORDER BY o_orderkey"""),
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val iv = t.orders
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_orderdate") >= lit("1995-03-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1995-04-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_orderdate"),
+          (col("o_orderdate") + expr("INTERVAL 3 DAYS")).as("window_end"))
+      operators.Intervals.pointInIntervalJoin(
+          iv, "o_orderdate", "window_end",
+          t.lineitem.select(col("l_shipdate")), "l_shipdate")
+        .groupBy("o_orderkey")
+        .agg(
+          count(lit(1)).as("n_shipped"),
+          min(col("l_shipdate")).as("first_ship"),
+          max(col("l_shipdate")).as("last_ship"))
+        .transform(sortedSmall(_, "o_orderkey"))
+    })
+
   // -------------------------------------------------------------- cube
   private val qCube = Q(
     "q_cube_lineitem",
@@ -384,5 +426,5 @@ object Queries {
 
   val relational: Seq[Q] = Seq(
     q1, q3, q5, qWindow, qRollup, qCube, qSetop, qIntersect, qSemi, qAnti, qTopk,
-    qEventsDaily, qEventsJson, qJsonSerialize, qAsOf)
+    qEventsDaily, qEventsJson, qJsonSerialize, qAsOf, qIntervalJoin)
 }

@@ -375,6 +375,32 @@ class OperatorsSpec extends SparkSpec {
     assert(p(("join", 2L)) == 4L && p(("join", 1L)) == 2L && !p.contains(("spark", 2L)))
   }
 
+  // ------------------------------------------------------ interval join
+
+  test("pointInIntervalJoin: inclusive bounds, multi-bin intervals, exactly-once matches") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val iv = Seq(
+      (1L, ts("2026-01-01 00:00:00"), ts("2026-01-20 00:00:00")), // spans 3 weekly bins
+      (2L, ts("2026-01-05 00:00:00"), ts("2026-01-06 00:00:00")), // overlaps iv 1
+      (3L, ts("2026-03-01 00:00:00"), ts("2026-02-01 00:00:00"))  // inverted -> dropped
+    ).toDF("iv_id", "s", "e")
+    val pt = Seq(
+      (10L, ts("2026-01-01 00:00:00")),  // on iv1 start (inclusive)
+      (11L, ts("2026-01-20 00:00:00")),  // on iv1 end (inclusive)
+      (12L, ts("2026-01-05 12:00:00")),  // inside iv1 AND iv2
+      (13L, ts("2026-02-15 00:00:00"))   // matches nothing
+    ).toDF("pt_id", "p")
+    val out = Intervals.pointInIntervalJoin(iv, "s", "e", pt, "p", binSeconds = 7 * 86400)
+      .select("iv_id", "pt_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // exactly-once per true match: compare as a multiset
+    assert(out.sorted.toSeq == Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 12L)))
+    // plan is an equi-join on the bin, not a nested loop / cartesian
+    val plan = Intervals.pointInIntervalJoin(iv, "s", "e", pt, "p")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"), plan)
+  }
+
   // --------------------------------------------------------- as-of join
 
   test("leftAsOf: inclusive equality, tie-break, and no-prior-row null") {
