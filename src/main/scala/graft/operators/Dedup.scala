@@ -93,9 +93,12 @@ object Dedup {
         slice(members, i + 2, greatest(size(members) - i - 1, lit(0))),
         y => struct(x.as("a"), y.as("b")))))
 
-  /** (band, band_hash, ids) buckets for a signature frame: the shared
-    * shape behind candidate generation and the overflow audit. */
-  private def bandBuckets(
+  /** (band, band_hash, id) membership rows for a signature frame,
+    * pre-shuffled on the bucket key: the canonical shared Exchange
+    * behind bucket sizing, candidate generation and the overflow
+    * audit (every consumer groups/joins on the same key, so Spark
+    * materializes this shuffle once and reuses it). */
+  private def bandRows(
       sig: DataFrame, idCol: String, k: Int, rowsPerBand: Int): DataFrame = {
     require(k % rowsPerBand == 0,
       s"k=$k must be a multiple of rowsPerBand=$rowsPerBand (trailing positions would be silently dropped)")
@@ -106,9 +109,35 @@ object Dedup {
         md5(concat_ws("|",
           (b * rowsPerBand until (b + 1) * rowsPerBand).map(j => col(s"h$j")): _*))
       }: _*)).as(Seq("band", "band_hash")))
-      // collect_set: duplicate input ids would otherwise appear twice
-      // in a bucket and the sorted i<j enumeration would emit (id,id)
-      // self-pairs, diverging from strict id_a < id_b semantics.
+      .repartition(col("band"), col("band_hash"))
+  }
+
+  /** DISTINCT member count per bucket (duplicate input ids count
+    * once, matching the collect_set members downstream). A plain
+    * two-phase aggregate — bounded state per bucket, safe on flood
+    * buckets of any size. */
+  private def bucketSizes(rows: DataFrame, idCol: String): DataFrame =
+    rows.groupBy("band", "band_hash")
+      .agg(countDistinct(col(idCol)).as("n_ids"))
+
+  /** (band, band_hash, ids) member lists for buckets whose DISTINCT
+    * size is within [2, maxBucket]. Sizing happens BEFORE any member
+    * list is collected: a flood bucket (identical-document storm)
+    * never materializes its member array in an aggregation buffer —
+    * it is dropped by the size join, costing one long of state
+    * instead of an unbounded array on one task.
+    *
+    * collect_set (not _list): duplicate input ids would otherwise
+    * appear twice and the sorted i<j enumeration would emit (id,id)
+    * self-pairs, diverging from strict id_a < id_b semantics. */
+  private def boundedBuckets(
+      sig: DataFrame, idCol: String, k: Int, rowsPerBand: Int,
+      maxBucket: Int): DataFrame = {
+    val rows = bandRows(sig, idCol, k, rowsPerBand)
+    val keep = bucketSizes(rows, idCol)
+      .filter(col("n_ids") > 1 && col("n_ids") <= maxBucket)
+      .select("band", "band_hash")
+    rows.join(keep, Seq("band", "band_hash"))
       .groupBy("band", "band_hash")
       .agg(array_sort(collect_set(col(idCol))).as("ids"))
   }
@@ -122,33 +151,36 @@ object Dedup {
     * resident caches made bench timings heap-size-dependent; round-2
     * driver runs thrashed GC on exactly these queries).
     *
-    * Buckets larger than `maxBucket` are DROPPED (a bucket of b ids
-    * materializes b·(b−1)/2 pair structs in one row on one task —
-    * unbounded, that is an OOM; the default caps a bucket's pair
-    * array at ~0.5M structs). A bucket that large is an identical/
-    * near-identical-document flood: run [[exactGroups]] first so
-    * exact duplicates collapse to one representative, and audit any
-    * residual drops with [[minhashBucketOverflow]] — at the default
-    * cap a drop means ≥1024 mutually-near-dup distinct docs, which a
-    * downstream clustering pass should handle as one group anyway. */
+    * Buckets larger than `maxBucket` are DROPPED — and never even
+    * collected: bucket sizes are counted first (bounded aggregation
+    * state), so a flood bucket costs one long, not an unbounded
+    * member array on one task, and the surviving buckets' pair
+    * arrays are capped at ~0.5M structs by the default. A bucket
+    * that large is an identical/near-identical-document flood: run
+    * [[exactGroups]] first so exact duplicates collapse to one
+    * representative, and audit any residual drops with
+    * [[minhashBucketOverflow]] — at the default cap a drop means
+    * ≥1024 mutually-near-dup distinct docs, which a downstream
+    * clustering pass ([[Graph.connectedComponents]]) should handle
+    * as one group anyway. */
   def minhashCandidatePairs(
       sig: DataFrame, idCol: String, k: Int, rowsPerBand: Int,
       maxBucket: Int = 1024): DataFrame =
-    bandBuckets(sig, idCol, k, rowsPerBand)
-      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
+    boundedBuckets(sig, idCol, k, rowsPerBand, maxBucket)
       .select(explode(bucketPairs(col("ids"))).as("p"))
       .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
       .distinct()
 
   /** Audit companion of [[minhashCandidatePairs]]: the buckets its
     * `maxBucket` cap would drop, as (band, band_hash, n_ids). Empty
-    * output = the cap lost nothing. */
+    * output = the cap lost nothing. Pure size aggregation — no
+    * member lists, safe at any bucket size. */
   def minhashBucketOverflow(
       sig: DataFrame, idCol: String, k: Int, rowsPerBand: Int,
       maxBucket: Int = 1024): DataFrame =
-    bandBuckets(sig, idCol, k, rowsPerBand)
-      .filter(size(col("ids")) > maxBucket)
-      .select(col("band"), col("band_hash"), size(col("ids")).as("n_ids"))
+    bucketSizes(bandRows(sig, idCol, k, rowsPerBand), idCol)
+      .filter(col("n_ids") > maxBucket)
+      .select(col("band"), col("band_hash"), col("n_ids"))
 
   /** Exact token-set Jaccard for a pair of token arrays. */
   def jaccard(a: Column, b: Column): Column = {

@@ -140,8 +140,8 @@ class OperatorsSpec extends SparkSpec {
     val capped = Dedup.minhashCandidatePairs(sig, "doc_id", k = 8, rowsPerBand = 2, maxBucket = 4)
     assert(capped.count() == 0) // all buckets have 5 > 4 members
     val overflow = Dedup.minhashBucketOverflow(sig, "doc_id", k = 8, rowsPerBand = 2, maxBucket = 4)
-      .collect().map(_.getInt(2))
-    assert(overflow.nonEmpty && overflow.forall(_ == 5))
+      .collect().map(_.getLong(2))
+    assert(overflow.nonEmpty && overflow.forall(_ == 5L))
     val uncapped = Dedup.minhashCandidatePairs(sig, "doc_id", k = 8, rowsPerBand = 2)
     assert(uncapped.count() == 10) // C(5,2), strict i<j, no self-pairs
   }
