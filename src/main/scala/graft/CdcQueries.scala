@@ -88,6 +88,45 @@ object CdcQueries {
       Queries.sortedSmallBy(current, col("id").cast("int"))
     })
 
+  // --------------------------------------------- SCD2 history view
+  // The full version history with LSN validity intervals
+  // (Changelog.scd2 scaladoc): base rows open at lsn 0; key 3 shows
+  // insert → sentinel-inheriting update → delete (no current row);
+  // key 4 shows explicit NULL, binary-hex status, and a
+  // sentinel-heavy update inheriting three columns. The is_current
+  // slice equals cdc_users_current.
+  private val qScd2 = Queries.Q(
+    "cdc_scd2_history",
+    Some("""
+      SELECT id, name, email, status, created_at, updated_at,
+             CAST(vf AS BIGINT) AS valid_from_lsn,
+             CAST(vt AS BIGINT) AS valid_to_lsn,
+             CAST(cur AS BOOLEAN) AS is_current
+      FROM (VALUES
+        ('1', 'Ashish Kumar', 'ashish@example.com', 'active',
+         '2026-01-01 00:00:00', '2026-01-01 00:00:00', 0, NULL, true),
+        ('2', 'John Doe', 'john@example.com', 'active',
+         '2026-01-01 00:00:00', '2026-01-01 00:00:00', 0, NULL, true),
+        ('3', 'Test User', 'test@example.com', 'active',
+         '2026-01-02 10:00:00', '2026-01-02 10:00:00', 1002, 1005, false),
+        ('3', 'Updated User', 'test@example.com', 'inactive',
+         '2026-01-02 10:00:00', '2026-01-02 10:00:01', 1005, 1008, false),
+        ('4', 'Bin User', NULL, 'cafe',
+         '2026-01-02 10:00:00', '2026-01-02 10:00:00', 1011, 1012, false),
+        ('4', 'Bin User', 'bin@example.com', 'cafe',
+         '2026-01-02 10:00:00', '2026-01-02 10:00:02', 1012, NULL, true)
+      ) AS t(id, name, email, status, created_at, updated_at, vf, vt, cur)
+      ORDER BY id, valid_from_lsn"""),
+    (s, _) =>
+      Queries.sortedSmallBy(
+        Changelog.scd2(
+          base = UsersFixture.baseState(s),
+          events = decodedWire(s),
+          table = "users",
+          keyCol = "id",
+          valueCols = UsersFixture.Cols.tail),
+        col("id").cast("int"), col("valid_from_lsn")))
+
   // ------------------------------------------- event envelope to JSON
   private val qEnvelopeJson = Queries.Q(
     "cdc_envelope_json",
@@ -171,5 +210,5 @@ object CdcQueries {
         .transform(Queries.sortedSmall(_, "txn_seq"))
     })
 
-  val all: Seq[Queries.Q] = Seq(qDecode, qUsersCurrent, qEnvelopeJson, qTypedView, qTxnGroups)
+  val all: Seq[Queries.Q] = Seq(qDecode, qUsersCurrent, qScd2, qEnvelopeJson, qTypedView, qTxnGroups)
 }

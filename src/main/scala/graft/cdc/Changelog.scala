@@ -1,6 +1,7 @@
 package graft.cdc
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Changelog → current-state materialization (the reference's only
@@ -101,5 +102,98 @@ object Changelog {
       .select(col(keyCol) +: valueCols.map(col): _*)
 
     untouched.unionByName(upserts)
+  }
+
+  /** Changelog → SCD type-2 history: one row per VERSION of each key,
+    * with an LSN validity interval — the standard warehouse product a
+    * CDC consumer feeds ("what did this row look like when?"), which
+    * the reference (console print only) cannot answer.
+    *
+    * Versioning semantics (consistent with [[apply]]'s current-state
+    * semantics — the `is_current` slice of the output equals
+    * [[apply]]'s result):
+    *
+    *  - base rows open at `valid_from_lsn = 0`; a key's first event
+    *    closes its base version at that event's lsn;
+    *  - every INSERT/UPDATE opens a version at its lsn, closed by the
+    *    key's next event of any kind (`valid_to_lsn` NULL = current);
+    *  - a DELETE closes the running version and opens none — deleted
+    *    keys have no current row;
+    *  - the TOAST sentinel inherits the column's latest explicit
+    *    value WITHIN the key's delete-fenced segment (running
+    *    `last(_, ignoreNulls)` window), falling back to the base
+    *    image only before the first DELETE — dead history never
+    *    leaks into a re-inserted row, exactly like [[apply]];
+    *  - a column explicitly set to NULL stays NULL (struct-wrapped
+    *    cells distinguish "set to NULL" from "not set").
+    *
+    * Scale shape: windows partition by key (and delete-segment), so
+    * state per task is one key's event history — bounded by
+    * events-per-key like every CDC path here, shuffled once on the
+    * key, no driver state.
+    *
+    * Output: `keyCol`, `valueCols`, `valid_from_lsn`, `valid_to_lsn`,
+    * `is_current`. */
+  def scd2(
+      base: DataFrame,
+      events: DataFrame,
+      table: String,
+      keyCol: String,
+      valueCols: Seq[String]): DataFrame = {
+    val evts = events
+      .filter(col("table") === table)
+      .select(
+        coalesce(col("new_values")(keyCol), col("old_values")(keyCol)).as("__key"),
+        col("lsn"), col("operation"), col("new_values"))
+      .filter(col("__key").isNotNull)
+
+    val wKey = Window.partitionBy("__key").orderBy("lsn")
+    // delete-fenced segment id: number of DELETEs strictly before
+    val isDel = when(col("operation") === "DELETE", 1).otherwise(0)
+    val withSeg = evts
+      .withColumn("__seg", sum(isDel).over(wKey) - isDel)
+      .withColumn("__valid_to", lead(col("lsn"), 1).over(wKey))
+    val wSeg = Window.partitionBy("__key", "__seg").orderBy("lsn")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val baseByKey = base.select(
+      col(keyCol).as("__key") +: valueCols.map(c => col(c).as(s"__base_$c")): _*)
+
+    // running effective image: last explicitly-set (non-sentinel)
+    // cell per column within the segment; base fallback in segment 0
+    val resolved = withSeg
+      .join(baseByKey, Seq("__key"), "left")
+      .select(
+        Seq(col("__key"), col("lsn"), col("operation"), col("__seg"), col("__valid_to")) ++
+          valueCols.map { c =>
+            val v = col("new_values")(c)
+            val cell = when(
+              map_contains_key(col("new_values"), c) &&
+                (v.isNull || v =!= CdcEvent.UnchangedSentinel),
+              struct(v.as("__val")))
+            val run = last(cell, ignoreNulls = true).over(wSeg)
+            when(run.isNotNull, run("__val"))
+              .otherwise(when(col("__seg") === 0, col(s"__base_$c"))).as(c)
+          }: _*)
+
+    val eventVersions = resolved
+      .filter(col("operation") =!= "DELETE")
+      .select(
+        col("__key").as(keyCol) +: valueCols.map(col) :+
+          col("lsn").as("valid_from_lsn") :+
+          col("__valid_to").as("valid_to_lsn") :+
+          col("__valid_to").isNull.as("is_current"): _*)
+
+    // base versions: open at 0, closed by the key's first event
+    val firstEvt = evts.groupBy("__key").agg(min(col("lsn")).as("__first_lsn"))
+    val baseVersions = base
+      .join(firstEvt.withColumnRenamed("__key", keyCol), Seq(keyCol), "left")
+      .select(
+        col(keyCol) +: valueCols.map(col) :+
+          lit(0L).as("valid_from_lsn") :+
+          col("__first_lsn").as("valid_to_lsn") :+
+          col("__first_lsn").isNull.as("is_current"): _*)
+
+    baseVersions.unionByName(eventVersions)
   }
 }

@@ -67,8 +67,12 @@ object Graph {
     val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
       .distinct()
       .localCheckpoint(true)
-    var labels = sym.select(col("u").as("node")).distinct()
-      .select(col("node"), col("node").as("label"))
+    // initialization folds in the first propagation round for free:
+    // label₀(v) = min(v, min neighbor) costs the same one shuffle as
+    // a plain self-label over distinct nodes would
+    var labels = sym.groupBy("u")
+      .agg(min(col("v")).as("__mn"))
+      .select(col("u").as("node"), least(col("u"), col("__mn")).as("label"))
       .localCheckpoint(true)
     var iter = 0
     while (iter < maxIter) {

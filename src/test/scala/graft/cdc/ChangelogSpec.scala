@@ -86,6 +86,33 @@ class ChangelogSpec extends SparkSpec {
       Set(("1", "one", "active"), ("2", "two", "active")))
   }
 
+  test("scd2: versions, sentinel inheritance, delete fence, base intervals, current slice") {
+    val events = Seq(
+      ("INSERT", 10L, "t", Map("id" -> "3", "name" -> "three", "status" -> "new")),
+      ("UPDATE", 20L, "t", Map("id" -> "3", "name" -> CdcEvent.UnchangedSentinel, "status" -> "hot")),
+      ("DELETE", 30L, "t", Map("id" -> "3")),
+      // re-insert with a sentinel: must NOT inherit "three"/"hot"
+      ("INSERT", 40L, "t", Map("id" -> "3", "name" -> CdcEvent.UnchangedSentinel, "status" -> "back")),
+      ("UPDATE", 50L, "t", Map("id" -> "1", "name" -> "one-b", "status" -> CdcEvent.UnchangedSentinel)))
+    val out = Changelog.scd2(base, wireEvents(events), "t", "id", cols)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), if (r.isNullAt(4)) -1L else r.getLong(4), r.getBoolean(5)))
+      .toSet
+    assert(out == Set(
+      ("1", "one", "active", 0L, 50L, false),          // base closed by update
+      ("1", "one-b", "active", 50L, -1L, true),        // sentinel status <- base
+      ("2", "two", "active", 0L, -1L, true),           // untouched base row
+      ("3", "three", "new", 10L, 20L, false),
+      ("3", "three", "hot", 20L, 30L, false),          // sentinel name inherited
+      ("3", null, "back", 40L, -1L, true)))            // fence: name NOT inherited
+    // is_current slice == Changelog.apply final state
+    val current = Changelog.scd2(base, wireEvents(events), "t", "id", cols)
+      .filter(col("is_current")).select("id", "name", "status")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(current == stateOf(events))
+  }
+
   test("golden users fixture materializes to the expected final state") {
     val events = CdcDecode.toWireDf(
       CdcDecode.decode(
