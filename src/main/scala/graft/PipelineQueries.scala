@@ -324,6 +324,53 @@ object PipelineQueries {
       Fingerprint.winnowFingerprints(Tables(s, dir).documents, "doc_id", "text", k = 3, w = 4)
         .transform(Queries.sortedSmall(_, "doc_id", "pos", "fp")))
 
+  // ------------------------------------------- contamination check
+  // The winnowing operator doing its actual job: which corpus docs
+  // (doc_id >= 5) share >= 2 winnowed fingerprints with a "benchmark
+  // suite" (doc_id < 5 stands in for held-out eval documents)? A
+  // shared fingerprint = a shared run of w+k-1 tokens (the winnowing
+  // guarantee), so n_shared grades containment strength. The
+  // fingerprint table is materialized once (localCheckpoint — the
+  // bench/corpus branches would otherwise each recompute the whole
+  // winnow pipeline: filters push below the distinct's exchange, so
+  // ReuseExchange cannot fire); the join is a hash equi-join on fp
+  // with the benchmark side broadcast — the 100 TB plan.
+  private val qContamination = Queries.Q(
+    "p_contamination_pairs",
+    Some("""
+      WITH toks AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+      th AS (SELECT doc_id, list_transform(tk, t ->
+               list_reduce(list_prepend(0, list_transform(generate_series(1, 8),
+                 i -> strpos('0123456789abcdef', substr(md5(t), i, 1)) - 1)), (h,c) -> h*16 + c)) AS th
+             FROM toks),
+      kgd AS (SELECT doc_id, list_transform(generate_series(1, len(th) - 2),
+                i -> ((((th[i] * 1000003) % 1000000007 + th[i+1]) * 1000003) % 1000000007 + th[i+2]) % 1000000007) AS kg
+              FROM th WHERE len(th) >= 6),
+      win AS (SELECT doc_id, kg, unnest(generate_series(1, len(kg) - 3)) AS j FROM kgd),
+      fp AS (SELECT DISTINCT doc_id, list_min(list_slice(kg, j, j + 3)) AS fp FROM win),
+      bench AS (SELECT doc_id AS bench_id, fp FROM fp WHERE doc_id < 5),
+      corpus AS (SELECT doc_id AS corpus_id, fp FROM fp WHERE doc_id >= 5)
+      SELECT corpus_id, bench_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM corpus JOIN bench USING (fp)
+      GROUP BY corpus_id, bench_id
+      HAVING COUNT(*) >= 2
+      ORDER BY corpus_id, bench_id"""),
+    (s, dir) => {
+      val fps = Fingerprint.winnowFingerprints(
+          Tables(s, dir).documents, "doc_id", "text", k = 3, w = 4)
+        .select(col("doc_id"), col("fp")).distinct()
+        .localCheckpoint(true)
+      val bench = fps.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("bench_id"), col("fp"))
+      val corpus = fps.filter(col("doc_id") >= 5)
+        .select(col("doc_id").as("corpus_id"), col("fp"))
+      corpus.join(broadcast(bench), "fp")
+        .groupBy("corpus_id", "bench_id")
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 2)
+        .transform(Queries.sortedSmall(_, "corpus_id", "bench_id"))
+    })
+
   // --------------------------------- deterministic hash split + sample
   // Salted-hash train/val/test assignment (80/10/10) and a nested 25%
   // subsample, aggregated per (lang, split). Pure integer/md5
@@ -551,7 +598,8 @@ object PipelineQueries {
 
   val all: Seq[Queries.Q] = Seq(
     qTextStats, qLangQuality, qExactDedup, qNgramJaccard, qMinhashNearDup,
-    qDupGroups, qMinhashBucketAudit, qSimhash, qWinnowFingerprints, qHashSplit,
-    qKeywordTopK, qBruteTopK, qLshTopK, qLshTopKMultiProbe, qIvfTopK,
-    qEmbeddingNearDup, qMultimodal, qEventsDedup)
+    qDupGroups, qMinhashBucketAudit, qSimhash, qWinnowFingerprints,
+    qContamination, qHashSplit, qKeywordTopK, qBruteTopK, qLshTopK,
+    qLshTopKMultiProbe, qIvfTopK, qEmbeddingNearDup, qMultimodal,
+    qEventsDedup)
 }

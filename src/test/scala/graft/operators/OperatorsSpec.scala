@@ -375,6 +375,27 @@ class OperatorsSpec extends SparkSpec {
     assert(p(("join", 2L)) == 4L && p(("join", 1L)) == 2L && !p.contains(("spark", 2L)))
   }
 
+  // ------------------------------------------------- salted aggregation
+
+  test("saltedAggregate equals direct groupBy for count/sum/min/max") {
+    import spark.implicits._
+    val df = (1L to 997L).map(i => (if (i % 10 == 0) "hot" else s"k${i % 7}", i, i * 3))
+      .toDF("k", "id", "v")
+    val salted = Skew.saltedAggregate(df, Seq("k"), spreadCol = "id", buckets = 8,
+      aggs = Seq(Skew.Count("n"), Skew.Sum("s", "v"), Skew.Min("lo", "v"), Skew.Max("hi", "v")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val direct = df.groupBy("k")
+      .agg(count(lit(1)).as("n"), sum("v").as("s"), min("v").as("lo"), max("v").as("hi"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(salted == direct)
+    // the salt actually spreads: phase-1 has more than one partial row
+    // for the hot key
+    val partials = df.groupBy(col("k"),
+        pmod(xxhash64(col("id")), lit(8L)).as("__salt"))
+      .count().filter(col("k") === "hot").count()
+    assert(partials > 1)
+  }
+
   // ------------------------------------------------------ interval join
 
   test("pointInIntervalJoin: inclusive bounds, multi-bin intervals, exactly-once matches") {
