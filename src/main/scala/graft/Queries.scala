@@ -348,6 +348,47 @@ object Queries {
         .transform(sortedSmall(_, "event_id"))
     })
 
+  // ------------------------------------- correlated aggregate (TPC-H q17 shape)
+  // "Small-quantity" lineitems: quantity below 20% of the part's
+  // average quantity — the classic correlated-scalar-subquery shape,
+  // planned as one per-part aggregate joined back to the fact (both
+  // sides shuffle on partkey — co-partitioned), dims broadcast. The
+  // predicate is DIVISION-FREE: q < 0.2·(sum/cnt) ⟺ 5·q·cnt < sum,
+  // keeping every operand exact decimal (divisions round differently
+  // across engines — Exact.scala); the decimal revenue sum casts to
+  // double only at the surface.
+  private val qSmallQty = Q(
+    "q_small_qty_revenue",
+    Some("""
+      WITH pq AS (SELECT l_partkey,
+                    SUM(CAST(l_quantity AS DECIMAL(9,2))) AS sq,
+                    CAST(COUNT(*) AS BIGINT) AS cnt
+                  FROM lineitem GROUP BY l_partkey)
+      SELECT p.p_brand,
+             CAST(COUNT(*) AS BIGINT) AS n_small,
+             CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      JOIN pq ON pq.l_partkey = l.l_partkey
+      WHERE 5 * CAST(l.l_quantity AS DECIMAL(9,2)) * pq.cnt < pq.sq
+      GROUP BY p.p_brand
+      ORDER BY p_brand"""),
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val pq = t.lineitem.groupBy("l_partkey").agg(
+        sum(col("l_quantity").cast("decimal(9,2)")).as("sq"),
+        count(lit(1)).as("cnt"))
+      t.lineitem
+        .join(pq, "l_partkey")
+        .filter(lit(5) * col("l_quantity").cast("decimal(9,2)") * col("cnt") < col("sq"))
+        .join(broadcast(t.part.select(col("p_partkey").as("l_partkey"), col("p_brand"))), "l_partkey")
+        .groupBy("p_brand")
+        .agg(
+          count(lit(1)).as("n_small"),
+          sum(col("l_extendedprice").cast("decimal(12,2)")).cast("double").as("revenue"))
+        .transform(sortedSmall(_, "p_brand"))
+    })
+
   // ----------------------------------------------------- interval join
   // Point-in-interval join via binning (Intervals scaladoc): per
   // urgent order of 1995-03, the lineitems shipped inside the order's
@@ -426,5 +467,5 @@ object Queries {
 
   val relational: Seq[Q] = Seq(
     q1, q3, q5, qWindow, qRollup, qCube, qSetop, qIntersect, qSemi, qAnti, qTopk,
-    qEventsDaily, qEventsJson, qJsonSerialize, qAsOf, qIntervalJoin)
+    qEventsDaily, qEventsJson, qJsonSerialize, qAsOf, qIntervalJoin, qSmallQty)
 }

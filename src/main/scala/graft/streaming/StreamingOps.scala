@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Streaming operator layer over event streams (SURVEY §2.9 streaming
   * rows): watermarked exact dedup, windowed aggregation, and
@@ -60,6 +61,38 @@ object StreamingOps {
         col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
         col("n_events"), col("total_value"))
+
+  /** Output row of [[runningCounts]]: per-key totals after each
+    * micro-batch. */
+  final case class KeyCount(key: String, total: Long, in_batch: Long)
+
+  /** Arbitrary-state streaming aggregation via
+    * `flatMapGroupsWithState` — the custom-state escape hatch for
+    * semantics the built-in aggregations can't express (here the
+    * simplest instance: a per-key running event counter that also
+    * reports each batch's contribution, which windowless `groupBy`
+    * cannot emit incrementally in update mode).
+    *
+    * State is ONE long per key, partitioned by key in the state
+    * store, checkpointed and restored like every stateful op — no
+    * driver state, horizontal scale by key hash. Production variants
+    * swap the state type for a case class and add
+    * `GroupStateTimeout` eviction; the shape (groupByKey →
+    * flatMapGroupsWithState → update-mode sink) is identical. */
+  def runningCounts(events: DataFrame, keyCol: String): Dataset[KeyCount] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.selectExpr(s"CAST($keyCol AS STRING) AS key").as[String]
+      .groupByKey(identity)
+      .flatMapGroupsWithState[Long, KeyCount](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: String, batch: Iterator[String], state: GroupState[Long]) =>
+          val n = batch.size.toLong
+          val total = state.getOption.getOrElse(0L) + n
+          state.update(total)
+          Iterator(KeyCount(key, total, n))
+      }
+  }
 
   /** Stream–static enrichment: attach dimension attributes to a
     * stream. The static side is re-read per micro-batch (picks up

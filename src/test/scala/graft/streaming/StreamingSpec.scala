@@ -287,6 +287,27 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains(("u1", t(20), java.sql.Timestamp.valueOf("2026-01-01 10:25:00"), 1L, 7.0)))
   }
 
+  test("flatMapGroupsWithState running counts accumulate across batches") {
+    import spark.implicits._
+    val stream = MemoryStream[String](spark)
+    val out = StreamingOps.runningCounts(stream.toDS().toDF("k"), "k")
+    val q = out.toDF().writeStream.format("memory").queryName("rc_out")
+      .outputMode("update")
+      .option("checkpointLocation", tmp("chk_rc")).start()
+    try {
+      stream.addData(Seq("a", "a", "b"))
+      q.processAllAvailable()
+      stream.addData(Seq("a", "b", "b", "c"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("rc_out")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // batch 1 emissions + batch 2 emissions with carried state
+    assert(rows == Set(
+      ("a", 2L, 2L), ("b", 1L, 1L),                 // batch 1
+      ("a", 3L, 1L), ("b", 3L, 2L), ("c", 1L, 1L))) // batch 2
+  }
+
   test("stream-static enrichment joins dimension attributes") {
     import spark.implicits._
     val stream = MemoryStream[(Long, Long)](spark)
