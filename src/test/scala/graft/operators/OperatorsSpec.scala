@@ -375,6 +375,37 @@ class OperatorsSpec extends SparkSpec {
     assert(p(("join", 2L)) == 4L && p(("join", 1L)) == 2L && !p.contains(("spark", 2L)))
   }
 
+  // ----------------------------------------------------- bucketed joins
+
+  test("bucketed tables join with zero exchanges and correct results") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bucket").toString
+    val left = (1L to 500L).map(i => (i, s"l$i")).toDF("k", "lv")
+    val right = (250L to 750L).map(i => (i, i * 2)).toDF("k", "rv")
+    Bucketing.writeBucketed(left, "bkt_left", s"$dir/left", "k", nBuckets = 4)
+    Bucketing.writeBucketed(right, "bkt_right", s"$dir/right", "k", nBuckets = 4)
+    // force the fact-fact path: tiny test tables would otherwise
+    // broadcast-join, which bypasses bucketing entirely
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = Bucketing.bucketedJoin(spark, "bkt_left", "bkt_right", "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      // co-located: bucketed scans satisfy the join distribution — a
+      // sort-merge join with NO shuffle exchange on either side
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"expected bucketed scans:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"), s"expected shuffle-free join:\n$plan")
+      assert(joined.count() == 251)
+      val r = joined.filter(col("k") === 300L).select("lv", "rv").head()
+      assert(r.getString(0) == "l300" && r.getLong(1) == 600L)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS bkt_left")
+      spark.sql("DROP TABLE IF EXISTS bkt_right")
+    }
+  }
+
   // ------------------------------------------------- salted aggregation
 
   test("saltedAggregate equals direct groupBy for count/sum/min/max") {
