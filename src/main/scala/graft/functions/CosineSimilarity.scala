@@ -119,13 +119,21 @@ object GraftFunctions {
       CosineSimilarity(graftBridge.expression(a), graftBridge.expression(b)))
 
   private[graft] val descriptors: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
-    Seq((
-      FunctionIdentifier("graft_cosine"),
-      new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
-      (args: Seq[Expression]) => {
-        require(args.length == 2, s"graft_cosine expects 2 arguments, got ${args.length}")
-        CosineSimilarity(args(0), args(1))
-      }))
+    Seq(
+      (
+        FunctionIdentifier("graft_cosine"),
+        new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
+        (args: Seq[Expression]) => {
+          require(args.length == 2, s"graft_cosine expects 2 arguments, got ${args.length}")
+          CosineSimilarity(args(0), args(1))
+        }),
+      (
+        FunctionIdentifier("graft_intersect_count"),
+        new ExpressionInfo(classOf[SortedIntersectCount].getName, "graft_intersect_count"),
+        (args: Seq[Expression]) => {
+          require(args.length == 2, s"graft_intersect_count expects 2 arguments, got ${args.length}")
+          SortedIntersectCount(args(0), args(1))
+        }))
 
   /** Register every graft SQL function on a live session. */
   def register(spark: SparkSession): Unit =

@@ -262,8 +262,12 @@ object Dedup {
       .filter(col(idCol).isNotNull)
       .repartition(col(idCol))
       .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      // hashed arrays are SORTED so the verify stage can use the
+      // two-pointer graft_intersect_count kernel (sorted + distinct is
+      // its caller contract); one O(s log s) per doc buys a
+      // zero-allocation merge per candidate PAIR downstream
       .select(col(idCol),
-        (if (hashed) transform(shingles, s => xxhash64(s)) else shingles).as("sh"))
+        (if (hashed) array_sort(transform(shingles, s => xxhash64(s))) else shingles).as("sh"))
       .repartition(col(idCol))
   }
 
@@ -398,7 +402,9 @@ object Dedup {
       // the ids) so the verify needs no union: |A∪B| = len_a+len_b−inter
       .select("id_a", "id_b", "len_a", "len_b")
       .distinct()
-    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    // two-pointer merge count (native codegen'd kernel): the frontier
+    // sorts the hashed arrays precisely for this
+    val inter = graft.functions.SortedIntersectCount(col("sh_a"), col("sh_b")).cast("double")
     cand
       .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")

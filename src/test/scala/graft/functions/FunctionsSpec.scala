@@ -51,16 +51,39 @@ class FunctionsSpec extends SparkSpec {
     assert(nulls(3L) && nulls(4L))
   }
 
+  test("sorted intersect count == size(array_intersect) on random sorted distinct arrays") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val rows = (1 to 300).map { _ =>
+      def arr = Seq.fill(rnd.nextInt(40))(rnd.nextInt(60).toLong).distinct.sorted
+      (arr, arr)
+    } :+ ((Seq.empty[Long], Seq(1L, 2L))) :+ ((Seq(5L), Seq.empty[Long]))
+    val df = rows.toDF("a", "b")
+    val out = df.select(
+      SortedIntersectCount(col("a"), col("b")).as("fast"),
+      size(array_intersect(col("a"), col("b"))).cast("long").as("ref")).collect()
+    out.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    // null array -> null
+    val n = Seq((null.asInstanceOf[Seq[Long]], Seq(1L))).toDF("a", "b")
+      .select(SortedIntersectCount(col("a"), col("b"))).head()
+    assert(n.isNullAt(0))
+  }
+
   test("graft_cosine is callable from SQL after register(); extensions inject the same") {
     GraftFunctions.register(spark)
     val v = spark.sql(
       "SELECT graft_cosine(array(3.0F, 4.0F), array(4.0F, 3.0F)) AS c")
       .head().getDouble(0)
     assert(math.abs(v - 24.0 / 25.0) < 1e-15)
+    val ic = spark.sql(
+      "SELECT graft_intersect_count(array(1L, 3L, 9L), array(3L, 4L, 9L)) AS c")
+      .head().getLong(0)
+    assert(ic == 2L)
     // the extensions entry point wires the identical descriptors
     val ext = new SparkSessionExtensions
     new GraftExtensions().apply(ext) // must not throw; descriptor count fixed
-    assert(GraftFunctions.descriptors.map(_._1.funcName) == Seq("graft_cosine"))
+    assert(GraftFunctions.descriptors.map(_._1.funcName) ==
+      Seq("graft_cosine", "graft_intersect_count"))
   }
 
   test("native cosine participates in whole-stage codegen (no CodegenFallback)") {
