@@ -453,6 +453,39 @@ class OperatorsSpec extends SparkSpec {
     assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"), plan)
   }
 
+  test("winnowFingerprints equals a sequential reference implementation on random docs") {
+    // pure-Scala reference: md5-hex-first-8 token hash, Rabin-Karp
+    // k-grams, rightmost-min winnowing — computed imperatively
+    def md5hash(t: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map(b => f"${b & 0xff}%02x").mkString, 16)
+    }
+    def reference(text: String, k: Int, w: Int): Set[(Long, Long)] = {
+      val th = text.split(" ").map(md5hash)
+      if (th.length < k + w - 1) return Set.empty
+      val kg = th.sliding(k).map(_.foldLeft(0L)((h, c) => (h * 1000003L % 1000000007L + c) % 1000000007L)).toArray
+      (0 to kg.length - w).flatMap { j =>
+        val win = kg.slice(j, j + w)
+        val m = win.min
+        val rel = win.lastIndexWhere(_ == m)
+        Some(((j + rel).toLong, m))
+      }.toSet
+    }
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("a", "bb", "ccc", "dd", "e", "fff", "gg", "hhh")
+    val corpus = (1L to 30L).map { i =>
+      i -> Seq.fill(rnd.nextInt(20) + 1)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val got = Fingerprint.winnowFingerprints(docs(corpus: _*), "doc_id", "text", k = 3, w = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    corpus.foreach { case (id, text) =>
+      val exp = reference(text, 3, 4)
+      assert(got.getOrElse(id, Set.empty) == exp, s"doc $id: '$text'")
+    }
+  }
+
   // --------------------------------------------------------- as-of join
 
   test("leftAsOf: inclusive equality, tie-break, and no-prior-row null") {
