@@ -56,6 +56,13 @@ object Graph {
     *         diameter ~2^maxIter — structurally unreachable; the
     *         guard exists so a logic regression fails loudly rather
     *         than returning a half-merged labeling).
+    *
+    * Resource note: each round's `localCheckpoint` persists a small
+    * (node, label) RDD; superseded rounds' blocks are reclaimed
+    * asynchronously by the ContextCleaner once unreferenced. Callers
+    * running many CC invocations in one session can force
+    * reclamation with `spark.catalog.clearCache()` between calls
+    * (Bench/Verify already do).
     */
   def connectedComponents(
       edges: DataFrame, srcCol: String, dstCol: String,

@@ -43,6 +43,10 @@ object Skew {
       buckets: Int, aggs: Seq[Agg]): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     require(aggs.nonEmpty, "at least one aggregate")
+    require(aggs.map(_.out).distinct.size == aggs.size,
+      s"duplicate output names: ${aggs.map(_.out).mkString(", ")}")
+    require(!keyCols.contains(spreadCol),
+      s"spreadCol '$spreadCol' is a grouping key — its hash is constant within a key, so it cannot spread a hot key")
     val salt = pmod(xxhash64(col(spreadCol)), lit(buckets.toLong)).as("__salt")
     val partial = df
       .groupBy((keyCols.map(col) :+ salt): _*)
