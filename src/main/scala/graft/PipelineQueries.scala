@@ -431,6 +431,32 @@ object PipelineQueries {
         .transform(Queries.sortedSmall(_, "query_id", "rank"))
     })
 
+  // ------------------------------------------- brute-force top-k, L2
+  // Euclidean metric complement (ascending rank): (a-b)^2 computed as
+  // d*d in identical element order on both engines — `pow` would
+  // round differently.
+  private val qBruteTopKL2 = Queries.Q(
+    "p_l2_topk",
+    Some("""
+      WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
+      s AS (SELECT query_id, vec_id AS neighbor_id,
+              sqrt(list_sum(list_transform(list_zip(qv, embedding),
+                x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))) AS dist
+            FROM q CROSS JOIN embeddings
+            WHERE query_id != vec_id)
+      SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id, dist FROM (
+        SELECT query_id, neighbor_id, dist,
+               row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, neighbor_id) AS rnk
+        FROM s)
+      WHERE rnk <= 10
+      ORDER BY query_id, rank"""),
+    (s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      Similarity.bruteForceTopKL2(
+        emb.filter(col("vec_id") < 20), "vec_id", emb, "vec_id", "embedding", k = 10)
+        .transform(Queries.sortedSmall(_, "query_id", "rank"))
+    })
+
   // ------------------------------------- sign-bucket LSH top-k (ANN)
   private val duckSignBucket =
     (0 until 8).map(i => s"(CASE WHEN embedding[${i + 1}] >= 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
@@ -599,7 +625,7 @@ object PipelineQueries {
   val all: Seq[Queries.Q] = Seq(
     qTextStats, qLangQuality, qExactDedup, qNgramJaccard, qMinhashNearDup,
     qDupGroups, qMinhashBucketAudit, qSimhash, qWinnowFingerprints,
-    qContamination, qHashSplit, qKeywordTopK, qBruteTopK, qLshTopK,
-    qLshTopKMultiProbe, qIvfTopK, qEmbeddingNearDup, qMultimodal,
+    qContamination, qHashSplit, qKeywordTopK, qBruteTopK, qBruteTopKL2,
+    qLshTopK, qLshTopKMultiProbe, qIvfTopK, qEmbeddingNearDup, qMultimodal,
     qEventsDedup)
 }

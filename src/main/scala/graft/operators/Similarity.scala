@@ -50,6 +50,18 @@ object Similarity {
     when(n === 0d, lit(0.0d)).otherwise(d / n)
   }
 
+  /** L2 (Euclidean) distance in double, squared-diff sum in element
+    * order — same cross-engine bit-exactness contract as [[cosine]]
+    * (identical expression order; `d*d`, never `pow`). */
+  def l2(a: Column, b: Column): Column =
+    sqrt(aggregate(
+      zip_with(a, b, (x, y) => {
+        val d = x.cast("double") - y.cast("double")
+        d * d
+      }),
+      lit(0.0d),
+      (acc, x) => acc + x))
+
   /** Deterministic sign-bit LSH bucket: bit i set iff component i is
     * >= 0. With random-ish embeddings, 2^bits roughly-equal buckets.
     * `try_element_at` + coalesce(0) so vectors shorter than `bits`
@@ -84,6 +96,30 @@ object Similarity {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "sim")
+  }
+
+  /** Exact top-k NEAREST neighbors by L2 distance — the metric
+    * complement of [[bruteForceTopK]] (ascending rank, same shape;
+    * `dist` instead of `sim`). Embedding families trained with
+    * Euclidean objectives (classic k-means, some retrieval towers)
+    * rank by this, not cosine. */
+  def bruteForceTopKL2(
+      queries: DataFrame, queryIdCol: String,
+      corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("__qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val scored = q
+      .crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("dist", l2(col("__qv"), col("__cv")))
+    val w = Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("dist").asc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "dist")
   }
 
   /** Approximate top-k: candidates restricted to the query's sign
