@@ -99,6 +99,40 @@ object PipelineQueries {
         TextAnalysis.langGuess(col("text")).as("lang_guess"))
         .transform(Queries.sortedSmall(_, "doc_id")))
 
+  // ------------------------------------------- repetition signals
+  // Gopher-style intra-document repetition filters (dup-token
+  // fraction, top-bigram share). All-integer counts plus two
+  // divisions performed in identical order on both engines; the
+  // top-bigram tiebreak is the deterministic max(struct(count,
+  // bigram)) on both sides (struct comparison is field-order
+  // lexicographic in Spark and DuckDB alike).
+  private val qRepetitionStats = Queries.Q(
+    "p_repetition_stats",
+    Some("""
+      WITH toks AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+      st AS (SELECT doc_id, tk, len(tk) AS n, len(list_distinct(tk)) AS nd
+             FROM toks WHERE len(tk) >= 2),
+      bg AS (SELECT doc_id, n, nd,
+               unnest(list_transform(generate_series(1, len(tk) - 1),
+                 i -> tk[i] || ' ' || tk[i+1])) AS bigram
+             FROM st),
+      c AS (SELECT doc_id, bigram, COUNT(*) AS c, MIN(n) AS n, MIN(nd) AS nd
+            FROM bg GROUP BY doc_id, bigram),
+      a AS (SELECT doc_id, MIN(n) AS n_tokens, MIN(nd) AS n_distinct_tokens,
+                   max({'c': c, 'bigram': bigram}) AS top,
+                   SUM(c) AS nb
+            FROM c GROUP BY doc_id)
+      SELECT doc_id, n_tokens, n_distinct_tokens,
+             CAST(1 AS DOUBLE) - CAST(n_distinct_tokens AS DOUBLE) / n_tokens AS dup_token_frac,
+             (top).bigram AS top_bigram,
+             (top).c AS top_bigram_count,
+             CAST((top).c AS DOUBLE) / nb AS top_bigram_frac
+      FROM a
+      ORDER BY doc_id"""),
+    (s, dir) =>
+      TextAnalysis.repetitionStats(Tables(s, dir).documents, "doc_id", "text")
+        .transform(Queries.sortedSmall(_, "doc_id")))
+
   // ------------------------------------------------------ exact dedup
   private val qExactDedup = Queries.Q(
     "p_exact_dedup_groups",
@@ -623,7 +657,7 @@ object PipelineQueries {
     })
 
   val all: Seq[Queries.Q] = Seq(
-    qTextStats, qLangQuality, qExactDedup, qNgramJaccard, qMinhashNearDup,
+    qTextStats, qLangQuality, qRepetitionStats, qExactDedup, qNgramJaccard, qMinhashNearDup,
     qDupGroups, qMinhashBucketAudit, qSimhash, qWinnowFingerprints,
     qContamination, qHashSplit, qKeywordTopK, qBruteTopK, qBruteTopKL2,
     qLshTopK, qLshTopKMultiProbe, qIvfTopK, qEmbeddingNearDup, qMultimodal,

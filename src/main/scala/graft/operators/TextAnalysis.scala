@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines: token stats,
@@ -72,4 +72,66 @@ object TextAnalysis {
 
   /** Stable 128-bit content fingerprint of the normalized text. */
   def fingerprint(text: Column): Column = Dedup.fingerprint(text)
+
+  /** Intra-document repetition signals (the Gopher/MassiveText-style
+    * quality filters: highly repetitive documents are boilerplate or
+    * spam and get dropped before training):
+    *
+    *  - `dup_token_frac` — fraction of token occurrences that are
+    *    repeats of an earlier token (`1 − distinct/total`);
+    *  - `top_bigram_count` / `top_bigram_frac` — occurrences of the
+    *    most frequent word bigram and its share of all bigrams;
+    *  - `top_bigram` — that bigram (ties: highest count, then
+    *    lexicographically LAST bigram — `max(struct(cnt, bigram))`
+    *    gives one deterministic winner on both engines).
+    *
+    * Documents with fewer than 2 tokens have no bigram and are
+    * absent from the output (callers left-join if they need them).
+    *
+    * Scale shape: tokens are materialized as an attribute before the
+    * shingle lambda (the O(tokens²) inline-split trap — see
+    * [[Dedup.wordShinglesFromTokens]]), then ONE explode feeds two
+    * cascaded aggregations keyed by (id, bigram) → (id). Both enjoy
+    * map-side partial aggregation; per-doc constants ride along as
+    * `min(...)` aggregates so no join back to the source is needed.
+    * No collect, no window over the full corpus — at 100 TB this is
+    * two keyed shuffles of the bigram stream.
+    */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df
+      .select(col(idCol), tokens(col(textCol)).as("__tk"))
+      .select(
+        col(idCol),
+        col("__tk"),
+        size(col("__tk")).cast("long").as("__n"),
+        size(array_distinct(col("__tk"))).cast("long").as("__nd"))
+    val bigrams = toks
+      .filter(col("__n") >= 2L)
+      .select(
+        col(idCol),
+        col("__n"),
+        col("__nd"),
+        explode(Dedup.wordShinglesFromTokens(col("__tk"), 2)).as("__bigram"))
+    bigrams
+      .groupBy(col(idCol), col("__bigram"))
+      .agg(
+        count(lit(1)).as("__c"),
+        min("__n").as("__n"),
+        min("__nd").as("__nd"))
+      .groupBy(col(idCol))
+      .agg(
+        min("__n").as("n_tokens"),
+        min("__nd").as("n_distinct_tokens"),
+        max(struct(col("__c"), col("__bigram"))).as("__top"),
+        sum("__c").as("__n_bigrams"))
+      .select(
+        col(idCol),
+        col("n_tokens"),
+        col("n_distinct_tokens"),
+        (lit(1.0d) - col("n_distinct_tokens").cast("double") / col("n_tokens"))
+          .as("dup_token_frac"),
+        col("__top.__bigram").as("top_bigram"),
+        col("__top.__c").as("top_bigram_count"),
+        (col("__top.__c").cast("double") / col("__n_bigrams")).as("top_bigram_frac"))
+  }
 }

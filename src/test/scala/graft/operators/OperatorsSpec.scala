@@ -256,6 +256,26 @@ class OperatorsSpec extends SparkSpec {
     assert(r.getString(6) == "und")
   }
 
+  test("repetitionStats: hand-computed dup-token and top-bigram fractions") {
+    val out = TextAnalysis.repetitionStats(
+      docs(
+        1L -> "a b a b a",   // tokens 5, distinct 2; bigrams: a b, b a, a b, b a → top (b a? a b?) both 2, tie → max struct picks "b a"
+        2L -> "x y z",       // no repeats; bigrams x y, y z each 1 → top "y z" (tie, lexicographically last)
+        3L -> "solo"),       // 1 token → absent
+      "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(1L, 2L))
+    val r1 = out(1L)
+    assert(r1.getLong(1) == 5L && r1.getLong(2) == 2L)
+    assert(r1.getDouble(3) == 1.0 - 2.0 / 5.0)
+    assert(r1.getString(4) == "b a" && r1.getLong(5) == 2L)
+    assert(r1.getDouble(6) == 2.0 / 4.0)
+    val r2 = out(2L)
+    assert(r2.getDouble(3) == 1.0 - 3.0 / 3.0)
+    assert(r2.getString(4) == "y z" && r2.getLong(5) == 1L)
+    assert(r2.getDouble(6) == 1.0 / 2.0)
+  }
+
   // -------------------------------------------------------- multimodal
 
   test("imageMeta parses PNG IHDR and BMP headers; other payloads fall back to the stub") {
