@@ -64,7 +64,28 @@ object Multimodal {
       byteAt(payload, pos + 2) * 65536L +
       byteAt(payload, pos + 3) * 16777216L
 
-  /** REAL header decode for PNG and BMP — pure Spark expressions
+  /** Little-endian u16 at 1-based `pos` (BMP/GIF/WAV order). */
+  private def leU16(payload: Column, pos: Int): Column =
+    byteAt(payload, pos) + byteAt(payload, pos + 1) * 256L
+
+  private def isPng(payload: Column): Column =
+    octet_length(payload) >= 26 &&
+      hex(substring(payload, 1, 8)) === "89504E470D0A1A0A" &&
+      hex(substring(payload, 13, 4)) === "49484452" // "IHDR"
+
+  private def isBmp(payload: Column): Column =
+    hex(substring(payload, 1, 2)) === "424D" && octet_length(payload) >= 30
+
+  private def isGif(payload: Column): Column =
+    octet_length(payload) >= 10 &&
+      hex(substring(payload, 1, 6)).isin("474946383761", "474946383961") // GIF87a / GIF89a
+
+  private def isWav(payload: Column): Column =
+    octet_length(payload) >= 36 &&
+      hex(substring(payload, 1, 4)) === "52494646" && // "RIFF"
+      hex(substring(payload, 9, 8)) === "57415645666D7420" // "WAVEfmt "
+
+  /** REAL header decode for PNG, BMP and GIF — pure Spark expressions
     * (substr/hex/conv, all codegen'd; no UDF, no codec library):
     *
     *  - PNG: 8-byte signature, then the IHDR chunk is mandatory and
@@ -74,35 +95,62 @@ object Multimodal {
     *    4 gray+alpha→2, 6 RGBA→4);
     *  - BMP: "BM" magic; BITMAPINFOHEADER width/height are
     *    little-endian i32 at offsets 19/23, bits-per-pixel u16 at 29
-    *    → channels = bpp/8 (min 1 for 1/4-bit palette formats).
+    *    → channels = bpp/8 (min 1 for 1/4-bit palette formats);
+    *  - GIF: "GIF87a"/"GIF89a" magic; logical-screen width/height are
+    *    little-endian u16 at offsets 7/9; palette-indexed → 1 index
+    *    channel (consistent with the PNG palette mapping).
     *
     * Anything else (including this repo's UTF-8 stand-in payloads)
     * falls back to [[imageMetaStub]]. `when` branches evaluate
     * conditionally per row, so header reads never run on non-matching
     * payloads. */
   def imageMeta(payload: Column): Column = {
-    val isPng = octet_length(payload) >= 26 &&
-      hex(substring(payload, 1, 8)) === "89504E470D0A1A0A" &&
-      hex(substring(payload, 13, 4)) === "49484452" // "IHDR"
     val colorType = byteAt(payload, 26)
     val pngChannels =
       when(colorType === 2, 3L).when(colorType === 4, 2L)
         .when(colorType === 6, 4L).otherwise(1L)
-    val isBmp = hex(substring(payload, 1, 2)) === "424D" && octet_length(payload) >= 30
-    val bpp = byteAt(payload, 29) + byteAt(payload, 30) * 256L
+    val bpp = leU16(payload, 29)
     val bmpChannels = greatest(floor(bpp / 8).cast("long"), lit(1L))
-    when(isPng,
+    when(isPng(payload),
       struct(
         beU32(payload, 17).as("width"),
         beU32(payload, 21).as("height"),
         pngChannels.as("channels")))
-      .when(isBmp,
+      .when(isBmp(payload),
         struct(
           leI32(payload, 19).as("width"),
           leI32(payload, 23).as("height"),
           bmpChannels.as("channels")))
+      .when(isGif(payload),
+        struct(
+          leU16(payload, 7).as("width"),
+          leU16(payload, 9).as("height"),
+          lit(1L).as("channels")))
       .otherwise(imageMetaStub(payload))
   }
+
+  /** REAL audio header decode for WAV (RIFF/WAVE with the canonical
+    * "fmt " chunk first — the layout every encoder emits): channels
+    * u16 at offset 23, sample rate u32 at 25, bits-per-sample u16 at
+    * 35, all little-endian. Non-WAV payloads yield NULL (audio has no
+    * meaningful stub arithmetic — absence is the honest answer). */
+  def audioMeta(payload: Column): Column =
+    when(isWav(payload),
+      struct(
+        leU16(payload, 23).as("channels"),
+        (leU16(payload, 25) + leU16(payload, 27) * 65536L).as("sample_rate"),
+        leU16(payload, 35).as("bits_per_sample")))
+
+  /** Magic-number media classification — the dispatch column a mixed
+    * media lake partitions/filters on before format-specific decode.
+    * Purely the sniffers above, so it stays consistent with
+    * [[imageMeta]]/[[audioMeta]] branch selection. */
+  def mediaKind(payload: Column): Column =
+    when(isPng(payload), "png")
+      .when(isBmp(payload), "bmp")
+      .when(isGif(payload), "gif")
+      .when(isWav(payload), "wav")
+      .otherwise("other")
 
   /** STUB frame sampling: every `stride`-th byte as lowercase hex —
     * the plumbing (array column, deterministic order, bounded size)
@@ -119,5 +167,7 @@ object Multimodal {
     df.withColumn("payload", payloadOf(col(textCol)))
       .withColumn("payload_len", payloadLen(col("payload")))
       .withColumn("payload_md5", payloadMd5(col("payload")))
+      .withColumn("media_kind", mediaKind(col("payload")))
       .withColumn("image_meta", imageMeta(col("payload")))
+      .withColumn("audio_meta", audioMeta(col("payload")))
 }

@@ -304,6 +304,36 @@ class OperatorsSpec extends SparkSpec {
     assert(rows(3L) == ((len % 640 + 1, (len * 7) % 480 + 1, len % 3 + 1)))
   }
 
+  test("imageMeta parses GIF headers; audioMeta parses WAV; mediaKind dispatches") {
+    import spark.implicits._
+    def le16(v: Int): Seq[Byte] = Seq(v.toByte, (v >> 8).toByte)
+    def le32(v: Int): Seq[Byte] =
+      Seq(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    // GIF89a logical screen 320x200 + flags/background/aspect bytes
+    val gif = ("GIF89a".getBytes.toSeq ++ le16(320) ++ le16(200) ++
+      Seq(0.toByte, 0.toByte, 0.toByte)).toArray
+    // canonical 44-byte WAV header: PCM, stereo, 44100 Hz, 16-bit
+    val wav = ("RIFF".getBytes.toSeq ++ le32(36) ++ "WAVEfmt ".getBytes.toSeq ++
+      le32(16) ++ le16(1) ++ le16(2) ++ le32(44100) ++ le32(176400) ++
+      le16(4) ++ le16(16) ++ "data".getBytes.toSeq ++ le32(0)).toArray
+    val other = "plain text".getBytes
+    val df = Seq((1L, gif), (2L, wav), (3L, other)).toDF("id", "payload")
+      .select(
+        col("id"),
+        Multimodal.mediaKind(col("payload")).as("kind"),
+        Multimodal.imageMeta(col("payload")).as("im"),
+        Multimodal.audioMeta(col("payload")).as("am"))
+    val rows = df.collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getString(1) == "gif")
+    val gm = rows(1L).getStruct(2)
+    assert((gm.getLong(0), gm.getLong(1), gm.getLong(2)) == ((320L, 200L, 1L)))
+    assert(rows(1L).isNullAt(3)) // GIF is not audio
+    assert(rows(2L).getString(1) == "wav")
+    val am = rows(2L).getStruct(3)
+    assert((am.getLong(0), am.getLong(1), am.getLong(2)) == ((2L, 44100L, 16L)))
+    assert(rows(3L).getString(1) == "other" && rows(3L).isNullAt(3))
+  }
+
   test("ivfTopK: cells restrict candidates at nProbe=1, widen at nProbe=2") {
     import spark.implicits._
     // centroids along the two axes; corpus split between the cells
