@@ -450,6 +450,123 @@ object Queries {
           col("n"), col("n_parts"))
         .transform(sortedSmall(_, "rf", "ls")))
 
+  // --------------------------------- outer-join distribution (q13 shape)
+  // How many customers placed exactly N non-urgent orders — including
+  // the zero-order customers an inner join would drop. Orders are
+  // pre-aggregated per custkey BEFORE the join (map-side partial agg
+  // shrinks the probe side from one row per order to one per
+  // customer), then a left join + coalesce(0) restores the empty
+  // group. All-integer output → exact oracle.
+  private val qCustOrderDist = Q(
+    "q_cust_order_dist",
+    Some("""
+      WITH co AS (
+        SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        FROM customer LEFT JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey)
+      SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+      FROM co
+      GROUP BY c_count
+      ORDER BY custdist DESC, c_count DESC"""),
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val perCust = t.orders
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("__n"))
+      t.customer.select("c_custkey")
+        .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+        .select(coalesce(col("__n"), lit(0L)).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .transform(df => sortedSmallBy(df, col("custdist").desc, col("c_count").desc))
+    })
+
+  // --------------------------- scalar subquery + anti join (q22 shape)
+  // Market segments of well-funded customers with no urgent order:
+  // acctbal above the mean positive acctbal (the scalar subquery) and
+  // no '1-URGENT' orders row (NOT IN ≡ left anti — o_custkey is
+  // non-null). The mean comparison is cross-multiplied into exact
+  // decimal (bal·n > sum) so neither engine ever materializes a
+  // rounded average; the single aggregate row is broadcast to the
+  // probe.
+  private val qRichIdle = Q(
+    "q_rich_idle_customers",
+    Some("""
+      WITH pos AS (
+        SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS s, COUNT(*) AS n
+        FROM customer WHERE c_acctbal > 0.0)
+      SELECT c_mktsegment,
+             CAST(COUNT(*) AS BIGINT) AS n_cust,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+      FROM customer, pos
+      WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n > s
+        AND c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment"""),
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val pos = t.customer.filter(col("c_acctbal") > 0.0d)
+        .agg(sum(dec2(col("c_acctbal"))).as("__s"), count(lit(1)).as("__n"))
+      t.customer
+        .join(
+          t.orders.filter(col("o_orderpriority") === "1-URGENT")
+            .select(col("o_custkey").as("c_custkey")),
+          Seq("c_custkey"), "left_anti")
+        .crossJoin(broadcast(pos))
+        .filter(dec2(col("c_acctbal")) * col("__n") > col("__s"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("total_bal"))
+        .transform(sortedSmall(_, "c_mktsegment"))
+    })
+
+  // ------------------------------- sessionization (gaps and islands)
+  // Per-user activity sessions: a session breaks after 30 idle
+  // minutes; session id = running count of breaks. Timestamps are
+  // compared as epoch-µs longs on BOTH engines (DuckDB reads the
+  // feed's TIMESTAMP(NANOS) parquet column µs-truncated, so the
+  // oracle cannot see ns — `ts_ns div 1000` is the identical integer
+  // truncation; ns-order ties inside one µs break on event_id the
+  // same way on both sides). Both windows share one (user_id, tus,
+  // event_id) sort — Spark plans a single exchange+sort for the pair.
+  private val qEventSessions = Q(
+    "q_event_sessions",
+    Some("""
+      WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_id FROM events),
+      g AS (SELECT user_id, tus, event_id,
+              CASE WHEN lag(tus) OVER w IS NULL
+                     OR tus - lag(tus) OVER w > 1800000000
+                   THEN 1 ELSE 0 END AS brk
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+      s AS (SELECT user_id, tus,
+              SUM(brk) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+            FROM g)
+      SELECT user_id, CAST(sess AS BIGINT) AS session_id,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             MIN(tus) AS start_us, MAX(tus) AS end_us
+      FROM s
+      GROUP BY user_id, sess
+      ORDER BY user_id, session_id"""),
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("tus"), col("event_id"))
+      val lagUs = lag(col("tus"), 1).over(w)
+      Tables(s, dir).events
+        .select(col("user_id"), expr("ts_ns div 1000").as("tus"), col("event_id"))
+        .withColumn("brk",
+          when(lagUs.isNull || col("tus") - lagUs > 1800000000L, 1L).otherwise(0L))
+        .withColumn("session_id",
+          sum("brk").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_id")
+        .agg(
+          count(lit(1)).as("n_events"),
+          min("tus").as("start_us"),
+          max("tus").as("end_us"))
+        .transform(sortedSmall(_, "user_id", "session_id"))
+    })
+
   // --------------------------------------------------------- intersect
   private val qIntersect = Q(
     "q_intersect_customers",
@@ -467,5 +584,6 @@ object Queries {
 
   val relational: Seq[Q] = Seq(
     q1, q3, q5, qWindow, qRollup, qCube, qSetop, qIntersect, qSemi, qAnti, qTopk,
-    qEventsDaily, qEventsJson, qJsonSerialize, qAsOf, qIntervalJoin, qSmallQty)
+    qEventsDaily, qEventsJson, qJsonSerialize, qAsOf, qIntervalJoin, qSmallQty,
+    qCustOrderDist, qRichIdle, qEventSessions)
 }
