@@ -94,6 +94,38 @@ object StreamingOps {
       }
   }
 
+  /** Stream–stream inner join within an event-time interval — the
+    * attribution shape (impressions ⋈ clicks within N minutes):
+    * rows match when `keyEq` holds AND the right event lands in
+    * `[leftTime, leftTime + within]`.
+    *
+    * Both sides carry watermarks and the join condition bounds event
+    * time in BOTH directions, so Structured Streaming derives a state
+    * eviction horizon for each side: buffered rows are dropped once
+    * no future match can reach them. Without the time bound the join
+    * state grows forever — that variant is deliberately not offered.
+    * State is key-partitioned in the state store; scale-out is by
+    * key hash, same as every stateful op here.
+    *
+    * Column names must be distinct across the two sides (rename
+    * before calling) — the time predicate references them unqualified. */
+  def streamStreamIntervalJoin(
+      left: DataFrame,
+      leftTimeCol: String,
+      leftWatermark: String,
+      right: DataFrame,
+      rightTimeCol: String,
+      rightWatermark: String,
+      keyEq: Column,
+      within: String): DataFrame = {
+    val l = left.withWatermark(leftTimeCol, leftWatermark)
+    val r = right.withWatermark(rightTimeCol, rightWatermark)
+    l.join(r,
+      keyEq &&
+        col(rightTimeCol) >= col(leftTimeCol) &&
+        col(rightTimeCol) <= col(leftTimeCol) + expr(s"INTERVAL $within"))
+  }
+
   /** Stream–static enrichment: attach dimension attributes to a
     * stream. The static side is re-read per micro-batch (picks up
     * slowly changing dims); broadcast when dimension-sized. */

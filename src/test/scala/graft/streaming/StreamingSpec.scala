@@ -308,6 +308,32 @@ class StreamingSpec extends SparkSpec {
       ("a", 3L, 1L), ("b", 3L, 2L), ("c", 1L, 1L))) // batch 2
   }
 
+  test("stream-stream interval join matches within the window, not outside it") {
+    import spark.implicits._
+    val imps = MemoryStream[(Long, java.sql.Timestamp)](spark)
+    val clicks = MemoryStream[(Long, java.sql.Timestamp)](spark)
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+    val out = StreamingOps.streamStreamIntervalJoin(
+      imps.toDS().toDF("ad_id", "imp_ts"), "imp_ts", "30 minutes",
+      clicks.toDS().toDF("c_ad_id", "click_ts"), "click_ts", "30 minutes",
+      keyEq = col("ad_id") === col("c_ad_id"),
+      within = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("ssj_out")
+      .option("checkpointLocation", tmp("chk_ssj")).start()
+    try {
+      imps.addData(Seq((1L, t(0)), (2L, t(0))))
+      q.processAllAvailable()
+      // ad1 clicked at +5m (match) and +20m (outside `within`);
+      // ad3 clicked but never shown; ad2 never clicked
+      clicks.addData(Seq((1L, t(5)), (1L, t(20)), (3L, t(5))))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("ssj_out")
+      .select("ad_id", "imp_ts", "click_ts")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2))).toSet
+    assert(rows == Set((1L, t(0), t(5))))
+  }
+
   test("stream-static enrichment joins dimension attributes") {
     import spark.implicits._
     val stream = MemoryStream[(Long, Long)](spark)
