@@ -309,6 +309,50 @@ object PipelineQueries {
         Dedup.simhash64ByKey(Tables(s, dir).documents, "doc_id", "text", "simhash"),
         "doc_id"))
 
+  // ------------------------------- simhash near-dup pairs (Hamming ≤ 3)
+  // The pairing stage on top of p_simhash64: 4-block pigeonhole
+  // candidates + xor/popcount verify. The oracle recomputes the
+  // identical simhashes (same CTEs as p_simhash64), blocks them the
+  // same way, and verifies with per-nibble xor+bit_count — every
+  // stage value-checked, all-integer output.
+  private val qSimhashNearDup = Queries.Q(
+    "p_simhash_near_dup",
+    Some("""
+      WITH toks AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS tk FROM documents),
+      words AS (SELECT doc_id, unnest(list_transform(tk, t -> substr(md5(t), 1, 16))) AS w FROM toks),
+      votes AS (
+        SELECT doc_id, g.generate_series AS i,
+               SUM(CASE WHEN (((strpos('0123456789abcdef', substr(w, 16 - g.generate_series // 4, 1)) - 1)
+                              >> (g.generate_series % 4)) & 1) = 1 THEN 1 ELSE -1 END) AS v
+        FROM words, generate_series(0, 63) g
+        GROUP BY doc_id, g.generate_series),
+      bits AS (SELECT doc_id, i, CASE WHEN v > 0 THEN 1 ELSE 0 END AS bit FROM votes),
+      nibbles AS (SELECT doc_id, i // 4 AS nib, CAST(SUM(bit << (i % 4)) AS INT) AS nv
+                  FROM bits GROUP BY doc_id, i // 4),
+      hexes AS (SELECT doc_id, string_agg(substr('0123456789abcdef', nv + 1, 1), '' ORDER BY nib DESC) AS simhash
+                FROM nibbles GROUP BY doc_id),
+      bands AS (SELECT doc_id, simhash, b.generate_series AS band,
+                  list_reduce(list_prepend(0, list_transform(generate_series(1, 4),
+                    i -> strpos('0123456789abcdef', substr(simhash, b.generate_series*4 + i, 1)) - 1)),
+                    (h, c) -> h*16 + c) AS bv
+                FROM hexes, generate_series(0, 3) b),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                      a.simhash AS sa, b.simhash AS sb
+               FROM bands a JOIN bands b
+                 ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+      SELECT id_a, id_b,
+             CAST(list_sum(list_transform(generate_series(1, 16),
+               i -> bit_count(xor(strpos('0123456789abcdef', substr(sa, i, 1)) - 1,
+                                  strpos('0123456789abcdef', substr(sb, i, 1)) - 1)))) AS BIGINT) AS hamming
+      FROM cand
+      WHERE list_sum(list_transform(generate_series(1, 16),
+              i -> bit_count(xor(strpos('0123456789abcdef', substr(sa, i, 1)) - 1,
+                                 strpos('0123456789abcdef', substr(sb, i, 1)) - 1)))) <= 3
+      ORDER BY id_a, id_b"""),
+    (s, dir) =>
+      Dedup.simhashNearDupPairs(Tables(s, dir).documents, "doc_id", "text", maxHamming = 3)
+        .transform(Queries.sortedSmall(_, "id_a", "id_b")))
+
   // ----------------------------------------- inverted-index keyword search
   // Disjunctive keyword top-k over the posting table. Ranking is
   // all-integer (matched terms, summed tf, doc id) so the oracle is
@@ -658,7 +702,7 @@ object PipelineQueries {
 
   val all: Seq[Queries.Q] = Seq(
     qTextStats, qLangQuality, qRepetitionStats, qExactDedup, qNgramJaccard, qMinhashNearDup,
-    qDupGroups, qMinhashBucketAudit, qSimhash, qWinnowFingerprints,
+    qDupGroups, qMinhashBucketAudit, qSimhash, qSimhashNearDup, qWinnowFingerprints,
     qContamination, qHashSplit, qKeywordTopK, qBruteTopK, qBruteTopKL2,
     qLshTopK, qLshTopKMultiProbe, qIvfTopK, qEmbeddingNearDup, qMultimodal,
     qEventsDedup)

@@ -485,6 +485,67 @@ object Dedup {
     votes.select(col(idCol), concat(hexChars: _*).as(outCol))
   }
 
+  /** 16-bit block `b` (0 = most significant) of a 64-bit simhash in
+    * its 16-hex-char form, as a long in [0, 65535]. */
+  private def simhashBand(sh: Column, b: Int): Column =
+    conv(substring(sh, b * 4 + 1, 4), 16, 10).cast("long")
+
+  /** Hamming distance between two simhashes (hex form): four 16-bit
+    * xor + popcount terms, fully codegen'd. */
+  def simhashHamming(a: Column, b: Column): Column =
+    (0 until 4)
+      .map(i => bit_count(simhashBand(a, i).bitwiseXOR(simhashBand(b, i))))
+      .reduce(_ + _).cast("long")
+
+  /** Near-duplicate pairs by simhash Hamming distance — the pairing
+    * stage on top of [[simhash64ByKey]], via the classic 4-block
+    * pigeonhole (Manku/Jarvelin web-dedup): two 64-bit hashes within
+    * Hamming distance 3 must agree EXACTLY on at least one of four
+    * 16-bit blocks, so candidate generation is an equi-join on
+    * (block index, block value) — never all-pairs — and the cheap
+    * xor/popcount verify runs only inside blocks. Lossless for
+    * `maxHamming` ≤ 3 (enforced: 4 blocks pigeonhole only 3 bit
+    * errors; a larger radius needs more blocks).
+    *
+    * Same scale shape as the minhash path: one shuffle onto the
+    * block key shared by sizing and member collection (the size
+    * filter runs BEFORE collect, so a flood block never materializes
+    * an unbounded member array — see [[minhashCandidatePairs]]);
+    * in-block i<j enumeration; DISTINCT collapses pairs matching in
+    * several blocks. At web scale 16-bit blocks under-partition
+    * (65k distinct values): raise block count/width together with a
+    * permuted-table layout before trusting this at 100 TB corpus
+    * sizes — `maxBucket` documents the overflow policy either way.
+    *
+    * Output: (id_a, id_b, hamming), id_a < id_b. */
+  def simhashNearDupPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, maxBucket: Int = 65536): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"maxHamming=$maxHamming outside [0,3]: 4-block pigeonhole is lossless only to 3")
+    val sh = simhash64ByKey(docs, idCol, textCol, "__sh")
+    val rows = sh.select(
+      struct(col(idCol).as("id"), col("__sh").as("sh")).as("m"),
+      posexplode(array((0 until 4).map(b => simhashBand(col("__sh"), b)): _*))
+        .as(Seq("band", "bv")))
+      .repartition(col("band"), col("bv"))
+    val keep = rows.groupBy("band", "bv")
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1 && col("n") <= maxBucket)
+      .select("band", "bv")
+    rows.join(keep, Seq("band", "bv"))
+      .groupBy("band", "bv")
+      .agg(array_sort(collect_set(col("m"))).as("ms"))
+      .select(explode(bucketPairs(col("ms"))).as("p"))
+      .select(
+        col("p.a.id").as("id_a"), col("p.a.sh").as("__sha"),
+        col("p.b.id").as("id_b"), col("p.b.sh").as("__shb"))
+      .distinct()
+      .withColumn("hamming", simhashHamming(col("__sha"), col("__shb")))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
   /** Embedding near-duplicate pairs: cosine >= threshold among
     * same-LSH-bucket candidates (see [[Similarity.signBucket]]). */
   def embeddingNearDupPairs(

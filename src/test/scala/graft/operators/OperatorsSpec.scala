@@ -167,6 +167,24 @@ class OperatorsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("simhashNearDupPairs: identical token sets pair at hamming 0, unrelated docs don't pair") {
+    val out = Dedup.simhashNearDupPairs(
+      docs(
+        1L -> "alpha beta gamma delta epsilon",
+        2L -> "epsilon delta gamma beta alpha", // same token set → identical simhash
+        3L -> "utterly unrelated words compose this document here"),
+      "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 2L, 0L)))
+    // the verify bound holds: recomputed hamming of the pair is what the op reports
+    val hams = Dedup.withSimhash64(
+      docs(1L -> "alpha beta gamma delta epsilon", 3L -> "utterly unrelated words compose this document here"),
+      "text", "sh").select("sh").collect().map(_.getString(0))
+    val full = docs(1L -> "x").select(
+      Dedup.simhashHamming(lit(hams(0)), lit(hams(1))).as("h")).head().getLong(0)
+    assert(full > 3L) // and that's why doc 3 paired with nobody
+  }
+
   test("embeddingNearDupPairs: identical vectors pair at cosine 1.0") {
     import spark.implicits._
     val emb = Seq(
