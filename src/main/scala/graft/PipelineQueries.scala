@@ -700,10 +700,131 @@ object PipelineQueries {
         .transform(Queries.sortedSmall(_, "user_id", "event_type"))
     })
 
+  // ------------------------------------ BPE-ish token counting
+  // The whitespace count understates cost on JSON/code; the BPE-ish
+  // pre-token count (GPT-2-shaped, lookahead-free — see
+  // TextAnalysis.BpePattern) is the budget signal. tokens_csv
+  // value-checks the tokenization itself, boundary for boundary,
+  // against RE2: both engines use leftmost-first alternation.
+  private val duckBpe = TextAnalysis.BpePattern.replace("'", "''")
+  private val qTokenCounts = Queries.Q(
+    "p_token_counts",
+    Some(s"""
+      SELECT event_id,
+             len(string_split(props, ' ')) AS ws_tokens,
+             len(regexp_extract_all(props, '$duckBpe', 0)) AS bpe_tokens,
+             array_to_string(regexp_extract_all(props, '$duckBpe', 0), '|') AS tokens_csv
+      FROM events
+      ORDER BY event_id"""),
+    (s, dir) =>
+      Tables(s, dir).events.select(
+        col("event_id"),
+        TextAnalysis.tokenCount(col("props")).as("ws_tokens"),
+        TextAnalysis.bpeTokenCount(col("props")).as("bpe_tokens"),
+        array_join(TextAnalysis.bpeTokens(col("props")), "|").as("tokens_csv"))
+        .transform(Queries.sortedSmall(_, "event_id")))
+
+  // ------------------------------------------- vocabulary top-k
+  // Zipf head of the corpus vocabulary (vocab building / stopword
+  // mining). Spark plans the top-k as TakeOrderedAndProject (per-task
+  // k-row heaps), never a global sort of the vocabulary; the oracle's
+  // row_number() + LIMIT is the same ordering.
+  private val qVocabTopK = Queries.Q(
+    "p_vocab_topk",
+    Some("""
+      WITH tf AS (
+        SELECT token, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+        WHERE token <> ''
+        GROUP BY token)
+      SELECT rank, token, n_occurrences, n_docs FROM (
+        SELECT CAST(row_number() OVER (ORDER BY n_occurrences DESC, token) AS BIGINT) AS rank,
+               token, n_occurrences, n_docs
+        FROM tf)
+      WHERE rank <= 100
+      ORDER BY rank"""),
+    (s, dir) =>
+      TextAnalysis.vocabTopK(Tables(s, dir).documents, "doc_id", "text", 100)
+        .transform(Queries.sortedSmall(_, "rank")))
+
+  // ---------------------------------- BM25 top-k, division-free
+  // Exact integer BM25 ranking (k1=1.2, b=0.75 multiplied through to
+  // D = 10·L·tf + 3·L + 9·dl·N; doc b beats a ⟺ tf_b·D_a > tf_a·D_b).
+  // The oracle recomputes every stage in HUGEINT — no floats, no libm,
+  // so the ranking hash-matches bit-for-bit. See Search.bm25TopK for
+  // the two-stage prefilter that bounds the O(df²) rerank at scale.
+  private val qBm25TopK = Queries.Q(
+    "p_bm25_topk",
+    Some("""
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      dlt AS (SELECT doc_id, len(tk) AS dl FROM tok),
+      tf AS (SELECT term, doc_id, COUNT(*) AS tf
+             FROM (SELECT doc_id, unnest(tk) AS term FROM tok)
+             WHERE term IN ('spark', 'window', 'table')
+             GROUP BY term, doc_id),
+      st AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n_docs,
+                    CAST(SUM(dl) AS HUGEINT) AS total_len FROM dlt),
+      cand AS (SELECT term, tf.doc_id, tf.tf, dlt.dl,
+                      10 * total_len * tf.tf + 3 * total_len
+                        + 9 * CAST(dlt.dl AS HUGEINT) * n_docs AS d_denom
+               FROM tf JOIN dlt USING (doc_id) CROSS JOIN st)
+      SELECT term, rank, doc_id, tf, dl FROM (
+        SELECT a.term AS term, a.doc_id AS doc_id, a.tf AS tf, a.dl AS dl,
+               CAST(1 + SUM(CASE WHEN CAST(b.tf AS HUGEINT) * a.d_denom > CAST(a.tf AS HUGEINT) * b.d_denom
+                                   OR (CAST(b.tf AS HUGEINT) * a.d_denom = CAST(a.tf AS HUGEINT) * b.d_denom
+                                       AND b.doc_id < a.doc_id)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS rank
+        FROM cand a JOIN cand b ON a.term = b.term
+        GROUP BY a.term, a.doc_id, a.tf, a.dl)
+      WHERE rank <= 10
+      ORDER BY term, rank"""),
+    (s, dir) =>
+      Search.bm25TopK(Tables(s, dir).documents, "doc_id", "text",
+        Seq("spark", "window", "table"), k = 10)
+        .transform(Queries.sortedSmall(_, "term", "rank")))
+
+  // ------------------------------------ int8 embedding quantization
+  // Integer summaries (sum/min/max/zero-count of the codes) rather
+  // than the raw code arrays keep the compare scalar; the codes
+  // themselves are pure IEEE double ops + explicit truncation on both
+  // engines (DuckDB CAST rounds — trunc() first; see
+  // Similarity.quantizeInt8).
+  private val qEmbeddingQuantize = Queries.Q(
+    "p_embedding_quantize",
+    Some("""
+      WITH s AS (SELECT vec_id, embedding,
+                        list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
+                 FROM embeddings),
+      q AS (SELECT vec_id, scale,
+                   list_transform(embedding,
+                     x -> CASE WHEN scale = 0.0 THEN 0
+                               ELSE CAST(trunc(CAST(x AS DOUBLE) * 127.0 / scale) AS INTEGER) END) AS codes
+            FROM s)
+      SELECT vec_id, scale,
+             len(codes) AS n_dims,
+             CAST(list_sum(list_transform(codes, c -> CAST(c AS BIGINT))) AS BIGINT) AS sum_code,
+             list_min(codes) AS min_code,
+             list_max(codes) AS max_code,
+             len(list_filter(codes, c -> c = 0)) AS n_zero
+      FROM q
+      ORDER BY vec_id"""),
+    (s, dir) =>
+      Tables(s, dir).embeddings
+        .select(col("vec_id"), Similarity.quantizeInt8(col("embedding")).as("q"))
+        .select(
+          col("vec_id"),
+          col("q.scale").as("scale"),
+          size(col("q.codes")).cast("long").as("n_dims"),
+          aggregate(col("q.codes"), lit(0L), (acc, c) => acc + c).as("sum_code"),
+          array_min(col("q.codes")).as("min_code"),
+          array_max(col("q.codes")).as("max_code"),
+          size(filter(col("q.codes"), c => c === 0)).cast("long").as("n_zero"))
+        .transform(Queries.sortedSmall(_, "vec_id")))
+
   val all: Seq[Queries.Q] = Seq(
     qTextStats, qLangQuality, qRepetitionStats, qExactDedup, qNgramJaccard, qMinhashNearDup,
     qDupGroups, qMinhashBucketAudit, qSimhash, qSimhashNearDup, qWinnowFingerprints,
-    qContamination, qHashSplit, qKeywordTopK, qBruteTopK, qBruteTopKL2,
-    qLshTopK, qLshTopKMultiProbe, qIvfTopK, qEmbeddingNearDup, qMultimodal,
-    qEventsDedup)
+    qContamination, qHashSplit, qKeywordTopK, qBm25TopK, qBruteTopK, qBruteTopKL2,
+    qLshTopK, qLshTopKMultiProbe, qIvfTopK, qEmbeddingNearDup, qEmbeddingQuantize,
+    qMultimodal, qEventsDedup, qTokenCounts, qVocabTopK)
 }

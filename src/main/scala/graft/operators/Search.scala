@@ -38,6 +38,74 @@ object Search {
       .groupBy("term", "doc_id")
       .agg(count(lit(1)).as("tf"))
 
+  /** BM25 top-k per query term with EXACT, division-free ranking.
+    *
+    * BM25 (k1 = 1.2, b = 0.75) orders documents for one term by
+    * `tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))`. With avgdl = L/N
+    * (L = total corpus tokens, N = docs) and the rational constants
+    * multiplied through by 10·L, the denominator becomes the INTEGER
+    * `D = 10·L·tf + 3·L + 9·dl·N`, and the per-term ordering is the
+    * rational tf/D — so "doc b outranks doc a" is the exact integer
+    * comparison `tf_b·D_a > tf_a·D_b`. No floating point anywhere:
+    * the ranking is bit-reproducible across engines (the DuckDB
+    * oracle recomputes it in HUGEINT) and immune to the libm-log
+    * discrepancies that make classic float BM25 un-oracle-able.
+    * Products are computed in decimal(38,0) (exact to 1e38; L·tf·10
+    * alone would overflow a long near corpus sizes of ~1e13 tokens).
+    *
+    * Ranking is rank-by-pairwise-count: rank(a) = 1 + #{b : b beats
+    * a}, ties broken by doc_id. That is O(df²) per term, which is the
+    * EXACT-rerank half of a two-stage design: at 100 TB scale, first
+    * prune candidates per term with an integer prefilter (e.g.
+    * [[keywordTopK]]'s tf ordering, keeping k·C rows via
+    * TakeOrdered), then exact-rerank the bounded set here — the
+    * pairwise stage then touches O((k·C)²) rows per term, constant in
+    * corpus size. df at the tested scale is small enough to skip the
+    * prefilter, keeping every stage oracle-checked.
+    *
+    * Output: (term, rank LONG, doc_id, tf LONG, dl LONG), rank ≤ k,
+    * one row per surviving (term, doc). */
+  def bm25TopK(
+      docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty, "at least one query term")
+    val dec38 = "decimal(38,0)"
+    val tok = docs.select(col(idCol).as("doc_id"), Dedup.tokens(col(textCol)).as("__tk"))
+    val dl  = tok.select(col("doc_id"), size(col("__tk")).cast("long").as("dl"))
+    val tf = tok
+      .select(col("doc_id"), explode(col("__tk")).as("term"))
+      .where(col("term").isin(terms: _*))
+      .groupBy("term", "doc_id")
+      .agg(count(lit(1)).as("tf"))
+    val stats = dl.agg(
+      count(lit(1)).cast("long").as("n_docs"),
+      sum(col("dl")).as("total_len"))
+    val decL = col("total_len").cast(dec38)
+    val cand = tf
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn(
+        "d_denom",
+        decL * 10 * col("tf") + decL * 3 + col("dl").cast(dec38) * 9 * col("n_docs"))
+      .select("term", "doc_id", "tf", "dl", "d_denom")
+    val a = cand.select(
+      col("term"), col("doc_id").as("doc_a"), col("tf").as("tf_a"),
+      col("dl").as("dl_a"), col("d_denom").as("d_a"))
+    val b = cand.select(
+      col("term"), col("doc_id").as("doc_b"), col("tf").as("tf_b"),
+      col("d_denom").as("d_b"))
+    val scoreB = col("tf_b").cast(dec38) * col("d_a") // ∝ score(b), common denom
+    val scoreA = col("tf_a").cast(dec38) * col("d_b")
+    val beats  = scoreB > scoreA || (scoreB === scoreA && col("doc_b") < col("doc_a"))
+    a.join(b, "term") // self-pair contributes 0, so every candidate keeps a row
+      .groupBy(col("term"), col("doc_a"), col("tf_a"), col("dl_a"))
+      .agg((lit(1L) + sum(when(beats, 1L).otherwise(0L))).as("rank"))
+      .filter(col("rank") <= k)
+      .select(
+        col("term"), col("rank"), col("doc_a").as("doc_id"),
+        col("tf_a").as("tf"), col("dl_a").as("dl"))
+  }
+
   /** Disjunctive (match-any) keyword top-k: documents containing at
     * least one query term, ranked by (#distinct matched terms desc,
     * summed tf desc, doc_id asc), limited to `k`.

@@ -37,6 +37,37 @@ object Similarity {
   /** L2 norm in double. */
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Per-vector absolute-maximum component, in double. */
+  def maxAbs(vec: Column): Column =
+    array_max(transform(vec, x => abs(x.cast("double"))))
+
+  /** Symmetric int8 quantization of an embedding vector: each
+    * component maps to `trunc(x · 127 / max|x|)` ∈ [−127, 127], with
+    * the per-vector scale `max|x|` carried alongside for
+    * dequantization (`x ≈ code · scale / 127`). The all-zero vector
+    * quantizes to all-zero codes with scale 0.
+    *
+    * This is the storage/bandwidth half of ANN at scale: 4 bytes →
+    * 1 byte per dimension cuts the shuffle and cache footprint of the
+    * candidate side by 4× before any index structure is involved.
+    *
+    * Determinism: the float→double cast is exact, `x·127/s` is two
+    * IEEE double ops evaluated in the same order on any engine, and
+    * truncation toward zero is explicit (DuckDB's CAST rounds where
+    * Spark's truncates — the oracle must `trunc()` first). No
+    * rounding-mode or libm dependence, so codes hash-match
+    * bit-for-bit cross-engine.
+    *
+    * Returns a struct column (scale DOUBLE, codes ARRAY<INT>). */
+  def quantizeInt8(vec: Column): Column = {
+    val s = maxAbs(vec)
+    val codes = transform(
+      vec,
+      x => when(s === 0.0d, lit(0))
+        .otherwise((x.cast("double") * 127.0d / s).cast("int")))
+    struct(s.as("scale"), codes.as("codes"))
+  }
+
   /** Cosine similarity = dot / (||a|| * ||b||); zero for zero
     * vectors. Native codegen'd expression — see class doc. */
   def cosine(a: Column, b: Column): Column =

@@ -73,6 +73,52 @@ object TextAnalysis {
   /** Stable 128-bit content fingerprint of the normalized text. */
   def fingerprint(text: Column): Column = Dedup.fingerprint(text)
 
+  /** BPE-style pre-tokenizer pattern (the GPT-2 shape: contractions,
+    * optionally-space-prefixed letter runs / digit runs / punctuation
+    * runs, residual space runs). Deliberately lookahead-free so the
+    * SAME pattern runs identically under Java regex (Spark codegen)
+    * and RE2 (the DuckDB oracle) — both engines use leftmost-first
+    * alternation, so match boundaries agree token for token. A
+    * training-data pipeline uses this count as the cost/length signal
+    * that whitespace token counts understate on code and JSON. */
+  val BpePattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ']+| +"
+
+  /** The BPE-ish pre-token array of `text` (group 0 of [[BpePattern]];
+    * Spark's `regexp_extract_all` defaults to group 1, so the index is
+    * explicit). */
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit(BpePattern), lit(0))
+
+  /** BPE-ish pre-token count — the "token budget" estimate. */
+  def bpeTokenCount(text: Column): Column = size(bpeTokens(text)).cast("long")
+
+  /** Corpus vocabulary top-k (the Zipf head): per distinct token its
+    * total occurrence count and document frequency, ranked by
+    * (count DESC, token ASC) — a vocabulary-building / stopword-mining
+    * primitive.
+    *
+    * Scale shape: ONE keyed shuffle (token) with map-side partial
+    * aggregation builds the term table; the top-k is
+    * `orderBy(...).limit(k)`, which Spark plans as TakeOrderedAndProject
+    * — each task keeps a k-row heap, the driver merges P·k rows — so
+    * the full vocabulary is never globally sorted or single-partitioned.
+    * The final rank stamp is a window over the k surviving rows only.
+    */
+  def vocabTopK(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val tf = df
+      .select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token")
+      .agg(count(lit(1)).as("n_occurrences"), countDistinct(col(idCol)).as("n_docs"))
+    val top = tf.orderBy(col("n_occurrences").desc, col("token")).limit(k)
+    top.withColumn(
+      "rank",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("n_occurrences").desc, col("token"))).cast("long"))
+      .select("rank", "token", "n_occurrences", "n_docs")
+  }
+
   /** Intra-document repetition signals (the Gopher/MassiveText-style
     * quality filters: highly repetitive documents are boilerplate or
     * spam and get dropped before training):

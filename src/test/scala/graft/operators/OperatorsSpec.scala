@@ -575,4 +575,63 @@ class OperatorsSpec extends SparkSpec {
       ("e2", null, null),
       ("e3", 3L, "r2b")))
   }
+
+  // ------------------------------------------------- BPE-ish tokens
+
+  test("bpeTokens: GPT-2-shaped boundaries on JSON-like text") {
+    val r = docs(1L -> "ignored")
+      .select(TextAnalysis.bpeTokens(lit("""{"k": 69} it's ok2""")).as("t"))
+      .head().getSeq[String](0)
+    assert(r == Seq("{\"", "k", "\":", " 69", "}", " it", "'s", " ok", "2"))
+  }
+
+  test("bpeTokenCount vs whitespace count on plain words") {
+    val r = docs(1L -> "ignored").select(
+      TextAnalysis.bpeTokenCount(lit("alpha beta gamma")).as("bpe"),
+      TextAnalysis.tokenCount(lit("alpha beta gamma")).as("ws")).head()
+    assert(r.getLong(0) == 3L && r.getLong(1) == 3L)
+  }
+
+  // ---------------------------------------------------- vocab top-k
+
+  test("vocabTopK: counts, doc frequency, and (count desc, token) rank order") {
+    val out = TextAnalysis.vocabTopK(
+      docs(1L -> "b a a", 2L -> "a b", 3L -> "c"), "doc_id", "text", 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, "a", 3L, 2L), (2L, "b", 2L, 2L)))
+  }
+
+  // --------------------------------------------------------- BM25
+
+  test("bm25TopK: matches float BM25 ranking on a hand corpus") {
+    val corpus = Seq(
+      1L -> "x x x y",       // tf(x)=3, dl=4
+      2L -> "x y",           // tf(x)=1, dl=2
+      3L -> "x x y y y y y", // tf(x)=2, dl=7
+      4L -> "y y")           // no x
+    val out = Search.bm25TopK(docs(corpus: _*), "doc_id", "text", Seq("x"), k = 10)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getLong(2)))
+    // float reference: score = tf*2.2 / (tf + 1.2*(0.25 + 0.75*dl/avgdl))
+    val dls = corpus.map(_._2.split(" ").length.toDouble)
+    val avgdl = dls.sum / dls.length
+    def score(tf: Double, dl: Double) = tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    val expect = Seq((1L, 3.0, 4.0), (2L, 1.0, 2.0), (3L, 2.0, 7.0))
+      .sortBy { case (id, tf, dl) => (-score(tf, dl), id) }
+      .zipWithIndex.map { case ((id, _, _), i) => (i + 1L, id) }
+    assert(out.toSeq == expect)
+  }
+
+  // ------------------------------------------------- int8 quantize
+
+  test("quantizeInt8: scale, truncation toward zero, zero-vector guard") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(1.0f, -0.5f, 0.25f, 0.0f)),
+      (2L, Seq(0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = df.select(col("vec_id"), Similarity.quantizeInt8(col("embedding")).as("q"))
+      .orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getStruct(1).getDouble(0), r.getStruct(1).getSeq[Int](1)))
+    assert(out(0) == ((1L, 1.0d, Seq(127, -63, 31, 0)))) // -63.5/31.75 truncate toward zero
+    assert(out(1) == ((2L, 0.0d, Seq(0, 0))))
+  }
 }
