@@ -821,10 +821,118 @@ object PipelineQueries {
           size(filter(col("q.codes"), c => c === 0)).cast("long").as("n_zero"))
         .transform(Queries.sortedSmall(_, "vec_id")))
 
+  // ------------------------------------------------ PII redaction
+  // The synthetic tables carry no real PII, so the query composes a
+  // deterministic phone+email-bearing string from customer columns
+  // (identical construction on both engines) and value-checks the
+  // scrubbed output and per-shape match counts. Redaction itself is
+  // two codegen'd regexp_replace passes — map-side, zero shuffles.
+  private val qPiiRedact = Queries.Q(
+    "p_pii_redact",
+    Some(s"""
+      WITH raw AS (
+        SELECT c_custkey,
+               c_name || ' call 25-' || CAST(c_custkey % 900 + 100 AS VARCHAR)
+                      || '-' || CAST(c_custkey % 9000 + 1000 AS VARCHAR)
+                      || ' or mail u' || CAST(c_custkey AS VARCHAR) || '@ex.com' AS s
+        FROM customer)
+      SELECT c_custkey,
+             regexp_replace(regexp_replace(s, '${TextAnalysis.EmailPattern}', '[EMAIL]', 'g'),
+                            '${TextAnalysis.PhonePattern}', '[PHONE]', 'g') AS redacted,
+             len(regexp_extract_all(s, '${TextAnalysis.PhonePattern}', 0)) AS n_phones,
+             len(regexp_extract_all(s, '${TextAnalysis.EmailPattern}', 0)) AS n_emails
+      FROM raw
+      ORDER BY c_custkey"""),
+    (s, dir) => {
+      val raw = concat(
+        col("c_name"), lit(" call 25-"),
+        (col("c_custkey") % 900 + 100).cast("string"), lit("-"),
+        (col("c_custkey") % 9000 + 1000).cast("string"),
+        lit(" or mail u"), col("c_custkey").cast("string"), lit("@ex.com"))
+      Tables(s, dir).customer.select(
+        col("c_custkey"),
+        TextAnalysis.redactPii(raw).as("redacted"),
+        size(regexp_extract_all(raw, lit(TextAnalysis.PhonePattern), lit(0))).cast("long").as("n_phones"),
+        size(regexp_extract_all(raw, lit(TextAnalysis.EmailPattern), lit(0))).cast("long").as("n_emails"))
+        .transform(Queries.sortedSmall(_, "c_custkey"))
+    })
+
+  // --------------------------------------------- quality gate (C4)
+  // First-failing-rule drop decision over the quality signals; the
+  // oracle re-evaluates the same rule ladder.
+  private val qQualityFilter = Queries.Q(
+    "p_quality_filter",
+    Some("""
+      WITH v AS (
+        SELECT doc_id, text,
+               len(string_split(text, ' ')) AS n,
+               len(list_distinct(string_split(text, ' '))) AS nd,
+               len(list_filter(string_split(text, ' '),
+                   t -> list_contains(['the','a','an','and','or','of','to','in','is','it'], t))) AS nstop
+        FROM documents),
+      r AS (
+        SELECT doc_id, n,
+               CASE WHEN n < 10 THEN 'too_short'
+                    WHEN CAST(length(text) - (n - 1) AS DOUBLE) / n > 10.0 THEN 'long_words'
+                    WHEN nstop = 0 THEN 'no_stopwords'
+                    WHEN 1.0 - CAST(nd AS DOUBLE) / n > 0.6 THEN 'repetitive'
+                    ELSE NULL END AS drop_reason
+        FROM v)
+      SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+             drop_reason IS NULL AS keep, drop_reason
+      FROM r
+      ORDER BY doc_id"""),
+    (s, dir) =>
+      TextAnalysis.qualityFilter(Tables(s, dir).documents, "doc_id", "text")
+        .transform(Queries.sortedSmall(_, "doc_id")))
+
+  // ------------------------------------------ context-window chunks
+  // LM pre-training chunking: 16-token windows every 12 tokens
+  // (overlapping), trailing partials kept. chunk_text value-checks
+  // the slices token for token.
+  private val qChunkWindows = Queries.Q(
+    "p_chunk_windows",
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS tk,
+               len(string_split(text, ' ')) AS n
+        FROM documents
+        WHERE len(string_split(text, ' ')) > 0),
+      c AS (SELECT doc_id, unnest(generate_series(0, n - 1, 12)) AS start, tk, n FROM tok)
+      SELECT doc_id,
+             CAST(start // 12 AS BIGINT) AS chunk_idx,
+             CAST(len(list_slice(tk, start + 1, least(start + 16, n))) AS BIGINT) AS n_chunk_tokens,
+             array_to_string(list_slice(tk, start + 1, least(start + 16, n)), ' ') AS chunk_text
+      FROM c
+      ORDER BY doc_id, chunk_idx"""),
+    (s, dir) =>
+      TextAnalysis.chunkWindows(Tables(s, dir).documents, "doc_id", "text",
+        size = 16, stride = 12)
+        .transform(Queries.sortedSmall(_, "doc_id", "chunk_idx")))
+
+  // ------------------------------------- stratified sampling (mixing)
+  // Keep 50% of English, 10% of every other language, deterministically
+  // (salted-md5 bucket per doc — the data-mixing primitive). Oracle
+  // recomputes the identical md5 bucket arithmetic.
+  private val qStratifiedSample = Queries.Q(
+    "p_stratified_sample",
+    Some(s"""
+      WITH b AS (SELECT doc_id, lang, ${duckBucket("mix30")} AS sb FROM documents)
+      SELECT doc_id, lang FROM b
+      WHERE sb < CASE WHEN lang = 'en' THEN 50 ELSE 10 END
+      ORDER BY doc_id"""),
+    (s, dir) =>
+      operators.Sampling.stratifiedSampled(
+        Tables(s, dir).documents, "doc_id", "lang", "mix30",
+        Map("en" -> 50), defaultPct = 10)
+        .select("doc_id", "lang")
+        .transform(Queries.sortedSmall(_, "doc_id")))
+
   val all: Seq[Queries.Q] = Seq(
     qTextStats, qLangQuality, qRepetitionStats, qExactDedup, qNgramJaccard, qMinhashNearDup,
     qDupGroups, qMinhashBucketAudit, qSimhash, qSimhashNearDup, qWinnowFingerprints,
     qContamination, qHashSplit, qKeywordTopK, qBm25TopK, qBruteTopK, qBruteTopKL2,
     qLshTopK, qLshTopKMultiProbe, qIvfTopK, qEmbeddingNearDup, qEmbeddingQuantize,
-    qMultimodal, qEventsDedup, qTokenCounts, qVocabTopK)
+    qMultimodal, qEventsDedup, qTokenCounts, qVocabTopK,
+    qPiiRedact, qQualityFilter, qChunkWindows, qStratifiedSample)
 }

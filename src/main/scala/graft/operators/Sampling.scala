@@ -57,4 +57,26 @@ object Sampling {
     require(pct >= 0 && pct <= 100, s"pct must be in [0,100], got $pct")
     df.filter(hashBucket(col(keyCol), salt, 100) < pct)
   }
+
+  /** Stratified deterministic subsample: a keep-percentage per value
+    * of `stratumCol` (the data-mixing primitive — e.g. keep 50% of
+    * English, 10% of everything else, and the mixture is stable
+    * across runs and engines). Strata missing from `pctByStratum`
+    * fall back to `defaultPct`. Within a stratum, samples nest across
+    * pct changes exactly like [[sampled]]; the stratum only selects
+    * the threshold, never re-draws the hash. Map-side filter, zero
+    * shuffles. */
+  def stratifiedSampled(
+      df: DataFrame, keyCol: String, stratumCol: String, salt: String,
+      pctByStratum: Map[String, Int], defaultPct: Int): DataFrame = {
+    (pctByStratum.values.toSeq :+ defaultPct).foreach(p =>
+      require(p >= 0 && p <= 100, s"pct must be in [0,100], got $p"))
+    // stable threshold expression: sorted iteration so plans (and
+    // their canonicalized forms) don't depend on map ordering
+    val threshold = pctByStratum.toSeq.sortBy(_._1).foldLeft(lit(defaultPct)) {
+      case (acc, (stratum, pct)) =>
+        when(col(stratumCol) === stratum, lit(pct)).otherwise(acc)
+    }
+    df.filter(hashBucket(col(keyCol), salt, 100) < threshold)
+  }
 }

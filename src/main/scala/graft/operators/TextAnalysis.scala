@@ -73,6 +73,96 @@ object TextAnalysis {
   /** Stable 128-bit content fingerprint of the normalized text. */
   def fingerprint(text: Column): Column = Dedup.fingerprint(text)
 
+  /** Phone-shaped PII: 2-4 digit groups separated by dash/dot/space,
+    * at least three groups (a lone pair like "10-20" stays). Bounded
+    * repeats only — no lookaround, no backrefs — so Java regex and
+    * RE2 agree on every match. */
+  val PhonePattern: String = "[0-9]{2,4}([-. ][0-9]{2,4}){2,}"
+
+  /** Email-shaped PII. Deliberately simple (no quoting, no IDN): the
+    * goal is scrubbing training text, not RFC validation. */
+  val EmailPattern: String = "[A-Za-z0-9._]+@[A-Za-z0-9.]+"
+
+  /** Scrub PII shapes from text: emails → `[EMAIL]`, then phones →
+    * `[PHONE]`. Emails first — an email's dotted digit local part
+    * could otherwise be half-eaten by the phone pass. Pure codegen'd
+    * `regexp_replace`, map-side only: at 100 TB this is a zero-shuffle
+    * projection over the corpus scan. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailPattern, "[EMAIL]"),
+      PhonePattern, "[PHONE]")
+
+  /** C4/Gopher-style document quality gate. Rules in fixed order, the
+    * FIRST failing rule names the drop:
+    *
+    *  1. `too_short`   — fewer than `minTokens` tokens;
+    *  2. `long_words`  — mean token length above `maxAvgTokenLen`
+    *     (gibberish / base64 / minified-code signal);
+    *  3. `no_stopwords` — zero stopwords (tables, logs, word salad);
+    *  4. `repetitive`  — duplicate-token fraction above `maxDupFrac`
+    *     (boilerplate / spam signal, cf. [[repetitionStats]]).
+    *
+    * Output: (id, n_tokens LONG, keep BOOLEAN, drop_reason STRING —
+    * null when kept). All-expression (one map-side projection);
+    * comparisons are single IEEE divisions evaluated identically on
+    * both engines. */
+  def qualityFilter(
+      df: DataFrame, idCol: String, textCol: String,
+      minTokens: Long = 10L, maxAvgTokenLen: Double = 10.0d,
+      maxDupFrac: Double = 0.6d): DataFrame = {
+    val tk = tokens(col(textCol))
+    val n  = size(tk).cast("long")
+    val nd = size(array_distinct(tk)).cast("long")
+    val dupFrac = lit(1.0d) - nd.cast("double") / n
+    val reason =
+      when(n < minTokens, "too_short")
+        .when(avgTokenLen(col(textCol)) > maxAvgTokenLen, "long_words")
+        .when(stopwordCount(col(textCol)) === 0L, "no_stopwords")
+        .when(dupFrac > maxDupFrac, "repetitive")
+        .otherwise(lit(null).cast("string"))
+    df.select(
+      col(idCol),
+      n.as("n_tokens"),
+      reason.isNull.as("keep"),
+      reason.as("drop_reason"))
+  }
+
+  /** Context-window chunking: split each document's token stream into
+    * windows of `size` tokens starting every `stride` tokens
+    * (stride < size ⇒ overlapping windows, the standard LM
+    * pre-training shape). Trailing windows may be partial; empty
+    * documents produce no chunks.
+    *
+    * Output: (id, chunk_idx LONG from 0, n_chunk_tokens LONG,
+    * chunk_text). Scale shape: tokenize once, explode the start
+    * offsets, slice — a map-side flatMap with output ≈ n/stride rows
+    * per doc and NO shuffle; feed the result straight into a
+    * repartition-by-range writer for sequence packing. */
+  def chunkWindows(
+      df: DataFrame, idCol: String, textCol: String,
+      size: Int, stride: Int): DataFrame = {
+    require(size > 0 && stride > 0 && stride <= size,
+      s"need 0 < stride <= size, got size=$size stride=$stride")
+    val withTk = df
+      .select(col(idCol), tokens(col(textCol)).as("__tk"))
+      .withColumn("__n", org.apache.spark.sql.functions.size(col("__tk")).cast("long"))
+      .filter(col("__n") > 0L)
+    withTk
+      .select(
+        col(idCol),
+        col("__tk"),
+        explode(sequence(lit(0L), col("__n") - 1L, lit(stride.toLong))).as("__start"))
+      .select(
+        col(idCol),
+        (col("__start") / stride).cast("long").as("chunk_idx"),
+        org.apache.spark.sql.functions.size(
+          slice(col("__tk"), (col("__start") + 1L).cast("int"), lit(size))).cast("long")
+          .as("n_chunk_tokens"),
+        array_join(slice(col("__tk"), (col("__start") + 1L).cast("int"), lit(size)), " ")
+          .as("chunk_text"))
+  }
+
   /** BPE-style pre-tokenizer pattern (the GPT-2 shape: contractions,
     * optionally-space-prefixed letter runs / digit runs / punctuation
     * runs, residual space runs). Deliberately lookahead-free so the

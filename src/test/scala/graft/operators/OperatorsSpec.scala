@@ -621,6 +621,87 @@ class OperatorsSpec extends SparkSpec {
     assert(out.toSeq == expect)
   }
 
+  // ---------------------------------------------------- PII redaction
+
+  test("redactPii: emails before phones, dotted local part survives intact") {
+    val r = docs(1L -> "ignored").select(
+      TextAnalysis.redactPii(
+        lit("call 25-989-741 or 12.34.56@ex.com, id 1234567")).as("t"))
+      .head().getString(0)
+    // the dotted-digit email local part must NOT be half-eaten as a phone
+    assert(r == "call [PHONE] or [EMAIL], id 1234567")
+  }
+
+  test("redactPii: lone digit pair and separator-free runs are kept") {
+    val r = docs(1L -> "ignored").select(
+      TextAnalysis.redactPii(lit("range 10-20 and 123456789")).as("t"))
+      .head().getString(0)
+    assert(r == "range 10-20 and 123456789")
+  }
+
+  // ---------------------------------------------------- quality gate
+
+  test("qualityFilter: first failing rule names the drop") {
+    val stop = "the a an and or of to in is it"
+    val out = TextAnalysis.qualityFilter(
+      docs(
+        1L -> s"good words here with $stop more text padding", // keep (13 tokens, stopwords)
+        2L -> "short",                                          // too_short
+        3L -> ("a " * 4 + "zzzzzzzzzzzzzzzzzzzzzz " * 8).trim,  // long_words (avg > 10)
+        4L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda", // no_stopwords
+        5L -> s"$stop $stop $stop"),                             // repetitive (dup frac 2/3)
+      "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(2), r.getString(3))).toMap
+    assert(out(1L) == ((true, null)))
+    assert(out(2L) == ((false, "too_short")))
+    assert(out(3L) == ((false, "long_words")))
+    assert(out(4L) == ((false, "no_stopwords")))
+    assert(out(5L) == ((false, "repetitive")))
+  }
+
+  // ------------------------------------------------------- chunking
+
+  test("chunkWindows: overlap, trailing partial, empty doc dropped") {
+    val text = (1 to 10).map(i => s"t$i").mkString(" ") // 10 tokens
+    val out = TextAnalysis.chunkWindows(
+      docs(1L -> text, 2L -> ""), "doc_id", "text", size = 4, stride = 3)
+      .orderBy("doc_id", "chunk_idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // doc 2 ("" splits to [""], one token "" — a 1-token doc) produces one chunk
+    assert(out.filter(_._1 == 1L).toSeq == Seq(
+      (1L, 0L, 4L, "t1 t2 t3 t4"),
+      (1L, 1L, 4L, "t4 t5 t6 t7"),
+      (1L, 2L, 4L, "t7 t8 t9 t10"),
+      (1L, 3L, 1L, "t10")))
+  }
+
+  test("chunkWindows rejects stride > size") {
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chunkWindows(docs(1L -> "x"), "doc_id", "text", size = 2, stride = 3)
+    }
+  }
+
+  // ---------------------------------------------- stratified sampling
+
+  test("stratifiedSampled: per-stratum thresholds, nested within stratum") {
+    import spark.implicits._
+    val df = (1L to 400L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "lang")
+    val sampled = Sampling.stratifiedSampled(df, "doc_id", "lang", "s1",
+      Map("en" -> 50), defaultPct = 10)
+    val byLang = sampled.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 200 per stratum: en keeps ~half, de ~a tenth (hash spread, wide bounds)
+    assert(byLang("en") > 60L && byLang("en") < 140L)
+    assert(byLang.getOrElse("de", 0L) < 50L)
+    // nesting: the 10%-everywhere sample is a subset of this one for en
+    val tight = Sampling.stratifiedSampled(df, "doc_id", "lang", "s1",
+      Map("en" -> 10), defaultPct = 10)
+    val tightIds = tight.filter($"lang" === "en").select("doc_id").collect().map(_.getLong(0)).toSet
+    val wideIds = sampled.filter($"lang" === "en").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(tightIds.subsetOf(wideIds))
+  }
+
   // ------------------------------------------------- int8 quantize
 
   test("quantizeInt8: scale, truncation toward zero, zero-vector guard") {
