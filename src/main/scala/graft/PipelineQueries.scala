@@ -928,11 +928,33 @@ object PipelineQueries {
         .select("doc_id", "lang")
         .transform(Queries.sortedSmall(_, "doc_id")))
 
+  // ----------------------------------------- edit-distance verify
+  // Levenshtein as the exact verify stage over a BOUNDED candidate
+  // set (here a keyrange self-join standing in for LSH candidates —
+  // see Dedup.editDistanceVerify's scale contract). All-integer
+  // output.
+  private val qEditDistVerify = Queries.Q(
+    "p_editdist_verify",
+    Some("""
+      WITH c AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey < 60)
+      SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+             CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS lev
+      FROM c a JOIN c b ON a.c_custkey < b.c_custkey
+      WHERE levenshtein(a.c_name, b.c_name) <= 1
+      ORDER BY id_a, id_b"""),
+    (s, dir) => {
+      val c = Tables(s, dir).customer.filter(col("c_custkey") < 60)
+      val cand = c.select(col("c_custkey").as("id_a"))
+        .join(c.select(col("c_custkey").as("id_b")), col("id_a") < col("id_b"))
+      Dedup.editDistanceVerify(cand, c, "c_custkey", "c_name", maxDist = 1)
+        .transform(Queries.sortedSmall(_, "id_a", "id_b"))
+    })
+
   val all: Seq[Queries.Q] = Seq(
     qTextStats, qLangQuality, qRepetitionStats, qExactDedup, qNgramJaccard, qMinhashNearDup,
     qDupGroups, qMinhashBucketAudit, qSimhash, qSimhashNearDup, qWinnowFingerprints,
     qContamination, qHashSplit, qKeywordTopK, qBm25TopK, qBruteTopK, qBruteTopKL2,
     qLshTopK, qLshTopKMultiProbe, qIvfTopK, qEmbeddingNearDup, qEmbeddingQuantize,
     qMultimodal, qEventsDedup, qTokenCounts, qVocabTopK,
-    qPiiRedact, qQualityFilter, qChunkWindows, qStratifiedSample)
+    qPiiRedact, qQualityFilter, qChunkWindows, qStratifiedSample, qEditDistVerify)
 }

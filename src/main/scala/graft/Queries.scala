@@ -582,8 +582,68 @@ object Queries {
         .transform(sortedSmall(_, "o_custkey"))
     })
 
+  // ------------------------------------------------------- full outer
+  // Two sparse daily aggregates (extreme-value clicks vs near-zero
+  // errors) reconciled with FULL OUTER — days exist on one side only,
+  // so both null-extension paths are exercised; the USING-join
+  // coalesces the key on both engines.
+  private val qFullOuter = Q(
+    "q_full_outer_daily",
+    Some("""
+      WITH c AS (SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n_clicks
+                 FROM events WHERE event_type = 'click' AND value > 24.5 GROUP BY day),
+      e AS (SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n_errors
+            FROM events WHERE event_type = 'error' AND value < 0.5 GROUP BY day)
+      SELECT day, COALESCE(n_clicks, 0) AS n_clicks, COALESCE(n_errors, 0) AS n_errors
+      FROM c FULL OUTER JOIN e USING (day)
+      ORDER BY day"""),
+    (s, dir) => {
+      val ev  = Tables(s, dir).events
+      def daily(tpe: String, pred: Column, out: String) = ev
+        .filter(col("event_type") === tpe && pred)
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as(out))
+      daily("click", col("value") > 24.5d, "n_clicks")
+        .join(daily("error", col("value") < 0.5d, "n_errors"), Seq("day"), "full_outer")
+        .select(
+          col("day"),
+          coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+          coalesce(col("n_errors"), lit(0L)).as("n_errors"))
+        .transform(sortedSmall(_, "day"))
+    })
+
+  // ------------------------------------------------- exact percentiles
+  // Ordered-set aggregate: exact interpolated quartiles. Spark's
+  // percentile and DuckDB's quantile_cont share the same definition
+  // (index p·(n−1) into the sorted values, linear interpolation);
+  // the inputs are low-cardinality 2dp doubles, so the interpolation
+  // arithmetic is identical IEEE ops on both engines. Exact
+  // percentile needs the group's values collected per partition —
+  // fine for GROUP BY keys with bounded groups; at 100 TB switch to
+  // approx_percentile (t-digest) and drop the oracle to rows-only.
+  private val qQuantiles = Q(
+    "q_quantile_quantity",
+    Some("""
+      SELECT l_returnflag,
+             quantile_cont(l_quantity, 0.25) AS q25,
+             quantile_cont(l_quantity, 0.5) AS median,
+             quantile_cont(l_quantity, 0.75) AS q75,
+             COUNT(*) AS n
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""),
+    (s, dir) =>
+      Tables(s, dir).lineitem
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile(l_quantity, 0.25)").as("q25"),
+          expr("percentile(l_quantity, 0.5)").as("median"),
+          expr("percentile(l_quantity, 0.75)").as("q75"),
+          count(lit(1)).as("n"))
+        .transform(sortedSmall(_, "l_returnflag")))
+
   val relational: Seq[Q] = Seq(
     q1, q3, q5, qWindow, qRollup, qCube, qSetop, qIntersect, qSemi, qAnti, qTopk,
     qEventsDaily, qEventsJson, qJsonSerialize, qAsOf, qIntervalJoin, qSmallQty,
-    qCustOrderDist, qRichIdle, qEventSessions)
+    qCustOrderDist, qRichIdle, qEventSessions, qFullOuter, qQuantiles)
 }

@@ -546,6 +546,29 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** Edit-distance verify stage: given CANDIDATE pairs (id_a, id_b)
+    * from any cheap generator (minhash bands, simhash blocks, a
+    * bounded key self-join), attach the texts and keep pairs with
+    * Levenshtein distance ≤ `maxDist`.
+    *
+    * Levenshtein is the O(|a|·|b|)-per-pair gold standard that is far
+    * too expensive as a pair generator — the scale contract here is
+    * the same as [[Search.bm25TopK]]'s rerank: the candidate set is
+    * assumed bounded (LSH-pruned), so the quadratic kernel touches
+    * only surviving pairs. Two hash joins + a codegen'd `levenshtein`
+    * — no driver state, no cartesian.
+    *
+    * Output: (id_a, id_b, lev LONG). */
+  def editDistanceVerify(
+      cand: DataFrame, docs: DataFrame, idCol: String, textCol: String,
+      maxDist: Int): DataFrame =
+    cand
+      .join(docs.select(col(idCol).as("id_a"), col(textCol).as("__ta")), "id_a")
+      .join(docs.select(col(idCol).as("id_b"), col(textCol).as("__tb")), "id_b")
+      .withColumn("lev", levenshtein(col("__ta"), col("__tb")).cast("long"))
+      .filter(col("lev") <= maxDist)
+      .select("id_a", "id_b", "lev")
+
   /** Embedding near-duplicate pairs: cosine >= threshold among
     * same-LSH-bucket candidates (see [[Similarity.signBucket]]). */
   def embeddingNearDupPairs(

@@ -681,6 +681,18 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  // ---------------------------------------------- edit-distance verify
+
+  test("editDistanceVerify: keeps only candidates within maxDist") {
+    import spark.implicits._
+    val corpus = docs(1L -> "kitten", 2L -> "sitten", 3L -> "sittings", 4L -> "kitten")
+    val cand = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("id_a", "id_b")
+    val out = Dedup.editDistanceVerify(cand, corpus, "doc_id", "text", maxDist = 1)
+      .orderBy("id_b").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // kitten→sitten = 1 kept; kitten→sittings = 3 dropped; exact dup = 0 kept
+    assert(out.toSeq == Seq((1L, 2L, 1L), (1L, 4L, 0L)))
+  }
+
   // ---------------------------------------------- stratified sampling
 
   test("stratifiedSampled: per-stratum thresholds, nested within stratum") {
