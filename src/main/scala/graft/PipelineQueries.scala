@@ -762,12 +762,17 @@ object PipelineQueries {
              FROM (SELECT doc_id, unnest(tk) AS term FROM tok)
              WHERE term IN ('spark', 'window', 'table')
              GROUP BY term, doc_id),
+      bounded AS (SELECT term, doc_id, tf FROM (
+                    SELECT term, doc_id, tf,
+                           row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) AS rn
+                    FROM tf)
+                  WHERE rn <= 50),
       st AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n_docs,
                     CAST(SUM(dl) AS HUGEINT) AS total_len FROM dlt),
-      cand AS (SELECT term, tf.doc_id, tf.tf, dlt.dl,
-                      10 * total_len * tf.tf + 3 * total_len
+      cand AS (SELECT term, bounded.doc_id, bounded.tf, dlt.dl,
+                      10 * total_len * bounded.tf + 3 * total_len
                         + 9 * CAST(dlt.dl AS HUGEINT) * n_docs AS d_denom
-               FROM tf JOIN dlt USING (doc_id) CROSS JOIN st)
+               FROM bounded JOIN dlt USING (doc_id) CROSS JOIN st)
       SELECT term, rank, doc_id, tf, dl FROM (
         SELECT a.term AS term, a.doc_id AS doc_id, a.tf AS tf, a.dl AS dl,
                CAST(1 + SUM(CASE WHEN CAST(b.tf AS HUGEINT) * a.d_denom > CAST(a.tf AS HUGEINT) * b.d_denom
@@ -780,7 +785,7 @@ object PipelineQueries {
       ORDER BY term, rank"""),
     (s, dir) =>
       Search.bm25TopK(Tables(s, dir).documents, "doc_id", "text",
-        Seq("spark", "window", "table"), k = 10)
+        Seq("spark", "window", "table"), k = 10, prefilterC = 50)
         .transform(Queries.sortedSmall(_, "term", "rank")))
 
   // ------------------------------------ int8 embedding quantization

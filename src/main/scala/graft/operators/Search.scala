@@ -54,21 +54,25 @@ object Search {
     * alone would overflow a long near corpus sizes of ~1e13 tokens).
     *
     * Ranking is rank-by-pairwise-count: rank(a) = 1 + #{b : b beats
-    * a}, ties broken by doc_id. That is O(df²) per term, which is the
-    * EXACT-rerank half of a two-stage design: at 100 TB scale, first
-    * prune candidates per term with an integer prefilter (e.g.
-    * [[keywordTopK]]'s tf ordering, keeping k·C rows via
-    * TakeOrdered), then exact-rerank the bounded set here — the
-    * pairwise stage then touches O((k·C)²) rows per term, constant in
-    * corpus size. df at the tested scale is small enough to skip the
-    * prefilter, keeping every stage oracle-checked.
+    * a}, ties broken by doc_id. That is O(C²) per term where C is the
+    * candidate count — so candidates MUST be bounded. `prefilterC`
+    * is the bounding stage: keep only the top-C docs per term by
+    * (tf DESC, doc_id ASC) — deterministic, all-integer, and itself
+    * oracle-checkable — before the pairwise rerank. BM25's per-term
+    * score is monotone in tf for fixed dl, so high-tf docs dominate
+    * the head; C ≫ k makes the approximation tight while the
+    * pairwise stage touches O(C²) rows per term, CONSTANT in corpus
+    * size. Pass prefilterC = 0 to rank the full posting list (exact
+    * BM25; only sane for rare terms).
     *
     * Output: (term, rank LONG, doc_id, tf LONG, dl LONG), rank ≤ k,
     * one row per surviving (term, doc). */
   def bm25TopK(
       docs: DataFrame, idCol: String, textCol: String,
-      terms: Seq[String], k: Int): DataFrame = {
+      terms: Seq[String], k: Int, prefilterC: Int = 0): DataFrame = {
     require(terms.nonEmpty, "at least one query term")
+    require(prefilterC == 0 || prefilterC >= k,
+      s"prefilterC must be 0 (off) or >= k, got $prefilterC < $k")
     val dec38 = "decimal(38,0)"
     val tok = docs.select(col(idCol).as("doc_id"), Dedup.tokens(col(textCol)).as("__tk"))
     val dl  = tok.select(col("doc_id"), size(col("__tk")).cast("long").as("dl"))
@@ -80,8 +84,16 @@ object Search {
     val stats = dl.agg(
       count(lit(1)).cast("long").as("n_docs"),
       sum(col("dl")).as("total_len"))
+    val bounded =
+      if (prefilterC == 0) tf
+      else tf
+        .withColumn("__rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("term").orderBy(col("tf").desc, col("doc_id"))))
+        .filter(col("__rn") <= prefilterC)
+        .drop("__rn")
     val decL = col("total_len").cast(dec38)
-    val cand = tf
+    val cand = bounded
       .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
       .withColumn(
