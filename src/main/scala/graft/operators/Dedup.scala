@@ -507,15 +507,24 @@ object Dedup {
     * `maxHamming` ≤ 3 (enforced: 4 blocks pigeonhole only 3 bit
     * errors; a larger radius needs more blocks).
     *
-    * Same scale shape as the minhash path: one shuffle onto the
-    * block key shared by sizing and member collection (the size
-    * filter runs BEFORE collect, so a flood block never materializes
-    * an unbounded member array — see [[minhashCandidatePairs]]);
-    * in-block i<j enumeration; DISTINCT collapses pairs matching in
-    * several blocks. At web scale 16-bit blocks under-partition
-    * (65k distinct values): raise block count/width together with a
-    * permuted-table layout before trusting this at 100 TB corpus
-    * sizes — `maxBucket` documents the overflow policy either way.
+    * Scale shape: the signature table (one 16-hex-char hash per doc —
+    * the corpus's smallest derived table) is MATERIALIZED with an
+    * eager localCheckpoint so the block-sizing branch and the pairing
+    * branch share one simhash computation (their exchanges do not
+    * canonicalize equal, so ReuseExchange alone cannot dedupe the
+    * 64-sum subtree). Pair generation is an in-block SELF-EQUI-JOIN
+    * on (block, value), NOT collect_list + explode: a flood block's
+    * pairs then stream through a join whose skewed partitions AQE can
+    * split across tasks, instead of materializing an O(n²) array in
+    * one aggregation buffer on one task (measured 2.4M candidate
+    * pairs at sf0.1 with 1.3M from a single block — the explode
+    * formulation serialized exactly there). The xor/popcount verify
+    * runs per candidate pair BEFORE the distinct, so the distinct
+    * shuffle carries only true near-dup pairs. At web scale 16-bit
+    * blocks under-partition (65k distinct values): raise block
+    * count/width together with a permuted-table layout before
+    * trusting this at 100 TB corpus sizes — `maxBucket` documents the
+    * overflow policy either way.
     *
     * Output: (id_a, id_b, hamming), id_a < id_b. */
   def simhashNearDupPairs(
@@ -523,27 +532,26 @@ object Dedup {
       maxHamming: Int = 3, maxBucket: Int = 65536): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"maxHamming=$maxHamming outside [0,3]: 4-block pigeonhole is lossless only to 3")
-    val sh = simhash64ByKey(docs, idCol, textCol, "__sh")
+    val sh = simhash64ByKey(docs, idCol, textCol, "__sh").localCheckpoint(true)
     val rows = sh.select(
-      struct(col(idCol).as("id"), col("__sh").as("sh")).as("m"),
+      col(idCol).as("id"), col("__sh").as("sh"),
       posexplode(array((0 until 4).map(b => simhashBand(col("__sh"), b)): _*))
         .as(Seq("band", "bv")))
-      .repartition(col("band"), col("bv"))
     val keep = rows.groupBy("band", "bv")
       .agg(count(lit(1)).as("n"))
       .filter(col("n") > 1 && col("n") <= maxBucket)
       .select("band", "bv")
-    rows.join(keep, Seq("band", "bv"))
-      .groupBy("band", "bv")
-      .agg(array_sort(collect_set(col("m"))).as("ms"))
-      .select(explode(bucketPairs(col("ms"))).as("p"))
+    val members = rows.join(keep, Seq("band", "bv"))
+    members.select(col("band"), col("bv"), col("id").as("id_a"), col("sh").as("__sha"))
+      .join(
+        members.select(col("band"), col("bv"), col("id").as("id_b"), col("sh").as("__shb")),
+        Seq("band", "bv"))
+      .filter(col("id_a") < col("id_b"))
       .select(
-        col("p.a.id").as("id_a"), col("p.a.sh").as("__sha"),
-        col("p.b.id").as("id_b"), col("p.b.sh").as("__shb"))
-      .distinct()
-      .withColumn("hamming", simhashHamming(col("__sha"), col("__shb")))
+        col("id_a"), col("id_b"),
+        simhashHamming(col("__sha"), col("__shb")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
+      .distinct()
   }
 
   /** Edit-distance verify stage: given CANDIDATE pairs (id_a, id_b)
