@@ -714,6 +714,33 @@ class OperatorsSpec extends SparkSpec {
     assert(tightIds.subsetOf(wideIds))
   }
 
+  // ---------------------------------------------- sequence packing
+
+  test("packSequences: budget respected, complete, deterministic, oversized isolated") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val items = (1L to 200L).map(i => (i, rnd.nextInt(40) + 1L)) :+ (201L, 150L)
+    val df = items.toDF("doc_id", "n_tokens")
+    def run() = Packing.packSequences(df, "doc_id", "n_tokens", budget = 100L, numPartitions = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val out = run()
+    // complete and disjoint
+    assert(out.map(_._1).toSet == items.map(_._1).toSet && out.length == items.length)
+    // budget respected except single-item oversized packs
+    val byPack = out.groupBy(_._3).values
+    byPack.foreach { members =>
+      val total = members.map(_._2).sum
+      assert(total <= 100L || members.length == 1, s"over-budget multi-item pack: $members")
+    }
+    // the oversized doc sits alone
+    val overPack = out.find(_._1 == 201L).get._3
+    assert(out.count(_._3 == overPack) == 1)
+    // packing actually packs (fewer packs than docs)
+    assert(byPack.size < items.length / 2)
+    // deterministic across runs
+    assert(run().sortBy(_._1).toSeq == out.sortBy(_._1).toSeq)
+  }
+
   // ------------------------------------------------- int8 quantize
 
   test("quantizeInt8: scale, truncation toward zero, zero-vector guard") {

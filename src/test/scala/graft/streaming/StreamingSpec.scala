@@ -241,6 +241,36 @@ class StreamingSpec extends SparkSpec {
     assert(ids == Seq(1L, 2L, 3L))
   }
 
+  test("text-pipeline operators compose unchanged into a stream (quality gate + chunking)") {
+    // The curation operators are pure projections/flatMaps, so the SAME
+    // library calls that run in batch run per micro-batch with no
+    // state, watermark, or mode restrictions — streaming ingest +
+    // quality-filter + chunk is just function composition.
+    import spark.implicits._
+    val stream = MemoryStream[(Long, String)](spark)
+    val df = stream.toDS().toDF("doc_id", "text")
+    val gated = graft.operators.TextAnalysis.qualityFilter(df, "doc_id", "text",
+      minTokens = 3L, maxAvgTokenLen = 10.0d, maxDupFrac = 0.9d)
+    val chunks = graft.operators.TextAnalysis.chunkWindows(df, "doc_id", "text",
+      size = 4, stride = 4)
+    val q1 = gated.writeStream.format("memory").queryName("gate_out")
+      .option("checkpointLocation", tmp("chk_gate")).start()
+    val q2 = chunks.writeStream.format("memory").queryName("chunk_out")
+      .option("checkpointLocation", tmp("chk_chunk")).start()
+    try {
+      stream.addData(Seq(
+        (1L, "the quick brown fox jumps over the lazy dog"), // keeps; 3 chunks
+        (2L, "hi")))                                         // too_short; 1 chunk
+      q1.processAllAvailable(); q2.processAllAvailable()
+    } finally { q1.stop(); q2.stop() }
+    val gate = spark.table("gate_out").collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(2), r.getString(3))).toMap
+    assert(gate(1L) == ((true, null)) && gate(2L) == ((false, "too_short")))
+    val nChunks = spark.table("chunk_out").groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(nChunks == Map(1L -> 3L, 2L -> 1L))
+  }
+
   test("windowed stats emit closed windows under watermark") {
     import spark.implicits._
     val stream = MemoryStream[(java.sql.Timestamp, String, Double)](spark)
