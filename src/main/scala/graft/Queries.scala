@@ -642,8 +642,63 @@ object Queries {
           count(lit(1)).as("n"))
         .transform(sortedSmall(_, "l_returnflag")))
 
+  // ------------------------------------------------ q18 shape (HAVING)
+  // Large-volume orders: aggregate-filter (HAVING over a keyed sum)
+  // then join back to the order header, top-k by volume. The HAVING
+  // compares the same decimal-summed-then-double value on both
+  // engines; top-k plans as TakeOrderedAndProject.
+  private val qBigOrders = Q(
+    "q_big_orders",
+    Some("""
+      WITH big AS (
+        SELECT l_orderkey,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+        FROM lineitem
+        GROUP BY l_orderkey
+        HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) > 150.0)
+      SELECT o_orderkey, o_custkey, o_totalprice, total_qty FROM (
+        SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, big.total_qty,
+               row_number() OVER (ORDER BY big.total_qty DESC, o.o_orderkey) AS rn
+        FROM big JOIN orders o ON o.o_orderkey = big.l_orderkey)
+      WHERE rn <= 20
+      ORDER BY total_qty DESC, o_orderkey"""),
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val big = t.lineitem
+        .groupBy("l_orderkey")
+        .agg(dsum(col("l_quantity")).as("total_qty"))
+        .filter(col("total_qty") > 150.0d)
+      big.join(t.orders, col("o_orderkey") === col("l_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "total_qty")
+        .orderBy(col("total_qty").desc, col("o_orderkey"))
+        .limit(20)
+        .transform(sortedSmallBy(_, col("total_qty").desc, col("o_orderkey")))
+    })
+
+  // -------------------------------------------- distinct aggregation
+  // COUNT(DISTINCT) alongside a plain COUNT: exercises Spark's
+  // two-phase distinct-aggregate expansion (partial on (key, cust),
+  // final merge) — one extra keyed shuffle, no collect.
+  private val qDistinctAgg = Q(
+    "q_priority_distinct_custs",
+    Some("""
+      SELECT o_orderpriority,
+             COUNT(DISTINCT o_custkey) AS n_custs,
+             COUNT(*) AS n_orders
+      FROM orders
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""),
+    (s, dir) =>
+      Tables(s, dir).orders
+        .groupBy("o_orderpriority")
+        .agg(
+          countDistinct(col("o_custkey")).as("n_custs"),
+          count(lit(1)).as("n_orders"))
+        .transform(sortedSmall(_, "o_orderpriority")))
+
   val relational: Seq[Q] = Seq(
     q1, q3, q5, qWindow, qRollup, qCube, qSetop, qIntersect, qSemi, qAnti, qTopk,
     qEventsDaily, qEventsJson, qJsonSerialize, qAsOf, qIntervalJoin, qSmallQty,
-    qCustOrderDist, qRichIdle, qEventSessions, qFullOuter, qQuantiles)
+    qCustOrderDist, qRichIdle, qEventSessions, qFullOuter, qQuantiles,
+    qBigOrders, qDistinctAgg)
 }
