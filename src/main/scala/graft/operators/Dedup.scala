@@ -532,24 +532,35 @@ object Dedup {
       maxHamming: Int = 3, maxBucket: Int = 65536): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"maxHamming=$maxHamming outside [0,3]: 4-block pigeonhole is lossless only to 3")
-    val sh = simhash64ByKey(docs, idCol, textCol, "__sh").localCheckpoint(true)
+    // Parse the four 16-bit blocks from the hex signature ONCE per
+    // doc, BEFORE fan-out: the per-pair verify below is then pure
+    // long xor + popcount — no per-pair substring/conv of hex (8
+    // string ops × millions of candidate pairs otherwise).
+    val sh = simhash64ByKey(docs, idCol, textCol, "__sh")
+      .select(
+        col(idCol).as("id") +:
+          (0 until 4).map(b => simhashBand(col("__sh"), b).as(s"__b$b")): _*)
+      .localCheckpoint(true)
+    val bandCols = (0 until 4).map(b => col(s"__b$b"))
     val rows = sh.select(
-      col(idCol).as("id"), col("__sh").as("sh"),
-      posexplode(array((0 until 4).map(b => simhashBand(col("__sh"), b)): _*))
-        .as(Seq("band", "bv")))
+      (col("id") +: bandCols) :+
+        posexplode(array(bandCols: _*)).as(Seq("band", "bv")): _*)
     val keep = rows.groupBy("band", "bv")
       .agg(count(lit(1)).as("n"))
       .filter(col("n") > 1 && col("n") <= maxBucket)
       .select("band", "bv")
     val members = rows.join(keep, Seq("band", "bv"))
-    members.select(col("band"), col("bv"), col("id").as("id_a"), col("sh").as("__sha"))
-      .join(
-        members.select(col("band"), col("bv"), col("id").as("id_b"), col("sh").as("__shb")),
-        Seq("band", "bv"))
+    def side(suffix: String) = members.select(
+      col("band") +: col("bv") +: col("id").as(s"id_$suffix") +:
+        (0 until 4).map(b => col(s"__b$b").as(s"__b${b}_$suffix")): _*)
+    side("a")
+      .join(side("b"), Seq("band", "bv"))
       .filter(col("id_a") < col("id_b"))
       .select(
         col("id_a"), col("id_b"),
-        simhashHamming(col("__sha"), col("__shb")).as("hamming"))
+        (0 until 4)
+          .map(b => bit_count(col(s"__b${b}_a").bitwiseXOR(col(s"__b${b}_b"))))
+          .reduce(_ + _).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
