@@ -80,19 +80,6 @@ object Dedup {
       col(idCol) +:
         (0 until k).map(j => minhash(j, shingles).as(s"h$j")): _*)
 
-  /** Sorted i<j pairs from a bucket-member array: exactly the pairs a
-    * bucket-key equi-self-join would emit, generated in ONE pass over
-    * the grouped bucket instead of reading a persisted exchange twice.
-    * `members` must be a plain attribute (not an inline subtree: the
-    * slice lambda references it per output element — cheap on an
-    * attribute, pathological on an expression). O(b²) per bucket — the
-    * same cardinality the join would produce. */
-  private def bucketPairs(members: Column): Column =
-    flatten(transform(members, (x, i) =>
-      transform(
-        slice(members, i + 2, greatest(size(members) - i - 1, lit(0))),
-        y => struct(x.as("a"), y.as("b")))))
-
   /** (band, band_hash, id) membership rows for a signature frame,
     * pre-shuffled on the bucket key: the canonical shared Exchange
     * behind bucket sizing, candidate generation and the overflow
@@ -120,56 +107,48 @@ object Dedup {
     rows.groupBy("band", "band_hash")
       .agg(countDistinct(col(idCol)).as("n_ids"))
 
-  /** (band, band_hash, ids) member lists for buckets whose DISTINCT
-    * size is within [2, maxBucket]. Sizing happens BEFORE any member
-    * list is collected: a flood bucket (identical-document storm)
-    * never materializes its member array in an aggregation buffer —
-    * it is dropped by the size join, costing one long of state
-    * instead of an unbounded array on one task.
+  /** LSH candidate pairs: docs agreeing on any band (a contiguous run
+    * of `rowsPerBand` signature positions) become a candidate.
     *
-    * collect_set (not _list): duplicate input ids would otherwise
-    * appear twice and the sorted i<j enumeration would emit (id,id)
-    * self-pairs, diverging from strict id_a < id_b semantics. */
-  private def boundedBuckets(
+    * Shape: one shuffle on (band, band_hash) shared by the sizing
+    * aggregate and the pairing join (identical keys → one Exchange,
+    * reused), then in-bucket pair generation as a SELF-EQUI-JOIN with
+    * `id_a < id_b` — never an all-pairs product, never a persisted
+    * self-join (heap-resident caches made bench timings heap-size-
+    * dependent; round-2 driver runs thrashed GC on exactly these
+    * queries), and never collect_list+explode (which builds a
+    * bucket's O(b²) pairs inside ONE task's aggregation buffer; the
+    * join streams them, and AQE splits a skewed bucket's partitions —
+    * same rework as [[simhashNearDupPairs]]). The trailing DISTINCT
+    * collapses pairs that agree on several bands and dedupes repeated
+    * input ids.
+    *
+    * Buckets larger than `maxBucket` are DROPPED — and never even
+    * joined: bucket sizes are counted first (bounded aggregation
+    * state), so a flood bucket costs one long of state, not millions
+    * of streamed pairs. A bucket that large is an identical/near-
+    * identical-document flood: run [[exactGroups]] first so exact
+    * duplicates collapse to one representative, and audit any
+    * residual drops with [[minhashBucketOverflow]] — at the default
+    * cap a drop means ≥1024 mutually-near-dup distinct docs, which a
+    * downstream clustering pass ([[Graph.connectedComponents]])
+    * should handle as one group anyway. */
+  def minhashCandidatePairs(
       sig: DataFrame, idCol: String, k: Int, rowsPerBand: Int,
-      maxBucket: Int): DataFrame = {
+      maxBucket: Int = 1024): DataFrame = {
     val rows = bandRows(sig, idCol, k, rowsPerBand)
     val keep = bucketSizes(rows, idCol)
       .filter(col("n_ids") > 1 && col("n_ids") <= maxBucket)
       .select("band", "band_hash")
-    rows.join(keep, Seq("band", "band_hash"))
-      .groupBy("band", "band_hash")
-      .agg(array_sort(collect_set(col(idCol))).as("ids"))
-  }
-
-  /** LSH candidate pairs: docs agreeing on any band (a contiguous run
-    * of `rowsPerBand` signature positions) become a candidate.
-    *
-    * Shape: ONE hash shuffle on (band, band_hash) collapsing each band
-    * bucket into a member list, then in-bucket i<j pair generation —
-    * never an all-pairs product, never a persisted self-join (heap-
-    * resident caches made bench timings heap-size-dependent; round-2
-    * driver runs thrashed GC on exactly these queries).
-    *
-    * Buckets larger than `maxBucket` are DROPPED — and never even
-    * collected: bucket sizes are counted first (bounded aggregation
-    * state), so a flood bucket costs one long, not an unbounded
-    * member array on one task, and the surviving buckets' pair
-    * arrays are capped at ~0.5M structs by the default. A bucket
-    * that large is an identical/near-identical-document flood: run
-    * [[exactGroups]] first so exact duplicates collapse to one
-    * representative, and audit any residual drops with
-    * [[minhashBucketOverflow]] — at the default cap a drop means
-    * ≥1024 mutually-near-dup distinct docs, which a downstream
-    * clustering pass ([[Graph.connectedComponents]]) should handle
-    * as one group anyway. */
-  def minhashCandidatePairs(
-      sig: DataFrame, idCol: String, k: Int, rowsPerBand: Int,
-      maxBucket: Int = 1024): DataFrame =
-    boundedBuckets(sig, idCol, k, rowsPerBand, maxBucket)
-      .select(explode(bucketPairs(col("ids"))).as("p"))
-      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
+    val members = rows.join(keep, Seq("band", "band_hash"))
+    members.select(col("band"), col("band_hash"), col(idCol).as("id_a"))
+      .join(
+        members.select(col("band"), col("band_hash"), col(idCol).as("id_b")),
+        Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
       .distinct()
+  }
 
   /** Audit companion of [[minhashCandidatePairs]]: the buckets its
     * `maxBucket` cap would drop, as (band, band_hash, n_ids). Empty
