@@ -714,6 +714,36 @@ class OperatorsSpec extends SparkSpec {
     assert(tightIds.subsetOf(wideIds))
   }
 
+  // ------------------------------------------- plan-shape guards
+  // The scale property each new operator claims, asserted on the
+  // physical plan so a refactor can't silently regress it.
+
+  test("plan shapes: map-side-only ops have no Exchange; vocab top-k is TakeOrdered") {
+    val df = docs(1L -> "a b c d e f g h", 2L -> "x y z")
+    def planOf(q: org.apache.spark.sql.DataFrame) = q.queryExecution.executedPlan.toString
+
+    // stratified sampling and chunking: pure scan-project-filter, zero shuffles
+    import spark.implicits._
+    val langs = Seq((1L, "en"), (2L, "de")).toDF("doc_id", "lang")
+    val sampled = Sampling.stratifiedSampled(langs, "doc_id", "lang", "s", Map("en" -> 50), 10)
+    assert(!planOf(sampled).contains("Exchange"), planOf(sampled))
+    val chunks = TextAnalysis.chunkWindows(df, "doc_id", "text", size = 4, stride = 4)
+    assert(!planOf(chunks).contains("Exchange"), planOf(chunks))
+    val redacted = df.select(TextAnalysis.redactPii(col("text")))
+    assert(!planOf(redacted).contains("Exchange"), planOf(redacted))
+    val gated = TextAnalysis.qualityFilter(df, "doc_id", "text")
+    assert(!planOf(gated).contains("Exchange"), planOf(gated))
+
+    // vocab top-k: per-task heaps + driver merge, never a global sort
+    val vocab = TextAnalysis.vocabTopK(df, "doc_id", "text", 5)
+    assert(planOf(vocab).contains("TakeOrderedAndProject"), planOf(vocab))
+
+    // bm25: the only nested-loop join is the broadcast of the 1-row
+    // corpus stats; candidate pairing must stay an equi-join
+    val bm25 = Search.bm25TopK(df, "doc_id", "text", Seq("a"), k = 3)
+    assert(!planOf(bm25).contains("CartesianProduct"), planOf(bm25))
+  }
+
   // ---------------------------------------------- sequence packing
 
   test("packSequences: budget respected, complete, deterministic, oversized isolated") {
