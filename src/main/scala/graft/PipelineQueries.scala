@@ -955,11 +955,34 @@ object PipelineQueries {
         .transform(Queries.sortedSmall(_, "id_a", "id_b"))
     })
 
+  // ------------------------------------ approximate distinct (HLL)
+  // Per-language vocabulary size via HyperLogLog++ beside the exact
+  // count. The sketch is value-set-deterministic but engine-specific
+  // (DuckDB's HLL differs), so there is NO SQL oracle — the driver
+  // records a rows-only check and OperatorsSpec bounds the relative
+  // error against the exact count. At 100 TB the EXACT column is the
+  // one you drop: countDistinct is a second keyed shuffle of the
+  // full token set, while the HLL aggregates map-side into a
+  // constant-size sketch per group.
+  private val qApproxVocab = Queries.Q(
+    "p_approx_vocab",
+    None,
+    (s, dir) =>
+      Tables(s, dir).documents
+        .select(col("lang"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy("lang")
+        .agg(
+          approx_count_distinct(col("token"), 0.02).as("approx_vocab"),
+          countDistinct(col("token")).as("exact_vocab"),
+          count(lit(1)).as("n_tokens"))
+        .transform(Queries.sortedSmall(_, "lang")))
+
   val all: Seq[Queries.Q] = Seq(
     qTextStats, qLangQuality, qRepetitionStats, qExactDedup, qNgramJaccard, qMinhashNearDup,
     qDupGroups, qMinhashBucketAudit, qSimhash, qSimhashNearDup, qWinnowFingerprints,
     qContamination, qHashSplit, qKeywordTopK, qBm25TopK, qBruteTopK, qBruteTopKL2,
     qLshTopK, qLshTopKMultiProbe, qIvfTopK, qEmbeddingNearDup, qEmbeddingQuantize,
     qMultimodal, qEventsDedup, qTokenCounts, qVocabTopK,
-    qPiiRedact, qQualityFilter, qChunkWindows, qStratifiedSample, qEditDistVerify)
+    qPiiRedact, qQualityFilter, qChunkWindows, qStratifiedSample, qEditDistVerify,
+    qApproxVocab)
 }

@@ -744,6 +744,24 @@ class OperatorsSpec extends SparkSpec {
     assert(!planOf(bm25).contains("CartesianProduct"), planOf(bm25))
   }
 
+  // -------------------------------------------- approximate distinct
+
+  test("approx_count_distinct tracks the exact vocabulary within its rsd") {
+    val rnd = new scala.util.Random(13)
+    val vocab = (1 to 900).map(i => s"w$i")
+    val corpus = (1L to 60L).map(i =>
+      i -> Seq.fill(50)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    val r = docs(corpus: _*)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .agg(
+        approx_count_distinct(col("token"), 0.02).as("approx"),
+        countDistinct(col("token")).as("exact"))
+      .head()
+    val (approx, exact) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
+    // 0.02 rsd; allow 5 sigma
+    assert(math.abs(approx - exact) / exact < 0.10, s"approx=$approx exact=$exact")
+  }
+
   // ---------------------------------------------- sequence packing
 
   test("packSequences: budget respected, complete, deterministic, oversized isolated") {
