@@ -802,7 +802,8 @@ object PipelineQueries {
                  FROM embeddings),
       q AS (SELECT vec_id, scale,
                    list_transform(embedding,
-                     x -> CASE WHEN scale = 0.0 THEN 0
+                     x -> CASE WHEN scale = 0.0
+                               OR NOT (abs(CAST(x AS DOUBLE) * 127.0 / scale) <= 127.0) THEN 0
                                ELSE CAST(trunc(CAST(x AS DOUBLE) * 127.0 / scale) AS INTEGER) END) AS codes
             FROM s)
       SELECT vec_id, scale,
@@ -970,6 +971,7 @@ object PipelineQueries {
     (s, dir) =>
       Tables(s, dir).documents
         .select(col("lang"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .filter(col("token") =!= "") // same vocabulary definition as p_vocab_topk
         .groupBy("lang")
         .agg(
           approx_count_distinct(col("token"), 0.02).as("approx_vocab"),

@@ -22,8 +22,14 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // isolate queries: dedup operators persist shared intermediates
+      // isolate queries: clearCache only empties the CacheManager —
+      // eager localCheckpoints (simhash/CC/fingerprint paths) pin
+      // RDD-level blocks it never touches, so unpersist those too or
+      // they accumulate across the full query sweep (same workaround
+      // as Bench.scala).
+      val cached = spark.sparkContext.getPersistentRDDs.values
       spark.catalog.clearCache()
+      cached.foreach(_.unpersist(blocking = true))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

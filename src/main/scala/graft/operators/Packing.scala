@@ -55,6 +55,11 @@ object Packing {
         var empty = true
         it.map { case (id, n) =>
           if (!empty && used + n > budget) { local += 1; used = 0L }
+          // pack_id layout gives each partition 2^32 local packs; a
+          // counter past that would bleed into the partition bits and
+          // collide with another partition's packs — fail loudly.
+          if (local >= (1L << 32)) sys.error(
+            s"partition $pid exceeded 2^32 packs — raise numPartitions or budget")
           empty = false
           used += n
           (id, n, (pid << 32) | local)

@@ -56,15 +56,23 @@ object Similarity {
     * truncation toward zero is explicit (DuckDB's CAST rounds where
     * Spark's truncates — the oracle must `trunc()` first). No
     * rounding-mode or libm dependence, so codes hash-match
-    * bit-for-bit cross-engine.
+    * bit-for-bit cross-engine. Non-finite components are guarded by
+    * BOUNDS, not finiteness tests: a valid quotient always satisfies
+    * |q| ≤ 127 (|x| ≤ max|x|), while NaN fails the comparison and
+    * ±Inf exceeds it, so `!(|q| ≤ 127)` catches every non-finite
+    * case and zeroes the code on BOTH engines — an unguarded cast
+    * would silently yield 0/Int.MaxValue in Spark but raise a
+    * conversion error in DuckDB.
     *
     * Returns a struct column (scale DOUBLE, codes ARRAY<INT>). */
   def quantizeInt8(vec: Column): Column = {
     val s = maxAbs(vec)
     val codes = transform(
       vec,
-      x => when(s === 0.0d, lit(0))
-        .otherwise((x.cast("double") * 127.0d / s).cast("int")))
+      x => {
+        val q = x.cast("double") * 127.0d / s
+        when(s === 0.0d || !(abs(q) <= 127.0d), lit(0)).otherwise(q.cast("int"))
+      })
     struct(s.as("scale"), codes.as("codes"))
   }
 

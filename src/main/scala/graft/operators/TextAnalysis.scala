@@ -131,8 +131,14 @@ object TextAnalysis {
   /** Context-window chunking: split each document's token stream into
     * windows of `size` tokens starting every `stride` tokens
     * (stride < size ⇒ overlapping windows, the standard LM
-    * pre-training shape). Trailing windows may be partial; empty
-    * documents produce no chunks.
+    * pre-training shape). Trailing windows may be partial. NOTE:
+    * whitespace-split of an empty string yields one empty token
+    * (`split("", " ") == [""]`, the convention every token counter in
+    * this file shares), so an empty document emits ONE chunk whose
+    * text is "" — filter empty texts upstream (e.g. with
+    * [[qualityFilter]]'s `too_short`) if that row is unwanted; the
+    * guard below only protects the explode from a negative sequence
+    * bound.
     *
     * Output: (id, chunk_idx LONG from 0, n_chunk_tokens LONG,
     * chunk_text). Scale shape: tokenize once, explode the start
@@ -168,11 +174,17 @@ object TextAnalysis {
     * runs, residual space runs). Deliberately lookahead-free so the
     * SAME pattern runs identically under Java regex (Spark codegen)
     * and RE2 (the DuckDB oracle) — both engines use leftmost-first
-    * alternation, so match boundaries agree token for token. A
-    * training-data pipeline uses this count as the cost/length signal
-    * that whitespace token counts understate on code and JSON. */
+    * alternation, so match boundaries agree token for token. The
+    * contraction alternative is listed FIRST and the punctuation
+    * class includes the apostrophe, so `it's` splits as GPT-2 does
+    * (`it` + `'s`) while a non-contraction apostrophe (`'n`,
+    * `O'Brien`'s quote) falls into a punctuation run instead of being
+    * silently dropped — the token stream is a full partition of the
+    * input. A training-data pipeline uses this count as the
+    * cost/length signal that whitespace token counts understate on
+    * code and JSON. */
   val BpePattern: String =
-    "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ']+| +"
+    "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +"
 
   /** The BPE-ish pre-token array of `text` (group 0 of [[BpePattern]];
     * Spark's `regexp_extract_all` defaults to group 1, so the index is

@@ -585,6 +585,14 @@ class OperatorsSpec extends SparkSpec {
     assert(r == Seq("{\"", "k", "\":", " 69", "}", " it", "'s", " ok", "2"))
   }
 
+  test("bpeTokens partitions the input: non-contraction apostrophes are kept") {
+    val r = docs(1L -> "ignored")
+      .select(TextAnalysis.bpeTokens(lit("rock 'n roll")).as("t"))
+      .head().getSeq[String](0)
+    assert(r == Seq("rock", " '", "n", " roll"))
+    assert(r.mkString == "rock 'n roll") // full partition, nothing dropped
+  }
+
   test("bpeTokenCount vs whitespace count on plain words") {
     val r = docs(1L -> "ignored").select(
       TextAnalysis.bpeTokenCount(lit("alpha beta gamma")).as("bpe"),
