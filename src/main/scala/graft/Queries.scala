@@ -696,9 +696,40 @@ object Queries {
           count(lit(1)).as("n_orders"))
         .transform(sortedSmall(_, "o_orderpriority")))
 
+  // ---------------------------------------- sliding frames + offsets
+  // Moving 7-row average and lag over the daily series: the window
+  // FRAME family (rowsBetween) and offset functions, distinct from
+  // the rank/row_number windows elsewhere. The daily totals go
+  // through decimal (shuffle-order-proof); the moving average is a
+  // single double division per row, identical order both engines.
+  private val qMovingAvg = Q(
+    "q_moving_avg_daily",
+    Some("""
+      WITH d AS (
+        SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+        FROM events GROUP BY event_type, day)
+      SELECT event_type, day, total,
+             AVG(total) OVER (PARTITION BY event_type ORDER BY day
+                              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS ma7,
+             lag(total, 1) OVER (PARTITION BY event_type ORDER BY day) AS prev_total
+      FROM d
+      ORDER BY event_type, day"""),
+    (s, dir) => {
+      val d = Tables(s, dir).events
+        .groupBy(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(dsum(col("value")).as("total"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      d.select(
+        col("event_type"), col("day"), col("total"),
+        avg("total").over(w.rowsBetween(-6, Window.currentRow)).as("ma7"),
+        lag("total", 1).over(w).as("prev_total"))
+        .transform(sortedSmall(_, "event_type", "day"))
+    })
+
   val relational: Seq[Q] = Seq(
     q1, q3, q5, qWindow, qRollup, qCube, qSetop, qIntersect, qSemi, qAnti, qTopk,
     qEventsDaily, qEventsJson, qJsonSerialize, qAsOf, qIntervalJoin, qSmallQty,
     qCustOrderDist, qRichIdle, qEventSessions, qFullOuter, qQuantiles,
-    qBigOrders, qDistinctAgg)
+    qBigOrders, qDistinctAgg, qMovingAvg)
 }
