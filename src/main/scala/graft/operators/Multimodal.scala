@@ -85,6 +85,16 @@ object Multimodal {
       hex(substring(payload, 1, 4)) === "52494646" && // "RIFF"
       hex(substring(payload, 9, 8)) === "57415645666D7420" // "WAVEfmt "
 
+  /** JPEG magic (SOI + first marker prefix). Classification only:
+    * JPEG dimensions live in a SOF segment at a variable offset, so a
+    * real dims parse needs a segment walk (per-row loop — a custom
+    * Expression or the mapInPandas-equivalent pipeline, not a
+    * fixed-offset substr); [[imageMeta]] therefore reports NULL dims
+    * for JPEGs rather than stub arithmetic. */
+  private def isJpeg(payload: Column): Column =
+    octet_length(payload) >= 4 &&
+      hex(substring(payload, 1, 3)) === "FFD8FF"
+
   /** REAL header decode for PNG, BMP and GIF — pure Spark expressions
     * (substr/hex/conv, all codegen'd; no UDF, no codec library):
     *
@@ -150,6 +160,7 @@ object Multimodal {
       .when(isBmp(payload), "bmp")
       .when(isGif(payload), "gif")
       .when(isWav(payload), "wav")
+      .when(isJpeg(payload), "jpeg")
       .otherwise("other")
 
   /** STUB frame sampling: every `stride`-th byte as lowercase hex —

@@ -335,7 +335,8 @@ class OperatorsSpec extends SparkSpec {
       le32(16) ++ le16(1) ++ le16(2) ++ le32(44100) ++ le32(176400) ++
       le16(4) ++ le16(16) ++ "data".getBytes.toSeq ++ le32(0)).toArray
     val other = "plain text".getBytes
-    val df = Seq((1L, gif), (2L, wav), (3L, other)).toDF("id", "payload")
+    val jpeg = Array(0xFF, 0xD8, 0xFF, 0xE0, 0x00, 0x10).map(_.toByte)
+    val df = Seq((1L, gif), (2L, wav), (3L, other), (4L, jpeg)).toDF("id", "payload")
       .select(
         col("id"),
         Multimodal.mediaKind(col("payload")).as("kind"),
@@ -350,6 +351,7 @@ class OperatorsSpec extends SparkSpec {
     val am = rows(2L).getStruct(3)
     assert((am.getLong(0), am.getLong(1), am.getLong(2)) == ((2L, 44100L, 16L)))
     assert(rows(3L).getString(1) == "other" && rows(3L).isNullAt(3))
+    assert(rows(4L).getString(1) == "jpeg") // classification only; dims need a segment walk
   }
 
   test("ivfTopK: cells restrict candidates at nProbe=1, widen at nProbe=2") {
