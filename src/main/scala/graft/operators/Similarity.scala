@@ -77,12 +77,19 @@ object Similarity {
   }
 
   /** Cosine similarity = dot / (||a|| * ||b||); zero for zero
-    * vectors. Native codegen'd expression — see class doc. */
+    * vectors. Native codegen'd expression — see class doc.
+    *
+    * STRICTLY `array<float>` inputs (the embeddings schema): the
+    * native expression rejects other numeric arrays at analysis time
+    * rather than inserting a silent double→float downcast that would
+    * change results. For array<double>/array<int> columns use
+    * [[cosineHof]], which accepts any numeric array. */
   def cosine(a: Column, b: Column): Column =
     graft.functions.GraftFunctions.cosine(a, b)
 
   /** The HOF reference formulation of [[cosine]] (kept for the
-    * equivalence property test; not used in any query plan). */
+    * equivalence property test and as the any-numeric-array variant;
+    * not used in any query plan). */
   def cosineHof(a: Column, b: Column): Column = {
     val d = dot(a, b)
     val n = norm(a) * norm(b)
@@ -187,14 +194,6 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "sim")
   }
 
-  /** [[lshTopK]] with MULTI-PROBE: each query also probes the
-    * `signBits` buckets at Hamming distance 1 from its own (one sign
-    * bit flipped) — the standard recall fix for vectors near a
-    * hyperplane boundary, whose true neighbors straddle the adjacent
-    * bucket. Cost is (signBits+1)× the candidate volume but the plan
-    * stays a bucket equi-join (never a cross product), and since a
-    * corpus vector lives in exactly ONE bucket the probes are
-    * disjoint — no duplicate candidates, no dedup pass. */
   /** IVF-flat approximate top-k — the inverted-file ANN scale path.
     *
     * A small set of coarse-quantizer centroids partitions the corpus
@@ -252,6 +251,14 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "sim")
   }
 
+  /** [[lshTopK]] with MULTI-PROBE: each query also probes the
+    * `signBits` buckets at Hamming distance 1 from its own (one sign
+    * bit flipped) — the standard recall fix for vectors near a
+    * hyperplane boundary, whose true neighbors straddle the adjacent
+    * bucket. Cost is (signBits+1)× the candidate volume but the plan
+    * stays a bucket equi-join (never a cross product), and since a
+    * corpus vector lives in exactly ONE bucket the probes are
+    * disjoint — no duplicate candidates, no dedup pass. */
   def lshTopKMultiProbe(
       queries: DataFrame, queryIdCol: String,
       corpus: DataFrame, idCol: String,

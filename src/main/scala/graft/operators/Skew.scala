@@ -36,8 +36,12 @@ object Skew {
   /** Aggregate `df` by `keyCols` with hot-key spreading: phase 1
     * groups by (keys, salt = hash(spreadCol) mod buckets), phase 2
     * combines the ≤ `buckets` partial rows per key. Results equal the
-    * direct `groupBy(keys).agg(...)` exactly (asserted in
-    * OperatorsSpec). */
+    * direct `groupBy(keys).agg(...)` BIT-EXACTLY for integral,
+    * decimal, and min/max aggregates (asserted in OperatorsSpec);
+    * a Sum over float/double columns is only equal up to
+    * floating-point regrouping — the salt changes the addition order,
+    * exactly as any change of partitioning would. Route double sums
+    * through decimal (graft.util.Exact) if bit-stability matters. */
   def saltedAggregate(
       df: DataFrame, keyCols: Seq[String], spreadCol: String,
       buckets: Int, aggs: Seq[Agg]): DataFrame = {

@@ -220,7 +220,7 @@ object CdcFrameFiles {
     * this, `latestOffset` re-read every frame file's full payload on
     * the driver at every trigger (ProcessingTime 0 ⇒ unbounded IO/fd
     * churn as the feed directory grows). */
-  private val lsnCache =
+  private[sources] val lsnCache =
     new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Seq[Long])]()
 
   /** LSNs in one file, skipping payload bytes; cached (see above). */
@@ -259,8 +259,14 @@ object CdcFrameFiles {
   def lsnsAfter(dir: String, from: Long): Seq[Long] = {
     val files = frameFiles(dir)
     val live = files.map(_.toAbsolutePath.toString).toSet
-    val prefix = Paths.get(dir).toAbsolutePath.toString + java.io.File.separator
-    lsnCache.keySet.removeIf(k => k.startsWith(prefix) && !live.contains(k))
+    // prune only DIRECT children of this dir: a prefix match would
+    // also evict entries of a nested stream's directory (/data vs
+    // /data/sub) on every trigger, permanently defeating its cache
+    val dirAbs = Paths.get(dir).toAbsolutePath.toString
+    lsnCache.keySet.removeIf { k =>
+      val parent = Paths.get(k).getParent
+      parent != null && parent.toString == dirAbs && !live.contains(k)
+    }
     files.flatMap(lsnsInFile).filter(_ > from).sorted
   }
 
