@@ -544,6 +544,35 @@ object Dedup {
       .distinct()
   }
 
+  /** The reference corpus's distinct simhash blocks, (band, bv) —
+    * the membership table for INCREMENTAL dedup (filter new/streaming
+    * documents against an already-ingested corpus, see
+    * [[graft.streaming.StreamingOps.dropSimhashNearDups]]).
+    *
+    * Hard size bound: 4 bands × ≤65536 distinct 16-bit values =
+    * ≤262,144 rows REGARDLESS of corpus size, so the table always
+    * broadcasts — reference-corpus scale never touches the join
+    * plan. By the pigeonhole contract, a new doc within Hamming ≤3
+    * of ANY reference doc shares at least one block; blocks shared
+    * coincidentally make this a high-recall prefilter whose
+    * precision is tuned downstream (verify the survivors' matches
+    * with [[simhashNearDupPairs]]/[[editDistanceVerify]] if drops
+    * must be exact). */
+  def simhashBlockTable(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    simhash64ByKey(docs, idCol, textCol, "__sh")
+      .select(posexplode(array((0 until 4).map(b => simhashBand(col("__sh"), b)): _*))
+        .as(Seq("band", "bv")))
+      .distinct()
+
+  /** The four 16-bit simhash blocks of `textCol` as columns __b0..__b3
+    * (map-side only — usable on a streaming DataFrame). */
+  def withSimhashBlocks(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sh = withSimhash64(df, textCol, "__sh")
+    sh.select(
+      df.columns.map(col) ++
+        (0 until 4).map(b => simhashBand(col("__sh"), b).as(s"__b$b")): _*)
+  }
+
   /** Edit-distance verify stage: given CANDIDATE pairs (id_a, id_b)
     * from any cheap generator (minhash bands, simhash blocks, a
     * bounded key self-join), attach the texts and keep pairs with

@@ -137,4 +137,33 @@ object StreamingOps {
     val d = if (broadcastDim) broadcast(dim) else dim
     stream.join(d, joinCols, "left")
   }
+
+  /** INCREMENTAL near-dup dedup: drop streaming documents whose
+    * simhash lands within Hamming ≤3 of the already-ingested corpus,
+    * represented by its [[graft.operators.Dedup.simhashBlockTable]]
+    * (band, bv) membership table.
+    *
+    * Mechanics: the stream side computes its four 16-bit blocks
+    * map-side ([[graft.operators.Dedup.withSimhashBlocks]] — pure
+    * expressions, legal on a stream), then a stream–static LEFT ANTI
+    * join drops any doc sharing a block with the reference. The
+    * reference table is bounded at ≤262,144 rows regardless of corpus
+    * size (see the block-table scaladoc), so it is ALWAYS broadcast:
+    * per micro-batch this is a stateless broadcast anti-join — no
+    * watermark, no state store, and reference scale never enters the
+    * plan. Pigeonhole gives 100% recall on true Hamming-≤3 dups;
+    * coincidental block collisions over-drop (high-recall prefilter
+    * semantics) — route kept-vs-dropped through an exact verify
+    * downstream when precision matters. */
+  def dropSimhashNearDups(
+      stream: DataFrame, idCol: String, textCol: String,
+      refBlocks: DataFrame): DataFrame = {
+    val withBlocks = graft.operators.Dedup.withSimhashBlocks(stream, idCol, textCol)
+    val matchesAnyBlock = (0 until 4)
+      .map(b => col("band") === b && col("bv") === col(s"__b$b"))
+      .reduce(_ || _)
+    withBlocks
+      .join(broadcast(refBlocks), matchesAnyBlock, "left_anti")
+      .drop((0 until 4).map(b => s"__b$b"): _*)
+  }
 }

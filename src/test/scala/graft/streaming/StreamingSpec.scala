@@ -271,6 +271,29 @@ class StreamingSpec extends SparkSpec {
     assert(nChunks == Map(1L -> 3L, 2L -> 1L))
   }
 
+  test("dropSimhashNearDups: stream docs matching the static corpus are dropped") {
+    import spark.implicits._
+    val ref = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta"),
+      (101L, "one two three four five six")).toDF("doc_id", "text")
+    val refBlocks = graft.operators.Dedup.simhashBlockTable(ref, "doc_id", "text")
+    val stream = MemoryStream[(Long, String)](spark)
+    val out = graft.streaming.StreamingOps.dropSimhashNearDups(
+      stream.toDS().toDF("doc_id", "text"), "doc_id", "text", refBlocks)
+    val q = out.writeStream.format("memory").queryName("incdedup_out")
+      .option("checkpointLocation", tmp("chk_incdedup")).start()
+    try {
+      stream.addData(Seq(
+        (1L, "alpha beta gamma delta epsilon zeta"), // exact dup of ref 100 → dropped
+        (2L, "totally unrelated words with nothing shared here at all")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.table("incdedup_out").select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(2L), s"kept=$kept")
+    // batch sanity: the survivor's schema is unchanged (helper cols dropped)
+    assert(spark.table("incdedup_out").columns.toSeq == Seq("doc_id", "text"))
+  }
+
   test("windowed stats emit closed windows under watermark") {
     import spark.implicits._
     val stream = MemoryStream[(java.sql.Timestamp, String, Double)](spark)
