@@ -799,6 +799,50 @@ class OperatorsSpec extends SparkSpec {
     assert(run().sortBy(_._1).toSeq == out.sortBy(_._1).toSeq)
   }
 
+  test("bm25TopK: exact integer ranking equals float BM25 on random corpora") {
+    val rnd = new scala.util.Random(17)
+    // words chosen so tf/dl vary; term "t" appears with varying counts
+    (1 to 3).foreach { trial =>
+      val corpus = (1L to 20L).map { i =>
+        val nT = rnd.nextInt(5) // 0..4 occurrences of the query term
+        val nPad = rnd.nextInt(30) + 1
+        i -> (Seq.fill(nT)("t") ++ Seq.fill(nPad)("pad")).mkString(" ")
+      }
+      val out = Search.bm25TopK(docs(corpus: _*), "doc_id", "text", Seq("t"), k = 20)
+        .orderBy("rank").collect().map(_.getLong(2))
+      val dls = corpus.map(_._2.split(" ").length.toDouble)
+      val avgdl = dls.sum / dls.length
+      def score(tf: Double, dl: Double) = tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+      val expect = corpus
+        .map { case (id, t) => (id, t.split(" ").count(_ == "t").toDouble, t.split(" ").length.toDouble) }
+        .filter(_._2 > 0)
+        .sortBy { case (id, tf, dl) => (-score(tf, dl), id) }
+        .map(_._1)
+      assert(out.toSeq == expect, s"trial $trial")
+    }
+  }
+
+  test("quantizeInt8 property: codes bounded, dequantization error < scale/127") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val vecs = (1L to 50L).map(i => (i, Seq.fill(16)((rnd.nextFloat() - 0.5f) * 10f)))
+    val rows = vecs.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding"), Similarity.quantizeInt8(col("embedding")).as("q"))
+      .collect()
+    rows.foreach { r =>
+      val emb = r.getSeq[Float](1)
+      val s = r.getStruct(2).getDouble(0)
+      val codes = r.getStruct(2).getSeq[Int](1)
+      assert(s == emb.map(x => math.abs(x.toDouble)).max)
+      codes.foreach(c => assert(c >= -127 && c <= 127))
+      emb.zip(codes).foreach { case (x, c) =>
+        val back = c * s / 127.0
+        assert(math.abs(x.toDouble - back) < s / 127.0 + 1e-12,
+          s"x=$x code=$c back=$back scale=$s")
+      }
+    }
+  }
+
   // ------------------------------------------------- int8 quantize
 
   test("quantizeInt8: scale, truncation toward zero, zero-vector guard") {
