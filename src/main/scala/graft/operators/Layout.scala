@@ -1,0 +1,37 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+/** Write-side data layout for scan pruning — the storage half of the
+  * scale story, complementing [[Bucketing]] (which co-locates JOIN
+  * keys): range-clustering orders data for RANGE predicates.
+  *
+  * `repartitionByRange` on the cluster keys gives every output file a
+  * DISJOINT key range (global range partitioning via sampled bounds),
+  * and the in-partition sort tightens each parquet row-group's
+  * min/max footer statistics. A reader filtering on the cluster key
+  * then prunes whole files (and row groups within surviving files)
+  * straight from footer stats — at 100 TB the difference between
+  * scanning ~1/files-th of the table and scanning all of it. The
+  * shuffle is paid ONCE at write; every subsequent range query wins.
+  *
+  * The range boundaries come from Spark's reservoir sampling of the
+  * key distribution, so files are approximately equal-sized even on
+  * skewed keys (contrast hash bucketing, where a hot key concentrates
+  * in one bucket). Choose `numFiles` so each file lands near the
+  * cluster's `maxPartitionBytes` (default 128 MB) after compression.
+  */
+object Layout {
+
+  /** Write `df` as range-clustered parquet: `numFiles` files with
+    * disjoint, sorted ranges of `keys` (lexicographic). */
+  def writeRangeClustered(
+      df: DataFrame, path: String, numFiles: Int, keys: String*): Unit = {
+    require(numFiles > 0, s"numFiles must be positive, got $numFiles")
+    require(keys.nonEmpty, "at least one cluster key")
+    df.repartitionByRange(numFiles, keys.map(col): _*)
+      .sortWithinPartitions(keys.map(col): _*)
+      .write.mode("overwrite").parquet(path)
+  }
+}

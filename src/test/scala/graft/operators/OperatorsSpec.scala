@@ -772,6 +772,29 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(approx - exact) / exact < 0.10, s"approx=$approx exact=$exact")
   }
 
+  // ------------------------------------------------- range layout
+
+  test("writeRangeClustered: output files cover disjoint sorted key ranges") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("range_layout").toString + "/t"
+    val df = (1L to 4000L).map(i => (i * 2654435761L % 100000L, i)).toDF("k", "payload")
+    Layout.writeRangeClustered(df, dir, numFiles = 8, "k")
+    val files = new java.io.File(dir).listFiles.filter(_.getName.endsWith(".parquet")).map(_.getPath)
+    assert(files.length == 8)
+    // per-file (min,max) of the cluster key must be pairwise disjoint —
+    // the property parquet footer pruning relies on
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f).agg(min("k"), max("k")).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) => assert(hi < lo2, s"overlapping file ranges: $ranges")
+      case _ =>
+    }
+    // nothing lost in the re-layout
+    assert(spark.read.parquet(dir).count() == 4000L)
+  }
+
   // ---------------------------------------------- sequence packing
 
   test("packSequences: budget respected, complete, deterministic, oversized isolated") {
