@@ -958,16 +958,32 @@ object PipelineQueries {
 
   // ------------------------------------ approximate distinct (HLL)
   // Per-language vocabulary size via HyperLogLog++ beside the exact
-  // count. The sketch is value-set-deterministic but engine-specific
-  // (DuckDB's HLL differs), so there is NO SQL oracle — the driver
-  // records a rows-only check and OperatorsSpec bounds the relative
-  // error against the exact count. At 100 TB the EXACT column is the
-  // one you drop: countDistinct is a second keyed shuffle of the
-  // full token set, while the HLL aggregates map-side into a
-  // constant-size sketch per group.
+  // count. The raw sketch estimate is engine-specific (DuckDB's HLL
+  // differs from Spark's), so the query emits only DETERMINISTIC
+  // columns: the exact count, the token count, and `within_rsd` —
+  // whether the engine's own HLL estimate landed within 5% relative
+  // error of the exact count. Both engines run rsd≈2% sketches, so
+  // the boolean is deterministically true on each and the row hashes
+  // match even though the underlying estimates differ. At 100 TB the
+  // EXACT column is the one you drop: countDistinct is a second keyed
+  // shuffle of the full token set, while the HLL aggregates map-side
+  // into a constant-size sketch per group.
   private val qApproxVocab = Queries.Q(
     "p_approx_vocab",
-    None,
+    Some("""
+      SELECT lang,
+             exact_vocab,
+             n_tokens,
+             (ABS(approx_vocab - exact_vocab) <= 0.05 * exact_vocab) AS within_rsd
+      FROM (
+        SELECT lang,
+               approx_count_distinct(token) AS approx_vocab,
+               COUNT(DISTINCT token) AS exact_vocab,
+               COUNT(*) AS n_tokens
+        FROM (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents)
+        WHERE token <> ''
+        GROUP BY lang)
+      ORDER BY lang"""),
     (s, dir) =>
       Tables(s, dir).documents
         .select(col("lang"), explode(TextAnalysis.tokens(col("text"))).as("token"))
@@ -977,6 +993,10 @@ object PipelineQueries {
           approx_count_distinct(col("token"), 0.02).as("approx_vocab"),
           countDistinct(col("token")).as("exact_vocab"),
           count(lit(1)).as("n_tokens"))
+        .select(
+          col("lang"), col("exact_vocab"), col("n_tokens"),
+          (abs(col("approx_vocab") - col("exact_vocab")) <= lit(0.05) * col("exact_vocab"))
+            .as("within_rsd"))
         .transform(Queries.sortedSmall(_, "lang")))
 
   val all: Seq[Queries.Q] = Seq(
