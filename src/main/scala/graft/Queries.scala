@@ -699,31 +699,37 @@ object Queries {
   // ---------------------------------------- sliding frames + offsets
   // Moving 7-row average and lag over the daily series: the window
   // FRAME family (rowsBetween) and offset functions, distinct from
-  // the rank/row_number windows elsewhere. The daily totals go
-  // through decimal (shuffle-order-proof); the moving average is a
-  // single double division per row, identical order both engines.
+  // the rank/row_number windows elsewhere. ALL addition — the daily
+  // totals AND the 7-row frame sum — runs in decimal (exact,
+  // order-proof: a double AVG over the frame would expose each
+  // engine's summation order), so the only FP ops are one terminal
+  // cast and one division per row, identical on both engines.
   private val qMovingAvg = Q(
     "q_moving_avg_daily",
     Some("""
       WITH d AS (
         SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
-               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+               SUM(CAST(value AS DECIMAL(18,4))) AS tdec
         FROM events GROUP BY event_type, day)
-      SELECT event_type, day, total,
-             AVG(total) OVER (PARTITION BY event_type ORDER BY day
-                              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS ma7,
-             lag(total, 1) OVER (PARTITION BY event_type ORDER BY day) AS prev_total
+      SELECT event_type, day, CAST(tdec AS DOUBLE) AS total,
+             CAST(SUM(tdec) OVER (PARTITION BY event_type ORDER BY day
+                                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+               / COUNT(*) OVER (PARTITION BY event_type ORDER BY day
+                                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS ma7,
+             CAST(lag(tdec, 1) OVER (PARTITION BY event_type ORDER BY day) AS DOUBLE)
+               AS prev_total
       FROM d
       ORDER BY event_type, day"""),
     (s, dir) => {
       val d = Tables(s, dir).events
         .groupBy(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
-        .agg(dsum(col("value")).as("total"))
+        .agg(sum(util.Exact.dec(col("value"))).as("tdec"))
       val w = Window.partitionBy("event_type").orderBy("day")
+      val frame = w.rowsBetween(-6, Window.currentRow)
       d.select(
-        col("event_type"), col("day"), col("total"),
-        avg("total").over(w.rowsBetween(-6, Window.currentRow)).as("ma7"),
-        lag("total", 1).over(w).as("prev_total"))
+        col("event_type"), col("day"), col("tdec").cast("double").as("total"),
+        (sum("tdec").over(frame).cast("double") / count(lit(1)).over(frame)).as("ma7"),
+        lag("tdec", 1).over(w).cast("double").as("prev_total"))
         .transform(sortedSmall(_, "event_type", "day"))
     })
 

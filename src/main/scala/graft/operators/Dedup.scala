@@ -524,9 +524,12 @@ object Dedup {
     val rows = sh.select(
       (col("id") +: bandCols) :+
         posexplode(array(bandCols: _*)).as(Seq("band", "bv")): _*)
+    // countDistinct(id) to match the minhash cap semantics (though
+    // simhash64ByKey's groupBy already collapses duplicate input ids,
+    // so n_ids == count(*) here).
     val keep = rows.groupBy("band", "bv")
-      .agg(count(lit(1)).as("n"))
-      .filter(col("n") > 1 && col("n") <= maxBucket)
+      .agg(countDistinct(col("id")).as("n_ids"))
+      .filter(col("n_ids") > 1 && col("n_ids") <= maxBucket)
       .select("band", "bv")
     val members = rows.join(keep, Seq("band", "bv"))
     def side(suffix: String) = members.select(
@@ -542,6 +545,24 @@ object Dedup {
           .reduce(_ + _).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
+  }
+
+  /** Audit companion of [[simhashNearDupPairs]]: the (band, bv)
+    * blocks its `maxBucket` cap would drop, as (band, bv, n_ids).
+    * Empty output = the cap lost nothing. Pure size aggregation —
+    * no member lists, safe at any block size (mirrors
+    * [[minhashBucketOverflow]]). */
+  def simhashBlockOverflow(
+      docs: DataFrame, idCol: String, textCol: String,
+      maxBucket: Int = 65536): DataFrame = {
+    val sh = simhash64ByKey(docs, idCol, textCol, "__sh")
+    sh.select(
+      col(idCol).as("id"),
+      posexplode(array((0 until 4).map(b => simhashBand(col("__sh"), b)): _*))
+        .as(Seq("band", "bv")))
+      .groupBy("band", "bv")
+      .agg(countDistinct(col("id")).as("n_ids"))
+      .filter(col("n_ids") > maxBucket)
   }
 
   /** The reference corpus's distinct simhash blocks, (band, bv) —
@@ -566,7 +587,7 @@ object Dedup {
 
   /** The four 16-bit simhash blocks of `textCol` as columns __b0..__b3
     * (map-side only — usable on a streaming DataFrame). */
-  def withSimhashBlocks(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def withSimhashBlocks(df: DataFrame, textCol: String): DataFrame = {
     val sh = withSimhash64(df, textCol, "__sh")
     sh.select(
       df.columns.map(col) ++

@@ -145,25 +145,33 @@ object StreamingOps {
     *
     * Mechanics: the stream side computes its four 16-bit blocks
     * map-side ([[graft.operators.Dedup.withSimhashBlocks]] — pure
-    * expressions, legal on a stream), then a stream–static LEFT ANTI
-    * join drops any doc sharing a block with the reference. The
-    * reference table is bounded at ≤262,144 rows regardless of corpus
-    * size (see the block-table scaladoc), so it is ALWAYS broadcast:
-    * per micro-batch this is a stateless broadcast anti-join — no
-    * watermark, no state store, and reference scale never enters the
-    * plan. Pigeonhole gives 100% recall on true Hamming-≤3 dups;
-    * coincidental block collisions over-drop (high-recall prefilter
-    * semantics) — route kept-vs-dropped through an exact verify
-    * downstream when precision matters. */
+    * expressions, legal on a stream), then each band probes the
+    * reference with its own stream–static broadcast EQUI left join
+    * (refBlocks is distinct on (band, bv), so a single band's `bv`
+    * values are unique — no row multiplication) and docs where all
+    * four probes missed survive. Four O(1) hash probes per doc: an
+    * OR-of-equalities anti-join would instead plan as a
+    * BroadcastNestedLoopJoin that walks the whole reference table
+    * per doc. The reference table is bounded at ≤262,144 rows
+    * (≤65,536 per band) regardless of corpus size (see the
+    * block-table scaladoc), so it is ALWAYS broadcast: per
+    * micro-batch this is stateless — no watermark, no state store,
+    * and reference scale never enters the plan. Pigeonhole gives
+    * 100% recall on true Hamming-≤3 dups; coincidental block
+    * collisions over-drop (high-recall prefilter semantics) — route
+    * kept-vs-dropped through an exact verify downstream when
+    * precision matters. */
   def dropSimhashNearDups(
       stream: DataFrame, idCol: String, textCol: String,
       refBlocks: DataFrame): DataFrame = {
-    val withBlocks = graft.operators.Dedup.withSimhashBlocks(stream, idCol, textCol)
-    val matchesAnyBlock = (0 until 4)
-      .map(b => col("band") === b && col("bv") === col(s"__b$b"))
-      .reduce(_ || _)
-    withBlocks
-      .join(broadcast(refBlocks), matchesAnyBlock, "left_anti")
-      .drop((0 until 4).map(b => s"__b$b"): _*)
+    val withBlocks = graft.operators.Dedup.withSimhashBlocks(stream, textCol)
+    val probed = (0 until 4).foldLeft(withBlocks) { (df, b) =>
+      val ref = broadcast(
+        refBlocks.filter(col("band") === b).select(col("bv").as(s"__m$b")))
+      df.join(ref, col(s"__b$b") === col(s"__m$b"), "left")
+    }
+    probed
+      .filter((0 until 4).map(b => col(s"__m$b").isNull).reduce(_ && _))
+      .drop((0 until 4).flatMap(b => Seq(s"__b$b", s"__m$b")): _*)
   }
 }

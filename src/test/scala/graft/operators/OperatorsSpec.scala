@@ -185,6 +185,23 @@ class OperatorsSpec extends SparkSpec {
     assert(full > 3L) // and that's why doc 3 paired with nobody
   }
 
+  test("simhashBlockOverflow: flood blocks are reported, capped pairs drop, default keeps them") {
+    // Four identical docs → identical simhash → all 4 blocks are
+    // 4-member floods at maxBucket=2.
+    val flood = docs(
+      1L -> "alpha beta gamma delta epsilon",
+      2L -> "alpha beta gamma delta epsilon",
+      3L -> "alpha beta gamma delta epsilon",
+      4L -> "alpha beta gamma delta epsilon")
+    val over = Dedup.simhashBlockOverflow(flood, "doc_id", "text", maxBucket = 2)
+      .collect().map(r => (r.getInt(0), r.getLong(2)))
+    assert(over.length == 4 && over.forall(_._2 == 4L)) // one flood per band
+    assert(Dedup.simhashNearDupPairs(flood, "doc_id", "text", maxBucket = 2).count() == 0)
+    assert(Dedup.simhashNearDupPairs(flood, "doc_id", "text").count() == 6) // C(4,2)
+    // and the audit is empty at the default cap — nothing silently lost
+    assert(Dedup.simhashBlockOverflow(flood, "doc_id", "text").count() == 0)
+  }
+
   test("embeddingNearDupPairs: identical vectors pair at cosine 1.0") {
     import spark.implicits._
     val emb = Seq(

@@ -292,6 +292,14 @@ class StreamingSpec extends SparkSpec {
     assert(kept == Seq(2L), s"kept=$kept")
     // batch sanity: the survivor's schema is unchanged (helper cols dropped)
     assert(spark.table("incdedup_out").columns.toSeq == Seq("doc_id", "text"))
+    // plan shape: four per-band broadcast EQUI probes, never a
+    // nested-loop walk of the reference table per doc
+    val batch = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val plan = graft.streaming.StreamingOps
+      .dropSimhashNearDups(batch, "doc_id", "text", refBlocks)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert("BroadcastHashJoin".r.findAllIn(plan).length == 4, plan)
   }
 
   test("windowed stats emit closed windows under watermark") {
