@@ -599,9 +599,19 @@ object PipelineQueries {
       ORDER BY query_id, rank"""),
     (s, dir) => {
       val emb = Tables(s, dir).embeddings
+      // GRAFT_IVF_TRAINED=1 swaps in the distributed k-means quantizer
+      // (Similarity.trainCentroids). Trained float means are
+      // aggregation-order-dependent, so that mode is spec-gated by
+      // recall-vs-brute, NOT oracle-gated — the driver's default path
+      // keeps the deterministic subset quantizer the oracle recomputes.
+      val (cents, cId, cVec) =
+        if (sys.env.get("GRAFT_IVF_TRAINED").contains("1"))
+          (Similarity.trainCentroids(emb, "vec_id", "embedding", nCells = 16, iters = 3),
+            "cent_id", "cent_vec")
+        else (emb.filter(col("vec_id") < 16), "vec_id", "embedding")
       Similarity.ivfTopK(
         emb.filter(col("vec_id") < 20), "vec_id", emb, "vec_id", "embedding",
-        centroids = emb.filter(col("vec_id") < 16), "vec_id", "embedding",
+        centroids = cents, cId, cVec,
         k = 10, nProbe = 2)
         .transform(Queries.sortedSmall(_, "query_id", "rank"))
     })

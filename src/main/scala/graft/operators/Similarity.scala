@@ -207,10 +207,10 @@ object Similarity {
     * generation is a hash join on cell id — never an all-pairs
     * product, no driver-side state.
     *
-    * `centroids` is caller-supplied: production trains k-means
-    * offline (quantizer quality tunes recall, never plan shape);
-    * tests and oracles pass a deterministic corpus subset so every
-    * stage stays value-checkable. Same output shape as
+    * `centroids` is caller-supplied: train them in-engine with
+    * [[trainCentroids]] (quantizer quality tunes recall, never plan
+    * shape); tests and oracles pass a deterministic corpus subset so
+    * every stage stays value-checkable. Same output shape as
     * [[bruteForceTopK]]. */
   def ivfTopK(
       queries: DataFrame, queryIdCol: String,
@@ -249,6 +249,80 @@ object Similarity {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "sim")
+  }
+
+  /** Distributed spherical k-means trainer for [[ivfTopK]]'s coarse
+    * quantizer — Lloyd's iterations expressed as Spark aggregations,
+    * so the IVF path is self-contained end to end (no offline
+    * training step).
+    *
+    * Per iteration:
+    *  1. ASSIGN — corpus × broadcast(centroids), argmax cosine as the
+    *     same partial-aggregable struct-min [[ivfTopK]] uses. The
+    *     cross join is nCells-wide (the quantizer, never the corpus),
+    *     so this is one map-side pass.
+    *  2. RECENTER — posexplode each member vector and average per
+    *     (cell, dimension): one shuffle of N·dim scalar rows, the
+    *     standard distributed-k-means cost (MLlib's trainer moves the
+    *     same volume through its vector-sum aggregator). Cosine is
+    *     scale-invariant, so the un-normalized mean assigns
+    *     identically to the L2-normalized spherical-k-means centroid.
+    *  3. Cells that lose every member keep their previous centroid
+    *     (left join + coalesce) — nCells never shrinks.
+    *
+    * Centroid state is O(nCells·dim) and lives in a DataFrame
+    * `localCheckpoint`ed each round (truncates the iteration's
+    * lineage so plan depth stays flat; nothing accumulates on the
+    * driver). Init is the nCells corpus vectors with the smallest
+    * md5(id) — a deterministic hash-spread sample, no RNG.
+    *
+    * Float means vary with aggregation order (IEEE), so trained
+    * centroids tune RECALL, not correctness: oracle-gated queries
+    * keep deterministic caller-supplied centroids, and the trained
+    * path is spec-gated by recall-vs-brute instead.
+    *
+    * Output: (cent_id LONG, cent_vec ARRAY<FLOAT>) — ready to feed
+    * [[ivfTopK]]'s `centroids` parameter. */
+  def trainCentroids(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, iters: Int = 5): DataFrame = {
+    require(nCells > 0, s"nCells=$nCells must be positive")
+    require(iters >= 0, s"iters=$iters must be non-negative")
+    val seedOrder = Seq(col("__r"), col("__iid"))
+    val init = corpus
+      .select(col(idCol).cast("string").as("__iid"), col(vecCol).as("__cvec"))
+      .withColumn("__r", md5(col("__iid")))
+      .orderBy(seedOrder: _*)
+      .limit(nCells) // TakeOrderedAndProject — never a global sort
+      .select(
+        (row_number().over(Window.orderBy(seedOrder: _*)) - 1).cast("long").as("__cent"),
+        col("__cvec"))
+    var cents = init.localCheckpoint(true)
+    for (_ <- 0 until iters) {
+      val assigned = corpus
+        .select(col(idCol).as("__id"), col(vecCol).as("__v"))
+        .crossJoin(broadcast(cents))
+        .withColumn("__cos", cosine(col("__v"), col("__cvec")))
+        .groupBy("__id")
+        .agg(
+          min(struct((-col("__cos")).as("nc"), col("__cent").as("cent"))).as("__b"),
+          first(col("__v")).as("__v")) // functionally dependent on __id
+        .select(col("__b.cent").as("__cent"), col("__v"))
+      val means = assigned
+        .select(col("__cent"), posexplode(col("__v")).as(Seq("__p", "__x")))
+        .groupBy("__cent", "__p")
+        .agg(avg(col("__x")).as("__m"))
+        .groupBy("__cent")
+        .agg(array_sort(collect_list(struct(col("__p"), col("__m")))).as("__pm"))
+        .select(
+          col("__cent"),
+          transform(col("__pm"), e => e.getField("__m").cast("float")).as("__mvec"))
+      cents = cents
+        .join(means, Seq("__cent"), "left")
+        .select(col("__cent"), coalesce(col("__mvec"), col("__cvec")).as("__cvec"))
+        .localCheckpoint(true)
+    }
+    cents.select(col("__cent").as("cent_id"), col("__cvec").as("cent_vec"))
   }
 
   /** [[lshTopK]] with MULTI-PROBE: each query also probes the

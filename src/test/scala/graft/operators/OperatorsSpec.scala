@@ -392,6 +392,40 @@ class OperatorsSpec extends SparkSpec {
     assert(two == Set(11L, 20L, 21L)) // both cells probed
   }
 
+  test("trainCentroids: k-means converges onto separated clusters; trained IVF recall vs brute") {
+    import spark.implicits._
+    // three axis-aligned clusters, 6 points each, slight per-point jitter
+    def pts(base: Int, dir: Int): Seq[(Long, Seq[Float])] =
+      (0 until 6).map { i =>
+        val v = Array(0.05f * (i % 3), 0.05f * ((i + 1) % 3), 0.05f * ((i + 2) % 3))
+        v(dir) = 1.0f
+        ((base + i).toLong, v.toSeq)
+      }
+    val corpus = (pts(0, 0) ++ pts(10, 1) ++ pts(20, 2)).toDF("vec_id", "embedding")
+    val cents = Similarity.trainCentroids(corpus, "vec_id", "embedding", nCells = 3, iters = 4)
+    val rows = cents.collect()
+    assert(rows.length == 3 && rows.map(_.getLong(0)).toSet == Set(0L, 1L, 2L))
+    // each trained centroid points into a cluster: its dominant
+    // component carries most of the direction
+    rows.foreach { r =>
+      val v = r.getSeq[Float](1)
+      assert(v.max > 0.5f, s"centroid outside every cluster: $v")
+    }
+    // self-contained ANN: trained quantizer, single-probe, vs exact brute
+    val brute = Similarity.bruteForceTopK(corpus, "vec_id", corpus, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = Similarity.ivfTopK(corpus, "vec_id", corpus, "vec_id", "embedding",
+      cents, "cent_id", "cent_vec", k = 3, nProbe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.8, s"recall=$recall")
+    // nCells larger than the cluster count: empty cells keep their
+    // init centroid — the quantizer never shrinks or goes null
+    val four = Similarity.trainCentroids(corpus, "vec_id", "embedding", nCells = 4, iters = 2)
+      .collect()
+    assert(four.length == 4 && four.forall(!_.isNullAt(1)))
+  }
+
   // --------------------------------------------- deterministic sampling
 
   test("hash sampling: stable, salt-sensitive, nested subsets, sane proportions") {
