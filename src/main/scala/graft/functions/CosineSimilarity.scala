@@ -118,6 +118,11 @@ object GraftFunctions {
     graftBridge.column(
       CosineSimilarity(graftBridge.expression(a), graftBridge.expression(b)))
 
+  /** Column-API form of [[JpegSofDims]]: array<long> [width, height,
+    * channels] of a JPEG payload, NULL when absent/undecodable. */
+  def jpegSofDims(payload: Column): Column =
+    graftBridge.column(JpegSofDims(graftBridge.expression(payload)))
+
   private[graft] val descriptors: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(
       (
@@ -133,6 +138,13 @@ object GraftFunctions {
         (args: Seq[Expression]) => {
           require(args.length == 2, s"graft_intersect_count expects 2 arguments, got ${args.length}")
           SortedIntersectCount(args(0), args(1))
+        }),
+      (
+        FunctionIdentifier("graft_jpeg_sof"),
+        new ExpressionInfo(classOf[JpegSofDims].getName, "graft_jpeg_sof"),
+        (args: Seq[Expression]) => {
+          require(args.length == 1, s"graft_jpeg_sof expects 1 argument, got ${args.length}")
+          JpegSofDims(args(0))
         }))
 
   /** Register every graft SQL function on a live session. */

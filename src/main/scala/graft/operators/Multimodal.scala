@@ -9,13 +9,14 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side mechanics are real — schema, partition-friendly
   * column layout, deterministic per-row derivations that whole-stage
-  * codegen handles. Header METADATA decode is real for PNG and BMP
-  * ([[imageMeta]]: pure byte-level expressions, no codec library);
-  * payloads in other formats fall back to the deterministic
-  * [[imageMetaStub]]. Full pixel decode / frame sampling still needs
-  * a codec and remains stubbed ([[frameSampleStub]]) — that call is
-  * the single swap-in point for a JNI/py bridge at the
-  * `mapPartitions` boundary in production.
+  * codegen handles. Header METADATA decode is real for PNG, BMP, GIF
+  * ([[imageMeta]]: pure byte-level expressions, no codec library),
+  * WAV ([[audioMeta]]) and JPEG (the native codegen'd SOF segment
+  * walk [[graft.functions.JpegSofDims]]); other payloads fall back
+  * to the deterministic [[imageMetaStub]]. Full pixel decode / frame
+  * sampling still needs a codec and remains stubbed
+  * ([[frameSampleStub]]) — that call is the single swap-in point for
+  * a JNI/py bridge at the `mapPartitions` boundary in production.
   */
 object Multimodal {
 
@@ -85,12 +86,13 @@ object Multimodal {
       hex(substring(payload, 1, 4)) === "52494646" && // "RIFF"
       hex(substring(payload, 9, 8)) === "57415645666D7420" // "WAVEfmt "
 
-  /** JPEG magic (SOI + first marker prefix). Classification only:
-    * JPEG dimensions live in a SOF segment at a variable offset, so a
-    * real dims parse needs a segment walk (per-row loop — a custom
-    * Expression or the mapInPandas-equivalent pipeline, not a
-    * fixed-offset substr); [[imageMeta]] therefore reports NULL dims
-    * for JPEGs rather than stub arithmetic. */
+  /** JPEG magic (SOI + first marker prefix). Dimensions live in a SOF
+    * segment at a variable offset, so [[imageMeta]]'s JPEG branch
+    * delegates to the native codegen'd segment walk
+    * [[graft.functions.JpegSofDims]] (a fixed-offset substr can't
+    * reach SOF, and a declarative unrolled walk blows up — see that
+    * expression's scaladoc); an undecodable JPEG yields NULL dims,
+    * never stub arithmetic. */
   private def isJpeg(payload: Column): Column =
     octet_length(payload) >= 4 &&
       hex(substring(payload, 1, 3)) === "FFD8FF"
@@ -136,6 +138,14 @@ object Multimodal {
           leU16(payload, 7).as("width"),
           leU16(payload, 9).as("height"),
           lit(1L).as("channels")))
+      .when(isJpeg(payload), {
+        // native bounded SOF walk; [width, height, channels] or NULL
+        val d = graft.functions.GraftFunctions.jpegSofDims(payload)
+        struct(
+          try_element_at(d, lit(1)).as("width"),
+          try_element_at(d, lit(2)).as("height"),
+          try_element_at(d, lit(3)).as("channels"))
+      })
       .otherwise(imageMetaStub(payload))
   }
 

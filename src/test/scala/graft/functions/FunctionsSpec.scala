@@ -83,7 +83,7 @@ class FunctionsSpec extends SparkSpec {
     val ext = new SparkSessionExtensions
     new GraftExtensions().apply(ext) // must not throw; descriptor count fixed
     assert(GraftFunctions.descriptors.map(_._1.funcName) ==
-      Seq("graft_cosine", "graft_intersect_count"))
+      Seq("graft_cosine", "graft_intersect_count", "graft_jpeg_sof"))
   }
 
   test("native cosine participates in whole-stage codegen (no CodegenFallback)") {

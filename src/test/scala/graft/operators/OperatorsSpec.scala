@@ -368,7 +368,58 @@ class OperatorsSpec extends SparkSpec {
     val am = rows(2L).getStruct(3)
     assert((am.getLong(0), am.getLong(1), am.getLong(2)) == ((2L, 44100L, 16L)))
     assert(rows(3L).getString(1) == "other" && rows(3L).isNullAt(3))
-    assert(rows(4L).getString(1) == "jpeg") // classification only; dims need a segment walk
+    assert(rows(4L).getString(1) == "jpeg")
+    val jm = rows(4L).getStruct(2) // truncated mid-APP0: honest NULL dims, no stub
+    assert(jm.isNullAt(0) && jm.isNullAt(1) && jm.isNullAt(2))
+  }
+
+  test("imageMeta JPEG: bounded SOF walk skips APPn/DQT/fill bytes; SOS-first and truncated yield NULL") {
+    import spark.implicits._
+    def be16(v: Int): Seq[Byte] = Seq((v >> 8).toByte, v.toByte)
+    def seg(marker: Int, payload: Seq[Byte]): Seq[Byte] =
+      Seq(0xFF.toByte, marker.toByte) ++ be16(payload.length + 2) ++ payload
+    val soi = Seq(0xFF.toByte, 0xD8.toByte)
+    val app0 = seg(0xE0, "JFIF".getBytes.toSeq ++ Seq.fill(10)(0.toByte))
+    val app1 = seg(0xE1, "Exif".getBytes.toSeq ++ Seq.fill(40)(1.toByte)) // stand-in Exif blob
+    val dqt = seg(0xDB, Seq.fill(65)(3.toByte))
+    def sof(marker: Int, w: Int, h: Int, nc: Int): Seq[Byte] =
+      seg(marker, Seq(8.toByte) ++ be16(h) ++ be16(w) ++ Seq(nc.toByte) ++
+        Seq.fill(3 * nc)(0.toByte))
+    val fill = Seq(0xFF.toByte) // legal FF padding before a marker
+    val baseline = (soi ++ app0 ++ app1 ++ dqt ++ sof(0xC0, 640, 480, 3)).toArray
+    val progressive = (soi ++ app0 ++ fill ++ sof(0xC2, 31, 17, 1)).toArray
+    val sosFirst = (soi ++ app0 ++ seg(0xDA, Seq.fill(10)(0.toByte))).toArray
+    val truncated = (soi ++ app0 ++ app1).toArray.dropRight(20)
+    val df = Seq((1L, baseline), (2L, progressive), (3L, sosFirst), (4L, truncated))
+      .toDF("id", "payload")
+      .select(
+        col("id"), Multimodal.mediaKind(col("payload")).as("kind"),
+        Multimodal.imageMeta(col("payload")).as("m"))
+    val rows = df.collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows.values.forall(_.getString(1) == "jpeg"))
+    val bm = rows(1L).getStruct(2)
+    assert((bm.getLong(0), bm.getLong(1), bm.getLong(2)) == ((640L, 480L, 3L)))
+    val pm = rows(2L).getStruct(2)
+    assert((pm.getLong(0), pm.getLong(1), pm.getLong(2)) == ((31L, 17L, 1L)))
+    Seq(3L, 4L).foreach { id =>
+      val m = rows(id).getStruct(2)
+      assert(m.isNullAt(0) && m.isNullAt(1) && m.isNullAt(2), s"id=$id dims must be NULL")
+    }
+    // SQL surface + interpreted path agree with codegen: graft_jpeg_sof
+    graft.functions.GraftFunctions.register(spark)
+    val viaSql = Seq(Tuple1(baseline)).toDF("p")
+    viaSql.createOrReplaceTempView("jpeg_fixture")
+    val sqlOut = spark.sql("SELECT graft_jpeg_sof(p) AS d FROM jpeg_fixture")
+      .head().getSeq[Long](0)
+    assert(sqlOut == Seq(640L, 480L, 3L))
+    // interpreted eval (non-codegen contexts) agrees with codegen
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    def evalDims(bytes: Array[Byte]): Option[Seq[Long]] =
+      Option(graft.functions.JpegSofDims(Literal(bytes)).eval(null))
+        .map(_.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray.toSeq)
+    assert(evalDims(baseline).contains(Seq(640L, 480L, 3L)))
+    assert(evalDims(progressive).contains(Seq(31L, 17L, 1L)))
+    assert(evalDims(sosFirst).isEmpty && evalDims(truncated).isEmpty)
   }
 
   test("ivfTopK: cells restrict candidates at nProbe=1, widen at nProbe=2") {
