@@ -568,9 +568,16 @@ object PipelineQueries {
   // queries probe their 2 nearest cells. The oracle recomputes every
   // stage (assignment argmax via lexicographic struct-min, probe
   // ranking, in-cell top-k) with identical double arithmetic.
+  // Trained-centroid mode (spec-gated): float k-means means are
+  // aggregation-order-dependent, so when this flag is set the query
+  // DROPS its SQL oracle — the driver records a rows-only check
+  // instead of a guaranteed hash mismatch against the deterministic
+  // subset quantizer the oracle recomputes.
+  private val ivfTrained = sys.env.get("GRAFT_IVF_TRAINED").contains("1")
+
   private val qIvfTopK = Queries.Q(
     "p_ivf_topk",
-    Some(s"""
+    if (ivfTrained) None else Some(s"""
       WITH c AS (SELECT vec_id AS cent, embedding AS cv FROM embeddings WHERE vec_id < 16),
       a AS (SELECT e.vec_id, e.embedding, c.cent,
               list_sum(list_transform(list_zip(e.embedding, c.cv), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
@@ -605,7 +612,7 @@ object PipelineQueries {
       // recall-vs-brute, NOT oracle-gated — the driver's default path
       // keeps the deterministic subset quantizer the oracle recomputes.
       val (cents, cId, cVec) =
-        if (sys.env.get("GRAFT_IVF_TRAINED").contains("1"))
+        if (ivfTrained)
           (Similarity.trainCentroids(emb, "vec_id", "embedding", nCells = 16, iters = 3),
             "cent_id", "cent_vec")
         else (emb.filter(col("vec_id") < 16), "vec_id", "embedding")
@@ -969,12 +976,17 @@ object PipelineQueries {
   // ------------------------------------ approximate distinct (HLL)
   // Per-language vocabulary size via HyperLogLog++ beside the exact
   // count. The raw sketch estimate is engine-specific (DuckDB's HLL
-  // differs from Spark's), so the query emits only DETERMINISTIC
-  // columns: the exact count, the token count, and `within_rsd` —
-  // whether the engine's own HLL estimate landed within 5% relative
-  // error of the exact count. Both engines run rsd≈2% sketches, so
-  // the boolean is deterministically true on each and the row hashes
-  // match even though the underlying estimates differ. At 100 TB the
+  // differs from Spark's), so the query emits only STABLE columns:
+  // the exact count, the token count, and `within_rsd` — whether the
+  // engine's own HLL estimate landed within 10% relative error of
+  // the exact count. Both engines run rsd≈2% sketches, so a 10% band
+  // is ~5 sigma per group — the boolean holds on each engine with
+  // overwhelming probability (and is dataset-validated: the
+  // OperatorsSpec HLL test bounds the observed error under the same
+  // 5-sigma band), making the row hash-matchable even though the
+  // underlying estimates differ. The check is probabilistic in
+  // principle, not guaranteed — a pathological cardinality could in
+  // theory flip one engine's boolean. At 100 TB the
   // EXACT column is the one you drop: countDistinct is a second keyed
   // shuffle of the full token set, while the HLL aggregates map-side
   // into a constant-size sketch per group.
@@ -984,7 +996,7 @@ object PipelineQueries {
       SELECT lang,
              exact_vocab,
              n_tokens,
-             (ABS(approx_vocab - exact_vocab) <= 0.05 * exact_vocab) AS within_rsd
+             (ABS(approx_vocab - exact_vocab) <= 0.10 * exact_vocab) AS within_rsd
       FROM (
         SELECT lang,
                approx_count_distinct(token) AS approx_vocab,
@@ -1005,7 +1017,7 @@ object PipelineQueries {
           count(lit(1)).as("n_tokens"))
         .select(
           col("lang"), col("exact_vocab"), col("n_tokens"),
-          (abs(col("approx_vocab") - col("exact_vocab")) <= lit(0.05) * col("exact_vocab"))
+          (abs(col("approx_vocab") - col("exact_vocab")) <= lit(0.10) * col("exact_vocab"))
             .as("within_rsd"))
         .transform(Queries.sortedSmall(_, "lang")))
 

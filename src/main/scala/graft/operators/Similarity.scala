@@ -268,7 +268,11 @@ object Similarity {
     *     scale-invariant, so the un-normalized mean assigns
     *     identically to the L2-normalized spherical-k-means centroid.
     *  3. Cells that lose every member keep their previous centroid
-    *     (left join + coalesce) — nCells never shrinks.
+    *     (left join + coalesce) — the cell count never shrinks below
+    *     its seeded size. Seeding itself uses one corpus row per
+    *     cell, so a corpus with fewer than nCells rows yields a
+    *     min(nCells, |corpus|)-cell quantizer (k-means with k > n is
+    *     degenerate anyway); an empty corpus is rejected.
     *
     * Centroid state is O(nCells·dim) and lives in a DataFrame
     * `localCheckpoint`ed each round (truncates the iteration's
@@ -298,6 +302,9 @@ object Similarity {
         (row_number().over(Window.orderBy(seedOrder: _*)) - 1).cast("long").as("__cent"),
         col("__cvec"))
     var cents = init.localCheckpoint(true)
+    // The checkpoint is eager, so this probes the materialized
+    // ≤nCells-row RDD — it never re-scans the corpus.
+    require(!cents.isEmpty, "trainCentroids: empty corpus — nothing to seed the quantizer")
     for (_ <- 0 until iters) {
       val assigned = corpus
         .select(col(idCol).as("__id"), col(vecCol).as("__v"))

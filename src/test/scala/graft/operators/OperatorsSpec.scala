@@ -475,6 +475,15 @@ class OperatorsSpec extends SparkSpec {
     val four = Similarity.trainCentroids(corpus, "vec_id", "embedding", nCells = 4, iters = 2)
       .collect()
     assert(four.length == 4 && four.forall(!_.isNullAt(1)))
+    // corpus smaller than nCells: quantizer seeds one cell per row
+    val tiny = corpus.limit(2)
+    val small = Similarity.trainCentroids(tiny, "vec_id", "embedding", nCells = 16, iters = 1)
+      .collect()
+    assert(small.length == 2 && small.forall(!_.isNullAt(1)))
+    // empty corpus: rejected up front, not an empty quantizer
+    intercept[IllegalArgumentException] {
+      Similarity.trainCentroids(corpus.limit(0), "vec_id", "embedding", nCells = 4, iters = 1)
+    }
   }
 
   // --------------------------------------------- deterministic sampling
