@@ -62,13 +62,16 @@ final class CdcFrameTable(dir: String) extends Table with SupportsRead {
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    () => new CdcFrameScan(dir, options.getLong("maxFramesPerTrigger", Long.MaxValue))
+    () => new CdcFrameScan(dir,
+      options.getLong("maxFramesPerTrigger", Long.MaxValue),
+      options.getBoolean("txnAtomic", false))
 }
 
-final class CdcFrameScan(dir: String, maxFramesPerTrigger: Long) extends Scan {
+final class CdcFrameScan(dir: String, maxFramesPerTrigger: Long, txnAtomic: Boolean)
+  extends Scan {
   override def readSchema(): StructType = CdcFrameFiles.Schema
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new CdcMicroBatchStream(dir, maxFramesPerTrigger)
+    new CdcMicroBatchStream(dir, maxFramesPerTrigger, txnAtomic)
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
       Array(CdcFramePartition(dir, Long.MinValue, Long.MaxValue))
@@ -84,7 +87,21 @@ final case class LsnOffset(lsn: Long) extends Offset {
 final case class CdcFramePartition(dir: String, fromExclusive: Long, toInclusive: Long)
   extends InputPartition
 
-final class CdcMicroBatchStream(dir: String, maxFramesPerTrigger: Long)
+/** @param txnAtomic opt-in transaction-atomic emit (EXCEEDS the
+  *   reference, which drops Begin/Commit and freely splits a
+  *   transaction across its queue — `utils/pg_output_parser.py:32-37`):
+  *   the batch end offset only ever lands on a Commit frame's LSN, so
+  *   a micro-batch never splits a transaction and every checkpointed
+  *   offset is a transaction boundary. Interaction with
+  *   `maxFramesPerTrigger`: the cap is ADVISORY at transaction
+  *   granularity — the planned end snaps DOWN to the last Commit
+  *   inside the cap when one exists; when a single transaction is
+  *   larger than the cap, the batch GROWS to that transaction's
+  *   Commit (atomicity outranks admission — a batch must make
+  *   progress in whole transactions or not at all); an open
+  *   transaction whose Commit frame hasn't landed yet is held back
+  *   entirely (offset does not advance). */
+final class CdcMicroBatchStream(dir: String, maxFramesPerTrigger: Long, txnAtomic: Boolean)
   extends MicroBatchStream with SupportsAdmissionControl {
 
   override def initialOffset(): Offset = LsnOffset(Long.MinValue)
@@ -99,16 +116,31 @@ final class CdcMicroBatchStream(dir: String, maxFramesPerTrigger: Long)
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[LsnOffset].lsn
-    val lsns = CdcFrameFiles.lsnsAfter(dir, from)
-    if (lsns.isEmpty) start
-    else limit match {
+    val frames = CdcFrameFiles.framesAfter(dir, from)
+    if (frames.isEmpty) return start
+    val capped = limit match {
       case rl: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
         // clamp before .toInt: a Long maxRows above Int.MaxValue would
         // wrap negative and take(n) would return empty → .last throws
-        LsnOffset(lsns.take(math.min(rl.maxRows(), Int.MaxValue.toLong).toInt).last)
-      case _ => LsnOffset(lsns.last)
+        frames.take(math.min(rl.maxRows(), Int.MaxValue.toLong).toInt)
+      case _ => frames
+    }
+    if (!txnAtomic) LsnOffset(capped.last._1)
+    else {
+      // snap the end DOWN to the last Commit inside the cap; the open
+      // transaction's tail frames wait for their own Commit
+      val lastCommit = capped.lastIndexWhere(_._2 == PgCommitTag)
+      if (lastCommit >= 0) LsnOffset(capped(lastCommit)._1)
+      else frames.find(_._2 == PgCommitTag) match {
+        // one transaction larger than the cap: grow to its Commit
+        case Some((lsn, _)) => LsnOffset(lsn)
+        // Commit not landed yet: hold the whole transaction back
+        case None => start
+      }
     }
   }
+
+  private val PgCommitTag: Byte = 'C'.toByte
 
   override def reportLatestOffset(): Offset = {
     val lsns = CdcFrameFiles.lsnsAfter(dir, Long.MinValue)
@@ -214,17 +246,22 @@ object CdcFrameFiles {
   }
 
   /** Driver-side offset-planning cache: absolute file path →
-    * (size, mtimeMillis, lsns). Frame files are immutable once
-    * atomically renamed into place, so (size, mtime) validates an
-    * entry; `write` REPLACE_EXISTING overwrites change both. Without
-    * this, `latestOffset` re-read every frame file's full payload on
-    * the driver at every trigger (ProcessingTime 0 ⇒ unbounded IO/fd
+    * (size, mtimeMillis, (lsn, tag) pairs). The tag is each payload's
+    * FIRST byte — the pgoutput message tag ('B'/'C'/'I'/…; 0 for an
+    * empty payload) — read for free during the skip-scan so the
+    * txn-atomic planner can spot Commit frames without touching
+    * payload bodies. Frame files are immutable once atomically
+    * renamed into place, so (size, mtime) validates an entry; `write`
+    * REPLACE_EXISTING overwrites change both. Without this,
+    * `latestOffset` re-read every frame file's full payload on the
+    * driver at every trigger (ProcessingTime 0 ⇒ unbounded IO/fd
     * churn as the feed directory grows). */
   private[sources] val lsnCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Seq[Long])]()
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Seq[(Long, Byte)])]()
 
-  /** LSNs in one file, skipping payload bytes; cached (see above). */
-  private def lsnsInFile(file: Path): Seq[Long] = {
+  /** (LSN, tag byte) in one file, skipping payload bodies; cached
+    * (see above). */
+  private def lsnsInFile(file: Path): Seq[(Long, Byte)] = {
     val key = file.toAbsolutePath.toString
     val size = Files.size(file)
     val mtime = Files.getLastModifiedTime(file).toMillis
@@ -232,7 +269,7 @@ object CdcFrameFiles {
     if (hit != null && hit._1 == size && hit._2 == mtime) hit._3
     else {
       val in = new DataInputStream(new java.io.BufferedInputStream(Files.newInputStream(file)))
-      val buf = scala.collection.mutable.ArrayBuffer[Long]()
+      val buf = scala.collection.mutable.ArrayBuffer[(Long, Byte)]()
       try {
         var eof = false
         while (!eof) {
@@ -240,8 +277,9 @@ object CdcFrameFiles {
           lsn.foreach { l =>
             in.readLong() // ingestMicros
             val len = in.readInt()
-            in.skipNBytes(len.toLong) // EOFException on truncation, like readFully
-            buf += l
+            val tag = if (len > 0) in.readByte() else 0: Byte
+            in.skipNBytes(len.toLong - (if (len > 0) 1 else 0)) // EOFException on truncation, like readFully
+            buf += ((l, tag))
           }
         }
       } finally in.close()
@@ -251,12 +289,13 @@ object CdcFrameFiles {
     }
   }
 
-  /** LSNs strictly after `from`, ascending (driver-side listing for
-    * offset planning). Payloads are never read here: per-file LSN
-    * lists come from [[lsnsInFile]]'s skip-scan + immutability cache.
-    * Entries for files trimmed away (feedback-based deletion) are
-    * pruned so the cache tracks the live directory. */
-  def lsnsAfter(dir: String, from: Long): Seq[Long] = {
+  /** (LSN, pgoutput tag) strictly after `from`, ascending (driver-side
+    * listing for offset planning). Payload bodies are never read here:
+    * per-file lists come from [[lsnsInFile]]'s skip-scan +
+    * immutability cache. Entries for files trimmed away
+    * (feedback-based deletion) are pruned so the cache tracks the
+    * live directory. */
+  def framesAfter(dir: String, from: Long): Seq[(Long, Byte)] = {
     val files = frameFiles(dir)
     val live = files.map(_.toAbsolutePath.toString).toSet
     // prune only DIRECT children of this dir: a prefix match would
@@ -267,8 +306,12 @@ object CdcFrameFiles {
       val parent = Paths.get(k).getParent
       parent != null && parent.toString == dirAbs && !live.contains(k)
     }
-    files.flatMap(lsnsInFile).filter(_ > from).sorted
+    files.flatMap(lsnsInFile).filter(_._1 > from).sortBy(_._1)
   }
+
+  /** LSNs strictly after `from`, ascending. */
+  def lsnsAfter(dir: String, from: Long): Seq[Long] =
+    framesAfter(dir, from).map(_._1)
 
   /** Last committed LSN published to the capture side, if any. */
   def readFeedback(dir: String): Option[Long] = {

@@ -67,15 +67,22 @@ object CdcPipeline {
     * the checkpoint, `commit` publishes feedback, admission-capped —
     * the full-fidelity S1 replication-loop mapping; see
     * [[graft.sources.CdcFrameProvider]]). The source emits one
-    * ordered partition per stream, so no coalesce is needed. */
+    * ordered partition per stream, so no coalesce is needed.
+    *
+    * `txnAtomic = true` opts into transaction-atomic batches: the
+    * planned end offset only lands on Commit-frame LSNs, so no
+    * micro-batch ever splits a transaction (see
+    * [[graft.sources.CdcMicroBatchStream]] for the cap interaction). */
   def framesFromCdcSource(
       spark: SparkSession, dir: String,
-      maxFramesPerTrigger: Long = Long.MaxValue): Dataset[CdcFrame] = {
+      maxFramesPerTrigger: Long = Long.MaxValue,
+      txnAtomic: Boolean = false): Dataset[CdcFrame] = {
     import org.apache.spark.sql.Encoders
     implicit val enc = Encoders.product[CdcFrame]
     spark.readStream.format("graft-cdc")
       .option("path", dir)
       .option("maxFramesPerTrigger", maxFramesPerTrigger)
+      .option("txnAtomic", txnAtomic)
       .load()
       .as[CdcFrame]
   }

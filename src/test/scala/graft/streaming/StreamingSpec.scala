@@ -189,6 +189,55 @@ class StreamingSpec extends SparkSpec {
     assert(f2.exists(l => l >= frames(7).lsn && f1.forall(_ <= l)), s"feedback after run2: $f2")
   }
 
+  test("txnAtomic: micro-batches end only on Commit LSNs; cap snaps down, grows for oversize txns, holds open txns") {
+    import graft.sources.{CdcFrameFiles, CdcMicroBatchStream, LsnOffset}
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val feedDir = tmp("cdcf_txn")
+    val frames = UsersFixture.frames
+    // frames 0-9: R | B I C | B U C | B D C  (lsns 1000-1009)
+    CdcFrameFiles.write(feedDir, "0001", frames.take(10))
+    val s = new CdcMicroBatchStream(feedDir, maxFramesPerTrigger = 3, txnAtomic = true)
+    // cap 3 covers R,B,I — no Commit inside: the batch GROWS to the
+    // open transaction's Commit (atomicity outranks admission)
+    assert(s.latestOffset(LsnOffset(Long.MinValue), ReadLimit.maxRows(3)) == LsnOffset(1003L))
+    // cap 5 from 1003 covers B,U,C,B,D — end snaps DOWN to the last
+    // Commit (1006); the next txn's open tail waits
+    assert(s.latestOffset(LsnOffset(1003L), ReadLimit.maxRows(5)) == LsnOffset(1006L))
+    assert(s.latestOffset(LsnOffset(1006L), ReadLimit.maxRows(5)) == LsnOffset(1009L))
+    // an open transaction with no landed Commit is held back entirely
+    CdcFrameFiles.write(feedDir, "0002", Seq(
+      CdcFrame(2000L, 0L, PgOutput.Encoder.begin()),
+      CdcFrame(2001L, 0L, PgOutput.Encoder.insert(UsersFixture.RelId,
+        Seq(PgOutput.WText("9"), PgOutput.WText("n"), PgOutput.WText("e"),
+          PgOutput.WText("s"), PgOutput.WText(UsersFixture.T1), PgOutput.WText(UsersFixture.T1))))))
+    assert(s.latestOffset(LsnOffset(1009L), ReadLimit.allAvailable()) == LsnOffset(1009L))
+    // ... until its Commit frame lands
+    CdcFrameFiles.write(feedDir, "0003", Seq(CdcFrame(2002L, 0L, PgOutput.Encoder.commit())))
+    assert(s.latestOffset(LsnOffset(1009L), ReadLimit.allAvailable()) == LsnOffset(2002L))
+
+    // end-to-end: cap 2 would split every 3-frame transaction, but
+    // with txnAtomic each micro-batch carries whole transactions only
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[Seq[Byte]]()
+    val q = CdcPipeline
+      .framesFromCdcSource(spark, feedDir, maxFramesPerTrigger = 2, txnAtomic = true)
+      .writeStream
+      .option("checkpointLocation", tmp("chk_txn"))
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[CdcFrame], _: Long) =>
+        val tags = ds.collect().sortBy(_.lsn).map(f => if (f.payload.nonEmpty) f.payload(0) else 0: Byte)
+        if (tags.nonEmpty) batches.add(tags.toSeq): Unit
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    import scala.jdk.CollectionConverters._
+    val all = batches.asScala.toSeq
+    assert(all.flatten.count(_ == 'C'.toByte) == 4) // nothing lost
+    all.foreach { tags =>
+      // balanced B/C and Commit-terminated: no split transactions
+      assert(tags.count(_ == 'B'.toByte) == tags.count(_ == 'C'.toByte), s"unbalanced: $tags")
+      assert(tags.last == 'C'.toByte, s"batch not Commit-terminated: $tags")
+    }
+  }
+
   test("relation registry survives a JVM-cold restart via the registry snapshot dir") {
     val regDir = tmp("registry")
     val frames = UsersFixture.frames
