@@ -136,8 +136,24 @@ object Dedup {
   def minhashCandidatePairs(
       sig: DataFrame, idCol: String, k: Int, rowsPerBand: Int,
       maxBucket: Int = 1024): DataFrame = {
+    ensureDropWarnListener(sig.sparkSession)
     val rows = bandRows(sig, idCol, k, rowsPerBand)
     val keep = bucketSizes(rows, idCol)
+      // observe (CollectMetrics) rides the existing sizing aggregate:
+      // zero extra jobs/shuffles, and the listener below turns a
+      // nonzero drop count into a WARN at the call site — production
+      // callers no longer lose pairs silently when they skip the
+      // minhashBucketOverflow audit. Name is uniquified per call
+      // (CollectMetrics names must be unique within one query).
+      // Caveat: if EVERY bucket is dropped, AQE's empty-relation
+      // propagation prunes this node with the rest of the empty join
+      // subtree and no metrics surface — but an entirely-empty pair
+      // output is not a silent failure mode; the metrics exist to
+      // catch PARTIAL drops hiding inside a plausible result.
+      .observe(s"graft_minhash_drops_${obsSeq.getAndIncrement()}",
+        coalesce(sum(when(col("n_ids") > maxBucket, 1L)), lit(0L)).as("dropped_buckets"),
+        coalesce(sum(when(col("n_ids") > maxBucket, col("n_ids"))), lit(0L)).as("dropped_ids"),
+        coalesce(max(when(col("n_ids") > maxBucket, col("n_ids"))), lit(0L)).as("largest_dropped"))
       .filter(col("n_ids") > 1 && col("n_ids") <= maxBucket)
       .select("band", "band_hash")
     val members = rows.join(keep, Seq("band", "band_hash"))
@@ -633,4 +649,52 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }
+
+  // ---------------------------------------- bucket-drop observability
+
+  private val obsSeq = new java.util.concurrent.atomic.AtomicLong()
+  private val dropListenerSessions =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[org.apache.spark.sql.SparkSession]()
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Latest observed (dropped_buckets, dropped_ids, largest_dropped)
+    * per session — exposed so tests (and operational tooling) can
+    * assert the counter without scraping logs. */
+  private val lastDrops =
+    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.SparkSession, (Long, Long, Long)]()
+  def lastObservedDrops(spark: org.apache.spark.sql.SparkSession): Option[(Long, Long, Long)] =
+    Option(lastDrops.get(spark))
+  def resetObservedDrops(spark: org.apache.spark.sql.SparkSession): Unit =
+    lastDrops.remove(spark): Unit
+
+  /** One QueryExecutionListener per session: whenever a query
+    * containing [[minhashCandidatePairs]]' observe node completes, a
+    * nonzero drop count becomes a WARN naming the cap and the audit
+    * query — the silent-pair-loss failure mode now announces itself.
+    * (Batch queries only; a streaming caller reads the same metrics
+    * from StreamingQueryProgress.observedMetrics.) */
+  private def ensureDropWarnListener(spark: org.apache.spark.sql.SparkSession): Unit =
+    if (dropListenerSessions.add(spark)) {
+      spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(
+            funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit =
+          qe.observedMetrics.foreach { case (name, row) =>
+            if (name.startsWith("graft_minhash_drops_")) {
+              val d = (row.getAs[Long]("dropped_buckets"),
+                row.getAs[Long]("dropped_ids"), row.getAs[Long]("largest_dropped"))
+              lastDrops.put(spark, d)
+              if (d._1 > 0) log.warn(
+                s"minhashCandidatePairs dropped ${d._1} flood bucket(s) over the maxBucket cap " +
+                  s"(${d._2} member ids, largest ${d._3}); near-dup pairs inside them were NOT " +
+                  "generated - run exactGroups first and audit with minhashBucketOverflow")
+            }
+          }
+        override def onFailure(
+            funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            exception: Exception): Unit = ()
+      })
+    }
 }

@@ -144,6 +144,24 @@ class OperatorsSpec extends SparkSpec {
     assert(overflow.nonEmpty && overflow.forall(_ == 5L))
     val uncapped = Dedup.minhashCandidatePairs(sig, "doc_id", k = 8, rowsPerBand = 2)
     assert(uncapped.count() == 10) // C(5,2), strict i<j, no self-pairs
+
+    // PARTIAL drop — the silent-loss failure mode the observe metrics
+    // exist for: a flood bucket dropped while a surviving near-dup
+    // pair makes the output look plausible. The listener bus is
+    // async, so poll briefly.
+    Dedup.resetObservedDrops(spark)
+    val mixed = docs(
+      (1L to 5L).map(i => i -> "alpha beta gamma delta") ++
+        Seq(6L -> "omega psi chi phi", 7L -> "omega psi chi phi"): _*)
+    val msig = Dedup.minhashSignature(mixed, "doc_id", "text", k = 8)
+    val pairs = Dedup.minhashCandidatePairs(msig, "doc_id", k = 8, rowsPerBand = 2, maxBucket = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((6L, 7L))) // flood pairs lost, survivor kept
+    val drops = Iterator.continually {
+      Thread.sleep(100); Dedup.lastObservedDrops(spark)
+    }.take(50).collectFirst { case Some(d) => d }
+    // 4 bands × one 5-member flood bucket over the cap of 4
+    assert(drops.contains((4L, 20L, 5L)), s"drops=$drops")
   }
 
   test("simhash64: deterministic, lowercase 16-hex, order-insensitive over token sets") {
