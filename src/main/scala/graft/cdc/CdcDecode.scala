@@ -125,6 +125,21 @@ object CdcDecode {
         timestamp_micros(col("timestampMicros")).as("timestamp"))
   }
 
+  /** Event-time view of a decoded CDC stream: `event_time` is the
+    * enclosing transaction's COMMIT timestamp (the source's clock,
+    * from the Begin frame body) with ingest time as the fallback for
+    * non-transactional frames or legacy empty-body Begins. This is
+    * the column to `withWatermark` on: late-data reasoning keyed on
+    * when the change COMMITTED at the source, not on when this engine
+    * happened to ingest it (the reference's wall-clock stamp,
+    * utils/cdc_event.py:14, cannot distinguish the two — SURVEY
+    * §1.4). */
+  def withCommitEventTime(events: Dataset[CdcEvent]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    events.toDF().withColumn("event_time",
+      timestamp_micros(coalesce(col("commitMicros"), col("timestampMicros"))))
+  }
+
   /** Fixture helper: frames as a one-partition Dataset (a replication
     * stream is a single ordered partition by construction). */
   def framesDataset(spark: SparkSession, frames: Seq[CdcFrame]): Dataset[CdcFrame] = {

@@ -36,7 +36,15 @@ final case class CdcEvent(
     // surfacing the id makes transactional grouping a groupBy away
     // (opt-in: the wire envelope `toWireDf` does not include it, so
     // downstream contracts are unchanged).
-    txnSeq: Option[Long] = None)
+    txnSeq: Option[Long] = None,
+    // The enclosing transaction's COMMIT timestamp (Unix µs) when the
+    // Begin frame carried the full protocol body — the SOURCE's clock
+    // for the change, i.e. the event time streaming watermarks should
+    // key on. None for non-transactional frames or legacy empty-body
+    // Begins; downstream falls back to `timestampMicros` (ingest
+    // time) via [[CdcDecode.withCommitEventTime]]. The reference has
+    // no equivalent: it stamps consumer wall clock (cdc_event.py:14).
+    commitMicros: Option[Long] = None)
 
 object CdcEvent {
   /** TOASTed/unchanged column sentinel (reference pg_output_parser.py:113).

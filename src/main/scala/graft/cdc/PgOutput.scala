@@ -33,6 +33,10 @@ import java.nio.charset.StandardCharsets.UTF_8
   */
 object PgOutput {
 
+  /** PostgreSQL timestamps count µs from 2000-01-01T00:00:00Z; Unix
+    * from 1970-01-01 — 946,684,800 seconds apart. */
+  val PgEpochOffsetMicros: Long = 946684800000000L
+
   final case class ColumnInfo(name: String, typeId: Int, flags: Int, typeMod: Int)
   final case class RelationInfo(
       id: Int, schema: String, table: String,
@@ -51,6 +55,9 @@ object PgOutput {
     // (restart-stable; see the 'B' case in decode)
     private var txnSeq = 0L
     private var inTxn = false
+    // the open txn's commit timestamp (Unix µs), when the Begin frame
+    // carried the full protocol body — the feed-side EVENT TIME
+    private var txnCommitMicros: Option[Long] = None
 
     /** Registered relations (read-only view). */
     def relationRegistry: collection.Map[Int, RelationInfo] = relations
@@ -89,7 +96,23 @@ object PgOutput {
         // are durable in the stream, so the id is stable across JVM
         // restarts / decoder re-creation (a counter restarts at 0 and
         // collides with pre-crash ids if ever persisted or joined).
-        case 'B' => txnSeq = lsn; inTxn = true; None
+        // A protocol-complete Begin body is (final LSN i64, commit
+        // timestamp i64 µs since 2000-01-01 UTC, xid i32) — the commit
+        // timestamp is the SOURCE's clock for the whole transaction,
+        // the event time watermarks should key on (the reference
+        // stamps consumer wall clock instead, utils/cdc_event.py:14 —
+        // SURVEY §1.4 flags that as unusable for late-data
+        // reasoning). Empty-body Begin frames (legacy fixtures)
+        // decode with no commit time and events fall back to ingest
+        // time downstream.
+        case 'B' =>
+          txnSeq = lsn; inTxn = true
+          txnCommitMicros =
+            if (buf.remaining >= 20) {
+              buf.getLong // final LSN of the txn (unused: we track frame LSNs)
+              Some(buf.getLong + PgEpochOffsetMicros)
+            } else None
+          None
         case 'C' => inTxn = false; None
         case _ => None
       } catch {
@@ -152,7 +175,9 @@ object PgOutput {
         op: String, rel: RelationInfo,
         old: Option[Image], neu: Option[Image], lsn: Long, ts: Long): CdcEvent =
       CdcEvent(op, rel.schema, rel.table, rel.columns.map(_.name),
-        old, neu, lsn, ts, txnSeq = if (inTxn) Some(txnSeq) else None)
+        old, neu, lsn, ts,
+        txnSeq = if (inTxn) Some(txnSeq) else None,
+        commitMicros = if (inTxn) txnCommitMicros else None)
 
     private def readTuple(buf: ByteBuffer, rel: RelationInfo): Image = {
       val nCols = buf.getShort & 0xffff
@@ -258,7 +283,20 @@ object PgOutput {
       out.result()
     }
 
+    /** Legacy minimal Begin (empty body): decodes with no commit
+      * timestamp — events fall back to ingest time downstream. */
     def begin(): Array[Byte] = new ByteOut('B').result()
+
+    /** Protocol-complete Begin: final LSN, commit timestamp (given as
+      * Unix µs, written as the wire's µs-since-2000), xid. */
+    def begin(commitUnixMicros: Long, finalLsn: Long, xid: Int): Array[Byte] = {
+      val out = new ByteOut('B')
+      out.i64(finalLsn)
+      out.i64(commitUnixMicros - PgEpochOffsetMicros)
+      out.u32(xid)
+      out.result()
+    }
+
     def commit(): Array[Byte] = new ByteOut('C').result()
 
     private def tuple(out: ByteOut, values: Seq[WireValue]): Unit = {
@@ -283,6 +321,7 @@ object PgOutput {
         bos.write((v >> 24) & 0xff); bos.write((v >> 16) & 0xff)
         bos.write((v >> 8) & 0xff); bos.write(v & 0xff)
       }
+      def i64(v: Long): Unit = { u32((v >> 32).toInt); u32(v.toInt) }
       def cstr(s: String): Unit = { bos.write(s.getBytes(UTF_8)); bos.write(0) }
       def bytes(b: Array[Byte]): Unit = bos.write(b, 0, b.length)
       def result(): Array[Byte] = bos.toByteArray

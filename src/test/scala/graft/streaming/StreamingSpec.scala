@@ -238,6 +238,54 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("commit-time event time: watermark drops late txns by SOURCE commit time, not ingest time") {
+    import graft.cdc.PgOutput.{Encoder => E, WText}
+    val base = 1767225600000000L // 2026-01-01T00:00:00Z in Unix µs
+    val ingest = base + 3600L * 1000000L // ONE fresh ingest stamp for everything
+    def txn(beginLsn: Long, commitMinute: Int, id: String): Seq[CdcFrame] = Seq(
+      CdcFrame(beginLsn, ingest,
+        E.begin(base + commitMinute * 60000000L, finalLsn = beginLsn + 2, xid = 7)),
+      CdcFrame(beginLsn + 1, ingest, E.insert(UsersFixture.RelId,
+        Seq(id, "N", "e@x", "active", UsersFixture.T1, UsersFixture.T1).map(WText(_)))),
+      CdcFrame(beginLsn + 2, ingest, E.commit()))
+
+    // unit level: the decoder surfaces the Begin body's commit time
+    CdcDecode.resetStream("stream_ct0")
+    val evs = CdcDecode.decodeSeq(
+      CdcFrame(1L, ingest, E.relation(UsersFixture.relation)) +: txn(10L, commitMinute = 5, "1"))
+    assert(evs.length == 1 && evs.head.commitMicros.contains(base + 5L * 60000000L))
+    // legacy empty-body Begin still decodes, with no commit time
+    assert(UsersFixture.frames.nonEmpty &&
+      CdcDecode.decodeSeq(UsersFixture.frames).forall(_.commitMicros.isEmpty))
+
+    // streaming: all ingest stamps are IDENTICAL and fresh, so any
+    // late-drop below can only come from the commit-time column
+    CdcDecode.resetStream("stream_ct")
+    val stream = MemoryStream[CdcFrame](spark)(Encoders.product[CdcFrame])
+    val counts = CdcDecode
+      .withCommitEventTime(CdcPipeline.decode(stream.toDS().coalesce(1), "stream_ct"))
+      .withWatermark("event_time", "10 minutes")
+      .groupBy(window(col("event_time"), "10 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("n"))
+    val q = counts.writeStream.format("memory").queryName("ct_out").outputMode("update").start()
+    try {
+      // batch 1 advances the watermark to 00:30 - 10min = 00:20
+      stream.addData(CdcFrame(1L, ingest, E.relation(UsersFixture.relation)))
+      stream.addData(txn(10L, commitMinute = 0, "1") ++ txn(20L, commitMinute = 30, "2"))
+      q.processAllAvailable()
+      // batch 2: commit 00:05 is LATE (ingest is fresh!) → dropped;
+      // commit 00:40 is on time → counted
+      stream.addData(txn(30L, commitMinute = 5, "3") ++ txn(40L, commitMinute = 40, "4"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val byWindow = spark.table("ct_out").collect()
+      .groupBy(_.getTimestamp(0).toInstant.toString)
+      .view.mapValues(_.map(_.getLong(1)).max).toMap
+    assert(byWindow("2026-01-01T00:00:00Z") == 1L, s"late txn leaked in: $byWindow") // not 2
+    assert(byWindow("2026-01-01T00:30:00Z") == 1L && byWindow("2026-01-01T00:40:00Z") == 1L, s"$byWindow")
+  }
+
   test("relation registry survives a JVM-cold restart via the registry snapshot dir") {
     val regDir = tmp("registry")
     val frames = UsersFixture.frames
