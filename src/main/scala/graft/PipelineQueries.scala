@@ -805,6 +805,36 @@ object PipelineQueries {
         Seq("spark", "window", "table"), k = 10, prefilterC = 50)
         .transform(Queries.sortedSmall(_, "term", "rank")))
 
+  // ------------------------------- BM25 prefilter recall audit
+  // What p_bm25_topk's tf-top-50 prefilter cut, per term — the same
+  // drop-surfacing contract as p_minhash_bucket_audit: the bounded
+  // fast path is only honest if its loss is one query away. All
+  // columns are deterministic integers (counts and tf values under
+  // the same (tf DESC, doc_id) order both engines compute).
+  private val qBm25PrefilterAudit = Queries.Q(
+    "p_bm25_prefilter_audit",
+    Some("""
+      WITH tf AS (SELECT term, doc_id, COUNT(*) AS tf
+             FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+             WHERE term IN ('spark', 'window', 'table')
+             GROUP BY term, doc_id),
+      r AS (SELECT term, tf,
+                   row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) AS rn
+            FROM tf)
+      SELECT term,
+             CAST(COUNT(*) AS BIGINT) AS n_postings,
+             CAST(SUM(CASE WHEN rn > 50 THEN 1 ELSE 0 END) AS BIGINT) AS cut_docs,
+             CAST(MAX(CASE WHEN rn = 50 THEN tf END) AS BIGINT) AS boundary_tf,
+             CAST(COALESCE(MAX(CASE WHEN rn > 50 THEN tf END), 0) AS BIGINT) AS max_cut_tf
+      FROM r
+      GROUP BY term
+      HAVING COUNT(*) > 50
+      ORDER BY term"""),
+    (s, dir) =>
+      Search.bm25PrefilterOverflow(Tables(s, dir).documents, "doc_id", "text",
+        Seq("spark", "window", "table"), prefilterC = 50)
+        .transform(Queries.sortedSmall(_, "term")))
+
   // ------------------------------------ int8 embedding quantization
   // Integer summaries (sum/min/max/zero-count of the codes) rather
   // than the raw code arrays keep the compare scalar; the codes
@@ -1024,7 +1054,7 @@ object PipelineQueries {
   val all: Seq[Queries.Q] = Seq(
     qTextStats, qLangQuality, qRepetitionStats, qExactDedup, qNgramJaccard, qMinhashNearDup,
     qDupGroups, qMinhashBucketAudit, qSimhash, qSimhashNearDup, qWinnowFingerprints,
-    qContamination, qHashSplit, qKeywordTopK, qBm25TopK, qBruteTopK, qBruteTopKL2,
+    qContamination, qHashSplit, qKeywordTopK, qBm25TopK, qBm25PrefilterAudit, qBruteTopK, qBruteTopKL2,
     qLshTopK, qLshTopKMultiProbe, qIvfTopK, qEmbeddingNearDup, qEmbeddingQuantize,
     qMultimodal, qEventsDedup, qTokenCounts, qVocabTopK,
     qPiiRedact, qQualityFilter, qChunkWindows, qStratifiedSample, qEditDistVerify,

@@ -136,4 +136,47 @@ object Search {
       .sort(col("n_terms").desc, col("total_tf").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** Audit companion of [[bm25TopK]]'s tf-top-C prefilter — the
+    * analogue of [[Dedup.minhashBucketOverflow]]: one row per query
+    * term whose posting list the prefilter truncated. Empty output =
+    * the prefilter was lossless for this corpus + term set.
+    *
+    * The recall trade it quantifies: every cut doc has
+    * tf ≤ `boundary_tf` (the tf at rank C), but BM25 is
+    * length-normalized, so a cut doc with tf = boundary_tf and a much
+    * shorter dl could still outscore kept docs — `cut_docs` > 0 means
+    * the top-k is approximate for that term, and `max_cut_tf` close
+    * to `boundary_tf` means the approximation is at its loosest.
+    * Raise C (or pass 0 for the exact O(df²) rerank) when that
+    * matters. Same plan shape as the prefilter itself: one tf
+    * aggregate, one per-term window, one bounded-state aggregate —
+    * no posting list is ever materialized per row.
+    *
+    * Output: (term, n_postings, cut_docs, boundary_tf, max_cut_tf),
+    * all LONG; rows only for terms with n_postings > prefilterC. */
+  def bm25PrefilterOverflow(
+      docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], prefilterC: Int): DataFrame = {
+    require(terms.nonEmpty, "at least one query term")
+    require(prefilterC > 0, s"prefilterC=$prefilterC: audit needs the bounded mode")
+    val tok = docs.select(col(idCol).as("doc_id"), Dedup.tokens(col(textCol)).as("__tk"))
+    val tf = tok
+      .select(col("doc_id"), explode(col("__tk")).as("term"))
+      .where(col("term").isin(terms: _*))
+      .groupBy("term", "doc_id")
+      .agg(count(lit(1)).as("tf"))
+    val ranked = tf.withColumn("__rn", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy("term").orderBy(col("tf").desc, col("doc_id"))))
+    ranked
+      .groupBy("term")
+      .agg(
+        count(lit(1)).as("n_postings"),
+        sum(when(col("__rn") > prefilterC, 1L).otherwise(0L)).as("cut_docs"),
+        // rank C exists whenever n_postings > C, so never null post-filter
+        max(when(col("__rn") === prefilterC, col("tf"))).as("boundary_tf"),
+        coalesce(max(when(col("__rn") > prefilterC, col("tf"))), lit(0L)).as("max_cut_tf"))
+      .filter(col("n_postings") > prefilterC)
+  }
 }

@@ -760,6 +760,24 @@ class OperatorsSpec extends SparkSpec {
     assert(out.toSeq == expect)
   }
 
+  test("bm25PrefilterOverflow: truncated terms reported with the cut-tf bounds; lossless runs empty") {
+    // term "x": 5 postings with tfs 4,3,2,1,1 (doc order breaks the tie)
+    val corpus = docs(
+      1L -> "x x x x", 2L -> "x x x y", 3L -> "x x y y",
+      4L -> "x y y y", 5L -> "x y", 6L -> "y y")
+    // C=3 cuts docs 4 and 5 (ranks 4,5); boundary tf = rank-3 tf = 2
+    val over = Search.bm25PrefilterOverflow(corpus, "doc_id", "text", Seq("x", "y"), prefilterC = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    // "y" has 5 postings too (docs 2..6, tfs 1,2,3,1,2) → also truncated
+    assert(over.sortBy(_._1) == Seq(("x", 5L, 2L, 2L, 1L), ("y", 5L, 2L, 2L, 1L)), over.toString)
+    // the recall invariant the audit certifies: every cut doc's tf is
+    // bounded by the boundary tf
+    over.foreach { case (_, _, _, boundary, maxCut) => assert(maxCut <= boundary) }
+    // C >= posting-list length → lossless, audit is empty
+    assert(Search.bm25PrefilterOverflow(corpus, "doc_id", "text", Seq("x", "y"), prefilterC = 5)
+      .isEmpty)
+  }
+
   // ---------------------------------------------------- PII redaction
 
   test("redactPii: emails before phones, dotted local part survives intact") {
