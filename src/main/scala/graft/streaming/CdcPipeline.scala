@@ -157,10 +157,15 @@ object CdcPipeline {
       .option("numRows", numRows).option("truncate", false)
       .start()
 
+  /** The C4 stop action, exposed so its behavior is testable without
+    * a JVM shutdown: stops the query if (and only if) still active. */
+  private[streaming] def shutdownHook(query: StreamingQuery): Thread =
+    new Thread(() => if (query.isActive) query.stop(), "graft-shutdown")
+
   /** Graceful shutdown (reference C4, cdc_consumer.py:108-116): stop
     * the query on JVM shutdown, then block until termination. */
   def awaitWithShutdownHook(query: StreamingQuery): Unit = {
-    val hook = new Thread(() => if (query.isActive) query.stop(), "graft-shutdown")
+    val hook = shutdownHook(query)
     Runtime.getRuntime.addShutdownHook(hook)
     try query.awaitTermination()
     finally scala.util.Try(Runtime.getRuntime.removeShutdownHook(hook))

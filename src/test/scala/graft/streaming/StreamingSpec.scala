@@ -548,6 +548,38 @@ class StreamingSpec extends SparkSpec {
     assert(!waiter.isAlive)
   }
 
+  test("console sink (P3) runs the wire envelope through a micro-batch; shutdown hook (C4) stops and unblocks") {
+    // P3: the pretty-printer surface — a real console-format query
+    // over decoded events must process a batch and stop cleanly
+    CdcDecode.resetStream("stream_console")
+    val stream = MemoryStream[CdcFrame](spark)(Encoders.product[CdcFrame])
+    val q = CdcPipeline.consoleSink(
+      CdcPipeline.decode(stream.toDS().coalesce(1), "stream_console"), numRows = 5)
+    try {
+      stream.addData(UsersFixture.frames)
+      q.processAllAvailable()
+      assert(q.isActive && q.lastProgress != null)
+    } finally q.stop()
+
+    // C4: the hook's stop action ends an active query, is a no-op on
+    // a stopped one, and awaitWithShutdownHook unblocks on stop
+    CdcDecode.resetStream("stream_c4")
+    val s2 = MemoryStream[CdcFrame](spark)(Encoders.product[CdcFrame])
+    val q2 = CdcPipeline.consoleSink(
+      CdcPipeline.decode(s2.toDS().coalesce(1), "stream_c4"), numRows = 5)
+    val waiter = new Thread(() => CdcPipeline.awaitWithShutdownHook(q2))
+    waiter.start()
+    assert(q2.isActive)
+    val hook = CdcPipeline.shutdownHook(q2)
+    hook.run() // simulate JVM shutdown delivery
+    q2.awaitTermination(30000)
+    assert(!q2.isActive)
+    waiter.join(30000)
+    assert(!waiter.isAlive, "awaitWithShutdownHook did not unblock after stop")
+    CdcPipeline.shutdownHook(q2).run() // idempotent on a stopped query
+    assert(!q2.isActive)
+  }
+
   test("health endpoint serves 200 OK; lag listener records progress") {
     val listener = new LagListener
     spark.streams.addListener(listener)
