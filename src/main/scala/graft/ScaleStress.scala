@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Graph, Similarity}
+
+/** Scale-stress harness for the dedup/ANN family (VERDICT r6 #2): the
+  * 100 TB design claims rest on plan shape; this main turns them into
+  * MEASUREMENTS by amplifying the sf0.1 corpus 10–50× with controlled
+  * near-dup injection and timing the flagship operators at each scale,
+  * with per-task skew stats from a listener.
+  *
+  * Amplification is deterministic (no RNG) and content-controlled.
+  * Copy i of each document (new id = id·scale + i):
+  *  - i = 0 — the original, unchanged;
+  *  - i % 3 ≠ 0 — NEAR-DUP: tokens at positions ≡ i (mod 29) get a
+  *    per-copy marker (~3% of tokens → ~9% of 3-gram shingles →
+  *    pairwise shingle-jaccard ≈ 0.8 within the copy family, above
+  *    the 0.5 threshold) — so near-dup GROUP SIZE grows linearly with
+  *    scale and pair/group output grows with its true quadratic
+  *    cardinality, the honest stress for bucket caps and CC;
+  *  - i % 3 = 0, i > 0 — DISTINCT: every token gets the copy-unique
+  *    marker (zero token overlap with any other copy of the same
+  *    doc) — corpus bulk that must NOT pair up.
+  * Embedding copy i adds a deterministic ±5% per-dimension ramp, so
+  * copy families stay mutual near-neighbors while distinct copies
+  * spread.
+  *
+  * Ops run with EXACTLY the oracle-gated queries' parameters
+  * (p_minhash_near_dup_pairs / p_dup_groups / p_simhash_near_dup /
+  * p_ivf_topk). Output: one JSON line per (op, scale) with seconds,
+  * rows, task count, max/median task ms — sub-quadratic growth and
+  * bounded skew are the pass criteria, recorded in BASELINE.md. */
+object ScaleStress {
+
+  private final class TaskStats extends SparkListener {
+    private val durations = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+      if (t.taskInfo != null && t.taskInfo.successful) durations.add(t.taskInfo.duration)
+    def size: Int = durations.size
+    def slice(from: Int): Seq[Long] = {
+      import scala.jdk.CollectionConverters._
+      durations.asScala.toSeq.map(_.longValue).drop(from)
+    }
+  }
+
+  def amplifyDocs(docs: DataFrame, scale: Int): DataFrame =
+    if (scale <= 1) docs.select("doc_id", "text")
+    else docs
+      .select(col("doc_id"), col("text"), explode(sequence(lit(0), lit(scale - 1))).as("i"))
+      .select(
+        (col("doc_id") * scale + col("i")).as("doc_id"),
+        when(col("i") === 0, col("text"))
+          .when(pmod(col("i"), lit(3)) =!= 0,
+            concat_ws(" ", transform(split(col("text"), " "), (t, p) =>
+              when(pmod(p, lit(29)) === pmod(col("i"), lit(29)),
+                concat(t, lit("~"), col("i"))).otherwise(t))))
+          .otherwise(
+            concat_ws(" ", transform(split(col("text"), " "), t =>
+              concat(t, lit("#"), col("i")))))
+          .as("text"))
+
+  def amplifyEmbeddings(emb: DataFrame, scale: Int): DataFrame =
+    if (scale <= 1) emb.select("vec_id", "embedding")
+    else emb
+      .select(col("vec_id"), col("embedding"), explode(sequence(lit(0), lit(scale - 1))).as("i"))
+      .select(
+        (col("vec_id") * scale + col("i")).as("vec_id"),
+        transform(col("embedding"), (x, p) =>
+          (x * (lit(1.0f) +
+            (pmod(col("i") * 31 + p, lit(11)) - lit(5)).cast("float") * lit(0.01f)))
+            .cast("float")).as("embedding"))
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val scales = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 10, 50)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-scale-stress")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(spark)
+    val stats = new TaskStats
+    spark.sparkContext.addSparkListener(stats)
+
+    val results = scala.collection.mutable.ArrayBuffer[String]()
+    def measure(op: String, scale: Int)(body: => Long): Unit = {
+      // drop lingering localCheckpoint blocks so ops don't interfere
+      val cached = spark.sparkContext.getPersistentRDDs.values
+      spark.catalog.clearCache()
+      cached.foreach(_.unpersist(blocking = true))
+      val from = stats.size
+      val t0 = System.nanoTime()
+      val rows = body
+      val sec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(500) // let straggler TaskEnd events drain the bus
+      val tasks = stats.slice(from).sorted
+      val (maxMs, medMs) =
+        if (tasks.isEmpty) (0L, 0L)
+        else (tasks.last, tasks(tasks.size / 2))
+      val line =
+        f"""{"op":"$op","scale":$scale,"sec":$sec%.2f,"rows":$rows,"tasks":${tasks.size},""" +
+          s""""max_task_ms":$maxMs,"med_task_ms":$medMs}"""
+      println(line)
+      results += line
+    }
+
+    val docs0 = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
+    val emb0 = spark.read.parquet(s"$sfDir/embeddings.parquet").select("vec_id", "embedding")
+
+    for (scale <- scales) {
+      val docs = amplifyDocs(docs0, scale)
+      val emb = amplifyEmbeddings(emb0, scale)
+      measure("minhash_near_dup_pairs", scale) {
+        Dedup.nearDupPairsShingled(docs, "doc_id", "text",
+          n = 3, k = 12, rowsPerBand = 3, threshold = 0.5).count()
+      }
+      measure("simhash_near_dup", scale) {
+        Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxHamming = 3).count()
+      }
+      measure("dup_groups_cc", scale) {
+        Graph.connectedComponents(
+          Dedup.nearDupPairsShingled(docs, "doc_id", "text",
+            n = 3, k = 12, rowsPerBand = 3, threshold = 0.5),
+          "id_a", "id_b").count()
+      }
+      measure("ivf_topk", scale) {
+        // queries/centroids stay the ORIGINAL vectors (copy 0) so only
+        // the searched corpus grows with scale, like a real index
+        val queries = emb.filter(col("vec_id") < lit(20L) * scale &&
+          pmod(col("vec_id"), lit(scale)) === 0)
+        val cents = emb.filter(col("vec_id") < lit(16L) * scale &&
+          pmod(col("vec_id"), lit(scale)) === 0)
+        Similarity.ivfTopK(queries, "vec_id", emb, "vec_id", "embedding",
+          cents, "vec_id", "embedding", k = 10, nProbe = 2).count()
+      }
+    }
+    val out = results.mkString("[", ",", "]")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("scale_stress.json"), out)
+    println(out)
+    spark.stop()
+  }
+}
