@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+/** Second relational wave (q6/q7/q8/q10/q14/q15/q16/q19 shapes):
+  * value sanity at sf0.01 (the oracle gate re-checks exactly) plus the
+  * plan shapes each query exists to demonstrate — scan-side pushdown
+  * for q6, broadcast dims (never a cartesian) for the join shapes.
+  */
+class Queries2Spec extends SparkSpec {
+  private val dir = sf("sf0.01")
+  private def run(name: String) =
+    Queries2.relational2.find(_.name == name).get.run(spark, dir)
+
+  test("q6: single-scan aggregate with every filter pushed to parquet") {
+    val df = run("q6_forecast_revenue")
+    val plan = df.queryExecution.executedPlan.toString
+    // all three predicates must reach the scan (quantity/discount as
+    // range filters, shipdate as timestamp bounds); SparkSpec raises
+    // maxMetadataStringLength so the scan line isn't truncated
+    assert(plan.contains("LessThan(l_quantity"), plan)
+    assert(plan.contains("GreaterThanOrEqual(l_discount"), plan)
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate"), plan)
+    // no join anywhere — the scan is the query
+    assert(!plan.contains("Join"), "q6 must be join-free")
+    val Row(n: Long, rev: Double) = df.head()
+    assert(n > 0 && rev > 0.0)
+  }
+
+  test("q7: bilateral nation-pair volume — dims broadcast, no cartesian") {
+    val df = run("q7_volume_shipping")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "dims must broadcast")
+    assert(!plan.contains("CartesianProduct"))
+    val rows = df.collect()
+    assert(rows.length == 4) // 2 directed pairs × 2 ship years
+    assert(rows.forall(_.getDouble(3) > 0.0))
+    // both directed pairs present
+    val pairs = rows.map(r => (r.getString(0), r.getString(1))).distinct
+    assert(pairs.toSet == Set(("NATION_1", "NATION_2"), ("NATION_2", "NATION_1")))
+  }
+
+  test("q8: market share is one conditional pass with share in [0,1]") {
+    val df = run("q8_market_share")
+    val plan = df.queryExecution.executedPlan.toString
+    // one aggregate pass over one scan of lineitem — the conditional
+    // numerator must NOT induce a second lineitem scan
+    assert(plan.sliding("FileScan parquet".length).count(_ == "FileScan parquet") ==
+      plan.split("FileScan").length - 1) // sanity on the probe below
+    assert("lineitem".r.findAllIn(plan).size <= 2,
+      "conditional numerator must not re-scan lineitem")
+    df.collect().foreach { r =>
+      val (nat, tot, share) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(tot > 0.0 && nat >= 0.0 && share >= 0.0 && share <= 1.0)
+      assert(math.abs(share - nat / tot) < 1e-12)
+    }
+  }
+
+  test("q10: returned-item revenue pre-aggregates before the dim join") {
+    val df = run("q10_returned_items")
+    val rows = df.collect()
+    assert(rows.length == 20)
+    val revs = rows.map(_.getDouble(2))
+    assert(revs.sameElements(revs.sortBy(-(_: Double))), "revenue DESC order")
+    // aggregation happens below the customer join: the HashAggregate
+    // keys on the orders custkey, not on customer attributes
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
+  test("q14: promo share consistent with its own components") {
+    val Row(promo: Double, tot: Double, pct: Double) = run("q14_promo_revenue").head()
+    assert(promo > 0.0 && tot >= promo)
+    assert(math.abs(pct - 100.0 * (promo / tot)) < 1e-9)
+  }
+
+  test("q15: argmax supplier via broadcast single-row max") {
+    val rows = run("q15_top_supplier").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getDouble(2) > 0.0))
+  }
+
+  test("q16: distinct supplier counts bounded by the supplier dim") {
+    val rows = run("q16_supplier_part_cnt").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(3) >= 1 && r.getLong(3) <= 100))
+    assert(rows.forall(_.getString(0) != "Brand#2"))
+    val cnts = rows.map(_.getLong(3))
+    assert(cnts.sameElements(cnts.sortBy(-(_: Long))) ||
+      cnts.zip(cnts.tail).forall { case (a, b) => a >= b }, "count DESC order")
+  }
+
+  test("q19: disjunctive predicate — broadcast join, no cartesian") {
+    val df = run("q19_disjunctive_revenue")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("CartesianProduct"))
+    val Row(n: Long, rev: Double) = df.head()
+    assert(n > 0 && rev > 0.0)
+  }
+}

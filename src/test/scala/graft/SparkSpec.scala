@@ -19,6 +19,9 @@ object SparkSpec {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // default 100 truncates scan PushedFilters in plan strings,
+      // which plan-shape specs assert on
+      .config("spark.sql.maxMetadataStringLength", "4096")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
