@@ -1051,6 +1051,36 @@ object PipelineQueries {
             .as("within_rsd"))
         .transform(Queries.sortedSmall(_, "lang")))
 
+  // ---------------------------------- n-gram LM familiarity (curation)
+  // Corpus-bigram familiarity per document: the KenLM-perplexity
+  // stand-in that stays oracle-exact (integer counts + one IEEE
+  // division; ln would drift by engine libm — see LanguageModel).
+  private val qLmFamiliarity = Queries.Q(
+    "p_lm_familiarity",
+    Some("""
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      pos AS (SELECT doc_id,
+                     unnest(list_transform(
+                       generate_series(1, greatest(len(tk) - 1, 0)),
+                       i -> tk[i] || ' ' || tk[i+1])) AS gram
+              FROM tok),
+      k AS (SELECT doc_id, gram, COUNT(*) AS k FROM pos GROUP BY doc_id, gram),
+      c AS (SELECT gram, SUM(k) AS cnt FROM k GROUP BY gram),
+      a AS (SELECT k.doc_id, SUM(k.k) AS n_grams,
+                   SUM(CASE WHEN c.cnt >= 3 THEN k.k ELSE 0 END) AS familiar_grams
+            FROM k JOIN c USING (gram) GROUP BY k.doc_id)
+      SELECT d.doc_id,
+             CAST(COALESCE(a.n_grams, 0) AS BIGINT) AS n_grams,
+             CAST(COALESCE(a.familiar_grams, 0) AS BIGINT) AS familiar_grams,
+             CASE WHEN COALESCE(a.n_grams, 0) = 0 THEN 0.0
+                  ELSE CAST(a.familiar_grams AS DOUBLE) / a.n_grams END AS familiar_rate
+      FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id
+      ORDER BY d.doc_id"""),
+    (s, dir) =>
+      operators.LanguageModel.familiarity(
+        Tables(s, dir).documents, "doc_id", "text", n = 2, minCount = 3)
+        .transform(Queries.sortedSmall(_, "doc_id")))
+
   val all: Seq[Queries.Q] = Seq(
     qTextStats, qLangQuality, qRepetitionStats, qExactDedup, qNgramJaccard, qMinhashNearDup,
     qDupGroups, qMinhashBucketAudit, qSimhash, qSimhashNearDup, qWinnowFingerprints,
@@ -1058,5 +1088,5 @@ object PipelineQueries {
     qLshTopK, qLshTopKMultiProbe, qIvfTopK, qEmbeddingNearDup, qEmbeddingQuantize,
     qMultimodal, qEventsDedup, qTokenCounts, qVocabTopK,
     qPiiRedact, qQualityFilter, qChunkWindows, qStratifiedSample, qEditDistVerify,
-    qApproxVocab)
+    qApproxVocab, qLmFamiliarity)
 }
