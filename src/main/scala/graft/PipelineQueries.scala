@@ -1051,6 +1051,30 @@ object PipelineQueries {
             .as("within_rsd"))
         .transform(Queries.sortedSmall(_, "lang")))
 
+  // ------------------------------------ tf-idf characteristic terms
+  // Top-3 terms per document by tf/df (linear idf — ln is engine-libm
+  // territory, see Search.tfidfTopTerms). Integer tf/df plus one IEEE
+  // division ⇒ exact oracle including the score column.
+  private val qTfidfTopK = Queries.Q(
+    "p_tfidf_topk",
+    Some("""
+      WITH p AS (SELECT doc_id, term, COUNT(*) AS tf
+                 FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+                 GROUP BY doc_id, term),
+      d AS (SELECT term, COUNT(*) AS df FROM p GROUP BY term),
+      r AS (SELECT doc_id, term, tf, df,
+                   CAST(tf AS DOUBLE) / df AS tfdf,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY CAST(tf AS DOUBLE) / df DESC, term) AS rnk
+            FROM p JOIN d USING (term))
+      SELECT doc_id, CAST(rnk AS BIGINT) AS rank, term,
+             CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, tfdf
+      FROM r WHERE rnk <= 3
+      ORDER BY doc_id, rank"""),
+    (s, dir) =>
+      Search.tfidfTopTerms(Tables(s, dir).documents, "doc_id", "text", k = 3)
+        .transform(Queries.sortedSmall(_, "doc_id", "rank")))
+
   // ---------------------------------- n-gram LM familiarity (curation)
   // Corpus-bigram familiarity per document: the KenLM-perplexity
   // stand-in that stays oracle-exact (integer counts + one IEEE
@@ -1088,5 +1112,5 @@ object PipelineQueries {
     qLshTopK, qLshTopKMultiProbe, qIvfTopK, qEmbeddingNearDup, qEmbeddingQuantize,
     qMultimodal, qEventsDedup, qTokenCounts, qVocabTopK,
     qPiiRedact, qQualityFilter, qChunkWindows, qStratifiedSample, qEditDistVerify,
-    qApproxVocab, qLmFamiliarity)
+    qApproxVocab, qLmFamiliarity, qTfidfTopK)
 }

@@ -137,6 +137,41 @@ object Search {
       .limit(k)
   }
 
+  /** Top-k characteristic terms per document by tf·idf with a LINEAR
+    * idf (score = tf/df): the per-document keyword extraction used for
+    * corpus exploration, topic labeling, and near-dup triage.
+    *
+    * Why tf/df and not tf·ln(N/df): ln is not IEEE-exactly specified,
+    * so a log-idf score can differ between engines in the last ulp
+    * and flip a ranking — un-oracle-able (the same reason [[bm25TopK]]
+    * ranks division-free and [[LanguageModel]] scores counts, not
+    * log-probs). tf/df keeps the defining property (monotone up in
+    * tf, down in df — stopwords sink, rare-but-repeated terms rise),
+    * and IEEE division IS correctly rounded, so the score and the
+    * ranking hash-match across engines bit-for-bit. Equal ratios from
+    * different pairs (1/2 vs 2/4) tie exactly and break by term.
+    *
+    * Scale shape: posting build + df aggregate + an equi-join on term
+    * (AQE-skew-splittable for head terms) + one window partitioned by
+    * DOC — bounded by a document's distinct-term count, never by
+    * corpus size. No cross product, no driver state.
+    *
+    * Output: (doc_id, rank LONG, term, tf LONG, df LONG, tfdf DOUBLE),
+    * rank ≤ k per doc. */
+  def tfidfTopTerms(
+      docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    val post = postings(docs, idCol, textCol)
+    val dft = post.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("tfdf").desc, col("term"))
+    post.join(dft, "term")
+      .withColumn("tfdf", col("tf").cast("double") / col("df"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("doc_id", "rank", "term", "tf", "df", "tfdf")
+  }
+
   /** Audit companion of [[bm25TopK]]'s tf-top-C prefilter — the
     * analogue of [[Dedup.minhashBucketOverflow]]: one row per query
     * term whose posting list the prefilter truncated. Empty output =

@@ -574,6 +574,27 @@ class OperatorsSpec extends SparkSpec {
     assert(p(("join", 2L)) == 4L && p(("join", 1L)) == 2L && !p.contains(("spark", 2L)))
   }
 
+  test("tfidfTopTerms: linear-idf ranking, stopwords sink, ties break by term") {
+    val corpus = docs(
+      1L -> "x x y the",  // ratios: x 2/1=2.0, y 1/2=0.5, the 1/3
+      2L -> "y z the",    // z 1.0, y 0.5, the 1/3
+      3L -> "the w")      // w 1.0, the 1/3
+    val out = Search.tfidfTopTerms(corpus, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getString(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(out((1L, 1L)) == ("x", 2L, 1L, 2.0))
+    assert(out((1L, 2L)) == ("y", 1L, 2L, 0.5))
+    assert(out((2L, 1L)) == ("z", 1L, 1L, 1.0))
+    assert(out((2L, 2L)) == ("y", 1L, 2L, 0.5))
+    assert(out((3L, 1L)) == ("w", 1L, 1L, 1.0))
+    // 'the' (df=3) only surfaces where nothing rarer is left
+    assert(out((3L, 2L))._1 == "the")
+    assert(out.size == 6)
+    // plan: equi-joins only
+    val plan = Search.tfidfTopTerms(corpus, "doc_id", "text", k = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   // ----------------------------------------------------- bucketed joins
 
   test("bucketed tables join with zero exchanges and correct results") {
