@@ -1051,6 +1051,37 @@ object PipelineQueries {
             .as("within_rsd"))
         .transform(Queries.sortedSmall(_, "lang")))
 
+  // ------------------------------------- token-budget data mixing
+  // Keep a deterministic hash-ordered prefix of each language whose
+  // cumulative token count fits the language's budget (en 6000 /
+  // others 2000). The oracle replays the selection as one naive
+  // window cumsum; the operator runs the two-phase bucket plan —
+  // identical output (also spec-asserted), scale-safe execution.
+  private val qTokenBudgetMix = Queries.Q(
+    "p_token_budget_mix",
+    Some("""
+      WITH b AS (SELECT doc_id, lang,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+                   md5('mixbud:' || CAST(doc_id AS VARCHAR)) AS h,
+                   list_reduce(list_prepend(0, list_transform(generate_series(1, 8),
+                     i -> strpos('0123456789abcdef', substr(md5('mixbud:' || CAST(doc_id AS VARCHAR)), i, 1)) - 1)),
+                     (h, c) -> h*16 + c) % 64 AS bk
+                 FROM documents),
+      c AS (SELECT *, SUM(tok) OVER (PARTITION BY lang ORDER BY bk, h, doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM b)
+      SELECT doc_id, lang, tok FROM c
+      WHERE cum <= CASE WHEN lang = 'en' THEN 6000 ELSE 2000 END
+      ORDER BY doc_id"""),
+    (s, dir) =>
+      operators.Sampling.tokenBudgetMix(
+        Tables(s, dir).documents
+          .withColumn("tok", size(split(col("text"), " ")).cast("long")),
+        "doc_id", "lang", col("tok"), "mixbud",
+        Map("en" -> 6000L), defaultBudget = 2000L, nBuckets = 64)
+        .select("doc_id", "lang", "tok")
+        .transform(Queries.sortedSmall(_, "doc_id")))
+
   // ------------------------------------ tf-idf characteristic terms
   // Top-3 terms per document by tf/df (linear idf — ln is engine-libm
   // territory, see Search.tfidfTopTerms). Integer tf/df plus one IEEE
@@ -1112,5 +1143,5 @@ object PipelineQueries {
     qLshTopK, qLshTopKMultiProbe, qIvfTopK, qEmbeddingNearDup, qEmbeddingQuantize,
     qMultimodal, qEventsDedup, qTokenCounts, qVocabTopK,
     qPiiRedact, qQualityFilter, qChunkWindows, qStratifiedSample, qEditDistVerify,
-    qApproxVocab, qLmFamiliarity, qTfidfTopK)
+    qApproxVocab, qLmFamiliarity, qTfidfTopK, qTokenBudgetMix)
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic (hash-based) sampling and dataset splitting.
@@ -56,6 +57,87 @@ object Sampling {
   def sampled(df: DataFrame, keyCol: String, salt: String, pct: Int): DataFrame = {
     require(pct >= 0 && pct <= 100, s"pct must be in [0,100], got $pct")
     df.filter(hashBucket(col(keyCol), salt, 100) < pct)
+  }
+
+  /** Token-budget data mixing: per stratum (domain/language), keep a
+    * deterministic hash-ordered PREFIX of documents whose cumulative
+    * token count fits the stratum's budget — the mixing primitive
+    * when targets are token counts ("100 B tokens of code, 20 B of
+    * forum text"), not percentages like [[stratifiedSampled]].
+    *
+    * Selection rule (the semantic contract an oracle can replay):
+    * within each stratum, order docs by (bucket, md5(salt:id), id)
+    * where bucket = [[hashBucket]](id, salt, nBuckets); keep a doc
+    * iff the running token sum up to and including it is <= the
+    * stratum's budget. Pure function of (salt, ids, tokens) — stable
+    * across runs, engines, and partition layouts.
+    *
+    * Scale shape: a naive per-row window cumsum puts an ENTIRE
+    * stratum in one task — the classic unsplittable-partition killer
+    * when one language is 80 % of 100 TB. This runs two-phase
+    * instead:
+    *  1. aggregate token totals per (stratum, bucket) —
+    *     strata×nBuckets rows, window-cumsum'd at no cost — and
+    *     classify each bucket KEEP (fits entirely under the budget),
+    *     REFINE (straddles the boundary; at most one per stratum),
+    *     or DROP;
+    *  2. broadcast the classification back; KEEP buckets pass with
+    *     no per-row window at all, and only the single straddling
+    *     bucket (~1/nBuckets of the stratum) pays the sequential
+    *     cumsum, offset by the tokens of the buckets before it.
+    * Identical output to the naive single-window form (spec-asserted)
+    * with the sequential fraction reduced nBuckets-fold; raise
+    * nBuckets to shrink it further.
+    *
+    * `tokens` is a per-row Column (e.g. `size(split(col("text"), " "))`)
+    * so callers choose the token definition; it must be non-negative.
+    * Budgets are INCLUSIVE: a doc landing exactly on the budget stays.
+    * `nBuckets` is part of the selection function, not just a tuning
+    * knob — the order sorts bucket-first, so changing it redraws the
+    * kept prefix exactly like changing the salt. Pin it alongside the
+    * salt for reproducible mixes.
+    * Output: the input rows that made the cut, original columns. */
+  def tokenBudgetMix(
+      df: DataFrame, keyCol: String, stratumCol: String, tokens: Column,
+      salt: String, budgetByStratum: Map[String, Long], defaultBudget: Long,
+      nBuckets: Int = 256): DataFrame = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    (budgetByStratum.values.toSeq :+ defaultBudget).foreach(b =>
+      require(b >= 0, s"budgets must be non-negative, got $b"))
+    // sorted fold so plan canonicalization doesn't depend on map order
+    def budgetFor(stratum: Column): Column =
+      budgetByStratum.toSeq.sortBy(_._1).foldLeft(lit(defaultBudget)) {
+        case (acc, (s, b)) => when(stratum === s, lit(b)).otherwise(acc)
+      }
+    val keyed = df
+      .withColumn("__h", md5(concat_ws(":", lit(salt), col(keyCol).cast("string"))))
+      .withColumn("__b", conv(substring(col("__h"), 1, 8), 16, 10).cast("long") % nBuckets)
+      .withColumn("__tok", tokens.cast("long"))
+    // phase 1: bucket totals + cumulative start offset, classified
+    val classed = keyed
+      .groupBy(col(stratumCol).as("__s"), col("__b"))
+      .agg(sum("__tok").as("__bt"))
+      .withColumn("__cb", coalesce(sum("__bt").over(
+        Window.partitionBy("__s").orderBy("__b")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__budget", budgetFor(col("__s")))
+      .select(col("__s"), col("__b"), col("__cb"),
+        when(col("__cb") + col("__bt") <= col("__budget"), lit("keep"))
+          .when(col("__cb") <= col("__budget"), lit("refine"))
+          .otherwise(lit("drop")).as("__class"))
+    // phase 2: broadcast classification; only the straddling bucket
+    // (at most one per stratum) pays a per-row cumsum
+    val joined = keyed.join(broadcast(classed),
+      col(stratumCol) === col("__s") && keyed("__b") === classed("__b"))
+    val kept = joined.filter(col("__class") === "keep")
+    val refined = joined.filter(col("__class") === "refine")
+      .withColumn("__cum", sum("__tok").over(
+        Window.partitionBy(stratumCol)
+          .orderBy(col("__h"), col(keyCol))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("__cb") + col("__cum") <= budgetFor(col(stratumCol)))
+    kept.select(df.columns.map(col): _*)
+      .unionByName(refined.select(df.columns.map(col): _*))
   }
 
   /** Stratified deterministic subsample: a keep-percentage per value

@@ -892,6 +892,51 @@ class OperatorsSpec extends SparkSpec {
     assert(tightIds.subsetOf(wideIds))
   }
 
+  test("tokenBudgetMix: two-phase plan equals the naive window cumsum exactly") {
+    import spark.implicits._
+    val d = graft.Tables(spark, sf("sf0.001")).documents
+      .withColumn("tok", size(split(col("text"), " ")).cast("long"))
+    val budgets = Map("en" -> 3000L)
+    val out = Sampling.tokenBudgetMix(
+      d, "doc_id", "lang", col("tok"), "tb1", budgets, defaultBudget = 1000L,
+      nBuckets = 16)
+    // naive reference: one window cumsum over the contract ordering
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang")
+      .orderBy(col("__b"), col("__h"), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val naive = d
+      .withColumn("__h", md5(concat_ws(":", lit("tb1"), col("doc_id").cast("string"))))
+      .withColumn("__b", conv(substring(col("__h"), 1, 8), 16, 10).cast("long") % 16)
+      .withColumn("__cum", sum("tok").over(w))
+      .filter(col("__cum") <= when(col("lang") === "en", 3000L).otherwise(1000L))
+    val got = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    val want = naive.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == want, s"two-phase diverged: extra=${got -- want} missing=${want -- got}")
+    assert(got.nonEmpty && got.size < d.count(), "budget must bite")
+    // each kept row appears exactly once (keep ∪ refine is disjoint)
+    assert(out.count() == got.size)
+    // stratum totals respect the budget
+    val totals = out.groupBy("lang").agg(sum("tok").as("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    totals.foreach { case (lang, t) =>
+      assert(t <= (if (lang == "en") 3000L else 1000L), s"$lang over budget: $t") }
+  }
+
+  test("tokenBudgetMix: zero budget keeps nothing; inclusive boundary keeps the landing doc") {
+    import spark.implicits._
+    val d = Seq((1L, "s", 5L), (2L, "s", 5L), (3L, "s", 5L))
+      .toDF("doc_id", "lang", "tok")
+    assert(Sampling.tokenBudgetMix(d, "doc_id", "lang", col("tok"), "z",
+      Map.empty, defaultBudget = 0L).count() == 0)
+    // budget exactly two docs: inclusive boundary
+    assert(Sampling.tokenBudgetMix(d, "doc_id", "lang", col("tok"), "z",
+      Map.empty, defaultBudget = 10L).count() == 2)
+    // budget covers all
+    assert(Sampling.tokenBudgetMix(d, "doc_id", "lang", col("tok"), "z",
+      Map.empty, defaultBudget = 15L).count() == 3)
+  }
+
   // ------------------------------------------- plan-shape guards
   // The scale property each new operator claims, asserted on the
   // physical plan so a refactor can't silently regress it.
