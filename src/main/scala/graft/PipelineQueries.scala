@@ -1051,6 +1051,44 @@ object PipelineQueries {
             .as("within_rsd"))
         .transform(Queries.sortedSmall(_, "lang")))
 
+  // ------------------------------------------ corpus snapshot diff
+  // Diff the documents table against a deterministically mutated
+  // second snapshot (drop %13, append-edit %17, re-add %11 under
+  // shifted ids): per-id added/removed/changed/unchanged by content
+  // fingerprint. The oracle rebuilds the same mutation and diff.
+  private val qSnapshotDiff = Queries.Q(
+    "p_snapshot_diff",
+    Some("""
+      WITH o AS (SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+                 FROM documents),
+      nb AS (SELECT doc_id,
+                    CASE WHEN doc_id % 17 = 0 THEN text || ' v2' ELSE text END AS text
+             FROM documents WHERE doc_id % 13 <> 0),
+      na AS (SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 11 = 0),
+      n AS (SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+            FROM (SELECT * FROM nb UNION ALL SELECT * FROM na)),
+      d AS (SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+                   CASE WHEN o.doc_id IS NULL THEN 'added'
+                        WHEN n.doc_id IS NULL THEN 'removed'
+                        WHEN o.fp <> n.fp THEN 'changed'
+                        ELSE 'unchanged' END AS status,
+                   o.fp AS old_fp, n.fp AS new_fp
+            FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+      SELECT doc_id, status, old_fp, new_fp FROM d
+      ORDER BY doc_id"""),
+    (s, dir) => {
+      val d = Tables(s, dir).documents
+      val mutated = d.filter(col("doc_id") % 13 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 17 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+        .select("doc_id", "text")
+        .unionByName(d.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      operators.Snapshot.diff(d, mutated, "doc_id", "text")
+        .transform(Queries.sortedSmall(_, "doc_id"))
+    })
+
   // ------------------------------------- token-budget data mixing
   // Keep a deterministic hash-ordered prefix of each language whose
   // cumulative token count fits the language's budget (en 6000 /
@@ -1143,5 +1181,5 @@ object PipelineQueries {
     qLshTopK, qLshTopKMultiProbe, qIvfTopK, qEmbeddingNearDup, qEmbeddingQuantize,
     qMultimodal, qEventsDedup, qTokenCounts, qVocabTopK,
     qPiiRedact, qQualityFilter, qChunkWindows, qStratifiedSample, qEditDistVerify,
-    qApproxVocab, qLmFamiliarity, qTfidfTopK, qTokenBudgetMix)
+    qApproxVocab, qLmFamiliarity, qTfidfTopK, qTokenBudgetMix, qSnapshotDiff)
 }

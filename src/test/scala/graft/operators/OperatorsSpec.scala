@@ -937,6 +937,31 @@ class OperatorsSpec extends SparkSpec {
       Map.empty, defaultBudget = 15L).count() == 3)
   }
 
+  test("Snapshot.diff: added/removed/changed/unchanged by content fingerprint") {
+    import spark.implicits._
+    val old = Seq(
+      (1L, "alpha beta"), (2L, "gamma"), (3L, "delta"), (4L, "same  TEXT"))
+      .toDF("doc_id", "text")
+    val neu = Seq(
+      (1L, "alpha beta edited"), // changed
+      (3L, "delta"),             // unchanged
+      (4L, "SAME text"),         // unchanged after collapse+lowercase
+      (5L, "brand new"))         // added; 2 removed
+      .toDF("doc_id", "text")
+    val out = Snapshot.diff(old, neu, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "changed", 2L -> "removed", 3L -> "unchanged",
+      4L -> "unchanged", 5L -> "added"))
+    val sums = Snapshot.diffSummary(old, neu, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sums == Map("changed" -> 1L, "removed" -> 1L, "unchanged" -> 2L, "added" -> 1L))
+    // fp columns: NULL on the absent side only
+    val fps = Snapshot.diff(old, neu, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.isNullAt(2), r.isNullAt(3))).toMap
+    assert(fps(2L) == (false, true) && fps(5L) == (true, false))
+    assert(fps(1L) == (false, false))
+  }
+
   // ------------------------------------------- plan-shape guards
   // The scale property each new operator claims, asserted on the
   // physical plan so a refactor can't silently regress it.
