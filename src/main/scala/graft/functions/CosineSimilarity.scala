@@ -123,6 +123,17 @@ object GraftFunctions {
   def jpegSofDims(payload: Column): Column =
     graftBridge.column(JpegSofDims(graftBridge.expression(payload)))
 
+  /** Column-API form of [[PngPixels]]: raw decoded pixel bytes
+    * (row-major, channel-interleaved) of an 8-bit non-interlaced
+    * PNG payload; NULL when unsupported/corrupt. */
+  def pngPixels(payload: Column): Column =
+    graftBridge.column(PngPixels(graftBridge.expression(payload)))
+
+  /** Column-API form of [[PngPixelStats]]: array<double>
+    * [width, height, channels, mean_ch1, …]; NULL like [[pngPixels]]. */
+  def pngPixelStats(payload: Column): Column =
+    graftBridge.column(PngPixelStats(graftBridge.expression(payload)))
+
   private[graft] val descriptors: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(
       (
@@ -145,6 +156,20 @@ object GraftFunctions {
         (args: Seq[Expression]) => {
           require(args.length == 1, s"graft_jpeg_sof expects 1 argument, got ${args.length}")
           JpegSofDims(args(0))
+        }),
+      (
+        FunctionIdentifier("graft_png_pixels"),
+        new ExpressionInfo(classOf[PngPixels].getName, "graft_png_pixels"),
+        (args: Seq[Expression]) => {
+          require(args.length == 1, s"graft_png_pixels expects 1 argument, got ${args.length}")
+          PngPixels(args(0))
+        }),
+      (
+        FunctionIdentifier("graft_png_stats"),
+        new ExpressionInfo(classOf[PngPixelStats].getName, "graft_png_stats"),
+        (args: Seq[Expression]) => {
+          require(args.length == 1, s"graft_png_stats expects 1 argument, got ${args.length}")
+          PngPixelStats(args(0))
         }))
 
   /** Register every graft SQL function on a live session. */

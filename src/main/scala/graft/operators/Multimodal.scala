@@ -13,8 +13,11 @@ import org.apache.spark.sql.functions._
   * ([[imageMeta]]: pure byte-level expressions, no codec library),
   * WAV ([[audioMeta]]) and JPEG (the native codegen'd SOF segment
   * walk [[graft.functions.JpegSofDims]]); other payloads fall back
-  * to the deterministic [[imageMetaStub]]. Full pixel decode / frame
-  * sampling still needs a codec and remains stubbed
+  * to the deterministic [[imageMetaStub]]. PIXEL decode is REAL for
+  * PNG ([[imagePixels]]/[[imagePixelStats]] — zlib inflate via the
+  * JDK + scanline unfilter, decompression-bomb-guarded; see
+  * [[graft.functions.PngPixels]]); JPEG pixels and video frame
+  * sampling still need an entropy/codec library and remain stubbed
   * ([[frameSampleStub]]) — that call is the single swap-in point for
   * a JNI/py bridge at the `mapPartitions` boundary in production.
   */
@@ -172,6 +175,20 @@ object Multimodal {
       .when(isWav(payload), "wav")
       .when(isJpeg(payload), "jpeg")
       .otherwise("other")
+
+  /** REAL pixel decode for 8-bit non-interlaced PNG: raw row-major
+    * channel-interleaved bytes, NULL outside the supported scope —
+    * see [[graft.functions.PngPixels]] for the exact contract and
+    * the 64 MiB decompression-bomb guard. */
+  def imagePixels(payload: Column): Column =
+    graft.functions.GraftFunctions.pngPixels(payload)
+
+  /** Per-channel pixel statistics of a PNG payload:
+    * `array<double>` [width, height, channels, mean_ch1, …] — the
+    * brightness / dead-image signal, computed without materializing
+    * pixels into the row ([[graft.functions.PngPixelStats]]). */
+  def imagePixelStats(payload: Column): Column =
+    graft.functions.GraftFunctions.pngPixelStats(payload)
 
   /** STUB frame sampling: every `stride`-th byte as lowercase hex —
     * the plumbing (array column, deterministic order, bounded size)
