@@ -1174,6 +1174,201 @@ object PipelineQueries {
         Tables(s, dir).documents, "doc_id", "text", n = 2, minCount = 3)
         .transform(Queries.sortedSmall(_, "doc_id")))
 
+  // ------------------------------------ near-dup DEDUP (corpus output)
+  // The step the pair/group queries exist to serve: the surviving
+  // corpus after near-dup clustering — group representatives
+  // (smallest id) plus all unclustered docs, full row retained. Same
+  // minhash parameters as p_minhash_near_dup_pairs / p_dup_groups, so
+  // the three queries value-check the same pipeline at pair, group,
+  // and corpus granularity. Oracle: shared CTEs + recursive-CTE CC +
+  // NOT IN of the non-representatives.
+  private val qNearDupDedup = Queries.Q(
+    "p_near_dup_dedup",
+    Some(s"""
+      WITH RECURSIVE t AS (SELECT doc_id, $duckShingles3 AS sh FROM documents),
+      t2 AS (SELECT doc_id, sh FROM t WHERE len(sh) > 0),
+      sig AS (SELECT doc_id, sh,
+                list_transform(generate_series(0, 11),
+                  j -> list_min(list_transform(sh, x -> md5(j || ':' || x)))) AS s
+              FROM t2),
+      bands AS (SELECT doc_id, b.generate_series AS band,
+                  md5(s[b.generate_series*3+1] || '|' || s[b.generate_series*3+2] || '|' || s[b.generate_series*3+3]) AS bh
+                FROM sig, generate_series(0, 3) b),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+               FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+      pairs AS (SELECT id_a, id_b
+                FROM cand
+                JOIN t2 ta ON ta.doc_id = id_a
+                JOIN t2 tb ON tb.doc_id = id_b
+                WHERE CAST(len(list_intersect(ta.sh, tb.sh)) AS DOUBLE)
+                        / len(list_distinct(list_concat(ta.sh, tb.sh))) >= 0.5),
+      e AS (SELECT id_a AS u, id_b AS v FROM pairs
+            UNION SELECT id_b AS u, id_a AS v FROM pairs),
+      reach(node, r) AS (SELECT u, u FROM (SELECT DISTINCT u FROM e)
+                         UNION
+                         SELECT e.v, reach.r FROM reach JOIN e ON e.u = reach.node),
+      losers AS (SELECT node FROM (SELECT node, MIN(r) AS grp FROM reach GROUP BY node)
+                 WHERE node <> grp)
+      SELECT doc_id, lang, source, n_chars FROM documents
+      WHERE doc_id NOT IN (SELECT node FROM losers)
+      ORDER BY doc_id"""),
+    (s, dir) =>
+      Dedup.dedupNearDups(Tables(s, dir).documents, "doc_id", "text",
+        n = 3, k = 12, rowsPerBand = 3, threshold = 0.5)
+        .select("doc_id", "lang", "source", "n_chars")
+        .transform(Queries.sortedSmall(_, "doc_id")))
+
+  // ------------------------------------------- per-source cap (mixing)
+  // Web-scale curation's per-domain cap: at most 10 docs per source,
+  // keeping the longest (n_chars desc, doc_id tiebreak). The operator
+  // ranks over a narrow (source, id, n_chars) projection and
+  // semi-joins survivors back — the payload never rides the rank
+  // shuffle (see Sampling.perKeyCap).
+  private val qSourceCap = Queries.Q(
+    "p_source_cap",
+    Some("""
+      SELECT doc_id, source, n_chars FROM (
+        SELECT doc_id, source, n_chars,
+               row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
+        FROM documents)
+      WHERE rn <= 10
+      ORDER BY doc_id"""),
+    (s, dir) =>
+      Sampling.perKeyCap(Tables(s, dir).documents, "source", "doc_id", 10, col("n_chars"))
+        .select("doc_id", "source", "n_chars")
+        .transform(Queries.sortedSmall(_, "doc_id")))
+
+  // -------------------------------------- approximate quantiles (GK)
+  // The sketch companion of q_quantile_quantity, in the p_approx_vocab
+  // deterministic form: each engine checks ITS OWN approx-quantile
+  // sketch (Spark GK with accuracy 10000; DuckDB t-digest) against its
+  // own exact percentile, and emits only stable columns — group, row
+  // count, exact min/max (data values, no arithmetic), and the
+  // within-band booleans (|approx − exact| ≤ 2% of the group's value
+  // range). Both sketches bound rank error orders of magnitude below
+  // that band at these group sizes, so the booleans hold on each
+  // engine — probabilistic in principle, dataset-validated, same
+  // trade as p_approx_vocab. At 100 TB the exact percentile is the
+  // column you drop: it needs a full sort (or two-pass select) per
+  // group, while the GK/t-digest sketch merges map-side in constant
+  // space — this query IS the accuracy audit that licenses that swap.
+  private val qApproxQuantiles = Queries.Q(
+    "p_approx_quantiles",
+    Some("""
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS BIGINT) AS n_items,
+             MIN(l_extendedprice) AS lo,
+             MAX(l_extendedprice) AS hi,
+             (ABS(approx_quantile(l_extendedprice, 0.5) - quantile_cont(l_extendedprice, 0.5))
+                <= 0.02 * (MAX(l_extendedprice) - MIN(l_extendedprice))) AS p50_within,
+             (ABS(approx_quantile(l_extendedprice, 0.9) - quantile_cont(l_extendedprice, 0.9))
+                <= 0.02 * (MAX(l_extendedprice) - MIN(l_extendedprice))) AS p90_within
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""),
+    (s, dir) =>
+      Tables(s, dir).lineitem
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n_items"),
+          min(col("l_extendedprice")).as("lo"),
+          max(col("l_extendedprice")).as("hi"),
+          expr("percentile(l_extendedprice, 0.5)").as("__e50"),
+          expr("percentile(l_extendedprice, 0.9)").as("__e90"),
+          expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("__a50"),
+          expr("approx_percentile(l_extendedprice, 0.9, 10000)").as("__a90"))
+        .select(
+          col("l_returnflag"), col("n_items"), col("lo"), col("hi"),
+          (abs(col("__a50") - col("__e50")) <= lit(0.02) * (col("hi") - col("lo")))
+            .as("p50_within"),
+          (abs(col("__a90") - col("__e90")) <= lit(0.02) * (col("hi") - col("lo")))
+            .as("p90_within"))
+        .transform(Queries.sortedSmall(_, "l_returnflag")))
+
+  // ------------------------------------ PNG pixel decode (end-to-end)
+  // The decoder itself under oracle: 48 deterministic gradient PNGs
+  // (every color type, every filter type across rows — built by
+  // Multimodal.encodePng at plan time) are DECODED by the native
+  // graft_png_stats/graft_png_pixels expressions, and the oracle
+  // PREDICTS the result arithmetically from the pixel formula
+  // pixel(x,y,c) = (7x + 13y + 31c + 3i) mod 256 — means via exact
+  // integer sums (one correctly-rounded double division on both
+  // engines) and a value-check of EVERY byte via md5 over the
+  // canonical lowercase-hex pixel dump. A decoder that misreads one
+  // filter byte, one scanline, or one channel fails the hash.
+  private val qPngPixelStats = Queries.Q(
+    "p_png_pixel_stats",
+    Some("""
+      WITH dims AS (SELECT i, 1 + (i*7) % 16 AS w, 1 + (i*5) % 12 AS h,
+                           CASE i % 4 WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 2 THEN 2 ELSE 4 END AS ch
+                    FROM generate_series(0, 47) t(i)),
+      ys AS (SELECT i, w, h, ch, unnest(generate_series(0, h - 1)) AS y FROM dims),
+      xs AS (SELECT i, w, h, ch, y, unnest(generate_series(0, w - 1)) AS x FROM ys),
+      px AS (SELECT i, y, x, unnest(generate_series(0, ch - 1)) AS c FROM xs),
+      v AS (SELECT i, y, x, c, (x*7 + y*13 + c*31 + i*3) % 256 AS v FROM px),
+      md AS (SELECT i, md5(string_agg(printf('%02x', v), '' ORDER BY y, x, c)) AS pixel_md5
+             FROM v GROUP BY i),
+      mn AS (SELECT i, c AS channel, CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mean_val
+             FROM v GROUP BY i, c)
+      SELECT CAST(d.i AS BIGINT) AS img_id, CAST(d.w AS BIGINT) AS width,
+             CAST(d.h AS BIGINT) AS height, CAST(d.ch AS BIGINT) AS channels,
+             CAST(mn.channel AS BIGINT) AS channel, mn.mean_val, md.pixel_md5
+      FROM dims d JOIN mn ON mn.i = d.i JOIN md ON md.i = d.i
+      ORDER BY img_id, channel"""),
+    (s, dir) => {
+      val imgs: Seq[(Long, Array[Byte])] = (0 until 48).map { i =>
+        val (w, h) = (1 + (i * 7) % 16, 1 + (i * 5) % 12)
+        val ch = Seq(1, 3, 2, 4)(i % 4)
+        (i.toLong, Multimodal.encodePng(w, h, ch,
+          (x, y, c) => (x * 7 + y * 13 + c * 31 + i * 3) % 256,
+          y => (y + i) % 5))
+      }
+      import s.implicits._
+      val df = imgs.toDF("img_id", "payload")
+      val stats = Multimodal.imagePixelStats(col("payload"))
+      df.select(
+          col("img_id"),
+          stats.as("__st"),
+          md5(lower(hex(Multimodal.imagePixels(col("payload"))))).as("pixel_md5"))
+        .select(
+          col("img_id"),
+          col("__st").getItem(0).cast("long").as("width"),
+          col("__st").getItem(1).cast("long").as("height"),
+          col("__st").getItem(2).cast("long").as("channels"),
+          posexplode(slice(col("__st"), lit(4), size(col("__st")) - 3)),
+          col("pixel_md5"))
+        .select(
+          col("img_id"), col("width"), col("height"), col("channels"),
+          col("pos").cast("long").as("channel"), col("col").as("mean_val"),
+          col("pixel_md5"))
+        .transform(Queries.sortedSmall(_, "img_id", "channel"))
+    })
+
+  // -------------------------------- signed random projection (JL)
+  // Deterministic ±1 Johnson–Lindenstrauss projection of the 64-d
+  // embeddings to 8 dims (Similarity.randomProject): the matrix signs
+  // derive from md5, so the oracle recomputes the identical
+  // projection — every output double is a fixed left-to-right
+  // multiply-add chain, bit-equal across engines.
+  private val qRandomProjection = Queries.Q(
+    "p_random_projection",
+    Some("""
+      SELECT vec_id, j AS dim_j,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(generate_series(1, 64),
+                 d -> CAST(embedding[d] AS DOUBLE) *
+                      CASE WHEN substr(md5('rp:' || CAST(j AS VARCHAR) || ':' || CAST(d - 1 AS VARCHAR)), 1, 1) < '8'
+                           THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)),
+               (a, t) -> a + t) AS val
+      FROM (SELECT vec_id, embedding, unnest(generate_series(0, 7)) AS j FROM embeddings)
+      ORDER BY vec_id, dim_j"""),
+    (s, dir) =>
+      Tables(s, dir).embeddings
+        .select(col("vec_id"),
+          posexplode(Similarity.randomProject(col("embedding"), dim = 64, outDim = 8)))
+        .select(col("vec_id"), col("pos").cast("long").as("dim_j"), col("col").as("val"))
+        .transform(Queries.sortedSmall(_, "vec_id", "dim_j")))
+
   val all: Seq[Queries.Q] = Seq(
     qTextStats, qLangQuality, qRepetitionStats, qExactDedup, qNgramJaccard, qMinhashNearDup,
     qDupGroups, qMinhashBucketAudit, qSimhash, qSimhashNearDup, qWinnowFingerprints,
@@ -1181,5 +1376,6 @@ object PipelineQueries {
     qLshTopK, qLshTopKMultiProbe, qIvfTopK, qEmbeddingNearDup, qEmbeddingQuantize,
     qMultimodal, qEventsDedup, qTokenCounts, qVocabTopK,
     qPiiRedact, qQualityFilter, qChunkWindows, qStratifiedSample, qEditDistVerify,
-    qApproxVocab, qLmFamiliarity, qTfidfTopK, qTokenBudgetMix, qSnapshotDiff)
+    qApproxVocab, qLmFamiliarity, qTfidfTopK, qTokenBudgetMix, qSnapshotDiff,
+    qNearDupDedup, qSourceCap, qApproxQuantiles, qPngPixelStats, qRandomProjection)
 }

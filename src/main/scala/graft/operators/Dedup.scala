@@ -290,6 +290,33 @@ object Dedup {
       .select("id_a", "id_b", "jac")
   }
 
+  /** Near-dup DEDUP output — the curation step the pair/group queries
+    * exist to serve: resolve minhash near-dup pairs into clusters
+    * ([[graft.operators.Graph.connectedComponents]]) and drop every
+    * clustered document except its group representative (the smallest
+    * id — the CC label), keeping all unclustered documents untouched.
+    * Returns the surviving corpus with its full original schema.
+    *
+    * Plan shape at 100 TB: pair generation is the bucketed minhash
+    * pipeline ([[nearDupPairsShingled]] — one banded shuffle, capped
+    * buckets); resolution is O(log d) label propagation over the pair
+    * set only; the final step is ONE left anti equi-join of the
+    * corpus against just the non-representative ids — a set of size
+    * (dup members − groups), typically a small fraction of the
+    * corpus, so AQE plans a broadcast anti-join in the common case.
+    * The corpus payload is never shuffled by the dedup decision. */
+  def dedupNearDups(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int, k: Int, rowsPerBand: Int, threshold: Double,
+      maxBucket: Int = 1024): DataFrame = {
+    val pairs =
+      nearDupPairsShingled(docs, idCol, textCol, n, k, rowsPerBand, threshold, maxBucket)
+    val losers = Graph.connectedComponents(pairs, "id_a", "id_b")
+      .filter(col("node") =!= col("component"))
+      .select(col("node").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Word n-gram (shingle) array: tokens i..i+n-1 joined by a space.
     * Documents shorter than n tokens yield an empty array (guarded:
     * an unguarded `sequence(1, size-(n-1))` would step DOWN through 0

@@ -200,6 +200,77 @@ object Multimodal {
         i => lower(hex(payload.substr(i, lit(1))))))
       .otherwise(array().cast("array<string>"))
 
+  /** Driver-side PNG ENCODER (fixture machinery, not a data path):
+    * 8-bit gray / gray+alpha / RGB / RGBA, non-interlaced, one IDAT,
+    * per-row filter selected by `filterOf(y)` (0..4) so round trips
+    * exercise EVERY unfilter branch in [[graft.functions.PngDecode]].
+    * Pure `java.util.zip` (Deflater + CRC32) — the encoder stays as
+    * dependency-free as the decoder. Used to build the deterministic
+    * image corpus behind the `p_png_pixel_stats` oracle query and the
+    * encode→decode round-trip specs. */
+  def encodePng(width: Int, height: Int, channels: Int,
+      pixel: (Int, Int, Int) => Int, filterOf: Int => Int = _ => 0): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dims ${width}x$height")
+    require(channels >= 1 && channels <= 4, s"channels=$channels")
+    val colorType = channels match { case 1 => 0; case 2 => 4; case 3 => 2; case 4 => 6 }
+    val stride = width * channels
+    // reconstructed samples first (filter math references neighbors)
+    val recon = new Array[Byte](height * stride)
+    for (y <- 0 until height; x <- 0 until width; c <- 0 until channels)
+      recon(y * stride + x * channels + c) = (pixel(x, y, c) & 0xFF).toByte
+    val raw = new Array[Byte](height * (1 + stride))
+    for (y <- 0 until height) {
+      val f = filterOf(y)
+      require(f >= 0 && f <= 4, s"filter $f")
+      raw(y * (1 + stride)) = f.toByte
+      var x = 0
+      while (x < stride) {
+        val cur = recon(y * stride + x) & 0xFF
+        val left = if (x >= channels) recon(y * stride + x - channels) & 0xFF else 0
+        val up = if (y > 0) recon((y - 1) * stride + x) & 0xFF else 0
+        val ul = if (y > 0 && x >= channels) recon((y - 1) * stride + x - channels) & 0xFF else 0
+        val pred = f match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) >> 1
+          case 4 =>
+            val p = left + up - ul
+            val pa = math.abs(p - left); val pb = math.abs(p - up); val pc = math.abs(p - ul)
+            if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul
+        }
+        raw(y * (1 + stride) + 1 + x) = ((cur - pred) & 0xFF).toByte
+        x += 1
+      }
+    }
+    val defl = new java.util.zip.Deflater()
+    val zos = new java.io.ByteArrayOutputStream()
+    try {
+      defl.setInput(raw); defl.finish()
+      val buf = new Array[Byte](8192)
+      while (!defl.finished()) { val n = defl.deflate(buf); zos.write(buf, 0, n) }
+    } finally defl.end()
+    def chunk(tag: String, data: Array[Byte]): Array[Byte] = {
+      val o = new java.io.ByteArrayOutputStream()
+      def be32(v: Long): Unit = o.write(Array[Byte](
+        (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte))
+      be32(data.length.toLong)
+      val tb = tag.getBytes("US-ASCII")
+      o.write(tb); o.write(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data)
+      be32(crc.getValue)
+      o.toByteArray
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(width).putInt(height)
+      .put(8.toByte).put(colorType.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A) ++
+      chunk("IHDR", ihdr) ++ chunk("IDAT", zos.toByteArray) ++
+      chunk("IEND", Array.emptyByteArray)
+  }
+
   /** Attach the standard multimodal columns to a DataFrame. */
   def withPayloadColumns(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("payload", payloadOf(col(textCol)))

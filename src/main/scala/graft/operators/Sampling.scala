@@ -161,4 +161,33 @@ object Sampling {
     }
     df.filter(hashBucket(col(keyCol), salt, 100) < threshold)
   }
+
+  /** Per-key cap: keep at most `n` rows per value of `keyCol`, ranked
+    * by `sortKey` (descending by default — "keep the best n") with
+    * `idCol` as the deterministic tiebreak. The canonical per-domain
+    * cap of a web-scale curation pipeline: no single domain/source
+    * may dominate the training mixture.
+    *
+    * Scale shape: the rank runs over a NARROW projection (key, id,
+    * sort value) — one hash-partitioned window whose shuffle carries
+    * three columns, never the document payload; survivors then LEFT
+    * SEMI equi-join back to the full-width corpus on the unique id
+    * (AQE-broadcastable when the cap bites hard). The naive
+    * full-width window would shuffle every payload byte instead —
+    * at 100 TB that is the whole corpus through the wire for a
+    * three-column decision. */
+  def perKeyCap(
+      df: DataFrame, keyCol: String, idCol: String, n: Int,
+      sortKey: Column, desc: Boolean = true): DataFrame = {
+    require(n > 0, s"cap must be positive, got $n")
+    val narrow = df.select(
+      col(keyCol).as("__k"), col(idCol).as("__id"), sortKey.as("__s"))
+    val ord = if (desc) col("__s").desc else col("__s").asc
+    val w = Window.partitionBy(col("__k")).orderBy(ord, col("__id"))
+    val keep = narrow
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .select(col("__id").as(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
+  }
 }

@@ -365,4 +365,37 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "sim")
   }
+
+  /** Deterministic signed random projection (Johnson–Lindenstrauss,
+    * Achlioptas-style ±1 matrix): `out[j] = Σ_d vec[d] · r(j, d)`
+    * with `r(j, d) = +1` iff the first hex digit of
+    * `md5("tag:j:d")` is < '8' (an unbiased coin, portable across
+    * engines — the same derivation family as every fingerprint
+    * here). Each output is a fixed ±-signed sum of the input floats
+    * accumulated in index order, so the double result is
+    * bit-identical on any engine that adds left-to-right.
+    *
+    * The matrix is resolved ONCE at plan time (outDim·dim signs baked
+    * into the expression as literals); per row the projection is
+    * outDim fused multiply-add chains over the array — a pure
+    * map-side projection, no shuffle, no UDF. At 100 TB this is the
+    * cheap dimensionality-reduction front of an ANN pipeline:
+    * project 1024-d → 32-d, bucket or index the short vectors, then
+    * refine survivors on the originals. */
+  def randomProject(vec: Column, dim: Int, outDim: Int, tag: String = "rp"): Column = {
+    require(dim > 0, s"dim=$dim must be positive")
+    require(outDim > 0, s"outDim=$outDim must be positive")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sign(j: Int, d: Int): Double = {
+      md.reset()
+      val h = md.digest(s"$tag:$j:$d".getBytes("UTF-8"))
+      // first hex digit < '8'  ⇔  high bit of the first byte clear
+      if ((h(0) & 0x80) == 0) 1.0 else -1.0
+    }
+    array((0 until outDim).map { j =>
+      (0 until dim).foldLeft(lit(0.0)) { (acc, d) =>
+        acc + element_at(vec, d + 1).cast("double") * lit(sign(j, d))
+      }
+    }: _*)
+  }
 }

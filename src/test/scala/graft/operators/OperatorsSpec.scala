@@ -1117,4 +1117,109 @@ class OperatorsSpec extends SparkSpec {
     assert(out(0) == ((1L, 1.0d, Seq(127, -63, 31, 0)))) // -63.5/31.75 truncate toward zero
     assert(out(1) == ((2L, 0.0d, Seq(0, 0))))
   }
+
+  // ------------------------------------------- near-dup dedup output
+
+  test("dedupNearDups: keeps one representative per cluster, full schema, unclustered untouched") {
+    import spark.implicits._
+    val fam1 = "the quick brown fox jumps over the lazy dog again today"
+    val fam2 = "entirely different second family text with many shared tokens here also"
+    val corpus = Seq(
+      (1L, fam1, "a"), (2L, fam1, "b"), (3L, fam1, "c"), // cluster → keep 1
+      (4L, fam2, "d"), (5L, fam2, "e"),                  // cluster → keep 4
+      (6L, "a lone document that matches nothing else in this tiny corpus", "f"))
+      .toDF("doc_id", "text", "extra")
+    val out = Dedup.dedupNearDups(corpus, "doc_id", "text",
+      n = 3, k = 12, rowsPerBand = 3, threshold = 0.5)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 4L, 6L))
+    // full original row survives (payload columns intact)
+    assert(out.map(_.getString(2)).toSeq == Seq("a", "d", "f"))
+  }
+
+  // ------------------------------------------------- per-key cap
+
+  test("perKeyCap: top-n per key by sort key desc with id tiebreak; payload stays off the rank shuffle") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "s1", 10L, "p1"), (2L, "s1", 30L, "p2"), (3L, "s1", 30L, "p3"),
+      (4L, "s1", 5L, "p4"), (5L, "s2", 1L, "p5"))
+      .toDF("id", "src", "score", "payload")
+    val out = Sampling.perKeyCap(df, "src", "id", 2, col("score"))
+      .orderBy("id").collect()
+    // s1: scores 30(id 2), 30(id 3) win over 10/5 — tiebreak keeps lower id first
+    assert(out.map(_.getLong(0)).toSeq == Seq(2L, 3L, 5L))
+    assert(out.map(_.getString(3)).toSeq == Seq("p2", "p3", "p5")) // full rows
+    // plan shape: the Window ranks a narrow projection — the payload
+    // attribute must not appear anywhere in the window subtree
+    val win = Sampling.perKeyCap(df, "src", "id", 2, col("score"))
+      .queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+    assert(win.nonEmpty)
+    win.foreach(w => assert(!w.output.map(_.name).contains("payload")))
+  }
+
+  // ------------------------------------------- signed random projection
+
+  test("randomProject: bit-equal to the scalar reference fold; deterministic") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Seq(0.25f, -1.5f, 3.0f, 0.125f, -0.75f)),
+      (2L, Seq(1.0f, 1.0f, 1.0f, 1.0f, 1.0f)))
+    val out = vecs.toDF("vec_id", "embedding")
+      .select(col("vec_id"), Similarity.randomProject(col("embedding"), dim = 5, outDim = 3).as("p"))
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    // scalar reference: identical sign derivation and left-to-right fold
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sign(j: Int, d: Int): Double = {
+      md.reset()
+      if ((md.digest(s"rp:$j:$d".getBytes("UTF-8"))(0) & 0x80) == 0) 1.0 else -1.0
+    }
+    vecs.zip(out).foreach { case ((id, v), (oid, proj)) =>
+      assert(id == oid)
+      (0 until 3).foreach { j =>
+        val expect = (0 until 5).foldLeft(0.0)((acc, d) => acc + v(d).toDouble * sign(j, d))
+        assert(proj(j) == expect, s"vec $id dim $j") // exact, not approximate
+      }
+    }
+  }
+
+  // ------------------------------------------- PNG encoder round trip
+
+  test("encodePng → PngDecode round trip: every color type and filter type, exact bytes") {
+    for (ch <- Seq(1, 2, 3, 4)) {
+      val (w, h) = (7, 6) // 6 rows cycle through filters 0..4 and wrap
+      def pix(x: Int, y: Int, c: Int): Int = (x * 7 + y * 13 + c * 31 + ch * 3) % 256
+      val png = Multimodal.encodePng(w, h, ch, pix, y => y % 5)
+      val d = graft.functions.PngDecode.decode(png)
+      assert(d != null, s"channels=$ch did not decode")
+      assert((d.width, d.height, d.channels) == ((w, h, ch)))
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until ch)
+        assert((d.pixels(y * w * ch + x * ch + c) & 0xFF) == pix(x, y, c),
+          s"ch=$ch pixel ($x,$y,$c)")
+    }
+  }
+
+  // ------------------------------------------- approx quantiles band
+
+  test("approx_percentile tracks the exact percentile within the 2%-of-range band") {
+    val li = spark.read.parquet(sf("sf0.001/lineitem.parquet"))
+    val rows = li.groupBy("l_returnflag")
+      .agg(
+        min(col("l_extendedprice")).as("lo"),
+        max(col("l_extendedprice")).as("hi"),
+        expr("percentile(l_extendedprice, 0.5)").as("e50"),
+        expr("percentile(l_extendedprice, 0.9)").as("e90"),
+        expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("a50"),
+        expr("approx_percentile(l_extendedprice, 0.9, 10000)").as("a90"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val band = 0.02 * (r.getAs[Double]("hi") - r.getAs[Double]("lo"))
+      assert(math.abs(r.getAs[Double]("a50") - r.getAs[Double]("e50")) <= band)
+      assert(math.abs(r.getAs[Double]("a90") - r.getAs[Double]("e90")) <= band)
+    }
+  }
 }
