@@ -1273,16 +1273,17 @@ object PipelineQueries {
           count(lit(1)).as("n_items"),
           min(col("l_extendedprice")).as("lo"),
           max(col("l_extendedprice")).as("hi"),
-          expr("percentile(l_extendedprice, 0.5)").as("__e50"),
-          expr("percentile(l_extendedprice, 0.9)").as("__e90"),
-          expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("__a50"),
-          expr("approx_percentile(l_extendedprice, 0.9, 10000)").as("__a90"))
+          // ONE buffer per sketch kind (array form), not one per
+          // requested quantile — the exact percentile's value buffer
+          // is the dominant cost and must not be paid twice
+          expr("percentile(l_extendedprice, array(0.5D, 0.9D))").as("__e"),
+          expr("approx_percentile(l_extendedprice, array(0.5D, 0.9D), 10000)").as("__a"))
         .select(
           col("l_returnflag"), col("n_items"), col("lo"), col("hi"),
-          (abs(col("__a50") - col("__e50")) <= lit(0.02) * (col("hi") - col("lo")))
-            .as("p50_within"),
-          (abs(col("__a90") - col("__e90")) <= lit(0.02) * (col("hi") - col("lo")))
-            .as("p90_within"))
+          (abs(col("__a").getItem(0) - col("__e").getItem(0))
+            <= lit(0.02) * (col("hi") - col("lo"))).as("p50_within"),
+          (abs(col("__a").getItem(1) - col("__e").getItem(1))
+            <= lit(0.02) * (col("hi") - col("lo"))).as("p90_within"))
         .transform(Queries.sortedSmall(_, "l_returnflag")))
 
   // ------------------------------------ PNG pixel decode (end-to-end)

@@ -6,12 +6,16 @@ import org.apache.spark.sql.functions._
 import graft.Queries.{Q, sortedSmall, sortedSmallBy}
 import graft.util.Exact.dec2
 
-/** Second relational wave — the remaining TPC-H query SHAPES the
-  * driver's reduced star schema can express (no partsupp, shipmode or
-  * commit/receipt dates exist, so q2/q4/q9/q11/q12/q20/q21 have no
+/** Second + third relational waves — the remaining TPC-H query SHAPES
+  * the driver's reduced star schema can express (no partsupp, shipmode
+  * or commit/receipt dates exist, so q2/q9/q11/q12/q20 have no
   * faithful analogue; their distinguishing plan features — correlated
-  * EXISTS, scalar subqueries, multi-way dim joins — are already
-  * covered by q17/q18/q22 shapes in [[Queries]]).
+  * scalar subqueries, multi-way dim joins — are already covered by
+  * q15/q17/q18/q22 shapes). q4 and q21 ARE expressible in their
+  * defining plan feature — semi/anti joins with NON-EQUI residual
+  * conditions — with "late" re-defined against o_orderdate and
+  * "sole supplier" via a lineitem self-anti-join (see each query's
+  * comment).
   *
   * Shapes added here and what each exercises at scale:
   *  - q6  : single-scan predicate-pushdown aggregate (no join at all —
@@ -360,5 +364,83 @@ object Queries2 {
             .cast("double").as("revenue"))
     })
 
-  val relational2: Seq[Q] = Seq(q6, q7, q8, q10, q14, q15, q16, q19)
+  // ----------------------------------------------------------- q4 shape
+  // Correlated EXISTS with a NON-EQUI residual: orders (one year) that
+  // have at least one lineitem shipped more than 60 days after the
+  // order date, counted by priority. The reduced schema has no
+  // commit/receipt dates, so "late" is defined against o_orderdate —
+  // the plan feature q4 exists to exercise survives intact: a LEFT
+  // SEMI join on the order key whose date comparison rides the join
+  // as a residual condition (never a second shuffle, never a
+  // cartesian). The orders side is pre-filtered by the pushable date
+  // range BEFORE the join, so the probe carries one year, not the
+  // full table.
+  private val q4 = Q(
+    "q4_late_orders",
+    Some("""
+      SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders o
+      WHERE o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND o.o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+        AND EXISTS (SELECT 1 FROM lineitem l
+                    WHERE l.l_orderkey = o.o_orderkey
+                      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""),
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.orders
+        .filter(
+          col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+        .join(
+          t.lineitem.select("l_orderkey", "l_shipdate"),
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"))
+        .transform(sortedSmall(_, "o_orderpriority"))
+    })
+
+  // ---------------------------------------------------------- q21 shape
+  // ANTI join with a NON-EQUI residual (q21's hallmark): suppliers
+  // whose orders are theirs ALONE — lineitems with no other supplier
+  // in the same order. The self-anti-join keys on l_orderkey with the
+  // supplier inequality as the residual, so the plan is one keyed
+  // shuffle of a two-column projection; the supplier dim then
+  // broadcasts onto the survivors. Output is the solo-order count per
+  // supplier, deterministic top 10.
+  private val q21 = Q(
+    "q21_sole_supplier",
+    Some("""
+      WITH solo AS (
+        SELECT l1.l_suppkey, l1.l_orderkey
+        FROM lineitem l1
+        WHERE NOT EXISTS (SELECT 1 FROM lineitem l2
+                          WHERE l2.l_orderkey = l1.l_orderkey
+                            AND l2.l_suppkey <> l1.l_suppkey))
+      SELECT s_name, CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_solo_orders
+      FROM solo JOIN supplier ON s_suppkey = l_suppkey
+      GROUP BY s_name
+      ORDER BY n_solo_orders DESC, s_name
+      LIMIT 10"""),
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val l = t.lineitem.select("l_orderkey", "l_suppkey")
+      val solo = l.alias("l1")
+        .join(l.alias("l2"),
+          col("l1.l_orderkey") === col("l2.l_orderkey") &&
+            col("l1.l_suppkey") =!= col("l2.l_suppkey"),
+          "left_anti")
+      solo
+        .join(broadcast(t.supplier.select("s_suppkey", "s_name")),
+          col("l1.l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(countDistinct(col("l1.l_orderkey")).as("n_solo_orders"))
+        .transform(sortedSmallBy(_, col("n_solo_orders").desc, col("s_name")))
+        .limit(10)
+    })
+
+  val relational2: Seq[Q] = Seq(q6, q7, q8, q10, q14, q15, q16, q19, q4, q21)
 }

@@ -98,4 +98,30 @@ class Queries2Spec extends SparkSpec {
     val Row(n: Long, rev: Double) = df.head()
     assert(n > 0 && rev > 0.0)
   }
+
+  test("q4: EXISTS rides the semi join as a residual — one keyed join, no cartesian") {
+    val df = run("q4_late_orders")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), plan.linesIterator.take(20).mkString("\n"))
+    // the date comparison is the join's residual condition, not a
+    // separate filter stage after a wider join
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getLong(1) > 0))
+  }
+
+  test("q21: sole-supplier anti self-join keys on the order, residual on the supplier") {
+    val df = run("q21_sole_supplier")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), plan.linesIterator.take(20).mkString("\n"))
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    val rows = df.collect()
+    assert(rows.length == 10)
+    val counts = rows.map(_.getLong(1))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b }, "count DESC order")
+    assert(counts.forall(_ > 0))
+  }
 }
