@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Fingerprint, Graph, Multimodal, Sampling, Search, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Fingerprint, Graph, Multimodal, Report, Sampling, Search, Similarity, TextAnalysis}
 
 /** Training-data-pipeline queries (SURVEY §2.9): dedup, similarity
   * search, text analysis, multimodal columns — wired to the driver
@@ -1370,6 +1370,120 @@ object PipelineQueries {
         .select(col("vec_id"), col("pos").cast("long").as("dim_j"), col("col").as("val"))
         .transform(Queries.sortedSmall(_, "vec_id", "dim_j")))
 
+  // ------------------------------------ boilerplate n-gram mining
+  // Corpus-frequent word 3-grams (headers/footers/license blurbs
+  // repeat verbatim across pages): top 50 by document frequency among
+  // grams seen in >= 5 distinct docs. One gram-keyed partially-
+  // aggregated shuffle + TakeOrderedAndProject — the gram table is
+  // never globally sorted.
+  private val qBoilerplateNgrams = Queries.Q(
+    "p_boilerplate_ngrams",
+    Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      g AS (SELECT doc_id, array_to_string(w[i:i+2], ' ') AS gram
+            FROM t, unnest(generate_series(1, len(w) - 2)) AS s(i)
+            WHERE len(w) >= 3),
+      st AS (SELECT gram,
+               CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+             FROM g GROUP BY gram
+             HAVING COUNT(DISTINCT doc_id) >= 5),
+      top AS (SELECT gram, n_docs, n_occurrences FROM st
+              ORDER BY n_docs DESC, n_occurrences DESC, gram LIMIT 50)
+      SELECT CAST(row_number() OVER
+               (ORDER BY n_docs DESC, n_occurrences DESC, gram) AS BIGINT) AS rank,
+             gram, n_docs, n_occurrences
+      FROM top ORDER BY rank"""),
+    (s, dir) =>
+      TextAnalysis.boilerplateNgrams(
+        Tables(s, dir).documents, "doc_id", "text", n = 3, minDocs = 5, k = 50)
+        .transform(Queries.sortedSmall(_, "rank")))
+
+  // ----------------------------------------- span-level corpus dedup
+  // Non-overlapping 8-token spans; a span occurrence is a duplicate
+  // when its exact text occurred earlier (first occurrence by
+  // (doc, span idx) is canonical). Per-doc duplicated-span fraction
+  // gates "mostly-copied" pages — the practical stand-in for
+  // suffix-array substring dedup.
+  private val qSpanDedup = Queries.Q(
+    "p_span_dedup",
+    Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      sp AS (SELECT doc_id, CAST((i - 1) / 8 AS BIGINT) AS idx,
+                    array_to_string(w[i:least(i + 7, len(w))], ' ') AS span
+             FROM t, unnest(generate_series(1, len(w), 8)) AS s(i)),
+      m AS (SELECT doc_id, idx,
+              row_number() OVER (PARTITION BY span ORDER BY doc_id, idx) AS rn
+            FROM sp)
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_spans,
+             CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+             CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS dup_span_frac,
+             (CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)) <= 0.5 AS keep
+      FROM m GROUP BY doc_id ORDER BY doc_id"""),
+    (s, dir) =>
+      Dedup.spanDupStats(
+        Tables(s, dir).documents, "doc_id", "text", size = 8, maxDupFrac = 0.5)
+        .transform(Queries.sortedSmall(_, "doc_id")))
+
+  // --------------------------------------- per-source curation report
+  // Volume, language spread, and exact-duplicate exposure per source
+  // — the corpus health summary a data-mix sign-off reads. Duplicate
+  // membership is corpus-wide (cross-source copies count for every
+  // holder).
+  private val qSourceReport = Queries.Q(
+    "p_source_report",
+    Some("""
+      WITH fp AS (SELECT source, lang, n_chars,
+                    md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS f
+                  FROM documents),
+      c AS (SELECT f, COUNT(*) AS cnt FROM fp GROUP BY f)
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+             CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+             CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS dup_frac
+      FROM fp JOIN c USING (f)
+      GROUP BY source ORDER BY source"""),
+    (s, dir) =>
+      Report.sourceReport(
+        Tables(s, dir).documents, "source", "lang", "n_chars", "text")
+        .transform(Queries.sortedSmall(_, "source")))
+
+  // ------------------------------- cross-split n-gram decontamination
+  // GPT-3-style eval-leakage scrub: distinct word 5-grams of each
+  // held-out (test-split) doc probed against the train split's gram
+  // set. Splits reuse the salted-md5 buckets of p_hash_split, so the
+  // oracle recomputes the identical assignment.
+  private val qSplitContamination = Queries.Q(
+    "p_split_contamination",
+    Some(s"""
+      WITH b AS (SELECT doc_id, text, ${duckBucket("split25")} AS sb FROM documents),
+      tg AS (SELECT DISTINCT md5(array_to_string(w[i:i+4], ' ')) AS gh
+             FROM (SELECT string_split(text, ' ') AS w FROM b WHERE sb < 80) t,
+                  unnest(generate_series(1, len(w) - 4)) AS s(i)
+             WHERE len(w) >= 5),
+      hg AS (SELECT doc_id, md5(gram) AS gh FROM (
+               SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS gram
+               FROM (SELECT doc_id, string_split(text, ' ') AS w FROM b WHERE sb >= 90) t,
+                    unnest(generate_series(1, len(w) - 4)) AS s(i)
+               WHERE len(w) >= 5))
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_grams,
+             CAST(SUM(CASE WHEN tg.gh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+             SUM(CASE WHEN tg.gh IS NOT NULL THEN 1 ELSE 0 END) > 0 AS contaminated
+      FROM hg LEFT JOIN tg ON hg.gh = tg.gh
+      GROUP BY doc_id ORDER BY doc_id"""),
+    (s, dir) => {
+      val b = Tables(s, dir).documents
+        .withColumn("__sb", Sampling.hashBucket(col("doc_id"), "split25", 100))
+      Fingerprint.ngramContamination(
+        b.filter(col("__sb") < 80), b.filter(col("__sb") >= 90),
+        "doc_id", "text", n = 5)
+        .transform(Queries.sortedSmall(_, "doc_id"))
+    })
+
   val all: Seq[Queries.Q] = Seq(
     qTextStats, qLangQuality, qRepetitionStats, qExactDedup, qNgramJaccard, qMinhashNearDup,
     qDupGroups, qMinhashBucketAudit, qSimhash, qSimhashNearDup, qWinnowFingerprints,
@@ -1378,5 +1492,6 @@ object PipelineQueries {
     qMultimodal, qEventsDedup, qTokenCounts, qVocabTopK,
     qPiiRedact, qQualityFilter, qChunkWindows, qStratifiedSample, qEditDistVerify,
     qApproxVocab, qLmFamiliarity, qTfidfTopK, qTokenBudgetMix, qSnapshotDiff,
-    qNearDupDedup, qSourceCap, qApproxQuantiles, qPngPixelStats, qRandomProjection)
+    qNearDupDedup, qSourceCap, qApproxQuantiles, qPngPixelStats, qRandomProjection,
+    qBoilerplateNgrams, qSpanDedup, qSourceReport, qSplitContamination)
 }

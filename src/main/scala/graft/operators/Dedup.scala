@@ -677,6 +677,62 @@ object Dedup {
       .select("id_a", "id_b", "cos")
   }
 
+  /** Span-level duplication stats — the practical stand-in for
+    * suffix-array substring dedup (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better"): cut every document
+    * into non-overlapping `size`-token spans, mark a span occurrence
+    * a DUPLICATE when its exact text occurred earlier in the corpus
+    * (first occurrence by (id, span index) is canonical and kept),
+    * then score each document by its duplicated-span fraction.
+    * Documents above `maxDupFrac` fail the gate — the RefinedWeb/
+    * FineWeb-style "mostly-copied page" drop.
+    *
+    * Output: (id, n_spans, n_dup_spans, dup_span_frac DOUBLE — one
+    * IEEE long/long division, oracle-exact — and keep BOOLEAN).
+    *
+    * Scale shape: the span stream is built map-side by
+    * [[TextAnalysis.chunkWindows]] (stride = size ⇒ no overlap, no
+    * blow-up: output tokens = input tokens), and each occurrence
+    * ships a 128-bit md5 key, never the span text. ONE md5-keyed
+    * shuffle builds (count, first-occurrence) per distinct span; the
+    * flag join re-uses the SAME key (co-partitioned exchange), and
+    * the per-doc rollup is a second keyed shuffle of 3-column rows.
+    * No windows over the corpus, no collect; at 100 TB this is the
+    * same two-exchange budget as exact dedup, paid on ~n/size keys
+    * per document. */
+  def spanDupStats(
+      docs: DataFrame, idCol: String, textCol: String,
+      size: Int, maxDupFrac: Double): DataFrame = {
+    require(size > 0, s"size=$size must be positive")
+    require(maxDupFrac >= 0.0 && maxDupFrac <= 1.0,
+      s"maxDupFrac=$maxDupFrac must be in [0,1]")
+    val spans = TextAnalysis
+      .chunkWindows(docs, idCol, textCol, size = size, stride = size)
+      .select(col(idCol), col("chunk_idx"), md5(col("chunk_text")).as("__h"))
+    val firsts = spans
+      .groupBy("__h")
+      .agg(
+        count(lit(1)).as("__cnt"),
+        min(struct(col(idCol).as("id"), col("chunk_idx").as("idx"))).as("__first"))
+    spans
+      .join(firsts, Seq("__h"))
+      .select(
+        col(idCol),
+        (col("__cnt") > 1L &&
+          !(col("__first.id") === col(idCol) &&
+            col("__first.idx") === col("chunk_idx"))).as("__dup"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("__dup"), 1L).otherwise(0L)).as("n_dup_spans"))
+      .select(
+        col(idCol),
+        col("n_spans"),
+        col("n_dup_spans"),
+        (col("n_dup_spans").cast("double") / col("n_spans")).as("dup_span_frac"),
+        (col("n_dup_spans").cast("double") / col("n_spans") <= maxDupFrac).as("keep"))
+  }
+
   // ---------------------------------------- bucket-drop observability
 
   private val obsSeq = new java.util.concurrent.atomic.AtomicLong()

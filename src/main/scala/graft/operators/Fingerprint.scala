@@ -106,4 +106,46 @@ object Fingerprint {
         m.as("fp"))
       .distinct()
   }
+
+  /** Cross-split n-gram decontamination (the GPT-3-style eval-leakage
+    * scrub): for every held-out document, how many of its DISTINCT
+    * word n-grams also appear anywhere in the training split, and a
+    * `contaminated` verdict when any do. Run before training to catch
+    * test questions that leaked into the crawl.
+    *
+    * Output: (id, n_grams, n_hit — both LONG — contaminated BOOLEAN),
+    * one row per `heldOut` document with at least one n-gram;
+    * shorter-than-n documents have nothing to leak and are absent.
+    *
+    * Scale shape: each side explodes its per-doc `array_distinct`
+    * shingles once (map-side); the training side collapses to ONE
+    * distinct-gram set via a gram-keyed partial-aggregated groupBy,
+    * and membership is a LEFT equi-join on a 128-bit md5 of the gram
+    * — the shuffle ships (id, 32-hex) rows, never gram text, and is
+    * AQE-skew-splittable. The held-out side is typically orders of
+    * magnitude smaller than training at 100 TB, but nothing here
+    * assumes it (no broadcast, no collect). */
+  def ngramContamination(
+      train: DataFrame, heldOut: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"n=$n must be >= 1")
+    def grams(df: DataFrame): DataFrame = df
+      .select(col(idCol), Dedup.tokens(col(textCol)).as("__tk"))
+      .select(
+        col(idCol),
+        explode(array_distinct(Dedup.wordShinglesFromTokens(col("__tk"), n)))
+          .as("__gram"))
+      .select(col(idCol), md5(col("__gram")).as("__gh"))
+    val trainGrams = grams(train).select("__gh").distinct()
+      .withColumn("__hit", lit(1L))
+    grams(heldOut)
+      .join(trainGrams, Seq("__gh"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+      .select(
+        col(idCol), col("n_grams"), col("n_hit"),
+        (col("n_hit") > 0L).as("contaminated"))
+  }
 }

@@ -282,4 +282,43 @@ object TextAnalysis {
         col("__top.__c").as("top_bigram_count"),
         (col("__top.__c").cast("double") / col("__n_bigrams")).as("top_bigram_frac"))
   }
+
+  /** Corpus-frequent word n-grams — the boilerplate miner (headers,
+    * footers, license blurbs, navigation chrome repeat VERBATIM across
+    * many pages; a training-data pipeline mines them corpus-wide and
+    * strips or down-weights the hits, cf. the C4 placeholder-line and
+    * MassiveWeb boilerplate passes). Emits the top `k` n-grams that
+    * occur in at least `minDocs` distinct documents, ranked by
+    * (n_docs DESC, n_occurrences DESC, gram ASC).
+    *
+    * Scale shape: tokens are materialized before the shingle lambda
+    * (see [[Dedup.wordShinglesFromTokens]]'s O(tokens²) warning), then
+    * ONE explode feeds ONE gram-keyed shuffle with map-side partial
+    * aggregation; `minDocs` prunes the long tail BEFORE the top-k,
+    * and the top-k itself is `orderBy(...).limit(k)` — planned as
+    * TakeOrderedAndProject (per-task k-row heaps, driver merges P·k
+    * rows), so the gram table is never globally sorted. At 100 TB
+    * the gram stream is the corpus × n blow-up every boilerplate
+    * miner pays; partial aggregation collapses it per task before
+    * the exchange. */
+  def boilerplateNgrams(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int, minDocs: Long, k: Int): DataFrame = {
+    require(n > 0 && minDocs >= 1 && k > 0,
+      s"need n>0, minDocs>=1, k>0; got n=$n minDocs=$minDocs k=$k")
+    val rankOrder = Seq(col("n_docs").desc, col("n_occurrences").desc, col("gram"))
+    df
+      .select(col(idCol), tokens(col(textCol)).as("__tk"))
+      .select(col(idCol), explode(Dedup.wordShinglesFromTokens(col("__tk"), n)).as("gram"))
+      .groupBy("gram")
+      .agg(count(lit(1)).as("n_occurrences"), countDistinct(col(idCol)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .orderBy(rankOrder: _*)
+      .limit(k)
+      .withColumn(
+        "rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(rankOrder: _*)).cast("long"))
+      .select("rank", "gram", "n_docs", "n_occurrences")
+  }
 }

@@ -1222,4 +1222,90 @@ class OperatorsSpec extends SparkSpec {
       assert(math.abs(r.getAs[Double]("a90") - r.getAs[Double]("e90")) <= band)
     }
   }
+
+  // ------------------------------------------ boilerplate n-grams
+
+  test("boilerplateNgrams: doc-frequency ranking, minDocs prune, top-k heap plan") {
+    val d = docs(
+      1L -> "copyright acme corp page one",
+      2L -> "copyright acme corp page two",
+      3L -> "copyright acme corp again copyright acme corp",
+      4L -> "unrelated words entirely here")
+    val out = TextAnalysis.boilerplateNgrams(d, "doc_id", "text", n = 3, minDocs = 2, k = 10)
+    val rows = out.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // "copyright acme corp" is in docs 1,2,3 with 4 total occurrences;
+    // every other gram is single-doc and pruned by minDocs=2
+    assert(rows.head == ((1L, "copyright acme corp", 3L, 4L)))
+    assert(rows.forall(_._3 >= 2L))
+    assert(rows.map(_._2).distinct.length == rows.length)
+    // the top-k must plan as a per-task heap, not a global sort
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.linesIterator.take(12).mkString("\n"))
+  }
+
+  // ------------------------------------------------ span-level dedup
+
+  test("spanDupStats: first occurrence is canonical, later copies count as dups") {
+    // size=2 spans; doc 1 = [a b][c d], doc 2 = [a b][a b], doc 3 = [x y]
+    val d = docs(1L -> "a b c d", 2L -> "a b a b", 3L -> "x y")
+    val out = Dedup.spanDupStats(d, "doc_id", "text", size = 2, maxDupFrac = 0.5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+    // doc 1 owns both its spans (first occurrences); doc 2's two "a b"
+    // spans are both later copies of doc 1's
+    assert(out(0) == ((1L, 2L, 0L, 0.0, true)))
+    assert(out(1) == ((2L, 2L, 2L, 1.0, false)))
+    assert(out(2) == ((3L, 1L, 0L, 0.0, true)))
+  }
+
+  test("spanDupStats: intra-document repeats dedup against their own first span") {
+    val out = Dedup.spanDupStats(
+      docs(7L -> "p q p q p q"), "doc_id", "text", size = 2, maxDupFrac = 0.9)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getBoolean(4)))
+    assert(out.head == ((3L, 2L, true))) // spans 2,3 duplicate span 1
+  }
+
+  // ------------------------------------------- per-source report
+
+  test("sourceReport: corpus-wide dup membership counts for every holding source") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "same text", "en", "srcA", 9L),
+      (2L, "same  TEXT", "en", "srcB", 10L), // normalizes equal to doc 1
+      (3L, "unique one", "fr", "srcA", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Report.sourceReport(d, "source", "lang", "n_chars", "text")
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // the cross-source copy counts as a dup in BOTH srcA and srcB
+    assert(out(0) == (("srcA", 2L, 19L, 2L, 1L)))
+    assert(out(1) == (("srcB", 1L, 10L, 1L, 1L)))
+  }
+
+  // -------------------------------- cross-split decontamination
+
+  test("ngramContamination: hit counts over distinct grams, absent short docs") {
+    val train = docs(1L -> "the quick brown fox jumps", 2L -> "over the lazy dog today")
+    val held = docs(
+      10L -> "the quick brown fox jumps high", // grams 1-2 of 2 hit
+      11L -> "completely novel held out text",
+      12L -> "too short")                      // < 5 tokens: absent
+    val out = Fingerprint.ngramContamination(train, held, "doc_id", "text", n = 5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(out.length == 2)
+    assert(out(0) == ((10L, 2L, 1L, true))) // "the quick brown fox jumps" leaked
+    assert(out(1) == ((11L, 1L, 0L, false)))
+  }
+
+  test("ngramContamination: no broadcast of the train gram set (scale shape)") {
+    val train = docs(1L -> "a b c d e f g")
+    val held = docs(2L -> "c d e f g h i")
+    val out = Fingerprint.ngramContamination(train, held, "doc_id", "text", n = 5)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    assert(!plan.contains("CartesianProduct"))
+    assert(out.collect().head.getBoolean(3)) // "c d e f g" leaked
+  }
 }
