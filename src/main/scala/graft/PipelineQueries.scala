@@ -1484,6 +1484,27 @@ object PipelineQueries {
         .transform(Queries.sortedSmall(_, "doc_id"))
     })
 
+  // ------------------------------------ BPE merge-candidate mining
+  // The pair-counting step of BPE tokenizer training: adjacent char
+  // pairs over every word occurrence, top 20. The winning pair is the
+  // trainer's next merge. One |alphabet|²-keyed shuffle.
+  private val qBpePairCounts = Queries.Q(
+    "p_bpe_pair_counts",
+    Some("""
+      WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+      p AS (SELECT substr(word, i, 2) AS pair
+            FROM w, unnest(generate_series(1, len(word) - 1)) AS s(i)
+            WHERE len(word) >= 2),
+      st AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS n_occurrences FROM p GROUP BY pair),
+      top AS (SELECT pair, n_occurrences FROM st
+              ORDER BY n_occurrences DESC, pair LIMIT 20)
+      SELECT CAST(row_number() OVER (ORDER BY n_occurrences DESC, pair) AS BIGINT) AS rank,
+             pair, n_occurrences
+      FROM top ORDER BY rank"""),
+    (s, dir) =>
+      TextAnalysis.bpePairCounts(Tables(s, dir).documents, "text", k = 20)
+        .transform(Queries.sortedSmall(_, "rank")))
+
   val all: Seq[Queries.Q] = Seq(
     qTextStats, qLangQuality, qRepetitionStats, qExactDedup, qNgramJaccard, qMinhashNearDup,
     qDupGroups, qMinhashBucketAudit, qSimhash, qSimhashNearDup, qWinnowFingerprints,
@@ -1493,5 +1514,6 @@ object PipelineQueries {
     qPiiRedact, qQualityFilter, qChunkWindows, qStratifiedSample, qEditDistVerify,
     qApproxVocab, qLmFamiliarity, qTfidfTopK, qTokenBudgetMix, qSnapshotDiff,
     qNearDupDedup, qSourceCap, qApproxQuantiles, qPngPixelStats, qRandomProjection,
-    qBoilerplateNgrams, qSpanDedup, qSourceReport, qSplitContamination)
+    qBoilerplateNgrams, qSpanDedup, qSourceReport, qSplitContamination,
+    qBpePairCounts)
 }

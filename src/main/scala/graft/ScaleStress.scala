@@ -131,6 +131,19 @@ object ScaleStress {
             n = 3, k = 12, rowsPerBand = 3, threshold = 0.5),
           "id_a", "id_b").count()
       }
+      measure("span_dedup", scale) {
+        // amplified near-dup copies share most 8-token spans with the
+        // original, so duplicated-span volume grows with scale — the
+        // honest load for the first-occurrence join
+        Dedup.spanDupStats(docs, "doc_id", "text", size = 8, maxDupFrac = 0.5).count()
+      }
+      measure("split_contamination", scale) {
+        val b = docs.withColumn("__sb",
+          operators.Sampling.hashBucket(col("doc_id"), "split25", 100))
+        operators.Fingerprint.ngramContamination(
+          b.filter(col("__sb") < 80), b.filter(col("__sb") >= 90),
+          "doc_id", "text", n = 5).count()
+      }
       measure("ivf_topk", scale) {
         // queries/centroids stay the ORIGINAL vectors (copy 0) so only
         // the searched corpus grows with scale, like a real index

@@ -321,4 +321,43 @@ object TextAnalysis {
           .orderBy(rankOrder: _*)).cast("long"))
       .select("rank", "gram", "n_docs", "n_occurrences")
   }
+
+  /** BPE merge-candidate mining — the pair-counting step of tokenizer
+    * training (Sennrich et al., "Neural Machine Translation of Rare
+    * Words with Subword Units"): count adjacent character pairs over
+    * every word OCCURRENCE in the corpus and rank the top `k`; the
+    * most frequent pair is the next merge a BPE trainer would apply.
+    * One round is emitted (full training iterates merge → recount;
+    * each round is this same shuffle over a shrinking symbol stream).
+    *
+    * Output: (rank, pair, n_occurrences), rank by
+    * (n_occurrences DESC, pair ASC).
+    *
+    * Scale shape: words explode map-side; each word materializes as
+    * an attribute BEFORE the pair lambda (higher-order functions run
+    * interpreted, and an inlined split would re-evaluate per output
+    * element). The pair stream is ~bytes-of-corpus rows of 2-char
+    * keys — ONE keyed shuffle with map-side partial aggregation over
+    * a key space bounded by |alphabet|² collapses it; the top-k is
+    * TakeOrderedAndProject. No driver-side vocabulary, no collect. */
+  def bpePairCounts(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k=$k must be positive")
+    val rankOrder = Seq(col("n_occurrences").desc, col("pair"))
+    df
+      .select(explode(tokens(col(textCol))).as("__w"))
+      .filter(length(col("__w")) >= 2)
+      .select(explode(
+        transform(
+          sequence(lit(1), length(col("__w")) - 1),
+          i => col("__w").substr(i, lit(2)))).as("pair"))
+      .groupBy("pair")
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(rankOrder: _*)
+      .limit(k)
+      .withColumn(
+        "rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(rankOrder: _*)).cast("long"))
+      .select("rank", "pair", "n_occurrences")
+  }
 }

@@ -1299,6 +1299,24 @@ class OperatorsSpec extends SparkSpec {
     assert(out(1) == ((11L, 1L, 0L, false)))
   }
 
+  // ------------------------------------- BPE merge-candidate mining
+
+  test("bpePairCounts: occurrence-weighted adjacent pairs, single-char words skipped") {
+    // "ab ab abc x" → pairs: ab(×3: two from "ab", one from "abc"),
+    // bc(×1); "x" contributes nothing
+    val out = TextAnalysis.bpePairCounts(docs(1L -> "ab ab abc x"), "text", k = 10)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, "ab", 3L), (2L, "bc", 1L)))
+  }
+
+  test("bpePairCounts: top-k plans as a per-task heap, not a global sort") {
+    val out = TextAnalysis.bpePairCounts(
+      docs(1L -> "aa bb cc dd ee"), "text", k = 2)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.linesIterator.take(12).mkString("\n"))
+    assert(out.collect().length == 2)
+  }
+
   test("ngramContamination: no broadcast of the train gram set (scale shape)") {
     val train = docs(1L -> "a b c d e f g")
     val held = docs(2L -> "c d e f g h i")
