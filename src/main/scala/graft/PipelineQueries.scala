@@ -1505,6 +1505,70 @@ object PipelineQueries {
       TextAnalysis.bpePairCounts(Tables(s, dir).documents, "text", k = 20)
         .transform(Queries.sortedSmall(_, "rank")))
 
+  // ------------------------------------ end-to-end curation pipeline
+  // The composition the operator library exists for, as ONE Catalyst
+  // plan with no materialization barriers between stages: quality
+  // gate → exact-dedup survivors → per-source cap (15 best by chars)
+  // → per-language corpus rollup. Each stage is the same oracle-gated
+  // operator its standalone query checks (p_quality_filter,
+  // p_exact_dedup_groups, p_source_cap), so the oracle replays the
+  // identical ladder in SQL CTEs. At 100 TB the whole pipeline is
+  // three narrow keyed exchanges (fingerprint, source-rank, lang) —
+  // the payload rides only the semi-join survivors.
+  private val qCurationPipeline = Queries.Q(
+    "p_curation_pipeline",
+    Some("""
+      WITH v AS (
+        SELECT doc_id, text, lang, source, n_chars,
+               len(string_split(text, ' ')) AS n,
+               len(list_distinct(string_split(text, ' '))) AS nd,
+               len(list_filter(string_split(text, ' '),
+                   t -> list_contains(['the','a','an','and','or','of','to','in','is','it'], t))) AS nstop
+        FROM documents),
+      kept1 AS (
+        SELECT doc_id, text, lang, source, n_chars, n FROM v
+        WHERE NOT (n < 10)
+          AND NOT (CAST(length(text) - (n - 1) AS DOUBLE) / n > 10.0)
+          AND NOT (nstop = 0)
+          AND NOT (1.0 - CAST(nd AS DOUBLE) / n > 0.6)),
+      fp AS (SELECT doc_id, lang, source, n_chars, n,
+                    md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS f
+             FROM kept1),
+      kept2 AS (
+        SELECT doc_id, lang, source, n_chars, n FROM fp
+        WHERE doc_id IN (SELECT MIN(doc_id) FROM fp GROUP BY f)),
+      ranked AS (
+        SELECT lang, n_chars, n,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY n_chars DESC, doc_id) AS rn
+        FROM kept2)
+      SELECT lang,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n) AS BIGINT) AS total_tokens,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      FROM ranked WHERE rn <= 15
+      GROUP BY lang ORDER BY lang"""),
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      val kept1 = docs.join(
+        TextAnalysis.qualityFilter(docs, "doc_id", "text",
+          minTokens = 10L, maxAvgTokenLen = 10.0d, maxDupFrac = 0.6d)
+          .filter(col("keep")).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      val kept2 = kept1.join(
+        Dedup.exactGroups(kept1, "doc_id", "text")
+          .select(col("keep_id").as("doc_id")),
+        Seq("doc_id"), "left_semi")
+      val kept3 = Sampling.perKeyCap(
+        kept2, "source", "doc_id", n = 15, sortKey = col("n_chars"), desc = true)
+      kept3.groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCount(col("text"))).as("total_tokens"),
+          sum(col("n_chars")).as("total_chars"))
+        .transform(Queries.sortedSmall(_, "lang"))
+    })
+
   val all: Seq[Queries.Q] = Seq(
     qTextStats, qLangQuality, qRepetitionStats, qExactDedup, qNgramJaccard, qMinhashNearDup,
     qDupGroups, qMinhashBucketAudit, qSimhash, qSimhashNearDup, qWinnowFingerprints,
@@ -1515,5 +1579,5 @@ object PipelineQueries {
     qApproxVocab, qLmFamiliarity, qTfidfTopK, qTokenBudgetMix, qSnapshotDiff,
     qNearDupDedup, qSourceCap, qApproxQuantiles, qPngPixelStats, qRandomProjection,
     qBoilerplateNgrams, qSpanDedup, qSourceReport, qSplitContamination,
-    qBpePairCounts)
+    qBpePairCounts, qCurationPipeline)
 }

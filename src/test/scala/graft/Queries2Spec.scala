@@ -112,6 +112,26 @@ class Queries2Spec extends SparkSpec {
     assert(rows.forall(_.getLong(1) > 0))
   }
 
+  test("curation pipeline: one Catalyst plan, cap + gate semantics hold end to end") {
+    val q = PipelineQueries.all.find(_.name == "p_curation_pipeline").get
+    val df = q.run(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // every rollup is over surviving docs only: counts positive and
+    // token/char sums consistent with a non-empty doc set
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0L && r.getLong(2) > 0L && r.getLong(3) > 0L)
+    }
+    // the per-source cap bounds total survivors by 15 × |sources|
+    val totalDocs = rows.map(_.getLong(1)).sum
+    val nSources = spark.read.parquet(s"$dir/documents.parquet")
+      .select("source").distinct().count()
+    assert(totalDocs <= 15L * nSources)
+  }
+
   test("q21: sole-supplier anti self-join keys on the order, residual on the supplier") {
     val df = run("q21_sole_supplier")
     val plan = df.queryExecution.executedPlan.toString
