@@ -134,6 +134,16 @@ object GraftFunctions {
   def pngPixelStats(payload: Column): Column =
     graftBridge.column(PngPixelStats(graftBridge.expression(payload)))
 
+  /** Column-API form of [[JpegPixels]]: raw decoded pixel bytes of a
+    * JPEG payload (JDK ImageIO reader); NULL when undecodable. */
+  def jpegPixels(payload: Column): Column =
+    graftBridge.column(JpegPixels(graftBridge.expression(payload)))
+
+  /** Column-API form of [[JpegPixelStats]]: array<double>
+    * [width, height, channels, mean_ch1, …]; NULL like [[jpegPixels]]. */
+  def jpegPixelStats(payload: Column): Column =
+    graftBridge.column(JpegPixelStats(graftBridge.expression(payload)))
+
   private[graft] val descriptors: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(
       (
@@ -170,6 +180,20 @@ object GraftFunctions {
         (args: Seq[Expression]) => {
           require(args.length == 1, s"graft_png_stats expects 1 argument, got ${args.length}")
           PngPixelStats(args(0))
+        }),
+      (
+        FunctionIdentifier("graft_jpeg_pixels"),
+        new ExpressionInfo(classOf[JpegPixels].getName, "graft_jpeg_pixels"),
+        (args: Seq[Expression]) => {
+          require(args.length == 1, s"graft_jpeg_pixels expects 1 argument, got ${args.length}")
+          JpegPixels(args(0))
+        }),
+      (
+        FunctionIdentifier("graft_jpeg_stats"),
+        new ExpressionInfo(classOf[JpegPixelStats].getName, "graft_jpeg_stats"),
+        (args: Seq[Expression]) => {
+          require(args.length == 1, s"graft_jpeg_stats expects 1 argument, got ${args.length}")
+          JpegPixelStats(args(0))
         }))
 
   /** Register every graft SQL function on a live session. */

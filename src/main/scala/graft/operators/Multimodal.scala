@@ -16,10 +16,13 @@ import org.apache.spark.sql.functions._
   * to the deterministic [[imageMetaStub]]. PIXEL decode is REAL for
   * PNG ([[imagePixels]]/[[imagePixelStats]] — zlib inflate via the
   * JDK + scanline unfilter, decompression-bomb-guarded; see
-  * [[graft.functions.PngPixels]]); JPEG pixels and video frame
-  * sampling still need an entropy/codec library and remain stubbed
-  * ([[frameSampleStub]]) — that call is the single swap-in point for
-  * a JNI/py bridge at the `mapPartitions` boundary in production.
+  * [[graft.functions.PngPixels]]) and for baseline JPEG (the JDK's
+  * bundled ImageIO reader, [[graft.functions.JpegPixels]] — same
+  * output layout, same bomb guard, spec-gated because JPEG IDCT
+  * rounding is decoder-specific). Video frame sampling still needs a
+  * codec library and remains stubbed ([[frameSampleStub]]) — that
+  * call is the single swap-in point for a JNI/py bridge at the
+  * `mapPartitions` boundary in production.
   */
 object Multimodal {
 
@@ -176,19 +179,27 @@ object Multimodal {
       .when(isJpeg(payload), "jpeg")
       .otherwise("other")
 
-  /** REAL pixel decode for 8-bit non-interlaced PNG: raw row-major
-    * channel-interleaved bytes, NULL outside the supported scope —
-    * see [[graft.functions.PngPixels]] for the exact contract and
-    * the 64 MiB decompression-bomb guard. */
+  /** REAL pixel decode for 8-bit non-interlaced PNG and baseline
+    * JPEG (the JDK ImageIO reader — no external codec): raw
+    * row-major channel-interleaved bytes in ONE layout regardless of
+    * source format, NULL outside the supported scope — see
+    * [[graft.functions.PngPixels]] / [[graft.functions.JpegPixels]]
+    * for the exact contracts and the shared 64 MiB
+    * decompression-bomb guard. Dispatch is by magic number, so an
+    * undecodable payload of either family stays NULL instead of
+    * being retried by the other decoder. */
   def imagePixels(payload: Column): Column =
-    graft.functions.GraftFunctions.pngPixels(payload)
+    when(isPng(payload), graft.functions.GraftFunctions.pngPixels(payload))
+      .when(isJpeg(payload), graft.functions.GraftFunctions.jpegPixels(payload))
 
-  /** Per-channel pixel statistics of a PNG payload:
+  /** Per-channel pixel statistics of a PNG or JPEG payload:
     * `array<double>` [width, height, channels, mean_ch1, …] — the
     * brightness / dead-image signal, computed without materializing
-    * pixels into the row ([[graft.functions.PngPixelStats]]). */
+    * pixels into the row ([[graft.functions.PngPixelStats]] /
+    * [[graft.functions.JpegPixelStats]]). */
   def imagePixelStats(payload: Column): Column =
-    graft.functions.GraftFunctions.pngPixelStats(payload)
+    when(isPng(payload), graft.functions.GraftFunctions.pngPixelStats(payload))
+      .when(isJpeg(payload), graft.functions.GraftFunctions.jpegPixelStats(payload))
 
   /** STUB frame sampling: every `stride`-th byte as lowercase hex —
     * the plumbing (array column, deterministic order, bounded size)

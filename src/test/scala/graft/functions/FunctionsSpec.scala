@@ -84,7 +84,8 @@ class FunctionsSpec extends SparkSpec {
     new GraftExtensions().apply(ext) // must not throw; descriptor count fixed
     assert(GraftFunctions.descriptors.map(_._1.funcName) ==
       Seq("graft_cosine", "graft_intersect_count", "graft_jpeg_sof",
-        "graft_png_pixels", "graft_png_stats"))
+        "graft_png_pixels", "graft_png_stats",
+        "graft_jpeg_pixels", "graft_jpeg_stats"))
   }
 
   test("native cosine participates in whole-stage codegen (no CodegenFallback)") {
