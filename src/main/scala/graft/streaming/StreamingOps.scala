@@ -174,4 +174,75 @@ object StreamingOps {
       .filter((0 until 4).map(b => col(s"__m$b").isNull).reduce(_ && _))
       .drop((0 until 4).flatMap(b => Seq(s"__b$b", s"__m$b")): _*)
   }
+
+  /** Misra–Gries summary state of one shard: tracked item → counter,
+    * plus the total decrement count that bounds every estimate. */
+  final case class MgState(counts: Map[String, Long], decrements: Long)
+
+  /** One tracked heavy-hitter candidate after a micro-batch:
+    * the true frequency f(item) within the shard satisfies
+    * `min_count <= f <= max_count`. */
+  final case class HeavyHitter(
+      shard: Int, item: String, min_count: Long, max_count: Long)
+
+  /** Streaming heavy hitters with BOUNDED state — the Misra–Gries
+    * frequent-items summary (Misra & Gries, "Finding Repeated
+    * Elements", 1982) as an arbitrary-state streaming op. The naive
+    * alternative (stateful count per distinct item) grows state with
+    * stream CARDINALITY — unbounded on an open-vocabulary column; a
+    * Misra–Gries summary holds at most `k` counters per shard
+    * FOREVER, and still guarantees every item with shard frequency
+    * > N/(k+1) is tracked, with per-item bounds
+    * `count <= f <= count + decrements`.
+    *
+    * Sharding: items hash into `shards` groups (`groupByKey` on the
+    * shard id), each holding an independent summary in the state
+    * store — state is `shards × k` counters TOTAL regardless of
+    * stream length or cardinality, checkpointed/restored like every
+    * stateful op, scaled out by shard hash. A skew-heavy item lands
+    * wholly in its one shard, where it dominates that summary — the
+    * guarantee degrades gracefully per shard, never globally.
+    *
+    * Per batch each shard folds its items through the classic update
+    * (increment tracked / adopt free slot / decrement all when full)
+    * and emits its surviving candidates with current bounds
+    * (update-mode semantics: downstream keeps the latest row per
+    * (shard, item)). Exact counts for the survivors, when needed,
+    * are one targeted second pass filtered to the candidate set —
+    * the standard two-pass pattern this summary exists to enable. */
+  def heavyHitters(
+      events: DataFrame, itemCol: String,
+      shards: Int, k: Int): Dataset[HeavyHitter] = {
+    require(shards > 0 && k > 0, s"need shards>0, k>0; got $shards, $k")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(
+        pmod(hash(col(itemCol)), lit(shards)).as("shard"),
+        col(itemCol).cast("string").as("item"))
+      .as[(Int, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[MgState, HeavyHitter](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (shard: Int, batch: Iterator[(Int, String)], state: GroupState[MgState]) =>
+          var st = state.getOption.getOrElse(MgState(Map.empty, 0L))
+          batch.foreach { case (_, item) =>
+            val c = st.counts
+            if (c.contains(item))
+              st = st.copy(counts = c.updated(item, c(item) + 1L))
+            else if (c.size < k)
+              st = st.copy(counts = c.updated(item, 1L))
+            else {
+              // decrement-all: every tracked counter loses 1 and the
+              // unseen item is charged too — one global decrement
+              val dec = c.map { case (i, n) => (i, n - 1L) }.filter(_._2 > 0L)
+              st = MgState(dec, st.decrements + 1L)
+            }
+          }
+          state.update(st)
+          st.counts.iterator.map { case (item, n) =>
+            HeavyHitter(shard, item, n, n + st.decrements)
+          }
+      }
+  }
 }

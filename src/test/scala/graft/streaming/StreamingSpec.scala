@@ -605,4 +605,43 @@ class StreamingSpec extends SparkSpec {
       spark.streams.removeListener(listener)
     }
   }
+
+  test("heavyHitters: Misra-Gries bounds hold, state bounded at k counters per shard") {
+    import spark.implicits._
+    val stream = MemoryStream[String](spark)
+    val out = graft.streaming.StreamingOps.heavyHitters(
+      stream.toDS().toDF("item"), "item", shards = 1, k = 2)
+    val q = out.writeStream.format("memory").queryName("hh_out")
+      .outputMode("update")
+      .option("checkpointLocation", tmp("chk_hh")).start()
+    def latest(): Map[String, (Long, Long)] = spark.table("hh_out")
+      .groupBy("item")
+      .agg(org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.struct(
+          org.apache.spark.sql.functions.col("min_count"),
+          org.apache.spark.sql.functions.col("max_count"))).as("b"))
+      .collect().map(r => r.getString(0) ->
+        (r.getStruct(1).getLong(0), r.getStruct(1).getLong(1))).toMap
+    try {
+      // 6×a, 3×b, 1×c, 1×d in one batch; k=2 counters — a must
+      // survive (f(a)=6 > N/(k+1)=11/3), and every bound must cover
+      // the true frequency
+      stream.addData(Seq("a", "a", "b", "a", "b", "a", "c", "a", "d", "a", "b"))
+      q.processAllAvailable()
+      val s1 = latest()
+      assert(s1.size <= 2, s"state leaked past k: $s1")
+      assert(s1.contains("a"))
+      val trueF = Map("a" -> 6L, "b" -> 3L, "c" -> 1L, "d" -> 1L)
+      s1.foreach { case (item, (lo, hi)) =>
+        assert(lo <= trueF(item) && trueF(item) <= hi, s"$item bounds $lo..$hi")
+      }
+      // second batch continues from checkpointed state: a keeps
+      // growing and stays the top candidate
+      stream.addData(Seq("a", "a", "a"))
+      q.processAllAvailable()
+      val s2 = latest()
+      assert(s2("a")._1 > s1("a")._1)
+      assert(s2("a")._2 >= 9L - 3L) // f(a)=9; upper bound can't be below lo
+    } finally q.stop()
+  }
 }
