@@ -225,24 +225,27 @@ object StreamingOps {
       .flatMapGroupsWithState[MgState, HeavyHitter](
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (shard: Int, batch: Iterator[(Int, String)], state: GroupState[MgState]) =>
-          var st = state.getOption.getOrElse(MgState(Map.empty, 0L))
-          batch.foreach { case (_, item) =>
-            val c = st.counts
-            if (c.contains(item))
-              st = st.copy(counts = c.updated(item, c(item) + 1L))
-            else if (c.size < k)
-              st = st.copy(counts = c.updated(item, 1L))
-            else {
-              // decrement-all: every tracked counter loses 1 and the
-              // unseen item is charged too — one global decrement
-              val dec = c.map { case (i, n) => (i, n - 1L) }.filter(_._2 > 0L)
-              st = MgState(dec, st.decrements + 1L)
-            }
+          val st = batch.foldLeft(state.getOption.getOrElse(MgState(Map.empty, 0L))) {
+            (s, row) => mgFold(s, row._2, k)
           }
           state.update(st)
           st.counts.iterator.map { case (item, n) =>
             HeavyHitter(shard, item, n, n + st.decrements)
           }
       }
+  }
+
+  /** One Misra–Gries update step (pure — the unit the streaming op
+    * folds and the property tests exercise directly): increment a
+    * tracked item, adopt a free slot, or — with all `k` slots taken —
+    * decrement every counter by one (dropping zeros) and charge the
+    * unseen item to the same global decrement. */
+  private[streaming] def mgFold(st: MgState, item: String, k: Int): MgState = {
+    val c = st.counts
+    if (c.contains(item)) st.copy(counts = c.updated(item, c(item) + 1L))
+    else if (c.size < k) st.copy(counts = c.updated(item, 1L))
+    else MgState(
+      c.map { case (i, n) => (i, n - 1L) }.filter(_._2 > 0L),
+      st.decrements + 1L)
   }
 }

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.SparkSpec
+
+/** Randomized reference-equivalence for the round-8 curation
+  * operators: tiny-vocabulary corpora force real span/gram collisions,
+  * and a straight-line local implementation is the oracle. (ScalaCheck
+  * driven directly — the scalatestplus bridge is not in the offline
+  * artifact cache.) */
+class CurationPropSpec extends SparkSpec {
+
+  private val wordGen = Gen.oneOf("a", "b", "c", "d")
+  private def docGen(maxLen: Int): Gen[String] =
+    Gen.chooseNum(1, maxLen).flatMap(n =>
+      Gen.listOfN(n, wordGen).map(_.mkString(" ")))
+
+  test("spanDupStats agrees with a local first-occurrence reference") {
+    import spark.implicits._
+    val corpusGen = Gen.chooseNum(1, 6).flatMap(n => Gen.listOfN(n, docGen(12)))
+    val size = 2
+    val prop = Prop.forAll(corpusGen) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      // local reference: non-overlapping spans in (doc, idx) order,
+      // first occurrence of each span text is canonical
+      val occ = docs.flatMap { case (id, t) =>
+        t.split(" ", -1).grouped(size).zipWithIndex
+          .map { case (w, idx) => (id, idx.toLong, w.mkString(" ")) }
+      }
+      val firstOf = occ.groupBy(_._3).map { case (sp, os) =>
+        sp -> os.map(o => (o._1, o._2)).min
+      }
+      val expect = occ.groupBy(_._1).map { case (id, os) =>
+        val nDup = os.count(o => firstOf(o._3) != ((o._1, o._2)))
+        id -> (os.size.toLong, nDup.toLong)
+      }
+      val got = Dedup.spanDupStats(
+        docs.toDF("doc_id", "text"), "doc_id", "text", size, maxDupFrac = 0.5)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      got == expect
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("ngramContamination agrees with a local distinct-gram reference") {
+    import spark.implicits._
+    val corpusGen = Gen.chooseNum(1, 4).flatMap(n => Gen.listOfN(n, docGen(8)))
+    val n = 2
+    val prop = Prop.forAll(corpusGen, corpusGen) { (trainTexts, heldTexts) =>
+      def grams(t: String): Set[String] = {
+        val w = t.split(" ", -1)
+        if (w.length < n) Set.empty
+        else w.sliding(n).map(_.mkString(" ")).toSet
+      }
+      val trainSet = trainTexts.flatMap(grams).toSet
+      val expect = heldTexts.zipWithIndex.flatMap { case (t, i) =>
+        val g = grams(t)
+        if (g.isEmpty) None
+        else Some((1000L + i) -> (g.size.toLong, g.count(trainSet).toLong))
+      }.toMap
+      val train = trainTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val held = heldTexts.zipWithIndex.map { case (t, i) => (1000L + i, t) }
+        .toDF("doc_id", "text")
+      val got = Fingerprint.ngramContamination(train, held, "doc_id", "text", n)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      got == expect
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+}
