@@ -1505,6 +1505,67 @@ object PipelineQueries {
       TextAnalysis.bpePairCounts(Tables(s, dir).documents, "text", k = 20)
         .transform(Queries.sortedSmall(_, "rank")))
 
+  // ---------------------------------------- LSH recall audit (ANN)
+  // The index-quality measurement an ANN deployment actually tracks:
+  // recall@10 of the sign-LSH index against the exact brute-force
+  // baseline, per query. Both sides are deterministic (same
+  // parameters as p_brute_topk / p_lsh_topk), so the oracle
+  // recomputes both rankings and the per-query hit count exactly.
+  // On this corpus the audit EXPOSES the single-probe ceiling (one
+  // 256-bucket band sees ~1/256 of the corpus per query — recall is
+  // a few percent at sf0.01): exactly the measurement that justifies
+  // the multi-probe and IVF variants, whose dominance the spec pins.
+  // Scale shape: the audit runs on a SAMPLE of queries (here the 20
+  // probe vectors) — brute force bounds the cost, the index serves
+  // production traffic; the join is (query_id, neighbor_id) keyed.
+  private val qLshRecallAudit = Queries.Q(
+    "p_lsh_recall_audit",
+    Some(s"""
+      WITH e AS (SELECT vec_id, embedding, $duckSignBucket AS bucket FROM embeddings),
+      bq AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
+      bs AS (SELECT query_id, vec_id AS neighbor_id, $duckCosine AS sim
+             FROM bq q CROSS JOIN embeddings
+             WHERE query_id != vec_id),
+      brute AS (SELECT query_id, neighbor_id FROM (
+                  SELECT query_id, neighbor_id,
+                         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+                  FROM bs) WHERE rnk <= 10),
+      lq AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM e WHERE vec_id < 20),
+      ls AS (SELECT query_id, e.vec_id AS neighbor_id, $duckCosine AS sim
+             FROM lq q JOIN e USING (bucket)
+             WHERE query_id != e.vec_id),
+      lsh AS (SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+                FROM ls) WHERE rnk <= 10)
+      SELECT b.query_id,
+             CAST(COUNT(*) AS BIGINT) AS n_brute,
+             CAST(SUM(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+             CAST(SUM(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS recall
+      FROM brute b LEFT JOIN lsh l
+        ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
+      GROUP BY b.query_id ORDER BY b.query_id"""),
+    (s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val probes = emb.filter(col("vec_id") < 20)
+      val brute = Similarity.bruteForceTopK(
+        probes, "vec_id", emb, "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val lshHits = Similarity.lshTopK(
+        probes, "vec_id", emb, "vec_id", "embedding", k = 10, signBits = 8)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("__hit"))
+      brute
+        .join(lshHits, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(
+          count(lit(1)).as("n_brute"),
+          sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+        .select(
+          col("query_id"), col("n_brute"), col("n_hit"),
+          (col("n_hit").cast("double") / col("n_brute")).as("recall"))
+        .transform(Queries.sortedSmall(_, "query_id"))
+    })
+
   // ------------------------------------ end-to-end curation pipeline
   // The composition the operator library exists for, as ONE Catalyst
   // plan with no materialization barriers between stages: quality
@@ -1579,5 +1640,5 @@ object PipelineQueries {
     qApproxVocab, qLmFamiliarity, qTfidfTopK, qTokenBudgetMix, qSnapshotDiff,
     qNearDupDedup, qSourceCap, qApproxQuantiles, qPngPixelStats, qRandomProjection,
     qBoilerplateNgrams, qSpanDedup, qSourceReport, qSplitContamination,
-    qBpePairCounts, qCurationPipeline)
+    qBpePairCounts, qCurationPipeline, qLshRecallAudit)
 }

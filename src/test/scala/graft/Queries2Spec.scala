@@ -132,6 +132,41 @@ class Queries2Spec extends SparkSpec {
     assert(totalDocs <= 15L * nSources)
   }
 
+  test("lsh recall audit: bounds hold, and multi-probe strictly dominates single-probe") {
+    import org.apache.spark.sql.functions._
+    val q = PipelineQueries.all.find(_.name == "p_lsh_recall_audit").get
+    val rows = q.run(spark, dir).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val (nBrute, nHit, recall) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(nBrute == 10L)
+      assert(nHit >= 0L && nHit <= nBrute)
+      assert(recall == nHit.toDouble / nBrute)
+    }
+    // This audit EXPOSES single-probe sign-LSH's recall ceiling (one
+    // 256-bucket band keeps ~1/256 of the corpus per probe) — the
+    // measurement that motivates multi-probe and IVF. The invariant
+    // worth pinning is the dominance ordering: probing the 9
+    // neighboring buckets can only add candidates, so multi-probe
+    // recall >= single-probe recall on every aggregate.
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val probes = emb.filter(col("vec_id") < 20)
+    def avgRecall(topk: org.apache.spark.sql.DataFrame): Double = {
+      val brute = graft.operators.Similarity.bruteForceTopK(
+        probes, "vec_id", emb, "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("neighbor_id"))
+      brute.join(topk.select(col("query_id"), col("neighbor_id"), lit(1L).as("h")),
+          Seq("query_id", "neighbor_id"), "left")
+        .agg(avg(coalesce(col("h"), lit(0L)))).head().getDouble(0)
+    }
+    val single = avgRecall(graft.operators.Similarity.lshTopK(
+      probes, "vec_id", emb, "vec_id", "embedding", k = 10, signBits = 8))
+    val multi = avgRecall(graft.operators.Similarity.lshTopKMultiProbe(
+      probes, "vec_id", emb, "vec_id", "embedding", k = 10, signBits = 8))
+    assert(multi >= single, s"multi=$multi single=$single")
+    assert(multi > 0.0)
+  }
+
   test("q21: sole-supplier anti self-join keys on the order, residual on the supplier") {
     val df = run("q21_sole_supplier")
     val plan = df.queryExecution.executedPlan.toString
