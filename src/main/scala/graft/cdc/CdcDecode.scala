@@ -98,8 +98,8 @@ object CdcDecode {
         if (registryDir.isDefined && f.payload != null &&
             f.payload.nonEmpty && f.payload(0) == 'R')
           backupRFrame(registryDir.get, streamId, f)
-        try decoder.decode(f.payload, f.lsn, f.ingestMicros)
-        catch { case _: PgOutput.MalformedFrame if dropMalformed => None }
+        try decoder.decodeAll(f.payload, f.lsn, f.ingestMicros)
+        catch { case _: PgOutput.MalformedFrame if dropMalformed => Seq.empty }
       }
     }
 
@@ -108,8 +108,8 @@ object CdcDecode {
   def decodeSeq(frames: Seq[CdcFrame], dropMalformed: Boolean = false): Seq[CdcEvent] = {
     val decoder = new PgOutput.Decoder
     frames.flatMap { f =>
-      try decoder.decode(f.payload, f.lsn, f.ingestMicros)
-      catch { case _: PgOutput.MalformedFrame if dropMalformed => None }
+      try decoder.decodeAll(f.payload, f.lsn, f.ingestMicros)
+      catch { case _: PgOutput.MalformedFrame if dropMalformed => Seq.empty }
     }
   }
 

@@ -45,8 +45,24 @@ object Changelog {
       valueCols: Seq[String]): DataFrame = {
     val spark = base.sparkSession
 
-    val evts = events
-      .filter(col("table") === table)
+    val tableEvts = events.filter(col("table") === table)
+
+    // TRUNCATE fence: a truncate at lsn T kills the base state and
+    // every event before T for the whole table — only re-inserts
+    // after the LAST truncate can contribute. The fence is a 1-row
+    // aggregate broadcast onto both inputs (one scalar per table —
+    // never a per-key shuffle; at 100 TB this is a map-side filter).
+    val lastTrunc = broadcast(
+      tableEvts.agg(
+        max(when(col("operation") === "TRUNCATE", col("lsn"))).as("__tr_lsn")))
+    val fencedBase = base.crossJoin(lastTrunc)
+      .filter(col("__tr_lsn").isNull).drop("__tr_lsn")
+
+    val evts = tableEvts
+      .crossJoin(lastTrunc)
+      .filter(col("operation") =!= "TRUNCATE" &&
+        (col("__tr_lsn").isNull || col("lsn") > col("__tr_lsn")))
+      .drop("__tr_lsn")
       .select(
         coalesce(col("new_values")(keyCol), col("old_values")(keyCol)).as("__key"),
         col("lsn"), col("operation"), col("new_values"))
@@ -85,7 +101,7 @@ object Changelog {
     // latest cell when one exists, else the base value (pre-existing
     // keys whose every event left the column "[unchanged]").
     val upsertKeys = lastPerKey.filter(col("__last_op") =!= "DELETE").select("__key")
-    val baseByKey = base.select(col(keyCol).as("__key") +: valueCols.map(c => col(c).as(s"__base_$c")): _*)
+    val baseByKey = fencedBase.select(col(keyCol).as("__key") +: valueCols.map(c => col(c).as(s"__base_$c")): _*)
 
     val upserts = upsertKeys
       .join(pivoted, Seq("__key"), "left")
@@ -97,7 +113,7 @@ object Changelog {
 
     // Base rows not touched by any event survive unchanged; touched
     // keys are replaced by their upsert row (or dropped if deleted).
-    val untouched = base
+    val untouched = fencedBase
       .join(evts.select(col("__key").as(keyCol)).distinct(), Seq(keyCol), "left_anti")
       .select(col(keyCol) +: valueCols.map(col): _*)
 
@@ -125,7 +141,12 @@ object Changelog {
     *    image only before the first DELETE — dead history never
     *    leaks into a re-inserted row, exactly like [[apply]];
     *  - a column explicitly set to NULL stays NULL (struct-wrapped
-    *    cells distinguish "set to NULL" from "not set").
+    *    cells distinguish "set to NULL" from "not set");
+    *  - TRUNCATE events are keyless and fall out of the per-key
+    *    versioning (documented limitation: the history view shows
+    *    rows as open across a truncate; the CURRENT-state answer is
+    *    [[apply]]'s, which fences truncates correctly — take the
+    *    `is_current` slice from there when truncates are in play).
     *
     * Scale shape: windows partition by key (and delete-segment), so
     * state per task is one key's event history — bounded by

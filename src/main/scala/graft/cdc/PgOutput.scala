@@ -81,14 +81,26 @@ object PgOutput {
       * overlapping batches or speculative retries concurrently — an
       * unsynchronized registry map would race. A stream's decode is
       * inherently sequential, so the lock costs nothing. */
-    def decode(payload: Array[Byte], lsn: Long, timestampMicros: Long): Option[CdcEvent] = synchronized {
-      if (payload == null || payload.isEmpty) return None
+    def decode(payload: Array[Byte], lsn: Long, timestampMicros: Long): Option[CdcEvent] =
+      decodeAll(payload, lsn, timestampMicros).headOption
+
+    /** [[decode]] for frames that may carry MULTIPLE events: a
+      * TRUNCATE frame names every table cut in one statement
+      * (ITU-free public protocol, PG docs "protocol-logical-
+      * replication" §Truncate: Int32 nrelations, Int8 option bits,
+      * then the relation ids) and yields one event per KNOWN
+      * relation. All single-event frames return 0-or-1 exactly as
+      * [[decode]] does — the streaming path flatMaps this form so a
+      * multi-table truncate never loses tables. */
+    def decodeAll(payload: Array[Byte], lsn: Long, timestampMicros: Long): Seq[CdcEvent] = synchronized {
+      if (payload == null || payload.isEmpty) return Seq.empty
       val buf = ByteBuffer.wrap(payload, 1, payload.length - 1)
       try payload(0).toChar match {
-        case 'R' => parseRelation(buf); None
-        case 'I' => parseInsert(buf, lsn, timestampMicros)
-        case 'U' => parseUpdate(buf, lsn, timestampMicros)
-        case 'D' => parseDelete(buf, lsn, timestampMicros)
+        case 'R' => parseRelation(buf); Seq.empty
+        case 'I' => parseInsert(buf, lsn, timestampMicros).toSeq
+        case 'U' => parseUpdate(buf, lsn, timestampMicros).toSeq
+        case 'D' => parseDelete(buf, lsn, timestampMicros).toSeq
+        case 'T' => parseTruncate(buf, lsn, timestampMicros)
         // Txn markers yield no event, but B/C delimit a transaction
         // id stamped on the events in between — the opt-in grouping
         // the reference drops (pg_output_parser.py:32-37; SURVEY §2.2
@@ -112,9 +124,9 @@ object PgOutput {
               buf.getLong // final LSN of the txn (unused: we track frame LSNs)
               Some(buf.getLong + PgEpochOffsetMicros)
             } else None
-          None
-        case 'C' => inTxn = false; None
-        case _ => None
+          Seq.empty
+        case 'C' => inTxn = false; Seq.empty
+        case _ => Seq.empty
       } catch {
         case e: MalformedFrame => throw e
         case e: java.nio.BufferUnderflowException =>
@@ -168,6 +180,28 @@ object PgOutput {
       relations.get(id) match {
         case Some(rel) => f(rel)
         case None => unknownRelationDrops += 1; None
+      }
+    }
+
+    /** TRUNCATE (PG11+, protocol v1): Int32 nrelations, Int8 option
+      * bits (1 = CASCADE, 2 = RESTART IDENTITY — carried on the wire,
+      * irrelevant to state materialization: either way the tables are
+      * emptied), then nrelations × Int32 relation ids. One event per
+      * KNOWN relation, imageless (`old`/`new` both None); unknown ids
+      * count toward [[droppedUnknownRelation]] like any other change
+      * on an unregistered table. */
+    private def parseTruncate(buf: ByteBuffer, lsn: Long, ts: Long): Seq[CdcEvent] = {
+      val n = buf.getInt
+      if (n < 0 || n > 65536)
+        throw new MalformedFrame(s"truncate frame declares $n relations")
+      buf.get() // option flags
+      (0 until n).flatMap { _ =>
+        val id = buf.getInt
+        relations.get(id) match {
+          case Some(rel) =>
+            Some(event("TRUNCATE", rel, old = None, neu = None, lsn, ts))
+          case None => unknownRelationDrops += 1; None
+        }
       }
     }
 
@@ -280,6 +314,14 @@ object PgOutput {
       val out = new ByteOut('D')
       out.u32(relationId); out.u8(tag.toInt)
       tuple(out, old)
+      out.result()
+    }
+
+    def truncate(relationIds: Seq[Int], optionBits: Int = 0): Array[Byte] = {
+      val out = new ByteOut('T')
+      out.u32(relationIds.size)
+      out.u8(optionBits)
+      relationIds.foreach(out.u32)
       out.result()
     }
 

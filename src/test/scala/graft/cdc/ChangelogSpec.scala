@@ -22,10 +22,10 @@ class ChangelogSpec extends SparkSpec {
         org.apache.spark.sql.types.MapType(org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.StringType)),
       org.apache.spark.sql.types.StructField("new_values",
         org.apache.spark.sql.types.MapType(org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.StringType))))
-    val data = rows.map { case (op, lsn, _, img) =>
+    val data = rows.map { case (op, lsn, tbl, img) =>
       val (old, neu) =
         if (op == "DELETE") (img, null) else (null: Map[String, String], img)
-      Row(op, "t", lsn, old, neu)
+      Row(op, tbl, lsn, old, neu)
     }
     s.createDataFrame(data.asJava, schema)
   }
@@ -84,6 +84,35 @@ class ChangelogSpec extends SparkSpec {
       ("INSERT", 1, "t", Map("id" -> "9", "name" -> "ephemeral", "status" -> "a")),
       ("DELETE", 2, "t", Map("id" -> "9")))) ==
       Set(("1", "one", "active"), ("2", "two", "active")))
+  }
+
+  test("truncate empties the table: base rows and every prior event die") {
+    assert(stateOf(Seq(
+      ("INSERT", 1, "t", Map("id" -> "3", "name" -> "pre", "status" -> "a")),
+      ("TRUNCATE", 2, "t", null))) ==
+      Set.empty[(String, String, String)])
+  }
+
+  test("truncate fences history: only re-inserts after the LAST truncate survive") {
+    assert(stateOf(Seq(
+      ("INSERT", 1, "t", Map("id" -> "3", "name" -> "dead", "status" -> "a")),
+      ("TRUNCATE", 2, "t", null),
+      ("INSERT", 3, "t", Map("id" -> "4", "name" -> "alive", "status" -> "b")),
+      ("TRUNCATE", 4, "t", null),
+      ("INSERT", 5, "t", Map("id" -> "5", "name" -> "current", "status" -> "c")))) ==
+      Set(("5", "current", "c")))
+    // sentinel after a truncate has no base to fall back to: stays null
+    assert(stateOf(Seq(
+      ("TRUNCATE", 1, "t", null),
+      ("INSERT", 2, "t", Map("id" -> "1", "name" -> CdcEvent.UnchangedSentinel, "status" -> "x")))) ==
+      Set(("1", null, "x")))
+  }
+
+  test("truncate on another table leaves this table untouched") {
+    assert(stateOf(Seq(
+      ("TRUNCATE", 1, "other", null),
+      ("UPDATE", 2, "t", Map("id" -> "1", "name" -> "kept", "status" -> "active")))) ==
+      Set(("1", "kept", "active"), ("2", "two", "active")))
   }
 
   test("scd2: versions, sentinel inheritance, delete fence, base intervals, current slice") {

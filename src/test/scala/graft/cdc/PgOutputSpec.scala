@@ -103,6 +103,28 @@ class PgOutputSpec extends AnyFunSuite {
     assert(d.droppedUnknownRelation == 1)
   }
 
+  test("truncate decodes one imageless event per known relation, txn-stamped") {
+    val d = new Decoder
+    d.decode(Encoder.relation(UsersFixture.relation), 1, 0)
+    d.decode(Encoder.begin(), 5, 0)
+    // one known + one unknown relation in the same frame
+    val evts = d.decodeAll(
+      Encoder.truncate(Seq(UsersFixture.RelId, 4242), optionBits = 3), 6, 77)
+    assert(evts.length == 1)
+    val e = evts.head
+    assert(e.operation == "TRUNCATE")
+    assert(e.table == UsersFixture.relation.table)
+    assert(e.columns == UsersFixture.relation.columns.map(_.name))
+    assert(e.oldValues.isEmpty && e.newValues.isEmpty)
+    assert(e.lsn == 6L && e.timestampMicros == 77L)
+    assert(e.txnSeq.contains(5L)) // inside the B..C span
+    assert(d.droppedUnknownRelation == 1)
+    d.decode(Encoder.commit(), 7, 0)
+    // decode (single-event view) still sees a multi-relation frame's head
+    d.decode(Encoder.relation(UsersFixture.relation), 8, 0)
+    assert(d.decode(Encoder.truncate(Seq(UsersFixture.RelId)), 9, 0).exists(_.operation == "TRUNCATE"))
+  }
+
   test("truncated frames raise MalformedFrame") {
     val d = new Decoder
     d.decode(Encoder.relation(UsersFixture.relation), 1, 0)
