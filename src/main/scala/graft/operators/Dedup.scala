@@ -633,7 +633,7 @@ object Dedup {
   def withSimhashBlocks(df: DataFrame, textCol: String): DataFrame = {
     val sh = withSimhash64(df, textCol, "__sh")
     sh.select(
-      df.columns.map(col) ++
+      df.columns.toIndexedSeq.map(col) ++
         (0 until 4).map(b => simhashBand(col("__sh"), b).as(s"__b$b")): _*)
   }
 

@@ -136,8 +136,8 @@ object Sampling {
           .orderBy(col("__h"), col(keyCol))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .filter(col("__cb") + col("__cum") <= budgetFor(col(stratumCol)))
-    kept.select(df.columns.map(col): _*)
-      .unionByName(refined.select(df.columns.map(col): _*))
+    kept.select(df.columns.toIndexedSeq.map(col): _*)
+      .unionByName(refined.select(df.columns.toIndexedSeq.map(col): _*))
   }
 
   /** Stratified deterministic subsample: a keep-percentage per value
