@@ -1505,6 +1505,47 @@ object PipelineQueries {
       TextAnalysis.bpePairCounts(Tables(s, dir).documents, "text", k = 20)
         .transform(Queries.sortedSmall(_, "rank")))
 
+  // -------------------------------- per-language quality rank-norm
+  // Score normalization for data mixing: raw quality scores are not
+  // comparable across languages (stopword lexica and length profiles
+  // differ), so mixing weights use the PERCENTILE RANK within the
+  // language instead — percent_rank over (quality, doc_id), doc_id
+  // breaking ties so both engines agree on every rank. Scale shape:
+  // one lang-keyed shuffle + in-partition sort (rank state is one
+  // counter per task); at 100 TB swap the exact rank for the
+  // approx_percentile bucket classification (p_approx_quantiles
+  // licenses exactly that) — the exact form here is what the oracle
+  // can hash-check.
+  private val qQualityRankNorm = Queries.Q(
+    "p_quality_rank_norm",
+    Some("""
+      WITH v AS (
+        SELECT doc_id, lang, text,
+               len(string_split(text, ' ')) AS n,
+               len(list_filter(string_split(text, ' '),
+                   t -> list_contains(['the','a','an','and','or','of','to','in','is','it'], t))) AS nstop
+        FROM documents),
+      q AS (
+        SELECT doc_id, lang,
+               least(CAST(n AS DOUBLE) / 100.0, 1.0) * 0.4 +
+               least((CASE WHEN n = 0 THEN 0.0 ELSE CAST(nstop AS DOUBLE) / n END) * 5.0, 1.0) * 0.3 +
+               (CASE WHEN CAST(length(text) - (n - 1) AS DOUBLE) / n BETWEEN 3.0 AND 10.0
+                     THEN 1.0 ELSE 0.5 END) * 0.3 AS quality
+        FROM v)
+      SELECT doc_id, lang, quality,
+             percent_rank() OVER (PARTITION BY lang ORDER BY quality, doc_id) AS q_rank
+      FROM q ORDER BY doc_id"""),
+    (s, dir) =>
+      Tables(s, dir).documents
+        .select(
+          col("doc_id"), col("lang"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
+        .withColumn(
+          "q_rank",
+          percent_rank().over(
+            Window.partitionBy(col("lang")).orderBy(col("quality"), col("doc_id"))))
+        .transform(Queries.sortedSmall(_, "doc_id")))
+
   // ---------------------------------------- LSH recall audit (ANN)
   // The index-quality measurement an ANN deployment actually tracks:
   // recall@10 of the sign-LSH index against the exact brute-force
@@ -1640,5 +1681,5 @@ object PipelineQueries {
     qApproxVocab, qLmFamiliarity, qTfidfTopK, qTokenBudgetMix, qSnapshotDiff,
     qNearDupDedup, qSourceCap, qApproxQuantiles, qPngPixelStats, qRandomProjection,
     qBoilerplateNgrams, qSpanDedup, qSourceReport, qSplitContamination,
-    qBpePairCounts, qCurationPipeline, qLshRecallAudit)
+    qBpePairCounts, qCurationPipeline, qLshRecallAudit, qQualityRankNorm)
 }
