@@ -101,6 +101,7 @@ object PgOutput {
         case 'U' => parseUpdate(buf, lsn, timestampMicros).toSeq
         case 'D' => parseDelete(buf, lsn, timestampMicros).toSeq
         case 'T' => parseTruncate(buf, lsn, timestampMicros)
+        case 'M' => parseMessage(buf, lsn, timestampMicros).toSeq
         // Txn markers yield no event, but B/C delimit a transaction
         // id stamped on the events in between — the opt-in grouping
         // the reference drops (pg_output_parser.py:32-37; SURVEY §2.2
@@ -181,6 +182,37 @@ object PgOutput {
         case Some(rel) => f(rel)
         case None => unknownRelationDrops += 1; None
       }
+    }
+
+    /** Logical decoding Message (PG14+ in pgoutput when `messages
+      * 'true'` is negotiated): Int8 flags (1 = transactional), Int64
+      * message LSN, prefix cstring, Int32 content length, content
+      * bytes — the application side-channel
+      * (`pg_logical_emit_message`) pipelines use for watermarks and
+      * schema-migration markers. Surfaced as an ignorable event:
+      * operation MESSAGE, table = prefix (so the publication filter
+      * and per-table routing apply unchanged), content as lowercase
+      * hex under key `content` (binary-safe, same convention as
+      * binary tuple values). State materialization ignores it
+      * ([[Changelog.apply]] touches only I/U/D/TRUNCATE). */
+    private def parseMessage(buf: ByteBuffer, lsn: Long, ts: Long): Option[CdcEvent] = {
+      val flags = buf.get() & 0xff
+      buf.getLong // message LSN (frame lsn is the stream position we key on)
+      val prefix = readCString(buf)
+      val len = buf.getInt
+      if (len < 0 || len > buf.remaining)
+        throw new MalformedFrame(s"message frame declares $len content bytes, ${buf.remaining} remain")
+      val content = new Array[Byte](len)
+      buf.get(content)
+      Some(CdcEvent(
+        "MESSAGE", schema = "", table = prefix, columns = Seq("content"),
+        oldValues = None,
+        newValues = Some(Map(
+          "content" -> content.map(b => f"${b & 0xff}%02x").mkString,
+          "transactional" -> (if ((flags & 1) != 0) "t" else "f"))),
+        lsn, ts,
+        txnSeq = if (inTxn) Some(txnSeq) else None,
+        commitMicros = if (inTxn) txnCommitMicros else None))
     }
 
     /** TRUNCATE (PG11+, protocol v1): Int32 nrelations, Int8 option
@@ -340,6 +372,16 @@ object PgOutput {
     }
 
     def commit(): Array[Byte] = new ByteOut('C').result()
+
+    def message(prefix: String, content: Array[Byte], transactional: Boolean = false): Array[Byte] = {
+      val out = new ByteOut('M')
+      out.u8(if (transactional) 1 else 0)
+      out.i64(0L) // message LSN (informational on the wire)
+      out.cstr(prefix)
+      out.u32(content.length)
+      out.bytes(content)
+      out.result()
+    }
 
     private def tuple(out: ByteOut, values: Seq[WireValue]): Unit = {
       out.u16(values.size)

@@ -125,6 +125,24 @@ class PgOutputSpec extends AnyFunSuite {
     assert(d.decode(Encoder.truncate(Seq(UsersFixture.RelId)), 9, 0).exists(_.operation == "TRUNCATE"))
   }
 
+  test("logical decoding Message surfaces as an ignorable MESSAGE event") {
+    val d = new Decoder
+    d.decode(Encoder.begin(), 1, 0)
+    val evts = d.decodeAll(
+      Encoder.message("graft.watermark", Array[Byte](0x00, 0x7F, 0xFF.toByte), transactional = true), 2, 9)
+    assert(evts.length == 1)
+    val e = evts.head
+    assert(e.operation == "MESSAGE" && e.table == "graft.watermark")
+    assert(e.newValues.get("content") == "007fff")
+    assert(e.newValues.get("transactional") == "t")
+    assert(e.txnSeq.contains(1L) && e.lsn == 2L && e.timestampMicros == 9L)
+    // declared content length beyond the buffer is malformed, not a crash
+    val bad = Encoder.message("p", Array[Byte](1, 2, 3))
+    intercept[MalformedFrame] {
+      d.decodeAll(bad.take(bad.length - 2), 3, 0)
+    }
+  }
+
   test("truncated frames raise MalformedFrame") {
     val d = new Decoder
     d.decode(Encoder.relation(UsersFixture.relation), 1, 0)

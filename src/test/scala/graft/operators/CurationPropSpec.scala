@@ -44,6 +44,44 @@ class CurationPropSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("boilerplateNgrams agrees with a local counting reference") {
+    import spark.implicits._
+    val corpusGen = Gen.chooseNum(1, 6).flatMap(n => Gen.listOfN(n, docGen(10)))
+    val n = 2
+    val prop = Prop.forAll(corpusGen) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val grams = docs.flatMap { case (id, t) =>
+        val w = t.split(" ", -1)
+        if (w.length < n) Nil else w.sliding(n).map(g => (id, g.mkString(" "))).toList
+      }
+      val expect = grams.groupBy(_._2).view
+        .mapValues(os => (os.map(_._1).distinct.size.toLong, os.size.toLong))
+        .filter(_._2._1 >= 2).toMap
+      val got = TextAnalysis.boilerplateNgrams(
+        docs.toDF("doc_id", "text"), "doc_id", "text", n, minDocs = 2, k = 1000)
+        .collect().map(r => r.getString(1) -> (r.getLong(2), r.getLong(3))).toMap
+      got == expect
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("bpePairCounts agrees with a local pair-counting reference") {
+    import spark.implicits._
+    val prop = Prop.forAll(Gen.chooseNum(1, 5).flatMap(n => Gen.listOfN(n, docGen(8)))) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val pairs = docs.flatMap(_._2.split(" ", -1).toList)
+        .filter(_.length >= 2)
+        .flatMap(w => (0 until w.length - 1).map(i => w.substring(i, i + 2)))
+      val expect = pairs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val got = TextAnalysis.bpePairCounts(docs.toDF("doc_id", "text"), "text", k = 1000)
+        .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+      got == expect
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("ngramContamination agrees with a local distinct-gram reference") {
     import spark.implicits._
     val corpusGen = Gen.chooseNum(1, 4).flatMap(n => Gen.listOfN(n, docGen(8)))
