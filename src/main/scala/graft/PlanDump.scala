@@ -24,6 +24,10 @@ object PlanDump {
     spark.sparkContext.setLogLevel("ERROR")
     functions.GraftFunctions.register(spark)
     val names = if (args.length > 1) args.drop(1).toSeq else SparkEntry.queries.keys.toSeq.sorted
+    val unknown = names.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty,
+      s"unknown quer${if (unknown.size == 1) "y" else "ies"} ${unknown.mkString(", ")}; " +
+        s"valid names:\n  ${SparkEntry.queries.keys.toSeq.sorted.mkString("\n  ")}")
     for (name <- names) {
       val df = SparkEntry.queries(name)(spark, sfDir)
       df.collect() // materialize so AQE finalizes the plan

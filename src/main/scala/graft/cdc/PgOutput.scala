@@ -81,8 +81,15 @@ object PgOutput {
       * overlapping batches or speculative retries concurrently — an
       * unsynchronized registry map would race. A stream's decode is
       * inherently sequential, so the lock costs nothing. */
-    def decode(payload: Array[Byte], lsn: Long, timestampMicros: Long): Option[CdcEvent] =
-      decodeAll(payload, lsn, timestampMicros).headOption
+    def decode(payload: Array[Byte], lsn: Long, timestampMicros: Long): Option[CdcEvent] = {
+      val evts = decodeAll(payload, lsn, timestampMicros)
+      // Silently surfacing only the head of a multi-event frame would
+      // lose the other tables' truncates — fail loudly instead; the
+      // streaming path flatMaps decodeAll and never hits this.
+      require(evts.lengthCompare(1) <= 0,
+        s"frame decodes to ${evts.length} events (multi-relation TRUNCATE?) — use decodeAll")
+      evts.headOption
+    }
 
     /** [[decode]] for frames that may carry MULTIPLE events: a
       * TRUNCATE frame names every table cut in one statement
@@ -124,7 +131,9 @@ object PgOutput {
             if (buf.remaining >= 20) {
               buf.getLong // final LSN of the txn (unused: we track frame LSNs)
               Some(buf.getLong + PgEpochOffsetMicros)
-            } else None
+            } else if (buf.remaining == 0) None // legacy empty-body fixture
+            else throw new MalformedFrame(
+              s"begin frame with ${buf.remaining}-byte body (protocol body is 20 bytes)")
           Seq.empty
         case 'C' => inTxn = false; Seq.empty
         case _ => Seq.empty
@@ -205,7 +214,8 @@ object PgOutput {
       val content = new Array[Byte](len)
       buf.get(content)
       Some(CdcEvent(
-        "MESSAGE", schema = "", table = prefix, columns = Seq("content"),
+        "MESSAGE", schema = "", table = prefix,
+        columns = Seq("content", "transactional"),
         oldValues = None,
         newValues = Some(Map(
           "content" -> content.map(b => f"${b & 0xff}%02x").mkString,

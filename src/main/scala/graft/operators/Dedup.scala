@@ -736,15 +736,20 @@ object Dedup {
   // ---------------------------------------- bucket-drop observability
 
   private val obsSeq = new java.util.concurrent.atomic.AtomicLong()
+  // WEAK keys: these statics must not pin stopped SparkSessions in a
+  // long-lived JVM that cycles sessions (the listener dies with its
+  // session's listenerManager; only our bookkeeping would leak).
   private val dropListenerSessions =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[org.apache.spark.sql.SparkSession]()
+    java.util.Collections.newSetFromMap(java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, java.lang.Boolean]()))
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** Latest observed (dropped_buckets, dropped_ids, largest_dropped)
     * per session — exposed so tests (and operational tooling) can
     * assert the counter without scraping logs. */
   private val lastDrops =
-    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.SparkSession, (Long, Long, Long)]()
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, (Long, Long, Long)]())
   def lastObservedDrops(spark: org.apache.spark.sql.SparkSession): Option[(Long, Long, Long)] =
     Option(lastDrops.get(spark))
   def resetObservedDrops(spark: org.apache.spark.sql.SparkSession): Unit =

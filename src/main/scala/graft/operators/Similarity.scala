@@ -376,12 +376,22 @@ object Similarity {
     * bit-identical on any engine that adds left-to-right.
     *
     * The matrix is resolved ONCE at plan time (outDim·dim signs baked
-    * into the expression as literals); per row the projection is
-    * outDim fused multiply-add chains over the array — a pure
-    * map-side projection, no shuffle, no UDF. At 100 TB this is the
-    * cheap dimensionality-reduction front of an ANN pipeline:
-    * project 1024-d → 32-d, bucket or index the short vectors, then
-    * refine survivors on the originals. */
+    * into the expression); per row the projection is outDim
+    * multiply-add chains over the array — a pure map-side projection,
+    * no shuffle, no UDF. At 100 TB this is the cheap dimensionality-
+    * reduction front of an ANN pipeline: project 1024-d → 32-d,
+    * bucket or index the short vectors, then refine survivors on the
+    * originals.
+    *
+    * Two plan forms, bit-identical results (the addition sequence is
+    * the same left-to-right fold in both): small matrices
+    * (dim·outDim ≤ 4096, e.g. the 64→8 oracle query) unroll into
+    * codegen'd Add chains; larger ones (the advertised 1024→32 is
+    * 32k nodes with 1024-deep nesting — past JVM method limits,
+    * whole-stage codegen would bail to interpreted ANYWAY with a
+    * bloated plan to analyze) fold via the `aggregate` HOF over a
+    * single array-literal sign row per output dim — O(outDim) plan
+    * nodes total. */
   def randomProject(vec: Column, dim: Int, outDim: Int, tag: String = "rp"): Column = {
     require(dim > 0, s"dim=$dim must be positive")
     require(outDim > 0, s"outDim=$outDim must be positive")
@@ -392,10 +402,19 @@ object Similarity {
       // first hex digit < '8'  ⇔  high bit of the first byte clear
       if ((h(0) & 0x80) == 0) 1.0 else -1.0
     }
-    array((0 until outDim).map { j =>
-      (0 until dim).foldLeft(lit(0.0)) { (acc, d) =>
-        acc + element_at(vec, d + 1).cast("double") * lit(sign(j, d))
-      }
-    }: _*)
+    if (dim.toLong * outDim <= 4096)
+      array((0 until outDim).map { j =>
+        (0 until dim).foldLeft(lit(0.0)) { (acc, d) =>
+          acc + element_at(vec, d + 1).cast("double") * lit(sign(j, d))
+        }
+      }: _*)
+    else
+      array((0 until outDim).map { j =>
+        val signsRow = lit((0 until dim).map(d => sign(j, d)).toArray) // ONE literal node
+        aggregate(
+          sequence(lit(1), lit(dim)),
+          lit(0.0),
+          (acc, d) => acc + element_at(vec, d).cast("double") * element_at(signsRow, d))
+      }: _*)
   }
 }

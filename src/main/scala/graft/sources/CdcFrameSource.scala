@@ -134,13 +134,34 @@ final class CdcMicroBatchStream(dir: String, maxFramesPerTrigger: Long, txnAtomi
       else frames.find(_._2 == PgCommitTag) match {
         // one transaction larger than the cap: grow to its Commit
         case Some((lsn, _)) => LsnOffset(lsn)
-        // Commit not landed yet: hold the whole transaction back
-        case None => start
+        case None =>
+          // No Commit anywhere in the backlog. If a Begin is pending,
+          // a transaction is genuinely open — hold its frames until
+          // the Commit lands. If NOTHING opens a transaction either,
+          // the backlog is non-transactional (standalone changes, or
+          // trailing R/M metadata after a quiet stream's last Commit)
+          // and holding it would stall the stream forever: admit it
+          // normally. (txnAtomic snaps every batch to a Commit
+          // boundary, so an open transaction's Begin is always inside
+          // the backlog — unless txnAtomic was toggled on mid-stream
+          // against a checkpoint that ended mid-transaction, which
+          // this safety valve does not try to repair.)
+          if (frames.exists(_._2 == PgBeginTag)) start
+          else {
+            if (nonTxnWarned.compareAndSet(false, true))
+              org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                s"txnAtomic=1 but the pending backlog in $dir has no Begin/Commit " +
+                  "markers; admitting it as non-transactional (a marker-free feed " +
+                  "cannot be batched atomically)")
+            LsnOffset(capped.last._1)
+          }
       }
     }
   }
 
   private val PgCommitTag: Byte = 'C'.toByte
+  private val PgBeginTag: Byte = 'B'.toByte
+  private val nonTxnWarned = new java.util.concurrent.atomic.AtomicBoolean(false)
 
   override def reportLatestOffset(): Offset = {
     val lsns = CdcFrameFiles.lsnsAfter(dir, Long.MinValue)

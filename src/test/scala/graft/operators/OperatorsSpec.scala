@@ -1186,6 +1186,25 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("randomProject: large-matrix HOF form is bit-equal to the same scalar fold") {
+    import spark.implicits._
+    // dim*outDim = 60*70 = 4200 > 4096 → the aggregate-HOF plan form
+    val dim = 60; val outDim = 70
+    val v = (0 until dim).map(d => ((d * 37 % 19) - 9) * 0.125f)
+    val proj = Seq((1L, v)).toDF("vec_id", "embedding")
+      .select(Similarity.randomProject(col("embedding"), dim, outDim).as("p"))
+      .head().getSeq[Double](0)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sign(j: Int, d: Int): Double = {
+      md.reset()
+      if ((md.digest(s"rp:$j:$d".getBytes("UTF-8"))(0) & 0x80) == 0) 1.0 else -1.0
+    }
+    (0 until outDim).foreach { j =>
+      val expect = (0 until dim).foldLeft(0.0)((acc, d) => acc + v(d).toDouble * sign(j, d))
+      assert(proj(j) == expect, s"dim $j") // exact — HOF fold preserves add order
+    }
+  }
+
   // ------------------------------------------- PNG encoder round trip
 
   test("encodePng → PngDecode round trip: every color type and filter type, exact bytes") {
