@@ -82,25 +82,36 @@ object Graph {
       .select(col("u").as("node"), least(col("u"), col("__mn")).as("label"))
       .localCheckpoint(true)
     var iter = 0
+    val labelType = labels.schema("label").dataType
     while (iter < maxIter) {
-      // propagate: min over own label and every neighbor's label
+      // propagate: min over own label and every neighbor's label. The
+      // self row threads the previous label through the aggregation
+      // (exactly one non-null __prev per node survives the max), so
+      // the fixpoint test below reads the round's own checkpointed
+      // output — no separate prev-label join and no extra Spark job
+      // per round.
       val nbr = sym
         .join(labels.select(col("node").as("v"), col("label")), "v")
-        .select(col("u").as("node"), col("label"))
-      val prop = labels.union(nbr)
-        .groupBy("node").agg(min("label").as("label"))
+        .select(col("u").as("node"), col("label"),
+          lit(null).cast(labelType).as("__prev"))
+      val prop = labels
+        .select(col("node"), col("label"), col("label").as("__prev"))
+        .union(nbr)
+        .groupBy("node")
+        .agg(min("label").as("label"), max("__prev").as("__prev"))
       // jump: label ← label(label). Every label IS a node id of this
       // graph (initial labels are node ids; min and jump preserve
       // that), so the inner join is total.
       val next = prop
         .join(prop.select(col("node").as("label"), col("label").as("__jl")), "label")
-        .select(col("node"), col("__jl").as("label"))
+        .select(col("node"), col("__jl").as("label"),
+          (col("__jl") < col("__prev")).as("__chg"))
         .localCheckpoint(true)
-      val changed = next
-        .join(labels.select(col("node"), col("label").as("__prev")), "node")
-        .where(col("label") < col("__prev"))
-      val done = changed.isEmpty
-      labels = next
+      // labels only ever decrease, so "any __chg" is the exact
+      // anti-monotone convergence test — a filter scan over the
+      // blocks just materialized, not a recomputation.
+      val done = next.where(col("__chg")).isEmpty
+      labels = next.select(col("node"), col("label"))
       iter += 1
       if (done) return labels.select(col("node"), col("label").as("component"))
     }
