@@ -23,7 +23,9 @@ import graft.operators.{Dedup, Fingerprint, Graph, Multimodal, Report, Sampling,
 object PipelineQueries {
 
   // DuckDB fragment: distinct word n-gram (3) shingle list per doc.
-  private val duckShingles3 =
+  // (private[graft]: PipelineQueries2's group-size query reuses the
+  // identical shingle definition so its oracle IS the same pipeline.)
+  private[graft] val duckShingles3 =
     """list_distinct(list_transform(
       |  generate_series(1, greatest(len(string_split(text,' ')) - 2, 0)),
       |  i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2]))"""

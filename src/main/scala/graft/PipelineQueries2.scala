@@ -1,0 +1,187 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Graph, Similarity, TextAnalysis}
+
+/** Second pipeline-query wave — corpus-profiling surfaces over the
+  * operators the first wave built: near-dup cluster size distribution
+  * (the dedup report a curation run actually reads), canonical text
+  * normalization + fingerprint, per-source share with cumulative
+  * concentration, token-length distribution, and IVF cell-balance
+  * audit (the quantizer-health number that decides whether ANN probes
+  * parallelize).
+  *
+  * All queries follow the [[Queries]] oracle-exactness rules; doubles
+  * only ever arise from bigint/bigint or identical cosine dags both
+  * engines evaluate bit-equally.
+  */
+object PipelineQueries2 {
+
+  // ------------------------------------ near-dup cluster size profile
+  // The dedup REPORT: minhash near-dup pairs (identical pipeline +
+  // parameters as p_minhash_near_dup_pairs) → connected components →
+  // cluster sizes → how many clusters of each size. This is the
+  // number a curation run watches over time — a fattening tail means
+  // boilerplate is flooding the corpus. Oracle recomputes the whole
+  // pipeline with the shared CTEs + recursive min-reachability CC.
+  // Scale: everything downstream of the pair join runs on (doc_id,
+  // group_id) longs — the size histogram is two keyed aggregations of
+  // a vanishingly small edge set, so the cost IS the pair generation.
+  private val qDupGroupSizes = Queries.Q(
+    "p_dup_group_sizes",
+    Some(s"""
+      WITH RECURSIVE t AS (SELECT doc_id, ${PipelineQueries.duckShingles3} AS sh FROM documents),
+      t2 AS (SELECT doc_id, sh FROM t WHERE len(sh) > 0),
+      sig AS (SELECT doc_id, sh,
+                list_transform(generate_series(0, 11),
+                  j -> list_min(list_transform(sh, x -> md5(j || ':' || x)))) AS s
+              FROM t2),
+      bands AS (SELECT doc_id, b.generate_series AS band,
+                  md5(s[b.generate_series*3+1] || '|' || s[b.generate_series*3+2] || '|' || s[b.generate_series*3+3]) AS bh
+                FROM sig, generate_series(0, 3) b),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+               FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+      pairs AS (SELECT id_a, id_b
+                FROM cand
+                JOIN t2 ta ON ta.doc_id = id_a
+                JOIN t2 tb ON tb.doc_id = id_b
+                WHERE CAST(len(list_intersect(ta.sh, tb.sh)) AS DOUBLE)
+                        / len(list_distinct(list_concat(ta.sh, tb.sh))) >= 0.5),
+      e AS (SELECT id_a AS u, id_b AS v FROM pairs
+            UNION SELECT id_b AS u, id_a AS v FROM pairs),
+      reach(node, r) AS (SELECT u, u FROM (SELECT DISTINCT u FROM e)
+                         UNION
+                         SELECT e.v, reach.r FROM reach JOIN e ON e.u = reach.node),
+      comp AS (SELECT node, MIN(r) AS group_id FROM reach GROUP BY node),
+      g AS (SELECT group_id, COUNT(*) AS group_size FROM comp GROUP BY group_id)
+      SELECT CAST(group_size AS BIGINT) AS group_size,
+             COUNT(*) AS n_groups
+      FROM g GROUP BY group_size ORDER BY group_size"""),
+    (s, dir) =>
+      Graph.connectedComponents(
+        Dedup.nearDupPairsShingled(Tables(s, dir).documents, "doc_id", "text",
+          n = 3, k = 12, rowsPerBand = 3, threshold = 0.5),
+        "id_a", "id_b")
+        .groupBy("component").agg(count(lit(1)).as("group_size"))
+        .groupBy("group_size").agg(count(lit(1)).as("n_groups"))
+        .transform(Queries.sortedSmall(_, "group_size")))
+
+  // ------------------------------ canonical normalization fingerprint
+  // normalize → md5 fingerprint, the dedup key two visually-identical
+  // crawls agree on. Value-checks the normalized text itself (not just
+  // the hash) on a bounded slice so a normalization drift is visible
+  // in the diff, not hidden behind md5.
+  private val qTextNormalize = Queries.Q(
+    "p_text_normalize",
+    Some("""
+      SELECT doc_id,
+             lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm_text,
+             md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
+      FROM documents
+      WHERE doc_id < 200
+      ORDER BY doc_id"""),
+    (s, dir) =>
+      Tables(s, dir).documents
+        .filter(col("doc_id") < 200)
+        .select(
+          col("doc_id"),
+          TextAnalysis.normalizeText(col("text")).as("norm_text"),
+          md5(TextAnalysis.normalizeText(col("text"))).as("fingerprint"))
+        .transform(Queries.sortedSmall(_, "doc_id")))
+
+  // ----------------------------- per-source share and concentration
+  // Source mix report: per-source doc count, share of corpus, and
+  // cumulative share in descending-count order (the concentration
+  // curve — "the top k sources are X% of the data" is the first
+  // question asked of any crawl mix). The window runs over the
+  // 20-row aggregate, never the corpus; the explicit ROWS frame keeps
+  // both engines on the identical running sum.
+  private val qSourceShare = Queries.Q(
+    "p_source_share",
+    Some("""
+      WITH s AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+      t AS (SELECT SUM(n_docs) AS total FROM s)
+      SELECT source, n_docs,
+             CAST(n_docs AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+             CAST(SUM(n_docs) OVER (ORDER BY n_docs DESC, source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               / CAST(total AS DOUBLE) AS cum_share
+      FROM s CROSS JOIN t
+      ORDER BY n_docs DESC, source"""),
+    (s, dir) => {
+      val bySource = Tables(s, dir).documents
+        .groupBy("source").agg(count(lit(1)).as("n_docs"))
+      val total = bySource.agg(sum(col("n_docs")).as("total"))
+      val w = Window.orderBy(col("n_docs").desc, col("source"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      bySource.crossJoin(broadcast(total))
+        .select(
+          col("source"), col("n_docs"),
+          (col("n_docs").cast("double") / col("total").cast("double")).as("share"),
+          (sum(col("n_docs")).over(w).cast("double") / col("total").cast("double"))
+            .as("cum_share"))
+        .transform(Queries.sortedSmallBy(_, col("n_docs").desc, col("source")))
+    })
+
+  // ----------------------------------- token-length distribution
+  // Token length histogram over the whole corpus — the quick shape
+  // check for tokenizer sanity (a spike at 1 means punctuation is
+  // leaking; a fat tail means concatenated garbage). Explode + one
+  // keyed count: integer-only output.
+  private val qTokenLenHist = Queries.Q(
+    "p_token_len_hist",
+    Some("""
+      WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      SELECT CAST(length(token) AS BIGINT) AS token_len,
+             COUNT(*) AS n_tokens
+      FROM tok
+      WHERE token <> ''
+      GROUP BY 1
+      ORDER BY token_len"""),
+    (s, dir) =>
+      Tables(s, dir).documents
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy(length(col("token")).cast("long").as("token_len"))
+        .agg(count(lit(1)).as("n_tokens"))
+        .transform(Queries.sortedSmall(_, "token_len")))
+
+  // --------------------------------------- IVF cell-balance audit
+  // Population of every quantizer cell under the same deterministic
+  // subset quantizer p_ivf_topk probes (centroids = vec_id < 16).
+  // THE health metric for the IVF path: nProbe/nCells cost math
+  // assumes roughly-even cells, and a flooded cell is exactly the
+  // skew that serializes the probe join. Same struct-min argmax (ties:
+  // highest cosine, then smallest centroid id) as ivfTopK/assignCells,
+  // so the audit describes precisely the cells the query path uses.
+  private val qCellSizes = Queries.Q(
+    "p_ivf_cell_sizes",
+    Some("""
+      WITH c AS (SELECT vec_id AS cent, embedding AS cv FROM embeddings WHERE vec_id < 16),
+      a AS (SELECT e.vec_id, c.cent,
+              list_sum(list_transform(list_zip(e.embedding, c.cv), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+              (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+               sqrt(list_sum(list_transform(c.cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS ccos
+            FROM embeddings e CROSS JOIN c),
+      r AS (SELECT vec_id, cent,
+              row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent) AS rn
+            FROM a)
+      SELECT cent AS cell, COUNT(*) AS n_vectors
+      FROM r WHERE rn = 1
+      GROUP BY cell
+      ORDER BY cell"""),
+    (s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      Similarity.assignCells(
+        emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 16), "vec_id", "embedding")
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_vectors"))
+        .transform(Queries.sortedSmall(_, "cell"))
+    })
+
+  val all: Seq[Queries.Q] =
+    Seq(qDupGroupSizes, qTextNormalize, qSourceShare, qTokenLenHist, qCellSizes)
+}

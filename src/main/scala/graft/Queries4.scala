@@ -1,0 +1,216 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Queries.{Q, sortedSmall, sortedSmallBy}
+import graft.util.Exact.{dec, dec2, dsum}
+
+/** Fifth relational wave — analytic shapes the earlier waves didn't
+  * cover: a q9-style profit rollup (fact–fact join + broadcast dims +
+  * year extraction), exact-moment correlation/covariance (the
+  * engine-portable form of `corr`/`covar_samp`), a generated date
+  * spine with calendar fill (sequence + explode + left join), an
+  * arithmetic histogram (no two-pass min/max), and ratio-to-report
+  * windowing (share-of-total inside a partition).
+  *
+  * Scale notes per shape:
+  *  - q9 rollup: lineitem⋈orders shuffles on the order key once; the
+  *    supplier and nation dims ride broadcast joins, so the plan has
+  *    exactly one wide Exchange regardless of dim count.
+  *  - correlation: Spark's `corr`/`covar_samp` aggregate doubles in
+  *    shuffle order (non-deterministic last bits, engine-specific
+  *    formulas), so the query aggregates the five EXACT decimal
+  *    moments (map-side partials apply — one shuffle of 5 numbers per
+  *    group) and assembles the Pearson/covariance formula in double
+  *    AFTER aggregation: one deterministic expression dag on
+  *    order-independent inputs. The moment magnitudes obey the
+  *    decimal→double 2^53 mantissa rule ([[graft.util.Exact]]) for
+  *    quantity×discount; at larger scale surface the decimal moments
+  *    themselves.
+  *  - date spine: `sequence()` generates the calendar on the fly (90
+  *    rows — never a stored calendar table to shuffle); the daily
+  *    aggregate is pre-grouped BEFORE the spine join, so the left
+  *    join is spine-rows × 1 — broadcastable from either side.
+  *  - histogram: bucket = least(floor(x / width), nBuckets−1) is a
+  *    map-side expression over literal bounds — one aggregation pass,
+  *    no preliminary min/max job, pushdown-friendly.
+  *  - ratio-to-report: the window runs over the ALREADY-AGGREGATED
+  *    per-nation rows (25 rows), never the raw fact table — compute
+  *    heavy aggregates first, window the small result.
+  */
+object Queries4 {
+
+  // ------------------------------------------- q9-style profit rollup
+  // Revenue by supplier nation × order year. No partsupp table in the
+  // driver schema, so the profit term is the standard revenue term
+  // (exact decimal, same as q1/q5). lineitem⋈orders is the one
+  // fact–fact shuffle; supplier and nation broadcast.
+  private val q9 = Q(
+    "q9_nation_year_revenue",
+    Some("""
+      SELECT n_name AS nation,
+             CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2)) * (1 - CAST(l_discount AS DECIMAL(9,2)))) AS DOUBLE) AS revenue
+      FROM lineitem
+      JOIN orders   ON o_orderkey  = l_orderkey
+      JOIN supplier ON s_suppkey   = l_suppkey
+      JOIN nation   ON n_nationkey = s_nationkey
+      GROUP BY 1, 2
+      ORDER BY nation, o_year"""),
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.lineitem
+        .join(t.orders, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(t.supplier), col("s_suppkey") === col("l_suppkey"))
+        .join(broadcast(t.nation), col("n_nationkey") === col("s_nationkey"))
+        .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
+          .cast("double").as("revenue"))
+        .transform(sortedSmall(_, "nation", "o_year"))
+    })
+
+  // ------------------------------- exact-moment correlation/covariance
+  // Pearson corr and sample covariance of (l_quantity, l_discount) per
+  // return flag, assembled from exact decimal moments. Both engines
+  // evaluate the IDENTICAL double expression dag over identical
+  // (order-independent) inputs, so the doubles are bit-equal — unlike
+  // the built-in corr/covar aggregates, whose streaming update order
+  // is engine- and shuffle-dependent.
+  private val qCorr = Q(
+    "q_corr_qty_discount",
+    Some("""
+      WITH m AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sq,
+               CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sd,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(9,2)) * CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS sqq,
+               CAST(SUM(CAST(l_discount AS DECIMAL(9,2)) * CAST(l_discount AS DECIMAL(9,2))) AS DOUBLE) AS sdd,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(9,2)) * CAST(l_discount AS DECIMAL(9,2))) AS DOUBLE) AS sqd
+        FROM lineitem
+        GROUP BY l_returnflag)
+      SELECT l_returnflag, n,
+             (CAST(n AS DOUBLE) * sqd - sq * sd) /
+               (sqrt(CAST(n AS DOUBLE) * sqq - sq * sq) * sqrt(CAST(n AS DOUBLE) * sdd - sd * sd)) AS corr_qty_disc,
+             (CAST(n AS DOUBLE) * sqd - sq * sd) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)) AS covar_qty_disc
+      FROM m
+      ORDER BY l_returnflag"""),
+    (s, dir) => {
+      val nD = col("n").cast("double")
+      Tables(s, dir).lineitem
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          dsum(col("l_quantity")).as("sq"),
+          dsum(col("l_discount")).as("sd"),
+          sum(dec2(col("l_quantity")) * dec2(col("l_quantity"))).cast("double").as("sqq"),
+          sum(dec2(col("l_discount")) * dec2(col("l_discount"))).cast("double").as("sdd"),
+          sum(dec2(col("l_quantity")) * dec2(col("l_discount"))).cast("double").as("sqd"))
+        .select(
+          col("l_returnflag"), col("n"),
+          ((nD * col("sqd") - col("sq") * col("sd")) /
+            (sqrt(nD * col("sqq") - col("sq") * col("sq")) *
+              sqrt(nD * col("sdd") - col("sd") * col("sd")))).as("corr_qty_disc"),
+          ((nD * col("sqd") - col("sq") * col("sd")) / (nD * (nD - lit(1))))
+            .as("covar_qty_disc"))
+        .transform(sortedSmall(_, "l_returnflag"))
+    })
+
+  // ------------------------------------- date spine with calendar fill
+  // Q1-1995 daily order counts with zero-filled gaps: the calendar is
+  // GENERATED (sequence + explode), the daily aggregate is pre-grouped,
+  // and the left join fills missing days with 0. Day is output as a
+  // formatted string (raw DATE/TIMESTAMP round-trips differently).
+  private val qDateSpine = Q(
+    "q_date_spine_fill",
+    Some("""
+      WITH spine AS (
+        SELECT CAST(unnest(generate_series(DATE '1995-01-01', DATE '1995-03-31', INTERVAL 1 DAY)) AS DATE) AS day),
+      d AS (
+        SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n_orders
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1995-04-01 00:00:00'
+        GROUP BY 1)
+      SELECT strftime(spine.day, '%Y-%m-%d') AS day,
+             COALESCE(d.n_orders, 0) AS n_orders
+      FROM spine LEFT JOIN d ON d.day = spine.day
+      ORDER BY day"""),
+    (s, dir) => {
+      val spine = s.range(1).select(
+        explode(expr("sequence(to_date('1995-01-01'), to_date('1995-03-31'), interval 1 day)")).as("day"))
+      val daily = Tables(s, dir).orders
+        .filter(col("o_orderdate") >= lit("1995-01-01 00:00:00").cast("timestamp") &&
+          col("o_orderdate") < lit("1995-04-01 00:00:00").cast("timestamp"))
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("n_orders"))
+      spine.join(daily, Seq("day"), "left")
+        .select(
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+        .transform(sortedSmall(_, "day"))
+    })
+
+  // --------------------------------------------- arithmetic histogram
+  // Order-value distribution in 10 fixed-width buckets over literal
+  // bounds (o_totalprice ∈ (0, 500k]; width 50k; the top bucket is
+  // open-ended via least()). One map-side expression + one aggregation
+  // — no preliminary min/max pass, which at 100 TB would be a second
+  // full scan.
+  private val qPriceHist = Q(
+    "q_price_histogram",
+    Some("""
+      SELECT CAST(LEAST(FLOOR(o_totalprice / 50000.0), 9) AS BIGINT) AS bucket,
+             COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+      FROM orders
+      GROUP BY 1
+      ORDER BY bucket"""),
+    (s, dir) =>
+      Tables(s, dir).orders
+        .groupBy(least(floor(col("o_totalprice") / lit(50000.0)), lit(9)).cast("long").as("bucket"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("sum_price"))
+        .transform(sortedSmall(_, "bucket")))
+
+  // ------------------------------------------ ratio-to-report window
+  // Each nation's share of its region's total customer balance. The
+  // heavy aggregate runs FIRST (one keyed shuffle of the fact table);
+  // the share window then runs over the 25-row result. Balances sum in
+  // exact decimal; the share divides two deterministic double casts.
+  private val qNationShare = Q(
+    "q_nation_share_of_region",
+    Some("""
+      WITH a AS (
+        SELECT r_name, n_name,
+               SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS bal
+        FROM customer
+        JOIN nation ON n_nationkey = c_nationkey
+        JOIN region ON r_regionkey = n_regionkey
+        GROUP BY r_name, n_name)
+      SELECT r_name, n_name,
+             CAST(bal AS DOUBLE) AS nation_bal,
+             CAST(bal AS DOUBLE) / CAST(SUM(bal) OVER (PARTITION BY r_name) AS DOUBLE) AS share
+      FROM a
+      ORDER BY r_name, n_name"""),
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val dims = t.nation.join(t.region, col("r_regionkey") === col("n_regionkey"))
+      val a = t.customer
+        .join(broadcast(dims), col("n_nationkey") === col("c_nationkey"))
+        .groupBy("r_name", "n_name")
+        .agg(sum(dec(col("c_acctbal"))).as("bal"))
+      val w = Window.partitionBy("r_name")
+      a.select(
+        col("r_name"), col("n_name"),
+        col("bal").cast("double").as("nation_bal"),
+        (col("bal").cast("double") / sum(col("bal")).over(w).cast("double")).as("share"))
+        .transform(sortedSmall(_, "r_name", "n_name"))
+    })
+
+  val relational4: Seq[Q] =
+    Seq(q9, qCorr, qDateSpine, qPriceHist, qNationShare)
+}

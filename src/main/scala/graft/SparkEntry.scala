@@ -12,7 +12,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
   private def all: Seq[Queries.Q] =
     Queries.relational ++ Queries2.relational2 ++ Queries3.relational3 ++
-      CdcQueries.all ++ PipelineQueries.all
+      Queries4.relational4 ++ CdcQueries.all ++ PipelineQueries.all ++
+      PipelineQueries2.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -223,13 +223,9 @@ object Similarity {
       df.select(col(dfIdCol).as(outId), col(vecCol).as("__v"))
         .crossJoin(cents)
         .withColumn("__ccos", cosine(col("__v"), col("__cvec")))
-    // corpus → exactly one cell: argmax cosine as min(struct(-cos,
-    // cent)) — lexicographic, so highest cosine wins, then smallest
-    // centroid id; a plain aggregate, so map-side partials apply.
-    val cells = cellScores(corpus, idCol, "neighbor_id")
-      .groupBy("neighbor_id")
-      .agg(min(struct((-col("__ccos")).as("nc"), col("__cent").as("cent"))).as("__b"))
-      .select(col("neighbor_id"), col("__b.cent").as("__cell"))
+    // corpus → exactly one cell (see [[assignCells]])
+    val cells = assignCells(corpus, idCol, vecCol, centroids, centIdCol, centVecCol)
+      .select(col("id").as("neighbor_id"), col("cell").as("__cell"))
     val base = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
       .join(cells, Seq("neighbor_id"))
     // queries probe their nProbe nearest cells (ranked like the
@@ -249,6 +245,32 @@ object Similarity {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "sim")
+  }
+
+  /** Coarse-quantizer cell assignment: each corpus vector → its
+    * max-cosine centroid (smallest centroid id on ties). The argmax is
+    * a lexicographic struct-min — a PLAIN aggregate, so map-side
+    * partials apply and the only wide exchange is on the vector id.
+    * The centroid side broadcasts (nCells rows — the quantizer, never
+    * the corpus), so at 100 TB this is one map-side pass + one
+    * partial-aggregated shuffle of (id, cell) pairs.
+    *
+    * This is the assignment stage [[ivfTopK]] uses internally,
+    * surfaced for cell-balance audits (a skewed quantizer silently
+    * serializes the probe stage — cell population is the number to
+    * watch) and for materializing the cell column once when many
+    * queries share one corpus. Output: (id, cell). */
+  def assignCells(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, centIdCol: String, centVecCol: String): DataFrame = {
+    val cents = broadcast(centroids.select(
+      col(centIdCol).as("__cent"), col(centVecCol).as("__cvec")))
+    corpus.select(col(idCol).as("id"), col(vecCol).as("__v"))
+      .crossJoin(cents)
+      .withColumn("__ccos", cosine(col("__v"), col("__cvec")))
+      .groupBy("id")
+      .agg(min(struct((-col("__ccos")).as("nc"), col("__cent").as("cent"))).as("__b"))
+      .select(col("id"), col("__b.cent").as("cell"))
   }
 
   /** Distributed spherical k-means trainer for [[ivfTopK]]'s coarse

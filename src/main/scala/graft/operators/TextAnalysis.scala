@@ -16,6 +16,17 @@ object TextAnalysis {
 
   def tokens(text: Column): Column = split(text, " ")
 
+  /** Canonical text normalization for fingerprint-based dedup:
+    * collapse whitespace runs to one space, trim, lowercase. A
+    * map-side expression chain (regexp_replace + trim + lower, all
+    * codegen'd) — normalizing BEFORE fingerprinting is what makes two
+    * visually-identical crawls hash equal, and at 100 TB it rides the
+    * scan for free. ASCII-stable semantics: locale-sensitive case
+    * folding (e.g. dotless-i) is deliberately out of scope — both
+    * this and the SQL oracle lower ASCII identically. */
+  def normalizeText(text: Column): Column =
+    lower(trim(regexp_replace(text, "\\s+", " ")))
+
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
   /** Count of tokens that are stopwords. */

@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Fifth relational wave + second pipeline wave: plan shapes (the
+  * scale property each query exists to demonstrate) and value
+  * invariants the DuckDB oracle can't express (cross-query
+  * consistency, algebraic identities).
+  */
+class Queries4Spec extends SparkSpec {
+  private val dir = sf("sf0.001")
+  private def run(name: String) =
+    (Queries4.relational4 ++ PipelineQueries2.all).find(_.name == name).get.run(spark, dir)
+
+  test("q9: dims broadcast, facts shuffle once, no cartesian") {
+    val df = run("q9_nation_year_revenue")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "supplier/nation must broadcast")
+    assert(!plan.contains("CartesianProduct"))
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.forall(_.getDouble(2) > 0.0))
+  }
+
+  test("q_corr: exact-moment Pearson matches a direct computation") {
+    val rows = run("q_corr_qty_discount").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val corr = r.getDouble(2)
+      assert(corr >= -1.0 && corr <= 1.0, s"corr out of range: $corr")
+    }
+    // algebraic cross-check against Spark's own streaming corr (same
+    // estimate up to float noise — the QUERY exists because the last
+    // bits of the builtin aren't portable, not because the value is)
+    val direct = Tables(spark, dir).lineitem
+      .groupBy("l_returnflag")
+      .agg(corr(col("l_quantity"), col("l_discount")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(2) - direct(r.getString(0))) < 1e-9)
+    }
+  }
+
+  test("q_date_spine_fill: full calendar, zero-filled gaps, counts reconcile") {
+    val rows = run("q_date_spine_fill").collect()
+    assert(rows.length == 90, s"Q1-1995 spine must be 90 days, got ${rows.length}")
+    assert(rows.map(_.getString(0)).distinct.length == 90)
+    val total = rows.map(_.getLong(1)).sum
+    val expect = Tables(spark, dir).orders
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1995-04-01").cast("timestamp")).count()
+    assert(total == expect, s"spine total $total != orders count $expect")
+  }
+
+  test("q_price_histogram: join-free single pass, partitions the table exactly") {
+    val df = run("q_price_histogram")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), "histogram must be one scan + one agg")
+    val rows = df.collect()
+    assert(rows.forall(r => r.getLong(0) >= 0 && r.getLong(0) <= 9))
+    assert(rows.map(_.getLong(1)).sum == Tables(spark, dir).orders.count())
+  }
+
+  test("q_nation_share: shares sum to 1 within each region") {
+    val rows = run("q_nation_share_of_region").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (region, rs) =>
+      val s = rs.map(_.getDouble(3)).sum
+      assert(math.abs(s - 1.0) < 1e-9, s"region $region shares sum to $s")
+    }
+  }
+
+  test("p_source_share: concentration curve is monotone and lands on 1") {
+    val rows = run("p_source_share").collect()
+    val cum = rows.map(_.getDouble(3))
+    assert(cum.zip(cum.tail).forall { case (a, b) => b >= a }, "cum_share must be monotone")
+    assert(math.abs(cum.last - 1.0) < 1e-9)
+    assert(math.abs(rows.map(_.getDouble(2)).sum - 1.0) < 1e-9)
+  }
+
+  test("p_ivf_cell_sizes: every vector lands in exactly one audited cell") {
+    val rows = run("p_ivf_cell_sizes").collect()
+    val emb = Tables(spark, dir).embeddings
+    assert(rows.map(_.getLong(1)).sum == emb.count())
+    assert(rows.forall(r => r.getLong(0) >= 0 && r.getLong(0) < 16))
+    // the audit must describe the same assignment ivfTopK computes:
+    // spot-check via assignCells determinism (two runs, same result)
+    val a1 = operators.Similarity.assignCells(emb, "vec_id", "embedding",
+      emb.filter(col("vec_id") < 16), "vec_id", "embedding").collect().toSet
+    val a2 = operators.Similarity.assignCells(emb, "vec_id", "embedding",
+      emb.filter(col("vec_id") < 16), "vec_id", "embedding").collect().toSet
+    assert(a1 == a2)
+  }
+
+  test("normalizeText: collapses whitespace runs, trims, lowercases") {
+    import spark.implicits._
+    val got = Seq("  Hello   WORLD ", "a\tb\nc", "already clean")
+      .toDF("t")
+      .select(operators.TextAnalysis.normalizeText(col("t")))
+      .as[String].collect()
+    assert(got.sameElements(Array("hello world", "a b c", "already clean")))
+  }
+
+  test("p_dup_group_sizes: every near-dup cluster has at least two members") {
+    val rows = run("p_dup_group_sizes").collect()
+    assert(rows.nonEmpty, "sf0.001 corpus contains near-dup clusters")
+    assert(rows.forall(_.getLong(0) >= 2), "a CC group from pairs has >= 2 members")
+    // histogram mass == number of clustered docs
+    val clustered = operators.Graph.connectedComponents(
+      operators.Dedup.nearDupPairsShingled(Tables(spark, dir).documents,
+        "doc_id", "text", n = 3, k = 12, rowsPerBand = 3, threshold = 0.5),
+      "id_a", "id_b").count()
+    assert(rows.map(r => r.getLong(0) * r.getLong(1)).sum == clustered)
+  }
+
+  test("p_token_len_hist: integer histogram over non-empty tokens") {
+    val rows = run("p_token_len_hist").collect()
+    assert(rows.nonEmpty && rows.forall(r => r.getLong(0) >= 1 && r.getLong(1) > 0))
+  }
+
+  test("grouping sets: one Expand pass, never one scan per set") {
+    val df = Queries3.relational3.find(_.name == "q_grouping_sets_revenue").get
+      .run(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), "grouping sets must plan Expand")
+    assert("FileScan".r.findAllIn(plan).size == 1,
+      "grouping sets must read lineitem exactly once")
+    // level-0 rows: gid=0 rows are the (flag,status) leaves; gid=3 the
+    // grand total
+    val rows = df.collect()
+    assert(rows.count(_.getLong(2) == 3L) == 1)
+    assert(rows.filter(_.getLong(2) == 0L).length > 1)
+  }
+}
