@@ -182,6 +182,59 @@ object PipelineQueries2 {
         .transform(Queries.sortedSmall(_, "cell"))
     })
 
+  // ----------------------------------- AVI frame sampling under oracle
+  // End-to-end video path: 12 uncompressed BI_RGB AVI containers
+  // (alternating bottom-up / top-down row order) encoded in-query with
+  // formulaic pixels, every 2nd frame sampled, per-frame mean + md5 of
+  // the canonical RGB hex dump. The oracle never touches a container —
+  // it predicts every pixel byte arithmetically from the same formula,
+  // so one wrong header field, row flip, BGR swap, or padding byte
+  // fails the hash. Same technique as p_png_pixel_stats.
+  private val qAviFrameStats = Queries.Q(
+    "p_avi_frame_stats",
+    Some("""
+      WITH dims AS (SELECT i, 2 + (i % 4) AS w, 2 + (i % 3) AS h, 3 + (i % 3) AS nf
+                    FROM generate_series(0, 11) t(i)),
+      fr AS (SELECT i, w, h, unnest(generate_series(0, nf - 1, 2)) AS f FROM dims),
+      ys AS (SELECT i, f, w, h, unnest(generate_series(0, h - 1)) AS y FROM fr),
+      xs AS (SELECT i, f, w, h, y, unnest(generate_series(0, w - 1)) AS x FROM ys),
+      cs AS (SELECT i, f, y, x, unnest(generate_series(0, 2)) AS c FROM xs),
+      v AS (SELECT i, f, y, x, c, (x*3 + y*5 + c*7 + f*11 + i*13) % 256 AS v FROM cs),
+      agg AS (SELECT i, f,
+                md5(string_agg(printf('%02x', v), '' ORDER BY y, x, c)) AS frame_md5,
+                CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mean_val
+              FROM v GROUP BY i, f)
+      SELECT CAST(d.i AS BIGINT) AS video_id, CAST(a.f AS BIGINT) AS frame_idx,
+             CAST(d.w AS BIGINT) AS width, CAST(d.h AS BIGINT) AS height,
+             a.mean_val, a.frame_md5
+      FROM dims d JOIN agg a ON a.i = d.i
+      ORDER BY video_id, frame_idx"""),
+    (s, dir) => {
+      val vids: Seq[(Long, Array[Byte])] = (0 until 12).map { i =>
+        val (w, h, nf) = (2 + i % 4, 2 + i % 3, 3 + i % 3)
+        (i.toLong, operators.Multimodal.encodeAvi(w, h, nf,
+          (f, x, y, c) => (x * 3 + y * 5 + c * 7 + f * 11 + i * 13) % 256,
+          topDown = i % 2 == 1))
+      }
+      import s.implicits._
+      vids.toDF("video_id", "payload")
+        .select(
+          col("video_id"), col("payload"),
+          operators.Multimodal.videoMeta(col("payload")).as("__m"),
+          posexplode(operators.Multimodal.frameSample(col("payload"), 2))
+            .as(Seq("__p", "__s")))
+        .select(
+          col("video_id"),
+          col("__s.frame_idx").as("frame_idx"),
+          col("__m.width").cast("long").as("width"),
+          col("__m.height").cast("long").as("height"),
+          col("__s.mean").as("mean_val"),
+          md5(lower(hex(operators.Multimodal.videoFramePixels(
+            col("payload"), col("__s.frame_idx"))))).as("frame_md5"))
+        .transform(Queries.sortedSmall(_, "video_id", "frame_idx"))
+    })
+
   val all: Seq[Queries.Q] =
-    Seq(qDupGroupSizes, qTextNormalize, qSourceShare, qTokenLenHist, qCellSizes)
+    Seq(qDupGroupSizes, qTextNormalize, qSourceShare, qTokenLenHist, qCellSizes,
+      qAviFrameStats)
 }

@@ -144,6 +144,25 @@ object GraftFunctions {
   def jpegPixelStats(payload: Column): Column =
     graftBridge.column(JpegPixelStats(graftBridge.expression(payload)))
 
+  /** Column-API form of [[AviMeta]]: struct<width, height, fps_num,
+    * fps_den, n_frames> of an uncompressed AVI payload; NULL when
+    * absent/undecodable. */
+  def aviMeta(payload: Column): Column =
+    graftBridge.column(AviMeta(graftBridge.expression(payload)))
+
+  /** Column-API form of [[AviFramePixels]]: one decoded frame
+    * (top-down row-major RGB bytes — the [[PngPixels]] layout);
+    * NULL when out of scope or out of range. */
+  def aviFrame(payload: Column, frameIdx: Column): Column =
+    graftBridge.column(AviFramePixels(
+      graftBridge.expression(payload), graftBridge.expression(frameIdx)))
+
+  /** Column-API form of [[AviFrameStats]]:
+    * array<struct<frame_idx, mean>> for every stride-th frame. */
+  def aviFrameStats(payload: Column, stride: Column): Column =
+    graftBridge.column(AviFrameStats(
+      graftBridge.expression(payload), graftBridge.expression(stride)))
+
   private[graft] val descriptors: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(
       (
@@ -194,6 +213,27 @@ object GraftFunctions {
         (args: Seq[Expression]) => {
           require(args.length == 1, s"graft_jpeg_stats expects 1 argument, got ${args.length}")
           JpegPixelStats(args(0))
+        }),
+      (
+        FunctionIdentifier("graft_avi_meta"),
+        new ExpressionInfo(classOf[AviMeta].getName, "graft_avi_meta"),
+        (args: Seq[Expression]) => {
+          require(args.length == 1, s"graft_avi_meta expects 1 argument, got ${args.length}")
+          AviMeta(args(0))
+        }),
+      (
+        FunctionIdentifier("graft_avi_frame"),
+        new ExpressionInfo(classOf[AviFramePixels].getName, "graft_avi_frame"),
+        (args: Seq[Expression]) => {
+          require(args.length == 2, s"graft_avi_frame expects 2 arguments, got ${args.length}")
+          AviFramePixels(args(0), args(1))
+        }),
+      (
+        FunctionIdentifier("graft_avi_frame_stats"),
+        new ExpressionInfo(classOf[AviFrameStats].getName, "graft_avi_frame_stats"),
+        (args: Seq[Expression]) => {
+          require(args.length == 2, s"graft_avi_frame_stats expects 2 arguments, got ${args.length}")
+          AviFrameStats(args(0), args(1))
         }))
 
   /** Register every graft SQL function on a live session. */

@@ -19,10 +19,13 @@ import org.apache.spark.sql.functions._
   * [[graft.functions.PngPixels]]) and for baseline JPEG (the JDK's
   * bundled ImageIO reader, [[graft.functions.JpegPixels]] — same
   * output layout, same bomb guard, spec-gated because JPEG IDCT
-  * rounding is decoder-specific). Video frame sampling still needs a
-  * codec library and remains stubbed ([[frameSampleStub]]) — that
-  * call is the single swap-in point for a JNI/py bridge at the
-  * `mapPartitions` boundary in production.
+  * rounding is decoder-specific). Video frame sampling is REAL for
+  * uncompressed BI_RGB AVI ([[videoMeta]]/[[frameSample]] via the
+  * RIFF walker [[graft.functions.AviDecode]] — frames come out in
+  * the PngPixels byte layout); compressed codecs (MJPG/H.264/…)
+  * fall back to [[frameSampleStub]], the single swap-in point for a
+  * JNI/py bridge at the `mapPartitions` boundary in production,
+  * with the AVI path as the layout contract that bridge must match.
   */
 object Multimodal {
 
@@ -201,9 +204,39 @@ object Multimodal {
     when(isPng(payload), graft.functions.GraftFunctions.pngPixelStats(payload))
       .when(isJpeg(payload), graft.functions.GraftFunctions.jpegPixelStats(payload))
 
+  /** RIFF/AVI magic: 'RIFF' at offset 0, 'AVI ' at offset 8. */
+  private def isAvi(payload: Column): Column =
+    octet_length(payload) >= 24 &&
+      hex(substring(payload, 1, 4)) === "52494646" && // "RIFF"
+      hex(substring(payload, 9, 4)) === "41564920" // "AVI "
+
+  /** REAL video container metadata for uncompressed BI_RGB AVI:
+    * struct<width, height, fps_num, fps_den, n_frames> (fps kept as
+    * the exact strh rational; n_frames counts physical frame chunks).
+    * NULL for non-AVI or out-of-scope payloads — see
+    * [[graft.functions.AviDecode]]. */
+  def videoMeta(payload: Column): Column =
+    graft.functions.GraftFunctions.aviMeta(payload)
+
+  /** One decoded AVI frame (0-based index) as raw top-down row-major
+    * RGB bytes — byte-compatible with [[imagePixels]], so sampled
+    * frames feed the same featurizers as stills. */
+  def videoFramePixels(payload: Column, frameIdx: Column): Column =
+    graft.functions.GraftFunctions.aviFrame(payload, frameIdx)
+
+  /** REAL frame sampling for uncompressed AVI payloads: every
+    * `stride`-th frame's index + mean RGB brightness
+    * (`array<struct<frame_idx, mean>>`, one decode pass, pixels never
+    * materialized into the row); non-AVI payloads return NULL — route
+    * those through [[frameSampleStub]] until a codec bridge lands. */
+  def frameSample(payload: Column, stride: Int): Column =
+    when(isAvi(payload),
+      graft.functions.GraftFunctions.aviFrameStats(payload, lit(stride)))
+
   /** STUB frame sampling: every `stride`-th byte as lowercase hex —
     * the plumbing (array column, deterministic order, bounded size)
-    * of a video frame sampler with the codec swapped out. */
+    * of a video frame sampler with the codec swapped out. Kept as the
+    * fallback for payloads outside [[frameSample]]'s decodable scope. */
   def frameSampleStub(payload: Column, stride: Int): Column =
     when(octet_length(payload) > 0,
       transform(
@@ -280,6 +313,67 @@ object Multimodal {
     Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A) ++
       chunk("IHDR", ihdr) ++ chunk("IDAT", zos.toByteArray) ++
       chunk("IEND", Array.emptyByteArray)
+  }
+
+  /** Driver-side AVI ENCODER (fixture machinery, not a data path):
+    * uncompressed BI_RGB 24-bit, one 'vids' stream, frames as '00db'
+    * chunks — the minimal spec-complete container
+    * ('RIFF'/'hdrl'(avih + 'strl'(strh/strf))/'movi'). `pixel(f, x,
+    * y, c)` gives channel c ∈ {0=R, 1=G, 2=B} of frame f; rows are
+    * written bottom-up BGR with 4-byte padding (the AVI default), or
+    * top-down (negative biHeight) when `topDown` — so round trips
+    * exercise both row orders in [[graft.functions.AviDecode]]. Pure
+    * `java.nio`, little-endian — dependency-free like [[encodePng]].
+    * Used by the `p_avi_frame_stats` oracle fixtures and AviSpec. */
+  def encodeAvi(width: Int, height: Int, nFrames: Int,
+      pixel: (Int, Int, Int, Int) => Int,
+      fpsNum: Int = 30, fpsDen: Int = 1, topDown: Boolean = false): Array[Byte] = {
+    require(width > 0 && height > 0 && nFrames >= 0, s"bad shape ${width}x$height x$nFrames")
+    import java.nio.{ByteBuffer, ByteOrder}
+    def le(n: Int): ByteBuffer = ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)
+    val wireStride = ((width * 3 + 3) / 4) * 4
+    def chunk(tag: String, data: Array[Byte]): Array[Byte] = {
+      val b = le(8 + data.length + (data.length & 1))
+      b.put(tag.getBytes("US-ASCII")).putInt(data.length).put(data)
+      b.array() // trailing pad byte (if odd) stays 0 — RIFF even padding
+    }
+    def list(listType: String, subchunks: Array[Byte]): Array[Byte] =
+      chunk("LIST", listType.getBytes("US-ASCII") ++ subchunks)
+    val avih = le(56)
+      .putInt(if (fpsNum > 0) (1000000L * fpsDen / fpsNum).toInt else 0) // µs/frame
+      .putInt(0).putInt(0).putInt(0)
+      .putInt(nFrames).putInt(0).putInt(1).putInt(0)
+      .putInt(width).putInt(height)
+      .putInt(0).putInt(0).putInt(0).putInt(0).array()
+    val strh = le(56)
+      .put("vids".getBytes("US-ASCII")).put("DIB ".getBytes("US-ASCII"))
+      .putInt(0).putShort(0).putShort(0).putInt(0)
+      .putInt(fpsDen) // dwScale
+      .putInt(fpsNum) // dwRate
+      .putInt(0).putInt(nFrames).putInt(wireStride * height)
+      .putInt(-1).putInt(0).putShort(0).putShort(0).array()
+    val strf = le(40)
+      .putInt(40).putInt(width).putInt(if (topDown) -height else height)
+      .putShort(1).putShort(24)
+      .putInt(0) // BI_RGB
+      .putInt(wireStride * height).putInt(0).putInt(0).putInt(0).putInt(0).array()
+    val frames = (0 until nFrames).toArray.map { f =>
+      val d = new Array[Byte](wireStride * height)
+      for (y <- 0 until height; x <- 0 until width) {
+        val row = if (topDown) y else height - 1 - y
+        val o = row * wireStride + x * 3
+        d(o) = (pixel(f, x, y, 2) & 0xFF).toByte // wire order is BGR
+        d(o + 1) = (pixel(f, x, y, 1) & 0xFF).toByte
+        d(o + 2) = (pixel(f, x, y, 0) & 0xFF).toByte
+      }
+      chunk("00db", d)
+    }
+    val body = list("hdrl", chunk("avih", avih) ++
+      list("strl", chunk("strh", strh) ++ chunk("strf", strf))) ++
+      list("movi", frames.flatten)
+    le(12 + body.length)
+      .put("RIFF".getBytes("US-ASCII")).putInt(4 + body.length)
+      .put("AVI ".getBytes("US-ASCII")).put(body).array()
   }
 
   /** Attach the standard multimodal columns to a DataFrame. */

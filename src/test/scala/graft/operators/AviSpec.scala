@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.{AviDecode, GraftFunctions}
+
+/** AVI frame decoder: a GOLDEN container hand-assembled field by field
+  * from the public RIFF/AVI spec (little-endian sizes, even padding,
+  * hdrl/strl/movi lists, bottom-up padded BGR '00db' frames) and
+  * pinned as hex — independent of [[Multimodal.encodeAvi]], so the
+  * encoder can't round-trip its own misreading green — plus
+  * encode→decode round trips over both row orders, bounds, and the
+  * container-bomb guard.
+  */
+class AviSpec extends SparkSpec {
+
+  /** 2×2, 2 frames, 15 fps, pixel(f,x,y,c) = f·100 + y·10 + x·4 + c,
+    * bottom-up BGR rows padded to 4 bytes — assembled by hand. */
+  private val Golden =
+    "5249464608010000415649204c495354c00000006864726c61766968380000006a040100000000000000000000000000020000000000000001000000000000000200000002000000000000000000000000000000000000004c495354740000007374726c73747268380000007669647344494220000000000000000000000000010000000f000000000000000200000010000000ffffffff0000000000000000000000007374726628000000280000000200000002000000010018000000000010000000000000000000000000000000000000004c495354340000006d6f766930306462100000000c0b0a100f0e000002010006050400003030646210000000706f6e74737200006665646a69680000"
+  private val GoldenFrame0 = "0001020405060a0b0c0e0f10" // top-down RGB
+  private val GoldenFrame1 = "64656668696a6e6f70727374"
+
+  private def hex(s: String): Array[Byte] =
+    s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+  private def toHex(b: Array[Byte]): String =
+    b.map(x => f"${x & 0xff}%02x").mkString
+
+  test("golden container: metadata decodes to the authored header fields") {
+    val d = AviDecode.decode(hex(Golden))
+    assert(d != null, "golden AVI must decode")
+    assert(d.width == 2 && d.height == 2)
+    assert(d.fpsNum == 15 && d.fpsDen == 1)
+    assert(d.frames.length == 2)
+  }
+
+  test("golden container: frames decode to exact top-down RGB bytes") {
+    val d = AviDecode.decode(hex(Golden))
+    assert(toHex(d.frames(0)) == GoldenFrame0)
+    assert(toHex(d.frames(1)) == GoldenFrame1)
+  }
+
+  test("golden container through the Column API: meta, frame, stats") {
+    import spark.implicits._
+    val df = Seq(hex(Golden)).toDF("payload")
+    val r = df.select(
+      Multimodal.videoMeta(col("payload")),
+      Multimodal.videoFramePixels(col("payload"), lit(0)),
+      Multimodal.frameSample(col("payload"), 1)).head()
+    assert(r.getStruct(0) == Row(2, 2, 15, 1, 2))
+    assert(toHex(r.getAs[Array[Byte]](1)) == GoldenFrame0)
+    // means authored into the fixture: frame0 = 8.0, frame1 = 108.0
+    assert(r.getSeq[Row](2) == Seq(Row(0L, 8.0), Row(1L, 108.0)))
+    // stride 2 samples only frame 0
+    val s2 = df.select(Multimodal.frameSample(col("payload"), 2)).head().getSeq[Row](0)
+    assert(s2 == Seq(Row(0L, 8.0)))
+  }
+
+  test("encode→decode round trip: bottom-up and top-down row orders agree") {
+    def px(f: Int, x: Int, y: Int, c: Int) = (f * 11 + x * 3 + y * 5 + c * 7) % 256
+    for (topDown <- Seq(false, true)) {
+      val avi = Multimodal.encodeAvi(5, 3, 4, px, fpsNum = 24, topDown = topDown)
+      val d = AviDecode.decode(avi)
+      assert(d != null && d.width == 5 && d.height == 3 && d.frames.length == 4)
+      for (f <- 0 until 4) {
+        val want = (for (y <- 0 until 3; x <- 0 until 5; c <- 0 until 3)
+          yield (px(f, x, y, c) & 0xFF).toByte).toArray
+        assert(d.frames(f).sameElements(want), s"frame $f topDown=$topDown")
+      }
+    }
+  }
+
+  test("frame index out of range, negative, or bad stride → NULL") {
+    import spark.implicits._
+    val df = Seq(Multimodal.encodeAvi(2, 2, 2, (_, _, _, _) => 7)).toDF("payload")
+    assert(df.select(Multimodal.videoFramePixels(col("payload"), lit(2))).head().isNullAt(0))
+    assert(df.select(Multimodal.videoFramePixels(col("payload"), lit(-1))).head().isNullAt(0))
+    assert(df.select(GraftFunctions.aviFrameStats(col("payload"), lit(0))).head().isNullAt(0))
+  }
+
+  test("non-AVI, truncated, and compressed payloads → NULL (honest absence)") {
+    assert(AviDecode.decode("not a video".getBytes) == null)
+    val avi = Multimodal.encodeAvi(4, 4, 2, (_, x, y, _) => x + y)
+    assert(AviDecode.decode(avi.take(avi.length / 2)) == null, "truncated movi")
+    assert(AviDecode.decode(avi.take(20)) == null, "truncated header")
+    // flip biCompression (strf data offset +16) to a nonzero codec id
+    val strfAt = avi.indexOfSlice("strf".getBytes)
+    val mjpg = avi.clone(); mjpg(strfAt + 8 + 16) = 1
+    assert(AviDecode.decode(mjpg) == null, "non-BI_RGB must refuse, not garble")
+  }
+
+  test("container bomb: huge declared dimensions refused before allocation") {
+    val avi = Multimodal.encodeAvi(4, 4, 1, (_, _, _, _) => 0)
+    val strfAt = avi.indexOfSlice("strf".getBytes)
+    val bomb = avi.clone()
+    // biWidth = biHeight = 65536 (LE int at strf data +4 / +8): 12 GiB
+    // of decoded pixels declared by a ~100-byte payload
+    for ((off, v) <- Seq(strfAt + 8 + 4 -> 65536, strfAt + 8 + 8 -> 65536); i <- 0 until 4)
+      bomb(off + i) = ((v >> (8 * i)) & 0xFF).toByte
+    assert(AviDecode.decode(bomb) == null)
+  }
+
+  test("frameSample falls back to NULL on non-AVI payloads (stub routes those)") {
+    import spark.implicits._
+    val df = Seq("plain text payload".getBytes).toDF("payload")
+    assert(df.select(Multimodal.frameSample(col("payload"), 2)).head().isNullAt(0))
+    // the stub remains available as the documented fallback
+    val stub = df.select(Multimodal.frameSampleStub(col("payload"), 5))
+      .head().getSeq[String](0)
+    assert(stub.nonEmpty)
+  }
+}
