@@ -244,8 +244,13 @@ object GraftFunctions {
 }
 
 /** `spark.sql.extensions` entry point (SURVEY §7.2: custom Catalyst
-  * work registered via `SparkSessionExtensions`). */
+  * work registered via `SparkSessionExtensions`) — the function
+  * library plus the opt-in range-join bin rewrite (dormant until
+  * `spark.graft.rangeJoin.binWidth` is set; see
+  * [[graft.plans.RangeJoinBinRewrite]]). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.descriptors.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinBinRewrite)
+  }
 }
