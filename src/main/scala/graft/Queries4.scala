@@ -211,6 +211,38 @@ object Queries4 {
         .transform(sortedSmall(_, "r_name", "n_name"))
     })
 
+  // ------------------------------------ heap top-k per group (native agg)
+  // Top-5 order values per priority via the graft_top_k
+  // TypedImperativeAggregate — O(k) state per group, map-side partial
+  // reduction, NO per-partition window sort (the declarative
+  // row_number form sorts every row to keep five). Output VALUES are
+  // deterministic even under ties (the k-largest multiset is unique),
+  // which is exactly what makes the heap form oracle-checkable while
+  // row_number-with-ties is not. The oracle recomputes with a window
+  // over values alone.
+  private val qTopKPerPriority = Q(
+    "q_topk_per_priority",
+    Some("""
+      SELECT o_orderpriority, rnk, price FROM (
+        SELECT o_orderpriority,
+               CAST(o_totalprice AS DOUBLE) AS price,
+               CAST(row_number() OVER (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice DESC) AS BIGINT) AS rnk
+        FROM orders)
+      WHERE rnk <= 5
+      ORDER BY o_orderpriority, rnk"""),
+    (s, dir) =>
+      Tables(s, dir).orders
+        .groupBy("o_orderpriority")
+        .agg(graft.functions.GraftFunctions.topK(col("o_totalprice"), 5).as("__top"))
+        .select(col("o_orderpriority"),
+          posexplode(col("__top")).as(Seq("__p", "price")))
+        .select(
+          col("o_orderpriority"),
+          (col("__p") + 1).cast("long").as("rnk"),
+          col("price"))
+        .transform(sortedSmall(_, "o_orderpriority", "rnk")))
+
   val relational4: Seq[Q] =
-    Seq(q9, qCorr, qDateSpine, qPriceHist, qNationShare)
+    Seq(q9, qCorr, qDateSpine, qPriceHist, qNationShare, qTopKPerPriority)
 }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
 
 /** Native codegen'd cosine similarity over two `array<float>` columns.
   *
@@ -144,6 +144,13 @@ object GraftFunctions {
   def jpegPixelStats(payload: Column): Column =
     graftBridge.column(JpegPixelStats(graftBridge.expression(payload)))
 
+  /** Column-API form of [[TopKLargest]]: aggregate the k largest
+    * values per group into a descending array — the O(k)-state,
+    * map-side-partial replacement for the full window sort. */
+  def topK(value: Column, k: Int): Column =
+    graftBridge.column(
+      TopKLargest(graftBridge.expression(value), k).toAggregateExpression())
+
   /** Column-API form of [[AviMeta]]: struct<width, height, fps_num,
     * fps_den, n_frames> of an uncompressed AVI payload; NULL when
     * absent/undecodable. */
@@ -234,6 +241,19 @@ object GraftFunctions {
         (args: Seq[Expression]) => {
           require(args.length == 2, s"graft_avi_frame_stats expects 2 arguments, got ${args.length}")
           AviFrameStats(args(0), args(1))
+        }),
+      (
+        FunctionIdentifier("graft_top_k"),
+        new ExpressionInfo(classOf[TopKLargest].getName, "graft_top_k"),
+        (args: Seq[Expression]) => {
+          require(args.length == 2, s"graft_top_k expects 2 arguments, got ${args.length}")
+          val k = args(1) match {
+            case e if e.foldable && e.dataType == IntegerType =>
+              e.eval().asInstanceOf[Int]
+            case other => throw new IllegalArgumentException(
+              s"graft_top_k k must be an int literal, got $other")
+          }
+          TopKLargest(args(0), k)
         }))
 
   /** Register every graft SQL function on a live session. */

@@ -86,7 +86,8 @@ class FunctionsSpec extends SparkSpec {
       Seq("graft_cosine", "graft_intersect_count", "graft_jpeg_sof",
         "graft_png_pixels", "graft_png_stats",
         "graft_jpeg_pixels", "graft_jpeg_stats",
-        "graft_avi_meta", "graft_avi_frame", "graft_avi_frame_stats"))
+        "graft_avi_meta", "graft_avi_frame", "graft_avi_frame_stats",
+        "graft_top_k"))
   }
 
   test("native cosine participates in whole-stage codegen (no CodegenFallback)") {
