@@ -74,6 +74,27 @@ class TopKAggregateSpec extends SparkSpec {
     assert(got == Seq(30L, 20L))
   }
 
+  test("composes with streaming aggregation state (complete mode, cross-batch)") {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val stream = MemoryStream[(String, Long)](spark)(
+      Encoders.product[(String, Long)])
+    val q = stream.toDF().toDF("key", "v")
+      .groupBy("key").agg(GraftFunctions.topK(col("v"), 2).as("top"))
+      .writeStream.format("memory").queryName("topk_stream")
+      .outputMode("complete").start()
+    try {
+      stream.addData(("a", 5L), ("a", 1L), ("b", 9L))
+      q.processAllAvailable()
+      stream.addData(("a", 7L), ("b", 2L)) // state must carry batch-1 values
+      q.processAllAvailable()
+      val out = spark.table("topk_stream").collect()
+        .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      assert(out("a") == Seq(7L, 5L), "heap state must merge across batches")
+      assert(out("b") == Seq(9L, 2L))
+    } finally q.stop()
+  }
+
   private def Tables(spark: org.apache.spark.sql.SparkSession, dir: String) =
     graft.Tables(spark, dir)
 }
