@@ -538,7 +538,7 @@ object PipelineQueries {
     })
 
   // ------------------------------------- sign-bucket LSH top-k (ANN)
-  private val duckSignBucket =
+  private[graft] val duckSignBucket =
     (0 until 8).map(i => s"(CASE WHEN embedding[${i + 1}] >= 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
 
   private val qLshTopK = Queries.Q(

@@ -234,7 +234,43 @@ object PipelineQueries2 {
         .transform(Queries.sortedSmall(_, "video_id", "frame_idx"))
     })
 
+  // ------------------------------------- semantic dedup (embeddings)
+  // Corpus-level embedding dedup OUTPUT: sign-LSH bucketed cosine
+  // pairs (identical parameters to p_embedding_near_dup, so the pair
+  // stage is cross-checked by that query) → connected components →
+  // keep the smallest-id representative per cluster. The semantic
+  // twin of p_near_dup_dedup — catches near-dups that share meaning
+  // but not surface n-grams. Oracle recomputes every stage: bucket
+  // arithmetic, the identical cosine dag, recursive min-reachability
+  // CC, NOT IN.
+  private val qSemanticDedup = Queries.Q(
+    "p_semantic_dedup",
+    Some(s"""
+      WITH RECURSIVE e AS (SELECT vec_id, embedding, ${PipelineQueries.duckSignBucket} AS bucket FROM embeddings),
+      pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+              (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+               sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) >= 0.35),
+      g AS (SELECT id_a AS u, id_b AS v FROM pairs
+            UNION SELECT id_b AS u, id_a AS v FROM pairs),
+      reach(node, r) AS (SELECT u, u FROM (SELECT DISTINCT u FROM g)
+                         UNION
+                         SELECT g.v, reach.r FROM reach JOIN g ON g.u = reach.node),
+      losers AS (SELECT node FROM (SELECT node, MIN(r) AS grp FROM reach GROUP BY node)
+                 WHERE node <> grp)
+      SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings
+      WHERE vec_id NOT IN (SELECT node FROM losers)
+      ORDER BY vec_id"""),
+    (s, dir) =>
+      Dedup.dedupEmbeddingNearDups(
+        Tables(s, dir).embeddings, "vec_id", "embedding",
+        signBits = 8, threshold = 0.35)
+        .select(col("vec_id"), col("label").cast("long").as("label"))
+        .transform(Queries.sortedSmall(_, "vec_id")))
+
   val all: Seq[Queries.Q] =
     Seq(qDupGroupSizes, qTextNormalize, qSourceShare, qTokenLenHist, qCellSizes,
-      qAviFrameStats)
+      qAviFrameStats, qSemanticDedup)
 }

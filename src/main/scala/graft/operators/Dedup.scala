@@ -677,6 +677,24 @@ object Dedup {
       .select("id_a", "id_b", "cos")
   }
 
+  /** SEMANTIC dedup, corpus-level output: [[embeddingNearDupPairs]] →
+    * connected components → keep one representative per cluster (the
+    * smallest id) plus every unclustered row — the embedding-side
+    * twin of [[dedupNearDups]], for near-dups that share meaning but
+    * not surface n-grams (translations, paraphrases, re-renders).
+    * Same scale shape: the payload table never shuffles on the dedup
+    * decision — it meets the loser set (strictly smaller than the
+    * clustered rows) in ONE left-anti equi-join on the id. */
+  def dedupEmbeddingNearDups(
+      rows: DataFrame, idCol: String, vecCol: String,
+      signBits: Int, threshold: Double): DataFrame = {
+    val pairs = embeddingNearDupPairs(rows, idCol, vecCol, signBits, threshold)
+    val losers = Graph.connectedComponents(pairs, "id_a", "id_b")
+      .filter(col("node") =!= col("component"))
+      .select(col("node").as(idCol))
+    rows.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Span-level duplication stats — the practical stand-in for
     * suffix-array substring dedup (Lee et al., "Deduplicating
     * Training Data Makes Language Models Better"): cut every document

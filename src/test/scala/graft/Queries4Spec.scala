@@ -113,6 +113,22 @@ class Queries4Spec extends SparkSpec {
     assert(rows.map(r => r.getLong(0) * r.getLong(1)).sum == clustered)
   }
 
+  test("p_semantic_dedup: keeps exactly one representative per embedding cluster") {
+    val emb = Tables(spark, dir).embeddings
+    val pairs = operators.Dedup.embeddingNearDupPairs(
+      emb, "vec_id", "embedding", signBits = 8, threshold = 0.35)
+    val comp = operators.Graph.connectedComponents(pairs, "id_a", "id_b")
+    val clusters = comp.groupBy("component").count().count()
+    val clustered = comp.count()
+    val total = emb.count()
+    val kept = run("p_semantic_dedup").count()
+    // survivors = unclustered + one representative per cluster
+    assert(kept == total - clustered + clusters)
+    // every representative (min id of its cluster) survives
+    val reps = comp.filter(col("node") === col("component")).count()
+    assert(reps == clusters)
+  }
+
   test("p_token_len_hist: integer histogram over non-empty tokens") {
     val rows = run("p_token_len_hist").collect()
     assert(rows.nonEmpty && rows.forall(r => r.getLong(0) >= 1 && r.getLong(1) > 0))
