@@ -270,7 +270,61 @@ object PipelineQueries2 {
         .select(col("vec_id"), col("label").cast("long").as("label"))
         .transform(Queries.sortedSmall(_, "vec_id")))
 
+  // ------------------------------- decode → resize under oracle
+  // The model-input normalization pipeline end to end: 24 formulaic
+  // PNGs (all four channel layouts) decoded and nearest-neighbor
+  // resized to a fixed 8×6 grid. The oracle never decodes anything —
+  // it predicts every RESIZED byte from the pixel formula and the
+  // floor mapping sx = x·w // 8, sy = y·h // 6, so one wrong stride,
+  // rounding rule, or channel interleave fails the md5.
+  private val qImageResize = Queries.Q(
+    "p_image_resize",
+    Some("""
+      WITH dims AS (SELECT i, 1 + (i*7) % 16 AS w, 1 + (i*5) % 12 AS h,
+                           CASE i % 4 WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 2 THEN 2 ELSE 4 END AS ch
+                    FROM generate_series(0, 23) t(i)),
+      ys AS (SELECT i, w, h, ch, unnest(generate_series(0, 5)) AS y FROM dims),
+      xs AS (SELECT i, w, h, ch, y, unnest(generate_series(0, 7)) AS x FROM ys),
+      cs AS (SELECT i, w, h, y, x, unnest(generate_series(0, ch - 1)) AS c FROM xs),
+      v AS (SELECT i, y, x, c,
+              (((x*w)//8)*7 + ((y*h)//6)*13 + c*31 + i*3) % 256 AS v
+            FROM cs),
+      md AS (SELECT i, md5(string_agg(printf('%02x', v), '' ORDER BY y, x, c)) AS resized_md5,
+                    COUNT(*) AS n_bytes
+             FROM v GROUP BY i)
+      SELECT CAST(d.i AS BIGINT) AS img_id, CAST(d.ch AS BIGINT) AS channels,
+             md.n_bytes, md.resized_md5
+      FROM dims d JOIN md ON md.i = d.i
+      ORDER BY img_id"""),
+    (s, dir) => {
+      val imgs: Seq[(Long, Array[Byte])] = (0 until 24).map { i =>
+        val (w, h) = (1 + (i * 7) % 16, 1 + (i * 5) % 12)
+        val ch = Seq(1, 3, 2, 4)(i % 4)
+        (i.toLong, operators.Multimodal.encodePng(w, h, ch,
+          (x, y, c) => (x * 7 + y * 13 + c * 31 + i * 3) % 256,
+          y => (y + i) % 5))
+      }
+      import s.implicits._
+      imgs.toDF("img_id", "payload")
+        .select(
+          col("img_id"),
+          operators.Multimodal.imagePixels(col("payload")).as("__px"),
+          operators.Multimodal.imagePixelStats(col("payload")).as("__st"))
+        .select(
+          col("img_id"),
+          col("__st").getItem(2).cast("long").as("channels"),
+          graft.functions.GraftFunctions.resizeNN(
+            col("__px"),
+            col("__st").getItem(0).cast("int"), col("__st").getItem(1).cast("int"),
+            col("__st").getItem(2).cast("int"), lit(8), lit(6)).as("__r"))
+        .select(
+          col("img_id"), col("channels"),
+          octet_length(col("__r")).cast("long").as("n_bytes"),
+          md5(lower(hex(col("__r")))).as("resized_md5"))
+        .transform(Queries.sortedSmall(_, "img_id"))
+    })
+
   val all: Seq[Queries.Q] =
     Seq(qDupGroupSizes, qTextNormalize, qSourceShare, qTokenLenHist, qCellSizes,
-      qAviFrameStats, qSemanticDedup)
+      qAviFrameStats, qSemanticDedup, qImageResize)
 }

@@ -151,6 +151,13 @@ object GraftFunctions {
     graftBridge.column(
       TopKLargest(graftBridge.expression(value), k).toAggregateExpression())
 
+  /** Column-API form of [[ImageResizeNN]]: nearest-neighbor resize of
+    * a raw pixel buffer (the shared decoder layout) to dstW×dstH. */
+  def resizeNN(pixels: Column, srcW: Column, srcH: Column, channels: Column,
+      dstW: Column, dstH: Column): Column =
+    graftBridge.column(ImageResizeNN(
+      Seq(pixels, srcW, srcH, channels, dstW, dstH).map(graftBridge.expression)))
+
   /** Column-API form of [[AviMeta]]: struct<width, height, fps_num,
     * fps_den, n_frames> of an uncompressed AVI payload; NULL when
     * absent/undecodable. */
@@ -241,6 +248,13 @@ object GraftFunctions {
         (args: Seq[Expression]) => {
           require(args.length == 2, s"graft_avi_frame_stats expects 2 arguments, got ${args.length}")
           AviFrameStats(args(0), args(1))
+        }),
+      (
+        FunctionIdentifier("graft_resize_nn"),
+        new ExpressionInfo(classOf[ImageResizeNN].getName, "graft_resize_nn"),
+        (args: Seq[Expression]) => {
+          require(args.length == 6, s"graft_resize_nn expects 6 arguments, got ${args.length}")
+          ImageResizeNN(args)
         }),
       (
         FunctionIdentifier("graft_top_k"),

@@ -102,6 +102,38 @@ class AviSpec extends SparkSpec {
     assert(AviDecode.decode(bomb) == null)
   }
 
+  test("resizeNN: identity, exact down/upscale, guards (shared pixel layout)") {
+    import spark.implicits._
+    import graft.functions.GraftFunctions.resizeNN
+    // 4×2 RGB buffer with position-coded bytes
+    val src = (0 until 4 * 2 * 3).map(_.toByte).toArray
+    val df = Seq(src).toDF("px")
+    def rz(tw: Int, th: Int) =
+      df.select(resizeNN(col("px"), lit(4), lit(2), lit(3), lit(tw), lit(th))).head()
+    // identity: every byte preserved
+    assert(rz(4, 2).getAs[Array[Byte]](0).sameElements(src))
+    // 2×1 downscale: out(x,y) = src(2x, 2y) per the floor rule
+    val down = rz(2, 1).getAs[Array[Byte]](0)
+    val want = Array(0, 1, 2, 6, 7, 8).map(_.toByte)
+    assert(down.sameElements(want), down.mkString(","))
+    // 8×4 upscale: pixel (7,3) maps to src (3,1) - last source pixel
+    val up = rz(8, 4).getAs[Array[Byte]](0)
+    assert(up.length == 8 * 4 * 3)
+    assert(up.slice(up.length - 3, up.length).sameElements(src.slice(21, 24)))
+    // wrong buffer length for declared dims -> NULL
+    assert(df.select(resizeNN(col("px"), lit(5), lit(2), lit(3), lit(2), lit(2)))
+      .head().isNullAt(0))
+    // upscale bomb: 8k x 8k x 3 > 64 MiB -> NULL before allocation
+    assert(df.select(resizeNN(col("px"), lit(4), lit(2), lit(3), lit(8192), lit(8192)))
+      .head().isNullAt(0))
+    // AVI frame feeds the same resize (layout contract across decoders)
+    val avi = Multimodal.encodeAvi(4, 2, 1, (_, x, y, c) => (y * 4 + x) * 3 + c)
+    val frameResized = Seq(avi).toDF("payload").select(
+      resizeNN(Multimodal.videoFramePixels(col("payload"), lit(0)),
+        lit(4), lit(2), lit(3), lit(2), lit(1))).head().getAs[Array[Byte]](0)
+    assert(frameResized.sameElements(want))
+  }
+
   test("frameSample falls back to NULL on non-AVI payloads (stub routes those)") {
     import spark.implicits._
     val df = Seq("plain text payload".getBytes).toDF("payload")
