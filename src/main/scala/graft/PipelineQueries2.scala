@@ -324,7 +324,59 @@ object PipelineQueries2 {
         .transform(Queries.sortedSmall(_, "img_id"))
     })
 
+  // ------------------------------- WAV PCM sample stats under oracle
+  // Audio decode end to end: 10 PCM WAV containers (mono + stereo,
+  // with an ignorable LIST chunk before 'data' so the oracle also
+  // proves the decoder WALKS chunks instead of peeking fixed offsets)
+  // → per-channel mean + RMS level. The oracle predicts every sample
+  // from the formula; mean and RMS divide exact integer sums once
+  // (one sqrt), so the doubles are bit-deterministic cross-engine.
+  private val qWavSampleStats = Queries.Q(
+    "p_wav_sample_stats",
+    Some("""
+      WITH dims AS (SELECT i, 1 + (i % 2) AS ch, 40 + i*7 AS nf, 8000 + i AS rate
+                    FROM generate_series(0, 9) t(i)),
+      fr AS (SELECT i, ch, nf, rate, unnest(generate_series(0, nf - 1)) AS t FROM dims),
+      cs AS (SELECT i, rate, nf, t, unnest(generate_series(0, ch - 1)) AS c FROM fr),
+      s AS (SELECT i, c, ((t*37 + c*101 + i*997) % 65536) - 32768 AS v FROM cs),
+      agg AS (SELECT i, c,
+                CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mean_v,
+                sqrt(CAST(SUM(v*v) AS DOUBLE) / COUNT(*)) AS rms_v
+              FROM s GROUP BY i, c)
+      SELECT CAST(d.i AS BIGINT) AS wav_id, CAST(d.ch AS BIGINT) AS channels,
+             CAST(d.rate AS BIGINT) AS sample_rate, CAST(d.nf AS BIGINT) AS n_frames,
+             CAST(a.c AS BIGINT) AS channel, a.mean_v, a.rms_v
+      FROM dims d JOIN agg a ON a.i = d.i
+      ORDER BY wav_id, channel"""),
+    (s, dir) => {
+      val wavs: Seq[(Long, Array[Byte])] = (0 until 10).map { i =>
+        val ch = 1 + (i % 2)
+        (i.toLong, operators.Multimodal.encodeWav(ch, 8000 + i, 40 + i * 7,
+          (c, t) => ((t * 37 + c * 101 + i * 997) % 65536) - 32768))
+      }
+      import s.implicits._
+      wavs.toDF("wav_id", "payload")
+        .select(col("wav_id"),
+          operators.Multimodal.audioSampleStats(col("payload")).as("__st"))
+        .select(
+          col("wav_id"), col("__st"),
+          posexplode(slice(col("__st"), lit(4), col("__st").getItem(0).cast("int")))
+            .as(Seq("channel", "mean_v")))
+        .select(
+          col("wav_id"),
+          col("__st").getItem(0).cast("long").as("channels"),
+          col("__st").getItem(1).cast("long").as("sample_rate"),
+          col("__st").getItem(2).cast("long").as("n_frames"),
+          col("channel").cast("long").as("channel"),
+          col("mean_v"),
+          // rms for exploded channel c sits at 1-based 4 + channels + c
+          element_at(col("__st"),
+            (lit(4) + col("__st").getItem(0).cast("int") + col("channel")).cast("int"))
+            .as("rms_v"))
+        .transform(Queries.sortedSmall(_, "wav_id", "channel"))
+    })
+
   val all: Seq[Queries.Q] =
     Seq(qDupGroupSizes, qTextNormalize, qSourceShare, qTokenLenHist, qCellSizes,
-      qAviFrameStats, qSemanticDedup, qImageResize)
+      qAviFrameStats, qSemanticDedup, qImageResize, qWavSampleStats)
 }

@@ -151,6 +151,12 @@ object GraftFunctions {
     graftBridge.column(
       TopKLargest(graftBridge.expression(value), k).toAggregateExpression())
 
+  /** Column-API form of [[WavSampleStats]]: array<double>
+    * [channels, sample_rate, n_frames, mean_ch…, rms_ch…] of a PCM
+    * WAV payload; NULL when absent/undecodable. */
+  def wavSampleStats(payload: Column): Column =
+    graftBridge.column(WavSampleStats(graftBridge.expression(payload)))
+
   /** Column-API form of [[ImageResizeNN]]: nearest-neighbor resize of
     * a raw pixel buffer (the shared decoder layout) to dstW×dstH. */
   def resizeNN(pixels: Column, srcW: Column, srcH: Column, channels: Column,
@@ -248,6 +254,13 @@ object GraftFunctions {
         (args: Seq[Expression]) => {
           require(args.length == 2, s"graft_avi_frame_stats expects 2 arguments, got ${args.length}")
           AviFrameStats(args(0), args(1))
+        }),
+      (
+        FunctionIdentifier("graft_wav_stats"),
+        new ExpressionInfo(classOf[WavSampleStats].getName, "graft_wav_stats"),
+        (args: Seq[Expression]) => {
+          require(args.length == 1, s"graft_wav_stats expects 1 argument, got ${args.length}")
+          WavSampleStats(args(0))
         }),
       (
         FunctionIdentifier("graft_resize_nn"),

@@ -315,6 +315,42 @@ object Multimodal {
       chunk("IEND", Array.emptyByteArray)
   }
 
+  /** REAL PCM sample statistics for WAV payloads:
+    * `[channels, sample_rate, n_frames, mean_ch…, rms_ch…]` — the
+    * silence/clipping/level gate signal, decoded in one pass (see
+    * [[graft.functions.WavDecode]] for scope + bomb guard). */
+  def audioSampleStats(payload: Column): Column =
+    graft.functions.GraftFunctions.wavSampleStats(payload)
+
+  /** Driver-side WAV ENCODER (fixture machinery, not a data path):
+    * canonical PCM 16-bit LE RIFF/WAVE — 'fmt ' + 'data', plus an
+    * ignorable LIST chunk BEFORE 'data' so round trips prove the
+    * decoder truly walks chunks rather than peeking fixed offsets.
+    * `sample(c, t)` gives channel c of frame t, truncated to i16. */
+  def encodeWav(channels: Int, sampleRate: Int, nFrames: Int,
+      sample: (Int, Int) => Int): Array[Byte] = {
+    require(channels >= 1 && nFrames >= 0, s"bad shape ch=$channels frames=$nFrames")
+    import java.nio.{ByteBuffer, ByteOrder}
+    def le(n: Int): ByteBuffer = ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)
+    val fmt = le(16)
+      .putShort(1).putShort(channels.toShort)
+      .putInt(sampleRate).putInt(sampleRate * channels * 2)
+      .putShort((channels * 2).toShort).putShort(16).array()
+    val info = "INFOgraft fixture".getBytes("US-ASCII")
+    val data = le(nFrames * channels * 2)
+    for (t <- 0 until nFrames; c <- 0 until channels)
+      data.putShort(sample(c, t).toShort)
+    def chunk(tag: String, d: Array[Byte]): Array[Byte] = {
+      val b = le(8 + d.length + (d.length & 1))
+      b.put(tag.getBytes("US-ASCII")).putInt(d.length).put(d)
+      b.array()
+    }
+    val body = chunk("fmt ", fmt) ++ chunk("LIST", info) ++ chunk("data", data.array())
+    le(12 + body.length)
+      .put("RIFF".getBytes("US-ASCII")).putInt(4 + body.length)
+      .put("WAVE".getBytes("US-ASCII")).put(body).array()
+  }
+
   /** Driver-side AVI ENCODER (fixture machinery, not a data path):
     * uncompressed BI_RGB 24-bit, one 'vids' stream, frames as '00db'
     * chunks — the minimal spec-complete container
