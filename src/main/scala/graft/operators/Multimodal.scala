@@ -11,7 +11,8 @@ import org.apache.spark.sql.functions._
   * column layout, deterministic per-row derivations that whole-stage
   * codegen handles. Header METADATA decode is real for PNG, BMP, GIF
   * ([[imageMeta]]: pure byte-level expressions, no codec library),
-  * WAV ([[audioMeta]]) and JPEG (the native codegen'd SOF segment
+  * WAV ([[audioMeta]] header + [[audioSampleStats]] REAL PCM sample
+  * decode) and JPEG (the native codegen'd SOF segment
   * walk [[graft.functions.JpegSofDims]]); other payloads fall back
   * to the deterministic [[imageMetaStub]]. PIXEL decode is REAL for
   * PNG ([[imagePixels]]/[[imagePixelStats]] — zlib inflate via the
@@ -179,6 +180,7 @@ object Multimodal {
       .when(isBmp(payload), "bmp")
       .when(isGif(payload), "gif")
       .when(isWav(payload), "wav")
+      .when(isAvi(payload), "avi")
       .when(isJpeg(payload), "jpeg")
       .otherwise("other")
 
