@@ -376,7 +376,59 @@ object PipelineQueries2 {
         .transform(Queries.sortedSmall(_, "wav_id", "channel"))
     })
 
+  // --------------------------------- BMP pixel decode under oracle
+  // 16 uncompressed 24-bit BMPs (alternating bottom-up / top-down row
+  // order) decoded to the shared RGB layout; oracle predicts every
+  // byte from the pixel formula — a wrong row flip, BGR swap, or
+  // padding byte fails the md5. Same technique as p_png_pixel_stats /
+  // p_avi_frame_stats; with this, every pixel decoder is oracle-gated.
+  private val qBmpPixelStats = Queries.Q(
+    "p_bmp_pixel_stats",
+    Some("""
+      WITH dims AS (SELECT i, 1 + (i*5) % 13 AS w, 1 + (i*3) % 9 AS h
+                    FROM generate_series(0, 15) t(i)),
+      ys AS (SELECT i, w, h, unnest(generate_series(0, h - 1)) AS y FROM dims),
+      xs AS (SELECT i, w, h, y, unnest(generate_series(0, w - 1)) AS x FROM ys),
+      cs AS (SELECT i, y, x, unnest(generate_series(0, 2)) AS c FROM xs),
+      v AS (SELECT i, y, x, c, (x*11 + y*17 + c*29 + i*7) % 256 AS v FROM cs),
+      md AS (SELECT i, md5(string_agg(printf('%02x', v), '' ORDER BY y, x, c)) AS pixel_md5
+             FROM v GROUP BY i),
+      mn AS (SELECT i, c AS channel, CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mean_val
+             FROM v GROUP BY i, c)
+      SELECT CAST(d.i AS BIGINT) AS img_id, CAST(d.w AS BIGINT) AS width,
+             CAST(d.h AS BIGINT) AS height, CAST(mn.channel AS BIGINT) AS channel,
+             mn.mean_val, md.pixel_md5
+      FROM dims d JOIN mn ON mn.i = d.i JOIN md ON md.i = d.i
+      ORDER BY img_id, channel"""),
+    (s, dir) => {
+      val imgs: Seq[(Long, Array[Byte])] = (0 until 16).map { i =>
+        val (w, h) = (1 + (i * 5) % 13, 1 + (i * 3) % 9)
+        (i.toLong, operators.Multimodal.encodeBmp(w, h,
+          (x, y, c) => (x * 11 + y * 17 + c * 29 + i * 7) % 256,
+          topDown = i % 2 == 1))
+      }
+      import s.implicits._
+      imgs.toDF("img_id", "payload")
+        .select(
+          col("img_id"),
+          operators.Multimodal.imagePixelStats(col("payload")).as("__st"),
+          md5(lower(hex(operators.Multimodal.imagePixels(col("payload")))))
+            .as("pixel_md5"))
+        .select(
+          col("img_id"),
+          col("__st").getItem(0).cast("long").as("width"),
+          col("__st").getItem(1).cast("long").as("height"),
+          posexplode(slice(col("__st"), lit(4), lit(3))).as(Seq("channel", "mean_val")),
+          col("pixel_md5"))
+        .select(
+          col("img_id"), col("width"), col("height"),
+          col("channel").cast("long").as("channel"),
+          col("mean_val"), col("pixel_md5"))
+        .transform(Queries.sortedSmall(_, "img_id", "channel"))
+    })
+
   val all: Seq[Queries.Q] =
     Seq(qDupGroupSizes, qTextNormalize, qSourceShare, qTokenLenHist, qCellSizes,
-      qAviFrameStats, qSemanticDedup, qImageResize, qWavSampleStats)
+      qAviFrameStats, qSemanticDedup, qImageResize, qWavSampleStats,
+      qBmpPixelStats)
 }

@@ -151,6 +151,18 @@ object GraftFunctions {
     graftBridge.column(
       TopKLargest(graftBridge.expression(value), k).toAggregateExpression())
 
+  /** Column-API form of [[BmpPixels]]: raw decoded pixel bytes of a
+    * 24-bit uncompressed BMP (shared decoder layout); NULL when
+    * unsupported/corrupt. */
+  def bmpPixels(payload: Column): Column =
+    graftBridge.column(BmpPixels(graftBridge.expression(payload)))
+
+  /** Column-API form of [[BmpPixelStats]]: array<double>
+    * [width, height, 3, mean_R, mean_G, mean_B]; NULL like
+    * [[bmpPixels]]. */
+  def bmpPixelStats(payload: Column): Column =
+    graftBridge.column(BmpPixelStats(graftBridge.expression(payload)))
+
   /** Column-API form of [[WavSampleStats]]: array<double>
     * [channels, sample_rate, n_frames, mean_ch…, rms_ch…] of a PCM
     * WAV payload; NULL when absent/undecodable. */
@@ -254,6 +266,20 @@ object GraftFunctions {
         (args: Seq[Expression]) => {
           require(args.length == 2, s"graft_avi_frame_stats expects 2 arguments, got ${args.length}")
           AviFrameStats(args(0), args(1))
+        }),
+      (
+        FunctionIdentifier("graft_bmp_pixels"),
+        new ExpressionInfo(classOf[BmpPixels].getName, "graft_bmp_pixels"),
+        (args: Seq[Expression]) => {
+          require(args.length == 1, s"graft_bmp_pixels expects 1 argument, got ${args.length}")
+          BmpPixels(args(0))
+        }),
+      (
+        FunctionIdentifier("graft_bmp_stats"),
+        new ExpressionInfo(classOf[BmpPixelStats].getName, "graft_bmp_stats"),
+        (args: Seq[Expression]) => {
+          require(args.length == 1, s"graft_bmp_stats expects 1 argument, got ${args.length}")
+          BmpPixelStats(args(0))
         }),
       (
         FunctionIdentifier("graft_wav_stats"),

@@ -195,6 +195,7 @@ object Multimodal {
     * being retried by the other decoder. */
   def imagePixels(payload: Column): Column =
     when(isPng(payload), graft.functions.GraftFunctions.pngPixels(payload))
+      .when(isBmp(payload), graft.functions.GraftFunctions.bmpPixels(payload))
       .when(isJpeg(payload), graft.functions.GraftFunctions.jpegPixels(payload))
 
   /** Per-channel pixel statistics of a PNG or JPEG payload:
@@ -204,6 +205,7 @@ object Multimodal {
     * [[graft.functions.JpegPixelStats]]). */
   def imagePixelStats(payload: Column): Column =
     when(isPng(payload), graft.functions.GraftFunctions.pngPixelStats(payload))
+      .when(isBmp(payload), graft.functions.GraftFunctions.bmpPixelStats(payload))
       .when(isJpeg(payload), graft.functions.GraftFunctions.jpegPixelStats(payload))
 
   /** RIFF/AVI magic: 'RIFF' at offset 0, 'AVI ' at offset 8. */
@@ -323,6 +325,34 @@ object Multimodal {
     * [[graft.functions.WavDecode]] for scope + bomb guard). */
   def audioSampleStats(payload: Column): Column =
     graft.functions.GraftFunctions.wavSampleStats(payload)
+
+  /** Driver-side BMP ENCODER (fixture machinery, not a data path):
+    * 24-bit uncompressed BI_RGB, bottom-up (or top-down via negative
+    * biHeight) 4-byte-padded BGR rows — the canonical truecolor form.
+    * `pixel(x, y, c)` gives channel c ∈ {0=R, 1=G, 2=B}. */
+  def encodeBmp(width: Int, height: Int,
+      pixel: (Int, Int, Int) => Int, topDown: Boolean = false): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dims ${width}x$height")
+    import java.nio.{ByteBuffer, ByteOrder}
+    val wireStride = ((width * 3 + 3) / 4) * 4
+    val dataLen = wireStride * height
+    val b = ByteBuffer.allocate(54 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte)
+      .putInt(54 + dataLen).putInt(0).putInt(54) // file size, reserved, data offset
+      .putInt(40).putInt(width).putInt(if (topDown) -height else height)
+      .putShort(1).putShort(24).putInt(0) // planes, bitCount, BI_RGB
+      .putInt(dataLen).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    for (y <- 0 until height) {
+      val row = if (topDown) y else height - 1 - y
+      for (x <- 0 until width) {
+        b.position(54 + row * wireStride + x * 3)
+        b.put((pixel(x, y, 2) & 0xFF).toByte)
+          .put((pixel(x, y, 1) & 0xFF).toByte)
+          .put((pixel(x, y, 0) & 0xFF).toByte)
+      }
+    }
+    b.array()
+  }
 
   /** Driver-side WAV ENCODER (fixture machinery, not a data path):
     * canonical PCM 16-bit LE RIFF/WAVE — 'fmt ' + 'data', plus an

@@ -102,6 +102,34 @@ class AviSpec extends SparkSpec {
     assert(AviDecode.decode(bomb) == null)
   }
 
+  test("golden BMP: hand-assembled container decodes to exact RGB, guards hold") {
+    import graft.functions.BmpDecode
+    // 3×2 bottom-up 24-bit, pixel(x,y,c) = x·10 + y·40 + c, row pad 3→12
+    val goldenBmp =
+      "424d4e0000000000000036000000280000000300000002000000010018000000000018000000130b0000130b000000000000000000002a29283433323e3d3c0000000201000c0b0a161514000000"
+    val d = BmpDecode.decode(hex(goldenBmp))
+    assert(d != null && d.width == 3 && d.height == 2)
+    assert(toHex(d.pixels) == "0001020a0b0c14151628292a3233343c3d3e")
+    // encode→decode round trip over both row orders
+    for (topDown <- Seq(false, true)) {
+      val rt = BmpDecode.decode(
+        Multimodal.encodeBmp(5, 3, (x, y, c) => (x * 7 + y * 3 + c) % 256, topDown))
+      val want = (for (y <- 0 until 3; x <- 0 until 5; c <- 0 until 3)
+        yield ((x * 7 + y * 3 + c) % 256).toByte).toArray
+      assert(rt != null && rt.pixels.sameElements(want), s"topDown=$topDown")
+    }
+    // guards: truncated, wrong bit depth, data offset past the buffer
+    val ok = Multimodal.encodeBmp(4, 4, (_, _, _) => 9)
+    assert(BmpDecode.decode(ok.take(40)) == null)
+    val b8 = ok.clone(); b8(28) = 8; assert(BmpDecode.decode(b8) == null)
+    val far = ok.clone(); far(10) = 0x7F; assert(BmpDecode.decode(far) == null)
+    // imagePixels dispatches BMP by magic alongside PNG/JPEG
+    import spark.implicits._
+    val viaDispatch = Seq(ok).toDF("payload")
+      .select(Multimodal.imagePixels(col("payload"))).head().getAs[Array[Byte]](0)
+    assert(viaDispatch.length == 4 * 4 * 3 && viaDispatch.forall(_ == 9.toByte))
+  }
+
   test("resizeNN: identity, exact down/upscale, guards (shared pixel layout)") {
     import spark.implicits._
     import graft.functions.GraftFunctions.resizeNN
