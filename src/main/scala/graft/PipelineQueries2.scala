@@ -427,8 +427,64 @@ object PipelineQueries2 {
         .transform(Queries.sortedSmall(_, "img_id", "channel"))
     })
 
+  // --------------------------------- GIF pixel decode under oracle
+  // 12 paletted GIFs (half interlaced) through the full LZW decode;
+  // the oracle never touches LZW — it predicts every RGB byte from
+  // palette[index] arithmetic, so a wrong code width, dictionary
+  // entry, sub-block seam, or interlace pass fails the md5. (The
+  // dictionary-code/KwKwK/width-growth paths are additionally
+  // cross-checked against the JDK's independent reader in GifSpec.)
+  private val qGifPixelStats = Queries.Q(
+    "p_gif_pixel_stats",
+    Some("""
+      WITH dims AS (SELECT i, 2 + (i*5) % 11 AS w, 2 + (i*3) % 7 AS h
+                    FROM generate_series(0, 11) t(i)),
+      ys AS (SELECT i, w, h, unnest(generate_series(0, h - 1)) AS y FROM dims),
+      xs AS (SELECT i, w, h, y, unnest(generate_series(0, w - 1)) AS x FROM ys),
+      px AS (SELECT i, y, x, (x*13 + y*29 + i*11) % 256 AS pi FROM xs),
+      cs AS (SELECT i, y, x,
+               unnest([0, 1, 2]) AS c,
+               unnest([(pi*3) % 256, (pi*5 + 1) % 256, (pi*7 + 2) % 256]) AS v
+             FROM px),
+      md AS (SELECT i, md5(string_agg(printf('%02x', v), '' ORDER BY y, x, c)) AS pixel_md5
+             FROM cs GROUP BY i),
+      mn AS (SELECT i, c AS channel, CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mean_val
+             FROM cs GROUP BY i, c)
+      SELECT CAST(d.i AS BIGINT) AS img_id, CAST(d.w AS BIGINT) AS width,
+             CAST(d.h AS BIGINT) AS height, CAST(mn.channel AS BIGINT) AS channel,
+             mn.mean_val, md.pixel_md5
+      FROM dims d JOIN mn ON mn.i = d.i JOIN md ON md.i = d.i
+      ORDER BY img_id, channel"""),
+    (s, dir) => {
+      val imgs: Seq[(Long, Array[Byte])] = (0 until 12).map { i =>
+        val (w, h) = (2 + (i * 5) % 11, 2 + (i * 3) % 7)
+        (i.toLong, operators.Multimodal.encodeGif(w, h,
+          p => ((p * 3) % 256, (p * 5 + 1) % 256, (p * 7 + 2) % 256),
+          (x, y) => (x * 13 + y * 29 + i * 11) % 256,
+          interlaced = i % 2 == 1))
+      }
+      import s.implicits._
+      imgs.toDF("img_id", "payload")
+        .select(
+          col("img_id"),
+          operators.Multimodal.imagePixelStats(col("payload")).as("__st"),
+          md5(lower(hex(operators.Multimodal.imagePixels(col("payload")))))
+            .as("pixel_md5"))
+        .select(
+          col("img_id"),
+          col("__st").getItem(0).cast("long").as("width"),
+          col("__st").getItem(1).cast("long").as("height"),
+          posexplode(slice(col("__st"), lit(4), lit(3))).as(Seq("channel", "mean_val")),
+          col("pixel_md5"))
+        .select(
+          col("img_id"), col("width"), col("height"),
+          col("channel").cast("long").as("channel"),
+          col("mean_val"), col("pixel_md5"))
+        .transform(Queries.sortedSmall(_, "img_id", "channel"))
+    })
+
   val all: Seq[Queries.Q] =
     Seq(qDupGroupSizes, qTextNormalize, qSourceShare, qTokenLenHist, qCellSizes,
       qAviFrameStats, qSemanticDedup, qImageResize, qWavSampleStats,
-      qBmpPixelStats)
+      qBmpPixelStats, qGifPixelStats)
 }

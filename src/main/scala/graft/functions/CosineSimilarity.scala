@@ -163,6 +163,18 @@ object GraftFunctions {
   def bmpPixelStats(payload: Column): Column =
     graftBridge.column(BmpPixelStats(graftBridge.expression(payload)))
 
+  /** Column-API form of [[GifPixels]]: raw decoded first-frame pixels
+    * of a GIF payload (full LZW + de-interlace); NULL when
+    * unsupported/corrupt. */
+  def gifPixels(payload: Column): Column =
+    graftBridge.column(GifPixels(graftBridge.expression(payload)))
+
+  /** Column-API form of [[GifPixelStats]]: array<double>
+    * [width, height, 3, mean_R, mean_G, mean_B]; NULL like
+    * [[gifPixels]]. */
+  def gifPixelStats(payload: Column): Column =
+    graftBridge.column(GifPixelStats(graftBridge.expression(payload)))
+
   /** Column-API form of [[WavSampleStats]]: array<double>
     * [channels, sample_rate, n_frames, mean_ch…, rms_ch…] of a PCM
     * WAV payload; NULL when absent/undecodable. */
@@ -280,6 +292,20 @@ object GraftFunctions {
         (args: Seq[Expression]) => {
           require(args.length == 1, s"graft_bmp_stats expects 1 argument, got ${args.length}")
           BmpPixelStats(args(0))
+        }),
+      (
+        FunctionIdentifier("graft_gif_pixels"),
+        new ExpressionInfo(classOf[GifPixels].getName, "graft_gif_pixels"),
+        (args: Seq[Expression]) => {
+          require(args.length == 1, s"graft_gif_pixels expects 1 argument, got ${args.length}")
+          GifPixels(args(0))
+        }),
+      (
+        FunctionIdentifier("graft_gif_stats"),
+        new ExpressionInfo(classOf[GifPixelStats].getName, "graft_gif_stats"),
+        (args: Seq[Expression]) => {
+          require(args.length == 1, s"graft_gif_stats expects 1 argument, got ${args.length}")
+          GifPixelStats(args(0))
         }),
       (
         FunctionIdentifier("graft_wav_stats"),

@@ -196,6 +196,7 @@ object Multimodal {
   def imagePixels(payload: Column): Column =
     when(isPng(payload), graft.functions.GraftFunctions.pngPixels(payload))
       .when(isBmp(payload), graft.functions.GraftFunctions.bmpPixels(payload))
+      .when(isGif(payload), graft.functions.GraftFunctions.gifPixels(payload))
       .when(isJpeg(payload), graft.functions.GraftFunctions.jpegPixels(payload))
 
   /** Per-channel pixel statistics of a PNG or JPEG payload:
@@ -206,6 +207,7 @@ object Multimodal {
   def imagePixelStats(payload: Column): Column =
     when(isPng(payload), graft.functions.GraftFunctions.pngPixelStats(payload))
       .when(isBmp(payload), graft.functions.GraftFunctions.bmpPixelStats(payload))
+      .when(isGif(payload), graft.functions.GraftFunctions.gifPixelStats(payload))
       .when(isJpeg(payload), graft.functions.GraftFunctions.jpegPixelStats(payload))
 
   /** RIFF/AVI magic: 'RIFF' at offset 0, 'AVI ' at offset 8. */
@@ -325,6 +327,65 @@ object Multimodal {
     * [[graft.functions.WavDecode]] for scope + bomb guard). */
   def audioSampleStats(payload: Column): Column =
     graft.functions.GraftFunctions.wavSampleStats(payload)
+
+  /** Driver-side GIF ENCODER (fixture machinery, not a data path):
+    * GIF89a, one frame, 256-entry global color table, minCodeSize 8.
+    * Uses the classic "uncompressed GIF" LZW form — every index
+    * emitted as a 9-bit literal with a CLEAR code every 200 symbols
+    * so the code width never grows — which is spec-valid output any
+    * conforming decoder must accept, while keeping the fixture
+    * byte-predictable. `palette(i)` gives (R,G,B) for table entry i;
+    * `index(x, y)` the table index per pixel; `interlaced` stores
+    * rows in the 4-pass order with the flag set. */
+  def encodeGif(width: Int, height: Int,
+      palette: Int => (Int, Int, Int), index: (Int, Int) => Int,
+      interlaced: Boolean = false): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dims ${width}x$height")
+    val out = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    out.write("GIF89a".getBytes("US-ASCII"))
+    u16(width); u16(height)
+    out.write(0xF7) // global table, 8-bit color resolution, size 2^8
+    out.write(0); out.write(0)
+    for (i <- 0 until 256) {
+      val (r, g, b) = palette(i)
+      out.write(r & 0xFF); out.write(g & 0xFF); out.write(b & 0xFF)
+    }
+    out.write(0x2C) // image descriptor
+    u16(0); u16(0); u16(width); u16(height)
+    out.write(if (interlaced) 0x40 else 0x00)
+    out.write(8) // LZW min code size
+    // 9-bit LSB-first bit packer
+    val lzw = new java.io.ByteArrayOutputStream()
+    var cur = 0L; var nbits = 0
+    def put(code: Int): Unit = {
+      cur |= (code.toLong & 0x1FF) << nbits; nbits += 9
+      while (nbits >= 8) { lzw.write((cur & 0xFF).toInt); cur >>= 8; nbits -= 8 }
+    }
+    val rows: Seq[Int] =
+      if (!interlaced) 0 until height
+      else Seq((0, 8), (4, 8), (2, 4), (1, 2)).flatMap { case (s, st) => s until height by st }
+    put(256) // CLEAR
+    var sinceClear = 0
+    for (y <- rows; x <- 0 until width) {
+      if (sinceClear == 200) { put(256); sinceClear = 0 }
+      put(index(x, y) & 0xFF)
+      sinceClear += 1
+    }
+    put(257) // END
+    if (nbits > 0) lzw.write((cur & 0xFF).toInt)
+    // length-prefixed sub-blocks
+    val bytes = lzw.toByteArray
+    var off = 0
+    while (off < bytes.length) {
+      val n = math.min(255, bytes.length - off)
+      out.write(n); out.write(bytes, off, n)
+      off += n
+    }
+    out.write(0) // block terminator
+    out.write(0x3B) // trailer
+    out.toByteArray
+  }
 
   /** Driver-side BMP ENCODER (fixture machinery, not a data path):
     * 24-bit uncompressed BI_RGB, bottom-up (or top-down via negative
