@@ -483,8 +483,106 @@ object PipelineQueries2 {
         .transform(Queries.sortedSmall(_, "img_id", "channel"))
     })
 
+  // ------------------------------ mixed-media catalog (capstone)
+  // The "media lake" shape end to end: ONE payload column holding
+  // five different container formats, classified by magic number and
+  // decoded by the format's own decoder — emitting one normalized
+  // row per asset (kind, width/height OR channels/frames, content
+  // md5). Exercises the mediaKind dispatch itself under the oracle
+  // (it is spec-only everywhere else). Asset id i: kind = i mod 5 →
+  // png / bmp / gif / wav / avi, each with formulaic content the
+  // oracle reproduces arithmetically.
+  private val qMediaCatalog = Queries.Q(
+    "p_media_catalog",
+    Some("""
+      WITH ids AS (SELECT i, i % 5 AS k, 2 + (i*3) % 6 AS w, 2 + (i*5) % 5 AS h
+                   FROM generate_series(0, 19) t(i)),
+      -- png/bmp/gif: md5 of the RGB (png: ch from layout cycle) dump
+      pix AS (SELECT i, k, w, h, y, x, c,
+                CASE k
+                  WHEN 0 THEN (x*7 + y*13 + c*31 + i*3) % 256
+                  WHEN 1 THEN (x*11 + y*17 + c*29 + i*7) % 256
+                  ELSE ((((x*13 + y*29 + i*11) % 256)
+                         * (CASE c WHEN 0 THEN 3 WHEN 1 THEN 5 ELSE 7 END)
+                         + (CASE c WHEN 0 THEN 0 WHEN 1 THEN 1 ELSE 2 END)) % 256)
+                END AS v
+              FROM (SELECT i, k, w, h, unnest(generate_series(0, h - 1)) AS y FROM ids) ys,
+                   LATERAL unnest(generate_series(0, w - 1)) u1(x),
+                   LATERAL unnest(generate_series(0, 2)) u2(c)
+              WHERE k IN (0, 1, 2)),
+      img AS (SELECT i, md5(string_agg(printf('%02x', v), '' ORDER BY y, x, c)) AS content_md5
+              FROM pix GROUP BY i),
+      -- wav: md5 of the per-frame sample dump (mono, i16 two's complement as %04x of (v & 0xFFFF))
+      wsamp AS (SELECT i, t, ((t*37 + i*997) % 65536) - 32768 AS v
+                FROM (SELECT i, unnest(generate_series(0, 30 + i - 1)) AS t FROM ids WHERE k = 3)),
+      wav AS (SELECT i, md5(string_agg(printf('%04x', CASE WHEN v < 0 THEN v + 65536 ELSE v END), '' ORDER BY t)) AS content_md5
+              FROM wsamp GROUP BY i),
+      -- avi: md5 of frame 0's RGB dump
+      apix AS (SELECT i, y, x, c, (x*3 + y*5 + c*7 + i*13) % 256 AS v
+               FROM (SELECT i, w, h, unnest(generate_series(0, h - 1)) AS y FROM ids WHERE k = 4) ys,
+                    LATERAL unnest(generate_series(0, w - 1)) u1(x),
+                    LATERAL unnest(generate_series(0, 2)) u2(c)),
+      avi AS (SELECT i, md5(string_agg(printf('%02x', v), '' ORDER BY y, x, c)) AS content_md5
+              FROM apix GROUP BY i),
+      allmd AS (SELECT i, content_md5 FROM img
+                UNION ALL SELECT i, content_md5 FROM wav
+                UNION ALL SELECT i, content_md5 FROM avi)
+      SELECT CAST(ids.i AS BIGINT) AS asset_id,
+             CASE ids.k WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' WHEN 2 THEN 'gif'
+                        WHEN 3 THEN 'wav' ELSE 'avi' END AS kind,
+             CAST(ids.w AS BIGINT) AS width, CAST(ids.h AS BIGINT) AS height,
+             allmd.content_md5
+      FROM ids JOIN allmd ON allmd.i = ids.i
+      ORDER BY asset_id"""),
+    (s, dir) => {
+      import operators.Multimodal
+      val assets: Seq[(Long, Array[Byte])] = (0 until 20).map { i =>
+        val (w, h) = (2 + (i * 3) % 6, 2 + (i * 5) % 5)
+        val payload = i % 5 match {
+          case 0 => Multimodal.encodePng(w, h, 3,
+            (x, y, c) => (x * 7 + y * 13 + c * 31 + i * 3) % 256, y => (y + i) % 5)
+          case 1 => Multimodal.encodeBmp(w, h,
+            (x, y, c) => (x * 11 + y * 17 + c * 29 + i * 7) % 256, topDown = i % 2 == 0)
+          case 2 => Multimodal.encodeGif(w, h,
+            p => ((p * 3) % 256, (p * 5 + 1) % 256, (p * 7 + 2) % 256),
+            (x, y) => (x * 13 + y * 29 + i * 11) % 256)
+          case 3 => Multimodal.encodeWav(1, 8000, 30 + i,
+            (_, t) => ((t * 37 + i * 997) % 65536) - 32768)
+          case _ => Multimodal.encodeAvi(w, h, 2,
+            (f, x, y, c) => (x * 3 + y * 5 + c * 7 + i * 13 + f * 111) % 256)
+        }
+        (i.toLong, payload)
+      }
+      import s.implicits._
+      val kind = Multimodal.mediaKind(col("payload"))
+      assets.toDF("asset_id", "payload")
+        .select(col("asset_id"), col("payload"), kind.as("kind"),
+          Multimodal.imagePixelStats(col("payload")).as("__ist"),
+          Multimodal.videoMeta(col("payload")).as("__vm"))
+        .select(
+          col("asset_id"), col("kind"),
+          when(col("kind").isin("png", "bmp", "gif"), col("__ist").getItem(0))
+            .when(col("kind") === "avi", col("__vm").getField("width").cast("double"))
+            // wav rows carry the id-derived (w, h) the oracle emits —
+            // the catalog's fixed schema needs SOME dims per asset
+            .otherwise((lit(2) + (col("asset_id") * 3) % 6).cast("double"))
+            .cast("long").as("width"),
+          when(col("kind").isin("png", "bmp", "gif"), col("__ist").getItem(1))
+            .when(col("kind") === "avi", col("__vm").getField("height").cast("double"))
+            .otherwise((lit(2) + (col("asset_id") * 5) % 5).cast("double"))
+            .cast("long").as("height"),
+          when(col("kind").isin("png", "bmp", "gif"),
+            md5(lower(hex(Multimodal.imagePixels(col("payload"))))))
+            .when(col("kind") === "avi",
+              md5(lower(hex(Multimodal.videoFramePixels(col("payload"), lit(0))))))
+            .otherwise(md5(lower(hex(
+              graft.functions.GraftFunctions.wavSamples(col("payload"))))))
+            .as("content_md5"))
+        .transform(Queries.sortedSmall(_, "asset_id"))
+    })
+
   val all: Seq[Queries.Q] =
     Seq(qDupGroupSizes, qTextNormalize, qSourceShare, qTokenLenHist, qCellSizes,
       qAviFrameStats, qSemanticDedup, qImageResize, qWavSampleStats,
-      qBmpPixelStats, qGifPixelStats)
+      qBmpPixelStats, qGifPixelStats, qMediaCatalog)
 }

@@ -175,6 +175,11 @@ object GraftFunctions {
   def gifPixelStats(payload: Column): Column =
     graftBridge.column(GifPixelStats(graftBridge.expression(payload)))
 
+  /** Column-API form of [[WavSamples]]: decoded interleaved i16 PCM
+    * samples as big-endian BINARY (hex() reads as the %04x dump). */
+  def wavSamples(payload: Column): Column =
+    graftBridge.column(WavSamples(graftBridge.expression(payload)))
+
   /** Column-API form of [[WavSampleStats]]: array<double>
     * [channels, sample_rate, n_frames, mean_ch…, rms_ch…] of a PCM
     * WAV payload; NULL when absent/undecodable. */
@@ -306,6 +311,13 @@ object GraftFunctions {
         (args: Seq[Expression]) => {
           require(args.length == 1, s"graft_gif_stats expects 1 argument, got ${args.length}")
           GifPixelStats(args(0))
+        }),
+      (
+        FunctionIdentifier("graft_wav_samples"),
+        new ExpressionInfo(classOf[WavSamples].getName, "graft_wav_samples"),
+        (args: Seq[Expression]) => {
+          require(args.length == 1, s"graft_wav_samples expects 1 argument, got ${args.length}")
+          WavSamples(args(0))
         }),
       (
         FunctionIdentifier("graft_wav_stats"),

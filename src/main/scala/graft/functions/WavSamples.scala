@@ -82,6 +82,36 @@ private[graft] object WavDecode {
   }
 }
 
+/** Decoded PCM samples of a WAV payload as BINARY: interleaved i16
+  * samples in BIG-endian byte order — so `hex()` of the buffer reads
+  * as the canonical per-sample `%04x` dump (two's complement), the
+  * form content fingerprints and oracles compare. NULL outside
+  * [[WavDecode]] scope. */
+case class WavSamples(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case BinaryType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(s"$prettyName expects binary, got $t")
+    }
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_wav_samples"
+  override protected def nullSafeEval(input: Any): Any = {
+    val d = WavDecode.decode(input.asInstanceOf[Array[Byte]])
+    if (d == null) return null
+    val out = new Array[Byte](d.samples.length * 2)
+    var i = 0
+    while (i < d.samples.length) {
+      out(2 * i) = (d.samples(i) >> 8).toByte
+      out(2 * i + 1) = d.samples(i).toByte
+      i += 1
+    }
+    out
+  }
+  override protected def withNewChildInternal(newChild: Expression): WavSamples =
+    copy(child = newChild)
+}
+
 /** PCM sample statistics of a WAV payload as `array<double>`:
   * `[channels, sample_rate, n_frames, mean_ch1…N, rms_ch1…N]` — the
   * silence / clipping / level signal an audio curation pass gates on,

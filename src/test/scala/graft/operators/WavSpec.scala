@@ -37,6 +37,16 @@ class WavSpec extends SparkSpec {
     assert(st(4) == math.sqrt((100.0 * 100 + 200.0 * 200 + 32767.0 * 32767) / 3))
   }
 
+  test("wavSamples binary: big-endian %04x dump of the golden samples") {
+    import spark.implicits._
+    val hx = Seq(hex(Golden)).toDF("payload")
+      .select(lower(org.apache.spark.sql.functions.hex(
+        graft.functions.GraftFunctions.wavSamples(col("payload")))))
+      .head().getString(0)
+    // samples 100, −200, 32767 → 0064 ff38 7fff (two's complement)
+    assert(hx == "0064ff387fff")
+  }
+
   test("encode→decode round trip: stereo interleave preserved") {
     def s(c: Int, t: Int) = (t * 1000 + c * 7) - 1500
     val d = WavDecode.decode(Multimodal.encodeWav(2, 44100, 4, s))
