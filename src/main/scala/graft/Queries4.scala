@@ -243,6 +243,63 @@ object Queries4 {
           col("price"))
         .transform(sortedSmall(_, "o_orderpriority", "rnk")))
 
+  // --------------------------------------- value-RANGE window frame
+  // RANGE BETWEEN 5000 PRECEDING AND CURRENT ROW over the acctbal
+  // VALUE axis — a genuinely different frame semantic from every ROWS
+  // frame elsewhere: peers join by value distance, not position, so
+  // the frame width varies per row and ties share a frame. Count of
+  // customers within 5000 balance-units below each customer, per
+  // segment. Integer frame bound on a double order key: both engines
+  // compare (peer >= cur − 5000) identically; COUNT avoids any
+  // order-dependent double sum inside the variable frame.
+  private val qRangeFrame = Q(
+    "q_balance_range_frame",
+    Some("""
+      SELECT c_custkey, c_mktsegment,
+             CAST(COUNT(*) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal
+               RANGE BETWEEN 5000 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_within_5k_below
+      FROM customer
+      ORDER BY c_custkey"""),
+    (s, dir) => {
+      val w = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal"))
+        .rangeBetween(-5000L, Window.currentRow)
+      Tables(s, dir).customer
+        .select(
+          col("c_custkey"), col("c_mktsegment"),
+          count(lit(1)).over(w).as("n_within_5k_below"))
+        .transform(sortedSmall(_, "c_custkey"))
+    })
+
+  // --------------------------------------------- discrete percentiles
+  // percentile_disc returns an ACTUAL data element (no interpolation),
+  // so unlike continuous quantiles it is exactly portable even for
+  // arbitrary doubles — the right quantile flavor for "give me the
+  // real p95 order" questions. Spark's percentile_disc is SQL-only
+  // (no DSL function), exercised via spark.sql on a registered view —
+  // also covering the engine's SQL entry path under the oracle.
+  private val qPercentileDisc = Q(
+    "q_percentile_disc",
+    Some("""
+      SELECT o_orderpriority,
+             quantile_disc(o_totalprice, 0.25) AS p25,
+             quantile_disc(o_totalprice, 0.50) AS p50,
+             quantile_disc(o_totalprice, 0.95) AS p95
+      FROM orders
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""),
+    (s, dir) => {
+      Tables(s, dir).orders.createOrReplaceTempView("__orders_pd")
+      s.sql("""
+        SELECT o_orderpriority,
+               percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice) AS p25,
+               percentile_disc(0.50) WITHIN GROUP (ORDER BY o_totalprice) AS p50,
+               percentile_disc(0.95) WITHIN GROUP (ORDER BY o_totalprice) AS p95
+        FROM __orders_pd
+        GROUP BY o_orderpriority""")
+        .transform(sortedSmall(_, "o_orderpriority"))
+    })
+
   val relational4: Seq[Q] =
-    Seq(q9, qCorr, qDateSpine, qPriceHist, qNationShare, qTopKPerPriority)
+    Seq(q9, qCorr, qDateSpine, qPriceHist, qNationShare, qTopKPerPriority,
+      qRangeFrame, qPercentileDisc)
 }

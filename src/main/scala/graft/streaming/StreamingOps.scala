@@ -94,6 +94,43 @@ object StreamingOps {
       }
   }
 
+  /** [[runningCounts]] on the Spark 4 `transformWithState` API — the
+    * successor to `flatMapGroupsWithState`: state lives in NAMED,
+    * individually-encoded variables on a processor handle (here one
+    * `ValueState[Long]`) instead of a single opaque blob, which is
+    * what enables independent TTL per state variable, state
+    * re-reading within a batch, timers, and schema evolution of one
+    * variable without rewriting the rest. Requires the RocksDB state
+    * store provider (named variables map to column families).
+    * Output contract is IDENTICAL to [[runningCounts]] — the spec
+    * runs both APIs over the same feed and diffs them. */
+  def runningCountsTws(events: DataFrame, keyCol: String): Dataset[KeyCount] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events.selectExpr(s"CAST($keyCol AS STRING) AS key").as[String]
+      .groupByKey(identity)
+      .transformWithState(new RunningCountProcessor, TimeMode.None(), OutputMode.Update)
+  }
+
+  /** The [[runningCountsTws]] processor: one named Long per key. */
+  private final class RunningCountProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[String, String, KeyCount] {
+    import org.apache.spark.sql.{Encoders, streaming}
+    @transient private var count: streaming.ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: streaming.TimeMode): Unit =
+      count = getHandle.getValueState[Long](
+        "count", Encoders.scalaLong, streaming.TTLConfig.NONE)
+    override def handleInputRows(
+        key: String, rows: Iterator[String],
+        timerValues: streaming.TimerValues): Iterator[KeyCount] = {
+      val n = rows.size.toLong
+      val total = (if (count.exists()) count.get() else 0L) + n
+      count.update(total)
+      Iterator(KeyCount(key, total, n))
+    }
+  }
+
   /** Stream–stream inner join within an event-time interval — the
     * attribution shape (impressions ⋈ clicks within N minutes):
     * rows match when `keyEq` holds AND the right event lands in

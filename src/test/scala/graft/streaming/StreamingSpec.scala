@@ -466,6 +466,38 @@ class StreamingSpec extends SparkSpec {
       ("a", 3L, 1L), ("b", 3L, 2L), ("c", 1L, 1L))) // batch 2
   }
 
+  test("transformWithState running counts == flatMapGroupsWithState on the same feed") {
+    import spark.implicits._
+    // named-state API needs the RocksDB provider (column families)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[String](spark)
+      val out = StreamingOps.runningCountsTws(stream.toDS().toDF("k"), "k")
+      val q = out.toDF().writeStream.format("memory").queryName("rc_tws_out")
+        .outputMode("update")
+        .option("checkpointLocation", tmp("chk_rc_tws")).start()
+      try {
+        stream.addData(Seq("a", "a", "b"))
+        q.processAllAvailable()
+        stream.addData(Seq("a", "b", "b", "c"))
+        q.processAllAvailable()
+      } finally q.stop()
+      val rows = spark.table("rc_tws_out")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      // the EXACT emission set the flatMapGroupsWithState test pins —
+      // the two state APIs must be observationally identical here
+      assert(rows == Set(
+        ("a", 2L, 2L), ("b", 1L, 1L),
+        ("a", 3L, 1L), ("b", 3L, 2L), ("c", 1L, 1L)))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("stream-stream interval join matches within the window, not outside it") {
     import spark.implicits._
     val imps = MemoryStream[(Long, java.sql.Timestamp)](spark)
