@@ -299,7 +299,69 @@ object Queries4 {
         .transform(sortedSmall(_, "o_orderpriority"))
     })
 
+  // ------------------------------------------ bag-semantics set ops
+  // EXCEPT ALL / INTERSECT ALL keep DUPLICATE MULTIPLICITY (bag
+  // semantics) — a different operator from the distinct set ops the
+  // earlier waves cover: a part key ordered k times appears
+  // max(k−m, 0) / min(k, m) times, which Spark plans as a
+  // multiplicity-diff aggregation + generate, never a distinct.
+  // Multiset of high-value order partkeys vs low-value ones.
+  private val qBagSetOps = Q(
+    "q_bag_setops_parts",
+    Some("""
+      WITH hi AS (SELECT l_partkey FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+                  WHERE o_totalprice > 300000 AND l_partkey <= 200),
+      lo AS (SELECT l_partkey FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+             WHERE o_totalprice <= 100000 AND l_partkey <= 200),
+      ea AS (SELECT l_partkey FROM hi EXCEPT ALL SELECT l_partkey FROM lo),
+      ia AS (SELECT l_partkey FROM hi INTERSECT ALL SELECT l_partkey FROM lo)
+      SELECT 'except_all' AS op, l_partkey, COUNT(*) AS n FROM ea GROUP BY 2
+      UNION ALL
+      SELECT 'intersect_all' AS op, l_partkey, COUNT(*) AS n FROM ia GROUP BY 2
+      ORDER BY op, l_partkey"""),
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val joined = t.lineitem.join(t.orders, col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_partkey") <= 200)
+      val hi = joined.filter(col("o_totalprice") > 300000).select("l_partkey")
+      val lo = joined.filter(col("o_totalprice") <= 100000).select("l_partkey")
+      val ea = hi.exceptAll(lo).groupBy("l_partkey").agg(count(lit(1)).as("n"))
+        .select(lit("except_all").as("op"), col("l_partkey"), col("n"))
+      val ia = hi.intersectAll(lo).groupBy("l_partkey").agg(count(lit(1)).as("n"))
+        .select(lit("intersect_all").as("op"), col("l_partkey"), col("n"))
+      ea.unionAll(ia).transform(sortedSmall(_, "op", "l_partkey"))
+    })
+
+  // ----------------------------------- IGNORE NULLS window navigation
+  // last_value(... IGNORE NULLS) — the gap-fill / last-observation-
+  // carried-forward primitive: nulls in the frame are skipped, so the
+  // navigation result differs from plain last_value whenever the
+  // current row is null. Sparse signal: acctbal only on every 3rd
+  // customer; carry the last seen value forward within the segment.
+  private val qIgnoreNulls = Q(
+    "q_locf_balance",
+    Some("""
+      WITH s AS (SELECT c_custkey, c_mktsegment,
+                        CASE WHEN c_custkey % 3 = 0 THEN c_acctbal END AS sparse_bal
+                 FROM customer)
+      SELECT c_custkey, c_mktsegment, sparse_bal,
+             last_value(sparse_bal IGNORE NULLS) OVER (
+               PARTITION BY c_mktsegment ORDER BY c_custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bal_locf
+      FROM s
+      ORDER BY c_custkey"""),
+    (s, dir) => {
+      val w = Window.partitionBy("c_mktsegment").orderBy("c_custkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir).customer
+        .select(
+          col("c_custkey"), col("c_mktsegment"),
+          when(col("c_custkey") % 3 === 0, col("c_acctbal")).as("sparse_bal"))
+        .withColumn("bal_locf", last(col("sparse_bal"), ignoreNulls = true).over(w))
+        .transform(sortedSmall(_, "c_custkey"))
+    })
+
   val relational4: Seq[Q] =
     Seq(q9, qCorr, qDateSpine, qPriceHist, qNationShare, qTopKPerPriority,
-      qRangeFrame, qPercentileDisc)
+      qRangeFrame, qPercentileDisc, qBagSetOps, qIgnoreNulls)
 }
