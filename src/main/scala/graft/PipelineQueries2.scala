@@ -581,8 +581,43 @@ object PipelineQueries2 {
         .transform(Queries.sortedSmall(_, "asset_id"))
     })
 
+  // ------------------------------ salted aggregation under oracle
+  // The skew toolkit on the correctness gate: Skew.saltedAggregate
+  // spreads each key over 32 salt buckets (phase 1) and recombines
+  // (phase 2) — the oracle is the PLAIN single-shuffle GROUP BY,
+  // because exact equality with it is the operator's entire contract
+  // (sums ride decimal, so regrouping cannot move a bit). At 100 TB
+  // this is the hot-key path: the salt spreads a flooded key over 32
+  // tasks by construction instead of waiting for AQE's re-plan.
+  private val qSaltedAgg = Queries.Q(
+    "p_salted_agg",
+    Some("""
+      SELECT l_returnflag,
+             COUNT(*) AS n_items,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+             MIN(l_extendedprice) AS min_price,
+             MAX(l_extendedprice) AS max_price
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""),
+    (s, dir) =>
+      operators.Skew.saltedAggregate(
+        Tables(s, dir).lineitem
+          .withColumn("__dec_qty", graft.util.Exact.dec(col("l_quantity"))),
+        keyCols = Seq("l_returnflag"), spreadCol = "l_orderkey", buckets = 32,
+        aggs = Seq(
+          operators.Skew.Count("n_items"),
+          operators.Skew.Sum("sum_qty", "__dec_qty"),
+          operators.Skew.Min("min_price", "l_extendedprice"),
+          operators.Skew.Max("max_price", "l_extendedprice")))
+        .select(
+          col("l_returnflag"), col("n_items"),
+          col("sum_qty").cast("double").as("sum_qty"),
+          col("min_price"), col("max_price"))
+        .transform(Queries.sortedSmall(_, "l_returnflag")))
+
   val all: Seq[Queries.Q] =
     Seq(qDupGroupSizes, qTextNormalize, qSourceShare, qTokenLenHist, qCellSizes,
       qAviFrameStats, qSemanticDedup, qImageResize, qWavSampleStats,
-      qBmpPixelStats, qGifPixelStats, qMediaCatalog)
+      qBmpPixelStats, qGifPixelStats, qMediaCatalog, qSaltedAgg)
 }
