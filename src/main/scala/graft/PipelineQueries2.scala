@@ -616,8 +616,35 @@ object PipelineQueries2 {
           col("min_price"), col("max_price"))
         .transform(Queries.sortedSmall(_, "l_returnflag")))
 
+  // ------------------------------ Jaro–Winkler fuzzy match (verify)
+  // Entity-reconciliation verify over a BOUNDED candidate set (same
+  // contract as p_editdist_verify: candidate generation belongs to
+  // the LSH/blocking operators; the scalar here is the verify stage).
+  // The native graft_jaro_winkler is bit-equal to DuckDB's
+  // jaro_winkler_similarity — the hash match below is the proof, on
+  // ~45k name pairs, not a sampled claim.
+  private val qJaroWinkler = Queries.Q(
+    "p_jaro_winkler_pairs",
+    Some("""
+      WITH c AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey <= 300)
+      SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+             jaro_winkler_similarity(a.c_name, b.c_name) AS jw
+      FROM c a JOIN c b ON a.c_custkey < b.c_custkey
+      WHERE jaro_winkler_similarity(a.c_name, b.c_name) >= 0.97
+      ORDER BY id_a, id_b"""),
+    (s, dir) => {
+      val c = Tables(s, dir).customer.filter(col("c_custkey") <= 300)
+      val a = c.select(col("c_custkey").as("id_a"), col("c_name").as("__na"))
+      val b = c.select(col("c_custkey").as("id_b"), col("c_name").as("__nb"))
+      a.join(b, col("id_a") < col("id_b"))
+        .withColumn("jw", graft.functions.GraftFunctions.jaroWinkler(col("__na"), col("__nb")))
+        .filter(col("jw") >= 0.97)
+        .select("id_a", "id_b", "jw")
+        .transform(Queries.sortedSmall(_, "id_a", "id_b"))
+    })
+
   val all: Seq[Queries.Q] =
     Seq(qDupGroupSizes, qTextNormalize, qSourceShare, qTokenLenHist, qCellSizes,
       qAviFrameStats, qSemanticDedup, qImageResize, qWavSampleStats,
-      qBmpPixelStats, qGifPixelStats, qMediaCatalog, qSaltedAgg)
+      qBmpPixelStats, qGifPixelStats, qMediaCatalog, qSaltedAgg, qJaroWinkler)
 }

@@ -163,6 +163,13 @@ object GraftFunctions {
   def bmpPixelStats(payload: Column): Column =
     graftBridge.column(BmpPixelStats(graftBridge.expression(payload)))
 
+  /** Column-API form of [[JaroWinkler]]: fuzzy string similarity in
+    * [0, 1] (Winkler prefix boost), the entity-reconciliation verify
+    * scalar. */
+  def jaroWinkler(a: Column, b: Column): Column =
+    graftBridge.column(JaroWinkler(
+      graftBridge.expression(a), graftBridge.expression(b)))
+
   /** Column-API form of [[GifPixels]]: raw decoded first-frame pixels
     * of a GIF payload (full LZW + de-interlace); NULL when
     * unsupported/corrupt. */
@@ -297,6 +304,13 @@ object GraftFunctions {
         (args: Seq[Expression]) => {
           require(args.length == 1, s"graft_bmp_stats expects 1 argument, got ${args.length}")
           BmpPixelStats(args(0))
+        }),
+      (
+        FunctionIdentifier("graft_jaro_winkler"),
+        new ExpressionInfo(classOf[JaroWinkler].getName, "graft_jaro_winkler"),
+        (args: Seq[Expression]) => {
+          require(args.length == 2, s"graft_jaro_winkler expects 2 arguments, got ${args.length}")
+          JaroWinkler(args(0), args(1))
         }),
       (
         FunctionIdentifier("graft_gif_pixels"),

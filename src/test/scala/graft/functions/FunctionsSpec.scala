@@ -88,6 +88,7 @@ class FunctionsSpec extends SparkSpec {
         "graft_jpeg_pixels", "graft_jpeg_stats",
         "graft_avi_meta", "graft_avi_frame", "graft_avi_frame_stats",
         "graft_bmp_pixels", "graft_bmp_stats",
+        "graft_jaro_winkler",
         "graft_gif_pixels", "graft_gif_stats",
         "graft_wav_samples", "graft_wav_stats",
         "graft_resize_nn", "graft_top_k"))
