@@ -524,12 +524,13 @@ object Queries {
   // ------------------------------- sessionization (gaps and islands)
   // Per-user activity sessions: a session breaks after 30 idle
   // minutes; session id = running count of breaks. Timestamps are
-  // compared as epoch-µs longs on BOTH engines (DuckDB reads the
-  // feed's TIMESTAMP(NANOS) parquet column µs-truncated, so the
-  // oracle cannot see ns — `ts_ns div 1000` is the identical integer
-  // truncation; ns-order ties inside one µs break on event_id the
-  // same way on both sides). Both windows share one (user_id, tus,
-  // event_id) sort — Spark plans a single exchange+sort for the pair.
+  // compared as epoch-µs longs on BOTH engines: DuckDB's epoch_us(ts)
+  // and our `ts_ns div 1000` are the identical integer truncation
+  // under either feed shape (native timestamp[us], or the historical
+  // TIMESTAMP(NANOS) feed — see Tables.events); any ties inside one
+  // µs break on event_id the same way on both sides. Both windows
+  // share one (user_id, tus, event_id) sort — Spark plans a single
+  // exchange+sort for the pair.
   private val qEventSessions = Q(
     "q_event_sessions",
     Some("""

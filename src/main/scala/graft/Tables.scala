@@ -13,16 +13,6 @@ final case class Tables(spark: SparkSession, dir: String) {
   private def t(name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
-    * read as a timestamp ([PARQUET_TYPE_ILLEGAL]). Read it as a raw
-    * ns-since-epoch long (legacy conf) and truncate to microseconds
-    * ourselves — `ts div 1000` stays in integer arithmetic (a double
-    * division would lose precision above 2^53 ns ≈ 1970+104 days). */
-  private def eventsRaw: DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t("events")
-  }
-
   def region: DataFrame     = t("region")
   def nation: DataFrame     = t("nation")
   def customer: DataFrame   = t("customer")
@@ -30,13 +20,45 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame       = t("part")
   def orders: DataFrame     = t("orders")
   def lineitem: DataFrame   = t("lineitem")
-  /** `ts` truncated to µs (Spark timestamp); `ts_ns` keeps the raw
-    * ns-since-epoch long for exact ordering/tiebreaks against the
-    * ns-precision oracle. */
-  def events: DataFrame =
-    eventsRaw
-      .withColumn("ts_ns", org.apache.spark.sql.functions.col("ts"))
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  /** Exposes `ts` as a µs Spark timestamp and `ts_ns` as ns-since-epoch
+    * long (for exact ordering/tiebreaks against a ns-precision oracle).
+    *
+    * Schema-adaptive: the driver has shipped `events.ts` both as parquet
+    * TIMESTAMP(NANOS) — which Spark 4 refuses to read as a timestamp
+    * ([PARQUET_TYPE_ILLEGAL]), so we read it as a raw long via the legacy
+    * conf and truncate with integer `div 1000` (a double division would
+    * lose precision above 2^53 ns) — and as plain `timestamp[us]` with
+    * no tz metadata (Spark reads that as TIMESTAMP_NTZ), which needs
+    * only a cast to the session-tz timestamp plus
+    * `ts_ns = unix_micros(ts) * 1000` (sub-µs ties don't exist in that
+    * feed, so ordering is unchanged). The NTZ wall clock is UTC by the
+    * feed's construction; every graft entry point pins
+    * `spark.sql.session.timeZone=UTC`, making the cast exact. */
+  def events: DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val raw =
+      try t("events")
+      catch {
+        case e: Exception if e.getClass.getName.contains("AnalysisException") ||
+            Option(e.getMessage).exists(_.contains("PARQUET_TYPE_ILLEGAL")) =>
+          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          t("events")
+      }
+    raw.schema("ts").dataType match {
+      case TimestampType | TimestampNTZType =>
+        raw
+          .withColumn("ts", col("ts").cast(TimestampType))
+          .withColumn("ts_ns", expr("unix_micros(ts) * 1000L"))
+      case LongType =>
+        raw
+          .withColumn("ts_ns", col("ts"))
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts: expected TIMESTAMP, TIMESTAMP_NTZ, or LONG (ns feed), got $other")
+    }
+  }
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")
 }
