@@ -3,11 +3,16 @@ package graft.cdc
 import java.nio.ByteBuffer
 import java.nio.charset.StandardCharsets.UTF_8
 
-/** pgoutput logical-replication protocol (proto v1) — pure, zero-I/O
-  * decode over `Array[Byte]`, plus the encoder used by tests/fixtures.
+/** pgoutput logical-replication protocol — pure, zero-I/O decode over
+  * `Array[Byte]`, plus the encoder used by tests/fixtures. Implements
+  * proto v1 plus the v2 streamed-transaction frames (PG14+
+  * `streaming on`): Stream Start 'S' / Stop 'E' / Commit 'c' /
+  * Abort 'A', with the Int32 xid prefix v2 adds to every message
+  * inside a stream segment.
   *
   * Wire grammar implemented to the reference's observable semantics
-  * (/root/reference/utils/pg_output_parser.py:15-218; SURVEY.md §2.2):
+  * (/root/reference/utils/pg_output_parser.py:15-218; SURVEY.md §2.2 —
+  * the reference is v1-only, utils/postgre_cdc_consumer.py:77):
   *
   *  - dispatch on the first byte: R (relation), I/U/D (changes),
   *    B/C (transaction markers, deliberately dropped — reference
@@ -37,6 +42,16 @@ object PgOutput {
     * from 1970-01-01 — 946,684,800 seconds apart. */
   val PgEpochOffsetMicros: Long = 946684800000000L
 
+  /** Hard cap on events buffered for in-progress streamed (v2)
+    * transactions, across all of a decoder's open top-level xids.
+    * Streamed txns are uncommitted until their Stream Commit frame, so
+    * the consumer must hold (or spill) them — PostgreSQL's own apply
+    * worker spills to disk; this in-memory decoder fails fast instead
+    * of OOMing the executor. A production deployment that expects
+    * multi-GB streamed transactions would swap the buffer for a
+    * spill-to-local-disk map behind the same decode interface. */
+  val MaxBufferedStreamedEvents: Int = 1 << 20
+
   final case class ColumnInfo(name: String, typeId: Int, flags: Int, typeMod: Int)
   final case class RelationInfo(
       id: Int, schema: String, table: String,
@@ -59,12 +74,35 @@ object PgOutput {
     // carried the full protocol body — the feed-side EVENT TIME
     private var txnCommitMicros: Option[Long] = None
 
+    // ---- protocol v2 streamed (in-progress) transactions ----
+    // Between a Stream Start ('S') and Stream Stop ('E') every message
+    // carries an Int32 xid right after the type byte (the SUBtxn's xid
+    // when inside a subtransaction; the segment's top-level xid is the
+    // one in the 'S' frame). Events buffer per top-level xid until
+    // Stream Commit ('c') emits them or Stream Abort ('A') discards
+    // them — an uncommitted txn must never reach the changelog.
+    private var segmentXid: Option[Int] = None
+    private val streamFirstLsn = scala.collection.mutable.Map[Int, Long]()
+    private val streamBuf =
+      scala.collection.mutable.Map[Int, scala.collection.mutable.ArrayBuffer[(Int, CdcEvent)]]()
+    private var abortDiscards = 0L
+
     /** Registered relations (read-only view). */
     def relationRegistry: collection.Map[Int, RelationInfo] = relations
 
     /** Count of change messages dropped because their relation id was
       * never registered (reference logs a warning; we count). */
     def droppedUnknownRelation: Long = unknownRelationDrops
+
+    /** Events discarded because their streamed (sub)transaction
+      * aborted — the at-scale observability counter pairing
+      * [[droppedUnknownRelation]]. */
+    def streamedAbortDiscards: Long = abortDiscards
+
+    /** Events currently buffered for in-progress streamed txns
+      * (bounded by [[MaxBufferedStreamedEvents]]). */
+    def bufferedStreamedEvents: Long =
+      streamBuf.valuesIterator.map(_.size.toLong).sum
 
     /** Decode one frame. Relation messages update the registry and
       * yield no event; B/C markers are dropped; I/U/D yield an event
@@ -84,10 +122,12 @@ object PgOutput {
     def decode(payload: Array[Byte], lsn: Long, timestampMicros: Long): Option[CdcEvent] = {
       val evts = decodeAll(payload, lsn, timestampMicros)
       // Silently surfacing only the head of a multi-event frame would
-      // lose the other tables' truncates — fail loudly instead; the
+      // lose the rest (a multi-table TRUNCATE's other tables, a v2
+      // Stream Commit's whole buffered txn) — fail loudly instead; the
       // streaming path flatMaps decodeAll and never hits this.
       require(evts.lengthCompare(1) <= 0,
-        s"frame decodes to ${evts.length} events (multi-relation TRUNCATE?) — use decodeAll")
+        s"frame decodes to ${evts.length} events (multi-relation TRUNCATE " +
+          "or v2 Stream Commit) — use decodeAll")
       evts.headOption
     }
 
@@ -102,13 +142,35 @@ object PgOutput {
     def decodeAll(payload: Array[Byte], lsn: Long, timestampMicros: Long): Seq[CdcEvent] = synchronized {
       if (payload == null || payload.isEmpty) return Seq.empty
       val buf = ByteBuffer.wrap(payload, 1, payload.length - 1)
-      try payload(0).toChar match {
+      val msgType = payload(0).toChar
+      // v2 xid prefix: inside a stream segment every message type that
+      // exists in v1 gains a leading Int32 xid (PG docs §"Logical
+      // Replication Message Formats": "Xid of the transaction (only
+      // present for streamed transactions in protocol version 2)").
+      val msgXid: Option[Int] =
+        if (segmentXid.isDefined && "RIUDTMY".indexOf(msgType) >= 0) Some(buf.getInt)
+        else None
+      def route(evts: Seq[CdcEvent]): Seq[CdcEvent] = msgXid match {
+        case Some(x) =>
+          val top = segmentXid.get
+          val b = streamBuf.getOrElseUpdate(
+            top, scala.collection.mutable.ArrayBuffer.empty[(Int, CdcEvent)])
+          if (bufferedStreamedEvents + evts.size > MaxBufferedStreamedEvents)
+            throw new IllegalStateException(
+              s"streamed-txn buffer exceeds $MaxBufferedStreamedEvents events " +
+                s"(open xids: ${streamBuf.keys.mkString(",")}); " +
+                "spill-to-disk decode is the production path for multi-GB streamed txns")
+          evts.foreach(e => b += ((x, e)))
+          Seq.empty
+        case None => evts
+      }
+      try msgType match {
         case 'R' => parseRelation(buf); Seq.empty
-        case 'I' => parseInsert(buf, lsn, timestampMicros).toSeq
-        case 'U' => parseUpdate(buf, lsn, timestampMicros).toSeq
-        case 'D' => parseDelete(buf, lsn, timestampMicros).toSeq
-        case 'T' => parseTruncate(buf, lsn, timestampMicros)
-        case 'M' => parseMessage(buf, lsn, timestampMicros).toSeq
+        case 'I' => route(parseInsert(buf, lsn, timestampMicros).toSeq)
+        case 'U' => route(parseUpdate(buf, lsn, timestampMicros).toSeq)
+        case 'D' => route(parseDelete(buf, lsn, timestampMicros).toSeq)
+        case 'T' => route(parseTruncate(buf, lsn, timestampMicros))
+        case 'M' => route(parseMessage(buf, lsn, timestampMicros).toSeq)
         // Txn markers yield no event, but B/C delimit a transaction
         // id stamped on the events in between — the opt-in grouping
         // the reference drops (pg_output_parser.py:32-37; SURVEY §2.2
@@ -136,6 +198,55 @@ object PgOutput {
               s"begin frame with ${buf.remaining}-byte body (protocol body is 20 bytes)")
           Seq.empty
         case 'C' => inTxn = false; Seq.empty
+        // ---- v2 streamed-transaction frames (PG14+ `streaming on`) ----
+        // Stream Start: Int32 xid, Int8 first-segment flag. Segments of
+        // DIFFERENT top-level txns interleave at segment granularity;
+        // the txn id we stamp at commit is the first segment's frame
+        // LSN (durable in the stream, same restart-stability argument
+        // as the Begin-LSN id above — an xid would survive too but
+        // wraps at 2^32 on the source).
+        case 'S' =>
+          val xid = buf.getInt
+          buf.get() // first-segment flag (derivable from streamFirstLsn)
+          segmentXid = Some(xid)
+          if (!streamFirstLsn.contains(xid)) streamFirstLsn(xid) = lsn
+          Seq.empty
+        // Stream Stop: empty body, closes the current segment.
+        case 'E' => segmentXid = None; Seq.empty
+        // Stream Commit: Int32 xid, Int8 flags, Int64 commit LSN,
+        // Int64 end LSN, Int64 commit timestamp (µs since 2000-01-01).
+        // Emits the buffered events in wire arrival order, each stamped
+        // with the txn id and the SOURCE's commit time — so downstream
+        // event-time watermarks behave identically for streamed and
+        // non-streamed transactions.
+        case 'c' =>
+          val xid = buf.getInt
+          buf.get()   // flags (0 per spec)
+          buf.getLong // commit LSN
+          buf.getLong // end LSN
+          val commitTs = buf.getLong + PgEpochOffsetMicros
+          val seq = streamFirstLsn.remove(xid).getOrElse(lsn)
+          val evts = streamBuf.remove(xid).map(_.toSeq).getOrElse(Seq.empty)
+          evts.map { case (_, e) =>
+            e.copy(txnSeq = Some(seq), commitMicros = Some(commitTs))
+          }
+        // Stream Abort: Int32 top-level xid, Int32 subtransaction xid.
+        // subXid == xid aborts the whole txn (discard everything);
+        // otherwise only the subtransaction's events are discarded —
+        // they are identifiable because each buffered event kept the
+        // xid its message carried, which is the SUBtxn's inside one.
+        case 'A' =>
+          val xid = buf.getInt
+          val subXid = buf.getInt
+          if (subXid == xid) {
+            abortDiscards += streamBuf.remove(xid).map(_.size.toLong).getOrElse(0L)
+            streamFirstLsn.remove(xid)
+          } else streamBuf.get(xid).foreach { b =>
+            val before = b.size
+            b.filterInPlace(_._1 != subXid)
+            abortDiscards += before - b.size
+          }
+          Seq.empty
         case _ => Seq.empty
       } catch {
         case e: MalformedFrame => throw e
@@ -322,8 +433,9 @@ object PgOutput {
   final case class WBinary(bytes: Array[Byte]) extends WireValue
 
   object Encoder {
-    def relation(rel: RelationInfo): Array[Byte] = {
+    def relation(rel: RelationInfo, streamXid: Option[Int] = None): Array[Byte] = {
       val out = new ByteOut('R')
+      streamXid.foreach(out.u32)
       out.u32(rel.id)
       out.cstr(rel.schema); out.cstr(rel.table)
       out.u8(rel.replicaIdentity.toInt)
@@ -334,8 +446,11 @@ object PgOutput {
       out.result()
     }
 
-    def insert(relationId: Int, values: Seq[WireValue]): Array[Byte] = {
+    /** v2 streamed-txn variants: `streamXid` writes the Int32 xid
+      * prefix v2 adds to every message inside an S..E segment. */
+    def insert(relationId: Int, values: Seq[WireValue], streamXid: Option[Int] = None): Array[Byte] = {
       val out = new ByteOut('I')
+      streamXid.foreach(out.u32)
       out.u32(relationId); out.u8('N')
       tuple(out, values)
       out.result()
@@ -344,23 +459,27 @@ object PgOutput {
     def update(
         relationId: Int,
         old: Option[(Char, Seq[WireValue])], // ('O' | 'K', image)
-        neu: Seq[WireValue]): Array[Byte] = {
+        neu: Seq[WireValue],
+        streamXid: Option[Int] = None): Array[Byte] = {
       val out = new ByteOut('U')
+      streamXid.foreach(out.u32)
       out.u32(relationId)
       old.foreach { case (tag, img) => out.u8(tag.toInt); tuple(out, img) }
       out.u8('N'); tuple(out, neu)
       out.result()
     }
 
-    def delete(relationId: Int, tag: Char, old: Seq[WireValue]): Array[Byte] = {
+    def delete(relationId: Int, tag: Char, old: Seq[WireValue], streamXid: Option[Int] = None): Array[Byte] = {
       val out = new ByteOut('D')
+      streamXid.foreach(out.u32)
       out.u32(relationId); out.u8(tag.toInt)
       tuple(out, old)
       out.result()
     }
 
-    def truncate(relationIds: Seq[Int], optionBits: Int = 0): Array[Byte] = {
+    def truncate(relationIds: Seq[Int], optionBits: Int = 0, streamXid: Option[Int] = None): Array[Byte] = {
       val out = new ByteOut('T')
+      streamXid.foreach(out.u32)
       out.u32(relationIds.size)
       out.u8(optionBits)
       relationIds.foreach(out.u32)
@@ -382,6 +501,34 @@ object PgOutput {
     }
 
     def commit(): Array[Byte] = new ByteOut('C').result()
+
+    // ---- v2 streamed-transaction frames ----
+
+    def streamStart(xid: Int, firstSegment: Boolean = true): Array[Byte] = {
+      val out = new ByteOut('S')
+      out.u32(xid); out.u8(if (firstSegment) 1 else 0)
+      out.result()
+    }
+
+    def streamStop(): Array[Byte] = new ByteOut('E').result()
+
+    /** Commit timestamp given as Unix µs, written as the wire's
+      * µs-since-2000 (same convention as [[begin]]). */
+    def streamCommit(
+        xid: Int, commitUnixMicros: Long,
+        commitLsn: Long = 0L, endLsn: Long = 0L): Array[Byte] = {
+      val out = new ByteOut('c')
+      out.u32(xid); out.u8(0)
+      out.i64(commitLsn); out.i64(endLsn)
+      out.i64(commitUnixMicros - PgEpochOffsetMicros)
+      out.result()
+    }
+
+    def streamAbort(xid: Int, subXid: Int): Array[Byte] = {
+      val out = new ByteOut('A')
+      out.u32(xid); out.u32(subXid)
+      out.result()
+    }
 
     def message(prefix: String, content: Array[Byte], transactional: Boolean = false): Array[Byte] = {
       val out = new ByteOut('M')

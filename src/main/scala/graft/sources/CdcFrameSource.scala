@@ -100,7 +100,24 @@ final case class CdcFramePartition(dir: String, fromExclusive: Long, toInclusive
   *   Commit (atomicity outranks admission — a batch must make
   *   progress in whole transactions or not at all); an open
   *   transaction whose Commit frame hasn't landed yet is held back
-  *   entirely (offset does not advance). */
+  *   entirely (offset does not advance).
+  *
+  *   Protocol v2 STREAMED transactions compose with this for free:
+  *   the decoder ([[graft.cdc.PgOutput.Decoder]]) buffers S..E
+  *   segment events internally and emits nothing until the Stream
+  *   Commit ('c') frame, so an in-progress streamed txn contributes
+  *   zero rows to any micro-batch regardless of where the offset
+  *   lands — the atomicity boundary for streamed txns is enforced at
+  *   decode, not at admission. The only txnAtomic-relevant frame is
+  *   'c' itself, which carries the whole txn's events and commits
+  *   within one batch by construction. Restart caveat: the buffer
+  *   lives in the per-stream decoder instance, so a restart between a
+  *   streamed txn's segments and its 'c' frame must replay from a
+  *   checkpoint at or before the txn's FIRST 'S' frame — exactly how
+  *   PostgreSQL itself re-streams an in-progress txn when a
+  *   subscriber reconnects below its commit LSN; a real capture
+  *   deployment therefore acks the source only on commit boundaries
+  *   (the same rule the exactly-once sink already follows). */
 final class CdcMicroBatchStream(dir: String, maxFramesPerTrigger: Long, txnAtomic: Boolean)
   extends MicroBatchStream with SupportsAdmissionControl {
 

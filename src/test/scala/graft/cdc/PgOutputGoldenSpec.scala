@@ -156,6 +156,94 @@ class PgOutputGoldenSpec extends AnyFunSuite {
     assert(d.droppedUnknownRelation == 1L)
   }
 
+  // --- protocol v2 streamed-transaction frames (PG14+ `streaming on`),
+  // --- hand-assembled per the same docs; xid 777 = 0x309, 888 = 0x378,
+  // --- subtxn xid 778 = 0x30a. Streamed DML = v1 frame with the v2
+  // --- Int32 xid spliced after the type byte.
+  private val StreamStart777First = "530000030901"
+  private val StreamStart777Cont  = "530000030900"
+  private val StreamStart888First = "530000037801"
+  private val StreamStop          = "45"
+  private val StreamedInsert777   = "49" + "00000309" + InsertF.drop(2)
+  private val StreamedUpdate777   = "55" + "00000309" + UpdateF.drop(2)
+  private val StreamedInsertSub778 = "49" + "0000030a" + InsertF.drop(2)
+  private val StreamedInsert888   = "49" + "00000378" + InsertBinF.drop(2)
+  private val StreamCommit777 =
+    "63" + "00000309" + "00" + "0000000001000030" + "0000000001000031" + "0002b1f843beba00"
+  private val StreamCommit888 =
+    "63" + "00000378" + "00" + "0000000001000040" + "0000000001000041" + "0002b1f843beba00"
+  private val StreamAbort777Full = "41" + "00000309" + "00000309"
+  private val StreamAbort777Sub  = "41" + "00000309" + "0000030a"
+
+  test("v2 streamed txn: buffers across segments, emits at Stream Commit") {
+    val d = freshDecoder()
+    assert(d.decodeAll(hex(StreamStart777First), 300L, 1L).isEmpty)
+    assert(d.decodeAll(hex(StreamedInsert777), 301L, 1L).isEmpty,
+      "streamed DML must buffer, not emit, before commit")
+    assert(d.decodeAll(hex(StreamStop), 302L, 1L).isEmpty)
+    assert(d.bufferedStreamedEvents == 1L)
+    assert(d.decodeAll(hex(StreamStart777Cont), 303L, 1L).isEmpty)
+    assert(d.decodeAll(hex(StreamedUpdate777), 304L, 1L).isEmpty)
+    assert(d.decodeAll(hex(StreamStop), 305L, 1L).isEmpty)
+    val evts = d.decodeAll(hex(StreamCommit777), 306L, 9L)
+    assert(evts.map(_.operation) == Seq("INSERT", "UPDATE"), "wire arrival order")
+    assert(evts.forall(_.txnSeq.contains(300L)),
+      "txn id must be the FIRST Stream Start frame's LSN")
+    assert(evts.forall(_.commitMicros.contains(CommitUnixMicros)),
+      "commit time comes from the Stream Commit frame")
+    assert(evts.map(_.lsn) == Seq(301L, 304L), "events keep their own frame LSNs")
+    assert(d.bufferedStreamedEvents == 0L)
+  }
+
+  test("v2 stream abort discards the whole in-progress transaction") {
+    val d = freshDecoder()
+    d.decodeAll(hex(StreamStart777First), 310L, 1L)
+    d.decodeAll(hex(StreamedInsert777), 311L, 1L)
+    d.decodeAll(hex(StreamStop), 312L, 1L)
+    assert(d.decodeAll(hex(StreamAbort777Full), 313L, 1L).isEmpty)
+    assert(d.streamedAbortDiscards == 1L)
+    assert(d.bufferedStreamedEvents == 0L)
+    assert(d.decodeAll(hex(StreamCommit777), 314L, 1L).isEmpty,
+      "nothing survives a full abort")
+  }
+
+  test("v2 subtransaction abort discards only the subtxn's events") {
+    val d = freshDecoder()
+    d.decodeAll(hex(StreamStart777First), 320L, 1L)
+    d.decodeAll(hex(StreamedInsert777), 321L, 1L)     // top-level xid 777
+    d.decodeAll(hex(StreamedInsertSub778), 322L, 1L)  // subtxn xid 778
+    d.decodeAll(hex(StreamStop), 323L, 1L)
+    assert(d.decodeAll(hex(StreamAbort777Sub), 324L, 1L).isEmpty)
+    assert(d.streamedAbortDiscards == 1L)
+    val evts = d.decodeAll(hex(StreamCommit777), 325L, 1L)
+    assert(evts.map(_.lsn) == Seq(321L), "only the top-level event survives")
+  }
+
+  test("v2 interleaved streamed txns keep separate buffers and commit independently") {
+    val d = freshDecoder()
+    d.decodeAll(hex(StreamStart777First), 330L, 1L)
+    d.decodeAll(hex(StreamedInsert777), 331L, 1L)
+    d.decodeAll(hex(StreamStop), 332L, 1L)
+    d.decodeAll(hex(StreamStart888First), 333L, 1L)
+    d.decodeAll(hex(StreamedInsert888), 334L, 1L)
+    d.decodeAll(hex(StreamStop), 335L, 1L)
+    val evts888 = d.decodeAll(hex(StreamCommit888), 336L, 1L) // commits FIRST
+    assert(evts888.map(_.lsn) == Seq(334L) && evts888.forall(_.txnSeq.contains(333L)))
+    assert(evts888.head.newValues.get("email") == "00ff", "888 got the binary insert")
+    val evts777 = d.decodeAll(hex(StreamCommit777), 337L, 1L)
+    assert(evts777.map(_.lsn) == Seq(331L) && evts777.forall(_.txnSeq.contains(330L)))
+  }
+
+  test("v2 segment state clears at Stream Stop: plain v1 traffic decodes unchanged after") {
+    val d = freshDecoder()
+    d.decodeAll(hex(StreamStart777First), 340L, 1L)
+    d.decodeAll(hex(StreamedInsert777), 341L, 1L)
+    d.decodeAll(hex(StreamStop), 342L, 1L)
+    val Seq(e) = d.decodeAll(hex(InsertF), 343L, 7L)
+    assert(e.operation == "INSERT" && e.lsn == 343L,
+      "outside a segment the v1 frame must decode immediately, no xid prefix")
+  }
+
   test("full golden sequence decodes to the expected event stream in order") {
     val d = new PgOutput.Decoder
     val all = Seq(BeginF, RelationF, InsertF, InsertBinF, UpdateF, DeleteF,

@@ -182,4 +182,34 @@ class PgOutputSpec extends AnyFunSuite {
     assert(bin.newValues.get("status") == "cafe") // 'b' tag → lowercase hex
     assert(bin.newValues.get("email") == null)    // 'n' tag → NULL
   }
+
+  test("v2 streamed txn round-trips through the Encoder: buffer, commit, abort") {
+    val d = new Decoder
+    d.decode(Encoder.relation(UsersFixture.relation), 1, 0)
+    val xid = 4242
+    val img = UsersFixture.Cols.map(c => WText(s"v-$c"))
+    // segment 1: one insert, buffered
+    assert(d.decodeAll(Encoder.streamStart(xid), 10, 0).isEmpty)
+    assert(d.decodeAll(Encoder.insert(UsersFixture.RelId, img, streamXid = Some(xid)), 11, 0).isEmpty)
+    assert(d.decodeAll(Encoder.streamStop(), 12, 0).isEmpty)
+    // segment 2: an update and a delete, still buffered
+    assert(d.decodeAll(Encoder.streamStart(xid, firstSegment = false), 13, 0).isEmpty)
+    assert(d.decodeAll(
+      Encoder.update(UsersFixture.RelId, Some(('O', img)), img, streamXid = Some(xid)), 14, 0).isEmpty)
+    assert(d.decodeAll(
+      Encoder.delete(UsersFixture.RelId, 'K', img, streamXid = Some(xid)), 15, 0).isEmpty)
+    assert(d.decodeAll(Encoder.streamStop(), 16, 0).isEmpty)
+    assert(d.bufferedStreamedEvents == 3L)
+    val commitUs = 1700000000000000L
+    val evts = d.decodeAll(Encoder.streamCommit(xid, commitUs), 17, 0)
+    assert(evts.map(_.operation) == Seq("INSERT", "UPDATE", "DELETE"))
+    assert(evts.forall(_.txnSeq.contains(10L)) && evts.forall(_.commitMicros.contains(commitUs)))
+    // a second streamed txn aborted before commit emits nothing
+    d.decodeAll(Encoder.streamStart(9999), 20, 0)
+    d.decodeAll(Encoder.insert(UsersFixture.RelId, img, streamXid = Some(9999)), 21, 0)
+    d.decodeAll(Encoder.streamStop(), 22, 0)
+    assert(d.decodeAll(Encoder.streamAbort(9999, 9999), 23, 0).isEmpty)
+    assert(d.streamedAbortDiscards == 1L)
+    assert(d.decodeAll(Encoder.streamCommit(9999, commitUs), 24, 0).isEmpty)
+  }
 }
