@@ -488,6 +488,14 @@ object Dedup {
     * 100 TB. Output: (idCol, outCol). */
   def simhash64ByKey(docs: DataFrame, idCol: String, textCol: String, outCol: String): DataFrame = {
     val words = docs
+      // repartition BELOW the tokenize/explode, same reasoning as
+      // [[shingleFrontier]]: a single-file (or few-file) corpus scans
+      // as one partition, and the tokenize+explode+partial-agg map
+      // side fuses into that scan stage — measured as the 35 s
+      // straggler task in the 50× ScaleStress run. One exchange of
+      // the raw (id, text) rows distributes the per-token work.
+      .select(col(idCol), col(textCol))
+      .repartition(col(idCol))
       .select(col(idCol), explode(array_distinct(tokens(col(textCol)))).as("__tok"))
       .select(col(idCol), substring(md5(col("__tok")), 1, 16).as("__w"))
     // 16 nibbles extracted once per token row (hex char 1 = most significant)
@@ -548,12 +556,28 @@ object Dedup {
     * trusting this at 100 TB corpus sizes — `maxBucket` documents the
     * overflow policy either way.
     *
+    * Flood-block straggler control (the 50× ScaleStress run measured
+    * a 56× max/median task skew on the plain formulation — one
+    * popular block's n² pairs all emit from ONE join partition,
+    * which AQE cannot split because its INPUT is tiny): members of
+    * each block are hash-assigned to ⌈n/chunkSize⌉ chunks, and the
+    * self-join runs per ORDERED CHUNK CELL (ci ≤ cj) — side A
+    * replicates a chunk-c row to cells (c, c..k-1), side B to cells
+    * (0..c, c), so every pair lands in exactly one cell and a flood
+    * block's quadratic work spreads over k(k+1)/2 independent join
+    * keys instead of one. Blocks with ≤chunkSize members have k=1
+    * and take the identical single-cell path (zero replication), so
+    * the common case pays nothing. Replication cost for a flood
+    * block is k+1 copies of its member rows — linear, vs the n²
+    * output it parallelizes.
+    *
     * Output: (id_a, id_b, hamming), id_a < id_b. */
   def simhashNearDupPairs(
       docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, maxBucket: Int = 65536): DataFrame = {
+      maxHamming: Int = 3, maxBucket: Int = 65536, chunkSize: Int = 256): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"maxHamming=$maxHamming outside [0,3]: 4-block pigeonhole is lossless only to 3")
+    require(chunkSize > 0, s"chunkSize=$chunkSize must be positive")
     // Parse the four 16-bit blocks from the hex signature ONCE per
     // doc, BEFORE fan-out: the per-pair verify below is then pure
     // long xor + popcount — no per-pair substring/conv of hex (8
@@ -573,16 +597,36 @@ object Dedup {
     val keep = rows.groupBy("band", "bv")
       .agg(countDistinct(col("id")).as("n_ids"))
       .filter(col("n_ids") > 1 && col("n_ids") <= maxBucket)
-      .select("band", "bv")
-    val members = rows.join(keep, Seq("band", "bv"))
-    def side(suffix: String) = members.select(
-      col("band") +: col("bv") +: col("id").as(s"id_$suffix") +:
-        (0 until 4).map(b => col(s"__b$b").as(s"__b${b}_$suffix")): _*)
-    side("a")
-      .join(side("b"), Seq("band", "bv"))
-      .filter(col("id_a") < col("id_b"))
       .select(
-        col("id_a"), col("id_b"),
+        col("band"), col("bv"),
+        ceil(col("n_ids").cast("double") / lit(chunkSize)).cast("int").as("__k"))
+    // deterministic chunk id (Murmur3 of the doc id mod k) — no
+    // window/sort needed, stable across runs and retries
+    val members = rows.join(keep, Seq("band", "bv"))
+      .withColumn("__c", pmod(hash(col("id")), col("__k")).cast("int"))
+    def side(suffix: String) = members.select(
+      col("band") +: col("bv") +: col("id").as(s"id_$suffix") +: col("__c") +: col("__k") +:
+        (0 until 4).map(b => col(s"__b$b").as(s"__b${b}_$suffix")): _*)
+    val a = side("a")
+      .select(col("band"), col("bv"),
+        explode(sequence(col("__c"), col("__k") - 1)).as("__cj"), col("__c").as("__ci"),
+        col("id_a"), col("__b0_a"), col("__b1_a"), col("__b2_a"), col("__b3_a"))
+    val b = side("b")
+      .select(col("band"), col("bv"),
+        explode(sequence(lit(0), col("__c"))).as("__ci"), col("__c").as("__cj"),
+        col("id_b"), col("__b0_b"), col("__b1_b"), col("__b2_b"), col("__b3_b"))
+    // The cell construction sees each UNORDERED pair exactly once for
+    // cross-chunk pairs, but with no control over which member lands
+    // on side A — so normalize with least/greatest rather than filter
+    // id_a < id_b (which would drop pairs whose smaller id hashed to
+    // the higher chunk). Same-chunk pairs appear in both orientations
+    // in their diagonal cell; the trailing distinct (already required
+    // for multi-band agreement) collapses them.
+    a.join(b, Seq("band", "bv", "__ci", "__cj"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(
+        least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
         (0 until 4)
           .map(b => bit_count(col(s"__b${b}_a").bitwiseXOR(col(s"__b${b}_b"))))
           .reduce(_ + _).cast("long").as("hamming"))

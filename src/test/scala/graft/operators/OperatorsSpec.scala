@@ -220,6 +220,21 @@ class OperatorsSpec extends SparkSpec {
     assert(Dedup.simhashBlockOverflow(flood, "doc_id", "text").count() == 0)
   }
 
+  test("simhashNearDupPairs: chunked flood-block join emits exactly the single-cell pairs") {
+    // 9 docs sharing one token set → every block is a 9-member flood.
+    // chunkSize=2 forces k=⌈9/2⌉=5 chunks (the straggler-splitting
+    // path); the emitted pair set must be EXACTLY the default
+    // single-cell path's — every pair in exactly one chunk cell,
+    // none lost, none duplicated.
+    val flood = docs((1L to 9L).map(i => i -> "alpha beta gamma delta epsilon"): _*)
+    def pairs(cs: Int) =
+      Dedup.simhashNearDupPairs(flood, "doc_id", "text", chunkSize = cs)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val chunked = pairs(2)
+    assert(chunked == pairs(Int.MaxValue), "chunked vs single-cell pair sets differ")
+    assert(chunked.size == 36 && chunked.forall(_._3 == 0L)) // C(9,2), all identical
+  }
+
   test("embeddingNearDupPairs: identical vectors pair at cosine 1.0") {
     import spark.implicits._
     val emb = Seq(
