@@ -1220,6 +1220,56 @@ object PipelineQueries {
         .select("doc_id", "lang", "source", "n_chars")
         .transform(Queries.sortedSmall(_, "doc_id")))
 
+  // ------------------------- near-dup dedup, BEST-quality survivor
+  // Same clustering as p_near_dup_dedup, but the survivor per cluster
+  // is the member with the most characters (tie → smallest id) — the
+  // production rule: keep the best copy of a near-dup family, not
+  // whichever got the lowest id (min-id can keep a truncated variant
+  // over the clean original). Value-checks dedupNearDupsBest's argmax
+  // against a window-rank oracle; the two dedup queries share every
+  // CTE up to the component labeling, so a divergence isolates to the
+  // representative-selection step.
+  private val qNearDupBest = Queries.Q(
+    "p_near_dup_best",
+    Some(s"""
+      WITH RECURSIVE t AS (SELECT doc_id, $duckShingles3 AS sh FROM documents),
+      t2 AS (SELECT doc_id, sh FROM t WHERE len(sh) > 0),
+      sig AS (SELECT doc_id, sh,
+                list_transform(generate_series(0, 11),
+                  j -> list_min(list_transform(sh, x -> md5(j || ':' || x)))) AS s
+              FROM t2),
+      bands AS (SELECT doc_id, b.generate_series AS band,
+                  md5(s[b.generate_series*3+1] || '|' || s[b.generate_series*3+2] || '|' || s[b.generate_series*3+3]) AS bh
+                FROM sig, generate_series(0, 3) b),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+               FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+      pairs AS (SELECT id_a, id_b
+                FROM cand
+                JOIN t2 ta ON ta.doc_id = id_a
+                JOIN t2 tb ON tb.doc_id = id_b
+                WHERE CAST(len(list_intersect(ta.sh, tb.sh)) AS DOUBLE)
+                        / len(list_distinct(list_concat(ta.sh, tb.sh))) >= 0.5),
+      e AS (SELECT id_a AS u, id_b AS v FROM pairs
+            UNION SELECT id_b AS u, id_a AS v FROM pairs),
+      reach(node, r) AS (SELECT u, u FROM (SELECT DISTINCT u FROM e)
+                         UNION
+                         SELECT e.v, reach.r FROM reach JOIN e ON e.u = reach.node),
+      comp AS (SELECT node, MIN(r) AS grp FROM reach GROUP BY node),
+      q AS (SELECT c.node, c.grp, d.n_chars FROM comp c JOIN documents d ON d.doc_id = c.node),
+      best AS (SELECT grp, node AS best FROM (
+                 SELECT grp, node,
+                        row_number() OVER (PARTITION BY grp ORDER BY n_chars DESC, node) AS rn
+                 FROM q) WHERE rn = 1),
+      losers AS (SELECT q.node FROM q JOIN best USING (grp) WHERE q.node <> best.best)
+      SELECT doc_id, lang, source, n_chars FROM documents
+      WHERE doc_id NOT IN (SELECT node FROM losers)
+      ORDER BY doc_id"""),
+    (s, dir) =>
+      Dedup.dedupNearDupsBest(Tables(s, dir).documents, "doc_id", "text",
+        n = 3, k = 12, rowsPerBand = 3, threshold = 0.5, qualityCol = col("n_chars"))
+        .select("doc_id", "lang", "source", "n_chars")
+        .transform(Queries.sortedSmall(_, "doc_id")))
+
   // ------------------------------------------- per-source cap (mixing)
   // Web-scale curation's per-domain cap: at most 10 docs per source,
   // keeping the longest (n_chars desc, doc_id tiebreak). The operator
@@ -1681,7 +1731,7 @@ object PipelineQueries {
     qMultimodal, qEventsDedup, qTokenCounts, qVocabTopK,
     qPiiRedact, qQualityFilter, qChunkWindows, qStratifiedSample, qEditDistVerify,
     qApproxVocab, qLmFamiliarity, qTfidfTopK, qTokenBudgetMix, qSnapshotDiff,
-    qNearDupDedup, qSourceCap, qApproxQuantiles, qPngPixelStats, qRandomProjection,
+    qNearDupDedup, qNearDupBest, qSourceCap, qApproxQuantiles, qPngPixelStats, qRandomProjection,
     qBoilerplateNgrams, qSpanDedup, qSourceReport, qSplitContamination,
     qBpePairCounts, qCurationPipeline, qLshRecallAudit, qQualityRankNorm)
 }

@@ -16,7 +16,9 @@ import java.nio.charset.StandardCharsets.UTF_8
   *
   *  - dispatch on the first byte: R (relation), I/U/D (changes),
   *    B/C (transaction markers, deliberately dropped — reference
-  *    :32-37), anything else → no event;
+  *    :32-37), T (truncate), M (message), Y (type → registry),
+  *    O (origin → metadata), S/E/c/A (v2 streamed txns), anything
+  *    else → no event;
   *  - Relation: u32 id, NUL-terminated namespace + name, replica
   *    identity byte, u16 column count, per column (u8 flags,
   *    NUL-terminated name, u32 type OID, i32 typmod). Registered in a
@@ -56,6 +58,10 @@ object PgOutput {
   final case class RelationInfo(
       id: Int, schema: String, table: String,
       replicaIdentity: Char, columns: IndexedSeq[ColumnInfo])
+  /** Custom (non-builtin) data type announced by a 'Y' Type message
+    * (sent before the first Relation that references it): OID plus
+    * the qualified source-side name. */
+  final case class TypeInfo(id: Int, namespace: String, name: String)
 
   /** Tuple image as ordered (columnName → wire value) pairs; value is
     * null for SQL NULL and "[unchanged]" for the TOAST sentinel. */
@@ -86,6 +92,11 @@ object PgOutput {
     private val streamBuf =
       scala.collection.mutable.Map[Int, scala.collection.mutable.ArrayBuffer[(Int, CdcEvent)]]()
     private var abortDiscards = 0L
+    // 'Y' Type registry + the 'O' Origin currently replaying — pure
+    // metadata, no events (values surface through the getters below;
+    // typed-projection layers can map custom-type OIDs to names)
+    private val types = scala.collection.mutable.Map[Int, TypeInfo]()
+    private var origin: Option[String] = None
 
     /** Registered relations (read-only view). */
     def relationRegistry: collection.Map[Int, RelationInfo] = relations
@@ -103,6 +114,14 @@ object PgOutput {
       * (bounded by [[MaxBufferedStreamedEvents]]). */
     def bufferedStreamedEvents: Long =
       streamBuf.valuesIterator.map(_.size.toLong).sum
+
+    /** Custom types announced by 'Y' Type messages (read-only view). */
+    def typeRegistry: collection.Map[Int, TypeInfo] = types
+
+    /** Name carried by the most recent 'O' Origin message — the
+      * upstream node whose changes are being replayed (cascading
+      * replication / bidirectional setups); None until one arrives. */
+    def currentOrigin: Option[String] = origin
 
     /** Decode one frame. Relation messages update the registry and
       * yield no event; B/C markers are dropped; I/U/D yield an event
@@ -198,6 +217,21 @@ object PgOutput {
               s"begin frame with ${buf.remaining}-byte body (protocol body is 20 bytes)")
           Seq.empty
         case 'C' => inTxn = false; Seq.empty
+        // Type ('Y', sent when the publication carries non-builtin
+        // column types): Int32 OID, namespace, name. Registry only —
+        // no event; typed projection maps OIDs to names from here.
+        case 'Y' =>
+          val id = buf.getInt
+          types(id) = TypeInfo(id, readCString(buf), readCString(buf))
+          Seq.empty
+        // Origin ('O', cascading/bidirectional replication): Int64
+        // origin commit LSN, origin name. Surfaced as metadata
+        // ([[currentOrigin]]) — a filter on it is how multi-master
+        // consumers break replication loops; no event of its own.
+        case 'O' =>
+          buf.getLong // commit LSN on the origin node (informational)
+          origin = Some(readCString(buf))
+          Seq.empty
         // ---- v2 streamed-transaction frames (PG14+ `streaming on`) ----
         // Stream Start: Int32 xid, Int8 first-segment flag. Segments of
         // DIFFERENT top-level txns interleave at segment granularity;
@@ -501,6 +535,19 @@ object PgOutput {
     }
 
     def commit(): Array[Byte] = new ByteOut('C').result()
+
+    def typeMsg(id: Int, namespace: String, name: String, streamXid: Option[Int] = None): Array[Byte] = {
+      val out = new ByteOut('Y')
+      streamXid.foreach(out.u32)
+      out.u32(id); out.cstr(namespace); out.cstr(name)
+      out.result()
+    }
+
+    def origin(name: String, originLsn: Long = 0L): Array[Byte] = {
+      val out = new ByteOut('O')
+      out.i64(originLsn); out.cstr(name)
+      out.result()
+    }
 
     // ---- v2 streamed-transaction frames ----
 

@@ -317,6 +317,44 @@ object Dedup {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** [[dedupNearDups]] with QUALITY-AWARE representative selection:
+    * keep the cluster member with the highest `qualityCol` (ties →
+    * smallest id) instead of the smallest id. Production curation
+    * keeps the best copy of a near-dup family — the longest, the
+    * highest-quality-score, the canonical-URL one — not whichever
+    * happened to get the lowest id; with min-id selection a truncated
+    * or boilerplate-padded variant can displace the clean original.
+    *
+    * Scale shape: identical to [[dedupNearDups]] up to the CC output,
+    * then per-cluster argmax as ONE `max_by` aggregation over the
+    * clustered nodes only (map-side partial merge — never a window
+    * sort over the corpus; the aggregation state is one (quality, id)
+    * pair per cluster), a groups-sized join back to mark losers, and
+    * the same single left-anti equi-join against the corpus. The
+    * corpus payload still never shuffles on the dedup decision.
+    *
+    * `qualityCol` must be a column of `docs` (evaluated against a
+    * narrow (id, quality) projection — the full row never rides the
+    * argmax shuffle). */
+  def dedupNearDupsBest(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int, k: Int, rowsPerBand: Int, threshold: Double,
+      qualityCol: Column,
+      maxBucket: Int = 1024): DataFrame = {
+    val pairs =
+      nearDupPairsShingled(docs, idCol, textCol, n, k, rowsPerBand, threshold, maxBucket)
+    val clustered = Graph.connectedComponents(pairs, "id_a", "id_b")
+      .join(docs.select(col(idCol).as("node"), qualityCol.as("__q")), "node")
+    // argmax by (quality, -id): lexicographic struct max = highest
+    // quality, then smallest id — deterministic for any tie shape
+    val best = clustered.groupBy("component")
+      .agg(max_by(col("node"), struct(col("__q"), -col("node"))).as("__best"))
+    val losers = clustered.join(best, "component")
+      .filter(col("node") =!= col("__best"))
+      .select(col("node").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Word n-gram (shingle) array: tokens i..i+n-1 joined by a space.
     * Documents shorter than n tokens yield an empty array (guarded:
     * an unguarded `sequence(1, size-(n-1))` would step DOWN through 0

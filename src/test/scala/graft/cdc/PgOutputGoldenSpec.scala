@@ -143,11 +143,23 @@ class PgOutputGoldenSpec extends AnyFunSuite {
       "post-commit events are outside any transaction")
   }
 
-  test("origin frame: silently consumed — no event, registry untouched") {
+  test("origin frame: no event, relation registry untouched, origin name surfaced") {
     val d = freshDecoder()
+    assert(d.currentOrigin.isEmpty)
     assert(d.decodeAll(hex(OriginF), lsn = 110L, timestampMicros = 1L).isEmpty)
     assert(d.relationRegistry.size == 1)
     assert(d.droppedUnknownRelation == 0L)
+    assert(d.currentOrigin.contains("origin1"))
+  }
+
+  // 'Y' Type: OID 16500 (0x4074), "public"."mood" — hand-assembled
+  private val TypeF = "59" + "00004074" + "7075626c696300" + "6d6f6f6400"
+
+  test("type frame: OID and qualified name land in the type registry, no event") {
+    val d = freshDecoder()
+    assert(d.decodeAll(hex(TypeF), lsn = 112L, timestampMicros = 1L).isEmpty)
+    assert(d.typeRegistry(16500) == PgOutput.TypeInfo(16500, "public", "mood"))
+    assert(d.relationRegistry.size == 1, "type frames never touch the relation registry")
   }
 
   test("change for an unregistered OID: dropped and counted, never an event") {

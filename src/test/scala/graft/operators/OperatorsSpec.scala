@@ -1152,6 +1152,22 @@ class OperatorsSpec extends SparkSpec {
     assert(out.map(_.getString(2)).toSeq == Seq("a", "d", "f"))
   }
 
+  test("dedupNearDupsBest: survivor is the highest-quality member, ties break to smallest id") {
+    import spark.implicits._
+    val fam1 = "the quick brown fox jumps over the lazy dog again today"
+    val fam2 = "entirely different second family text with many shared tokens here also"
+    val corpus = Seq(
+      (1L, fam1, 10L), (2L, fam1, 99L), (3L, fam1, 50L), // cluster → keep 2 (max quality)
+      (4L, fam2, 7L), (5L, fam2, 7L),                    // quality tie → keep 4 (min id)
+      (6L, "a lone document that matches nothing else in this tiny corpus", 1L))
+      .toDF("doc_id", "text", "quality")
+    val out = Dedup.dedupNearDupsBest(corpus, "doc_id", "text",
+      n = 3, k = 12, rowsPerBand = 3, threshold = 0.5, qualityCol = col("quality"))
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(2L, 4L, 6L))
+    assert(out.map(_.getLong(2)).toSeq == Seq(99L, 7L, 1L), "full original row survives")
+  }
+
   // ------------------------------------------------- per-key cap
 
   test("perKeyCap: top-n per key by sort key desc with id tiebreak; payload stays off the rank shuffle") {
