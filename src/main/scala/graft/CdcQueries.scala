@@ -88,6 +88,48 @@ object CdcQueries {
       Queries.sortedSmallBy(current, col("id").cast("int"))
     })
 
+  // ------------------------------- v2 streamed-transaction decode
+  // Puts the protocol-v2 streamed path ON the value gate (not just
+  // specs): UsersFixture.streamedFrames interleaves two in-progress
+  // txns, aborts a subtransaction and a whole txn, and stream-commits
+  // the survivor — exactly the two events of xid 777 may emerge, in
+  // wire order, stamped with the durable txn id (first 'S' frame LSN
+  // 2001) and the source commit time from the 'c' frame. A buffering
+  // bug (leaked aborted events, lost segments, wrong stamp) breaks
+  // the literal VALUES compare.
+  private val qStreamedTxn = Queries.Q(
+    "cdc_streamed_txn",
+    Some("""
+      SELECT operation, old_image, new_image,
+             CAST(lsn_small AS BIGINT) AS lsn,
+             CAST(txn_small AS BIGINT) AS txn_seq,
+             CAST(commit_small AS BIGINT) AS commit_us
+      FROM (VALUES
+        ('INSERT', '',
+         'created_at=2026-01-02 10:00:00|email=s5@example.com|id=5|name=Stream User|status=active|updated_at=2026-01-02 10:00:00',
+         2002, 2001, 1767348003000000),
+        ('UPDATE',
+         'created_at=2026-01-02 10:00:00|email=s5@example.com|id=5|name=Stream User|status=active|updated_at=2026-01-02 10:00:00',
+         'created_at=2026-01-02 10:00:00|email=s5@example.com|id=5|name=Stream User v2|status=inactive|updated_at=2026-01-02 10:00:01',
+         2008, 2001, 1767348003000000)
+      ) AS t(operation, old_image, new_image, lsn_small, txn_small, commit_small)
+      ORDER BY lsn"""),
+    (s, _) => {
+      CdcDecode.resetStream("users_streamed")
+      CdcDecode.decode(
+        CdcDecode.framesDataset(s, UsersFixture.streamedFrames),
+        streamId = "users_streamed")
+        .toDF()
+        .select(
+          col("operation"),
+          canonImage(col("oldValues")).as("old_image"),
+          canonImage(col("newValues")).as("new_image"),
+          col("lsn"),
+          col("txnSeq").as("txn_seq"),
+          col("commitMicros").as("commit_us"))
+        .transform(Queries.sortedSmall(_, "lsn"))
+    })
+
   // --------------------------------------------- SCD2 history view
   // The full version history with LSN validity intervals
   // (Changelog.scd2 scaladoc): base rows open at lsn 0; key 3 shows
@@ -210,5 +252,6 @@ object CdcQueries {
         .transform(Queries.sortedSmall(_, "txn_seq"))
     })
 
-  val all: Seq[Queries.Q] = Seq(qDecode, qUsersCurrent, qScd2, qEnvelopeJson, qTypedView, qTxnGroups)
+  val all: Seq[Queries.Q] = Seq(
+    qDecode, qStreamedTxn, qUsersCurrent, qScd2, qEnvelopeJson, qTypedView, qTxnGroups)
 }

@@ -62,6 +62,49 @@ object UsersFixture {
     }
   }
 
+  /** Protocol v2 streamed-transaction fixture (PG14+ `streaming on`):
+    * two interleaved in-progress transactions — xid 777 spans two
+    * segments (INSERT id 5, then UPDATE id 5 plus a subtransaction
+    * INSERT id 7 under xid 778), xid 888 carries INSERT id 6. The
+    * subtransaction aborts (id 7 vanishes), 777 stream-commits (its
+    * two surviving events emit with txn id = first 'S' frame's LSN
+    * and the source commit time), and 888 fully aborts (id 6 never
+    * existed). Bit-deterministic like [[frames]], so the decode is
+    * oracle-checkable as literal expected rows. */
+  val T4 = "2026-01-02 10:00:03"
+  /** [[T4]] as Unix µs (2026-01-02T10:00:03Z). */
+  val T4Micros = 1767348003000000L
+
+  val streamedFrames: Seq[CdcFrame] = {
+    val fs = Seq[Array[Byte]](
+      E.relation(relation),                                     // 2000
+      E.streamStart(777),                                       // 2001 ← txn id for 777's events
+      E.insert(RelId,
+        row("5", "Stream User", "s5@example.com", "active", T1, T1),
+        streamXid = Some(777)),                                 // 2002 → survives
+      E.streamStop(),                                           // 2003
+      E.streamStart(888),                                       // 2004 (interleaved txn)
+      E.insert(RelId,
+        row("6", "Phantom", "p6@example.com", "active", T1, T1),
+        streamXid = Some(888)),                                 // 2005 → aborted later
+      E.streamStop(),                                           // 2006
+      E.streamStart(777, firstSegment = false),                 // 2007 (second segment)
+      E.update(RelId,
+        old = Some(('O', row("5", "Stream User", "s5@example.com", "active", T1, T1))),
+        neu = row("5", "Stream User v2", "s5@example.com", "inactive", T1, T2),
+        streamXid = Some(777)),                                 // 2008 → survives
+      E.insert(RelId,
+        row("7", "Subtxn User", "s7@example.com", "active", T1, T1),
+        streamXid = Some(778)),                                 // 2009 (subtxn of 777)
+      E.streamStop(),                                           // 2010
+      E.streamAbort(777, 778),                                  // 2011 → id 7 discarded
+      E.streamCommit(777, T4Micros),                            // 2012 → emits 2002 + 2008
+      E.streamAbort(888, 888))                                  // 2013 → id 6 discarded
+    fs.zipWithIndex.map { case (payload, i) =>
+      CdcFrame(lsn = 2000L + i, ingestMicros = 1767225600100000L + i, payload = payload)
+    }
+  }
+
   /** Seed state of `users` before replication (init.sql:18-20). */
   def baseState(spark: SparkSession): DataFrame = {
     import spark.implicits._
