@@ -484,6 +484,49 @@ object PipelineQueries {
           sum(when(col("__samp") < 25, 1L).otherwise(0L)).as("n_sampled"))
         .transform(Queries.sortedSmall(_, "lang", "split")))
 
+  // ----------------------------------- exact-k uniform stratum sample
+  // Each source keeps exactly 5 docs chosen by md5-hash order —
+  // deterministic, seedable, independent of any data column (the
+  // REPRESENTATIVE complement of p_source_cap's quality-ranked keep).
+  private val qUniformSample = Queries.Q(
+    "p_uniform_sample",
+    Some("""
+      SELECT doc_id, source, n_chars FROM documents
+      WHERE doc_id IN (
+        SELECT doc_id FROM (
+          SELECT doc_id,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY md5('u42:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+          FROM documents) WHERE rn <= 5)
+      ORDER BY doc_id"""),
+    (s, dir) =>
+      Sampling.uniformPerKey(Tables(s, dir).documents, "source", "doc_id", k = 5, salt = "u42")
+        .select("doc_id", "source", "n_chars")
+        .transform(Queries.sortedSmall(_, "doc_id")))
+
+  // -------------------------------- deterministic corpus shuffle/shard
+  // The pre-training corpus shuffle: md5-derived shard + dense
+  // within-shard position = a reproducible global permutation,
+  // independent of input partitioning. Oracle recomputes both from
+  // the same salt; the per-shard window is the only sort and is
+  // corpus/nShards-bounded by the uniform hash.
+  private val qCorpusShuffle = Queries.Q(
+    "p_corpus_shuffle",
+    Some(s"""
+      WITH s AS (SELECT doc_id,
+                   md5('s42:' || CAST(doc_id AS VARCHAR)) AS hh,
+                   list_reduce(list_prepend(0, list_transform(generate_series(1, 8),
+                     i -> strpos('0123456789abcdef', substr(md5('s42:shard:' || CAST(doc_id AS VARCHAR)), i, 1)) - 1)),
+                     (h, c) -> h*16 + c) % 8 AS shard
+                 FROM documents)
+      SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+             CAST(row_number() OVER (PARTITION BY shard ORDER BY hh, doc_id) - 1 AS BIGINT) AS shard_pos
+      FROM s ORDER BY doc_id"""),
+    (s, dir) =>
+      Sampling.shuffleShards(Tables(s, dir).documents, "doc_id", nShards = 8, salt = "s42")
+        .select("doc_id", "shard", "shard_pos")
+        .transform(Queries.sortedSmall(_, "doc_id")))
+
   // ------------------------------------------------ brute-force top-k
   private val duckCosine =
     """list_sum(list_transform(list_zip(qv, embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
@@ -1726,7 +1769,8 @@ object PipelineQueries {
   val all: Seq[Queries.Q] = Seq(
     qTextStats, qLangQuality, qRepetitionStats, qExactDedup, qNgramJaccard, qMinhashNearDup,
     qDupGroups, qMinhashBucketAudit, qSimhash, qSimhashNearDup, qWinnowFingerprints,
-    qContamination, qHashSplit, qKeywordTopK, qBm25TopK, qBm25PrefilterAudit, qBruteTopK, qBruteTopKL2,
+    qContamination, qHashSplit, qUniformSample, qCorpusShuffle,
+    qKeywordTopK, qBm25TopK, qBm25PrefilterAudit, qBruteTopK, qBruteTopKL2,
     qLshTopK, qLshTopKMultiProbe, qIvfTopK, qEmbeddingNearDup, qEmbeddingQuantize,
     qMultimodal, qEventsDedup, qTokenCounts, qVocabTopK,
     qPiiRedact, qQualityFilter, qChunkWindows, qStratifiedSample, qEditDistVerify,

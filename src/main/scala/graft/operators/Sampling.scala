@@ -190,4 +190,50 @@ object Sampling {
       .select(col("__id").as(idCol))
     df.join(keep, Seq(idCol), "left_semi")
   }
+
+  /** EXACT-k uniform sample per key: each key keeps exactly
+    * min(k, group size) members, chosen uniformly by ranking on
+    * md5(salt:id) — deterministic (re-runs and retries agree),
+    * seedable (change `salt` to redraw), and unbiased within a key
+    * because the hash order is independent of any data column. The
+    * complement of [[perKeyCap]]: that keeps the BEST members by a
+    * quality score, this keeps a REPRESENTATIVE subset (eval-slice
+    * carving, per-source inspection samples, balanced probe sets).
+    * Same scale shape: rank over a narrow (key, id) projection, then
+    * one semi-join — the payload never rides the rank shuffle. */
+  def uniformPerKey(
+      df: DataFrame, keyCol: String, idCol: String, k: Int,
+      salt: String): DataFrame =
+    perKeyCap(df, keyCol, idCol, k,
+      md5(concat_ws(":", lit(salt), col(idCol).cast("string"))), desc = false)
+
+  /** Deterministic corpus SHUFFLE + sharding — the "shuffle the
+    * corpus before training" step every LLM data pipeline runs.
+    * Returns `df` with `shard` in [0, nShards) and `shard_pos`
+    * (0-based dense position within the shard); together they define
+    * a deterministic global permutation: global order = (shard,
+    * shard_pos). Both derive from md5(salt:id), so the permutation
+    * is reproducible from the salt alone, independent of input
+    * partitioning or row order.
+    *
+    * Scale shape: shard assignment is a map-side hash; the
+    * within-shard position is ONE row_number window per shard —
+    * nShards-way parallel sort of (hash, id) pairs only (the payload
+    * joins back by id afterward at the writer; here it stays narrow
+    * because callers typically select id + shard columns for the
+    * manifest). At 100 TB with nShards in the thousands, each shard
+    * sort is corpus/nShards rows — bounded and even by construction
+    * (md5 spreads keys uniformly). */
+  def shuffleShards(
+      df: DataFrame, idCol: String, nShards: Int,
+      salt: String): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val h = md5(concat_ws(":", lit(salt), col(idCol).cast("string")))
+    val w = Window.partitionBy(col("__shard")).orderBy(col("__h"), col(idCol))
+    df.withColumn("__h", h)
+      .withColumn("__shard", hashBucket(col(idCol), s"$salt:shard", nShards))
+      .withColumn("shard_pos", (row_number().over(w) - 1).cast("long"))
+      .withColumn("shard", col("__shard"))
+      .drop("__h", "__shard")
+  }
 }

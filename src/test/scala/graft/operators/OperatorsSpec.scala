@@ -1168,6 +1168,41 @@ class OperatorsSpec extends SparkSpec {
     assert(out.map(_.getLong(2)).toSeq == Seq(99L, 7L, 1L), "full original row survives")
   }
 
+  test("uniformPerKey: exactly k per key, deterministic, salt redraws the sample") {
+    import spark.implicits._
+    val df = (1L to 40L).map(i => (i, if (i <= 30) "big" else "small", s"p$i"))
+      .toDF("id", "src", "payload")
+    val s1 = Sampling.uniformPerKey(df, "src", "id", k = 4, salt = "a").collect()
+    assert(s1.count(_.getString(1) == "big") == 4 && s1.count(_.getString(1) == "small") == 4)
+    val s1again = Sampling.uniformPerKey(df, "src", "id", k = 4, salt = "a")
+      .collect().map(_.getLong(0)).toSet
+    assert(s1.map(_.getLong(0)).toSet == s1again, "same salt → same sample")
+    val s2 = Sampling.uniformPerKey(df, "src", "id", k = 4, salt = "b")
+      .collect().map(_.getLong(0)).toSet
+    assert(s1.map(_.getLong(0)).toSet != s2, "different salt → different draw")
+    // a key smaller than k keeps all members
+    assert(Sampling.uniformPerKey(df.filter($"id" > 38), "src", "id", 4, "a").count() == 2)
+  }
+
+  test("shuffleShards: valid deterministic permutation — dense per-shard positions, full coverage") {
+    import spark.implicits._
+    val df = (1L to 100L).toDF("id")
+    val out = Sampling.shuffleShards(df, "id", nShards = 4, salt = "s")
+      .select("id", "shard", "shard_pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == 100 && out.map(_._1).distinct.length == 100)
+    assert(out.forall(t => t._2 >= 0 && t._2 < 4))
+    // positions within each shard are exactly 0..n-1 (dense, no gaps)
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (0L until rows.length).toSeq)
+    }
+    // deterministic: identical permutation on re-run
+    val again = Sampling.shuffleShards(df, "id", nShards = 4, salt = "s")
+      .select("id", "shard", "shard_pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
   // ------------------------------------------------- per-key cap
 
   test("perKeyCap: top-n per key by sort key desc with id tiebreak; payload stays off the rank shuffle") {
