@@ -61,6 +61,36 @@ class StreamingSpec extends SparkSpec {
     assertGolden(cfg)
   }
 
+  test("v2 streamed txns through the full pipeline: micro-batch boundaries mid-txn, aborts never reach state") {
+    val cfg = CdcPipeline.SinkConfig(
+      streamId = "stream_v2",
+      eventsOutDir = tmp("events"), stateDir = tmp("state"),
+      checkpointDir = tmp("chk"),
+      table = "users", keyCol = "id", valueCols = UsersFixture.Cols.tail,
+      publishedTables = Some(Set("users")))
+    CdcDecode.resetStream(cfg.streamId)
+    val frames = UsersFixture.streamedFrames
+    val stream = MemoryStream[CdcFrame](spark)(Encoders.product[CdcFrame])
+    // boundaries deliberately split BOTH streamed txns across batches:
+    // batch 1 = relation + 777's first segment, batch 2 = 888's
+    // segment + 777's second segment (abort/commit still pending),
+    // batch 3 = subtxn abort + 777 commit + 888 full abort
+    runBatchesThrough(stream, cfg,
+      Seq(frames.take(4), frames.slice(4, 11), frames.drop(11)))
+    val state = new CdcPipeline.StateStore(cfg.stateDir).latest(spark).get
+      .orderBy(col("id").cast("int"))
+      .collect().map(_.toSeq).toSeq
+    assert(state == Seq(
+      Seq("1", "Ashish Kumar", "ashish@example.com", "active", UsersFixture.T0, UsersFixture.T0),
+      Seq("2", "John Doe", "john@example.com", "active", UsersFixture.T0, UsersFixture.T0),
+      Seq("5", "Stream User v2", "s5@example.com", "inactive", UsersFixture.T1, UsersFixture.T2)),
+      "only xid 777's committed changes may land: no id 6 (full abort), no id 7 (subtxn abort)")
+    // changelog holds exactly the two committed events, nothing buffered leaked
+    val sunk = spark.read.parquet(cfg.eventsOutDir)
+    assert(sunk.count() == 2)
+    assert(sunk.select("lsn").orderBy("lsn").collect().map(_.getLong(0)).toSeq == Seq(2002L, 2008L))
+  }
+
   /** Write `fs` as ONE parquet frame file named `name` directly under
     * `feedDir` (the streaming file source lists plain files). */
   private def dropFrameFile(feedDir: String, name: String, fs: Seq[CdcFrame]): Unit = {
