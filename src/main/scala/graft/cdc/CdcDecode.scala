@@ -96,8 +96,18 @@ object CdcDecode {
       val ordered = if (sortByLsn) it.toArray.sortBy(_.lsn).iterator else it
       ordered.flatMap { f =>
         if (registryDir.isDefined && f.payload != null &&
-            f.payload.nonEmpty && f.payload(0) == 'R')
-          backupRFrame(registryDir.get, streamId, f)
+            f.payload.nonEmpty && f.payload(0) == 'R') {
+          // An R frame inside a v2 stream segment carries the Int32
+          // xid prefix; snapshot it STRIPPED (type byte + body), or a
+          // fresh decoder — which replays outside any segment — would
+          // parse the xid as the relation OID and register garbage,
+          // silently dropping every later change for the real table.
+          val toBackup =
+            if (decoder.inStreamSegment && f.payload.length >= 5)
+              f.payload(0) +: f.payload.drop(5)
+            else f.payload
+          backupRFrame(registryDir.get, streamId, f.copy(payload = toBackup))
+        }
         try decoder.decodeAll(f.payload, f.lsn, f.ingestMicros)
         catch { case _: PgOutput.MalformedFrame if dropMalformed => Seq.empty }
       }

@@ -91,6 +91,16 @@ object PgOutput {
     private val streamFirstLsn = scala.collection.mutable.Map[Int, Long]()
     private val streamBuf =
       scala.collection.mutable.Map[Int, scala.collection.mutable.ArrayBuffer[(Int, CdcEvent)]]()
+    // Highest frame LSN already buffered per top-level xid: appends
+    // are skipped for lsn ≤ watermark, so REPLAYING a frame range
+    // into this shared per-stream decoder (speculative task retry, a
+    // second action over the same batch) cannot double-buffer events
+    // — the same idempotence the relation registry has by nature.
+    // Removed together with the buffer at commit/full-abort, so a
+    // full re-decode of a whole transaction (txnAtomic batch retry)
+    // rebuilds it from scratch; kept on subtxn abort, so replays of
+    // the aborted subtxn's frames do not resurrect its events.
+    private val streamMaxLsn = scala.collection.mutable.Map[Int, Long]()
     private var abortDiscards = 0L
     // 'Y' Type registry + the 'O' Origin currently replaying — pure
     // metadata, no events (values surface through the getters below;
@@ -114,6 +124,13 @@ object PgOutput {
       * (bounded by [[MaxBufferedStreamedEvents]]). */
     def bufferedStreamedEvents: Long =
       streamBuf.valuesIterator.map(_.size.toLong).sum
+
+    /** True while decoding inside a v2 S..E stream segment — i.e.
+      * while incoming messages carry the Int32 xid prefix. Callers
+      * that persist raw frames (the R-frame registry snapshot) must
+      * strip the prefix for frames seen in this state, or a fresh
+      * decoder will replay them misparsed. */
+    def inStreamSegment: Boolean = synchronized { segmentXid.isDefined }
 
     /** Custom types announced by 'Y' Type messages (read-only view). */
     def typeRegistry: collection.Map[Int, TypeInfo] = types
@@ -162,28 +179,35 @@ object PgOutput {
       if (payload == null || payload.isEmpty) return Seq.empty
       val buf = ByteBuffer.wrap(payload, 1, payload.length - 1)
       val msgType = payload(0).toChar
+      try {
       // v2 xid prefix: inside a stream segment every message type that
       // exists in v1 gains a leading Int32 xid (PG docs §"Logical
       // Replication Message Formats": "Xid of the transaction (only
       // present for streamed transactions in protocol version 2)").
+      // Read INSIDE the try: a truncated in-segment frame must surface
+      // as MalformedFrame (the decoder's error contract), not a raw
+      // BufferUnderflowException that escapes dropMalformed.
       val msgXid: Option[Int] =
         if (segmentXid.isDefined && "RIUDTMY".indexOf(msgType) >= 0) Some(buf.getInt)
         else None
       def route(evts: Seq[CdcEvent]): Seq[CdcEvent] = msgXid match {
         case Some(x) =>
           val top = segmentXid.get
-          val b = streamBuf.getOrElseUpdate(
-            top, scala.collection.mutable.ArrayBuffer.empty[(Int, CdcEvent)])
-          if (bufferedStreamedEvents + evts.size > MaxBufferedStreamedEvents)
-            throw new IllegalStateException(
-              s"streamed-txn buffer exceeds $MaxBufferedStreamedEvents events " +
-                s"(open xids: ${streamBuf.keys.mkString(",")}); " +
-                "spill-to-disk decode is the production path for multi-GB streamed txns")
-          evts.foreach(e => b += ((x, e)))
+          if (!streamMaxLsn.get(top).exists(_ >= lsn)) { // else: replayed frame, already buffered
+            val b = streamBuf.getOrElseUpdate(
+              top, scala.collection.mutable.ArrayBuffer.empty[(Int, CdcEvent)])
+            if (bufferedStreamedEvents + evts.size > MaxBufferedStreamedEvents)
+              throw new IllegalStateException(
+                s"streamed-txn buffer exceeds $MaxBufferedStreamedEvents events " +
+                  s"(open xids: ${streamBuf.keys.mkString(",")}); " +
+                  "spill-to-disk decode is the production path for multi-GB streamed txns")
+            evts.foreach(e => b += ((x, e)))
+            streamMaxLsn(top) = lsn
+          }
           Seq.empty
         case None => evts
       }
-      try msgType match {
+      msgType match {
         case 'R' => parseRelation(buf); Seq.empty
         case 'I' => route(parseInsert(buf, lsn, timestampMicros).toSeq)
         case 'U' => route(parseUpdate(buf, lsn, timestampMicros).toSeq)
@@ -261,6 +285,7 @@ object PgOutput {
           val commitTs = buf.getLong + PgEpochOffsetMicros
           val seq = streamFirstLsn.remove(xid).getOrElse(lsn)
           val evts = streamBuf.remove(xid).map(_.toSeq).getOrElse(Seq.empty)
+          streamMaxLsn.remove(xid) // a full txn re-decode rebuilds from scratch
           evts.map { case (_, e) =>
             e.copy(txnSeq = Some(seq), commitMicros = Some(commitTs))
           }
@@ -275,13 +300,17 @@ object PgOutput {
           if (subXid == xid) {
             abortDiscards += streamBuf.remove(xid).map(_.size.toLong).getOrElse(0L)
             streamFirstLsn.remove(xid)
+            streamMaxLsn.remove(xid)
           } else streamBuf.get(xid).foreach { b =>
+            // watermark KEPT on subtxn abort: replays of the aborted
+            // subtxn's frames must not resurrect its events
             val before = b.size
             b.filterInPlace(_._1 != subXid)
             abortDiscards += before - b.size
           }
           Seq.empty
         case _ => Seq.empty
+      }
       } catch {
         case e: MalformedFrame => throw e
         case e: java.nio.BufferUnderflowException =>

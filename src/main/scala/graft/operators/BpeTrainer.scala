@@ -92,6 +92,10 @@ object BpeTrainer {
         prev.unpersist(blocking = false)
       }
     }
+    // release the final round's checkpoint too — without this every
+    // train() call leaks one vocabulary-sized block set for the
+    // session lifetime
+    words.unpersist(blocking = false)
     merges.toSeq
   }
 }

@@ -326,16 +326,23 @@ object Dedup {
     * or boilerplate-padded variant can displace the clean original.
     *
     * Scale shape: identical to [[dedupNearDups]] up to the CC output,
-    * then per-cluster argmax as ONE `max_by` aggregation over the
-    * clustered nodes only (map-side partial merge — never a window
-    * sort over the corpus; the aggregation state is one (quality, id)
-    * pair per cluster), a groups-sized join back to mark losers, and
+    * then per-cluster argmax as two keyed aggregations over the
+    * clustered nodes only (max quality per cluster, then min id among
+    * the max-quality members — map-side partial merges, never a
+    * window sort over the corpus; both intermediates are cluster- or
+    * member-set-sized), a groups-sized join back to mark losers, and
     * the same single left-anti equi-join against the corpus. The
     * corpus payload still never shuffles on the dedup decision.
+    * The two-agg form (rather than one `max_by` on a (quality, −id)
+    * struct) keeps BOTH the id and the quality type fully generic —
+    * any orderable types work, string ids included.
     *
     * `qualityCol` must be a column of `docs` (evaluated against a
     * narrow (id, quality) projection — the full row never rides the
-    * argmax shuffle). */
+    * argmax shuffle) and should be non-null: null quality never wins
+    * `max`, and a cluster whose members are ALL null-quality keeps
+    * every member (no representative is chosen — coalesce a default
+    * in the caller if that can occur). */
   def dedupNearDupsBest(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int, k: Int, rowsPerBand: Int, threshold: Double,
@@ -345,10 +352,10 @@ object Dedup {
       nearDupPairsShingled(docs, idCol, textCol, n, k, rowsPerBand, threshold, maxBucket)
     val clustered = Graph.connectedComponents(pairs, "id_a", "id_b")
       .join(docs.select(col(idCol).as("node"), qualityCol.as("__q")), "node")
-    // argmax by (quality, -id): lexicographic struct max = highest
-    // quality, then smallest id — deterministic for any tie shape
-    val best = clustered.groupBy("component")
-      .agg(max_by(col("node"), struct(col("__q"), -col("node"))).as("__best"))
+    val bestQ = clustered.groupBy("component").agg(max(col("__q")).as("__bq"))
+    val best = clustered.join(bestQ, "component")
+      .filter(col("__q") === col("__bq"))
+      .groupBy("component").agg(min(col("node")).as("__best"))
     val losers = clustered.join(best, "component")
       .filter(col("node") =!= col("__best"))
       .select(col("node").as(idCol))
@@ -653,15 +660,17 @@ object Dedup {
       .select(col("band"), col("bv"),
         explode(sequence(lit(0), col("__c"))).as("__ci"), col("__c").as("__cj"),
         col("id_b"), col("__b0_b"), col("__b1_b"), col("__b2_b"), col("__b3_b"))
-    // The cell construction sees each UNORDERED pair exactly once for
-    // cross-chunk pairs, but with no control over which member lands
-    // on side A — so normalize with least/greatest rather than filter
-    // id_a < id_b (which would drop pairs whose smaller id hashed to
-    // the higher chunk). Same-chunk pairs appear in both orientations
-    // in their diagonal cell; the trailing distinct (already required
-    // for multi-band agreement) collapses them.
+    // The cell construction sees each cross-chunk UNORDERED pair
+    // exactly once, but with no control over which member lands on
+    // side A — so those normalize with least/greatest rather than
+    // filter id_a < id_b (which would drop pairs whose smaller id
+    // hashed to the higher chunk). DIAGONAL cells (ci = cj — the
+    // entire k=1 common case) do see both orientations, so there the
+    // id_a < id_b half-filter applies before the verify: without it
+    // every same-chunk pair would pay the xor/popcount and the
+    // distinct shuffle twice.
     a.join(b, Seq("band", "bv", "__ci", "__cj"))
-      .filter(col("id_a") =!= col("id_b"))
+      .filter(col("__ci") =!= col("__cj") || col("id_a") < col("id_b"))
       .select(
         least(col("id_a"), col("id_b")).as("id_a"),
         greatest(col("id_a"), col("id_b")).as("id_b"),

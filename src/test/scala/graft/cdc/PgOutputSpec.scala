@@ -183,6 +183,48 @@ class PgOutputSpec extends AnyFunSuite {
     assert(bin.newValues.get("email") == null)    // 'n' tag → NULL
   }
 
+  test("v2 streamed buffering is replay-idempotent: re-decoding a frame range never double-buffers") {
+    val d = new Decoder
+    d.decode(Encoder.relation(UsersFixture.relation), 1, 0)
+    val xid = 31337
+    val img = UsersFixture.Cols.map(c => WText(s"v-$c"))
+    val seg = Seq[(Array[Byte], Long)](
+      (Encoder.streamStart(xid), 10L),
+      (Encoder.insert(UsersFixture.RelId, img, streamXid = Some(xid)), 11L),
+      (Encoder.update(UsersFixture.RelId, Some(('O', img)), img, streamXid = Some(xid)), 12L),
+      (Encoder.streamStop(), 13L))
+    seg.foreach { case (p, l) => d.decodeAll(p, l, 0) }
+    assert(d.bufferedStreamedEvents == 2L)
+    // a speculative retry / second action replays the SAME frames into
+    // the shared per-stream decoder — the lsn watermark must skip them
+    seg.foreach { case (p, l) => d.decodeAll(p, l, 0) }
+    assert(d.bufferedStreamedEvents == 2L, "replay must not double-buffer")
+    val evts = d.decodeAll(Encoder.streamCommit(xid, 1700000000000000L), 14, 0)
+    assert(evts.map(_.operation) == Seq("INSERT", "UPDATE"), "commit emits each event once")
+    // after commit the watermark clears: a FULL re-decode of the whole
+    // txn (txnAtomic batch retry) rebuilds and re-emits identically
+    seg.foreach { case (p, l) => d.decodeAll(p, l, 0) }
+    val again = d.decodeAll(Encoder.streamCommit(xid, 1700000000000000L), 14, 0)
+    assert(again.map(_.operation) == Seq("INSERT", "UPDATE"))
+  }
+
+  test("truncated in-segment v2 frame raises MalformedFrame (not raw underflow); PERMISSIVE drops it") {
+    val d = new Decoder
+    d.decode(Encoder.relation(UsersFixture.relation), 1, 0)
+    d.decodeAll(Encoder.streamStart(4242), 2, 0)
+    // 1-byte 'I' payload: the v2 xid-prefix read itself underflows
+    intercept[MalformedFrame] { d.decodeAll(Array('I'.toByte), 3, 0) }
+    val evs = CdcDecode.decodeSeq(
+      Seq(
+        CdcFrame(1, 0, Encoder.relation(UsersFixture.relation)),
+        CdcFrame(2, 0, Encoder.streamStart(4242)),
+        CdcFrame(3, 0, Array('I'.toByte)),
+        CdcFrame(4, 0, Encoder.streamStop()),
+        CdcFrame(5, 0, Encoder.insert(UsersFixture.RelId, UsersFixture.Cols.map(_ => WText("x"))))),
+      dropMalformed = true)
+    assert(evs.map(_.lsn) == Seq(5L), "PERMISSIVE path survives the truncated in-segment frame")
+  }
+
   test("v2 streamed txn round-trips through the Encoder: buffer, commit, abort") {
     val d = new Decoder
     d.decode(Encoder.relation(UsersFixture.relation), 1, 0)

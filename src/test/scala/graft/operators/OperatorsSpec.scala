@@ -1152,6 +1152,19 @@ class OperatorsSpec extends SparkSpec {
     assert(out.map(_.getString(2)).toSeq == Seq("a", "d", "f"))
   }
 
+  test("dedupNearDupsBest: fully generic id types — string ids with quality ties") {
+    import spark.implicits._
+    val fam = "the quick brown fox jumps over the lazy dog again today"
+    val corpus = Seq(
+      ("doc-b", fam, 5L), ("doc-a", fam, 5L), ("doc-c", fam, 9L), // keep doc-c (max q)
+      ("zz-solo", "a lone document that matches nothing else in this tiny corpus", 1L))
+      .toDF("doc_id", "text", "quality")
+    val out = Dedup.dedupNearDupsBest(corpus, "doc_id", "text",
+      n = 3, k = 12, rowsPerBand = 3, threshold = 0.5, qualityCol = col("quality"))
+      .orderBy("doc_id").collect().map(_.getString(0)).toSeq
+    assert(out == Seq("doc-c", "zz-solo"))
+  }
+
   test("dedupNearDupsBest: survivor is the highest-quality member, ties break to smallest id") {
     import spark.implicits._
     val fam1 = "the quick brown fox jumps over the lazy dog again today"

@@ -335,6 +335,31 @@ class StreamingSpec extends SparkSpec {
     assert(b2.length == 1 && b2.head.operation == "INSERT")
   }
 
+  test("R-frame snapshotted INSIDE a v2 stream segment replays correctly (xid prefix stripped)") {
+    import PgOutput.{Encoder => E}
+    val regDir = tmp("registry")
+    val xid = 777
+    // the R frame arrives mid-segment, so its wire form carries the
+    // v2 Int32 xid prefix — the snapshot must strip it or a fresh
+    // decoder replays the xid as the relation OID
+    val seg = Seq(
+      CdcFrame(1, 0, E.streamStart(xid)),
+      CdcFrame(2, 0, E.relation(UsersFixture.relation, streamXid = Some(xid))),
+      CdcFrame(3, 0, E.streamStop()))
+    CdcDecode.resetStream("stream_reg_v2")
+    assert(CdcDecode.decode(
+      CdcDecode.framesDataset(spark, seg), "stream_reg_v2",
+      registryDir = Some(regDir)).collect().isEmpty)
+    // "JVM restart", then a bare change frame for the relation
+    CdcDecode.resetStream("stream_reg_v2")
+    val b2 = CdcDecode.decode(
+      CdcDecode.framesDataset(spark, Seq(CdcFrame(4, 0,
+        E.insert(UsersFixture.RelId, UsersFixture.Cols.map(c => PgOutput.WText(s"v-$c")))))),
+      "stream_reg_v2", registryDir = Some(regDir)).collect()
+    assert(b2.length == 1 && b2.head.operation == "INSERT" && b2.head.table == "users",
+      "replayed snapshot must register the REAL relation, not the xid-as-OID garbage")
+  }
+
   test("publication filter drops unpublished tables before the sinks") {
     val cfg = CdcPipeline.SinkConfig(
       streamId = "stream_filter",
