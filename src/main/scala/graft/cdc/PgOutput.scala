@@ -439,20 +439,26 @@ object PgOutput {
         throw new MalformedFrame(
           s"tuple has $nCols columns but relation ${rel.schema}.${rel.table} registered ${rel.columns.size}")
       val b = Map.newBuilder[String, String]
+      // Length fields are validated against the remaining buffer
+      // BEFORE allocation (same guard parseMessage has): a corrupt or
+      // hostile frame declaring a 2 GB value must be MalformedFrame,
+      // not an executor-OOMing allocation attempt.
+      def readValue(name: String): Array[Byte] = {
+        val len = buf.getInt
+        if (len < 0 || len > buf.remaining)
+          throw new MalformedFrame(
+            s"column $name declares $len value bytes, ${buf.remaining} remain")
+        val bytes = new Array[Byte](len); buf.get(bytes)
+        bytes
+      }
       var i = 0
       while (i < nCols) {
         val name = rel.columns(i).name
         buf.get().toChar match {
           case 'n' => b += name -> null
           case 'u' => b += name -> CdcEvent.UnchangedSentinel
-          case 't' =>
-            val len = buf.getInt
-            val bytes = new Array[Byte](len); buf.get(bytes)
-            b += name -> new String(bytes, UTF_8)
-          case 'b' =>
-            val len = buf.getInt
-            val bytes = new Array[Byte](len); buf.get(bytes)
-            b += name -> toHex(bytes)
+          case 't' => b += name -> new String(readValue(name), UTF_8)
+          case 'b' => b += name -> toHex(readValue(name))
           case other =>
             throw new MalformedFrame(s"unknown tuple tag '$other' at column $name")
         }

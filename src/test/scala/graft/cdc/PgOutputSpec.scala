@@ -183,6 +183,41 @@ class PgOutputSpec extends AnyFunSuite {
     assert(bin.newValues.get("email") == null)    // 'n' tag → NULL
   }
 
+  test("hostile value length: a frame declaring 2 GB of value bytes is MalformedFrame, never an allocation") {
+    val d = new Decoder
+    d.decode(Encoder.relation(UsersFixture.relation), 1, 0)
+    // hand-build an INSERT whose first column declares Int.MaxValue bytes
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write('I'); bos.write(Array[Byte](0, 0, 0x40, 0))        // relid 16384
+    bos.write('N'); bos.write(Array[Byte](0, 6))                 // 6 wire columns
+    bos.write('t'); bos.write(Array[Byte](0x7f, -1, -1, -1))     // len = Int.MaxValue
+    intercept[MalformedFrame] { d.decode(bos.toByteArray, 2, 0) }
+  }
+
+  test("fuzz: arbitrary frame bytes decode to events or MalformedFrame — never raw runtime exceptions") {
+    val d = new Decoder
+    d.decode(Encoder.relation(UsersFixture.relation), 1, 0)
+    val anyBytes = Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray)
+    val genFrame: Gen[Array[Byte]] = Gen.oneOf(
+      anyBytes,
+      // a known dispatch byte + random tail: drives the per-type parsers
+      for { t <- Gen.oneOf("RIUDTMBCYOSEcA".toSeq); tail <- anyBytes }
+        yield (t.toByte +: tail).toArray,
+      // a change frame addressing the REGISTERED relation + random
+      // tail: drives readTuple's tag/length handling specifically
+      for { t <- Gen.oneOf('I', 'U', 'D'); tail <- anyBytes }
+        yield Array[Byte](t.toByte, 0, 0, 0x40, 0) ++ tail)
+    var lsn = 100L
+    check(Prop.forAll(genFrame) { bytes =>
+      lsn += 1
+      try { d.decodeAll(bytes, lsn, 0); true }
+      catch {
+        case _: MalformedFrame => true
+        case _: IllegalStateException => true // documented buffer-cap failure mode
+      } // anything else (underflow, OOB, negative-size alloc) fails the property
+    })
+  }
+
   test("v2 streamed buffering is replay-idempotent: re-decoding a frame range never double-buffers") {
     val d = new Decoder
     d.decode(Encoder.relation(UsersFixture.relation), 1, 0)
