@@ -176,6 +176,20 @@ object Sampling {
     * full-width window would shuffle every payload byte instead —
     * at 100 TB that is the whole corpus through the wire for a
     * three-column decision. */
+  /** Skew note (100 TB): the rank window partitions by key, so a
+    * DOMINANT key (one source holding a large corpus fraction)
+    * concentrates its narrow (key, id, score) rows into one sort
+    * task. The narrow projection keeps that survivable far longer
+    * than ranking full rows would (~tens of bytes/row), but at
+    * extreme key skew the scale path is threshold prefiltering:
+    * approximate the key's n-th score with `approx_percentile`,
+    * filter to score-beyond-threshold (±ε safety band) so only ~n·c
+    * rows per key reach the exact rank, and fall back to the full
+    * rank for any key whose survivor count proves the band too tight
+    * — exactness preserved, sort bounded. Not implemented here
+    * because every gated workload is bounded per key; wire it in
+    * before pointing this at a corpus where one key exceeds a few
+    * hundred million rows. */
   def perKeyCap(
       df: DataFrame, keyCol: String, idCol: String, n: Int,
       sortKey: Column, desc: Boolean = true): DataFrame = {
@@ -200,7 +214,11 @@ object Sampling {
     * quality score, this keeps a REPRESENTATIVE subset (eval-slice
     * carving, per-source inspection samples, balanced probe sets).
     * Same scale shape: rank over a narrow (key, id) projection, then
-    * one semi-join — the payload never rides the rank shuffle. */
+    * one semi-join — the payload never rides the rank shuffle; the
+    * [[perKeyCap]] dominant-key skew note (threshold prefilter as the
+    * extreme-scale path) applies identically, and is especially cheap
+    * here: uniform md5 hashes make the k-th-hash threshold k/n_k to
+    * first order, no sketch needed. */
   def uniformPerKey(
       df: DataFrame, keyCol: String, idCol: String, k: Int,
       salt: String): DataFrame =
