@@ -66,6 +66,49 @@ object StreamingOps {
     * micro-batch. */
   final case class KeyCount(key: String, total: Long, in_batch: Long)
 
+  /** Per-key sample emitted by [[uniformSampleStream]]: the current
+    * k smallest-hash member ids, in hash order. */
+  final case class KeySample(key: String, ids: Seq[String])
+
+  /** Incremental EXACT-k uniform sample per key over an unbounded
+    * stream — the streaming counterpart of
+    * [[graft.operators.Sampling.uniformPerKey]]. Hash-min-k: keep the
+    * k ids with the smallest md5(salt:id). The statistic is MONOTONE
+    * (an id can only enter by displacing a larger hash, never grows
+    * state), so per-key state is exactly ≤ k (hash, id) pairs forever
+    * — bounded regardless of stream length, no watermark needed —
+    * and after ANY prefix of the stream the sample equals the batch
+    * `uniformPerKey` over everything seen so far with the same salt
+    * (the spec runs both and diffs them). Repeated ids are absorbed
+    * (same hash — idempotent under at-least-once delivery). Emits the
+    * key's current sample each batch it receives rows (Update mode). */
+  def uniformSampleStream(
+      events: DataFrame, keyCol: String, idCol: String,
+      k: Int, salt: String): Dataset[KeySample] = {
+    require(k > 0, s"k must be positive, got $k")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(
+        col(keyCol).cast("string").as("key"),
+        md5(concat_ws(":", lit(salt), col(idCol).cast("string"))).as("h"),
+        col(idCol).cast("string").as("id"))
+      .as[(String, String, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Seq[(String, String)], KeySample](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: String, batch: Iterator[(String, String, String)],
+         state: GroupState[Seq[(String, String)]]) =>
+          var best = state.getOption.getOrElse(Seq.empty)
+          batch.foreach { case (_, h, id) =>
+            if (!best.exists(_._2 == id))
+              best = ((h, id) +: best).sortBy(identity).take(k)
+          }
+          state.update(best)
+          Iterator(KeySample(key, best.map(_._2)))
+      }
+  }
+
   /** Arbitrary-state streaming aggregation via
     * `flatMapGroupsWithState` — the custom-state escape hatch for
     * semantics the built-in aggregations can't express (here the

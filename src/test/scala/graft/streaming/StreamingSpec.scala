@@ -521,6 +521,34 @@ class StreamingSpec extends SparkSpec {
       ("a", 3L, 1L), ("b", 3L, 2L), ("c", 1L, 1L))) // batch 2
   }
 
+  test("streaming uniform sample converges to the batch uniformPerKey over the union of batches") {
+    import spark.implicits._
+    val stream = MemoryStream[(String, String)](spark)
+    val out = StreamingOps.uniformSampleStream(
+      stream.toDS().toDF("src", "id"), "src", "id", k = 3, salt = "us1")
+    val q = out.toDF().writeStream.format("memory").queryName("us_out")
+      .outputMode("update")
+      .option("checkpointLocation", tmp("chk_us")).start()
+    val b1 = (1 to 10).map(i => ("s1", s"d$i")) ++ (1 to 4).map(i => ("s2", s"e$i"))
+    val b2 = (11 to 20).map(i => ("s1", s"d$i")) ++ Seq(("s1", "d3"), ("s1", "d3")) // repeats absorbed
+    try {
+      stream.addData(b1); q.processAllAvailable()
+      stream.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    // LAST emission per key = the sample after the full feed
+    val last = spark.table("us_out").collect()
+      .map(r => (r.getString(0), r.getSeq[String](1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.last._2.sorted.toSeq }
+    // batch reference: uniformPerKey over the union, same salt/k
+    val union = (b1 ++ b2).toDF("src", "id")
+    val ref = graft.operators.Sampling.uniformPerKey(union.dropDuplicates(), "src", "id", 3, "us1")
+      .select("src", "id")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sorted.toSeq }
+    assert(last == ref, "streaming hash-min-k must equal batch rank-by-hash selection")
+    assert(last("s1").size == 3 && last("s2").size == 3)
+  }
+
   test("transformWithState running counts == flatMapGroupsWithState on the same feed") {
     import spark.implicits._
     // named-state API needs the RocksDB provider (column families)
