@@ -34,4 +34,28 @@ object Layout {
       .sortWithinPartitions(keys.map(col): _*)
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Materialize [[Sampling.shuffleShards]] as TRAINING SHARDS: one
+    * `shard=<i>/` partition directory per shard, rows inside each
+    * stored in `shard_pos` order — the deterministic pre-shuffled
+    * corpus a sequential training reader consumes shard by shard.
+    * The permutation is a pure function of (salt, ids), so two runs
+    * over the same corpus produce byte-identical shard assignment and
+    * order regardless of input partitioning — resumable data prep.
+    *
+    * One shuffle (repartition on shard) + one in-partition sort
+    * (`shard_pos`, already dense 0..n−1 per shard); each write task
+    * handles exactly one shard's rows, sized corpus/nShards by the
+    * uniform hash. The `shard_pos` column is kept in the output so a
+    * reader can verify order (parquet preserves row order per file,
+    * and the Hive-style `shard=` directory keys the partition). */
+  def writeShuffleShards(
+      df: DataFrame, idCol: String, nShards: Int, salt: String,
+      path: String): Unit = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    Sampling.shuffleShards(df, idCol, nShards, salt)
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("shard_pos"))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+  }
 }

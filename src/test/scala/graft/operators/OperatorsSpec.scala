@@ -1048,6 +1048,30 @@ class OperatorsSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == 4000L)
   }
 
+  test("writeShuffleShards: per-shard directories hold rows in shard_pos order, full coverage, reproducible") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("shard_layout").toString + "/t"
+    val df = (1L to 200L).map(i => (i, s"payload-$i")).toDF("id", "payload")
+    Layout.writeShuffleShards(df, "id", nShards = 4, salt = "sh1", path = dir)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 200L && back.select("id").distinct().count() == 200L)
+    // within each shard directory, parquet row order == shard_pos order
+    (0 until 4).foreach { sh =>
+      val rows = spark.read.parquet(s"$dir/shard=$sh")
+        .select("shard_pos", "id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.map(_._1).toSeq == rows.map(_._1).sorted.toSeq,
+        s"shard $sh rows not stored in shard_pos order")
+      assert(rows.map(_._1).toSeq == (0L until rows.length).toSeq, s"shard $sh positions not dense")
+    }
+    // reproducible: the permutation is a pure function of (salt, ids)
+    val ref = Sampling.shuffleShards(df, "id", 4, "sh1")
+      .select("id", "shard", "shard_pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val persisted = back.select(col("id"), col("shard").cast("long"), col("shard_pos")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(persisted == ref)
+  }
+
   // ---------------------------------------------- sequence packing
 
   test("packSequences: budget respected, complete, deterministic, oversized isolated") {
