@@ -125,6 +125,13 @@ object ScaleStress {
       measure("simhash_near_dup", scale) {
         Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxHamming = 3).count()
       }
+      measure("ngram_jaccard_ppjoin", scale) {
+        // the prefix-filtered inverted-index (PPJoin/AllPairs) exact
+        // join — quadratic-prone by nature; the claim under test is
+        // that prefix filtering keeps candidate growth output-bound,
+        // same oracle-gated parameters as p_ngram_jaccard_pairs
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5).count()
+      }
       measure("dup_groups_cc", scale) {
         Graph.connectedComponents(
           Dedup.nearDupPairsShingled(docs, "doc_id", "text",

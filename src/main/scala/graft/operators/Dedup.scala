@@ -248,14 +248,28 @@ object Dedup {
     *
     * `hashed = true` maps each shingle to a 64-bit `xxhash64` (the
     * exact-verify fast path, see the ngram notes above). */
+  /** Shuffle-partition count with AQE-coalescing immunity: the
+    * frontier repartitions below carry SMALL input bytes (raw text
+    * before any explode/amplification) but feed CPU-heavy interpreted
+    * projections (shingling, per-element hashing, array sorts), and
+    * AQE sizes post-shuffle partitions by input BYTES — measured at
+    * 50× ScaleStress, a `repartition(col)` (REPARTITION_BY_COL,
+    * coalescable) collapsed the whole shingle stage onto one core for
+    * a 310 s straggler. `repartition(n, col)` (REPARTITION_BY_NUM) is
+    * exempt from coalescing, so the explicit count preserves the
+    * parallelism the repartition exists to buy. */
+  private def pinnedParts(df: DataFrame): Int =
+    math.max(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt, 16)
+
   private def shingleFrontier(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int, hashed: Boolean): DataFrame = {
     val shingles = array_distinct(wordShinglesFromTokens(col("__toks"), n))
+    val parts = pinnedParts(docs)
     docs
       .select(col(idCol), col(textCol))
       .filter(col(idCol).isNotNull)
-      .repartition(col(idCol))
+      .repartition(parts, col(idCol))
       .select(col(idCol), tokens(col(textCol)).as("__toks"))
       // hashed arrays are SORTED so the verify stage can use the
       // two-pointer graft_intersect_count kernel (sorted + distinct is
@@ -263,7 +277,7 @@ object Dedup {
       // zero-allocation merge per candidate PAIR downstream
       .select(col(idCol),
         (if (hashed) array_sort(transform(shingles, s => xxhash64(s))) else shingles).as("sh"))
-      .repartition(col(idCol))
+      .repartition(parts, col(idCol))
   }
 
   /** Near-duplicate pairs over n-gram SHINGLE sets: minhash/LSH
@@ -411,8 +425,19 @@ object Dedup {
     *
     * Every step is a hash shuffle on a high-cardinality key (shingle
     * or doc id) — linear-ish at 100 TB; frequency-ordered prefixes
-    * keep hot shingles out of the index, and AQE skew splitting covers
-    * residual skew.
+    * keep GLOBALLY hot shingles out of the index. That is not enough
+    * by itself: a shingle that is rare corpus-wide but shared by one
+    * large near-dup family sits at the FRONT of every member's
+    * frequency order, so the whole family's p² candidate generation
+    * lands on that one shingle's partition — and AQE cannot split it
+    * (tiny input, huge output; the 50× ScaleStress run measured a
+    * 350 s straggler against a 3 s median). Candidate generation
+    * therefore runs per ORDERED CHUNK CELL, exactly like
+    * [[simhashNearDupPairs]]: each shingle's prefix postings are
+    * hash-assigned to ⌈p/chunkSize⌉ chunks and the self-join key is
+    * (shingle, ci, cj), spreading a flood shingle's quadratic output
+    * over k(k+1)/2 independent join keys. Postings ≤ chunkSize (the
+    * overwhelmingly common case) have k = 1 and pay nothing.
     *
     * Shingles are hashed to 64-bit longs (`xxhash64`) ONCE in the
     * shared frontier and every downstream step — postings, prefix
@@ -433,8 +458,9 @@ object Dedup {
     * order keeps the prefix-filter proof intact. */
   def ngramJaccardPairs(
       docs: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double): DataFrame = {
+      n: Int, threshold: Double, chunkSize: Int = 128): DataFrame = {
     require(threshold > 0 && threshold < 1, s"threshold in (0,1), got $threshold")
+    require(chunkSize > 0, s"chunkSize=$chunkSize must be positive")
     // `sh` feeds the index build AND both verify joins; `prefix` feeds
     // both sides of the candidate self-join. Nothing is persisted:
     // Spark has no cross-branch subplan reuse, but it DOES reuse
@@ -458,22 +484,73 @@ object Dedup {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= col("len") - ceil(col("len") * threshold).cast("int") + 1)
       .select(col(idCol), col("len"), col("shingle"))
-    val a = prefix.select(col(idCol).as("id_a"), col("len").as("len_a"), col("shingle"))
-    val b = prefix.select(col(idCol).as("id_b"), col("len").as("len_b"), col("shingle"))
-    val cand = a.join(b, Seq("shingle"))
+    // flood-shingle chunking (see the scaladoc): members of each
+    // shingle's prefix posting list hash-assign to ⌈p/chunkSize⌉
+    // chunks; side A of a chunk-c row covers cells (c, c..k−1), side
+    // B covers (0..c, c) — each unordered pair lands in exactly one
+    // cell (both orientations only in diagonal cells, half-filtered)
+    val pdf = prefix.groupBy("shingle")
+      .agg(ceil(count(lit(1)).cast("double") / lit(chunkSize)).cast("int").as("__k"))
+    val chunked = prefix.join(pdf, "shingle")
+      .withColumn("__c", pmod(hash(col(idCol)), col("__k")).cast("int"))
+    val a = chunked.select(
+      col("shingle"), explode(sequence(col("__c"), col("__k") - 1)).as("__cj"),
+      col("__c").as("__ci"), col(idCol).as("id_a"), col("len").as("len_a"))
+    val b = chunked.select(
+      col("shingle"), explode(sequence(lit(0), col("__c"))).as("__ci"),
+      col("__c").as("__cj"), col(idCol).as("id_b"), col("len").as("len_b"))
+    // cross-chunk cells see one arbitrary orientation per pair, so
+    // normalize ids (lengths follow their ids) instead of filtering
+    // id_a < id_b; the length-ratio filter is symmetric either way
+    val swap = col("id_a") > col("id_b")
+    // Pin the candidate join's reducer count with an explicit keyed
+    // repartition: this join's INPUT (prefix postings) is small while
+    // its OUTPUT is the quadratic candidate set, and AQE sizes
+    // post-shuffle partitions by INPUT bytes — measured at 50×
+    // ScaleStress, it coalesced the ~10 MB inputs onto a handful of
+    // reducers and one task then computed ~100M candidate rows for
+    // 330 s while the median task took 3 s. REPARTITION_BY_NUM
+    // exchanges are exempt from AQE coalescing, so the join keeps
+    // shuffle-partitions-×4-way parallelism no matter how small the
+    // posting bytes are. (Uniform volume, not key skew — the chunk
+    // cells above handle the skew case; this handles coalescing.)
+    // exactly the session's shuffle parallelism: the pin exists to stop
+    // AQE coalescing BELOW it, not to over-partition (a ×4 multiplier
+    // here doubled the operator's bench time at sf0.1 in fixed
+    // per-exchange overhead while the 50× win came from the floor)
+    val candParts = pinnedParts(sh)
+    val joinKeys = Seq(col("shingle"), col("__ci"), col("__cj"))
+    val cand = a.repartition(candParts, joinKeys: _*)
+      .join(b.repartition(candParts, joinKeys: _*), Seq("shingle", "__ci", "__cj"))
       .filter(
-        col("id_a") < col("id_b") &&
+        col("id_a") =!= col("id_b") &&
+          (col("__ci") =!= col("__cj") || col("id_a") < col("id_b")) &&
           col("len_b").cast("double") >= col("len_a") * threshold &&
           col("len_a").cast("double") >= col("len_b") * threshold)
       // lengths ride along through distinct (functionally dependent on
       // the ids) so the verify needs no union: |A∪B| = len_a+len_b−inter
-      .select("id_a", "id_b", "len_a", "len_b")
+      .select(
+        when(swap, col("id_b")).otherwise(col("id_a")).as("id_a"),
+        when(swap, col("id_a")).otherwise(col("id_b")).as("id_b"),
+        when(swap, col("len_b")).otherwise(col("len_a")).as("len_a"),
+        when(swap, col("len_a")).otherwise(col("len_b")).as("len_b"))
       .distinct()
     // two-pointer merge count (native codegen'd kernel): the frontier
     // sorts the hashed arrays precisely for this
     val inter = graft.functions.SortedIntersectCount(col("sh_a"), col("sh_b")).cast("double")
+    // The verify joins get the same AQE-coalescing immunity as the
+    // candidate join above, and for the same reason measured at 50×:
+    // the surviving-candidate rows are ~30 bytes each (AQE sees ~100 MB
+    // and coalesces to a couple of partitions) but each row costs a
+    // ~2×|sh| array-merge — wall time is CPU-bound, not byte-bound, so
+    // the byte-based coalesce under-parallelizes the most expensive
+    // stage of the operator (measured: a 320 s verify task against a
+    // 3 s median; the staged probe with pinned partitioning runs the
+    // identical verify in ~30 s).
     cand
+      .repartition(candParts, col("id_a"))
       .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
+      .repartition(candParts, col("id_b"))
       .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("jac", inter / (col("len_a") + col("len_b") - inter))
       .filter(col("jac") >= threshold)
@@ -538,9 +615,11 @@ object Dedup {
       // as one partition, and the tokenize+explode+partial-agg map
       // side fuses into that scan stage — measured as the 35 s
       // straggler task in the 50× ScaleStress run. One exchange of
-      // the raw (id, text) rows distributes the per-token work.
+      // the raw (id, text) rows distributes the per-token work;
+      // explicit count so AQE cannot coalesce it away on small input
+      // bytes (see [[pinnedParts]]).
       .select(col(idCol), col(textCol))
-      .repartition(col(idCol))
+      .repartition(pinnedParts(docs), col(idCol))
       .select(col(idCol), explode(array_distinct(tokens(col(textCol)))).as("__tok"))
       .select(col(idCol), substring(md5(col("__tok")), 1, 16).as("__w"))
     // 16 nibbles extracted once per token row (hex char 1 = most significant)

@@ -102,7 +102,16 @@ class OperatorsSpec extends SparkSpec {
     q.collect() // run so AQE finalizes the adaptive plan
     val plan = q.queryExecution.executedPlan.toString
     val finalPlan = plan.split("Initial Plan").head
-    val lines = finalPlan.linesIterator.filter(_.contains("REPARTITION_BY_COL")).toSeq
+    // the frontier pins counts (REPARTITION_BY_NUM — AQE-coalescing
+    // immunity, see Dedup.pinnedParts); match the by-col form too so
+    // the spec survives either shuffle origin. Restrict to exchanges
+    // keyed on the raw doc id: the candidate/verify stages add their
+    // own pinned repartitions on (shingle, chunk) and renamed id
+    // keys, which are legitimate separate exchanges, not frontier
+    // re-materializations.
+    val lines = finalPlan.linesIterator
+      .filter(l => (l.contains("REPARTITION_BY_COL") || l.contains("REPARTITION_BY_NUM")) &&
+        l.contains("hashpartitioning(doc_id#")).toSeq
     (lines.count(!_.contains("ReusedExchange")), lines.count(_.contains("ReusedExchange")))
   }
 
@@ -218,6 +227,20 @@ class OperatorsSpec extends SparkSpec {
     assert(Dedup.simhashNearDupPairs(flood, "doc_id", "text").count() == 6) // C(4,2)
     // and the audit is empty at the default cap — nothing silently lost
     assert(Dedup.simhashBlockOverflow(flood, "doc_id", "text").count() == 0)
+  }
+
+  test("ngramJaccardPairs: chunked flood-shingle join emits exactly the single-cell pairs") {
+    // 9 near-identical docs → their shared shingles' posting lists are
+    // 9-member floods; chunkSize=2 forces k=5 (the straggler-splitting
+    // path) and the pair set must be EXACTLY the single-cell path's
+    val fam = (1L to 9L).map(i => i -> s"alpha beta gamma delta epsilon zeta eta theta extra$i")
+    val corpus = docs(fam :+ (100L -> "totally different content with no shared grams at all here"): _*)
+    def pairs(cs: Int) =
+      Dedup.ngramJaccardPairs(corpus, "doc_id", "text", n = 3, threshold = 0.5, chunkSize = cs)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val chunked = pairs(2)
+    assert(chunked == pairs(Int.MaxValue), "chunked vs single-cell pair sets differ")
+    assert(chunked.size == 36, "C(9,2) family pairs expected") // doc 100 pairs with nobody
   }
 
   test("simhashNearDupPairs: chunked flood-block join emits exactly the single-cell pairs") {
