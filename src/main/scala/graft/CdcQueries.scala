@@ -219,6 +219,42 @@ object CdcQueries {
         .transform(Queries.sortedSmall(_, "lsn"))
     })
 
+  // Registry-driven variant: the SAME typed view with NO caller
+  // schema — column types come from the wire itself (the R frame's
+  // per-column oid/typmod through PgTypes: id int4→INT, email
+  // varchar(255)→STRING, updated_at timestamp→TIMESTAMP_NTZ), the
+  // end-to-end closure of the reference's unused-type_id flaw. The
+  // fixture decode is forced first (registry = decode-time metadata;
+  // the 11-frame fixture makes that free) and the projection is built
+  // from CdcDecode.wireSchemaFor — the production shape: registries
+  // are a few driver-side rows per table at any scale.
+  private val qTypedViewWire = Queries.Q(
+    "cdc_typed_view_wire",
+    Some("""
+      SELECT CAST(lsn_small AS BIGINT) AS lsn, CAST(id_small AS INT) AS id,
+             name, email, updated_at_str
+      FROM (VALUES
+        (1002, 3, 'Test User', 'test@example.com', '2026-01-02 10:00:00'),
+        (1005, 3, 'Updated User', NULL, '2026-01-02 10:00:01'),
+        (1011, 4, 'Bin User', NULL, '2026-01-02 10:00:00'),
+        (1012, 4, NULL, 'bin@example.com', '2026-01-02 10:00:02')
+      ) AS t(lsn_small, id_small, name, email, updated_at_str)
+      ORDER BY lsn"""),
+    (s, _) => {
+      val wire = decodedWire(s)
+      wire.count() // force the full decode → populate the wire registry
+      val schema = CdcDecode.wireSchemaFor("users_fixture", UsersFixture.RelId)
+        .getOrElse(throw new IllegalStateException(
+          "users relation not in the wire registry after decode"))
+      TypedView.project(
+        wire.filter(col("operation").isin("INSERT", "UPDATE")),
+        "new_values", schema, keep = Seq("lsn"))
+        .select(
+          col("lsn"), col("id"), col("name"), col("email"),
+          date_format(col("updated_at"), "yyyy-MM-dd HH:mm:ss").as("updated_at_str"))
+        .transform(Queries.sortedSmall(_, "lsn"))
+    })
+
   // --------------------------------------------- transaction grouping
   // The reference drops B/C markers and with them transactional
   // atomicity (pg_output_parser.py:32-37). The decoder stamps events
@@ -253,5 +289,6 @@ object CdcQueries {
     })
 
   val all: Seq[Queries.Q] = Seq(
-    qDecode, qStreamedTxn, qUsersCurrent, qScd2, qEnvelopeJson, qTypedView, qTxnGroups)
+    qDecode, qStreamedTxn, qUsersCurrent, qScd2, qEnvelopeJson, qTypedView,
+    qTypedViewWire, qTxnGroups)
 }

@@ -37,11 +37,21 @@ final case class Tables(spark: SparkSession, dir: String) {
   def events: DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    // the nanos feed can fail at plan time (AnalysisException) or, on
+    // some Spark versions, wrapped at action time — unwrap the cause
+    // chain and match the typed exception OR its error class, never a
+    // class-name substring (ADVICE r11)
+    def isNanosRefusal(e: Throwable): Boolean =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8).exists {
+        case a: org.apache.spark.sql.AnalysisException =>
+          a.getCondition == "PARQUET_TYPE_ILLEGAL" ||
+            Option(a.getMessage).exists(_.contains("PARQUET_TYPE_ILLEGAL"))
+        case t => Option(t.getMessage).exists(_.contains("PARQUET_TYPE_ILLEGAL"))
+      }
     val raw =
       try t("events")
       catch {
-        case e: Exception if e.getClass.getName.contains("AnalysisException") ||
-            Option(e.getMessage).exists(_.contains("PARQUET_TYPE_ILLEGAL")) =>
+        case e: Exception if isNanosRefusal(e) =>
           spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
           t("events")
       }

@@ -76,6 +76,16 @@ object CdcDecode {
   /** Drop state for a stream (tests / stream teardown). */
   def resetStream(streamId: String): Unit = registries.remove(streamId)
 
+  /** Wire-derived Spark schema for a decoded relation: the stream's
+    * registry (R-frame oids/typmods + 'Y' custom-type names) through
+    * [[PgTypes.schemaFor]]. None until the relation's R frame has
+    * decoded — run the decode action first; the registry is decode
+    * metadata, a few rows per table, so this driver-side peek is free
+    * at any scale. Read-only: never creates a decoder. */
+  def wireSchemaFor(streamId: String, relationId: Int): Option[org.apache.spark.sql.types.StructType] =
+    Option(registries.get(streamId)).flatMap(d =>
+      d.relationRegistry.get(relationId).map(PgTypes.schemaFor(_, d.typeRegistry)))
+
   /** Decode a dataset of frames. `dropMalformed=true` skips frames
     * that throw [[PgOutput.MalformedFrame]] (PERMISSIVE-style);
     * otherwise the task fails (FAILFAST). `sortByLsn` restores the

@@ -100,7 +100,19 @@ object PgOutput {
     // full re-decode of a whole transaction (txnAtomic batch retry)
     // rebuilds it from scratch; kept on subtxn abort, so replays of
     // the aborted subtxn's frames do not resurrect its events.
+    // The watermark's replay inference assumes LSN-ordered arrival
+    // WITHIN a segment (file feeds deliver name/mtime order;
+    // CdcDecode offers sortByLsn for unordered feeds). streamSeenLsn
+    // records every frame LSN actually routed per open xid, so a
+    // frame at-or-under the watermark that was NEVER seen is
+    // distinguishable from a replay: that is an out-of-order or
+    // duplicate-LSN feed, and silently dropping it would lose its
+    // events — it raises MalformedFrame instead (counted/dropped
+    // under dropMalformed, loud under strict; ADVICE r11). One long
+    // per in-segment frame while the txn is open, released with the
+    // rest of the txn state at commit/full-abort.
     private val streamMaxLsn = scala.collection.mutable.Map[Int, Long]()
+    private val streamSeenLsn = scala.collection.mutable.Map[Int, scala.collection.mutable.Set[Long]]()
     private var abortDiscards = 0L
     // 'Y' Type registry + the 'O' Origin currently replaying — pure
     // metadata, no events (values surface through the getters below;
@@ -193,7 +205,7 @@ object PgOutput {
       def route(evts: Seq[CdcEvent]): Seq[CdcEvent] = msgXid match {
         case Some(x) =>
           val top = segmentXid.get
-          if (!streamMaxLsn.get(top).exists(_ >= lsn)) { // else: replayed frame, already buffered
+          if (!streamMaxLsn.get(top).exists(_ >= lsn)) {
             val b = streamBuf.getOrElseUpdate(
               top, scala.collection.mutable.ArrayBuffer.empty[(Int, CdcEvent)])
             if (bufferedStreamedEvents + evts.size > MaxBufferedStreamedEvents)
@@ -203,7 +215,15 @@ object PgOutput {
                   "spill-to-disk decode is the production path for multi-GB streamed txns")
             evts.foreach(e => b += ((x, e)))
             streamMaxLsn(top) = lsn
-          }
+            streamSeenLsn.getOrElseUpdate(top, scala.collection.mutable.Set.empty) += lsn
+          } else if (!streamSeenLsn.get(top).exists(_.contains(lsn)))
+            // at-or-under the watermark but never routed: not a
+            // replay — an out-of-order or duplicate-LSN feed frame
+            // whose events a silent skip would lose (see streamSeenLsn)
+            throw new MalformedFrame(
+              s"in-segment frame at lsn=$lsn is under xid=$top's replay watermark " +
+                s"(${streamMaxLsn(top)}) but was never buffered — out-of-order or " +
+                "duplicate-LSN feed; use CdcDecode(sortByLsn = true) for unordered feeds")
           Seq.empty
         case None => evts
       }
@@ -286,6 +306,7 @@ object PgOutput {
           val seq = streamFirstLsn.remove(xid).getOrElse(lsn)
           val evts = streamBuf.remove(xid).map(_.toSeq).getOrElse(Seq.empty)
           streamMaxLsn.remove(xid) // a full txn re-decode rebuilds from scratch
+          streamSeenLsn.remove(xid)
           evts.map { case (_, e) =>
             e.copy(txnSeq = Some(seq), commitMicros = Some(commitTs))
           }
@@ -301,6 +322,7 @@ object PgOutput {
             abortDiscards += streamBuf.remove(xid).map(_.size.toLong).getOrElse(0L)
             streamFirstLsn.remove(xid)
             streamMaxLsn.remove(xid)
+            streamSeenLsn.remove(xid)
           } else streamBuf.get(xid).foreach { b =>
             // watermark KEPT on subtxn abort: replays of the aborted
             // subtxn's frames must not resurrect its events

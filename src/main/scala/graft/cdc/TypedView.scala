@@ -23,11 +23,21 @@ import org.apache.spark.sql.types.StructType
   */
 object TypedView {
 
-  /** One typed column from a wire-image map. */
+  /** One typed column from a wire-image map. BinaryType decodes the
+    * pgoutput text form of bytea — `\x`-prefixed hex (the server
+    * default since PG 9.0); a non-hex value falls back to a plain
+    * string→binary cast (UTF-8 bytes — the `bytea_output=escape`
+    * escape hatch is not parsed). */
   def typedField(image: Column, name: String, dataType: org.apache.spark.sql.types.DataType,
       permissive: Boolean): Column = {
     val raw = nullif(image(name), lit(CdcEvent.UnchangedSentinel))
-    val cast = if (permissive) try_cast(raw, dataType) else raw.cast(dataType)
+    val cast = dataType match {
+      case org.apache.spark.sql.types.BinaryType =>
+        when(raw.startsWith("\\x"), unhex(raw.substr(lit(3), length(raw))))
+          .otherwise(raw.cast(dataType))
+      case _ if permissive => try_cast(raw, dataType)
+      case _ => raw.cast(dataType)
+    }
     cast.as(name)
   }
 
@@ -47,4 +57,21 @@ object TypedView {
     events.select(
       keep.map(col) ++
         schema.fields.map(f => typedField(col(imageCol), f.name, f.dataType, permissive)): _*)
+
+  /** [[project]] with the schema derived FROM THE WIRE — the relation
+    * registry's per-column (oid, typmod) through [[PgTypes.schemaFor]]
+    * plus any 'Y'-announced custom type names. No caller schema: this
+    * is the end-to-end closure of the reference's unused-`type_id`
+    * flaw (SURVEY §1.2). The registries are decode-time metadata (a
+    * handful of rows per table), so passing them driver-side is free
+    * at any scale; callers that need overrides keep using [[project]]
+    * with an explicit `StructType`. */
+  def projectWire(
+      events: DataFrame,
+      imageCol: String,
+      rel: PgOutput.RelationInfo,
+      types: collection.Map[Int, PgOutput.TypeInfo] = Map.empty,
+      keep: Seq[String] = Seq.empty,
+      permissive: Boolean = true): DataFrame =
+    project(events, imageCol, PgTypes.schemaFor(rel, types), keep, permissive)
 }

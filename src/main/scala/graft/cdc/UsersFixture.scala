@@ -24,9 +24,20 @@ object UsersFixture {
   val RelId = 16384
   val Cols: Seq[String] = Seq("id", "name", "email", "status", "created_at", "updated_at")
 
+  /** Per-column builtin OIDs, as init.sql declares them (id SERIAL →
+    * int4=23; name/status TEXT=25; email VARCHAR(255)=1043 with
+    * typmod 255+4; timestamps → 1114): the R frame carries real type
+    * metadata, so the wire-derived typed view ([[PgTypes]]) gets
+    * exercised by the same fixture every other cdc query uses. */
   val relation: RelationInfo = RelationInfo(
     RelId, "public", "users", 'f',
-    Cols.map(c => ColumnInfo(c, typeId = 25, flags = if (c == "id") 1 else 0, typeMod = -1)).toIndexedSeq)
+    IndexedSeq(
+      ColumnInfo("id", typeId = 23, flags = 1, typeMod = -1),
+      ColumnInfo("name", typeId = 25, flags = 0, typeMod = -1),
+      ColumnInfo("email", typeId = 1043, flags = 0, typeMod = 259),
+      ColumnInfo("status", typeId = 25, flags = 0, typeMod = -1),
+      ColumnInfo("created_at", typeId = 1114, flags = 0, typeMod = -1),
+      ColumnInfo("updated_at", typeId = 1114, flags = 0, typeMod = -1)))
 
   private def row(vals: String*): Seq[WireValue] = vals.map(v => WText(v))
 

@@ -278,6 +278,15 @@ object Dedup {
       .select(col(idCol),
         (if (hashed) array_sort(transform(shingles, s => xxhash64(s))) else shingles).as("sh"))
       .repartition(parts, col(idCol))
+      // pushdown barrier — REQUIRED for the frontier to function as
+      // designed: without it, InferFiltersFromGenerate's size(sh)>0
+      // (added above every downstream explode) pushes through these
+      // Projects with the full shingle tree substituted and lands at
+      // the scan (interpreted, scan-parallelism — the measured 321 s
+      // single-task straggler at 50×), and the per-branch filter
+      // divergence silently disables ReuseExchange so the frontier
+      // re-executes once per consumer. See [[graft.functions.PushdownBarrier]].
+      .transform(graft.functions.PushdownBarrier.apply)
   }
 
   /** Near-duplicate pairs over n-gram SHINGLE sets: minhash/LSH
@@ -340,23 +349,24 @@ object Dedup {
     * or boilerplate-padded variant can displace the clean original.
     *
     * Scale shape: identical to [[dedupNearDups]] up to the CC output,
-    * then per-cluster argmax as two keyed aggregations over the
-    * clustered nodes only (max quality per cluster, then min id among
-    * the max-quality members — map-side partial merges, never a
-    * window sort over the corpus; both intermediates are cluster- or
-    * member-set-sized), a groups-sized join back to mark losers, and
-    * the same single left-anti equi-join against the corpus. The
-    * corpus payload still never shuffles on the dedup decision.
-    * The two-agg form (rather than one `max_by` on a (quality, −id)
-    * struct) keeps BOTH the id and the quality type fully generic —
-    * any orderable types work, string ids included.
+    * then per-cluster argmax as ONE keyed aggregation over the
+    * clustered nodes only — `min_by(node, struct(−quality, node))`
+    * (minimizing (−q, id) IS (max q, then min id); map-side partial
+    * merges, never a window sort over the corpus; the intermediate is
+    * groups-sized), a groups-sized join back to mark losers, and the
+    * same single left-anti equi-join against the corpus. The corpus
+    * payload still never shuffles on the dedup decision. The id type
+    * stays fully generic (string ids included — the struct tie-break
+    * field uses the node's own ordering); only `qualityCol` must be
+    * NUMERIC, for the negation (quality is a score by construction).
     *
     * `qualityCol` must be a column of `docs` (evaluated against a
     * narrow (id, quality) projection — the full row never rides the
-    * argmax shuffle) and should be non-null: null quality never wins
-    * `max`, and a cluster whose members are ALL null-quality keeps
-    * every member (no representative is chosen — coalesce a default
-    * in the caller if that can occur). */
+    * argmax shuffle) and should be non-null: null-quality members are
+    * excluded from the argmax (they never win), and a cluster whose
+    * members are ALL null-quality keeps every member (no
+    * representative is chosen — coalesce a default in the caller if
+    * that can occur). */
   def dedupNearDupsBest(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int, k: Int, rowsPerBand: Int, threshold: Double,
@@ -366,10 +376,11 @@ object Dedup {
       nearDupPairsShingled(docs, idCol, textCol, n, k, rowsPerBand, threshold, maxBucket)
     val clustered = Graph.connectedComponents(pairs, "id_a", "id_b")
       .join(docs.select(col(idCol).as("node"), qualityCol.as("__q")), "node")
-    val bestQ = clustered.groupBy("component").agg(max(col("__q")).as("__bq"))
-    val best = clustered.join(bestQ, "component")
-      .filter(col("__q") === col("__bq"))
-      .groupBy("component").agg(min(col("node")).as("__best"))
+    // the isNotNull guard replicates max()'s null semantics: a struct
+    // with a null field would otherwise sort FIRST and win min_by
+    val best = clustered.filter(col("__q").isNotNull)
+      .groupBy("component")
+      .agg(min_by(col("node"), struct((-col("__q")).as("nq"), col("node"))).as("__best"))
     val losers = clustered.join(best, "component")
       .filter(col("node") =!= col("__best"))
       .select(col("node").as(idCol))
@@ -420,7 +431,11 @@ object Dedup {
     *     |A∩B| <= ceil(t·|A|) − 1 < t·|A| <= t·max(|A|,|B|) <= |A∩B|
     *     — contradiction; symmetrically for B);
     *  3. equi-join prefixes on shingle, keep id_a < id_b and the
-    *     length-ratio filter (jac >= t ⇒ t·max <= min), distinct;
+    *     length-ratio filter (jac >= t ⇒ t·max <= min), then count
+    *     shared prefix shingles per pair and drop pairs whose overlap
+    *     UPPER bound (c + ceil(t·max(la,lb)) − 1) cannot reach the
+    *     threshold's overlap requirement α = ceil(t/(1+t)·(la+lb)) —
+    *     the PPJoin counting filter, lossless (see the inline proof);
     *  4. verify exact Jaccard only on surviving candidates.
     *
     * Every step is a hash shuffle on a high-cardinality key (shingle
@@ -527,14 +542,54 @@ object Dedup {
           (col("__ci") =!= col("__cj") || col("id_a") < col("id_b")) &&
           col("len_b").cast("double") >= col("len_a") * threshold &&
           col("len_a").cast("double") >= col("len_b") * threshold)
-      // lengths ride along through distinct (functionally dependent on
-      // the ids) so the verify needs no union: |A∪B| = len_a+len_b−inter
+      // lengths ride along through the count aggregation (functionally
+      // dependent on the ids) so the verify needs no union:
+      // |A∪B| = len_a+len_b−inter
       .select(
         when(swap, col("id_b")).otherwise(col("id_a")).as("id_a"),
         when(swap, col("id_a")).otherwise(col("id_b")).as("id_b"),
         when(swap, col("len_b")).otherwise(col("len_a")).as("len_a"),
         when(swap, col("len_a")).otherwise(col("len_b")).as("len_b"))
-      .distinct()
+      // PPJoin overlap lower-bound filter (replaces a bare distinct —
+      // measured at 50×: 252M of 298M raw candidates were UNIQUE
+      // cross-family pairs sharing 1–5 prefix shingles, so distinct
+      // kept them all and the array-attach verify joins drowned).
+      // The chunk-cell construction emits each (pair, shared prefix
+      // shingle) exactly once, so count(*) per pair = c, the number
+      // of shingles shared BY BOTH prefixes. With one consistent
+      // global shingle order, every shared shingle ranked at-or-below
+      // the SMALLER prefix-end value is necessarily counted in c, so
+      // uncounted shared shingles all sit in that document's suffix:
+      // |A∩B| ≤ c + (len_x − prefix_x) = c + ceil(t·len_x) − 1
+      //        ≤ c + ceil(t·max(len_a,len_b)) − 1,
+      // while jac ≥ t requires |A∩B| ≥ α = ceil(t/(1+t)·(la+lb)).
+      // Pairs failing c + ceil(t·max) − 1 ≥ α provably sit below the
+      // threshold — dropped LOSSLESSLY before any array rides a
+      // shuffle. True near-dup pairs share ~prefix-many shingles and
+      // pass untouched; the exact verify below still computes their
+      // exact jaccard.
+      //
+      // Cost shape, measured at 50× ScaleStress (313M raw candidates,
+      // 252M distinct pre-filter pairs): this aggregation's key space
+      // IS the distinct candidate set, so some phase must hold ~252M
+      // keys — under local-mode's thin per-task memory slice that is
+      // a disk-backed spill (bounded, uniform across tasks; a real
+      // executor's 1–4 GB/core absorbs it in memory). Two measured
+      // non-wins to spare the next tuner: (a) pre-partitioning by
+      // (id_a, id_b) to get a single co-located agg stage removes the
+      // partial phase but re-shuffles all raw candidate rows and went
+      // 103.7→114.1 s; (b) ×4 partitions on the candidate join cut
+      // its max task 41→17 s but pushed the same spill into extra
+      // reducer waves, 103.7→127.6 s. The direct groupBy (partial
+      // beside the join + final at session parallelism) is the
+      // fastest of the three because the quadratic rows ride ONE
+      // exchange once.
+      .groupBy("id_a", "id_b", "len_a", "len_b")
+      .agg(count(lit(1)).as("__c"))
+      .filter(
+        col("__c") + ceil(greatest(col("len_a"), col("len_b")) * threshold) - 1 >=
+          ceil((col("len_a") + col("len_b")) * (threshold / (1.0 + threshold))))
+      .select("id_a", "id_b", "len_a", "len_b")
     // two-pointer merge count (native codegen'd kernel): the frontier
     // sorts the hashed arrays precisely for this
     val inter = graft.functions.SortedIntersectCount(col("sh_a"), col("sh_b")).cast("double")

@@ -43,18 +43,24 @@ object Layout {
     * over the same corpus produce byte-identical shard assignment and
     * order regardless of input partitioning — resumable data prep.
     *
-    * One shuffle (repartition on shard) + one in-partition sort
-    * (`shard_pos`, already dense 0..n−1 per shard); each write task
-    * handles exactly one shard's rows, sized corpus/nShards by the
-    * uniform hash. The `shard_pos` column is kept in the output so a
-    * reader can verify order (parquet preserves row order per file,
-    * and the Hive-style `shard=` directory keys the partition). */
+    * One shuffle (RANGE repartition on the shard value ALONE: rows
+    * with equal range keys always land in one partition, so a shard
+    * is never split across write tasks and each `shard=` directory
+    * holds exactly ONE file — the property the sequential reader's
+    * "parquet preserves row order per file" contract rests on. A hash
+    * repartition could collide several shards onto one task while
+    * others idle — ADVICE r11; range boundaries come from sampling,
+    * so two shards may still occasionally share a task, but never the
+    * reverse) + one in-partition sort (`shard`, then `shard_pos`,
+    * already dense 0..n−1 per shard); tasks are sized corpus/nShards
+    * by the uniform shard hash. The `shard_pos` column is kept in the
+    * output so a reader can verify order. */
   def writeShuffleShards(
       df: DataFrame, idCol: String, nShards: Int, salt: String,
       path: String): Unit = {
     require(nShards > 0, s"nShards must be positive, got $nShards")
     Sampling.shuffleShards(df, idCol, nShards, salt)
-      .repartition(nShards, col("shard"))
+      .repartitionByRange(nShards, col("shard"))
       .sortWithinPartitions(col("shard"), col("shard_pos"))
       .write.mode("overwrite").partitionBy("shard").parquet(path)
   }

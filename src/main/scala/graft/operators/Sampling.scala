@@ -164,7 +164,9 @@ object Sampling {
 
   /** Per-key cap: keep at most `n` rows per value of `keyCol`, ranked
     * by `sortKey` (descending by default — "keep the best n") with
-    * `idCol` as the deterministic tiebreak. The canonical per-domain
+    * `idCol` as the deterministic tiebreak (override via `tieBreak`
+    * when the rank order must match an external ordering, e.g. the
+    * streaming sampler's string-cast state). The canonical per-domain
     * cap of a web-scale curation pipeline: no single domain/source
     * may dominate the training mixture.
     *
@@ -192,12 +194,14 @@ object Sampling {
     * hundred million rows. */
   def perKeyCap(
       df: DataFrame, keyCol: String, idCol: String, n: Int,
-      sortKey: Column, desc: Boolean = true): DataFrame = {
+      sortKey: Column, desc: Boolean = true,
+      tieBreak: Option[Column] = None): DataFrame = {
     require(n > 0, s"cap must be positive, got $n")
     val narrow = df.select(
-      col(keyCol).as("__k"), col(idCol).as("__id"), sortKey.as("__s"))
+      col(keyCol).as("__k"), col(idCol).as("__id"), sortKey.as("__s"),
+      tieBreak.getOrElse(col(idCol)).as("__tb"))
     val ord = if (desc) col("__s").desc else col("__s").asc
-    val w = Window.partitionBy(col("__k")).orderBy(ord, col("__id"))
+    val w = Window.partitionBy(col("__k")).orderBy(ord, col("__tb"))
     val keep = narrow
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= n)
@@ -222,8 +226,14 @@ object Sampling {
   def uniformPerKey(
       df: DataFrame, keyCol: String, idCol: String, k: Int,
       salt: String): DataFrame =
+    // string-cast tiebreak so the rank order is IDENTICAL to the
+    // streaming counterpart's (md5, id-as-string) state order — on an
+    // md5 collision a native-numeric tiebreak would pick differently
+    // ("9" > "10" as strings) and break the stream==batch equivalence
+    // the spec diffs (ADVICE r11)
     perKeyCap(df, keyCol, idCol, k,
-      md5(concat_ws(":", lit(salt), col(idCol).cast("string"))), desc = false)
+      md5(concat_ws(":", lit(salt), col(idCol).cast("string"))), desc = false,
+      tieBreak = Some(col(idCol).cast("string")))
 
   /** Deterministic corpus SHUFFLE + sharding — the "shuffle the
     * corpus before training" step every LLM data pipeline runs.

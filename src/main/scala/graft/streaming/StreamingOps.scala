@@ -101,7 +101,16 @@ object StreamingOps {
          state: GroupState[Seq[(String, String)]]) =>
           var best = state.getOption.getOrElse(Seq.empty)
           batch.foreach { case (_, h, id) =>
-            if (!best.exists(_._2 == id))
+            // fast no-op path: once the sample is full, only a hash
+            // strictly under the k-th (h, id) can displace — skip the
+            // dedup scan and re-sort entirely for the common miss
+            // (ADVICE r11; ordering matches batch uniformPerKey's
+            // (md5, string-cast id) rank exactly)
+            val admit = best.size < k || {
+              val (lh, lid) = best.last
+              h < lh || (h == lh && id < lid)
+            }
+            if (admit && !best.exists(_._2 == id))
               best = ((h, id) +: best).sortBy(identity).take(k)
           }
           state.update(best)

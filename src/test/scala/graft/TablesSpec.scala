@@ -32,4 +32,33 @@ class TablesSpec extends SparkSpec {
       .count()
     assert(n > 0, "daily aggregation over events returned no rows")
   }
+
+  // VERDICT r11 #8: the documents/embeddings feeds get the same
+  // vigilance as events — a silent driver-side schema change to the
+  // columns the dedup/ANN/text pipelines key on must fail here first.
+  test("documents feed: pipeline-critical columns keep their types") {
+    import org.apache.spark.sql.types.StringType
+    val d = Tables(spark, sf("sf0.001")).documents
+    val types = d.schema.fields.map(f => f.name -> f.dataType).toMap
+    assert(types.get("doc_id").contains(LongType), s"doc_id must be long, got ${types.get("doc_id")}")
+    assert(types.get("text").contains(StringType), s"text must be string, got ${types.get("text")}")
+    assert(types.get("lang").contains(StringType), s"lang must be string, got ${types.get("lang")}")
+    assert(types.get("source").contains(StringType), s"source must be string, got ${types.get("source")}")
+    assert(types.get("n_chars").contains(LongType), s"n_chars must be long, got ${types.get("n_chars")}")
+  }
+
+  test("embeddings feed: vec_id long, embedding array<float>, consistent dims") {
+    import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType}
+    val e = Tables(spark, sf("sf0.001")).embeddings
+    val types = e.schema.fields.map(f => f.name -> f.dataType).toMap
+    assert(types.get("vec_id").contains(LongType), s"vec_id must be long, got ${types.get("vec_id")}")
+    assert(types.get("embedding").exists {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }, s"embedding must be array<float>, got ${types.get("embedding")}")
+    assert(types.get("label").contains(IntegerType), s"label must be int, got ${types.get("label")}")
+    val dims = e.select(size(col("embedding")).as("d")).distinct().collect().map(_.getInt(0))
+    assert(dims.length == 1 && dims.head > 0,
+      s"embedding dims must be constant and positive, got ${dims.mkString(",")}")
+  }
 }

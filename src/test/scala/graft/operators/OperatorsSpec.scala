@@ -1228,6 +1228,21 @@ class OperatorsSpec extends SparkSpec {
     assert(out.map(_.getLong(2)).toSeq == Seq(99L, 7L, 1L), "full original row survives")
   }
 
+  test("dedupNearDupsBest: null quality never wins; all-null cluster keeps every member") {
+    import spark.implicits._
+    val fam1 = "the quick brown fox jumps over the lazy dog again today"
+    val fam2 = "entirely different second family text with many shared tokens here also"
+    val corpus = Seq(
+      (1L, fam1, Some(3L)), (2L, fam1, None), (3L, fam1, Some(8L)), // keep 3; null member 2 loses
+      (4L, fam2, None), (5L, fam2, None),                           // all-null → keep both
+      (6L, "a lone document that matches nothing else in this tiny corpus", Some(1L)))
+      .toDF("doc_id", "text", "quality")
+    val out = Dedup.dedupNearDupsBest(corpus, "doc_id", "text",
+      n = 3, k = 12, rowsPerBand = 3, threshold = 0.5, qualityCol = col("quality"))
+      .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(3L, 4L, 5L, 6L))
+  }
+
   test("uniformPerKey: exactly k per key, deterministic, salt redraws the sample") {
     import spark.implicits._
     val df = (1L to 40L).map(i => (i, if (i <= 30) "big" else "small", s"p$i"))
