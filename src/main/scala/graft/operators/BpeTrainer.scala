@@ -12,14 +12,15 @@ import org.apache.spark.sql.functions._
   * Scale shape: the corpus is touched ONCE to build the word-frequency
   * table (one tokenize + one grouped count — the same shuffle any
   * vocabulary pass pays); every merge iteration then runs on that
-  * VOCABULARY-sized table (≪ corpus: Heaps' law), so `nMerges`
-  * iterations cost nMerges small jobs, not nMerges corpus scans. Each
-  * iteration is one pair-count aggregation + a `limit(1)` argmax
-  * (single row to the driver — the merge table IS a driver-side
-  * artifact, the tokenizer's merges.txt) + one higher-order-function
-  * fold applying the merge. `localCheckpoint` after each round keeps
-  * the lineage flat (a 200-merge chain would otherwise nest 200
-  * projections).
+  * VOCABULARY-sized table (≪ corpus: Heaps' law), and merges are
+  * learned in order-safe BATCHES (see [[train]]) so a 32k-merge
+  * vocabulary costs ~32k/batch-size scans, not 32k. Each scan is one
+  * pair-count aggregation + a top-`collectN` argmax (a few hundred
+  * rows to the driver — the merge table IS a driver-side artifact,
+  * the tokenizer's merges.txt) + one projection applying the whole
+  * batch as chained higher-order-function folds. `localCheckpoint`
+  * after each scan keeps the lineage flat (a 200-merge chain would
+  * otherwise nest 200 projections).
   *
   * Determinism: the argmax orders by (count desc, left, right) — a
   * total order, so re-runs and retries learn the identical merge
@@ -61,9 +62,43 @@ object BpeTrainer {
 
   /** Learn `nMerges` merges from the corpus. Returns them in learned
     * order (rank 1 = first merge). Stops early if no adjacent pair
-    * remains (every word fully merged). */
-  def train(docs: DataFrame, textCol: String, nMerges: Int): Seq[Merge] = {
+    * remains (every word fully merged).
+    *
+    * Merges are learned in BATCHES of up to `maxPerScan` per
+    * pair-count scan, but the learned sequence is PROVABLY identical
+    * to one-merge-per-scan sequential greedy (BpeTrainerSpec pins the
+    * hand-computed Sennrich sequence either way). The batch rule:
+    * walk the scan's pairs in greedy order (count desc, left, right)
+    * and accept a pair iff
+    *
+    *  1. it shares no symbol with any already-accepted pair (nor any
+    *     accepted pair's concatenation) — disjoint merges commute:
+    *     applying one cannot change the other's count; and
+    *  2. its count strictly exceeds the CEILING — the max count of
+    *     any pair that shares a symbol with the accepted set. Pairs
+    *     an accepted merge can create ((x, ab) / (ab, y)) or modify
+    *     are bounded by that max (C(x,ab) ≤ C(x,a)), so a later
+    *     sequential argmax can never prefer a created/modified pair
+    *     over an accepted one (strictness also rules out a created
+    *     pair winning a count TIE by lexicographic order); and
+    *  3. its count strictly exceeds the last COLLECTED count (only
+    *     the top `collectN` pairs ship to the driver; an uncollected
+    *     pair has count ≤ that tail, so condition 2 stays sound).
+    *
+    * The first failure stops the batch: every later pair has count ≤
+    * the failing pair's, so none can pass condition 2. The scan's
+    * argmax (first pair) is always accepted, so progress is
+    * guaranteed and `maxPerScan = 1` degenerates to the classic
+    * sequential algorithm. A real 32k-merge vocabulary run thus costs
+    * ~32k/batch-size driver round-trips instead of 32k — on corpora
+    * with many disjoint hot pairs (the common case for large
+    * alphabets) an order of magnitude fewer Spark jobs
+    * (BpeTrainerSpec counts them via a SparkListener). */
+  def train(
+      docs: DataFrame, textCol: String, nMerges: Int,
+      maxPerScan: Int = 64): Seq[Merge] = {
     require(nMerges > 0, s"nMerges=$nMerges must be positive")
+    require(maxPerScan > 0, s"maxPerScan=$maxPerScan must be positive")
     var words = docs
       .select(explode(TextAnalysis.tokens(col(textCol))).as("__w"))
       .groupBy("__w").agg(count(lit(1)).as("__n"))
@@ -72,6 +107,7 @@ object BpeTrainer {
         expr("transform(sequence(1, length(__w)), i -> substr(__w, i, 1))").as("__syms"))
       .localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer[Merge]()
+    val collectN = math.max(maxPerScan * 8, 256)
     var done = false
     while (!done && merges.length < nMerges) {
       val top = words
@@ -79,15 +115,46 @@ object BpeTrainer {
         .groupBy(col("__p.a").as("__a"), col("__p.b").as("__b"))
         .agg(sum("__n").as("__c"))
         .orderBy(col("__c").desc, col("__a"), col("__b"))
-        .limit(1)
+        .limit(collectN)
         .collect()
       if (top.isEmpty) done = true
       else {
-        val (a, b, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        merges += Merge(merges.length + 1, a, b, c)
+        val pairs = top.map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        // fewer rows than asked ⇒ the WHOLE pair table is on the
+        // driver and the tail-count guard (condition 3) is vacuous
+        val fullTable = pairs.length < collectN
+        val tailC = pairs.last._3
+        val room = math.min(maxPerScan, nMerges - merges.length)
+        val blocked = scala.collection.mutable.Set.empty[String]
+        var ceiling = Long.MinValue
+        val batch = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        var i = 0
+        var stop = false
+        while (!stop && i < pairs.length && batch.length < room) {
+          val (a, b, c) = pairs(i)
+          val accept = batch.isEmpty ||
+            (!blocked(a) && !blocked(b) && c > ceiling && (fullTable || c > tailC))
+          if (accept) {
+            batch += ((a, b, c))
+            blocked ++= Seq(a, b, a + b)
+            val ab = a + b
+            for ((qa, qb, qc) <- pairs)
+              if (!(qa == a && qb == b) &&
+                  (qa == a || qa == b || qa == ab || qb == a || qb == b || qb == ab))
+                ceiling = math.max(ceiling, qc)
+          } else stop = true
+          i += 1
+        }
+        for ((a, b, c) <- batch) merges += Merge(merges.length + 1, a, b, c)
         val prev = words
+        // one projection applies the whole batch: chained greedy
+        // folds in learned order — per word this IS the sequential
+        // algorithm's composition of per-merge rewrites
         words = words
-          .withColumn("__syms", applyMerge(col("__syms"), lit(a), lit(b)))
+          .withColumn("__syms",
+            batch.foldLeft(col("__syms")) { case (syms, (a, b, _)) =>
+              applyMerge(syms, lit(a), lit(b))
+            })
           .localCheckpoint(true)
         prev.unpersist(blocking = false)
       }

@@ -50,4 +50,67 @@ class BpeTrainerSpec extends SparkSpec {
     // (a,b) 2 first, then (c,d) 1 — then no adjacent pairs remain
     assert(merges == Seq(Merge(1, "a", "b", 2L), Merge(2, "c", "d", 1L)))
   }
+
+  test("batched learning equals sequential (maxPerScan=1) on the Sennrich corpus") {
+    // the batch rule's correctness claim, checked directly: the same
+    // corpus learned one-merge-per-scan and batched must produce the
+    // IDENTICAL merge sequence (ranks, pairs, weights)
+    val sequential = BpeTrainer.train(corpus, "text", nMerges = 4, maxPerScan = 1)
+    val batched = BpeTrainer.train(corpus, "text", nMerges = 4, maxPerScan = 64)
+    assert(batched == sequential)
+  }
+
+  test("overlapping hot pairs are NOT batched: (e,s)/(s,t) tie stays sequential") {
+    // es and st both count 9 and share 's' — a naive top-k batch
+    // would take both, but merging (e,s) changes (s,t)'s count
+    // (newest: n e w es t has no s,t pair anymore — it became es,t).
+    // The batch rule must stop at the overlap, learning (es,t) only
+    // on the NEXT scan from re-counted pairs.
+    val merges = BpeTrainer.train(corpus, "text", nMerges = 2)
+    assert(merges == Seq(Merge(1, "e", "s", 9L), Merge(2, "es", "t", 9L)))
+  }
+
+  test("disjoint-pair corpus: 100 merges in >=4x fewer Spark jobs than sequential") {
+    import spark.implicits._
+    // 100 two-char words over 200 distinct code points with strictly
+    // decreasing frequencies: every pair is disjoint from every
+    // other, so the batch rule can accept maxPerScan per scan
+    val words = (0 until 100).map { i =>
+      val w = "" + (0x100 + 2 * i).toChar + (0x100 + 2 * i + 1).toChar
+      (w, 200 - i)
+    }
+    val df = words.flatMap { case (w, n) => Seq.fill(n)(w) }.map(Tuple1(_)).toDF("text")
+    val expected = (0 until 100).map { i =>
+      Merge(i + 1, "" + (0x100 + 2 * i).toChar, "" + (0x100 + 2 * i + 1).toChar,
+        (200 - i).toLong)
+    }
+
+    def countJobs(body: => Unit): Int = {
+      val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          counter.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try { body; Thread.sleep(500) } // let listener-bus events drain
+      finally spark.sparkContext.removeSparkListener(listener)
+      counter.get()
+    }
+
+    var batchedMerges: Seq[Merge] = Nil
+    var sequentialMerges: Seq[Merge] = Nil
+    val batchedJobs = countJobs {
+      batchedMerges = BpeTrainer.train(df, "text", nMerges = 100)
+    }
+    val sequentialJobs = countJobs {
+      sequentialMerges = BpeTrainer.train(df, "text", nMerges = 100, maxPerScan = 1)
+    }
+    assert(batchedMerges == expected)
+    assert(sequentialMerges == expected)
+    // 100 sequential scans vs ceil(100/64)=2 batched scans: the job
+    // reduction must be at least the mandated 4x (it is ~30x here)
+    assert(batchedJobs * 4 <= sequentialJobs,
+      s"batched=$batchedJobs sequential=$sequentialJobs")
+  }
 }
