@@ -35,14 +35,21 @@ import graft.operators.{Dedup, Graph, Similarity}
   * bounded skew are the pass criteria, recorded in BASELINE.md. */
 object ScaleStress {
 
+  /** Records (stageId, duration) per successful task: the op-level
+    * max/med ratio alone cannot distinguish a genuine straggler (one
+    * task of a stage far beyond its siblings — a skew defect) from a
+    * uniformly WIDE stage (every task equally heavy — a volume cost,
+    * fixed by parallelism not by skew handling), so `measure` also
+    * reports the max task's own stage-internal median. */
   private final class TaskStats extends SparkListener {
-    private val durations = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+    private val durations = new java.util.concurrent.ConcurrentLinkedQueue[(Int, java.lang.Long)]()
     override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
-      if (t.taskInfo != null && t.taskInfo.successful) durations.add(t.taskInfo.duration)
+      if (t.taskInfo != null && t.taskInfo.successful)
+        durations.add((t.stageId, t.taskInfo.duration))
     def size: Int = durations.size
-    def slice(from: Int): Seq[Long] = {
+    def slice(from: Int): Seq[(Int, Long)] = {
       import scala.jdk.CollectionConverters._
-      durations.asScala.toSeq.map(_.longValue).drop(from)
+      durations.asScala.toSeq.map { case (s, d) => (s, d.longValue) }.drop(from)
     }
   }
 
@@ -101,13 +108,24 @@ object ScaleStress {
       val rows = body
       val sec = (System.nanoTime() - t0) / 1e9
       Thread.sleep(500) // let straggler TaskEnd events drain the bus
-      val tasks = stats.slice(from).sorted
+      val staged = stats.slice(from)
+      val tasks = staged.map(_._2).sorted
       val (maxMs, medMs) =
         if (tasks.isEmpty) (0L, 0L)
         else (tasks.last, tasks(tasks.size / 2))
+      // the max task's own stage: its internal median separates
+      // "straggler" (max ≫ stage med) from "uniform wide stage"
+      // (max ≈ stage med — a volume cost, not a skew defect)
+      val maxStageMed =
+        if (staged.isEmpty) 0L
+        else {
+          val maxStage = staged.maxBy(_._2)._1
+          val sib = staged.collect { case (s, d) if s == maxStage => d }.sorted
+          sib(sib.size / 2)
+        }
       val line =
         f"""{"op":"$op","scale":$scale,"sec":$sec%.2f,"rows":$rows,"tasks":${tasks.size},""" +
-          s""""max_task_ms":$maxMs,"med_task_ms":$medMs}"""
+          s""""max_task_ms":$maxMs,"med_task_ms":$medMs,"max_stage_med_ms":$maxStageMed}"""
       println(line)
       results += line
     }

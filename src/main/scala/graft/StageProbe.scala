@@ -14,7 +14,8 @@ import graft.operators.Dedup
   * max/median task ms, records+bytes read/written over the shuffle,
   * and memory/disk spill — an AQE-coalesced, skewed, or spill-bound
   * stage is identified by number, not guesswork.
-  * Usage: StageProbe [scale]. */
+  * Usage: StageProbe [op] [scale] — op ∈ ppjoin (default) | cc |
+  * minhash, matching the ScaleStress measures of the same names. */
 object StageProbe {
 
   private final class StageStats extends SparkListener {
@@ -43,7 +44,8 @@ object StageProbe {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val scale = if (args.nonEmpty) args(0).toInt else 50
+    val op = args.headOption.filterNot(_.forall(_.isDigit)).getOrElse("ppjoin")
+    val scale = args.find(_.forall(_.isDigit)).map(_.toInt).getOrElse(50)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -60,10 +62,21 @@ object StageProbe {
     val docs0 = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
     val docs = ScaleStress.amplifyDocs(docs0, scale)
     val t0 = System.nanoTime()
-    val rows = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5).count()
+    val rows = op match {
+      case "cc" =>
+        operators.Graph.connectedComponents(
+          Dedup.nearDupPairsShingled(docs, "doc_id", "text",
+            n = 3, k = 12, rowsPerBand = 3, threshold = 0.5),
+          "id_a", "id_b").count()
+      case "minhash" =>
+        Dedup.nearDupPairsShingled(docs, "doc_id", "text",
+          n = 3, k = 12, rowsPerBand = 3, threshold = 0.5).count()
+      case _ =>
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5).count()
+    }
     val sec = (System.nanoTime() - t0) / 1e9
     Thread.sleep(1000)
-    println(f"== ngram_jaccard_ppjoin scale=$scale rows=$rows sec=$sec%.1f")
+    println(f"== $op scale=$scale rows=$rows sec=$sec%.1f")
     spark.stop()
   }
 }

@@ -12,28 +12,41 @@ import org.apache.spark.sql.functions._
   * and B~C often arrive without A~C). This is the resolution step of
   * every large-scale dedup system.
   *
-  * Algorithm: min-label propagation with pointer jumping. Every node
-  * starts labeled with itself; each round takes
+  * Two algorithms, same contract:
   *
-  *   label(v) ← min(label(v), min over neighbors u of label(u))   (propagate)
-  *   label(v) ← label(label(v))                                   (jump)
+  *  - [[connectedComponents]] — min-label CONTRACTION (the default).
+  *    Each round labels every node with the min of its neighborhood
+  *    (and itself), then rewrites the edge list to label space:
+  *    intra-label edges vanish, so |E| shrinks geometrically (a
+  *    near-dup family that is clique-ish contracts to nothing in one
+  *    round; a path halves per round → O(log n) rounds). The
+  *    original-node → label mapping composes per round with a
+  *    V-sized join. After round 1, all work is proportional to the
+  *    SURVIVING edge set — on real dedup graphs a tiny residue — so
+  *    the E-sized cost is paid ~once, not once per round. The
+  *    symmetrized edge list is deliberately NOT deduplicated: min
+  *    aggregation is duplicate-insensitive and the contraction's own
+  *    per-round `distinct` runs on the shrunken set, so the one
+  *    E-sized distinct shuffle the jump variant pays up front is
+  *    skipped entirely.
   *
-  * Propagation alone needs O(diameter) rounds (a path graph degrades
-  * to O(n)); the jump step short-circuits chains Pointer-jumping-style
-  * so convergence is O(log d) rounds in practice — each round is two
-  * hash equi-joins + one aggregation, all keyed shuffles. Labels are
-  * node ids and only ever DECREASE toward the component minimum, so
-  * the fixpoint test ("did any label change?") is an exact
-  * anti-monotone comparison, not a heuristic checksum.
+  *  - [[connectedComponentsJump]] — min-label propagation with
+  *    pointer jumping (label(v) ← label(label(v)) per round). Kept as
+  *    the independent reference implementation: GraphSpec proves the
+  *    two agree on random graphs (and both agree with a local
+  *    union-find), so a systematic bug in either cannot self-certify.
+  *    Its per-round cost is E-sized every round (the edge list never
+  *    shrinks), which measured ~2× the contraction's wall time at the
+  *    50× ScaleStress scale.
   *
-  * Scale shape (100 TB): the edge list is symmetrized, deduplicated,
-  * and materialized ONCE (`localCheckpoint` — the upstream pair
-  * generation, e.g. a full minhash pipeline, must not re-execute per
-  * round); per-round state is one (node, label) row per vertex —
-  * O(V) longs, never adjacency lists on the driver, no `.collect()`.
-  * Skew: a giant component is fine (labels are scalar); a giant-degree
-  * VERTEX concentrates its neighbor-min partial aggregation, which
-  * Spark's partial aggregation (map-side combine) absorbs.
+  * Scale shape (100 TB): the edge list is materialized ONCE
+  * (`localCheckpoint` — the upstream pair generation, e.g. a full
+  * minhash pipeline, must not re-execute per round); per-round state
+  * is one (node, label) row per vertex — O(V) longs, never adjacency
+  * lists on the driver, no `.collect()`. Skew: a giant component is
+  * fine (labels are scalar); a giant-degree vertex concentrates its
+  * neighbor-min partial aggregation, which Spark's partial
+  * aggregation (map-side combine) absorbs.
   *
   * Reference scope note: the reference has no graph operators
   * (SURVEY §2.8 — verified absent); this is a §2.9 extension
@@ -52,25 +65,76 @@ object Graph {
     * loops are ignored.
     *
     * @throws IllegalStateException if not converged after `maxIter`
-    *         rounds (with pointer jumping this needs a component
-    *         diameter ~2^maxIter — structurally unreachable; the
-    *         guard exists so a logic regression fails loudly rather
-    *         than returning a half-merged labeling).
+    *         rounds (contraction halves the surviving path length per
+    *         round, so this needs component diameter ~2^maxIter —
+    *         structurally unreachable; the guard exists so a logic
+    *         regression fails loudly rather than returning a
+    *         half-merged labeling).
     *
     * Resource note: each round's `localCheckpoint` persists a small
-    * (node, label) RDD; superseded rounds' blocks are reclaimed
-    * asynchronously by the ContextCleaner once unreferenced. Callers
-    * running many CC invocations in one session can force
-    * reclamation with `spark.catalog.clearCache()` between calls
-    * (Bench/Verify already do).
+    * (node, label) / surviving-edge RDD; superseded rounds' blocks
+    * are reclaimed asynchronously by the ContextCleaner once
+    * unreferenced. Callers running many CC invocations in one
+    * session can force reclamation with `spark.catalog.clearCache()`
+    * between calls (Bench/Verify already do).
     */
   def connectedComponents(
       edges: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 50): DataFrame = {
     val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .where(col("u") =!= col("v"))
-    // one materialization of the (possibly very expensive) upstream
-    // pair generation; everything below re-reads these blocks only
+    // symmetrize WITHOUT distinct (see object scaladoc); one
+    // materialization of the expensive upstream pair generation
+    var cur = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint(true)
+    // label = min(self, neighborhood); over the symmetrized list
+    // every endpoint appears as u, so round-1 labels double as the
+    // full original-node → label mapping
+    def roundLabels(g: DataFrame): DataFrame = g.groupBy("u")
+      .agg(min(col("v")).as("__mn"))
+      .select(col("u").as("node"), least(col("u"), col("__mn")).as("label"))
+    var labels = roundLabels(cur).localCheckpoint(true)
+    var mapping = labels
+    var iter = 1
+    while (iter < maxIter) {
+      // contract: rewrite each edge to its endpoints' labels. The
+      // label join is total (every endpoint has a label row) and the
+      // output stays symmetric because cur is.
+      val next = cur
+        .join(labels.select(col("node").as("u"), col("label").as("__lu")), "u")
+        .join(labels.select(col("node").as("v"), col("label").as("__lv")), "v")
+        .select(col("__lu").as("u"), col("__lv").as("v"))
+        .where(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint(true)
+      if (next.isEmpty)
+        return mapping.select(col("node"), col("label").as("component"))
+      cur = next
+      labels = roundLabels(cur).localCheckpoint(true)
+      // compose: nodes whose label was contracted away (no surviving
+      // edge) keep their current label — hence the left join
+      mapping = mapping
+        .join(labels.select(col("node").as("__ln"), col("label").as("__nl")),
+          mapping("label") === col("__ln"), "left")
+        .select(col("node"), coalesce(col("__nl"), col("label")).as("label"))
+        .localCheckpoint(true)
+      iter += 1
+    }
+    throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds")
+  }
+
+  /** Pointer-jumping reference implementation (see object scaladoc):
+    * min-label propagation with label(label) short-circuiting,
+    * O(log d) rounds, each round two hash equi-joins + one
+    * aggregation over the FULL edge list. Labels only ever decrease,
+    * so the fixpoint test ("did any label change?") is an exact
+    * anti-monotone comparison, not a heuristic checksum. */
+  def connectedComponentsJump(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 50): DataFrame = {
+    val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .where(col("u") =!= col("v"))
     val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
       .distinct()
       .localCheckpoint(true)
@@ -116,6 +180,6 @@ object Graph {
       if (done) return labels.select(col("node"), col("label").as("component"))
     }
     throw new IllegalStateException(
-      s"connectedComponents did not converge in $maxIter rounds")
+      s"connectedComponentsJump did not converge in $maxIter rounds")
   }
 }

@@ -60,4 +60,31 @@ class GraphSpec extends SparkSpec {
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("contraction and pointer-jumping algorithms agree on random graphs") {
+    import spark.implicits._
+    // the two implementations share no round logic — agreement on
+    // random graphs (plus both agreeing with union-find above) means
+    // neither can certify its own systematic bug
+    val edgeGen = Gen.zip(Gen.chooseNum(0L, 40L), Gen.chooseNum(0L, 40L))
+    val prop = Prop.forAll(Gen.listOfN(30, edgeGen)) { edges =>
+      val real = edges.filter { case (a, b) => a != b }
+      real.isEmpty || {
+        val df = real.toDF("a", "b")
+        val contract = Graph.connectedComponents(df, "a", "b")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val jump = Graph.connectedComponentsJump(df, "a", "b")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        contract == jump
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("duplicate and reversed edges do not change the contraction result") {
+    val base = Seq((1L, 2L), (2L, 3L), (8L, 9L))
+    val noisy = base ++ base.map(_.swap) ++ base ++ Seq((3L, 1L))
+    assert(cc(noisy) == cc(base))
+  }
 }
