@@ -643,8 +643,77 @@ object PipelineQueries2 {
         .transform(Queries.sortedSmall(_, "id_a", "id_b"))
     })
 
+  // ------------------------------ temperature-weighted source mixing
+  // The multilingual-pretraining mixing recipe (p_s ∝ n_s^α, α=0.5):
+  // small languages UP-sample (copies > 1), the dominant one
+  // down-samples, expected total = targetRows. Oracle replays the
+  // identical deterministic selection: sqrt is correctly rounded on
+  // both engines (pow is not — see Sampling.temperatureMix), rates
+  // are the same ((target·w)/W)/n association order, and the
+  // per-(doc, copy) uniform is the same md5-prefix/2^32. Scale: one
+  // strata-sized count agg + broadcast rates; the corpus never
+  // shuffles.
+  private val qTemperatureMix = Queries.Q(
+    "p_temperature_mix",
+    Some("""
+      WITH n AS (SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n FROM documents GROUP BY lang),
+      w AS (SELECT lang, n, sqrt(n) AS w FROM n),
+      t AS (SELECT SUM(w) AS tw FROM w),
+      r AS (SELECT lang, (CAST(5000 AS DOUBLE) * w / tw) / n AS rate FROM w, t),
+      e AS (SELECT d.doc_id, d.lang, r.rate, g.cp
+            FROM documents d JOIN r USING (lang)
+            CROSS JOIN LATERAL (SELECT unnest(generate_series(0, CAST(ceil(r.rate) AS BIGINT) - 1)) AS cp) g)
+      SELECT doc_id, lang, CAST(cp AS BIGINT) AS copy
+      FROM e
+      WHERE cp < floor(rate)
+         OR CAST(list_reduce(list_prepend(0, list_transform(generate_series(1, 8),
+              i -> strpos('0123456789abcdef',
+                     substr(md5('tmix:' || CAST(doc_id AS VARCHAR) || ':' || CAST(cp AS VARCHAR)), i, 1)) - 1)),
+              (h, c) -> h*16 + c) AS DOUBLE) / 4294967296.0 < rate - floor(rate)
+      ORDER BY doc_id, copy"""),
+    (s, dir) =>
+      operators.Sampling.temperatureMix(
+        Tables(s, dir).documents.select("doc_id", "lang"),
+        "doc_id", "lang", "tmix", targetRows = 5000L)
+        .select("doc_id", "lang", "copy")
+        .transform(Queries.sortedSmall(_, "doc_id", "copy")))
+
+  // ------------------------------------------ BPE corpus tokenization
+  // The tokenizer APPLICATION side of BpeTrainer: encode every
+  // document with a fixed merge table (the classic Sennrich 4-merge
+  // example — literal on both sides so the oracle can replay it).
+  // The Spark side runs the true iterative lowest-rank algorithm per
+  // DISTINCT word (vocabulary ≪ corpus) and joins subwords back; the
+  // oracle replays each merge as a sentinel-separated string replace
+  // ('l|o|w|e|s|t' → … → 'low|est'), whose resume-after-replacement
+  // semantics equal BPE's greedy left-to-right pass, and
+  // rank-sequential replace equals the priority loop for this merge
+  // set (each merge's output feeds only later-ranked pairs). Compared
+  // as the space-joined subword string per document.
+  private val qBpeEncode = Queries.Q(
+    "p_bpe_encode",
+    Some("""
+      SELECT doc_id,
+        array_to_string(list_transform(string_split(text, ' '), w ->
+          replace(replace(replace(replace(replace(
+            array_to_string(list_transform(generate_series(1, length(w)), i -> substr(w, i, 1)), '|'),
+          'e|s','es'), 'es|t','est'), 'l|o','lo'), 'lo|w','low'), '|', ' ')), ' ') AS bpe_str
+      FROM documents
+      ORDER BY doc_id"""),
+    (s, dir) => {
+      import graft.operators.BpeTrainer.Merge
+      val merges = Seq(
+        Merge(1, "e", "s", 0L), Merge(2, "es", "t", 0L),
+        Merge(3, "l", "o", 0L), Merge(4, "lo", "w", 0L))
+      graft.operators.BpeTrainer
+        .encode(Tables(s, dir).documents, "doc_id", "text", merges)
+        .select(col("doc_id"), array_join(col("bpe"), " ").as("bpe_str"))
+        .transform(Queries.sortedSmall(_, "doc_id"))
+    })
+
   val all: Seq[Queries.Q] =
     Seq(qDupGroupSizes, qTextNormalize, qSourceShare, qTokenLenHist, qCellSizes,
       qAviFrameStats, qSemanticDedup, qImageResize, qWavSampleStats,
-      qBmpPixelStats, qGifPixelStats, qMediaCatalog, qSaltedAgg, qJaroWinkler)
+      qBmpPixelStats, qGifPixelStats, qMediaCatalog, qSaltedAgg, qJaroWinkler,
+      qTemperatureMix, qBpeEncode)
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
 import org.apache.spark.sql.functions._
 
 /** Distributed BPE merge learning — the iterative completion of
@@ -164,5 +164,83 @@ object BpeTrainer {
     // session lifetime
     words.unpersist(blocking = false)
     merges.toSeq
+  }
+
+  /** Tokenize one word with a learned merge table — the classic
+    * iterative algorithm (Sennrich et al.): repeatedly find the
+    * LOWEST-RANK pair present among adjacent symbols and merge every
+    * occurrence greedily left-to-right, until no learnable pair
+    * remains. This is deliberately the priority form, not
+    * rank-sequential application: a merge can (in exotic same-string
+    * cases) create an occurrence of a lower-ranked pair, and the
+    * priority loop revisits it exactly as reference tokenizers do.
+    * Pure JVM, no Spark — [[encode]] runs it once per DISTINCT word. */
+  private[operators] def encodeWord(
+      w: String, rank: Map[(String, String), Int]): Seq[String] = {
+    if (w.isEmpty) return Seq.empty
+    var syms: Array[String] = w.map(_.toString).toArray
+    var done = syms.length < 2
+    while (!done) {
+      var bestRank = Int.MaxValue
+      var bestA: String = null
+      var bestB: String = null
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = rank.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < bestRank) { bestRank = r; bestA = syms(i); bestB = syms(i + 1) }
+        i += 1
+      }
+      if (bestRank == Int.MaxValue) done = true
+      else {
+        val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+        var j = 0
+        while (j < syms.length) {
+          if (j < syms.length - 1 && syms(j) == bestA && syms(j + 1) == bestB) {
+            buf += bestA + bestB; j += 2
+          } else { buf += syms(j); j += 1 }
+        }
+        syms = buf.toArray
+        done = syms.length < 2
+      }
+    }
+    syms.toSeq
+  }
+
+  /** Apply a learned merge table to the corpus: per-document BPE
+    * subword arrays, in token order. Output: (`idCol`, `bpe`
+    * array<string>).
+    *
+    * Scale shape (100 TB): the iterative per-word loop runs once per
+    * DISTINCT word (Heaps' law: vocabulary ≪ corpus — the same
+    * economy [[train]] exploits), as a `mapPartitions` over the
+    * vocabulary with the rank table broadcast (a merges.txt is ≤ a
+    * few MB — driver-artifact-sized by construction, see [[train]]).
+    * The corpus itself pays one posexplode (map-side), one
+    * vocabulary equi-join (AQE broadcasts it when small), and one
+    * per-document regrouping keyed on the id — no quadratic step,
+    * no driver data path. The `mapPartitions` is the documented
+    * last-resort case: a data-dependent fixpoint loop per word that
+    * no expression tree can express. */
+  def encode(
+      docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[Merge]): DataFrame = {
+    val spark = docs.sparkSession
+    val ranks = merges.map(m => (m.left, m.right) -> m.rank).toMap
+    val bc = spark.sparkContext.broadcast(ranks)
+    implicit val strEnc: Encoder[String] = Encoders.STRING
+    val words = docs.select(col(idCol),
+      posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("__pos", "__w")))
+    val vocab = words.select(col("__w")).distinct().as[String]
+    val encoded = vocab
+      .mapPartitions { it =>
+        val r = bc.value
+        it.map(w => (w, encodeWord(w, r)))
+      }(Encoders.product[(String, Seq[String])])
+      .toDF("__w", "__subs")
+    words.join(encoded, "__w")
+      .groupBy(col(idCol))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("__pos"), col("__subs")))),
+        s => s("__subs"))).as("bpe"))
   }
 }

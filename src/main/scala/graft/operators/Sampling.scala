@@ -264,4 +264,59 @@ object Sampling {
       .withColumn("shard", col("__shard"))
       .drop("__h", "__shard")
   }
+
+  /** TEMPERATURE-weighted source mixing — the standard multilingual /
+    * multi-source pretraining recipe (sampling probability of source
+    * s ∝ n_s^α with α ∈ (0,1]): α < 1 flattens the source
+    * distribution, UP-sampling small sources (documents repeat) and
+    * down-sampling dominant ones, so low-resource sources are not
+    * drowned by web-scale crawl data.
+    *
+    * Per source, the expected kept-copy count per document is
+    * `rate_s = (targetRows · w_s / W) / n_s` where `w_s = weight(n_s)`
+    * and `W = Σ w_t`: each document emits `floor(rate)` full copies
+    * plus one more with probability `frac(rate)`, decided by a
+    * per-(document, copy) salted md5 uniform — fully deterministic,
+    * partition-layout-independent, and engine-portable (the DuckDB
+    * oracle replays the identical selection). Output = input columns
+    * plus `copy` (0-based repeat index; downsampled sources only emit
+    * copy 0, kept with probability rate < 1). E[output rows] =
+    * targetRows; the realized count concentrates tightly around it
+    * (per-document Bernoulli residuals).
+    *
+    * `weight` defaults to `sqrt` (α = 0.5, the common choice) rather
+    * than `pow(_, α)` because IEEE `sqrt` is correctly rounded on
+    * every engine while `pow` carries libm ulp drift — callers
+    * wanting other α pass `c => pow(c, lit(α))` and accept a
+    * rows-only oracle (the repo's exactness rules, `util/Exact`).
+    *
+    * Scale shape (100 TB): source counts are one map-side-combined
+    * aggregation to a strata-sized table; the total `W` is a 1-row
+    * broadcast scalar; rates broadcast-join back to the corpus; copy
+    * explosion + the keep filter are map-side. The corpus is never
+    * shuffled — the only wide op is the tiny counts aggregation. */
+  def temperatureMix(
+      df: DataFrame, keyCol: String, stratumCol: String,
+      salt: String, targetRows: Long,
+      weight: Column => Column = c => sqrt(c)): DataFrame = {
+    require(targetRows > 0, s"targetRows must be positive, got $targetRows")
+    val counts = df.groupBy(col(stratumCol).as("__s"))
+      .agg(count(lit(1)).cast("double").as("__n"))
+      .withColumn("__w", weight(col("__n")))
+    val total = counts.agg(sum("__w").as("__tw"))
+    val rates = counts.crossJoin(broadcast(total))
+      .select(col("__s"),
+        (lit(targetRows.toDouble) * col("__w") / col("__tw") / col("__n")).as("__rate"))
+    // per-(doc, copy) uniform in [0,1): first 8 md5 hex chars / 2^32
+    val u = conv(substring(
+      md5(concat_ws(":", lit(salt), col(keyCol).cast("string"),
+        col("copy").cast("string"))), 1, 8), 16, 10)
+      .cast("long").cast("double") / lit(4294967296.0)
+    df.join(broadcast(rates), col(stratumCol) === col("__s"))
+      .withColumn("copy",
+        explode(sequence(lit(0L), ceil(col("__rate")).cast("long") - 1)))
+      .filter(col("copy") < floor(col("__rate")) ||
+        u < col("__rate") - floor(col("__rate")))
+      .select((df.columns.toIndexedSeq.map(col) :+ col("copy")): _*)
+  }
 }

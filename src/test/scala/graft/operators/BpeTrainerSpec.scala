@@ -113,4 +113,35 @@ class BpeTrainerSpec extends SparkSpec {
     assert(batchedJobs * 4 <= sequentialJobs,
       s"batched=$batchedJobs sequential=$sequentialJobs")
   }
+
+  test("encodeWord: the classic 'lowest' -> low|est with the Sennrich merges") {
+    val ranks = Map(("e", "s") -> 1, ("es", "t") -> 2, ("l", "o") -> 3, ("lo", "w") -> 4)
+    assert(BpeTrainer.encodeWord("lowest", ranks) == Seq("low", "est"))
+    assert(BpeTrainer.encodeWord("newest", ranks) == Seq("n", "e", "w", "est"))
+    // unknown material falls through as single characters
+    assert(BpeTrainer.encodeWord("xyz", ranks) == Seq("x", "y", "z"))
+    assert(BpeTrainer.encodeWord("", ranks) == Seq.empty)
+  }
+
+  test("encodeWord: lowest-rank-first with greedy pairwise application") {
+    // (a,a) then (aa,aa): 'aaaa' must merge pairwise then combine —
+    // a rank-sequential single pass gets the same here, but the
+    // priority loop is what reference tokenizers implement
+    val ranks = Map(("a", "a") -> 1, ("aa", "aa") -> 2)
+    assert(BpeTrainer.encodeWord("aaaa", ranks) == Seq("aaaa"))
+    assert(BpeTrainer.encodeWord("aaa", ranks) == Seq("aa", "a"))
+    // priority inversion: rank 1 pair only appears AFTER rank 2 runs
+    val inv = Map(("b", "c") -> 2, ("a", "bc") -> 1)
+    assert(BpeTrainer.encodeWord("abc", inv) == Seq("abc"))
+  }
+
+  test("encode: corpus-level subword arrays preserve token order") {
+    import spark.implicits._
+    val merges = BpeTrainer.train(corpus, "text", nMerges = 4)
+    val df = Seq((1L, "newest lowest"), (2L, "low wide")).toDF("doc_id", "text")
+    val got = BpeTrainer.encode(df, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    assert(got(1L) == List("n", "e", "w", "est", "low", "est"))
+    assert(got(2L) == List("low", "w", "i", "d", "e"))
+  }
 }

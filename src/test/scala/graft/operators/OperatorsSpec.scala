@@ -1486,4 +1486,40 @@ class OperatorsSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
     assert(out.collect().head.getBoolean(3)) // "c d e f g" leaked
   }
+
+  test("temperatureMix: upsamples the small source, downsamples the large, deterministic") {
+    import spark.implicits._
+    // 900 "big" docs vs 100 "small": α=0.5 weights 30 vs 10, so
+    // rates = (1000·w/40)/n → big 750/900≈0.833 (downsample, copy 0
+    // only, ~83% kept), small 250/100=2.5 (copies 0,1 always + copy 2
+    // at ~50%)
+    val df = ((0L until 900L).map(i => (i, "big")) ++
+      (1000L until 1100L).map(i => (i, "small"))).toDF("id", "src")
+    val out = Sampling.temperatureMix(df, "id", "src", "t1", targetRows = 1000L)
+      .select("id", "src", "copy").collect()
+    val bySrc = out.groupBy(_.getString(1))
+    val big = bySrc("big")
+    val small = bySrc("small")
+    // downsampled source: only copy 0, roughly rate fraction kept
+    assert(big.forall(_.getLong(2) == 0L))
+    assert(big.length > 600 && big.length < 900, s"big kept ${big.length}")
+    // upsampled source: every doc has copies 0 and 1; copy 2 is the
+    // ~50% Bernoulli tail
+    val smallCopies = small.groupBy(_.getLong(0)).map(_._2.map(_.getLong(2)).sorted.toSeq)
+    assert(smallCopies.forall(cs => cs.startsWith(Seq(0L, 1L))))
+    val copy2 = small.count(_.getLong(2) == 2L)
+    assert(copy2 > 20 && copy2 < 80, s"copy-2 count $copy2")
+    // expected total ≈ targetRows
+    assert(out.length > 900 && out.length < 1100, s"total ${out.length}")
+    // determinism: identical selection on re-run
+    val again = Sampling.temperatureMix(df, "id", "src", "t1", targetRows = 1000L)
+      .select("id", "src", "copy").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(2))).toSet ==
+      again.map(r => (r.getLong(0), r.getLong(2))).toSet)
+    // a different salt redraws the Bernoulli tail
+    val other = Sampling.temperatureMix(df, "id", "src", "t2", targetRows = 1000L)
+      .select("id", "copy").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(2))).toSet !=
+      other.map(r => (r.getLong(0), r.getLong(1))).toSet)
+  }
 }
