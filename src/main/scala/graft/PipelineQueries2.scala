@@ -711,9 +711,47 @@ object PipelineQueries2 {
         .transform(Queries.sortedSmall(_, "doc_id"))
     })
 
+  // -------------------------------- maximal duplicated token regions
+  // The precise substring-dedup surface (Lee et al. shape): stride-1
+  // 5-token window hashes → corpus-wide first-occurrence marking →
+  // per-doc gaps-and-islands merge into maximal contiguous regions.
+  // The oracle replays the identical pipeline with SQL window
+  // functions (same md5 window text, same (doc, start) first-
+  // occurrence order, same touch-merge rule). Scale: one md5-keyed
+  // shuffle + a per-document window over marked starts only.
+  private val qDupSpans = Queries.Q(
+    "p_dup_spans",
+    Some("""
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      win AS (SELECT doc_id, g.i AS st, md5(array_to_string(tk[g.i+1:g.i+5], ' ')) AS h
+              FROM tok CROSS JOIN LATERAL (SELECT unnest(generate_series(0, len(tk) - 5)) AS i) g
+              WHERE len(tk) >= 5),
+      f AS (SELECT *, COUNT(*) OVER (PARTITION BY h) AS cnt,
+                   row_number() OVER (PARTITION BY h ORDER BY doc_id, st) AS rn
+            FROM win),
+      m AS (SELECT doc_id, st, st + 4 AS e FROM f WHERE cnt > 1 AND rn > 1),
+      isl AS (SELECT doc_id, st, e,
+                CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY st
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                     OR st > max(e) OVER (PARTITION BY doc_id ORDER BY st
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+                     THEN 1 ELSE 0 END AS brk
+              FROM m),
+      g2 AS (SELECT *, SUM(brk) OVER (PARTITION BY doc_id ORDER BY st
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl_id
+             FROM isl)
+      SELECT doc_id, CAST(MIN(st) AS BIGINT) AS span_start,
+             CAST(MAX(e) AS BIGINT) AS span_end,
+             CAST(MAX(e) - MIN(st) + 1 AS BIGINT) AS span_tokens
+      FROM g2 GROUP BY doc_id, isl_id
+      ORDER BY doc_id, span_start"""),
+    (s, dir) =>
+      Dedup.dupSpans(Tables(s, dir).documents, "doc_id", "text", k = 5)
+        .transform(Queries.sortedSmall(_, "doc_id", "span_start")))
+
   val all: Seq[Queries.Q] =
     Seq(qDupGroupSizes, qTextNormalize, qSourceShare, qTokenLenHist, qCellSizes,
       qAviFrameStats, qSemanticDedup, qImageResize, qWavSampleStats,
       qBmpPixelStats, qGifPixelStats, qMediaCatalog, qSaltedAgg, qJaroWinkler,
-      qTemperatureMix, qBpeEncode)
+      qTemperatureMix, qBpeEncode, qDupSpans)
 }

@@ -976,6 +976,115 @@ object Dedup {
         (col("n_dup_spans").cast("double") / col("n_spans") <= maxDupFrac).as("keep"))
   }
 
+  /** MAXIMAL duplicated token regions — the precise form of
+    * substring dedup [[spanDupStats]] approximates: every OVERLAPPING
+    * `k`-token window (stride 1, vs chunked stride-k) whose exact
+    * text occurs elsewhere in the corpus marks its token range
+    * duplicated (the corpus-wide FIRST occurrence by (id, start) is
+    * canonical and never marked); overlapping and touching marked
+    * ranges then merge into maximal contiguous regions per document
+    * (gaps-and-islands). This is the "remove the repeated substring,
+    * not the whole document" operation of Lee et al. — a suffix
+    * array finds variable-length repeats exactly; fixed-k rolling
+    * windows are the standard distributed approximation (every
+    * repeat of length ≥ k is found, with boundaries quantized to
+    * window granularity).
+    *
+    * Output: (id, span_start, span_end, span_tokens) — inclusive
+    * 0-based token positions of each maximal duplicated region.
+    *
+    * Scale shape (100 TB): stride-1 windows emit one 16-byte md5 per
+    * TOKEN (k× more rows than the chunked stats, still linear —
+    * window text never ships). ONE hash-keyed shuffle computes
+    * (count, first) per distinct window; the mark join re-uses the
+    * key. The islands pass is a per-DOCUMENT window sort over marked
+    * window STARTS only — bounded by document length, uniform by
+    * construction, never a corpus-wide window. */
+  def dupSpans(
+      docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k=$k must be positive")
+    val w = windowHashes(docs, idCol, textCol, k)
+    val firsts = w.groupBy("__h")
+      .agg(count(lit(1)).as("__cnt"),
+        min(struct(col(idCol).as("id"), col("__start").as("st"))).as("__first"))
+    val marked = w.join(firsts, "__h")
+      .filter(col("__cnt") > 1L &&
+        !(col("__first.id") === col(idCol) && col("__first.st") === col("__start")))
+      .select(col(idCol), col("__start"),
+        (col("__start") + lit(k.toLong) - 1L).as("__end"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("__start"))
+    val runEnd = byDoc.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    marked
+      // a window starting within (or right after) the furthest end so
+      // far extends the current island; else a new island begins
+      .withColumn("__brk",
+        when(max(col("__end")).over(runEnd).isNull ||
+          col("__start") > max(col("__end")).over(runEnd) + 1L, 1L).otherwise(0L))
+      .withColumn("__isl", sum(col("__brk")).over(
+        byDoc.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col(idCol), col("__isl"))
+      .agg(min("__start").as("span_start"), max("__end").as("span_end"))
+      .select(col(idCol), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1L).as("span_tokens"))
+  }
+
+  /** [[dupSpans]] applied: rewrite each document with its duplicated
+    * regions REMOVED (first occurrences stay — the corpus keeps
+    * exactly one copy of every repeated passage). Output: the input
+    * rows with `clean_text` (tokens outside every duplicated region,
+    * re-joined by spaces) and `removed_tokens`.
+    *
+    * Scale shape: regions collect per document (a handful of (start,
+    * end) pairs — interval count is bounded by doc length / k), LEFT
+    * join back to the corpus on the id, and the token filter is one
+    * map-side higher-order `filter` with an `exists` probe against
+    * the per-doc interval array. The corpus text rides exactly one
+    * doc-keyed join; no token-level shuffle. */
+  def removeDupSpans(
+      docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val spans = dupSpans(docs, idCol, textCol, k)
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__spans"))
+    val kept = filter(zip_with(col("__toks"),
+      sequence(lit(0L), size(col("__toks")).cast("long") - 1L),
+      (t, i) => struct(t.as("t"), i.as("i"))),
+      s => !exists(col("__spans"),
+        sp => s("i") >= sp("span_start") && s("i") <= sp("span_end")))
+    docs.join(spans, Seq(idCol), "left")
+      .withColumn("__toks", TextAnalysis.tokens(col(textCol)))
+      .withColumn("clean_text",
+        when(col("__spans").isNull, col(textCol))
+          .otherwise(array_join(transform(kept, s => s("t")), " ")))
+      .withColumn("removed_tokens",
+        when(col("__spans").isNull, lit(0L))
+          .otherwise(aggregate(col("__spans"), lit(0L),
+            (acc, sp) => acc + sp("span_end") - sp("span_start") + 1L)))
+      .select((docs.columns.toIndexedSeq.map(col) :+
+        col("clean_text") :+ col("removed_tokens")): _*)
+  }
+
+  /** Stride-1 `k`-token window hashes: (id, __start 0-based, __h).
+    * Documents shorter than `k` tokens emit nothing (guarded — an
+    * unguarded descending `sequence` throws under ANSI). The window
+    * TEXT never leaves the projection; only the 128-bit md5 rides
+    * the shuffle. `toks` is materialized as an attribute first so
+    * the per-window `slice` is O(k), not O(tokens) (see
+    * [[wordShinglesFromTokens]] for the same trap). */
+  private def windowHashes(
+      docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    docs
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) >= k)
+      .select(col(idCol), explode(transform(
+        sequence(lit(0L), size(col("__toks")).cast("long") - k),
+        i => struct(i.as("st"),
+          md5(array_join(slice(col("__toks"), (i + 1L).cast("int"), lit(k)), " ")).as("h"))))
+        .as("__w"))
+      .select(col(idCol), col("__w.st").as("__start"), col("__w.h").as("__h"))
+
   // ---------------------------------------- bucket-drop observability
 
   private val obsSeq = new java.util.concurrent.atomic.AtomicLong()

@@ -1487,6 +1487,45 @@ class OperatorsSpec extends SparkSpec {
     assert(out.collect().head.getBoolean(3)) // "c d e f g" leaked
   }
 
+  test("dupSpans: overlapping windows merge to one maximal region; first occurrence unmarked") {
+    import spark.implicits._
+    // doc 1 is canonical; doc 2 embeds doc 1's 6-token passage at
+    // positions 2..7 — with k=4, starts 2,3,4 all mark, merging into
+    // the single maximal region [2, 7]
+    val df = Seq(
+      (1L, "p q r s t u"),
+      (2L, "x y p q r s t u z w")).toDF("doc_id", "text")
+    val got = Dedup.dupSpans(df, "doc_id", "text", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((2L, 2L, 7L, 6L)))
+  }
+
+  test("dupSpans: touching-but-disjoint regions merge; separated regions stay apart") {
+    import spark.implicits._
+    // doc 2 repeats two of doc 1's passages with one unique token gap:
+    // regions [0,3] and [5,8] must NOT merge (gap at 4)
+    val df = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d zz e f g h")).toDF("doc_id", "text")
+    val got = Dedup.dupSpans(df, "doc_id", "text", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(got.toSeq == Seq((2L, 0L, 3L), (2L, 5L, 8L)))
+  }
+
+  test("removeDupSpans: repeated passage removed, first kept, untouched docs pass through") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "p q r s t u"),
+      (2L, "x y p q r s t u z w"),
+      (3L, "totally unrelated short")).toDF("doc_id", "text")
+    val got = Dedup.removeDupSpans(df, "doc_id", "text", k = 4)
+      .select("doc_id", "clean_text", "removed_tokens")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got(1L) == (("p q r s t u", 0L)))     // canonical copy intact
+    assert(got(2L) == (("x y z w", 6L)))         // the repeat excised
+    assert(got(3L) == (("totally unrelated short", 0L)))
+  }
+
   test("temperatureMix: upsamples the small source, downsamples the large, deterministic") {
     import spark.implicits._
     // 900 "big" docs vs 100 "small": α=0.5 weights 30 vs 10, so
