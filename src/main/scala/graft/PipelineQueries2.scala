@@ -749,9 +749,41 @@ object PipelineQueries2 {
       Dedup.dupSpans(Tables(s, dir).documents, "doc_id", "text", k = 5)
         .transform(Queries.sortedSmall(_, "doc_id", "span_start")))
 
+  // ------------------------------------- Bloom-pruned fact-dim join
+  // Explicit Bloom pruning of a fact table against a selective dim
+  // set (BloomPrune scaladoc): orders of high-balance BUILDING
+  // customers. Bloom filters have no false negatives, so the pruned
+  // join's RESULT equals the plain join — which is exactly what the
+  // oracle checks (DuckDB runs the plain join; Spark runs the pruned
+  // one; hash compare). Decimal sum via the Exact rules.
+  private val qBloomPrunedJoin = Queries.Q(
+    "p_bloom_pruned_join",
+    Some("""
+      SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+      FROM orders
+      JOIN (SELECT c_custkey FROM customer
+            WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 9000) c
+        ON o_custkey = c_custkey
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""),
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val dim = t.customer
+        .filter(col("c_mktsegment") === "BUILDING" && col("c_acctbal") > 9000)
+        .select(col("c_custkey").as("o_custkey"))
+      operators.BloomPrune
+        .prunedJoin(t.orders, dim, "o_custkey",
+          expectedItems = 4096L, numBits = 65536L)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,4)")).cast("double").as("total_price"))
+        .transform(Queries.sortedSmall(_, "o_orderpriority"))
+    })
+
   val all: Seq[Queries.Q] =
     Seq(qDupGroupSizes, qTextNormalize, qSourceShare, qTokenLenHist, qCellSizes,
       qAviFrameStats, qSemanticDedup, qImageResize, qWavSampleStats,
       qBmpPixelStats, qGifPixelStats, qMediaCatalog, qSaltedAgg, qJaroWinkler,
-      qTemperatureMix, qBpeEncode, qDupSpans)
+      qTemperatureMix, qBpeEncode, qDupSpans, qBloomPrunedJoin)
 }

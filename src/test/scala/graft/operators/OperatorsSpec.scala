@@ -1487,6 +1487,49 @@ class OperatorsSpec extends SparkSpec {
     assert(out.collect().head.getBoolean(3)) // "c d e f g" leaked
   }
 
+  test("bloomPrune: pruned join equals the plain join exactly; probe filter sits map-side") {
+    import spark.implicits._
+    // spark.range (a real scan) rather than a local Seq: Catalyst
+    // folds filters over LocalRelations away at optimization time,
+    // which would hide the probe from the plan assertion below
+    val large = spark.range(0L, 5000L).toDF("k")
+      .withColumn("payload", concat(lit("v"), col("k")))
+    val small = Seq(7L, 42L, 4999L, 123L).map(k => (k, s"dim$k")).toDF("k", "dim")
+    val pruned = BloomPrune.prunedJoin(large, small, "k",
+      expectedItems = 16L, numBits = 256L)
+    val plain = large.join(small, Seq("k"))
+    assert(pruned.collect().map(_.toString).sorted.toSeq ==
+      plain.collect().map(_.toString).sorted.toSeq)
+    // the might_contain probe must appear as a Filter in the plan
+    // (below the join), not as a post-join residual
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), plan.take(800))
+    // semi form: pure membership filter
+    val semi = BloomPrune.prunedJoin(large, small.select("k"), "k",
+      expectedItems = 16L, numBits = 256L, joinType = "left_semi")
+    assert(semi.select("k").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(7L, 42L, 123L, 4999L))
+  }
+
+  test("bloomPrune: tiny filter stays exact (false positives cost shuffle, never rows)") {
+    import spark.implicits._
+    // 8 bits for 64 keys: huge false-positive rate, result still exact
+    val large = (0L until 2000L).map(i => (i, i % 7)).toDF("k", "x")
+    val small = (0L until 64L).map(k => Tuple1(k * 31L)).toDF("k")
+    val pruned = BloomPrune.prunedJoin(large, small, "k",
+      expectedItems = 64L, numBits = 8L)
+    val plain = large.join(small, Seq("k"))
+    assert(pruned.collect().map(_.toString).sorted.toSeq ==
+      plain.collect().map(_.toString).sorted.toSeq)
+  }
+
+  test("bloomPrune: empty build side yields an empty join") {
+    import spark.implicits._
+    val large = (0L until 100L).map(Tuple1(_)).toDF("k")
+    val small = Seq.empty[Long].map(Tuple1(_)).toDF("k")
+    assert(BloomPrune.prunedJoin(large, small, "k", 4L, 64L).isEmpty)
+  }
+
   test("dupSpans: overlapping windows merge to one maximal region; first occurrence unmarked") {
     import spark.implicits._
     // doc 1 is canonical; doc 2 embeds doc 1's 6-token passage at
