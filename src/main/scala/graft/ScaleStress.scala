@@ -82,7 +82,11 @@ object ScaleStress {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val scales = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 10, 50)
+    // numeric args = scales; non-numeric args = op-name substrings to
+    // run (iteration/exclusion aid, like Bench's query filter)
+    val numeric = args.filter(_.forall(_.isDigit))
+    val opFilter = args.filterNot(_.forall(_.isDigit)).toSeq
+    val scales = if (numeric.nonEmpty) numeric.map(_.toInt).toSeq else Seq(1, 10, 50)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -98,7 +102,9 @@ object ScaleStress {
     spark.sparkContext.addSparkListener(stats)
 
     val results = scala.collection.mutable.ArrayBuffer[String]()
-    def measure(op: String, scale: Int)(body: => Long): Unit = {
+    def measure(op: String, scale: Int)(body: => Long): Unit =
+      if (opFilter.isEmpty || opFilter.exists(op.contains)) measureAll(op, scale)(body)
+    def measureAll(op: String, scale: Int)(body: => Long): Unit = {
       // drop lingering localCheckpoint blocks so ops don't interfere
       val cached = spark.sparkContext.getPersistentRDDs.values
       spark.catalog.clearCache()

@@ -80,12 +80,14 @@ object Dedup {
       col(idCol) +:
         (0 until k).map(j => minhash(j, shingles).as(s"h$j")): _*)
 
-  /** (band, band_hash, id) membership rows for a signature frame,
-    * pre-shuffled on the bucket key: the canonical shared Exchange
-    * behind bucket sizing, candidate generation and the overflow
-    * audit (every consumer groups/joins on the same key, so Spark
-    * materializes this shuffle once and reuses it). */
-  private def bandRows(
+  /** Un-partitioned (id, band, band_hash) membership rows — the
+    * map-side banding shared by the batch pipeline (which
+    * pre-shuffles on the bucket key, see [[bandRows]]) and the
+    * streaming candidate op ([[graft.streaming.StreamingOps
+    * .nearDupCandidatesStream]], which shuffles via its own
+    * `groupByKey` — banding MUST be identical on both paths for the
+    * stream≡batch candidate equivalence to hold). */
+  def bandMembership(
       sig: DataFrame, idCol: String, k: Int, rowsPerBand: Int): DataFrame = {
     require(k % rowsPerBand == 0,
       s"k=$k must be a multiple of rowsPerBand=$rowsPerBand (trailing positions would be silently dropped)")
@@ -96,8 +98,16 @@ object Dedup {
         md5(concat_ws("|",
           (b * rowsPerBand until (b + 1) * rowsPerBand).map(j => col(s"h$j")): _*))
       }: _*)).as(Seq("band", "band_hash")))
-      .repartition(col("band"), col("band_hash"))
   }
+
+  /** [[bandMembership]] pre-shuffled on the bucket key: the canonical
+    * shared Exchange behind bucket sizing, candidate generation and
+    * the overflow audit (every consumer groups/joins on the same key,
+    * so Spark materializes this shuffle once and reuses it). */
+  private def bandRows(
+      sig: DataFrame, idCol: String, k: Int, rowsPerBand: Int): DataFrame =
+    bandMembership(sig, idCol, k, rowsPerBand)
+      .repartition(col("band"), col("band_hash"))
 
   /** DISTINCT member count per bucket (duplicate input ids count
     * once, matching the collect_set members downstream). A plain

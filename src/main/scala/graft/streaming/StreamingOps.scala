@@ -337,4 +337,69 @@ object StreamingOps {
       c.map { case (i, n) => (i, n - 1L) }.filter(_._2 > 0L),
       st.decrements + 1L)
   }
+
+  /** One minhash-LSH candidate pair discovered in the stream:
+    * normalized orientation (id_a < id_b as strings). */
+  final case class CandidatePair(id_a: String, id_b: String)
+
+  /** Streaming minhash-LSH near-dup CANDIDATE detection WITHIN the
+    * stream — the stream-internal complement of
+    * [[dropSimhashNearDups]] (which only checks against a static
+    * reference set): as documents arrive, each is banded with the
+    * IDENTICAL minhash/banding pipeline as the batch operator
+    * ([[graft.operators.Dedup.bandMembership]], map-side), and a
+    * per-(band, bucket) member list in the state store emits a
+    * candidate pair against every earlier member of the bucket.
+    *
+    * Stream≡batch: on any stream prefix, the emitted pair SET equals
+    * `Dedup.minhashCandidatePairs` over the prefix as a batch
+    * (spec-diffed), provided no bucket overflows — the batch cap
+    * drops whole overflowing buckets retroactively, which a stream
+    * cannot do, so the stream cap instead stops ADMITTING members at
+    * `maxBucket` (arrival-order dependent, the honest streaming
+    * semantics; a flood bucket emits at most maxBucket·(maxBucket−1)/2
+    * pairs ever).
+    *
+    * State is ≤ `maxBucket` id strings per occupied bucket, keyed by
+    * the bucket hash in the state store (checkpointed, scaled out by
+    * key hash). Like streaming `dropDuplicates` without a watermark,
+    * occupied-bucket count grows with the corpus — bound the run with
+    * the candidate horizon the pipeline needs, or clear state by
+    * restarting the query per corpus epoch (candidate detection
+    * against ALL history is inherently unbounded state). Exact
+    * verification happens downstream (stream–static join against the
+    * document store) exactly as batch candidates verify. */
+  def nearDupCandidatesStream(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int, k: Int, rowsPerBand: Int,
+      maxBucket: Int = 1024): Dataset[CandidatePair] = {
+    require(maxBucket > 1, s"maxBucket=$maxBucket must exceed 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sig = graft.operators.Dedup.minhashSignatureOver(
+      docs, idCol, graft.operators.Dedup.wordShingles(col(textCol), n), k)
+    graft.operators.Dedup.bandMembership(sig, idCol, k, rowsPerBand)
+      .select(
+        concat_ws("|", col("band"), col("band_hash")).as("bucket"),
+        col(idCol).cast("string").as("id"))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Seq[String], CandidatePair](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, batch: Iterator[(String, String)],
+         state: GroupState[Seq[String]]) =>
+          var members = state.getOption.getOrElse(Seq.empty)
+          val out = scala.collection.mutable.ArrayBuffer.empty[CandidatePair]
+          batch.foreach { case (_, id) =>
+            if (!members.contains(id) && members.size < maxBucket) {
+              members.foreach { m =>
+                out += (if (m < id) CandidatePair(m, id) else CandidatePair(id, m))
+              }
+              members = members :+ id
+            }
+          }
+          state.update(members)
+          out.iterator
+      }
+  }
 }

@@ -759,4 +759,48 @@ class StreamingSpec extends SparkSpec {
       assert(s2("a")._2 >= 9L - 3L) // f(a)=9; upper bound can't be below lo
     } finally q.stop()
   }
+
+  test("streaming minhash candidates == batch minhashCandidatePairs on every prefix") {
+    import spark.implicits._
+    val stream = MemoryStream[(Long, String)](spark)
+    val out = StreamingOps.nearDupCandidatesStream(
+      stream.toDS().toDF("doc_id", "text"), "doc_id", "text",
+      n = 3, k = 12, rowsPerBand = 3)
+    val q = out.toDF().writeStream.format("memory").queryName("ndc_out")
+      .outputMode("append")
+      .option("checkpointLocation", tmp("chk_ndc")).start()
+    // two near-dup families + unrelated bulk, split across batches so
+    // cross-batch pairs must come from the state store
+    val fam1 = "the quick brown fox jumps over the lazy dog again and again"
+    val fam2 = "spark builds a logical plan and catalyst optimizes the physical plan"
+    val b1 = Seq(
+      1L -> fam1,
+      2L -> (fam1 + " tail"),
+      10L -> fam2,
+      50L -> "completely unrelated text with no shared shingles at all here")
+    val b2 = Seq(
+      3L -> (fam1 + " other"),
+      11L -> (fam2 + " extended"),
+      51L -> "another fully distinct document about nothing in particular today")
+    def streamedPairs(): Set[(String, String)] =
+      spark.table("ndc_out").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+    def batchPairs(rows: Seq[(Long, String)]): Set[(String, String)] = {
+      val sig = graft.operators.Dedup.minhashSignatureOver(
+        rows.toDF("doc_id", "text"), "doc_id",
+        graft.operators.Dedup.wordShingles(col("text"), 3), 12)
+      graft.operators.Dedup.minhashCandidatePairs(sig, "doc_id", 12, 3)
+        .collect().map(r => (r.get(0).toString, r.get(1).toString)).toSet
+    }
+    try {
+      stream.addData(b1); q.processAllAvailable()
+      val p1 = streamedPairs()
+      assert(p1 == batchPairs(b1), "prefix 1 must equal the batch candidate set")
+      assert(p1.contains(("1", "2")), "family-1 pair expected in batch 1")
+      stream.addData(b2); q.processAllAvailable()
+      val p2 = streamedPairs()
+      assert(p2 == batchPairs(b1 ++ b2), "full feed must equal the batch candidate set")
+      assert(p2.contains(("10", "11")), "cross-batch family-2 pair must come from state")
+    } finally q.stop()
+  }
 }
