@@ -781,9 +781,71 @@ object PipelineQueries2 {
         .transform(Queries.sortedSmall(_, "o_orderpriority"))
     })
 
+  // ------------------------------- duplicated-region REMOVAL output
+  // The rewrite side of p_dup_spans: every document with its
+  // duplicated regions excised (first occurrences kept), plus the
+  // removed-token count. The oracle recomputes the spans pipeline,
+  // expands covered positions, anti-joins token positions, and
+  // re-joins the survivors in order — document text is single-spaced
+  // (TESTDATA invariant), so re-joined tokens equal the original for
+  // untouched docs.
+  private val qRemoveDupSpans = Queries.Q(
+    "p_remove_dup_spans",
+    Some("""
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      win AS (SELECT doc_id, g.i AS st, md5(array_to_string(tk[g.i+1:g.i+5], ' ')) AS h
+              FROM tok CROSS JOIN LATERAL (SELECT unnest(generate_series(0, len(tk) - 5)) AS i) g
+              WHERE len(tk) >= 5),
+      f AS (SELECT *, COUNT(*) OVER (PARTITION BY h) AS cnt,
+                   row_number() OVER (PARTITION BY h ORDER BY doc_id, st) AS rn FROM win),
+      m AS (SELECT doc_id, st, st + 4 AS e FROM f WHERE cnt > 1 AND rn > 1),
+      isl AS (SELECT doc_id, st, e,
+                CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY st
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                     OR st > max(e) OVER (PARTITION BY doc_id ORDER BY st
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+                     THEN 1 ELSE 0 END AS brk FROM m),
+      g2 AS (SELECT *, SUM(brk) OVER (PARTITION BY doc_id ORDER BY st
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl_id FROM isl),
+      spans AS (SELECT doc_id, MIN(st) AS s, MAX(e) AS e2 FROM g2 GROUP BY doc_id, isl_id),
+      cov AS (SELECT doc_id, unnest(generate_series(s, e2)) AS p FROM spans),
+      tokpos AS (SELECT doc_id, unnest(tk) AS tok, generate_subscripts(tk, 1) - 1 AS p FROM tok),
+      kept AS (SELECT t.doc_id, t.tok, t.p
+               FROM tokpos t ANTI JOIN cov c ON t.doc_id = c.doc_id AND t.p = c.p),
+      cnt AS (SELECT doc_id, COUNT(*) AS ncov FROM cov GROUP BY doc_id)
+      SELECT d.doc_id,
+             coalesce(k.clean_text, '') AS clean_text,
+             CAST(coalesce(cnt.ncov, 0) AS BIGINT) AS removed_tokens
+      FROM documents d
+      LEFT JOIN (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text
+                 FROM kept GROUP BY doc_id) k USING (doc_id)
+      LEFT JOIN cnt USING (doc_id)
+      ORDER BY doc_id"""),
+    (s, dir) =>
+      Dedup.removeDupSpans(
+        Tables(s, dir).documents.select("doc_id", "text"), "doc_id", "text", k = 5)
+        .select("doc_id", "clean_text", "removed_tokens")
+        .transform(Queries.sortedSmall(_, "doc_id")))
+
+  // ----------------------------------------- sequence packing (LM batch)
+  // Greedy fixed-budget packing — deliberately NO oracle: partition
+  // assignment is Spark's murmur3 hash, which DuckDB cannot replay;
+  // the driver records the rows-only check while OperatorsSpec pins
+  // budget/completeness/determinism/oversized-isolation semantics.
+  private val qPackSequences = Queries.Q(
+    "p_pack_sequences",
+    None,
+    (s, dir) =>
+      operators.Packing.packSequences(
+        Tables(s, dir).documents
+          .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens")),
+        "doc_id", "n_tokens", budget = 512L, numPartitions = 8)
+        .transform(Queries.sortedSmall(_, "doc_id")))
+
   val all: Seq[Queries.Q] =
     Seq(qDupGroupSizes, qTextNormalize, qSourceShare, qTokenLenHist, qCellSizes,
       qAviFrameStats, qSemanticDedup, qImageResize, qWavSampleStats,
       qBmpPixelStats, qGifPixelStats, qMediaCatalog, qSaltedAgg, qJaroWinkler,
-      qTemperatureMix, qBpeEncode, qDupSpans, qBloomPrunedJoin)
+      qTemperatureMix, qBpeEncode, qDupSpans, qBloomPrunedJoin,
+      qRemoveDupSpans, qPackSequences)
 }
