@@ -842,10 +842,60 @@ object PipelineQueries2 {
         "doc_id", "n_tokens", budget = 512L, numPartitions = 8)
         .transform(Queries.sortedSmall(_, "doc_id")))
 
+  // ----------------------------------- product-quantization ANN topk
+  // The fourth ANN arm (brute / sign-LSH / IVF / PQ): 64-dim vectors
+  // compress to 4 subspace codes against a fixed 16-codeword
+  // codebook (sample vectors vec_id < 16 — the oracle-replayable
+  // form, like p_ivf_topk's fixed centroids), queries rank the corpus
+  // by the asymmetric-distance sum of per-subspace LUT probes. Every
+  // distance is the element-order l2² fold, the argmin a struct-min,
+  // and the ADC sum adds subspaces in fixed order — bit-identical on
+  // both engines.
+  private val qPqTopK = Queries.Q(
+    "p_pq_topk",
+    Some("""
+      WITH cb AS (SELECT e.vec_id AS code, j.j AS subspace,
+                         e.embedding[j.j*16+1 : j.j*16+16] AS subvec
+                  FROM embeddings e CROSS JOIN LATERAL (SELECT unnest(generate_series(0, 3)) AS j) j
+                  WHERE e.vec_id < 16),
+      cs AS (SELECT e.vec_id AS neighbor_id, j.j AS subspace,
+                    e.embedding[j.j*16+1 : j.j*16+16] AS sv
+             FROM embeddings e CROSS JOIN LATERAL (SELECT unnest(generate_series(0, 3)) AS j) j),
+      ed AS (SELECT cs.neighbor_id, cs.subspace, cb.code,
+               list_sum(list_transform(list_zip(cs.sv, cb.subvec),
+                 x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))) AS d2
+             FROM cs JOIN cb USING (subspace)),
+      enc AS (SELECT neighbor_id, subspace, (min({'d': d2, 'c': code})).c AS code
+              FROM ed GROUP BY neighbor_id, subspace),
+      qd AS (SELECT neighbor_id AS query_id, subspace, code, d2 FROM ed WHERE neighbor_id < 20),
+      pair AS (SELECT q.query_id, e.neighbor_id,
+                 SUM(CASE WHEN q.subspace = 0 THEN q.d2 END) +
+                 SUM(CASE WHEN q.subspace = 1 THEN q.d2 END) +
+                 SUM(CASE WHEN q.subspace = 2 THEN q.d2 END) +
+                 SUM(CASE WHEN q.subspace = 3 THEN q.d2 END) AS approx_d2
+               FROM enc e JOIN qd q ON q.subspace = e.subspace AND q.code = e.code
+               WHERE q.query_id != e.neighbor_id
+               GROUP BY q.query_id, e.neighbor_id)
+      SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id, approx_d2 FROM (
+        SELECT query_id, neighbor_id, approx_d2,
+               row_number() OVER (PARTITION BY query_id ORDER BY approx_d2 ASC, neighbor_id) AS rnk
+        FROM pair)
+      WHERE rnk <= 10
+      ORDER BY query_id, rank"""),
+    (s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val cb = Similarity.pqCodebookFrom(
+        emb.filter(col("vec_id") < 16), "vec_id", "embedding", m = 4)
+      Similarity.pqTopK(
+        emb.filter(col("vec_id") < 20), "vec_id",
+        emb, "vec_id", "embedding", cb, m = 4, k = 10)
+        .transform(Queries.sortedSmall(_, "query_id", "rank"))
+    })
+
   val all: Seq[Queries.Q] =
     Seq(qDupGroupSizes, qTextNormalize, qSourceShare, qTokenLenHist, qCellSizes,
       qAviFrameStats, qSemanticDedup, qImageResize, qWavSampleStats,
       qBmpPixelStats, qGifPixelStats, qMediaCatalog, qSaltedAgg, qJaroWinkler,
       qTemperatureMix, qBpeEncode, qDupSpans, qBloomPrunedJoin,
-      qRemoveDupSpans, qPackSequences)
+      qRemoveDupSpans, qPackSequences, qPqTopK)
 }

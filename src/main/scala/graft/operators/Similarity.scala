@@ -439,4 +439,107 @@ object Similarity {
           (acc, d) => acc + element_at(vec, d).cast("double") * element_at(signsRow, d))
       }: _*)
   }
+
+  /** Squared L2 in double, element-order fold — [[l2]] without the
+    * sqrt; the PQ distance-table unit (PQ ranks on Σ of per-subspace
+    * squared distances, so the root is never needed). Same
+    * cross-engine bit-exactness contract as [[cosine]]/[[l2]]. */
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => {
+        val d = x.cast("double") - y.cast("double")
+        d * d
+      }),
+      lit(0.0d),
+      (acc, x) => acc + x)
+
+  /** The m per-subspace slices of each row's vector:
+    * (outId, subspace 0-based, sub-vector of dim/m components).
+    * Requires m | dim (slice arithmetic is per-row, so ragged input
+    * surfaces as empty/short tails rather than silently mis-slicing
+    * — callers validate dimensionality upstream like every vector
+    * op here). */
+  private def subVectors(
+      df: DataFrame, inIdCol: String, vecCol: String, outId: String,
+      m: Int): DataFrame = {
+    val v = col(vecCol)
+    val d = (size(v) / lit(m)).cast("int")
+    df.select(col(inIdCol).as(outId),
+      posexplode(array((0 until m).map(j =>
+        slice(v, (lit(j) * d + 1).cast("int"), d)): _*))
+        .as(Seq("subspace", "__sv")))
+  }
+
+  /** Product-quantization codebook from `ks` sample vectors: every
+    * sample id becomes codeword `code` in EVERY subspace (the fixed
+    * deterministic codebook form — like [[ivfTopK]]'s fixed-centroid
+    * mode, it keeps the whole index oracle-replayable; swap in a
+    * per-subspace k-means via [[trainCentroids]] on the slices when
+    * training is wanted). Output: (subspace, code, subvec). */
+  def pqCodebookFrom(
+      samples: DataFrame, idCol: String, vecCol: String, m: Int): DataFrame =
+    subVectors(samples.select(col(idCol).cast("int").as("__c"), col(vecCol)),
+      "__c", vecCol, "code", m)
+      .select(col("subspace"), col("code"), col("__sv").as("subvec"))
+
+  /** Product-quantization approximate top-k — the fourth ANN arm
+    * beside brute force, sign-LSH and IVF: corpus vectors compress to
+    * m codes (one per subspace, nearest codeword by squared L2, ties
+    * → smallest code), queries build a distance LOOK-UP TABLE (d² to
+    * every codeword in every subspace), and the asymmetric-distance
+    * scan ranks every corpus vector by Σⱼ lut[j, code_j] — m map
+    * probes and m−1 additions per (query, vector), never a full
+    * D-dim distance.
+    *
+    * Scale shape (100 TB): the codebook broadcasts (m·ks rows);
+    * encoding is one broadcast join + keyed argmin — the corpus
+    * never shuffles its VECTORS again after encoding (codes are
+    * m bytes-ish vs 4·D — the memory economy PQ exists for). The
+    * LUT side is queries-sized (|Q|·m·ks doubles) and broadcasts;
+    * the ADC scan is the deliberate broadcast-nested-loop of a
+    * bounded query batch against the encoded corpus (the same
+    * documented-acceptable class as the brute-force baseline), and
+    * the per-query top-k window runs on (id, approx) pairs only.
+    *
+    * Exactness: every distance is the [[l2sq]] element-order fold,
+    * the per-subspace argmin is a lexicographic struct-min, and the
+    * ADC sum adds subspaces in fixed j = 0..m−1 expression order —
+    * the oracle replays all three bit-identically.
+    *
+    * Output: (query_id, rank, neighbor_id, approx_d2), rank 1 =
+    * nearest by approximate distance, self-pairs excluded. */
+  def pqTopK(
+      queries: DataFrame, queryIdCol: String,
+      corpus: DataFrame, idCol: String, vecCol: String,
+      codebook: DataFrame, m: Int, k: Int): DataFrame = {
+    require(m > 0 && k > 0, s"m=$m and k=$k must be positive")
+    val cb = broadcast(codebook.select(
+      col("subspace"), col("code"), col("subvec")))
+    val enc = subVectors(corpus, idCol, vecCol, "neighbor_id", m)
+      .join(cb, "subspace")
+      .withColumn("__d2", l2sq(col("__sv"), col("subvec")))
+      .groupBy("neighbor_id", "subspace")
+      .agg(min(struct(col("__d2").as("d"), col("code").as("c"))).as("__b"))
+      .groupBy("neighbor_id")
+      .agg(map_from_entries(
+        collect_list(struct(col("subspace"), col("__b.c")))).as("__codes"))
+    val lut = subVectors(queries, queryIdCol, vecCol, "query_id", m)
+      .join(cb, "subspace")
+      .groupBy("query_id")
+      .agg(map_from_entries(collect_list(struct(
+        (col("subspace") * 1000 + col("code")).as("mk"),
+        l2sq(col("__sv"), col("subvec")).as("d")))).as("__lut"))
+    // fixed j-order sum: ((d0 + d1) + …) — deterministic cross-engine
+    val approx = (0 until m).map(j =>
+      element_at(col("__lut"),
+        lit(j) * 1000 + element_at(col("__codes"), lit(j)))).reduce(_ + _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_d2").asc, col("neighbor_id"))
+    enc.crossJoin(broadcast(lut))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("approx_d2", approx)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "approx_d2")
+  }
 }

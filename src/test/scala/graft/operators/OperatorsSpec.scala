@@ -1487,6 +1487,60 @@ class OperatorsSpec extends SparkSpec {
     assert(out.collect().head.getBoolean(3)) // "c d e f g" leaked
   }
 
+  test("pqTopK: zero distance to own codewords; cluster structure ranks correctly") {
+    import spark.implicits._
+    // 8-dim vectors, m=2 subspaces of 4. Corpus = 2 tight clusters
+    // around the two codebook samples; each cluster's members must
+    // rank each other (and their codeword vector) above the far
+    // cluster, and a vector IDENTICAL to a sample has approx_d2 = 0
+    // to it (both subspaces encode to that sample's codes).
+    def v(base: Float, jitter: Float): Seq[Float] =
+      Seq.fill(8)(base).zipWithIndex.map { case (x, i) => x + (if (i % 2 == 0) jitter else 0f) }
+    val corpus = Seq(
+      (0L, v(0f, 0f)), (1L, v(0f, 0.1f)), (2L, v(0f, 0.2f)),
+      (10L, v(5f, 0f)), (11L, v(5f, 0.1f)), (12L, v(5f, 0.2f))
+    ).toDF("vec_id", "embedding")
+    val cb = Similarity.pqCodebookFrom(
+      corpus.filter(col("vec_id").isin(0L, 10L)), "vec_id", "embedding", m = 2)
+    val queries = corpus.filter(col("vec_id").isin(0L, 11L))
+    val got = Similarity.pqTopK(queries, "vec_id", corpus, "vec_id", "embedding",
+      cb, m = 2, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val byQ = got.groupBy(_._1)
+    // approx_d2 is the query → NEIGHBOR'S-CODEWORD distance. Query 0
+    // IS codeword 0, and vectors 1, 2 encode to it → exactly 0.0;
+    // the far cluster's members encode to codeword 10 → huge.
+    val q0 = byQ(0L).sortBy(_._2)
+    assert(q0.take(2).map(_._3).toSet == Set(1L, 2L))
+    assert(q0.take(2).forall(_._4 == 0.0))
+    assert(q0.drop(2).forall(r => Set(10L, 11L, 12L)(r._3) && r._4 > 100.0))
+    // query 11 sits jitter-near codeword 10: small positive distance
+    // to its own cluster (all encoding to codeword 10), far to the
+    // other — and cluster members share ONE approx value (same codes)
+    val q11 = byQ(11L).sortBy(_._2)
+    assert(q11.take(2).map(_._3).toSet == Set(10L, 12L))
+    assert(q11.take(2).forall(r => r._4 > 0.0 && r._4 < 1.0))
+    assert(q11.take(2).map(_._4).distinct.size == 1)
+    assert(q11.drop(2).forall(_._4 > 100.0))
+  }
+
+  test("pqTopK: determinism and self-exclusion") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val corpus = (0L until 60L).map(i =>
+      (i, Seq.fill(8)(rnd.nextFloat()))).toDF("vec_id", "embedding")
+    val cb = Similarity.pqCodebookFrom(
+      corpus.filter(col("vec_id") < 4), "vec_id", "embedding", m = 2)
+    def run() = Similarity.pqTopK(
+      corpus.filter(col("vec_id") < 5), "vec_id", corpus, "vec_id", "embedding",
+      cb, m = 2, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val a = run(); val b = run()
+    assert(a == b, "PQ ranking must be deterministic")
+    assert(a.forall(r => r._1 != r._3), "self-pairs excluded")
+    assert(a.groupBy(_._1).forall(_._2.size == 10))
+  }
+
   test("bloomPrune: pruned join equals the plain join exactly; probe filter sits map-side") {
     import spark.implicits._
     // spark.range (a real scan) rather than a local Seq: Catalyst
