@@ -175,6 +175,18 @@ object ScaleStress {
           b.filter(col("__sb") < 80), b.filter(col("__sb") >= 90),
           "doc_id", "text", n = 5).count()
       }
+      measure("pq_topk", scale) {
+        // codebook/queries stay the ORIGINAL vectors (copy 0): only
+        // the encoded+scanned corpus grows with scale — the ADC-scan
+        // cost model under test is O(corpus × queries) map probes
+        val queries = emb.filter(col("vec_id") < lit(20L) * scale &&
+          pmod(col("vec_id"), lit(scale)) === 0)
+        val cbSrc = emb.filter(col("vec_id") < lit(16L) * scale &&
+          pmod(col("vec_id"), lit(scale)) === 0)
+        val cb = operators.Similarity.pqCodebookFrom(cbSrc, "vec_id", "embedding", m = 4)
+        operators.Similarity.pqTopK(queries, "vec_id", emb, "vec_id", "embedding",
+          cb, m = 4, k = 10).count()
+      }
       measure("ivf_topk", scale) {
         // queries/centroids stay the ORIGINAL vectors (copy 0) so only
         // the searched corpus grows with scale, like a real index

@@ -118,6 +118,11 @@ object GraftFunctions {
     graftBridge.column(
       CosineSimilarity(graftBridge.expression(a), graftBridge.expression(b)))
 
+  /** Column-API form of [[L2Squared]]: fused one-pass squared L2. */
+  def l2sq(a: Column, b: Column): Column =
+    graftBridge.column(
+      L2Squared(graftBridge.expression(a), graftBridge.expression(b)))
+
   /** Column-API form of [[JpegSofDims]]: array<long> [width, height,
     * channels] of a JPEG payload, NULL when absent/undecodable. */
   def jpegSofDims(payload: Column): Column =
@@ -227,6 +232,13 @@ object GraftFunctions {
         (args: Seq[Expression]) => {
           require(args.length == 2, s"graft_cosine expects 2 arguments, got ${args.length}")
           CosineSimilarity(args(0), args(1))
+        }),
+      (
+        FunctionIdentifier("graft_l2sq"),
+        new ExpressionInfo(classOf[L2Squared].getName, "graft_l2sq"),
+        (args: Seq[Expression]) => {
+          require(args.length == 2, s"graft_l2sq expects 2 arguments, got ${args.length}")
+          L2Squared(args(0), args(1))
         }),
       (
         FunctionIdentifier("graft_intersect_count"),

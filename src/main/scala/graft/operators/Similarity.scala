@@ -98,15 +98,24 @@ object Similarity {
 
   /** L2 (Euclidean) distance in double, squared-diff sum in element
     * order — same cross-engine bit-exactness contract as [[cosine]]
-    * (identical expression order; `d*d`, never `pow`). */
+    * (identical expression order; `d*d`, never `pow`). Runs on the
+    * fused codegen'd [[graft.functions.L2Squared]] kernel; the HOF
+    * reference formulation lives in [[l2sqHof]] (property-tested
+    * equivalent in FunctionsSpec). */
   def l2(a: Column, b: Column): Column =
-    sqrt(aggregate(
+    sqrt(graft.functions.GraftFunctions.l2sq(a, b))
+
+  /** HOF reference formulation of the squared-L2 fold (any numeric
+    * array type; kept for the equivalence property test — not used in
+    * any query plan). */
+  def l2sqHof(a: Column, b: Column): Column =
+    aggregate(
       zip_with(a, b, (x, y) => {
         val d = x.cast("double") - y.cast("double")
         d * d
       }),
       lit(0.0d),
-      (acc, x) => acc + x))
+      (acc, x) => acc + x)
 
   /** Deterministic sign-bit LSH bucket: bit i set iff component i is
     * >= 0. With random-ish embeddings, 2^bits roughly-equal buckets.
@@ -442,16 +451,12 @@ object Similarity {
 
   /** Squared L2 in double, element-order fold — [[l2]] without the
     * sqrt; the PQ distance-table unit (PQ ranks on Σ of per-subspace
-    * squared distances, so the root is never needed). Same
-    * cross-engine bit-exactness contract as [[cosine]]/[[l2]]. */
+    * squared distances, so the root is never needed). The fused
+    * codegen'd kernel — the PQ encoding evaluates corpus·m·ks of
+    * these, which the interpreted HOF form made the dominant stage
+    * (measured: a 17.8 s max task at 50× ScaleStress). */
   private def l2sq(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => {
-        val d = x.cast("double") - y.cast("double")
-        d * d
-      }),
-      lit(0.0d),
-      (acc, x) => acc + x)
+    graft.functions.GraftFunctions.l2sq(a, b)
 
   /** The m per-subspace slices of each row's vector:
     * (outId, subspace 0-based, sub-vector of dim/m components).
@@ -527,12 +532,15 @@ object Similarity {
       .join(cb, "subspace")
       .groupBy("query_id")
       .agg(map_from_entries(collect_list(struct(
-        (col("subspace") * 1000 + col("code")).as("mk"),
+        // (subspace, code) packed into one long: codes are arbitrary
+        // caller ids (sample vector ids), so the subspace stride must
+        // be collision-proof for any 32-bit code
+        (col("subspace").cast("long") * lit(4294967296L) + col("code")).as("mk"),
         l2sq(col("__sv"), col("subvec")).as("d")))).as("__lut"))
     // fixed j-order sum: ((d0 + d1) + …) — deterministic cross-engine
     val approx = (0 until m).map(j =>
       element_at(col("__lut"),
-        lit(j) * 1000 + element_at(col("__codes"), lit(j)))).reduce(_ + _)
+        lit(j.toLong * 4294967296L) + element_at(col("__codes"), lit(j)))).reduce(_ + _)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("approx_d2").asc, col("neighbor_id"))
     enc.crossJoin(broadcast(lut))

@@ -31,6 +31,32 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("native l2sq == HOF fold bit-for-bit on random float vectors; edge semantics") {
+    import spark.implicits._
+    val pairs = Gen.listOfN(500,
+      Gen.zip(Gen.listOfN(8, Gen.chooseNum(-10f, 10f)),
+              Gen.listOfN(8, Gen.chooseNum(-10f, 10f))))
+      .sample.get
+    val df = pairs.toDF("a", "b")
+    val out = df.select(
+      GraftFunctions.l2sq(col("a"), col("b")).as("native"),
+      Similarity.l2sqHof(col("a"), col("b")).as("hof")).collect()
+    assert(out.length == 500)
+    out.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+             java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+    // NULL array / length mismatch -> NULL; empty arrays -> 0.0
+    val edge = Seq(
+      (1L, null, Seq(1f)),
+      (2L, Seq(1f, 2f), Seq(1f)),
+      (3L, Seq.empty[Float], Seq.empty[Float])
+    ).toDF("id", "a", "b")
+    val got = edge.select(col("id"), GraftFunctions.l2sq(col("a"), col("b")).as("d"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(got(1L).isEmpty && got(2L).isEmpty && got(3L).contains(0.0))
+  }
+
   test("cosine edge semantics: zero vector, NULL array, NULL element, length mismatch") {
     import spark.implicits._
     val df = Seq(
@@ -83,7 +109,7 @@ class FunctionsSpec extends SparkSpec {
     val ext = new SparkSessionExtensions
     new GraftExtensions().apply(ext) // must not throw; descriptor count fixed
     assert(GraftFunctions.descriptors.map(_._1.funcName) ==
-      Seq("graft_cosine", "graft_intersect_count", "graft_jpeg_sof",
+      Seq("graft_cosine", "graft_l2sq", "graft_intersect_count", "graft_jpeg_sof",
         "graft_png_pixels", "graft_png_stats",
         "graft_jpeg_pixels", "graft_jpeg_stats",
         "graft_avi_meta", "graft_avi_frame", "graft_avi_frame_stats",
