@@ -487,6 +487,63 @@ object Similarity {
       "__c", vecCol, "code", m)
       .select(col("subspace"), col("code"), col("__sv").as("subvec"))
 
+  /** TRAINED product-quantization codebook: per-subspace Lloyd's
+    * k-means with L2 (the objective PQ actually quantizes for —
+    * [[trainCentroids]] is the spherical/cosine IVF trainer; this one
+    * minimizes per-subspace squared distance). All m subspaces train
+    * in ONE set of Spark jobs per iteration: the sub-vector frame
+    * carries its subspace id, assignment joins codewords on that id
+    * (broadcast — m·ks rows), and the mean recomputation groups by
+    * (subspace, code, position). Seeding is the deterministic
+    * md5-ranked sample (same scheme as [[trainCentroids]]); empty
+    * codewords keep their previous vector. Output: (subspace, code,
+    * subvec) — drop-in for [[pqTopK]]. */
+  def pqTrainCodebook(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, ks: Int, iters: Int = 5): DataFrame = {
+    require(m > 0 && ks > 0, s"m=$m and ks=$ks must be positive")
+    require(iters >= 0, s"iters=$iters must be non-negative")
+    val subs = subVectors(corpus, idCol, vecCol, "__id", m)
+    val seedOrder = Seq(col("__r"), col("__sid"))
+    val wSeed = Window.partitionBy(col("subspace")).orderBy(seedOrder: _*)
+    val init = corpus
+      .select(col(idCol).cast("string").as("__sid"), col(vecCol))
+      .withColumn("__r", md5(col("__sid")))
+      .withColumn("__rk", row_number().over(
+        Window.orderBy(col("__r"), col("__sid"))))
+      .filter(col("__rk") <= ks)
+    var cb = subVectors(init, "__rk", vecCol, "__seed", m)
+      .select(col("subspace"), (col("__seed") - 1).cast("int").as("code"),
+        col("__sv").as("subvec"))
+      .localCheckpoint(true)
+    require(!cb.isEmpty, "pqTrainCodebook: empty corpus — nothing to seed")
+    for (_ <- 0 until iters) {
+      val assigned = subs
+        .join(broadcast(cb), "subspace")
+        .withColumn("__d2", l2sq(col("__sv"), col("subvec")))
+        .groupBy("__id", "subspace")
+        .agg(
+          min(struct(col("__d2").as("d"), col("code").as("c"))).as("__b"),
+          first(col("__sv")).as("__sv")) // functionally dependent
+        .select(col("subspace"), col("__b.c").as("code"), col("__sv"))
+      val means = assigned
+        .select(col("subspace"), col("code"),
+          posexplode(col("__sv")).as(Seq("__p", "__x")))
+        .groupBy("subspace", "code", "__p")
+        .agg(avg(col("__x")).as("__m"))
+        .groupBy("subspace", "code")
+        .agg(array_sort(collect_list(struct(col("__p"), col("__m")))).as("__pm"))
+        .select(col("subspace"), col("code"),
+          transform(col("__pm"), e => e.getField("__m").cast("float")).as("__mvec"))
+      cb = cb
+        .join(means, Seq("subspace", "code"), "left")
+        .select(col("subspace"), col("code"),
+          coalesce(col("__mvec"), col("subvec")).as("subvec"))
+        .localCheckpoint(true)
+    }
+    cb
+  }
+
   /** Product-quantization approximate top-k — the fourth ANN arm
     * beside brute force, sign-LSH and IVF: corpus vectors compress to
     * m codes (one per subspace, nearest codeword by squared L2, ties

@@ -1541,6 +1541,40 @@ class OperatorsSpec extends SparkSpec {
     assert(a.groupBy(_._1).forall(_._2.size == 10))
   }
 
+  test("pqTrainCodebook: training cuts quantization error vs the seed codebook") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // 3 well-separated cluster centers in each half of an 8-dim space
+    def sample(): (Seq[Float]) = {
+      val c = rnd.nextInt(3) * 10f
+      Seq.fill(8)(c + rnd.nextFloat())
+    }
+    val corpus = (0L until 200L).map(i => (i, sample())).toDF("vec_id", "embedding")
+    // per-(vector, subspace) nearest-codeword d2, summed — the PQ
+    // objective; computed directly against each codebook
+    def err(cb: org.apache.spark.sql.DataFrame): Double = {
+      val sv = corpus.select(col("vec_id"),
+        posexplode(array(
+          slice(col("embedding"), 1, 4), slice(col("embedding"), 5, 4)))
+          .as(Seq("subspace", "sv")))
+      sv.join(broadcast(cb), "subspace")
+        .withColumn("d2", graft.functions.GraftFunctions.l2sq(col("sv"), col("subvec")))
+        .groupBy("vec_id", "subspace").agg(min("d2").as("best"))
+        .agg(sum("best")).head.getDouble(0)
+    }
+    val seed = Similarity.pqTrainCodebook(corpus, "vec_id", "embedding",
+      m = 2, ks = 4, iters = 0)
+    val trained = Similarity.pqTrainCodebook(corpus, "vec_id", "embedding",
+      m = 2, ks = 4, iters = 4)
+    assert(seed.count() == 8 && trained.count() == 8) // m*ks codewords
+    val (e0, e4) = (err(seed), err(trained))
+    assert(e4 < e0, s"training must reduce quantization error: $e4 !< $e0")
+    // the trained codebook drops into pqTopK unchanged
+    val out = Similarity.pqTopK(corpus.filter(col("vec_id") < 3), "vec_id",
+      corpus, "vec_id", "embedding", trained, m = 2, k = 5)
+    assert(out.groupBy("query_id").count().collect().forall(_.getLong(1) == 5))
+  }
+
   test("bloomPrune: pruned join equals the plain join exactly; probe filter sits map-side") {
     import spark.implicits._
     // spark.range (a real scan) rather than a local Seq: Catalyst
