@@ -892,10 +892,71 @@ object PipelineQueries2 {
         .transform(Queries.sortedSmall(_, "query_id", "rank"))
     })
 
+  // --------------------------------- end-to-end curation decision log
+  // One call composes the quality gate, exact dedup and near-dup
+  // dedup into a per-document decision WITH reasons (Curation.report
+  // scaladoc: auditability is the product). The oracle stitches the
+  // three gates' existing CTE logic — quality formula, fingerprint
+  // groups, and the recursive-CTE minhash+CC loser set — and checks
+  // every flag and the final kept verdict per document.
+  private val qCurationReport = Queries.Q(
+    "p_curation_report",
+    Some(s"""
+      WITH RECURSIVE t AS (SELECT doc_id, ${PipelineQueries.duckShingles3} AS sh FROM documents),
+      t2 AS (SELECT doc_id, sh FROM t WHERE len(sh) > 0),
+      sig AS (SELECT doc_id, sh,
+                list_transform(generate_series(0, 11),
+                  j -> list_min(list_transform(sh, x -> md5(j || ':' || x)))) AS s
+              FROM t2),
+      bands AS (SELECT doc_id, b.generate_series AS band,
+                  md5(s[b.generate_series*3+1] || '|' || s[b.generate_series*3+2] || '|' || s[b.generate_series*3+3]) AS bh
+                FROM sig, generate_series(0, 3) b),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+               FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+      pairs AS (SELECT id_a, id_b FROM cand
+                JOIN t2 ta ON ta.doc_id = id_a
+                JOIN t2 tb ON tb.doc_id = id_b
+                WHERE CAST(len(list_intersect(ta.sh, tb.sh)) AS DOUBLE)
+                        / len(list_distinct(list_concat(ta.sh, tb.sh))) >= 0.5),
+      e AS (SELECT id_a AS u, id_b AS v FROM pairs
+            UNION SELECT id_b AS u, id_a AS v FROM pairs),
+      reach(node, r) AS (SELECT u, u FROM (SELECT DISTINCT u FROM e)
+                         UNION
+                         SELECT e.v, reach.r FROM reach JOIN e ON e.u = reach.node),
+      losers AS (SELECT node FROM (SELECT node, MIN(r) AS grp FROM reach GROUP BY node)
+                 WHERE node <> grp),
+      v AS (SELECT doc_id, text,
+                   len(string_split(text, ' ')) AS n,
+                   len(list_distinct(string_split(text, ' '))) AS nd,
+                   len(list_filter(string_split(text, ' '),
+                       tk -> list_contains(['the','a','an','and','or','of','to','in','is','it'], tk))) AS nstop
+            FROM documents),
+      r AS (SELECT doc_id, n,
+                   CASE WHEN n < 10 THEN 'too_short'
+                        WHEN CAST(length(text) - (n - 1) AS DOUBLE) / n > 10.0 THEN 'long_words'
+                        WHEN nstop = 0 THEN 'no_stopwords'
+                        WHEN 1.0 - CAST(nd AS DOUBLE) / n > 0.6 THEN 'repetitive'
+                        ELSE NULL END AS drop_reason
+            FROM v),
+      ex AS (SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp FROM documents),
+      exg AS (SELECT fp, MIN(doc_id) AS keep_id FROM ex GROUP BY fp),
+      exl AS (SELECT ex.doc_id FROM ex JOIN exg USING (fp) WHERE ex.doc_id <> exg.keep_id)
+      SELECT r.doc_id, CAST(r.n AS BIGINT) AS n_tokens,
+             r.drop_reason IS NULL AS quality_keep, r.drop_reason,
+             r.doc_id IN (SELECT doc_id FROM exl) AS exact_dup_loser,
+             r.doc_id IN (SELECT node FROM losers) AS near_dup_loser,
+             (r.drop_reason IS NULL AND r.doc_id NOT IN (SELECT doc_id FROM exl)
+              AND r.doc_id NOT IN (SELECT node FROM losers)) AS kept
+      FROM r ORDER BY doc_id"""),
+    (s, dir) =>
+      operators.Curation.report(Tables(s, dir).documents, "doc_id", "text",
+        n = 3, k = 12, rowsPerBand = 3, threshold = 0.5)
+        .transform(Queries.sortedSmall(_, "doc_id")))
+
   val all: Seq[Queries.Q] =
     Seq(qDupGroupSizes, qTextNormalize, qSourceShare, qTokenLenHist, qCellSizes,
       qAviFrameStats, qSemanticDedup, qImageResize, qWavSampleStats,
       qBmpPixelStats, qGifPixelStats, qMediaCatalog, qSaltedAgg, qJaroWinkler,
       qTemperatureMix, qBpeEncode, qDupSpans, qBloomPrunedJoin,
-      qRemoveDupSpans, qPackSequences, qPqTopK)
+      qRemoveDupSpans, qPackSequences, qPqTopK, qCurationReport)
 }

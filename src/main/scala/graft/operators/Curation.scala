@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The end-to-end curation DECISION surface: one call composes the
+  * gates a training-data pipeline actually runs — heuristic quality
+  * ([[TextAnalysis.qualityFilter]]), exact dedup
+  * ([[Dedup.exactGroups]] first-copy-wins), and near-dup dedup
+  * ([[Dedup.nearDupPairsShingled]] → [[Graph.connectedComponents]]
+  * min-id survivor) — into a per-document decision WITH reasons.
+  * Curation runs live or die by auditability: "this document was
+  * dropped because near_dup_loser" is the row an ablation, an appeal,
+  * or a regression bisect needs, and deriving it after the fact from
+  * the kept-set diff loses the reason.
+  *
+  * Output: (id, n_tokens, quality_keep BOOLEAN, drop_reason STRING
+  * or NULL, exact_dup_loser BOOLEAN, near_dup_loser BOOLEAN,
+  * kept BOOLEAN) — kept ⇔ quality_keep ∧ ¬exact_dup_loser ∧
+  * ¬near_dup_loser. Gates are evaluated INDEPENDENTLY (a
+  * quality-failing doc still reports its dup flags): production
+  * pipelines tune gate order by cost, but the report must show every
+  * gate's verdict or ablations on gate order are blind.
+  *
+  * Scale shape (100 TB): quality is map-side; exact dedup is one
+  * fingerprint-keyed aggregation joined back on the fingerprint
+  * (never the text); near-dup is the capped banded-LSH pipeline + CC
+  * over pairs only, with the loser set joined back by id. The corpus
+  * text is read once per gate frontier and never rides a shuffle;
+  * every join back to the report is id- or fingerprint-keyed.
+  */
+object Curation {
+
+  def report(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int, k: Int, rowsPerBand: Int, threshold: Double,
+      maxBucket: Int = 1024): DataFrame = {
+    val quality = TextAnalysis.qualityFilter(docs, idCol, textCol)
+      .select(col(idCol), col("n_tokens"),
+        col("keep").as("quality_keep"), col("drop_reason"))
+    // exact: a doc loses iff its fingerprint group keeps another id
+    val exactLosers = docs
+      .select(col(idCol), Dedup.fingerprint(col(textCol)).as("__fp"))
+      .join(Dedup.exactGroups(docs, idCol, textCol)
+        .select(col("fingerprint").as("__fp"), col("keep_id")), "__fp")
+      .filter(col(idCol) =!= col("keep_id"))
+      .select(col(idCol))
+    val nearLosers = Graph.connectedComponents(
+      Dedup.nearDupPairsShingled(docs, idCol, textCol,
+        n, k, rowsPerBand, threshold, maxBucket),
+      "id_a", "id_b")
+      .filter(col("node") =!= col("component"))
+      .select(col("node").as(idCol))
+    quality
+      .join(exactLosers.withColumn("__ex", lit(true)), Seq(idCol), "left")
+      .join(nearLosers.withColumn("__nd", lit(true)), Seq(idCol), "left")
+      .select(
+        col(idCol), col("n_tokens"), col("quality_keep"), col("drop_reason"),
+        coalesce(col("__ex"), lit(false)).as("exact_dup_loser"),
+        coalesce(col("__nd"), lit(false)).as("near_dup_loser"),
+        (col("quality_keep") && coalesce(col("__ex"), lit(false)) === false &&
+          coalesce(col("__nd"), lit(false)) === false).as("kept"))
+  }
+}

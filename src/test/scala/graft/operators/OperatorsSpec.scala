@@ -1541,6 +1541,29 @@ class OperatorsSpec extends SparkSpec {
     assert(a.groupBy(_._1).forall(_._2.size == 10))
   }
 
+  test("curation report: independent gate verdicts and the composed kept decision") {
+    import spark.implicits._
+    val family = "the quick brown fox jumps over the lazy dog and runs far away today"
+    val df = Seq(
+      (1L, family),                       // canonical near-dup survivor
+      (2L, family + " extra"),            // near-dup loser
+      (3L, "short text"),                 // quality: too_short
+      (4L, family),                       // EXACT copy of 1 -> exact loser (and near-dup loser)
+      (5L, "a completely different document about the weather in spring and it is long enough to pass the gate")
+    ).toDF("doc_id", "text")
+    val got = Curation.report(df, "doc_id", "text",
+      n = 3, k = 12, rowsPerBand = 3, threshold = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(2), r.getBoolean(4), r.getBoolean(5), r.getBoolean(6)))).toMap
+    assert(got(1L) == ((true, false, false, true)))    // kept
+    assert(got(2L) == ((true, false, true, false)))    // near-dup loser
+    assert(got(3L)._1 == false && got(3L)._4 == false) // quality drop
+    assert(got(4L)._2 == true && got(4L)._4 == false)  // exact loser
+    assert(got(5L) == ((true, false, false, true)))    // kept
+    // gate independence: the exact loser still reports its near-dup flag
+    assert(got(4L)._3 == true)
+  }
+
   test("pqTrainCodebook: training cuts quantization error vs the seed codebook") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
