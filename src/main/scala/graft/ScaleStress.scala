@@ -168,6 +168,14 @@ object ScaleStress {
         // honest load for the first-occurrence join
         Dedup.spanDupStats(docs, "doc_id", "text", size = 8, maxDupFrac = 0.5).count()
       }
+      measure("dup_spans_maximal", scale) {
+        // the stride-1 maximal-region pipeline (k rows per token vs
+        // span_dedup's chunked 1 row per k tokens); amplified copies
+        // share long runs with their original, so marked-window and
+        // island volume grow with scale — the honest load for the
+        // per-doc island merge
+        Dedup.dupSpans(docs, "doc_id", "text", k = 8).count()
+      }
       measure("split_contamination", scale) {
         val b = docs.withColumn("__sb",
           operators.Sampling.hashBucket(col("doc_id"), "split25", 100))

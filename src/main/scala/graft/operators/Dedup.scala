@@ -1086,6 +1086,12 @@ object Dedup {
   private def windowHashes(
       docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
     docs
+      .select(col(idCol), col(textCol))
+      // same guard as shingleFrontier: the per-token hashing below is
+      // the pipeline's CPU and must run at cluster parallelism, not
+      // input-file parallelism (measured at 50× ScaleStress: a 44 s
+      // hashing task on the few-partition amplified feed)
+      .repartition(pinnedParts(docs), col(idCol))
       .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
       .filter(size(col("__toks")) >= k)
       .select(col(idCol), explode(transform(

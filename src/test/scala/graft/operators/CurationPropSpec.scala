@@ -44,6 +44,43 @@ class CurationPropSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("dupSpans agrees with a local sliding-window + island-merge reference") {
+    import spark.implicits._
+    val k = 3
+    val corpusGen = Gen.chooseNum(2, 6).flatMap(n => Gen.listOfN(n, docGen(14)))
+    val prop = Prop.forAll(corpusGen) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      // local reference: stride-1 windows, corpus-wide (id, start)
+      // first occurrence unmarked, merge overlapping/touching starts
+      val wins = docs.flatMap { case (id, t) =>
+        val toks = t.split(" ", -1)
+        (0 to toks.length - k).map(i =>
+          (id, i.toLong, toks.slice(i, i + k).mkString(" ")))
+      }
+      val byText = wins.groupBy(_._3)
+      val marked = wins.filter { w =>
+        val os = byText(w._3)
+        os.size > 1 && os.map(o => (o._1, o._2)).min != ((w._1, w._2))
+      }
+      val expect = marked.groupBy(_._1).toSeq.flatMap { case (id, ms) =>
+        val sorted = ms.map(_._2).sorted
+        val islands = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        sorted.foreach { s =>
+          val e = s + k - 1
+          if (islands.nonEmpty && s <= islands.last._2 + 1)
+            islands(islands.size - 1) = (islands.last._1, math.max(islands.last._2, e))
+          else islands += ((s, e))
+        }
+        islands.map { case (s, e) => (id, s, e, e - s + 1) }
+      }.toSet
+      val got = Dedup.dupSpans(docs.toDF("doc_id", "text"), "doc_id", "text", k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      got == expect
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("boilerplateNgrams agrees with a local counting reference") {
     import spark.implicits._
     val corpusGen = Gen.chooseNum(1, 6).flatMap(n => Gen.listOfN(n, docGen(10)))
