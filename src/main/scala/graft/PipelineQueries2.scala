@@ -953,10 +953,52 @@ object PipelineQueries2 {
         n = 3, k = 12, rowsPerBand = 3, threshold = 0.5)
         .transform(Queries.sortedSmall(_, "doc_id")))
 
+  // ---------------------------------- incremental dedup vs an index
+  // The growing-corpus shape: documents ≥ 400 arrive as a new crawl
+  // increment and dedup against the HISTORY (documents < 400)
+  // represented only by its persisted minhash index — banded bucket
+  // join + signature-agreement verify, the history never re-read.
+  // The oracle replays signatures, bands, the bucket cap, and the
+  // position-agreement estimate for both sides.
+  private val qIncrementalDedup = Queries.Q(
+    "p_incremental_dedup",
+    Some(s"""
+      WITH t AS (SELECT doc_id, ${PipelineQueries.duckShingles3} AS sh FROM documents),
+      t2 AS (SELECT doc_id, sh FROM t WHERE len(sh) > 0),
+      sig AS (SELECT doc_id,
+                list_transform(generate_series(0, 11),
+                  j -> list_min(list_transform(sh, x -> md5(j || ':' || x)))) AS s
+              FROM t2),
+      ob AS (SELECT doc_id, b.generate_series AS band,
+               md5(s[b.generate_series*3+1] || '|' || s[b.generate_series*3+2] || '|' || s[b.generate_series*3+3]) AS bh, s
+             FROM sig, generate_series(0, 3) b WHERE doc_id < 400),
+      keepb AS (SELECT band, bh FROM ob GROUP BY band, bh HAVING COUNT(*) <= 1024),
+      nb AS (SELECT doc_id, b.generate_series AS band,
+               md5(s[b.generate_series*3+1] || '|' || s[b.generate_series*3+2] || '|' || s[b.generate_series*3+3]) AS bh, s
+             FROM sig, generate_series(0, 3) b WHERE doc_id >= 400),
+      cand AS (SELECT DISTINCT nb.doc_id AS new_id, nb.s AS sa, ob.s AS sb
+               FROM nb JOIN ob USING (band, bh) JOIN keepb USING (band, bh)),
+      dropped AS (SELECT DISTINCT new_id FROM cand
+                  WHERE CAST(len(list_filter(generate_series(1, 12), i -> sa[i] = sb[i])) AS DOUBLE) / 12.0 >= 0.5)
+      SELECT doc_id, lang, source FROM documents
+      WHERE doc_id >= 400 AND doc_id NOT IN (SELECT new_id FROM dropped)
+      ORDER BY doc_id"""),
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      val index = Dedup.minhashIndex(
+        docs.filter(col("doc_id") < 400), "doc_id", "text", n = 3, k = 12)
+      Dedup.dedupAgainstIndex(
+        docs.filter(col("doc_id") >= 400), "doc_id", "text",
+        index, n = 3, k = 12, rowsPerBand = 3, minAgree = 0.5)
+        .select("doc_id", "lang", "source")
+        .transform(Queries.sortedSmall(_, "doc_id"))
+    })
+
   val all: Seq[Queries.Q] =
     Seq(qDupGroupSizes, qTextNormalize, qSourceShare, qTokenLenHist, qCellSizes,
       qAviFrameStats, qSemanticDedup, qImageResize, qWavSampleStats,
       qBmpPixelStats, qGifPixelStats, qMediaCatalog, qSaltedAgg, qJaroWinkler,
       qTemperatureMix, qBpeEncode, qDupSpans, qBloomPrunedJoin,
-      qRemoveDupSpans, qPackSequences, qPqTopK, qCurationReport)
+      qRemoveDupSpans, qPackSequences, qPqTopK, qCurationReport,
+      qIncrementalDedup)
 }

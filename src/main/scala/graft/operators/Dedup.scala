@@ -930,6 +930,91 @@ object Dedup {
     rows.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Portable minhash INDEX of a corpus: (id, sig array<string> of
+    * `k` minhashes over `n`-gram shingles). This is the artifact an
+    * INCREMENTAL dedup pipeline persists between runs (a few hundred
+    * bytes per document, vs re-shingling the whole history every
+    * batch): write it as parquet, read it back, and feed it to
+    * [[dedupAgainstIndex]] for each new crawl increment. The
+    * signature alone supports both the banded candidate join AND the
+    * verify (signature-agreement jaccard estimate) — original text
+    * is never needed again. */
+  def minhashIndex(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int, k: Int): DataFrame = {
+    val sh = shingleFrontier(docs, idCol, textCol, n, hashed = false)
+    minhashSignatureOver(sh, idCol, col("sh"), k)
+      .select(col(idCol).as("id"),
+        array((0 until k).map(j => col(s"h$j")): _*).as("sig"))
+  }
+
+  /** INCREMENTAL near-dup dedup: keep the rows of `newDocs` that are
+    * NOT near-duplicates of an existing corpus represented only by
+    * its [[minhashIndex]]. The production shape for growing corpora:
+    * each increment is banded and joined against the index's bucket
+    * space, and candidates verify by SIGNATURE AGREEMENT — the
+    * fraction of matching minhash positions, an unbiased estimator
+    * of shingle jaccard — so the historical corpus is never
+    * re-shingled, re-read, or even present. A new doc is dropped
+    * when any index member agrees on ≥ `minAgree` of the `k`
+    * positions (for k=12, minAgree=0.5 ≈ jaccard 0.5 with the
+    * estimator's variance — callers calibrate minAgree against the
+    * exact-jaccard pipeline on a sample, which is what the oracle
+    * query does corpus-wide).
+    *
+    * Intra-batch duplicates are deliberately OUT of scope — run
+    * [[dedupNearDups]] on the increment first, then this against
+    * history; the two compose (and the surviving increment's
+    * [[minhashIndex]] unions into the persisted index for the next
+    * run).
+    *
+    * Scale shape (100 TB): the index side is pre-computed signatures
+    * (no text); banding both sides is map-side; ONE bucket equi-join
+    * generates candidates (flood buckets capped at `maxBucket`
+    * members per bucket side like the batch pipeline); the verify is
+    * a k-term codegen'd position compare on the joined signature
+    * pair — no arrays ride further than the candidate join; the final
+    * step is one left-anti of the increment against its dropped-id
+    * set. */
+  def dedupAgainstIndex(
+      newDocs: DataFrame, idCol: String, textCol: String,
+      index: DataFrame, n: Int, k: Int, rowsPerBand: Int,
+      minAgree: Double, maxBucket: Int = 1024): DataFrame = {
+    require(minAgree > 0 && minAgree <= 1, s"minAgree in (0,1], got $minAgree")
+    def bands(sig: DataFrame, outId: String): DataFrame = {
+      require(k % rowsPerBand == 0,
+        s"k=$k must be a multiple of rowsPerBand=$rowsPerBand")
+      val nBands = k / rowsPerBand
+      sig.select(col("id").as(outId), col("sig"),
+        posexplode(array((0 until nBands).map { b =>
+          md5(concat_ws("|",
+            (b * rowsPerBand until (b + 1) * rowsPerBand)
+              .map(j => element_at(col("sig"), j + 1)): _*))
+        }: _*)).as(Seq("band", "band_hash")))
+    }
+    val newSig = minhashIndex(newDocs, idCol, textCol, n, k)
+    // flood guard on the HISTORY side (the side that grows forever):
+    // buckets larger than maxBucket are excluded from matching, the
+    // same cap the batch pipeline applies
+    val idxBands = bands(index, "old_id")
+    val keepBuckets = idxBands.groupBy("band", "band_hash")
+      .agg(count(lit(1)).as("__n")).filter(col("__n") <= maxBucket)
+      .select("band", "band_hash")
+    val agree = (0 until k)
+      .map(j => when(element_at(col("sig"), j + 1) ===
+        element_at(col("__osig"), j + 1), 1).otherwise(0))
+      .reduce(_ + _).cast("double") / k
+    val dropped = bands(newSig, "new_id")
+      .join(idxBands.join(keepBuckets, Seq("band", "band_hash"))
+        .select(col("band"), col("band_hash"),
+          col("old_id"), col("sig").as("__osig")),
+        Seq("band", "band_hash"))
+      .select(col("new_id"), col("sig"), col("__osig")).distinct()
+      .filter(agree >= minAgree)
+      .select(col("new_id").as(idCol)).distinct()
+    newDocs.join(dropped, Seq(idCol), "left_anti")
+  }
+
   /** Span-level duplication stats — the practical stand-in for
     * suffix-array substring dedup (Lee et al., "Deduplicating
     * Training Data Makes Language Models Better"): cut every document

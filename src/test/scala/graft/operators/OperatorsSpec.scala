@@ -1541,6 +1541,30 @@ class OperatorsSpec extends SparkSpec {
     assert(a.groupBy(_._1).forall(_._2.size == 10))
   }
 
+  test("dedupAgainstIndex: increment drops near-dups of history, survives parquet round-trip") {
+    import spark.implicits._
+    val family = "the quick brown fox jumps over the lazy dog and runs far away today again"
+    val history = Seq(
+      (1L, family),
+      (2L, "an unrelated historical document about databases and query optimization at scale"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, family + " tail"),          // near-dup of history doc 1 -> dropped
+      (11L, "a brand new document with entirely fresh content never seen before today"),
+      (12L, "short"))                   // no shingles -> never matches, kept
+      .toDF("doc_id", "text")
+    val index = Dedup.minhashIndex(history, "doc_id", "text", n = 3, k = 12)
+    def survivors(idx: org.apache.spark.sql.DataFrame): Seq[Long] =
+      Dedup.dedupAgainstIndex(batch, "doc_id", "text", idx,
+        n = 3, k = 12, rowsPerBand = 3, minAgree = 0.5)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(survivors(index) == Seq(11L, 12L))
+    // the index is a persistable artifact: parquet round-trip changes nothing
+    val dir = java.nio.file.Files.createTempDirectory("mhidx").toString
+    index.write.mode("overwrite").parquet(dir)
+    assert(survivors(spark.read.parquet(dir)) == Seq(11L, 12L))
+  }
+
   test("curation report: independent gate verdicts and the composed kept decision") {
     import spark.implicits._
     val family = "the quick brown fox jumps over the lazy dog and runs far away today"
