@@ -528,7 +528,7 @@ object PipelineQueries {
         .transform(Queries.sortedSmall(_, "doc_id")))
 
   // ------------------------------------------------ brute-force top-k
-  private val duckCosine =
+  private[graft] val duckCosine =
     """list_sum(list_transform(list_zip(qv, embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
       |(sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
       | sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin

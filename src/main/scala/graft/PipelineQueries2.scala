@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Graph, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Graph, Importance, Similarity, TextAnalysis}
 
 /** Second pipeline-query wave — corpus-profiling surfaces over the
   * operators the first wave built: near-dup cluster size distribution
@@ -994,11 +994,167 @@ object PipelineQueries2 {
         .transform(Queries.sortedSmall(_, "doc_id"))
     })
 
+  // --------------------------- DSIR importance selection (§2.9 north star)
+  // Hashed-bigram importance scoring against a target slice (docs
+  // whose features resemble English text get up-weighted) and the
+  // deterministic resample that follows — the published DSIR recipe
+  // re-expressed under the library's exactness rule: every oracle
+  // surface is exact longs + single IEEE divisions (the floating
+  // log-ratio estimator is spec-gated in ImportanceSpec instead; see
+  // operators/Importance.scala scaladoc). Oracle replays the full
+  // train→score→resample pipeline in SQL from the same md5 buckets.
+  private def duckGramBucket(sqlExpr: String, salt: String, dim: Int): String =
+    s"""list_reduce(list_prepend(0, list_transform(generate_series(1, 8),
+       |  i -> strpos('0123456789abcdef', substr(md5('$salt:' || $sqlExpr), i, 1)) - 1)),
+       |  (h, c) -> h*16 + c) % $dim""".stripMargin
+
+  private val duckDsirCounts =
+    s"""tk AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+       |g AS (SELECT doc_id, lang,
+       |        unnest(list_transform(generate_series(1, greatest(len(t) - 1, 0)),
+       |          i -> t[i] || ' ' || t[i+1])) AS gm
+       |      FROM tk),
+       |b AS (SELECT doc_id, lang, ${duckGramBucket("gm", "dsir", 512)} AS bucket FROM g),
+       |c AS (SELECT bucket,
+       |        CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tgt_cnt,
+       |        CAST(COUNT(*) AS BIGINT) AS raw_cnt
+       |      FROM b GROUP BY 1)""".stripMargin
+
+  private val qDsirWeights = Queries.Q(
+    "p_dsir_weights",
+    Some(s"""
+      WITH $duckDsirCounts
+      SELECT bucket, tgt_cnt, raw_cnt,
+             CAST(tgt_cnt + 1 AS DOUBLE) / (raw_cnt + 1) AS ratio
+      FROM c ORDER BY ratio DESC, bucket LIMIT 20"""),
+    (s, dir) =>
+      Importance.targetAffinityCounts(
+        Tables(s, dir).documents, "doc_id", "text",
+        isTarget = col("lang") === "en", n = 2, dim = 512, salt = "dsir")
+        .withColumn("ratio",
+          (col("tgt_cnt") + 1).cast("double") / (col("raw_cnt") + 1))
+        .orderBy(col("ratio").desc, col("bucket"))
+        .limit(20))
+
+  private val qDsirResample = Queries.Q(
+    "p_dsir_resample",
+    Some(s"""
+      WITH $duckDsirCounts,
+      ds AS (SELECT b.doc_id,
+               CAST(SUM(c.tgt_cnt) AS BIGINT) AS st,
+               CAST(SUM(c.raw_cnt) AS BIGINT) AS sr
+             FROM b JOIN c USING (bucket) GROUP BY 1),
+      aff AS (SELECT d.doc_id, d.source,
+                CAST(COALESCE(ds.st, 0) + 1 AS DOUBLE) / (COALESCE(ds.sr, 0) + 1) AS affinity
+              FROM documents d LEFT JOIN ds ON ds.doc_id = d.doc_id),
+      u AS (SELECT *,
+              CAST(list_reduce(list_prepend(0, list_transform(generate_series(1, 8),
+                     i -> strpos('0123456789abcdef',
+                            substr(md5('dsir-keep:' || CAST(doc_id AS VARCHAR)), i, 1)) - 1)),
+                     (h, c) -> h*16 + c) % 1000000 AS DOUBLE) / 1000000 AS uu
+            FROM aff)
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN uu < affinity / (affinity + 0.5) THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             MAX(affinity) AS max_aff
+      FROM u GROUP BY source ORDER BY source"""),
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      val counts = Importance.targetAffinityCounts(
+        docs, "doc_id", "text",
+        isTarget = col("lang") === "en", n = 2, dim = 512, salt = "dsir")
+      Importance.scoreAffinity(docs, "doc_id", "text", counts,
+          n = 2, dim = 512, salt = "dsir")
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(Importance.keepFlag(col("doc_id"), col("affinity"),
+            salt = "dsir-keep", c = 0.5), 1L).otherwise(0L)).as("n_kept"),
+          max(col("affinity")).as("max_aff"))
+        .transform(Queries.sortedSmall(_, "source"))
+    })
+
+  // --------------------------- hybrid retrieval: reciprocal-rank fusion
+  // Lexical BM25 top-10 (terms spark/window/table — the p_bm25_topk
+  // pipeline verbatim) fused with vector cosine top-10 (query vectors
+  // 0/1/2 — the p_brute_topk pipeline verbatim) by RRF. The fused
+  // score is two exactly-rounded IEEE divisions plus ONE fixed-order
+  // addition, so the oracle hash-matches despite being floating (see
+  // Search.rrfFuse). Terms pair with query vectors by position:
+  // query 0 ≡ 'spark', 1 ≡ 'window', 2 ≡ 'table'.
+  private val qHybridRrf = Queries.Q(
+    "p_hybrid_rrf",
+    Some(s"""
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      dlt AS (SELECT doc_id, len(tk) AS dl FROM tok),
+      tf AS (SELECT term, doc_id, COUNT(*) AS tf
+             FROM (SELECT doc_id, unnest(tk) AS term FROM tok)
+             WHERE term IN ('spark', 'window', 'table')
+             GROUP BY term, doc_id),
+      bounded AS (SELECT term, doc_id, tf FROM (
+                    SELECT term, doc_id, tf,
+                           row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) AS rn
+                    FROM tf)
+                  WHERE rn <= 50),
+      st AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n_docs,
+                    CAST(SUM(dl) AS HUGEINT) AS total_len FROM dlt),
+      cand AS (SELECT term, bounded.doc_id, bounded.tf, dlt.dl,
+                      10 * total_len * bounded.tf + 3 * total_len
+                        + 9 * CAST(dlt.dl AS HUGEINT) * n_docs AS d_denom
+               FROM bounded JOIN dlt USING (doc_id) CROSS JOIN st),
+      lex AS (SELECT CAST(CASE term WHEN 'spark' THEN 0 WHEN 'window' THEN 1 ELSE 2 END AS BIGINT) AS query_id,
+                     doc_id, rank AS rank_lex FROM (
+                SELECT a.term AS term, a.doc_id AS doc_id,
+                       CAST(1 + SUM(CASE WHEN CAST(b.tf AS HUGEINT) * a.d_denom > CAST(a.tf AS HUGEINT) * b.d_denom
+                                           OR (CAST(b.tf AS HUGEINT) * a.d_denom = CAST(a.tf AS HUGEINT) * b.d_denom
+                                               AND b.doc_id < a.doc_id)
+                                    THEN 1 ELSE 0 END) AS BIGINT) AS rank
+                FROM cand a JOIN cand b ON a.term = b.term
+                GROUP BY a.term, a.doc_id)
+              WHERE rank <= 10),
+      q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3),
+      sv AS (SELECT query_id, vec_id AS neighbor_id, ${PipelineQueries.duckCosine} AS sim
+             FROM q CROSS JOIN embeddings
+             WHERE query_id != vec_id),
+      vecr AS (SELECT query_id, neighbor_id AS doc_id, CAST(rnk AS BIGINT) AS rank_vec FROM (
+                 SELECT query_id, neighbor_id,
+                        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+                 FROM sv)
+               WHERE rnk <= 10),
+      fused AS (SELECT COALESCE(l.query_id, v.query_id) AS query_id,
+                       COALESCE(l.doc_id, v.doc_id) AS doc_id,
+                       COALESCE(CAST(1 AS DOUBLE) / (60 + l.rank_lex), 0)
+                         + COALESCE(CAST(1 AS DOUBLE) / (60 + v.rank_vec), 0) AS rrf,
+                       l.rank_lex, v.rank_vec
+                FROM lex l FULL OUTER JOIN vecr v
+                  ON l.query_id = v.query_id AND l.doc_id = v.doc_id)
+      SELECT query_id, CAST(rnk AS BIGINT) AS rank, doc_id, rrf, rank_lex, rank_vec FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rnk
+        FROM fused)
+      WHERE rnk <= 10
+      ORDER BY query_id, rank"""),
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val lex = graft.operators.Search.bm25TopK(
+        t.documents, "doc_id", "text",
+        Seq("spark", "window", "table"), k = 10, prefilterC = 50)
+        .select(
+          when(col("term") === "spark", 0L)
+            .when(col("term") === "window", 1L).otherwise(2L).as("query_id"),
+          col("doc_id"), col("rank"))
+      val vec = Similarity.bruteForceTopK(
+        t.embeddings.filter(col("vec_id") < 3), "vec_id",
+        t.embeddings, "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+      graft.operators.Search.rrfFuse(lex, vec, k0 = 60, k = 10)
+        .transform(Queries.sortedSmall(_, "query_id", "rank"))
+    })
+
   val all: Seq[Queries.Q] =
     Seq(qDupGroupSizes, qTextNormalize, qSourceShare, qTokenLenHist, qCellSizes,
       qAviFrameStats, qSemanticDedup, qImageResize, qWavSampleStats,
       qBmpPixelStats, qGifPixelStats, qMediaCatalog, qSaltedAgg, qJaroWinkler,
       qTemperatureMix, qBpeEncode, qDupSpans, qBloomPrunedJoin,
       qRemoveDupSpans, qPackSequences, qPqTopK, qCurationReport,
-      qIncrementalDedup)
+      qIncrementalDedup, qDsirWeights, qDsirResample, qHybridRrf)
 }

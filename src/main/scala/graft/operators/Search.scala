@@ -214,4 +214,45 @@ object Search {
         coalesce(max(when(col("__rn") > prefilterC, col("tf"))), lit(0L)).as("max_cut_tf"))
       .filter(col("n_postings") > prefilterC)
   }
+
+  /** Reciprocal-rank fusion (Cormack/Clarke/Büttcher 2009) of two
+    * ranked retrieval lists — the standard hybrid-retrieval merge of
+    * a lexical (BM25) and a vector (ANN) ranking, used everywhere a
+    * RAG corpus is served: rrf(d) = Σ_lists 1/(k0 + rank_list(d)),
+    * lists that missed d contribute 0.
+    *
+    * Both inputs carry (query_id, doc_id, rank); ranks come from
+    * bounded top-k lists ([[bm25TopK]], [[Similarity.bruteForceTopK]]
+    * or any ANN arm), so the fusion working set is ≤ 2k rows per
+    * query no matter the corpus size: one (query, doc)-keyed
+    * full-outer join + one per-query window over ≤ 2k rows. Zero
+    * corpus-sized shuffles — fusion cost is query-count-bound.
+    *
+    * Exactness (oracle rule): each term is ONE exactly-rounded IEEE
+    * division of exact integers, and their sum is a single fixed-order
+    * addition — bit-identical across engines, unlike a variadic
+    * floating SUM. Ties in rrf (e.g. rank r in one list only, vs the
+    * same r in the other list only) break by doc_id.
+    *
+    * Output: (query_id, rank, doc_id, rrf, rank_lex, rank_vec) with
+    * absent-list ranks null. */
+  def rrfFuse(
+      lex: DataFrame, vec: DataFrame,
+      k0: Int = 60, k: Int = 10): DataFrame = {
+    require(k0 >= 0, s"k0 must be non-negative, got $k0")
+    require(k > 0, s"k must be positive, got $k")
+    val l = lex.select(col("query_id"), col("doc_id"), col("rank").as("rank_lex"))
+    val v = vec.select(col("query_id"), col("doc_id"), col("rank").as("rank_vec"))
+    val fused = l.join(v, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(k0) + col("rank_lex")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(k0) + col("rank_vec")), lit(0.0)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+    fused
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "doc_id", "rrf", "rank_lex", "rank_vec")
+  }
 }
