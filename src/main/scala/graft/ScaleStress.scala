@@ -205,6 +205,20 @@ object ScaleStress {
         Similarity.ivfTopK(queries, "vec_id", emb, "vec_id", "embedding",
           cents, "vec_id", "embedding", k = 10, nProbe = 2).count()
       }
+      measure("dsir_select", scale) {
+        // full train → score → resample loop; the claim under test is
+        // linear scaling: the trained artifact stays dim-bounded (a
+        // broadcast) while the corpus is touched twice (one bucket-
+        // keyed agg, one doc-keyed agg), so there is no term that
+        // grows faster than the corpus
+        val target = operators.Sampling.hashBucket(col("doc_id"), "tgt", 100) < 40
+        val counts = operators.Importance.targetAffinityCounts(
+          docs, "doc_id", "text", isTarget = target, n = 2, dim = 1024)
+        operators.Importance.resampleByAffinity(
+          operators.Importance.scoreAffinity(
+            docs, "doc_id", "text", counts, n = 2, dim = 1024),
+          "doc_id").count()
+      }
     }
     val out = results.mkString("[", ",", "]")
     java.nio.file.Files.writeString(java.nio.file.Paths.get("scale_stress.json"), out)

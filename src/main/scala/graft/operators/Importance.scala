@@ -55,7 +55,18 @@ object Importance {
       docs: DataFrame, idCol: String, textCol: String,
       n: Int, dim: Int, salt: String, carry: Seq[String] = Nil): DataFrame = {
     val extra = carry.map(col)
+    val parts = math.max(
+      docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt, 16)
     docs
+      // repartition BELOW the tokenize/explode/md5 projection: fused
+      // into a few-file scan stage, the whole gram frontier (the
+      // operator's entire CPU cost) runs at the scan's parallelism —
+      // measured at 100× ScaleStress, one 65 s task did all the
+      // hashing while 31 cores idled. Same lesson, same fix as
+      // Dedup.shingleFrontier. REPARTITION_BY_NUM so AQE cannot
+      // re-coalesce it on input bytes (raw text is small; the gram
+      // explosion that follows is the real volume).
+      .repartition(parts, col(idCol))
       .select((Seq(col(idCol), Dedup.tokens(col(textCol)).as("__tk")) ++ extra): _*)
       .select((Seq(col(idCol),
         explode(Dedup.wordShinglesFromTokens(col("__tk"), n)).as("__g")) ++ extra): _*)
