@@ -1045,7 +1045,14 @@ object Dedup {
     require(maxDupFrac >= 0.0 && maxDupFrac <= 1.0,
       s"maxDupFrac=$maxDupFrac must be in [0,1]")
     val spans = TextAnalysis
-      .chunkWindows(docs, idCol, textCol, size = size, stride = size)
+      // same guard as windowHashes/shingleFrontier: the chunk+md5
+      // projection is the pipeline's CPU and fuses into the scan
+      // stage without this — measured at 100× ScaleStress, a 29.8 s
+      // hashing task at input-file parallelism
+      .chunkWindows(
+        docs.select(col(idCol), col(textCol))
+          .repartition(pinnedParts(docs), col(idCol)),
+        idCol, textCol, size = size, stride = size)
       .select(col(idCol), col("chunk_idx"), md5(col("chunk_text")).as("__h"))
     val firsts = spans
       .groupBy("__h")
