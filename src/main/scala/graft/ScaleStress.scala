@@ -220,8 +220,35 @@ object ScaleStress {
           "doc_id").count()
       }
     }
-    val out = results.mkString("[", ",", "]")
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("scale_stress.json"), out)
+    // merge with the existing record instead of overwriting: a
+    // filtered iteration run (op-substring args) must not clobber the
+    // other ops' entries. Re-measured (op, scale) pairs replace their
+    // old lines; everything else is preserved in file order.
+    val path = java.nio.file.Paths.get("scale_stress.json")
+    val fresh = results.map { line =>
+      val op = "\"op\":\"([^\"]+)\"".r.findFirstMatchIn(line).get.group(1)
+      val sc = "\"scale\":(\\d+)".r.findFirstMatchIn(line).get.group(1)
+      (op, sc) -> line
+    }
+    val existing =
+      if (java.nio.file.Files.exists(path)) {
+        val txt = java.nio.file.Files.readString(path).trim
+          .stripPrefix("[").stripSuffix("]")
+        if (txt.isEmpty) Seq.empty
+        else txt.split("\\},\\s*\\{").toSeq.map { frag =>
+          val line = (if (frag.startsWith("{")) frag else "{" + frag) match {
+            case l if l.endsWith("}") => l
+            case l => l + "}"
+          }
+          val op = "\"op\":\"([^\"]+)\"".r.findFirstMatchIn(line).get.group(1)
+          val sc = "\"scale\":(\\d+)".r.findFirstMatchIn(line).get.group(1)
+          (op, sc) -> line
+        }
+      } else Seq.empty
+    val freshKeys = fresh.map(_._1).toSet
+    val merged = existing.filterNot(e => freshKeys(e._1)).map(_._2) ++ fresh.map(_._2)
+    val out = merged.mkString("[", ",", "]")
+    java.nio.file.Files.writeString(path, out)
     println(out)
     spark.stop()
   }
