@@ -1150,11 +1150,34 @@ object PipelineQueries2 {
         .transform(Queries.sortedSmall(_, "query_id", "rank"))
     })
 
+  // ------------------- exact-k weighted sample without replacement
+  // A-ES (Efraimidis–Spirakis) with integer weights: rank by the MIN
+  // of w salted-md5 draws — distributionally identical to the
+  // u^(1/w) key but every comparison is an md5 string, so the oracle
+  // is exact with no pow/ln in sight (see Sampling.weightedSampleK).
+  // Weight = length-derived 1..8 (longer docs sampled proportionally
+  // more — the "keep more of the substantive documents" mix knob).
+  private val qWeightedSample = Queries.Q(
+    "p_weighted_sample",
+    Some("""
+      WITH wt AS (SELECT doc_id, least(greatest(n_chars // 100, 1), 8) AS w FROM documents),
+      d AS (SELECT doc_id,
+              list_min(list_transform(generate_series(0, w - 1),
+                c -> md5('ws42:' || CAST(doc_id AS VARCHAR) || ':' || CAST(c AS VARCHAR)))) AS min_draw
+            FROM wt)
+      SELECT doc_id, min_draw FROM d ORDER BY min_draw, doc_id LIMIT 25"""),
+    (s, dir) =>
+      operators.Sampling.weightedSampleK(
+        Tables(s, dir).documents, "doc_id",
+        weightCol = expr("n_chars div 100"), k = 25, salt = "ws42",
+        maxWeight = 8))
+
   val all: Seq[Queries.Q] =
     Seq(qDupGroupSizes, qTextNormalize, qSourceShare, qTokenLenHist, qCellSizes,
       qAviFrameStats, qSemanticDedup, qImageResize, qWavSampleStats,
       qBmpPixelStats, qGifPixelStats, qMediaCatalog, qSaltedAgg, qJaroWinkler,
       qTemperatureMix, qBpeEncode, qDupSpans, qBloomPrunedJoin,
       qRemoveDupSpans, qPackSequences, qPqTopK, qCurationReport,
-      qIncrementalDedup, qDsirWeights, qDsirResample, qHybridRrf)
+      qIncrementalDedup, qDsirWeights, qDsirResample, qHybridRrf,
+      qWeightedSample)
 }

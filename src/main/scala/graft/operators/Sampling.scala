@@ -295,6 +295,48 @@ object Sampling {
     * broadcast scalar; rates broadcast-join back to the corpus; copy
     * explosion + the keep filter are map-side. The corpus is never
     * shuffled — the only wide op is the tiny counts aggregation. */
+  /** Exact-k WEIGHTED sample without replacement, deterministic and
+    * oracle-exact. Integer weights only — and that restriction is the
+    * whole trick: Efraimidis–Spirakis (A-ES) ranks units by
+    * u_i^(1/w_i), and for an integer weight that key is distributed
+    * exactly as the MAX of w_i iid uniforms. Equivalently (flipping
+    * max→min so smaller is better): give each unit w_i independent
+    * salted-md5 draws and rank by its MINIMUM draw — the selection
+    * law is identical to A-ES (first pick lands on unit i with
+    * probability w_i/Σw, then without-replacement recursion), but
+    * every comparison is between md5 hex strings, so there is no
+    * `pow`/`ln` whose last-ulp differences could flip a rank between
+    * engines. The draw index c rides the hash input (`salt:id:c`),
+    * so draws are independent across units AND across a unit's own
+    * tickets; changing the salt redraws the whole sample.
+    *
+    * Scale shape (100 TB): one explode bounded by `maxWeight`
+    * (weights are clamped to [1, maxWeight] — a cap you should pick
+    * small, e.g. 8: selection pressure is w-proportional, so coarse
+    * integer weights already express "keep 8× more of this"), one
+    * doc-keyed map-side MIN aggregation, then a bounded top-k
+    * (TakeOrderedAndProject's per-task k-heaps — never a global
+    * sort). The payload never rides the explode: only (id, weight).
+    *
+    * Output: the k sampled ids as (id, min_draw), smallest draw
+    * first under (min_draw, id) — join back to the payload by id. */
+  def weightedSampleK(
+      df: DataFrame, idCol: String, weightCol: Column,
+      k: Int, salt: String, maxWeight: Int = 8): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(maxWeight >= 1, s"maxWeight must be >= 1, got $maxWeight")
+    val w = least(greatest(weightCol.cast("int"), lit(1)), lit(maxWeight))
+    df.select(col(idCol), w.as("__w"))
+      .select(col(idCol), explode(sequence(lit(0), col("__w") - 1)).as("__c"))
+      .select(col(idCol),
+        md5(concat_ws(":", lit(salt), col(idCol).cast("string"),
+          col("__c").cast("string"))).as("__d"))
+      .groupBy(col(idCol))
+      .agg(min(col("__d")).as("min_draw"))
+      .orderBy(col("min_draw"), col(idCol))
+      .limit(k)
+  }
+
   def temperatureMix(
       df: DataFrame, keyCol: String, stratumCol: String,
       salt: String, targetRows: Long,
