@@ -1172,6 +1172,39 @@ object PipelineQueries2 {
         weightCol = expr("n_chars div 100"), k = 25, salt = "ws42",
         maxWeight = 8))
 
+  // ------------------- embedding-space train/test contamination
+  // The semantic complement of p_split_contamination: cross-split
+  // pairs whose cosine reaches the threshold, via a sign-LSH bucket
+  // equi-join + fused cosine verify. The same md5 split buckets as
+  // the n-gram variant; τ=0.35 because the synthetic embeddings are
+  // near-orthogonal (max cross-split cosine ≈ 0.41) — the parameter
+  // is caller policy, the machinery under test is the bucketed join.
+  private val qSemanticContamination = Queries.Q(
+    "p_semantic_contamination",
+    Some(s"""
+      WITH e AS (SELECT vec_id, embedding, ${PipelineQueries.duckSignBucket} AS bucket,
+                   list_reduce(list_prepend(0, list_transform(generate_series(1, 8),
+                     i -> strpos('0123456789abcdef', substr(md5('split25:' || CAST(vec_id AS VARCHAR)), i, 1)) - 1)),
+                     (h, c) -> h*16 + c) % 100 AS sb
+                 FROM embeddings),
+      tr AS (SELECT vec_id, embedding, bucket FROM e WHERE sb < 80),
+      te AS (SELECT vec_id, embedding AS qv, bucket FROM e WHERE sb >= 90),
+      p AS (SELECT te.vec_id AS test_id, tr.vec_id AS train_id,
+              ${PipelineQueries.duckCosine} AS sim
+            FROM te JOIN tr USING (bucket))
+      SELECT test_id, train_id, sim FROM p
+      WHERE sim >= 0.35
+      ORDER BY test_id, train_id"""),
+    (s, dir) => {
+      val e = Tables(s, dir).embeddings.withColumn("__sb",
+        operators.Sampling.hashBucket(col("vec_id"), "split25", 100))
+      Similarity.semanticContamination(
+        e.filter(col("__sb") < 80), "vec_id",
+        e.filter(col("__sb") >= 90), "vec_id",
+        "embedding", signBits = 8, threshold = 0.35)
+        .transform(Queries.sortedSmall(_, "test_id", "train_id"))
+    })
+
   val all: Seq[Queries.Q] =
     Seq(qDupGroupSizes, qTextNormalize, qSourceShare, qTokenLenHist, qCellSizes,
       qAviFrameStats, qSemanticDedup, qImageResize, qWavSampleStats,
@@ -1179,5 +1212,5 @@ object PipelineQueries2 {
       qTemperatureMix, qBpeEncode, qDupSpans, qBloomPrunedJoin,
       qRemoveDupSpans, qPackSequences, qPqTopK, qCurationReport,
       qIncrementalDedup, qDsirWeights, qDsirResample, qHybridRrf,
-      qWeightedSample)
+      qWeightedSample, qSemanticContamination)
 }

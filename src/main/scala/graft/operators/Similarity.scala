@@ -203,6 +203,44 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "sim")
   }
 
+  /** Embedding-space train/test contamination: pairs whose cosine
+    * reaches `threshold`, found through a sign-LSH bucket equi-join —
+    * the SEMANTIC complement of [[Fingerprint.ngramContamination]]
+    * (which catches verbatim leakage; this catches paraphrase-level
+    * leakage that shares no n-gram, the kind benchmark rewrites
+    * introduce). The actionable output is the pair list itself: drop
+    * or audit the train members.
+    *
+    * Recall is the single-probe sign-LSH ceiling — a pair split
+    * across buckets is missed. `bits` trades recall for candidate
+    * volume exactly as in [[lshTopK]], and the recall-audit pattern
+    * (`p_lsh_recall_audit`) applies verbatim; multi-probe or banded
+    * signatures are the published escalation when decontamination
+    * must be near-lossless.
+    *
+    * Scale shape (100 TB): both sides reduce to (id, vec, bucket);
+    * the join is a hash equi-join on bucket (2^bits keys — size
+    * `bits` so buckets stay executor-bounded), the cosine verify is
+    * the fused codegen'd kernel, and nothing else shuffles. Never an
+    * all-pairs product.
+    *
+    * Output: (test_id, train_id, sim ≥ threshold). */
+  def semanticContamination(
+      train: DataFrame, trainIdCol: String,
+      test: DataFrame, testIdCol: String,
+      vecCol: String, signBits: Int, threshold: Double): DataFrame = {
+    val tr = train.select(
+      col(trainIdCol).as("train_id"), col(vecCol).as("__tv"),
+      signBucket(col(vecCol), signBits).as("__bucket"))
+    val te = test.select(
+      col(testIdCol).as("test_id"), col(vecCol).as("__qv"),
+      signBucket(col(vecCol), signBits).as("__bucket"))
+    te.join(tr, Seq("__bucket"))
+      .withColumn("sim", cosine(col("__qv"), col("__tv")))
+      .filter(col("sim") >= threshold)
+      .select("test_id", "train_id", "sim")
+  }
+
   /** IVF-flat approximate top-k — the inverted-file ANN scale path.
     *
     * A small set of coarse-quantizer centroids partitions the corpus
