@@ -248,6 +248,13 @@ object GraftFunctions {
           SortedIntersectCount(args(0), args(1))
         }),
       (
+        FunctionIdentifier("graft_sorted_jaccard"),
+        new ExpressionInfo(classOf[SortedJaccard].getName, "graft_sorted_jaccard"),
+        (args: Seq[Expression]) => {
+          require(args.length == 2, s"graft_sorted_jaccard expects 2 arguments, got ${args.length}")
+          SortedJaccard(args(0), args(1))
+        }),
+      (
         FunctionIdentifier("graft_jpeg_sof"),
         new ExpressionInfo(classOf[JpegSofDims].getName, "graft_jpeg_sof"),
         (args: Seq[Expression]) => {

@@ -279,7 +279,19 @@ object Dedup {
     docs
       .select(col(idCol), col(textCol))
       .filter(col(idCol).isNotNull)
-      .repartition(parts, col(idCol))
+      // FIRST repartition: round-robin, NOT keyed — it only exists to
+      // spread the raw text off the few-task file scan so the shingle
+      // projection below runs at cluster parallelism. It must differ
+      // from the second repartition's partitioning: two identical
+      // keyed repartitions collapse to one (the second is partition-
+      // preserving, so EnsureRequirements prunes it), and the pruned
+      // one was the SHARE POINT — every consumer then re-derived the
+      // full shingle+hash+sort projection from the surviving raw-text
+      // exchange (measured at 100× ScaleStress: three ~14 s/task
+      // 32-task stages all reading the same 74 MB of text and each
+      // recomputing `sh` from scratch; the executed plan showed
+      // ReusedExchange[doc_id, text] under every consumer).
+      .repartition(parts)
       .select(col(idCol), tokens(col(textCol)).as("__toks"))
       // hashed arrays are SORTED so the verify stage can use the
       // two-pointer graft_intersect_count kernel (sorted + distinct is
@@ -287,6 +299,13 @@ object Dedup {
       // zero-allocation merge per candidate PAIR downstream
       .select(col(idCol),
         (if (hashed) array_sort(transform(shingles, s => xxhash64(s))) else shingles).as("sh"))
+      // SECOND repartition: keyed by id — the ReuseExchange share
+      // point. Its child is round-robin partitioned, so this exchange
+      // survives and MATERIALIZES the computed `sh` arrays: every
+      // consumer (posting explode, doc-frequency agg, both verify
+      // sides) reads the one shuffle instead of recomputing the
+      // projection, and the id keying feeds the prefix window and the
+      // verify joins without further exchanges.
       .repartition(parts, col(idCol))
       // pushdown barrier — REQUIRED for the frontier to function as
       // designed: without it, InferFiltersFromGenerate's size(sh)>0
@@ -600,9 +619,18 @@ object Dedup {
         col("__c") + ceil(greatest(col("len_a"), col("len_b")) * threshold) - 1 >=
           ceil((col("len_a") + col("len_b")) * (threshold / (1.0 + threshold))))
       .select("id_a", "id_b", "len_a", "len_b")
-    // two-pointer merge count (native codegen'd kernel): the frontier
-    // sorts the hashed arrays precisely for this
-    val inter = graft.functions.SortedIntersectCount(col("sh_a"), col("sh_b")).cast("double")
+    // fused two-pointer merge → finished ratio (native codegen'd
+    // kernel): the frontier sorts the hashed arrays precisely for
+    // this. The ratio form matters, not just the merge: Spark inlines
+    // the jac projection into the >= filter and pushes it into join2's
+    // condition, and codegen does not CSE across the condition and the
+    // output projection — with a bare intersect-count kernel inside
+    // `inter/(len−inter)` the merge ran up to 4× per surviving pair
+    // (the dominant verify CPU at 100×); returning jac directly makes
+    // each evaluation site exactly one merge. len_a/len_b equal the
+    // array sizes by construction, so the kernel's c/(na+nb−c) is
+    // bit-identical to the previous two-step arithmetic.
+    val jac = graft.functions.SortedJaccard(col("sh_a"), col("sh_b"))
     // The verify joins get the same AQE-coalescing immunity as the
     // candidate join above, and for the same reason measured at 50×:
     // the surviving-candidate rows are ~30 bytes each (AQE sees ~100 MB
@@ -612,12 +640,19 @@ object Dedup {
     // stage of the operator (measured: a 320 s verify task against a
     // 3 s median; the staged probe with pinned partitioning runs the
     // identical verify in ~30 s).
+    // SHUFFLE_HASH hint on the sh side: the default SMJ SORTS the
+    // candidate stream — and after the first attach every candidate
+    // row carries a ~|sh|-long array, so that sort buffers/spills the
+    // operator's biggest intermediate (measured at 100× ScaleStress:
+    // multi-GB sort spill and an OOM-prone final stage). Hash-building
+    // the doc-keyed sh side (corpus-bounded, ~1 row per doc per
+    // partition) and STREAMING the array-carrying side never sorts it.
     cand
       .repartition(candParts, col("id_a"))
-      .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")).hint("shuffle_hash"), "id_a")
       .repartition(candParts, col("id_b"))
-      .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
-      .withColumn("jac", inter / (col("len_a") + col("len_b") - inter))
+      .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")).hint("shuffle_hash"), "id_b")
+      .withColumn("jac", jac)
       .filter(col("jac") >= threshold)
       .select("id_a", "id_b", "jac")
   }

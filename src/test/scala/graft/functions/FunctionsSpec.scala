@@ -95,6 +95,32 @@ class FunctionsSpec extends SparkSpec {
     assert(n.isNullAt(0))
   }
 
+  test("sorted jaccard == two-step inter/(na+nb-inter) bit-for-bit; edge semantics") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 300).map { _ =>
+      def arr = Seq.fill(rnd.nextInt(40))(rnd.nextInt(60).toLong).distinct.sorted
+      (arr, arr)
+    }
+    val df = rows.toDF("a", "b")
+    val inter = SortedIntersectCount(col("a"), col("b")).cast("double")
+    val ref = inter / (size(col("a")) + size(col("b")) - inter)
+    val out = df
+      .filter(size(col("a")) > 0 || size(col("b")) > 0) // 0/0 ref is NaN; kernel defines 0.0
+      .select(SortedJaccard(col("a"), col("b")).as("fast"), ref.as("ref")).collect()
+    out.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+    // both empty -> defined 0.0; null array -> null
+    val e = Seq((Seq.empty[Long], Seq.empty[Long])).toDF("a", "b")
+      .select(SortedJaccard(col("a"), col("b"))).head()
+    assert(e.getDouble(0) == 0.0)
+    val n = Seq((null.asInstanceOf[Seq[Long]], Seq(1L))).toDF("a", "b")
+      .select(SortedJaccard(col("a"), col("b"))).head()
+    assert(n.isNullAt(0))
+  }
+
   test("graft_cosine is callable from SQL after register(); extensions inject the same") {
     GraftFunctions.register(spark)
     val v = spark.sql(
@@ -109,7 +135,8 @@ class FunctionsSpec extends SparkSpec {
     val ext = new SparkSessionExtensions
     new GraftExtensions().apply(ext) // must not throw; descriptor count fixed
     assert(GraftFunctions.descriptors.map(_._1.funcName) ==
-      Seq("graft_cosine", "graft_l2sq", "graft_intersect_count", "graft_jpeg_sof",
+      Seq("graft_cosine", "graft_l2sq", "graft_intersect_count",
+        "graft_sorted_jaccard", "graft_jpeg_sof",
         "graft_png_pixels", "graft_png_stats",
         "graft_jpeg_pixels", "graft_jpeg_stats",
         "graft_avi_meta", "graft_avi_frame", "graft_avi_frame_stats",
