@@ -51,5 +51,19 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   val wanted = req.getOrElse(8L)
   if (wanted > 16)
     println(s"[warn] SPARK_DRIVER_MEM='$raw' clamped to 16g (oversized local heaps destroy G1 performance; see comment above)")
-  Seq(s"-Xmx${math.min(wanted, 16L)}g")
+  // GRAFT_G1_YOUNG_CAP=<pct> caps G1's young gen — this NEUTRALIZES
+  // the pathology above at its root on over-provisioned heaps (the
+  // adaptive young gen is what grows to ~60% of the heap): measured
+  // on the exact PPJoin 50x ScaleStress, a 16g heap ran 221.9s
+  // uncapped vs 73.7s with the cap at 15 — the same 70.4s an 8g heap
+  // gets. OPT-IN, not default: on right-sized (8g) heaps the same
+  // cap COSTS ~30% on allocation-heavy ops (minhash 50x: 30.0s
+  // uncapped vs 42.3s capped — more frequent young cycles with more
+  // promotion). Use it only when a run genuinely needs a heap bigger
+  // than its working set (the 100x exact-PPJoin candidate volume).
+  val youngCap = sys.env.get("GRAFT_G1_YOUNG_CAP")
+    .flatMap(s => scala.util.Try(s.trim.toInt).toOption)
+    .map(p => Seq("-XX:+UnlockExperimentalVMOptions", s"-XX:G1MaxNewSizePercent=$p"))
+    .getOrElse(Seq.empty)
+  Seq(s"-Xmx${math.min(wanted, 16L)}g") ++ youngCap
 }
