@@ -1205,6 +1205,71 @@ object PipelineQueries2 {
         .transform(Queries.sortedSmall(_, "test_id", "train_id"))
     })
 
+  // ----------------------------- IVF-PQ ANN (the production index shape)
+  // Coarse cosine quantizer prunes to nProbe=2 cells (the p_ivf_topk
+  // machinery verbatim), PQ ADC ranks inside them (the p_pq_topk
+  // machinery verbatim) — candidates shrink ~nProbe/nCells AND each
+  // costs m map probes. Oracle composes both pipelines' CTEs; each
+  // neighbor has exactly one cell so the probe join matches at most
+  // once per (query, neighbor).
+  private val qIvfPqTopK = Queries.Q(
+    "p_ivfpq_topk",
+    Some(s"""
+      WITH ct AS (SELECT vec_id AS cent, embedding AS cv FROM embeddings WHERE vec_id < 16),
+      ca AS (SELECT e.vec_id, ct.cent,
+               list_sum(list_transform(list_zip(e.embedding, ct.cv), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+               (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+                sqrt(list_sum(list_transform(ct.cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS ccos
+             FROM embeddings e CROSS JOIN ct),
+      cell AS (SELECT vec_id, (min({'nc': -ccos, 'cent': cent})).cent AS cell FROM ca GROUP BY vec_id),
+      qp AS (SELECT vec_id AS query_id, cent AS cell FROM (
+               SELECT vec_id, cent, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent) AS rn
+               FROM ca WHERE vec_id < 20)
+             WHERE rn <= 2),
+      pcb AS (SELECT e.vec_id AS code, j.j AS subspace,
+                     e.embedding[j.j*16+1 : j.j*16+16] AS subvec
+              FROM embeddings e CROSS JOIN LATERAL (SELECT unnest(generate_series(0, 3)) AS j) j
+              WHERE e.vec_id < 16),
+      pcs AS (SELECT e.vec_id AS neighbor_id, j.j AS subspace,
+                     e.embedding[j.j*16+1 : j.j*16+16] AS sv
+              FROM embeddings e CROSS JOIN LATERAL (SELECT unnest(generate_series(0, 3)) AS j) j),
+      ped AS (SELECT pcs.neighbor_id, pcs.subspace, pcb.code,
+                list_sum(list_transform(list_zip(pcs.sv, pcb.subvec),
+                  x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))) AS d2
+              FROM pcs JOIN pcb USING (subspace)),
+      penc AS (SELECT neighbor_id, subspace, (min({'d': d2, 'c': code})).c AS code
+               FROM ped GROUP BY neighbor_id, subspace),
+      pqd AS (SELECT neighbor_id AS query_id, subspace, code, d2 FROM ped WHERE neighbor_id < 20),
+      pair AS (SELECT q.query_id, e.neighbor_id,
+                 SUM(CASE WHEN q.subspace = 0 THEN q.d2 END) +
+                 SUM(CASE WHEN q.subspace = 1 THEN q.d2 END) +
+                 SUM(CASE WHEN q.subspace = 2 THEN q.d2 END) +
+                 SUM(CASE WHEN q.subspace = 3 THEN q.d2 END) AS approx_d2
+               FROM penc e
+               JOIN cell ce ON ce.vec_id = e.neighbor_id
+               JOIN qp ON qp.cell = ce.cell
+               JOIN pqd q ON q.subspace = e.subspace AND q.code = e.code
+                 AND q.query_id = qp.query_id
+               WHERE q.query_id != e.neighbor_id
+               GROUP BY q.query_id, e.neighbor_id)
+      SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id, approx_d2 FROM (
+        SELECT query_id, neighbor_id, approx_d2,
+               row_number() OVER (PARTITION BY query_id ORDER BY approx_d2 ASC, neighbor_id) AS rnk
+        FROM pair)
+      WHERE rnk <= 10
+      ORDER BY query_id, rank"""),
+    (s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val cb = Similarity.pqCodebookFrom(
+        emb.filter(col("vec_id") < 16), "vec_id", "embedding", m = 4)
+      Similarity.ivfPqTopK(
+        emb.filter(col("vec_id") < 20), "vec_id",
+        emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 16), "vec_id", "embedding",
+        cb, m = 4, k = 10, nProbe = 2)
+        .transform(Queries.sortedSmall(_, "query_id", "rank"))
+    })
+
   val all: Seq[Queries.Q] =
     Seq(qDupGroupSizes, qTextNormalize, qSourceShare, qTokenLenHist, qCellSizes,
       qAviFrameStats, qSemanticDedup, qImageResize, qWavSampleStats,
@@ -1212,5 +1277,5 @@ object PipelineQueries2 {
       qTemperatureMix, qBpeEncode, qDupSpans, qBloomPrunedJoin,
       qRemoveDupSpans, qPackSequences, qPqTopK, qCurationReport,
       qIncrementalDedup, qDsirWeights, qDsirResample, qHybridRrf,
-      qWeightedSample, qSemanticContamination)
+      qWeightedSample, qSemanticContamination, qIvfPqTopK)
 }

@@ -608,14 +608,14 @@ object Similarity {
     *
     * Output: (query_id, rank, neighbor_id, approx_d2), rank 1 =
     * nearest by approximate distance, self-pairs excluded. */
-  def pqTopK(
-      queries: DataFrame, queryIdCol: String,
+  /** Per-corpus-vector PQ codes: (neighbor_id, __codes MAP subspace →
+    * nearest codeword id). One broadcast-codebook join + two plain
+    * aggregations; the corpus vector never shuffles again after
+    * encoding — the m-bytes-per-vector economy PQ exists for. */
+  private def pqCodes(
       corpus: DataFrame, idCol: String, vecCol: String,
-      codebook: DataFrame, m: Int, k: Int): DataFrame = {
-    require(m > 0 && k > 0, s"m=$m and k=$k must be positive")
-    val cb = broadcast(codebook.select(
-      col("subspace"), col("code"), col("subvec")))
-    val enc = subVectors(corpus, idCol, vecCol, "neighbor_id", m)
+      cb: DataFrame, m: Int): DataFrame =
+    subVectors(corpus, idCol, vecCol, "neighbor_id", m)
       .join(cb, "subspace")
       .withColumn("__d2", l2sq(col("__sv"), col("subvec")))
       .groupBy("neighbor_id", "subspace")
@@ -623,7 +623,13 @@ object Similarity {
       .groupBy("neighbor_id")
       .agg(map_from_entries(
         collect_list(struct(col("subspace"), col("__b.c")))).as("__codes"))
-    val lut = subVectors(queries, queryIdCol, vecCol, "query_id", m)
+
+  /** Per-query ADC lookup table: (query_id, __lut MAP packed(subspace,
+    * code) → L2² between the query's subvector and that codeword). */
+  private def pqLut(
+      queries: DataFrame, queryIdCol: String, vecCol: String,
+      cb: DataFrame, m: Int): DataFrame =
+    subVectors(queries, queryIdCol, vecCol, "query_id", m)
       .join(cb, "subspace")
       .groupBy("query_id")
       .agg(map_from_entries(collect_list(struct(
@@ -632,15 +638,84 @@ object Similarity {
         // be collision-proof for any 32-bit code
         (col("subspace").cast("long") * lit(4294967296L) + col("code")).as("mk"),
         l2sq(col("__sv"), col("subvec")).as("d")))).as("__lut"))
-    // fixed j-order sum: ((d0 + d1) + …) — deterministic cross-engine
-    val approx = (0 until m).map(j =>
+
+  /** ADC distance: fixed j-order sum ((d0 + d1) + …) over the m LUT
+    * probes — deterministic cross-engine. */
+  private def adcApprox(m: Int): Column =
+    (0 until m).map(j =>
       element_at(col("__lut"),
         lit(j.toLong * 4294967296L) + element_at(col("__codes"), lit(j)))).reduce(_ + _)
+
+  def pqTopK(
+      queries: DataFrame, queryIdCol: String,
+      corpus: DataFrame, idCol: String, vecCol: String,
+      codebook: DataFrame, m: Int, k: Int): DataFrame = {
+    require(m > 0 && k > 0, s"m=$m and k=$k must be positive")
+    val cb = broadcast(codebook.select(
+      col("subspace"), col("code"), col("subvec")))
+    val enc = pqCodes(corpus, idCol, vecCol, cb, m)
+    val lut = pqLut(queries, queryIdCol, vecCol, cb, m)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("approx_d2").asc, col("neighbor_id"))
     enc.crossJoin(broadcast(lut))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("approx_d2", approx)
+      .withColumn("approx_d2", adcApprox(m))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "approx_d2")
+  }
+
+  /** IVF-PQ — the production ANN index shape (coarse quantizer prunes
+    * the corpus to nProbe cells, PQ ADC ranks inside them; what FAISS
+    * calls IndexIVFPQ): composes [[assignCells]] (cell per corpus
+    * vector), [[ivfTopK]]'s probe rule (a query's nProbe max-cosine
+    * cells, ties to the smaller centroid id) and the PQ machinery
+    * above. Candidate volume drops to ~nProbe/nCells of the corpus
+    * AND each candidate costs m map probes instead of a full-vector
+    * kernel — the multiplicative economy that makes billion-vector
+    * serving work.
+    *
+    * Metric note: probes rank cells by COSINE (the audited coarse
+    * quantizer this library ships), the re-rank is L2² ADC — the
+    * standard pairing for normalized embedding families; callers with
+    * unnormalized vectors should L2-normalize upstream or the two
+    * stages optimize different objectives.
+    *
+    * Scale shape (100 TB): centroids and codebook broadcast (tiny);
+    * encoding and cell assignment are each one broadcast join + keyed
+    * aggregation over the corpus; the probe table is queries×nProbe
+    * rows (broadcast with its LUTs); candidate generation is a hash
+    * equi-join on cell id — never an all-pairs product. Same output
+    * shape as [[pqTopK]]. */
+  def ivfPqTopK(
+      queries: DataFrame, queryIdCol: String,
+      corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, centIdCol: String, centVecCol: String,
+      codebook: DataFrame, m: Int, k: Int, nProbe: Int): DataFrame = {
+    require(m > 0 && k > 0 && nProbe > 0,
+      s"m=$m, k=$k, nProbe=$nProbe must be positive")
+    val cb = broadcast(codebook.select(
+      col("subspace"), col("code"), col("subvec")))
+    val enc = pqCodes(corpus, idCol, vecCol, cb, m)
+      .join(assignCells(corpus, idCol, vecCol, centroids, centIdCol, centVecCol)
+        .select(col("id").as("neighbor_id"), col("cell").as("__cell")),
+        "neighbor_id")
+    val cents = broadcast(centroids.select(
+      col(centIdCol).as("__cent"), col(centVecCol).as("__cvec")))
+    val wp = Window.partitionBy("query_id").orderBy(col("__ccos").desc, col("__cent"))
+    val probes = queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("__v"))
+      .crossJoin(cents)
+      .withColumn("__ccos", cosine(col("__v"), col("__cvec")))
+      .withColumn("__rn", row_number().over(wp))
+      .filter(col("__rn") <= nProbe)
+      .select(col("query_id"), col("__cent").as("__cell"))
+    val lut = pqLut(queries, queryIdCol, vecCol, cb, m)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_d2").asc, col("neighbor_id"))
+    broadcast(probes.join(lut, "query_id"))
+      .join(enc, Seq("__cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("approx_d2", adcApprox(m))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "approx_d2")
