@@ -162,6 +162,44 @@ object Importance {
     * both sides of the comparison are one IEEE division over exact
     * integers. `c` tunes the retention curve (keep probability is
     * 1/(1+c) at affinity 1). Map-side filter: zero shuffles. */
+  /** The trained counts as a pair of plan-literal maps (bucket →
+    * tgt_cnt, bucket → raw_cnt) — the STREAM-SIDE form of the
+    * artifact. The counts table is ≤ dim rows by construction, so
+    * collecting it is a bounded driver artifact exactly like a PQ
+    * codebook or the BPE merge list; as literals the gate needs no
+    * join at all — it is a pure per-row expression, legal on a
+    * streaming DataFrame with no state store and no watermark. */
+  def collectCounts(counts: DataFrame): Map[Long, (Long, Long)] =
+    counts.select("bucket", "tgt_cnt", "raw_cnt").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+
+  /** Per-row exact affinity of `toksCol` (a MATERIALIZED token-array
+    * attribute — project `Dedup.tokens(text)` into a column first;
+    * an inlined split re-evaluates per shingle, the library-wide
+    * O(tokens²) trap) against collected counts: the same
+    * (Σtgt+1)/(Σraw+1) as [[scoreAffinity]], computed by one
+    * fold over the gram array with two literal-map probes per gram.
+    * Bit-identical to the batch score: integer sums + one IEEE
+    * division, same md5 bucketing. */
+  def affinityColumn(
+      toksCol: Column, counts: Map[Long, (Long, Long)],
+      n: Int = 2, dim: Int = 1024, salt: String = "dsir"): Column = {
+    import org.apache.spark.sql.functions.typedLit
+    val tgt = typedLit(counts.map { case (b, (t, _)) => b -> t })
+    val raw = typedLit(counts.map { case (b, (_, r)) => b -> r })
+    val grams = Dedup.wordShinglesFromTokens(toksCol, n)
+    val sums = aggregate(
+      grams,
+      struct(lit(0L).as("t"), lit(0L).as("r")),
+      (acc, g) => {
+        val b = gramBucket(g, salt, dim)
+        struct(
+          (acc.getField("t") + coalesce(element_at(tgt, b), lit(0L))).as("t"),
+          (acc.getField("r") + coalesce(element_at(raw, b), lit(0L))).as("r"))
+      })
+    (sums.getField("t") + 1).cast("double") / (sums.getField("r") + 1)
+  }
+
   def keepFlag(
       idCol: Column, affinity: Column,
       salt: String = "dsir-keep", c: Double = 0.5): Column = {

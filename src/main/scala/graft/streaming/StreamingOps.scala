@@ -402,4 +402,29 @@ object StreamingOps {
           out.iterator
       }
   }
+
+  /** STREAMING importance gate — online DSIR curation: keep a
+    * streaming document iff its exact affinity against a trained
+    * counts artifact passes `minAffinity`. The artifact is collected
+    * once ([[graft.operators.Importance.collectCounts]], ≤ dim rows
+    * by construction) and baked into the plan as literal maps, so the
+    * gate is a PURE per-row expression: stateless, no watermark, no
+    * state store, no stream-static join — at 100 TB/day the filter
+    * costs exactly one fold over each document's gram array.
+    * Affinity values are bit-identical to the batch
+    * [[graft.operators.Importance.scoreAffinity]] (same integer sums,
+    * same single IEEE division, same md5 buckets) — spec-diffed in
+    * StreamingSpec. Emits the affinity as `outCol` for downstream
+    * routing/audit. */
+  def importanceFilterStream(
+      docs: DataFrame, textCol: String,
+      counts: Map[Long, (Long, Long)], minAffinity: Double,
+      n: Int = 2, dim: Int = 1024, salt: String = "dsir",
+      outCol: String = "affinity"): DataFrame =
+    docs
+      .withColumn("__tk", graft.operators.Dedup.tokens(col(textCol)))
+      .withColumn(outCol,
+        graft.operators.Importance.affinityColumn(col("__tk"), counts, n, dim, salt))
+      .drop("__tk")
+      .filter(col(outCol) >= minAffinity)
 }
