@@ -1212,10 +1212,8 @@ object PipelineQueries2 {
   // costs m map probes. Oracle composes both pipelines' CTEs; each
   // neighbor has exactly one cell so the probe join matches at most
   // once per (query, neighbor).
-  private val qIvfPqTopK = Queries.Q(
-    "p_ivfpq_topk",
-    Some(s"""
-      WITH ct AS (SELECT vec_id AS cent, embedding AS cv FROM embeddings WHERE vec_id < 16),
+  private val duckIvfPqCtes =
+    s"""ct AS (SELECT vec_id AS cent, embedding AS cv FROM embeddings WHERE vec_id < 16),
       ca AS (SELECT e.vec_id, ct.cent,
                list_sum(list_transform(list_zip(e.embedding, ct.cv), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
                (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
@@ -1251,7 +1249,12 @@ object PipelineQueries2 {
                JOIN pqd q ON q.subspace = e.subspace AND q.code = e.code
                  AND q.query_id = qp.query_id
                WHERE q.query_id != e.neighbor_id
-               GROUP BY q.query_id, e.neighbor_id)
+               GROUP BY q.query_id, e.neighbor_id)"""
+
+  private val qIvfPqTopK = Queries.Q(
+    "p_ivfpq_topk",
+    Some(s"""
+      WITH $duckIvfPqCtes
       SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id, approx_d2 FROM (
         SELECT query_id, neighbor_id, approx_d2,
                row_number() OVER (PARTITION BY query_id ORDER BY approx_d2 ASC, neighbor_id) AS rnk
@@ -1270,6 +1273,62 @@ object PipelineQueries2 {
         .transform(Queries.sortedSmall(_, "query_id", "rank"))
     })
 
+  // -------------------------- IVF-PQ recall audit (vs exact L2 top-k)
+  // The same honest-drop contract as p_lsh_recall_audit: how much of
+  // each query's EXACT L2 top-10 the compressed, cell-pruned index
+  // recovers. Both rankings and the per-query hit counts are
+  // deterministic; recall is one exact division of longs.
+  private val qIvfPqRecallAudit = Queries.Q(
+    "p_ivfpq_recall_audit",
+    Some(s"""
+      WITH $duckIvfPqCtes,
+      ivfpq AS (SELECT query_id, neighbor_id FROM (
+                  SELECT query_id, neighbor_id,
+                         row_number() OVER (PARTITION BY query_id ORDER BY approx_d2 ASC, neighbor_id) AS rnk
+                  FROM pair)
+                WHERE rnk <= 10),
+      bs AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               sqrt(list_sum(list_transform(list_zip(q.embedding, e.embedding),
+                 x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))) AS dist
+             FROM embeddings q CROSS JOIN embeddings e
+             WHERE q.vec_id < 20 AND q.vec_id != e.vec_id),
+      brute AS (SELECT query_id, neighbor_id FROM (
+                  SELECT query_id, neighbor_id,
+                         row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, neighbor_id) AS rnk
+                  FROM bs)
+                WHERE rnk <= 10)
+      SELECT b.query_id,
+             CAST(COUNT(*) AS BIGINT) AS n_brute,
+             CAST(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+             CAST(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS recall
+      FROM brute b LEFT JOIN ivfpq i
+        ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+      GROUP BY b.query_id ORDER BY b.query_id"""),
+    (s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val probes = emb.filter(col("vec_id") < 20)
+      val cb = Similarity.pqCodebookFrom(
+        emb.filter(col("vec_id") < 16), "vec_id", "embedding", m = 4)
+      val brute = Similarity.bruteForceTopKL2(
+        probes, "vec_id", emb, "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = Similarity.ivfPqTopK(
+        probes, "vec_id", emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 16), "vec_id", "embedding",
+        cb, m = 4, k = 10, nProbe = 2)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("__hit"))
+      brute
+        .join(hits, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(
+          count(lit(1)).as("n_brute"),
+          sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+        .select(
+          col("query_id"), col("n_brute"), col("n_hit"),
+          (col("n_hit").cast("double") / col("n_brute")).as("recall"))
+        .transform(Queries.sortedSmall(_, "query_id"))
+    })
+
   val all: Seq[Queries.Q] =
     Seq(qDupGroupSizes, qTextNormalize, qSourceShare, qTokenLenHist, qCellSizes,
       qAviFrameStats, qSemanticDedup, qImageResize, qWavSampleStats,
@@ -1277,5 +1336,6 @@ object PipelineQueries2 {
       qTemperatureMix, qBpeEncode, qDupSpans, qBloomPrunedJoin,
       qRemoveDupSpans, qPackSequences, qPqTopK, qCurationReport,
       qIncrementalDedup, qDsirWeights, qDsirResample, qHybridRrf,
-      qWeightedSample, qSemanticContamination, qIvfPqTopK)
+      qWeightedSample, qSemanticContamination, qIvfPqTopK,
+      qIvfPqRecallAudit)
 }
