@@ -1329,6 +1329,43 @@ object PipelineQueries2 {
         .transform(Queries.sortedSmall(_, "query_id"))
     })
 
+  // ----------------- embedding outlier pruning (prototypicality gate)
+  // SemDeDup-family curation: flag the 10% of each semantic cell
+  // farthest from its centroid. Rank-based (not z-score) so every
+  // comparison is between per-row deterministic values — the flagged
+  // set is oracle-exact with no variadic float sum anywhere.
+  private val qEmbeddingOutliers = Queries.Q(
+    "p_embedding_outliers",
+    Some("""
+      WITH ct AS (SELECT vec_id AS cent, embedding AS cv FROM embeddings WHERE vec_id < 16),
+      ca AS (SELECT e.vec_id, ct.cent,
+               list_sum(list_transform(list_zip(e.embedding, ct.cv), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+               (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+                sqrt(list_sum(list_transform(ct.cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS ccos
+             FROM embeddings e CROSS JOIN ct),
+      cell AS (SELECT vec_id, (min({'nc': -ccos, 'cent': cent})).cent AS cell FROM ca GROUP BY vec_id),
+      d AS (SELECT e.vec_id AS id, cell.cell,
+              sqrt(list_sum(list_transform(list_zip(e.embedding, c2.cv),
+                x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))) AS dist
+            FROM embeddings e
+            JOIN cell ON cell.vec_id = e.vec_id
+            JOIN ct c2 ON c2.cent = cell.cell),
+      r AS (SELECT id, cell, dist,
+              row_number() OVER (PARTITION BY cell ORDER BY dist DESC, id) AS rn,
+              COUNT(*) OVER (PARTITION BY cell) AS nc
+            FROM d)
+      SELECT id, cell, dist, CAST(nc AS BIGINT) AS n_cell,
+             rn <= CAST(ceil(nc * 0.1) AS BIGINT) AS outlier
+      FROM r ORDER BY id"""),
+    (s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      Similarity.embeddingOutliers(
+        emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 16), "vec_id", "embedding",
+        fraction = 0.1)
+        .transform(Queries.sortedSmall(_, "id"))
+    })
+
   val all: Seq[Queries.Q] =
     Seq(qDupGroupSizes, qTextNormalize, qSourceShare, qTokenLenHist, qCellSizes,
       qAviFrameStats, qSemanticDedup, qImageResize, qWavSampleStats,
@@ -1337,5 +1374,5 @@ object PipelineQueries2 {
       qRemoveDupSpans, qPackSequences, qPqTopK, qCurationReport,
       qIncrementalDedup, qDsirWeights, qDsirResample, qHybridRrf,
       qWeightedSample, qSemanticContamination, qIvfPqTopK,
-      qIvfPqRecallAudit)
+      qIvfPqRecallAudit, qEmbeddingOutliers)
 }

@@ -687,6 +687,47 @@ object Similarity {
     * rows (broadcast with its LUTs); candidate generation is a hash
     * equi-join on cell id — never an all-pairs product. Same output
     * shape as [[pqTopK]]. */
+  /** Embedding-space outlier flagging — prototypicality pruning (the
+    * SemDeDup-family "drop the least representative members of each
+    * semantic cluster" curation op, and the relational skeleton of
+    * CLIP-score-style filtering): assign every vector to its coarse
+    * cell, rank members by L2 distance from their centroid (farthest
+    * first, ties to the smaller id), and flag the top `fraction` of
+    * each cell as outliers. Rank-based rather than z-score-based ON
+    * PURPOSE: a per-cell mean/stddev of float distances is a
+    * variadic double SUM (parallel-order-dependent — not
+    * oracle-exact), while every rank comparison here is between
+    * per-row deterministic values, so the flagged set is bit-stable
+    * across engines and cluster layouts.
+    *
+    * Scale shape (100 TB): centroids broadcast; distance is one
+    * map-side fused-kernel pass; the only wide operation is the
+    * per-CELL window — bounded by cell population (quantizer-sized,
+    * auditable via `p_ivf_cell_sizes`), never a corpus-wide window.
+    *
+    * Output: (id, cell, dist, n_cell, outlier). */
+  def embeddingOutliers(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, centIdCol: String, centVecCol: String,
+      fraction: Double): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0,
+      s"fraction=$fraction must be in [0,1]")
+    val cents = broadcast(centroids.select(
+      col(centIdCol).as("cell"), col(centVecCol).as("__cvec")))
+    val assigned = assignCells(corpus, idCol, vecCol, centroids, centIdCol, centVecCol)
+      .select(col("id"), col("cell"))
+      .join(corpus.select(col(idCol).as("id"), col(vecCol).as("__v")), "id")
+      .join(cents, "cell")
+      .withColumn("dist", sqrt(l2sq(col("__v"), col("__cvec"))))
+    val w = Window.partitionBy("cell").orderBy(col("dist").desc, col("id"))
+    assigned
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("n_cell", count(lit(1)).over(Window.partitionBy("cell")))
+      .withColumn("outlier",
+        col("__rn") <= ceil(col("n_cell") * fraction).cast("long"))
+      .select("id", "cell", "dist", "n_cell", "outlier")
+  }
+
   def ivfPqTopK(
       queries: DataFrame, queryIdCol: String,
       corpus: DataFrame, idCol: String, vecCol: String,
