@@ -899,10 +899,8 @@ object PipelineQueries2 {
   // three gates' existing CTE logic — quality formula, fingerprint
   // groups, and the recursive-CTE minhash+CC loser set — and checks
   // every flag and the final kept verdict per document.
-  private val qCurationReport = Queries.Q(
-    "p_curation_report",
-    Some(s"""
-      WITH RECURSIVE t AS (SELECT doc_id, ${PipelineQueries.duckShingles3} AS sh FROM documents),
+  private val duckCurationCtes =
+    s"""t AS (SELECT doc_id, ${PipelineQueries.duckShingles3} AS sh FROM documents),
       t2 AS (SELECT doc_id, sh FROM t WHERE len(sh) > 0),
       sig AS (SELECT doc_id, sh,
                 list_transform(generate_series(0, 11),
@@ -940,7 +938,12 @@ object PipelineQueries2 {
             FROM v),
       ex AS (SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp FROM documents),
       exg AS (SELECT fp, MIN(doc_id) AS keep_id FROM ex GROUP BY fp),
-      exl AS (SELECT ex.doc_id FROM ex JOIN exg USING (fp) WHERE ex.doc_id <> exg.keep_id)
+      exl AS (SELECT ex.doc_id FROM ex JOIN exg USING (fp) WHERE ex.doc_id <> exg.keep_id)"""
+
+  private val qCurationReport = Queries.Q(
+    "p_curation_report",
+    Some(s"""
+      WITH RECURSIVE $duckCurationCtes
       SELECT r.doc_id, CAST(r.n AS BIGINT) AS n_tokens,
              r.drop_reason IS NULL AS quality_keep, r.drop_reason,
              r.doc_id IN (SELECT doc_id FROM exl) AS exact_dup_loser,
@@ -1366,6 +1369,81 @@ object PipelineQueries2 {
         .transform(Queries.sortedSmall(_, "id"))
     })
 
+  // ------------------- curation decision log v2 (all five gate families)
+  // The full modern stack in ONE auditable log: quality heuristics,
+  // exact dedup, near-dup dedup (p_curation_report's gates) PLUS the
+  // round-12 importance gate (DSIR affinity ≥ 0.435 — the corpus
+  // median, so the gate genuinely splits) and the prototypicality
+  // gate (farthest 10% of each embedding cell). Oracle composes the
+  // factored curation CTEs with the DSIR and outlier pipelines.
+  private val qCurationV2 = Queries.Q(
+    "p_curation_v2",
+    Some(s"""
+      WITH RECURSIVE $duckCurationCtes,
+      dtk AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+      dg AS (SELECT doc_id, lang,
+               unnest(list_transform(generate_series(1, greatest(len(t) - 1, 0)),
+                 i -> t[i] || ' ' || t[i+1])) AS gm
+             FROM dtk),
+      db AS (SELECT doc_id, lang, ${duckGramBucket("gm", "dsir", 512)} AS bucket FROM dg),
+      dc AS (SELECT bucket,
+               CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tgt_cnt,
+               CAST(COUNT(*) AS BIGINT) AS raw_cnt
+             FROM db GROUP BY 1),
+      dds AS (SELECT db.doc_id,
+                CAST(SUM(dc.tgt_cnt) AS BIGINT) AS st,
+                CAST(SUM(dc.raw_cnt) AS BIGINT) AS sr
+              FROM db JOIN dc USING (bucket) GROUP BY 1),
+      daff AS (SELECT d.doc_id,
+                 CAST(COALESCE(dds.st, 0) + 1 AS DOUBLE) / (COALESCE(dds.sr, 0) + 1) AS affinity
+               FROM documents d LEFT JOIN dds ON dds.doc_id = d.doc_id),
+      oct AS (SELECT vec_id AS cent, embedding AS cvv FROM embeddings WHERE vec_id < 16),
+      oca AS (SELECT e.vec_id, oct.cent,
+                list_sum(list_transform(list_zip(e.embedding, oct.cvv), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+                (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+                 sqrt(list_sum(list_transform(oct.cvv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS ccos
+              FROM embeddings e CROSS JOIN oct),
+      ocell AS (SELECT vec_id, (min({'nc': -ccos, 'cent': cent})).cent AS cell FROM oca GROUP BY vec_id),
+      od AS (SELECT e.vec_id AS id, ocell.cell,
+               sqrt(list_sum(list_transform(list_zip(e.embedding, c2.cvv),
+                 x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))) AS dist
+             FROM embeddings e
+             JOIN ocell ON ocell.vec_id = e.vec_id
+             JOIN oct c2 ON c2.cent = ocell.cell),
+      orr AS (SELECT id,
+                row_number() OVER (PARTITION BY cell ORDER BY dist DESC, id) AS rn,
+                COUNT(*) OVER (PARTITION BY cell) AS nc
+              FROM od),
+      ofl AS (SELECT id FROM orr WHERE rn <= CAST(ceil(nc * 0.1) AS BIGINT))
+      SELECT r.doc_id, CAST(r.n AS BIGINT) AS n_tokens,
+             r.drop_reason IS NULL AS quality_keep, r.drop_reason,
+             r.doc_id IN (SELECT doc_id FROM exl) AS exact_dup_loser,
+             r.doc_id IN (SELECT node FROM losers) AS near_dup_loser,
+             daff.affinity,
+             r.doc_id IN (SELECT id FROM ofl) AS embedding_outlier,
+             daff.affinity >= 0.435 AS affinity_keep,
+             (r.drop_reason IS NULL AND r.doc_id NOT IN (SELECT doc_id FROM exl)
+              AND r.doc_id NOT IN (SELECT node FROM losers)
+              AND daff.affinity >= 0.435
+              AND r.doc_id NOT IN (SELECT id FROM ofl)) AS kept
+      FROM r JOIN daff ON daff.doc_id = r.doc_id
+      ORDER BY r.doc_id"""),
+    (s, dir) => {
+      val tbl = Tables(s, dir)
+      operators.Curation.reportV2(
+        tbl.documents, "doc_id", "text",
+        tbl.embeddings, "vec_id", "embedding",
+        tbl.embeddings.filter(col("vec_id") < 16), "vec_id", "embedding",
+        isTarget = col("lang") === "en",
+        n = 3, k = 12, rowsPerBand = 3, threshold = 0.5,
+        dsirDim = 512, dsirSalt = "dsir", minAffinity = 0.435,
+        outlierFraction = 0.1)
+        .select("doc_id", "n_tokens", "quality_keep", "drop_reason",
+          "exact_dup_loser", "near_dup_loser", "affinity",
+          "embedding_outlier", "affinity_keep", "kept")
+        .transform(Queries.sortedSmall(_, "doc_id"))
+    })
+
   val all: Seq[Queries.Q] =
     Seq(qDupGroupSizes, qTextNormalize, qSourceShare, qTokenLenHist, qCellSizes,
       qAviFrameStats, qSemanticDedup, qImageResize, qWavSampleStats,
@@ -1374,5 +1452,5 @@ object PipelineQueries2 {
       qRemoveDupSpans, qPackSequences, qPqTopK, qCurationReport,
       qIncrementalDedup, qDsirWeights, qDsirResample, qHybridRrf,
       qWeightedSample, qSemanticContamination, qIvfPqTopK,
-      qIvfPqRecallAudit, qEmbeddingOutliers)
+      qIvfPqRecallAudit, qEmbeddingOutliers, qCurationV2)
 }

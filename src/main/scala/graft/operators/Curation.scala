@@ -61,4 +61,49 @@ object Curation {
         (col("quality_keep") && coalesce(col("__ex"), lit(false)) === false &&
           coalesce(col("__nd"), lit(false)) === false).as("kept"))
   }
+
+  /** [[report]] extended with the round-12 gate families — the FULL
+    * curation decision log a modern pretraining pipeline runs:
+    *
+    *  - **importance gate** ([[Importance]]): exact DSIR affinity of
+    *    each document against a target slice; keep iff
+    *    affinity ≥ `minAffinity`;
+    *  - **prototypicality gate** ([[Similarity.embeddingOutliers]]):
+    *    drop documents whose embedding sits in the farthest
+    *    `outlierFraction` of its semantic cell (ids join across the
+    *    document and embedding tables; documents without an
+    *    embedding pass the gate — flag what you can prove).
+    *
+    * Same contract as [[report]]: every gate evaluated INDEPENDENTLY
+    * with its verdict in the output, kept = conjunction of all five.
+    * Scale shape adds one broadcast-counts aggregation pass and one
+    * broadcast-centroid window to [[report]]'s plan; all new joins
+    * back to the report are id-keyed. */
+  def reportV2(
+      docs: DataFrame, idCol: String, textCol: String,
+      emb: DataFrame, vecIdCol: String, vecCol: String,
+      centroids: DataFrame, centIdCol: String, centVecCol: String,
+      isTarget: org.apache.spark.sql.Column,
+      n: Int, k: Int, rowsPerBand: Int, threshold: Double,
+      dsirDim: Int, dsirSalt: String, minAffinity: Double,
+      outlierFraction: Double,
+      maxBucket: Int = 1024): DataFrame = {
+    val base = report(docs, idCol, textCol, n, k, rowsPerBand, threshold, maxBucket)
+    val counts = Importance.targetAffinityCounts(
+      docs, idCol, textCol, isTarget, n = 2, dim = dsirDim, salt = dsirSalt)
+    val aff = Importance.scoreAffinity(
+      docs, idCol, textCol, counts, n = 2, dim = dsirDim, salt = dsirSalt)
+      .select(col(idCol), col("affinity"))
+    val outliers = Similarity.embeddingOutliers(
+      emb, vecIdCol, vecCol, centroids, centIdCol, centVecCol, outlierFraction)
+      .select(col("id").as(idCol), col("outlier").as("embedding_outlier"))
+    base
+      .join(aff, Seq(idCol))
+      .join(outliers, Seq(idCol), "left")
+      .withColumn("embedding_outlier",
+        coalesce(col("embedding_outlier"), lit(false)))
+      .withColumn("affinity_keep", col("affinity") >= minAffinity)
+      .withColumn("kept",
+        col("kept") && col("affinity_keep") && !col("embedding_outlier"))
+  }
 }

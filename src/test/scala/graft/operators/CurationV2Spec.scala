@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Curation decision log v2: the two round-12 gates compose with the
+  * original three — each gate's verdict matches its standalone
+  * operator, kept is the five-way conjunction, and an embedding-less
+  * document passes the prototypicality gate. */
+class CurationV2Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    // long enough for quality; "a b"-heavy = target-ish grams
+    (0L, "a b a b c d e f g h i j", "en"),
+    (1L, "a b a b c d e f g h i j", "en"),   // exact dup of 0
+    (2L, "x y x y z w q r s t u v", "de"),
+    (3L, "short", "de")                       // quality drop (too_short)
+  ).toDF("doc_id", "text", "lang")
+
+  private def emb = Seq(
+    (0L, Array(1.0f, 0.0f)),
+    (1L, Array(0.98f, 0.02f)),
+    (2L, Array(0.3f, 0.7f))   // farthest from centroid 0's cluster...
+    // doc 3 has NO embedding row — must pass the outlier gate
+  ).toDF("vec_id", "embedding")
+
+  test("gate verdicts match standalone operators; kept is the conjunction") {
+    val cents = emb.filter(col("vec_id") === 0L)
+    val out = Curation.reportV2(
+      docs, "doc_id", "text", emb, "vec_id", "embedding",
+      cents, "vec_id", "embedding",
+      isTarget = col("lang") === "en",
+      n = 3, k = 12, rowsPerBand = 3, threshold = 0.5,
+      dsirDim = 64, dsirSalt = "dsir", minAffinity = 0.5,
+      outlierFraction = 0.34)
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+    // standalone verdicts
+    val counts = Importance.targetAffinityCounts(
+      docs, "doc_id", "text", col("lang") === "en", n = 2, dim = 64, salt = "dsir")
+    val aff = Importance.scoreAffinity(docs, "doc_id", "text", counts,
+      n = 2, dim = 64, salt = "dsir")
+      .select("doc_id", "affinity").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val outliers = Similarity.embeddingOutliers(
+      emb, "vec_id", "embedding", cents, "vec_id", "embedding", 0.34)
+      .filter(col("outlier")).select("id").as[Long].collect().toSet
+
+    docs.select("doc_id").as[Long].collect().foreach { id =>
+      val r = out(id)
+      assert(r.getAs[Double]("affinity") === aff(id), s"affinity drift doc $id")
+      assert(r.getAs[Boolean]("affinity_keep") === (aff(id) >= 0.5))
+      assert(r.getAs[Boolean]("embedding_outlier") === outliers(id),
+        s"outlier drift doc $id")
+      val conj = r.getAs[Boolean]("quality_keep") &&
+        !r.getAs[Boolean]("exact_dup_loser") &&
+        !r.getAs[Boolean]("near_dup_loser") &&
+        r.getAs[Boolean]("affinity_keep") &&
+        !r.getAs[Boolean]("embedding_outlier")
+      assert(r.getAs[Boolean]("kept") === conj, s"kept != conjunction doc $id")
+    }
+    // the embedding-less doc passed the prototypicality gate
+    assert(!out(3L).getAs[Boolean]("embedding_outlier"))
+    // one cell of 3 members, fraction 0.34 -> ceil(1.02) = 2 flagged;
+    // vec 2 (the farthest) is certainly among them
+    assert(outliers.contains(2L))
+  }
+}
