@@ -205,6 +205,21 @@ object ScaleStress {
         Similarity.ivfTopK(queries, "vec_id", emb, "vec_id", "embedding",
           cents, "vec_id", "embedding", k = 10, nProbe = 2).count()
       }
+      measure("curation_v2", scale) {
+        // the five-gate decision log end-to-end; amplified doc ids and
+        // embedding ids stay aligned (both map id*scale+i), so the
+        // prototypicality gate joins real rows. The claim under test:
+        // the composition adds only broadcast passes and id-keyed
+        // joins to its gates' own (individually measured) costs.
+        operators.Curation.reportV2(
+          docs, "doc_id", "text", emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") < lit(16L) * scale &&
+            pmod(col("vec_id"), lit(scale)) === 0), "vec_id", "embedding",
+          isTarget = operators.Sampling.hashBucket(col("doc_id"), "tgt", 100) < 40,
+          n = 3, k = 12, rowsPerBand = 3, threshold = 0.5,
+          dsirDim = 512, dsirSalt = "dsir", minAffinity = 0.4,
+          outlierFraction = 0.1).count()
+      }
       measure("dsir_select", scale) {
         // full train → score → resample loop; the claim under test is
         // linear scaling: the trained artifact stays dim-bounded (a
