@@ -828,18 +828,44 @@ object PipelineQueries2 {
         .transform(Queries.sortedSmall(_, "doc_id")))
 
   // ----------------------------------------- sequence packing (LM batch)
-  // Greedy fixed-budget packing — deliberately NO oracle: partition
-  // assignment is Spark's murmur3 hash, which DuckDB cannot replay;
-  // the driver records the rows-only check while OperatorsSpec pins
+  // Greedy fixed-budget packing, fully oracle-replayed: bucket
+  // assignment is the library-standard salted md5 (pure function of
+  // the id), in-bucket order is (n_tokens DESC, id), and the DuckDB
+  // oracle replays the next-fit scan as a recursive CTE — a running
+  // token cumsum that resets whenever adding the next item would
+  // blow the 512 budget. OperatorsSpec additionally pins
   // budget/completeness/determinism/oversized-isolation semantics.
   private val qPackSequences = Queries.Q(
     "p_pack_sequences",
-    None,
+    Some("""
+      WITH RECURSIVE t AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               list_reduce(list_prepend(0, list_transform(generate_series(1, 8),
+                 i -> strpos('0123456789abcdef', substr(md5('pack:' || CAST(doc_id AS VARCHAR)), i, 1)) - 1)),
+                 (h, c) -> h*16 + c) % 8 AS bucket
+        FROM documents),
+      ord AS (SELECT doc_id, n_tokens, bucket,
+                     row_number() OVER (PARTITION BY bucket ORDER BY n_tokens DESC, doc_id) AS rn
+              FROM t),
+      step AS (
+        SELECT bucket, rn, doc_id, n_tokens,
+               CAST(0 AS BIGINT) AS pl, n_tokens AS used
+        FROM ord WHERE rn = 1
+        UNION ALL
+        SELECT o.bucket, o.rn, o.doc_id, o.n_tokens,
+               CASE WHEN s.used + o.n_tokens > 512 THEN s.pl + 1 ELSE s.pl END,
+               CASE WHEN s.used + o.n_tokens > 512 THEN o.n_tokens ELSE s.used + o.n_tokens END
+        FROM step s JOIN ord o ON o.bucket = s.bucket AND o.rn = s.rn + 1)
+      SELECT doc_id, n_tokens,
+             CAST(bucket * 4294967296 + pl AS BIGINT) AS pack_id
+      FROM step
+      ORDER BY doc_id"""),
     (s, dir) =>
       operators.Packing.packSequences(
         Tables(s, dir).documents
           .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens")),
-        "doc_id", "n_tokens", budget = 512L, numPartitions = 8)
+        "doc_id", "n_tokens", budget = 512L, numBuckets = 8)
         .transform(Queries.sortedSmall(_, "doc_id")))
 
   // ----------------------------------- product-quantization ANN topk
@@ -1395,7 +1421,8 @@ object PipelineQueries2 {
                 CAST(SUM(dc.raw_cnt) AS BIGINT) AS sr
               FROM db JOIN dc USING (bucket) GROUP BY 1),
       daff AS (SELECT d.doc_id,
-                 CAST(COALESCE(dds.st, 0) + 1 AS DOUBLE) / (COALESCE(dds.sr, 0) + 1) AS affinity
+                 CAST(COALESCE(dds.st, 0) + 1 AS DOUBLE) / (COALESCE(dds.sr, 0) + 1) AS affinity,
+                 COALESCE(dds.sr, 0) AS sum_raw
                FROM documents d LEFT JOIN dds ON dds.doc_id = d.doc_id),
       oct AS (SELECT vec_id AS cent, embedding AS cvv FROM embeddings WHERE vec_id < 16),
       oca AS (SELECT e.vec_id, oct.cent,
@@ -1421,10 +1448,10 @@ object PipelineQueries2 {
              r.doc_id IN (SELECT node FROM losers) AS near_dup_loser,
              daff.affinity,
              r.doc_id IN (SELECT id FROM ofl) AS embedding_outlier,
-             daff.affinity >= 0.435 AS affinity_keep,
+             (daff.affinity >= 0.435 AND daff.sum_raw > 0) AS affinity_keep,
              (r.drop_reason IS NULL AND r.doc_id NOT IN (SELECT doc_id FROM exl)
               AND r.doc_id NOT IN (SELECT node FROM losers)
-              AND daff.affinity >= 0.435
+              AND daff.affinity >= 0.435 AND daff.sum_raw > 0
               AND r.doc_id NOT IN (SELECT id FROM ofl)) AS kept
       FROM r JOIN daff ON daff.doc_id = r.doc_id
       ORDER BY r.doc_id"""),

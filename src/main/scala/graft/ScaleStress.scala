@@ -245,21 +245,32 @@ object ScaleStress {
       val sc = "\"scale\":(\\d+)".r.findFirstMatchIn(line).get.group(1)
       (op, sc) -> line
     }
+    // the existing-file parse is best-effort by contract: a malformed
+    // (hand-edited, pretty-printed, partially written) record must
+    // never throw away the fresh measurements an hour-long run just
+    // produced — fall back to overwriting with just the fresh lines.
     val existing =
       if (java.nio.file.Files.exists(path)) {
-        val txt = java.nio.file.Files.readString(path).trim
-          .stripPrefix("[").stripSuffix("]")
-        if (txt.isEmpty) Seq.empty
-        else txt.split("\\},\\s*\\{").toSeq.map { frag =>
-          val line = (if (frag.startsWith("{")) frag else "{" + frag) match {
-            case l if l.endsWith("}") => l
-            case l => l + "}"
+        scala.util.Try {
+          val txt = java.nio.file.Files.readString(path).trim
+            .stripPrefix("[").stripSuffix("]")
+          if (txt.isEmpty) Seq.empty[((String, String), String)]
+          else txt.split("\\},\\s*\\{").toSeq.map { frag =>
+            val line = (if (frag.startsWith("{")) frag else "{" + frag) match {
+              case l if l.endsWith("}") => l
+              case l => l + "}"
+            }
+            val op = "\"op\":\"([^\"]+)\"".r.findFirstMatchIn(line).get.group(1)
+            val sc = "\"scale\":(\\d+)".r.findFirstMatchIn(line).get.group(1)
+            (op, sc) -> line
           }
-          val op = "\"op\":\"([^\"]+)\"".r.findFirstMatchIn(line).get.group(1)
-          val sc = "\"scale\":(\\d+)".r.findFirstMatchIn(line).get.group(1)
-          (op, sc) -> line
-        }
-      } else Seq.empty
+        }.recover { case e =>
+          System.err.println(
+            s"[scale-stress] existing scale_stress.json unparseable (${e.getMessage}); " +
+              "overwriting with this run's results only")
+          Seq.empty[((String, String), String)]
+        }.get
+      } else Seq.empty[((String, String), String)]
     val freshKeys = fresh.map(_._1).toSet
     val merged = existing.filterNot(e => freshKeys(e._1)).map(_._2) ++ fresh.map(_._2)
     val out = merged.mkString("[", ",", "]")

@@ -67,7 +67,11 @@ object Curation {
     *
     *  - **importance gate** ([[Importance]]): exact DSIR affinity of
     *    each document against a target slice; keep iff
-    *    affinity ≥ `minAffinity`;
+    *    affinity ≥ `minAffinity` AND the document has at least one
+    *    scored gram (`sum_raw > 0` — a gram-free document scores the
+    *    smoothed prior 1.0, which must not auto-pass the gate; this
+    *    is the caller obligation [[Importance.scoreAffinity]]'s
+    *    scaladoc states, honored here);
     *  - **prototypicality gate** ([[Similarity.embeddingOutliers]]):
     *    drop documents whose embedding sits in the farthest
     *    `outlierFraction` of its semantic cell (ids join across the
@@ -93,7 +97,7 @@ object Curation {
       docs, idCol, textCol, isTarget, n = 2, dim = dsirDim, salt = dsirSalt)
     val aff = Importance.scoreAffinity(
       docs, idCol, textCol, counts, n = 2, dim = dsirDim, salt = dsirSalt)
-      .select(col(idCol), col("affinity"))
+      .select(col(idCol), col("affinity"), col("sum_raw"))
     val outliers = Similarity.embeddingOutliers(
       emb, vecIdCol, vecCol, centroids, centIdCol, centVecCol, outlierFraction)
       .select(col("id").as(idCol), col("outlier").as("embedding_outlier"))
@@ -102,8 +106,10 @@ object Curation {
       .join(outliers, Seq(idCol), "left")
       .withColumn("embedding_outlier",
         coalesce(col("embedding_outlier"), lit(false)))
-      .withColumn("affinity_keep", col("affinity") >= minAffinity)
+      .withColumn("affinity_keep",
+        col("affinity") >= minAffinity && col("sum_raw") > 0)
       .withColumn("kept",
         col("kept") && col("affinity_keep") && !col("embedding_outlier"))
+      .drop("sum_raw")
   }
 }

@@ -647,6 +647,15 @@ object Dedup {
     // multi-GB sort spill and an OOM-prone final stage). Hash-building
     // the doc-keyed sh side (corpus-bounded, ~1 row per doc per
     // partition) and STREAMING the array-carrying side never sorts it.
+    // MEMORY CONTRACT of the hint: unlike SMJ, the per-partition
+    // HashedRelation of the sh side cannot sort-spill — each task must
+    // hold ~corpus/candParts (id, sh-array) rows in memory or OOM.
+    // That bound is safe exactly because candParts = pinnedParts
+    // scales with the session's shuffle parallelism (corpus/candParts
+    // stays a thin slice as the corpus grows with a real cluster's
+    // partition count) and the sh side is ONE row per doc by
+    // construction — never let a rewrite hash-build the candidate
+    // side or drop the pinned repartition below the join.
     cand
       .repartition(candParts, col("id_a"))
       .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")).hint("shuffle_hash"), "id_a")

@@ -154,14 +154,6 @@ object Importance {
       .withColumn("dsir_score", coalesce(col("dsir_score"), lit(0.0)))
   }
 
-  /** Deterministic importance resampling on the exact affinity score:
-    * keep a document iff u < affinity/(affinity + c), where
-    * u = hashBucket(id)/1e6 is the library's salted-md5 uniform.
-    * Monotone in affinity — higher target resemblance ⇒ higher keep
-    * probability — and exactly reproducible from (salt, c) alone:
-    * both sides of the comparison are one IEEE division over exact
-    * integers. `c` tunes the retention curve (keep probability is
-    * 1/(1+c) at affinity 1). Map-side filter: zero shuffles. */
   /** The trained counts as a pair of plan-literal maps (bucket →
     * tgt_cnt, bucket → raw_cnt) — the STREAM-SIDE form of the
     * artifact. The counts table is ≤ dim rows by construction, so
@@ -200,6 +192,14 @@ object Importance {
     (sums.getField("t") + 1).cast("double") / (sums.getField("r") + 1)
   }
 
+  /** Deterministic importance resampling on the exact affinity score:
+    * keep a document iff u < affinity/(affinity + c), where
+    * u = hashBucket(id)/1e6 is the library's salted-md5 uniform.
+    * Monotone in affinity — higher target resemblance ⇒ higher keep
+    * probability — and exactly reproducible from (salt, c) alone:
+    * both sides of the comparison are one IEEE division over exact
+    * integers. `c` tunes the retention curve (keep probability is
+    * 1/(1+c) at affinity 1). Map-side filter: zero shuffles. */
   def keepFlag(
       idCol: Column, affinity: Column,
       salt: String = "dsir-keep", c: Double = 0.5): Column = {

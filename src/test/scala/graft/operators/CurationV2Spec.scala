@@ -15,7 +15,9 @@ class CurationV2Spec extends SparkSpec {
     (0L, "a b a b c d e f g h i j", "en"),
     (1L, "a b a b c d e f g h i j", "en"),   // exact dup of 0
     (2L, "x y x y z w q r s t u v", "de"),
-    (3L, "short", "de")                       // quality drop (too_short)
+    (3L, "short", "de")                       // quality drop (too_short);
+    // also gram-free (1 token < bigram) -> affinity is the smoothed
+    // prior 1.0 but sum_raw = 0, so affinity_keep must be FALSE
   ).toDF("doc_id", "text", "lang")
 
   private def emb = Seq(
@@ -39,10 +41,11 @@ class CurationV2Spec extends SparkSpec {
     // standalone verdicts
     val counts = Importance.targetAffinityCounts(
       docs, "doc_id", "text", col("lang") === "en", n = 2, dim = 64, salt = "dsir")
-    val aff = Importance.scoreAffinity(docs, "doc_id", "text", counts,
+    val affRows = Importance.scoreAffinity(docs, "doc_id", "text", counts,
       n = 2, dim = 64, salt = "dsir")
-      .select("doc_id", "affinity").collect()
-      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      .select("doc_id", "affinity", "sum_raw").collect()
+    val aff = affRows.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val sumRaw = affRows.map(r => r.getLong(0) -> r.getLong(2)).toMap
     val outliers = Similarity.embeddingOutliers(
       emb, "vec_id", "embedding", cents, "vec_id", "embedding", 0.34)
       .filter(col("outlier")).select("id").as[Long].collect().toSet
@@ -50,7 +53,7 @@ class CurationV2Spec extends SparkSpec {
     docs.select("doc_id").as[Long].collect().foreach { id =>
       val r = out(id)
       assert(r.getAs[Double]("affinity") === aff(id), s"affinity drift doc $id")
-      assert(r.getAs[Boolean]("affinity_keep") === (aff(id) >= 0.5))
+      assert(r.getAs[Boolean]("affinity_keep") === (aff(id) >= 0.5 && sumRaw(id) > 0L))
       assert(r.getAs[Boolean]("embedding_outlier") === outliers(id),
         s"outlier drift doc $id")
       val conj = r.getAs[Boolean]("quality_keep") &&
@@ -62,6 +65,10 @@ class CurationV2Spec extends SparkSpec {
     }
     // the embedding-less doc passed the prototypicality gate
     assert(!out(3L).getAs[Boolean]("embedding_outlier"))
+    // the gram-free doc scores the smoothed prior 1.0 but FAILS the
+    // importance gate (sum_raw = 0 folded into affinity_keep)
+    assert(out(3L).getAs[Double]("affinity") === 1.0)
+    assert(!out(3L).getAs[Boolean]("affinity_keep"))
     // one cell of 3 members, fraction 0.34 -> ceil(1.02) = 2 flagged;
     // vec 2 (the farthest) is certainly among them
     assert(outliers.contains(2L))

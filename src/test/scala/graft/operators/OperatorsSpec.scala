@@ -1102,7 +1102,7 @@ class OperatorsSpec extends SparkSpec {
     val rnd = new scala.util.Random(11)
     val items = (1L to 200L).map(i => (i, rnd.nextInt(40) + 1L)) :+ (201L, 150L)
     val df = items.toDF("doc_id", "n_tokens")
-    def run() = Packing.packSequences(df, "doc_id", "n_tokens", budget = 100L, numPartitions = 4)
+    def run() = Packing.packSequences(df, "doc_id", "n_tokens", budget = 100L, numBuckets = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val out = run()
     // complete and disjoint
