@@ -235,10 +235,16 @@ object ScaleStress {
           "doc_id").count()
       }
     }
-    // merge with the existing record instead of overwriting: a
-    // filtered iteration run (op-substring args) must not clobber the
-    // other ops' entries. Re-measured (op, scale) pairs replace their
-    // old lines; everything else is preserved in file order.
+    mergeResults(results.toSeq)
+    spark.stop()
+  }
+
+  /** Merge freshly measured JSON lines into scale_stress.json instead
+    * of overwriting: a filtered iteration run (op-substring args) must
+    * not clobber the other ops' entries. Re-measured (op, scale) pairs
+    * replace their old lines; everything else is preserved in file
+    * order. Shared with [[StreamScaleStress]]. */
+  def mergeResults(results: Seq[String]): Unit = {
     val path = java.nio.file.Paths.get("scale_stress.json")
     val fresh = results.map { line =>
       val op = "\"op\":\"([^\"]+)\"".r.findFirstMatchIn(line).get.group(1)
@@ -276,6 +282,5 @@ object ScaleStress {
     val out = merged.mkString("[", ",", "]")
     java.nio.file.Files.writeString(path, out)
     println(out)
-    spark.stop()
   }
 }

@@ -20,10 +20,13 @@ import org.apache.spark.sql.functions._
   *    intra-label edges vanish, so |E| shrinks geometrically (a
   *    near-dup family that is clique-ish contracts to nothing in one
   *    round; a path halves per round → O(log n) rounds). The
-  *    original-node → label mapping composes per round with a
-  *    V-sized join. After round 1, all work is proportional to the
-  *    SURVIVING edge set — on real dedup graphs a tiny residue — so
-  *    the E-sized cost is paid ~once, not once per round. The
+  *    original-node → label mapping is NOT composed per round:
+  *    post-round-1 label tables (residue-sized) are folded
+  *    right-to-left at convergence and applied to the V-sized
+  *    round-1 labels exactly once. After round 1, all work is
+  *    proportional to the SURVIVING edge set — on real dedup graphs
+  *    a tiny residue — so both the E-sized and the V-sized costs are
+  *    paid ~once, not once per round. The
   *    symmetrized edge list is deliberately NOT deduplicated: min
   *    aggregation is duplicate-insensitive and the contraction's own
   *    per-round `distinct` runs on the shrunken set, so the one
@@ -81,47 +84,78 @@ object Graph {
   def connectedComponents(
       edges: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 50): DataFrame = {
-    val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+    // materialize the edge list DIRECTED (one row per input pair, not
+    // two): labels need the symmetric neighborhood, which the cheap
+    // union-of-checkpointed-blocks view below provides, but the
+    // expensive contraction joins only need each edge rewritten once —
+    // running them on the directed list halves their probe volume.
+    var cur = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .where(col("u") =!= col("v"))
-    // symmetrize WITHOUT distinct (see object scaladoc); one
-    // materialization of the expensive upstream pair generation
-    var cur = e.union(e.select(col("v").as("u"), col("u").as("v")))
       .localCheckpoint(true)
-    // label = min(self, neighborhood); over the symmetrized list
+    def sym(g: DataFrame): DataFrame =
+      g.union(g.select(col("v").as("u"), col("u").as("v")))
+    // label = min(self, neighborhood); over the symmetrized view
     // every endpoint appears as u, so round-1 labels double as the
-    // full original-node → label mapping
-    def roundLabels(g: DataFrame): DataFrame = g.groupBy("u")
+    // full original-node → label mapping. Symmetrized WITHOUT
+    // distinct (see object scaladoc): min is duplicate-insensitive.
+    def roundLabels(g: DataFrame): DataFrame = sym(g).groupBy("u")
       .agg(min(col("v")).as("__mn"))
       .select(col("u").as("node"), least(col("u"), col("__mn")).as("label"))
-    var labels = roundLabels(cur).localCheckpoint(true)
-    var mapping = labels
+    val labels1 = roundLabels(cur).localCheckpoint(true)
+    var labels = labels1
+    // per-round label tables AFTER round 1 — all residue-sized. The
+    // V-sized mapping is NOT composed per round (the r12 profile
+    // showed the per-round V-sized compose join + checkpoint, not the
+    // residue math, dominating 100× wall time); instead the chain is
+    // folded right-to-left at the end — residue-sized joins only —
+    // and applied to the V-sized round-1 labels exactly once. Sound
+    // because label domains nest: dom(labels_{i+1}) ⊆ image(labels_i)
+    // ⊆ dom(labels_i), so identity-fallback composition is
+    // associative over the chain.
+    val chain = scala.collection.mutable.ArrayBuffer[DataFrame]()
     var iter = 1
-    while (iter < maxIter) {
-      // contract: rewrite each edge to its endpoints' labels. The
-      // label join is total (every endpoint has a label row) and the
-      // output stays symmetric because cur is.
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // contract: rewrite each directed edge to its endpoints' labels
+      // (the label join is total — every endpoint has a label row),
+      // drop collapsed self-loops FIRST (the overwhelming majority),
+      // then canonicalize direction so the residue dedups to one row
+      // per surviving label pair.
       val next = cur
         .join(labels.select(col("node").as("u"), col("label").as("__lu")), "u")
         .join(labels.select(col("node").as("v"), col("label").as("__lv")), "v")
-        .select(col("__lu").as("u"), col("__lv").as("v"))
-        .where(col("u") =!= col("v"))
+        .where(col("__lu") =!= col("__lv"))
+        .select(
+          least(col("__lu"), col("__lv")).as("u"),
+          greatest(col("__lu"), col("__lv")).as("v"))
         .distinct()
         .localCheckpoint(true)
-      if (next.isEmpty)
-        return mapping.select(col("node"), col("label").as("component"))
-      cur = next
-      labels = roundLabels(cur).localCheckpoint(true)
-      // compose: nodes whose label was contracted away (no surviving
-      // edge) keep their current label — hence the left join
-      mapping = mapping
-        .join(labels.select(col("node").as("__ln"), col("label").as("__nl")),
-          mapping("label") === col("__ln"), "left")
-        .select(col("node"), coalesce(col("__nl"), col("label")).as("label"))
-        .localCheckpoint(true)
-      iter += 1
+      if (next.isEmpty) converged = true
+      else {
+        cur = next
+        labels = roundLabels(cur).localCheckpoint(true)
+        chain += labels
+        iter += 1
+      }
     }
-    throw new IllegalStateException(
+    if (!converged) throw new IllegalStateException(
       s"connectedComponents did not converge in $maxIter rounds")
+    // fold the residue chain (labels_2 ∘ labels_3 ∘ …, identity
+    // fallback at each step), then ONE V-sized application
+    val residue = chain.reduceRightOption { (li, m) =>
+      li.join(m.select(col("node").as("__ln"), col("label").as("__nl")),
+          li("label") === col("__ln"), "left")
+        .select(li("node"), coalesce(col("__nl"), li("label")).as("label"))
+    }
+    residue match {
+      case None => labels1.select(col("node"), col("label").as("component"))
+      case Some(m) =>
+        labels1
+          .join(m.select(col("node").as("__ln"), col("label").as("__nl")),
+            labels1("label") === col("__ln"), "left")
+          .select(labels1("node"),
+            coalesce(col("__nl"), labels1("label")).as("component"))
+    }
   }
 
   /** Pointer-jumping reference implementation (see object scaladoc):
