@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerTaskEnd}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -46,6 +46,12 @@ object ScaleStress {
     override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
       if (t.taskInfo != null && t.taskInfo.successful)
         durations.add((t.stageId, t.taskInfo.duration))
+    // job COUNT (not timing): the BPE scan-batching claim is "jobs ≈
+    // merges/maxPerScan + constant" — a scheduler fact, so it is
+    // counted at the scheduler, not inferred from wall time
+    private val jobCount = new java.util.concurrent.atomic.AtomicInteger(0)
+    override def onJobStart(j: SparkListenerJobStart): Unit = { jobCount.incrementAndGet(); () }
+    def jobs: Int = jobCount.get
     def size: Int = durations.size
     def slice(from: Int): Seq[(Int, Long)] = {
       import scala.jdk.CollectionConverters._
@@ -102,6 +108,9 @@ object ScaleStress {
     spark.sparkContext.addSparkListener(stats)
 
     val results = scala.collection.mutable.ArrayBuffer[String]()
+    // an op body may publish op-specific JSON fields (e.g. the trained
+    // IVF-PQ audit's recall) — appended to its line, then cleared
+    var extraFields: String = ""
     def measure(op: String, scale: Int)(body: => Long): Unit =
       if (opFilter.isEmpty || opFilter.exists(op.contains)) measureAll(op, scale)(body)
     def measureAll(op: String, scale: Int)(body: => Long): Unit = {
@@ -131,7 +140,8 @@ object ScaleStress {
         }
       val line =
         f"""{"op":"$op","scale":$scale,"sec":$sec%.2f,"rows":$rows,"tasks":${tasks.size},""" +
-          s""""max_task_ms":$maxMs,"med_task_ms":$medMs,"max_stage_med_ms":$maxStageMed}"""
+          s""""max_task_ms":$maxMs,"med_task_ms":$medMs,"max_stage_med_ms":$maxStageMed$extraFields}"""
+      extraFields = ""
       println(line)
       results += line
     }
@@ -205,6 +215,37 @@ object ScaleStress {
         Similarity.ivfTopK(queries, "vec_id", emb, "vec_id", "embedding",
           cents, "vec_id", "embedding", k = 10, nProbe = 2).count()
       }
+      measure("ivfpq_trained_recall", scale) {
+        // the r12 audits pinned recall at 0.33 with the deterministic
+        // 16-sample "toy" quantizer the ORACLE queries must keep (float
+        // k-means is aggregation-order-dependent — not oracle-exact).
+        // This op measures what the same IVF-PQ plan does with its
+        // production inputs: trainCentroids (spherical k-means) for the
+        // coarse cells + pqTrainCodebook (per-subspace L2 k-means,
+        // ks=256) for ADC, nProbe=4 — recall@10 vs exact L2 top-10
+        // rides the line as "recall". Plan shape is IDENTICAL to
+        // ivfpq_topk (quantizer quality tunes recall, never shape).
+        val queries = emb.filter(col("vec_id") < lit(20L) * scale &&
+          pmod(col("vec_id"), lit(scale)) === 0)
+        val cents = Similarity.trainCentroids(
+          emb, "vec_id", "embedding", nCells = 16, iters = 5)
+        val cb = Similarity.pqTrainCodebook(
+          emb, "vec_id", "embedding", m = 4, ks = 256, iters = 5)
+        val brute = Similarity.bruteForceTopKL2(
+          queries, "vec_id", emb, "vec_id", "embedding", k = 10)
+          .select("query_id", "neighbor_id")
+        val hits = Similarity.ivfPqTopK(
+          queries, "vec_id", emb, "vec_id", "embedding",
+          cents, "cent_id", "cent_vec", cb, m = 4, k = 10, nProbe = 4)
+          .select(col("query_id"), col("neighbor_id"), lit(1L).as("__hit"))
+        val agg = brute.join(hits, Seq("query_id", "neighbor_id"), "left")
+          .agg(count(lit(1)).as("nb"),
+            sum(coalesce(col("__hit"), lit(0L))).as("nh"))
+          .collect()(0)
+        val recall = agg.getLong(1).toDouble / agg.getLong(0)
+        extraFields = f""","recall":$recall%.3f,"n_probe":4,"n_cells":16,"pq_ks":256"""
+        agg.getLong(1)
+      }
       measure("curation_v2", scale) {
         // the five-gate decision log end-to-end; amplified doc ids and
         // embedding ids stay aligned (both map id*scale+i), so the
@@ -234,6 +275,21 @@ object ScaleStress {
             docs, "doc_id", "text", counts, n = 2, dim = 1024),
           "doc_id").count()
       }
+      measure("bpe_train", scale) {
+        // real-vocabulary merge learning (r12 #7): 1000 merges over
+        // the amplified corpus — the `~i`/`#i` copy markers inflate
+        // the VOCABULARY ~linearly with scale, the honest load for
+        // the vocabulary-sized iteration table. The claim under test
+        // is the batching contract: scheduler jobs ≈ merges/maxPerScan
+        // + a constant, not one scan per merge (the sequence itself is
+        // spec-pinned identical to sequential greedy).
+        val jobs0 = stats.jobs
+        val merges = operators.BpeTrainer.train(
+          docs, "text", nMerges = 1000, maxPerScan = 64)
+        extraFields =
+          s""","jobs":${stats.jobs - jobs0},"merges":${merges.length},"max_per_scan":64"""
+        merges.length.toLong
+      }
     }
     mergeResults(results.toSeq)
     spark.stop()
@@ -243,7 +299,7 @@ object ScaleStress {
     * of overwriting: a filtered iteration run (op-substring args) must
     * not clobber the other ops' entries. Re-measured (op, scale) pairs
     * replace their old lines; everything else is preserved in file
-    * order. Shared with [[StreamScaleStress]]. */
+    * order. */
   def mergeResults(results: Seq[String]): Unit = {
     val path = java.nio.file.Paths.get("scale_stress.json")
     val fresh = results.map { line =>

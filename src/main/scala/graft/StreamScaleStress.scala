@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.streaming.StreamingOps
+
+/** Scale-stress harness for the STREAMING operators (VERDICT r12 #3 /
+  * r13 #2): the batch family's 100 TB claims are measured by
+  * [[ScaleStress]]; the streaming family's claims — bounded state and
+  * flat per-batch latency — were until now proven only by construction
+  * (spec-gated prefix≡batch equivalence). This main turns them into
+  * measurements.
+  *
+  * Method: amplify the sf0.1 `documents` table with the IDENTICAL
+  * deterministic near-dup injection as [[ScaleStress.amplifyDocs]]
+  * (same content mix, so bucket pressure is the honest one), write it
+  * round-robin into `nBatches` parquet files, and replay it as a file
+  * stream with `maxFilesPerTrigger=1` — each file is one micro-batch,
+  * everything stays distributed (no driver-side MemoryStream feed,
+  * which would cap the measurable scale at driver heap).
+  *
+  * Evidence per op is the streaming progress feed itself: per-batch
+  * `triggerExecution` wall ms and the state store's `numRowsTotal`
+  * after every batch. The claims under test:
+  *  - `uniform_sample_stream` — state ≤ k·|keys| FOREVER (hash-min-k
+  *    monotone statistic); batch latency flat.
+  *  - `near_dup_candidates_stream` — state ≤ maxBucket per occupied
+  *    bucket; latency tracks per-batch banding cost, not history.
+  *  - `simhash_drop_stream` — STATELESS (broadcast block probes):
+  *    state rows identically zero, latency flat.
+  *  - `importance_filter_stream` — STATELESS (pure expression gate):
+  *    state rows identically zero, latency flat.
+  * Output: one JSON line per (op, scale) with total seconds, output
+  * rows, per-batch ms and per-batch state rows, merged into
+  * `scale_stress.json` (same (op, scale)-keyed merge as the batch
+  * harness). */
+object StreamScaleStress {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val numeric = args.filter(_.forall(_.isDigit))
+    val opFilter = args.filterNot(_.forall(_.isDigit)).toSeq
+    val scales = if (numeric.nonEmpty) numeric.map(_.toInt).toSeq else Seq(10, 50)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-stream-scale-stress")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.streaming.numRecentProgressUpdates", "256")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(spark)
+
+    val work = java.nio.file.Files.createTempDirectory("graft-sss").toString
+    val results = scala.collection.mutable.ArrayBuffer[String]()
+    val docs0 = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
+    val nBatches = 10
+
+    /** Run `mkQuery` over a `nBatches`-file replay of the amplified
+      * corpus, drain it, and record total wall + the per-batch
+      * latency/state series from the progress feed. */
+    def measure(op: String, scale: Int, feedDir: String, outputMode: String)(
+        mkQuery: DataFrame => DataFrame): Unit = {
+      if (opFilter.nonEmpty && !opFilter.exists(op.contains)) return
+      spark.catalog.clearCache()
+      val ckpt = s"$work/ckpt-$op-$scale"
+      val stream = spark.readStream
+        .schema(spark.read.parquet(feedDir).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feedDir)
+      val t0 = System.nanoTime()
+      val q: StreamingQuery = mkQuery(stream).writeStream
+        .format("noop")
+        .outputMode(outputMode)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.ProcessingTime(0))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val sec = (System.nanoTime() - t0) / 1e9
+      // progress rows with no input are idle ticks — drop them
+      val prog = q.recentProgress.toSeq.filter(_.numInputRows > 0)
+      val batchMs = prog.map(p =>
+        Option(p.durationMs.get("triggerExecution")).map(_.longValue).getOrElse(0L))
+      val stateRows = prog.map(p =>
+        Option(p.stateOperators).map(_.map(_.numRowsTotal).sum).getOrElse(0L))
+      val outRows = prog.map(p => p.sink.numOutputRows).sum
+      val line =
+        f"""{"op":"$op","scale":$scale,"sec":$sec%.2f,"rows":$outRows,""" +
+          s""""batches":${prog.size},"batch_ms":[${batchMs.mkString(",")}],""" +
+          s""""state_rows":[${stateRows.mkString(",")}]}"""
+      println(line)
+      results += line
+    }
+
+    for (scale <- scales) {
+      val feedDir = s"$work/feed-$scale"
+      // round-robin split: each micro-batch carries a scale/nBatches
+      // slice of every copy family, so bucket/key pressure accretes
+      // across batches — the honest load for state-bound claims
+      ScaleStress.amplifyDocs(docs0, scale)
+        .repartition(nBatches)
+        .write.mode("overwrite").parquet(feedDir)
+
+      measure("stream_uniform_sample", scale, feedDir, "update") { s =>
+        StreamingOps.uniformSampleStream(
+          s.withColumn("key", pmod(col("doc_id"), lit(100))),
+          "key", "doc_id", k = 64, salt = "sss").toDF()
+      }
+      measure("stream_near_dup_candidates", scale, feedDir, "append") { s =>
+        StreamingOps.nearDupCandidatesStream(
+          s, "doc_id", "text", n = 3, k = 12, rowsPerBand = 3).toDF()
+      }
+      // static artifacts for the two stateless gates come from the
+      // UNAMPLIFIED corpus — the production shape (reference set /
+      // trained counts are fixed; the stream is what scales)
+      measure("stream_simhash_drop", scale, feedDir, "append") { s =>
+        StreamingOps.dropSimhashNearDups(
+          s, "doc_id", "text",
+          graft.operators.Dedup.simhashBlockTable(docs0, "doc_id", "text"))
+      }
+      lazy val counts = graft.operators.Importance.collectCounts(
+        graft.operators.Importance.targetAffinityCounts(
+          docs0, "doc_id", "text",
+          isTarget = pmod(col("doc_id"), lit(10)) === 0, n = 2, dim = 1024))
+      measure("stream_importance_filter", scale, feedDir, "append") { s =>
+        StreamingOps.importanceFilterStream(
+          s, "text", counts, minAffinity = 0.5)
+      }
+    }
+    ScaleStress.mergeResults(results.toSeq)
+    spark.stop()
+  }
+}
