@@ -1302,6 +1302,48 @@ object PipelineQueries2 {
         .transform(Queries.sortedSmall(_, "query_id", "rank"))
     })
 
+  // -------------------------- IVF-PQ + exact refine (the serving pair)
+  // The ADC candidate stage keeps the toy deterministic quantizer the
+  // other IVF-PQ oracles use; the refine stage re-scores its top-40
+  // candidates with the EXACT L2 (same sqrt-of-ordered-double-fold the
+  // brute-force oracle replays), so the whole query is value-exact.
+  // Semantics under test: rank is by exact distance, ADC order only
+  // selects the candidate set — near-dup families whose PQ codes
+  // collapse re-rank correctly here (the measured failure mode of the
+  // un-refined index on family-heavy corpora).
+  private val qIvfPqRefined = Queries.Q(
+    "p_ivfpq_refined",
+    Some(s"""
+      WITH $duckIvfPqCtes,
+      cand AS (SELECT query_id, neighbor_id FROM (
+                 SELECT query_id, neighbor_id,
+                        row_number() OVER (PARTITION BY query_id ORDER BY approx_d2 ASC, neighbor_id) AS rnk
+                 FROM pair)
+               WHERE rnk <= 40),
+      ex AS (SELECT c.query_id, c.neighbor_id,
+               sqrt(list_sum(list_transform(list_zip(q.embedding, e.embedding),
+                 x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))) AS dist
+             FROM cand c
+             JOIN embeddings q ON q.vec_id = c.query_id
+             JOIN embeddings e ON e.vec_id = c.neighbor_id)
+      SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id, dist FROM (
+        SELECT query_id, neighbor_id, dist,
+               row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, neighbor_id) AS rnk
+        FROM ex)
+      WHERE rnk <= 10
+      ORDER BY query_id, rank"""),
+    (s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val cb = Similarity.pqCodebookFrom(
+        emb.filter(col("vec_id") < 16), "vec_id", "embedding", m = 4)
+      Similarity.ivfPqTopKRefined(
+        emb.filter(col("vec_id") < 20), "vec_id",
+        emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 16), "vec_id", "embedding",
+        cb, m = 4, k = 10, nProbe = 2, refine = 40)
+        .transform(Queries.sortedSmall(_, "query_id", "rank"))
+    })
+
   // -------------------------- IVF-PQ recall audit (vs exact L2 top-k)
   // The same honest-drop contract as p_lsh_recall_audit: how much of
   // each query's EXACT L2 top-10 the compressed, cell-pruned index
@@ -1479,5 +1521,5 @@ object PipelineQueries2 {
       qRemoveDupSpans, qPackSequences, qPqTopK, qCurationReport,
       qIncrementalDedup, qDsirWeights, qDsirResample, qHybridRrf,
       qWeightedSample, qSemanticContamination, qIvfPqTopK,
-      qIvfPqRecallAudit, qEmbeddingOutliers, qCurationV2)
+      qIvfPqRecallAudit, qIvfPqRefined, qEmbeddingOutliers, qCurationV2)
 }

@@ -761,4 +761,52 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "approx_d2")
   }
+
+  /** [[ivfPqTopK]] + EXACT re-rank — the refine stage every serving
+    * IVF-PQ index pairs with ADC (FAISS's IndexRefineFlat): take the
+    * index's top-`refine` candidates per query by approximate
+    * distance, re-score exactly on the ORIGINAL vectors, keep the
+    * exact top-`k`.
+    *
+    * Why it exists (measured, 50× ScaleStress trained-quantizer
+    * audit): a corpus with tight near-duplicate families quantizes
+    * whole families onto the SAME PQ codes, so their ADC distances
+    * tie and rank collapses to the id tie-break — with a ~50-member
+    * family the un-refined recall@10 is ≈ 10/50 = 0.2 no matter how
+    * good the codebook is. Resolution inside the candidate set is the
+    * refine stage's job, not the quantizer's.
+    *
+    * Scale shape (100 TB): the extra cost over [[ivfPqTopK]] is
+    * output-bounded — `refine` candidate rows per query, one id-keyed
+    * attach of each side's original vector, one fused-kernel L2 per
+    * candidate, one per-query window over ≤ `refine` rows. The
+    * corpus-vector attach mirrors the exact-PPJoin verify pattern:
+    * SHUFFLE_HASH on the corpus side (one row per doc — never sort
+    * the candidate stream) — see `Dedup.ngramJaccardPairs`'s memory
+    * contract for the hint's safety argument. Output:
+    * (query_id, rank, neighbor_id, dist) — [[bruteForceTopKL2]]'s
+    * shape, because on candidates it IS that exact computation. */
+  def ivfPqTopKRefined(
+      queries: DataFrame, queryIdCol: String,
+      corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, centIdCol: String, centVecCol: String,
+      codebook: DataFrame, m: Int, k: Int, nProbe: Int,
+      refine: Int): DataFrame = {
+    require(refine >= k, s"refine=$refine must be >= k=$k")
+    val cand = ivfPqTopK(
+      queries, queryIdCol, corpus, idCol, vecCol,
+      centroids, centIdCol, centVecCol, codebook, m, k = refine, nProbe)
+      .select("query_id", "neighbor_id")
+    val q = queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("__qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist").asc, col("neighbor_id"))
+    cand
+      .join(q, "query_id")
+      .join(c.hint("shuffle_hash"), "neighbor_id")
+      .withColumn("dist", l2(col("__qv"), col("__cv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "dist")
+  }
 }

@@ -55,6 +55,43 @@ class IvfPqSpec extends SparkSpec {
     }
   }
 
+  test("refined with exhaustive probes equals exact brute-force L2 top-k") {
+    // nProbe=2 probes every cell and refine covers the whole corpus,
+    // so the candidate set is complete — the refine stage's exact
+    // re-rank must then reproduce bruteForceTopKL2 bit-for-bit
+    // (same kernel, same (dist, id) order)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "rank", "neighbor_id", "dist")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        java.lang.Double.doubleToLongBits(r.getDouble(3))))
+      .sorted.toSeq
+    val refined = rows(Similarity.ivfPqTopKRefined(
+      emb.filter(col("vec_id") < 3), "vec_id", emb, "vec_id", "embedding",
+      cents, "vec_id", "embedding", codebook, m = 2, k = 3, nProbe = 2,
+      refine = 10))
+    val brute = rows(Similarity.bruteForceTopKL2(
+      emb.filter(col("vec_id") < 3), "vec_id", emb, "vec_id", "embedding",
+      k = 3))
+    assert(refined === brute)
+  }
+
+  test("refine=k degenerates to the ADC ranking re-scored exactly") {
+    // with refine == k the candidate SET is the un-refined top-k; the
+    // refine stage may only re-order it — ids per query must match
+    def ids(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val raw = ids(Similarity.ivfPqTopK(
+      emb.filter(col("vec_id") < 3), "vec_id", emb, "vec_id", "embedding",
+      cents, "vec_id", "embedding", codebook, m = 2, k = 3, nProbe = 1))
+    val refined = ids(Similarity.ivfPqTopKRefined(
+      emb.filter(col("vec_id") < 3), "vec_id", emb, "vec_id", "embedding",
+      cents, "vec_id", "embedding", codebook, m = 2, k = 3, nProbe = 1,
+      refine = 3))
+    assert(refined === raw)
+  }
+
   test("deterministic across invocations") {
     def run() = Similarity.ivfPqTopK(
       emb.filter(col("vec_id") < 3), "vec_id", emb, "vec_id", "embedding",
