@@ -301,14 +301,34 @@ object ScaleStress {
         // the amplified corpus — the `~i`/`#i` copy markers inflate
         // the VOCABULARY ~linearly with scale, the honest load for
         // the vocabulary-sized iteration table. The claim under test
-        // is the batching contract: scheduler jobs ≈ merges/maxPerScan
-        // + a constant, not one scan per merge (the sequence itself is
-        // spec-pinned identical to sequential greedy).
+        // is the batching contract. MEASURED VERDICT (50×, r14): the
+        // order-safe admission rule yields ~1.7 merges/scan on this
+        // English-like character distribution — hot pairs share
+        // symbols, so the ceiling rule stops batches early; the
+        // "jobs ≈ merges/maxPerScan" shape only holds for corpora
+        // with many DISJOINT hot pairs (the scaladoc's stated
+        // precondition). The honest claim is the A/B below: identical
+        // learned sequence, ~23% fewer scheduler jobs (2312 vs 3002),
+        // wall EQUAL within noise at local scale — the round-trip
+        // savings matter on a real cluster's scheduling latency, not
+        // on local[32].
         val jobs0 = stats.jobs
         val merges = operators.BpeTrainer.train(
           docs, "text", nMerges = 1000, maxPerScan = 64)
         extraFields =
           s""","jobs":${stats.jobs - jobs0},"merges":${merges.length},"max_per_scan":64"""
+        merges.length.toLong
+      }
+      measure("bpe_train_seq", scale) {
+        // sequential-greedy baseline arm (maxPerScan=1) for the
+        // batching A/B: same corpus, same 1000 merges, one pair-count
+        // scan per merge. Spec (BpeTrainerSpec) proves the SEQUENCE
+        // equal; this measures what the batching buys at scale.
+        val jobs0 = stats.jobs
+        val merges = operators.BpeTrainer.train(
+          docs, "text", nMerges = 1000, maxPerScan = 1)
+        extraFields =
+          s""","jobs":${stats.jobs - jobs0},"merges":${merges.length},"max_per_scan":1"""
         merges.length.toLong
       }
     }

@@ -127,9 +127,14 @@ object StreamScaleStress {
         graft.operators.Importance.targetAffinityCounts(
           docs0, "doc_id", "text",
           isTarget = pmod(col("doc_id"), lit(10)) === 0, n = 2, dim = 1024))
+      // minAffinity=0.1: affinity = (sum_tgt+1)/(sum_raw+1) with a 10%
+      // target slice, so scores concentrate around the 0.1 prior —
+      // thresholds of 0.5/0.4 gated out EVERY document in probe runs.
+      // Splitting at the prior keeps both branches of the gate on the
+      // measured path (some docs pass, some drop).
       measure("stream_importance_filter", scale, feedDir, "append") { s =>
         StreamingOps.importanceFilterStream(
-          s, "text", counts, minAffinity = 0.5)
+          s, "text", counts, minAffinity = 0.1)
       }
     }
     ScaleStress.mergeResults(results.toSeq)
