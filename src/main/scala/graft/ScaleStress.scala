@@ -94,6 +94,11 @@ object ScaleStress {
     val opFilter = args.filterNot(_.forall(_.isDigit)).toSeq
     val scales = if (numeric.nonEmpty) numeric.map(_.toInt).toSeq else Seq(1, 10, 50)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // GRAFT_MEM_FRACTION: spark.memory.fraction is STATIC (read at
+    // SparkEnv init — spark.conf.set is too late), so the earlier-
+    // spill lever for heap-tight arms rides an env var. Default 0.6
+    // (Spark's own) everywhere; the 100× exact-PPJoin arm documents
+    // its setting in BASELINE.md.
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-scale-stress")
@@ -101,6 +106,7 @@ object ScaleStress {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.memory.fraction", sys.env.getOrElse("GRAFT_MEM_FRACTION", "0.6"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark)
@@ -163,8 +169,21 @@ object ScaleStress {
         // the prefix-filtered inverted-index (PPJoin/AllPairs) exact
         // join — quadratic-prone by nature; the claim under test is
         // that prefix filtering keeps candidate growth output-bound,
-        // same oracle-gated parameters as p_ngram_jaccard_pairs
-        Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5).count()
+        // same oracle-gated parameters as p_ngram_jaccard_pairs.
+        // Shuffle parallelism scales with the amplified volume, the
+        // way any real deployment sizes it (candidate volume grows
+        // ~4× from 50×→100×; a 1000-executor cluster runs thousands
+        // of partitions): the operator reads the conf via pinnedParts,
+        // so the override propagates to every pinned repartition and
+        // the overlap-count agg — at ≥64× that agg's ~1.2B-row key
+        // space is what OOM'd the single 8 GiB local JVM at 32
+        // reducers (measured r14: G1 young cap does NOT save it; 2×
+        // heap or ≥4× reducers both do, and reducers are the shape a
+        // cluster actually has).
+        val prev = spark.conf.get("spark.sql.shuffle.partitions")
+        if (scale >= 64) spark.conf.set("spark.sql.shuffle.partitions", 256)
+        try Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5).count()
+        finally spark.conf.set("spark.sql.shuffle.partitions", prev)
       }
       measure("dup_groups_cc", scale) {
         Graph.connectedComponents(
