@@ -1513,6 +1513,41 @@ object PipelineQueries2 {
         .transform(Queries.sortedSmall(_, "doc_id"))
     })
 
+  // ------------------------- cluster-balanced subsample (SemDeDup-ish)
+  // The semantic-diversity selection step: nearest-centroid cells
+  // (same argmax the IVF index and p_ivf_cell_sizes audit) capped at
+  // an exact-k uniform draw per cell (same md5 rank p_uniform_sample
+  // replays). Dominant topics capped, tail topics kept whole. The
+  // oracle composes those two queries' proven CTEs verbatim, so a
+  // drift in EITHER building block fails this query too.
+  private val qCellBalancedSample = Queries.Q(
+    "p_cell_balanced_sample",
+    Some("""
+      WITH c AS (SELECT vec_id AS cent, embedding AS cv FROM embeddings WHERE vec_id < 16),
+      a AS (SELECT e.vec_id, c.cent,
+              list_sum(list_transform(list_zip(e.embedding, c.cv), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+              (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+               sqrt(list_sum(list_transform(c.cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS ccos
+            FROM embeddings e CROSS JOIN c),
+      cell AS (SELECT vec_id AS id, cent AS cell FROM (
+                 SELECT vec_id, cent,
+                        row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent) AS rn
+                 FROM a) WHERE rn = 1),
+      pick AS (SELECT id, cell FROM (
+                 SELECT id, cell,
+                        row_number() OVER (PARTITION BY cell
+                          ORDER BY md5('cbs7:' || CAST(id AS VARCHAR)), CAST(id AS VARCHAR)) AS rn
+                 FROM cell) WHERE rn <= 25)
+      SELECT id, cell FROM pick ORDER BY id"""),
+    (s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      Similarity.cellBalancedSample(
+        emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 16), "vec_id", "embedding",
+        perCellK = 25, salt = "cbs7")
+        .transform(Queries.sortedSmall(_, "id"))
+    })
+
   val all: Seq[Queries.Q] =
     Seq(qDupGroupSizes, qTextNormalize, qSourceShare, qTokenLenHist, qCellSizes,
       qAviFrameStats, qSemanticDedup, qImageResize, qWavSampleStats,
@@ -1521,5 +1556,6 @@ object PipelineQueries2 {
       qRemoveDupSpans, qPackSequences, qPqTopK, qCurationReport,
       qIncrementalDedup, qDsirWeights, qDsirResample, qHybridRrf,
       qWeightedSample, qSemanticContamination, qIvfPqTopK,
-      qIvfPqRecallAudit, qIvfPqRefined, qEmbeddingOutliers, qCurationV2)
+      qIvfPqRecallAudit, qIvfPqRefined, qEmbeddingOutliers, qCurationV2,
+      qCellBalancedSample)
 }

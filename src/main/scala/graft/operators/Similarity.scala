@@ -809,4 +809,30 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "dist")
   }
+
+  /** Cluster-balanced subsampling — the semantic-diversity selection
+    * step of an SSL/SemDeDup-style curation pipeline (Sorscher et al.
+    * 2022; Abbas et al. 2023 operate per semantic cluster exactly like
+    * this): assign every embedding to its nearest centroid cell
+    * ([[assignCells]] — the same argmax-cosine assignment the IVF
+    * index and [[embeddingOutliers]] use, so "cell" means the same
+    * thing across the whole embedding surface), then keep an EXACT-k
+    * uniform sample per cell ([[Sampling.uniformPerKey]] — md5-rank
+    * deterministic, seedable via `salt`). Dominant topics are capped
+    * at `perCellK` while tail topics keep everything — the embedding-
+    * space complement of [[Sampling.stratifiedSampled]]'s
+    * metadata-column strata.
+    *
+    * Scale shape (100 TB): one broadcast-centroid argmax pass over the
+    * corpus (map-side), then uniformPerKey's narrow (cell, id) rank —
+    * the window shuffle carries two columns, never the vectors, and a
+    * flooded cell is exactly the dominant-key case its skew note
+    * covers. Output: (id, cell) for the selected members. */
+  def cellBalancedSample(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, centIdCol: String, centVecCol: String,
+      perCellK: Int, salt: String = "cbs"): DataFrame =
+    Sampling.uniformPerKey(
+      assignCells(corpus, idCol, vecCol, centroids, centIdCol, centVecCol),
+      "cell", "id", perCellK, salt)
 }
