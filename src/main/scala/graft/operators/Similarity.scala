@@ -823,16 +823,32 @@ object Similarity {
     * space complement of [[Sampling.stratifiedSampled]]'s
     * metadata-column strata.
     *
-    * Scale shape (100 TB): one broadcast-centroid argmax pass over the
-    * corpus (map-side), then uniformPerKey's narrow (cell, id) rank —
-    * the window shuffle carries two columns, never the vectors, and a
-    * flooded cell is exactly the dominant-key case its skew note
-    * covers. Output: (id, cell) for the selected members. */
+    * Scale shape (100 TB): ONE broadcast-centroid argmax pass over the
+    * corpus (map-side), then a narrow (cell, id) rank — the window
+    * shuffle carries two columns, never the vectors, and Spark's
+    * WindowGroupLimit caps the sorted volume at perCellK per cell
+    * BEFORE the shuffle. The rank is inlined rather than delegated to
+    * [[Sampling.uniformPerKey]] on purpose: that helper's
+    * rank-then-semi-join-back shape exists to keep WIDE payloads off
+    * the rank shuffle, but this input is already the narrow
+    * assignment — delegation was measured (PlanDump) to recompute the
+    * corpus×centroid argmax pass twice, once per join side. Ordering
+    * is IDENTICAL to uniformPerKey's (md5(salt:id) with the
+    * string-cast id tiebreak), so the draw matches what the delegated
+    * form and the streaming sampler would select. A flooded cell is
+    * the dominant-key case of [[Sampling.perKeyCap]]'s skew note.
+    * Output: (id, cell) for the selected members. */
   def cellBalancedSample(
       corpus: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, centIdCol: String, centVecCol: String,
-      perCellK: Int, salt: String = "cbs"): DataFrame =
-    Sampling.uniformPerKey(
-      assignCells(corpus, idCol, vecCol, centroids, centIdCol, centVecCol),
-      "cell", "id", perCellK, salt)
+      perCellK: Int, salt: String = "cbs"): DataFrame = {
+    require(perCellK > 0, s"perCellK=$perCellK must be positive")
+    val w = Window.partitionBy(col("cell")).orderBy(
+      md5(concat_ws(":", lit(salt), col("id").cast("string"))),
+      col("id").cast("string"))
+    assignCells(corpus, idCol, vecCol, centroids, centIdCol, centVecCol)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= perCellK)
+      .select("id", "cell")
+  }
 }
