@@ -234,6 +234,19 @@ object ScaleStress {
         Similarity.ivfTopK(queries, "vec_id", emb, "vec_id", "embedding",
           cents, "vec_id", "embedding", k = 10, nProbe = 2).count()
       }
+      measure("cell_balanced_sample", scale) {
+        // semantic-diversity selection over the amplified embedding
+        // corpus; centroids stay copy-0 like the other ANN ops. The
+        // claim under test: ONE broadcast-argmax pass + a narrow
+        // (cell,id) rank whose sort volume WindowGroupLimit caps at
+        // k per cell — cost linear in the corpus, output bounded by
+        // k·nCells growth only through the per-cell population.
+        val cents = emb.filter(col("vec_id") < lit(16L) * scale &&
+          pmod(col("vec_id"), lit(scale)) === 0)
+        Similarity.cellBalancedSample(
+          emb, "vec_id", "embedding", cents, "vec_id", "embedding",
+          perCellK = 2000, salt = "cbs").count()
+      }
       measure("ivfpq_trained_recall", scale) {
         // the r12 audits pinned recall at 0.33 with the deterministic
         // 16-sample "toy" quantizer the ORACLE queries must keep (float
