@@ -427,4 +427,26 @@ object StreamingOps {
         graft.operators.Importance.affinityColumn(col("__tk"), counts, n, dim, salt))
       .drop("__tk")
       .filter(col(outCol) >= minAffinity)
+
+  /** STREAMING cluster-balanced sample — the incremental form of
+    * [[graft.operators.Similarity.cellBalancedSample]]: assign each
+    * arriving embedding to its nearest-centroid cell with the
+    * STATELESS [[graft.operators.Similarity.assignCellColumn]]
+    * expression (centroids are a fixed trained artifact, collected
+    * once — ≤ nCells driver rows, the same contract as
+    * importanceFilterStream's counts), then maintain the hash-min-k
+    * sample per cell with [[uniformSampleStream]]. Because hash-min-k
+    * is a MONOTONE statistic and the md5 rank matches the batch
+    * window's ordering exactly, after ANY stream prefix each cell's
+    * sample equals the batch operator over everything seen — the
+    * running topic-balanced coreset of an unbounded embedding stream,
+    * at ≤ perCellK·nCells state forever (spec-diffed). */
+  def cellBalancedSampleStream(
+      events: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[(Long, Seq[Float])],
+      perCellK: Int, salt: String): Dataset[KeySample] =
+    uniformSampleStream(
+      events.withColumn("cell",
+        graft.operators.Similarity.assignCellColumn(col(vecCol), centroids)),
+      "cell", idCol, perCellK, salt)
 }

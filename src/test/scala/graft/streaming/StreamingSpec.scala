@@ -549,6 +549,52 @@ class StreamingSpec extends SparkSpec {
     assert(last("s1").size == 3 && last("s2").size == 3)
   }
 
+  test("streaming cell-balanced sample converges to the batch operator over the union") {
+    import spark.implicits._
+    // two separable clusters; cluster A has 6 members, B has 2
+    val vecs = Seq(
+      0L -> Seq(1.0f, 0.0f), 1L -> Seq(0.99f, 0.01f), 2L -> Seq(0.98f, 0.02f),
+      3L -> Seq(0.97f, 0.03f), 4L -> Seq(0.96f, 0.04f), 5L -> Seq(0.95f, 0.05f),
+      10L -> Seq(0.0f, 1.0f), 11L -> Seq(0.05f, 0.98f))
+    val centroids = Seq(0L -> Seq(1.0f, 0.0f), 10L -> Seq(0.0f, 1.0f))
+    // stateless column assignment must agree with the batch groupBy argmax
+    val batchDf = vecs.toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val centDf = centroids.toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val byGroup = graft.operators.Similarity.assignCells(
+      batchDf, "vec_id", "embedding", centDf, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byColumn = batchDf.select(col("vec_id"),
+      graft.operators.Similarity.assignCellColumn(col("embedding"), centroids).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byColumn == byGroup, "stateless assignment must equal the batch argmax")
+
+    val stream = MemoryStream[(Long, Seq[Float])](spark)
+    val out = StreamingOps.cellBalancedSampleStream(
+      stream.toDS().toDF("vec_id", "embedding")
+        .withColumn("embedding", col("embedding").cast("array<float>")),
+      "vec_id", "embedding", centroids, perCellK = 3, salt = "cb1")
+    val q = out.toDF().writeStream.format("memory").queryName("cbs_out")
+      .outputMode("update")
+      .option("checkpointLocation", tmp("chk_cbs")).start()
+    val (b1, b2) = vecs.splitAt(4)
+    try {
+      stream.addData(b1); q.processAllAvailable()
+      stream.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    val last = spark.table("cbs_out").collect()
+      .map(r => (r.getString(0), r.getSeq[String](1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.last._2.sorted.toSeq }
+    val ref = graft.operators.Similarity.cellBalancedSample(
+      batchDf, "vec_id", "embedding", centDf, "vec_id", "embedding",
+      perCellK = 3, salt = "cb1")
+      .collect().map(r => (r.getLong(1).toString, r.getLong(0).toString))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sorted.toSeq }
+    assert(last == ref, "stream prefix must equal the batch cell-balanced sample")
+    assert(last("0").size == 3 && last("10").size == 2)
+  }
+
   test("transformWithState running counts == flatMapGroupsWithState on the same feed") {
     import spark.implicits._
     // named-state API needs the RocksDB provider (column families)
