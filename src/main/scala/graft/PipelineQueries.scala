@@ -1546,6 +1546,41 @@ object PipelineQueries {
         Tables(s, dir).documents, "source", "lang", "n_chars", "text")
         .transform(Queries.sortedSmall(_, "source")))
 
+  // --------------------------------------- decontamination REMOVAL
+  // The action the detection query licenses, in the conservative
+  // GPT-3 direction: the TRAIN split minus every doc sharing any
+  // 5-gram with the held-out split. Same salted-md5 buckets as
+  // p_split_contamination, so the two queries describe one pipeline:
+  // that one audits the held-out side, this one emits the train
+  // corpus you actually keep. Short (<5-token) docs survive — no
+  // grams, nothing to leak.
+  private val qDecontaminate = Queries.Q(
+    "p_decontaminate",
+    Some(s"""
+      WITH b AS (SELECT doc_id, text, n_chars, ${duckBucket("split25")} AS sb FROM documents),
+      hg AS (SELECT DISTINCT md5(array_to_string(w[i:i+4], ' ')) AS gh
+             FROM (SELECT string_split(text, ' ') AS w FROM b WHERE sb >= 90) t,
+                  unnest(generate_series(1, len(w) - 4)) AS s(i)
+             WHERE len(w) >= 5),
+      tg AS (SELECT doc_id, md5(gram) AS gh FROM (
+               SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS gram
+               FROM (SELECT doc_id, string_split(text, ' ') AS w FROM b WHERE sb < 80) t,
+                    unnest(generate_series(1, len(w) - 4)) AS s(i)
+               WHERE len(w) >= 5)),
+      bad AS (SELECT DISTINCT tg.doc_id FROM tg JOIN hg ON tg.gh = hg.gh)
+      SELECT doc_id, n_chars FROM b
+      WHERE sb < 80 AND doc_id NOT IN (SELECT doc_id FROM bad)
+      ORDER BY doc_id"""),
+    (s, dir) => {
+      val b = Tables(s, dir).documents
+        .withColumn("__sb", Sampling.hashBucket(col("doc_id"), "split25", 100))
+      Fingerprint.decontaminate(
+        b.filter(col("__sb") < 80), b.filter(col("__sb") >= 90),
+        "doc_id", "text", n = 5)
+        .select("doc_id", "n_chars")
+        .transform(Queries.sortedSmall(_, "doc_id"))
+    })
+
   // ------------------------------- cross-split n-gram decontamination
   // GPT-3-style eval-leakage scrub: distinct word 5-grams of each
   // held-out (test-split) doc probed against the train split's gram
@@ -1777,5 +1812,6 @@ object PipelineQueries {
     qApproxVocab, qLmFamiliarity, qTfidfTopK, qTokenBudgetMix, qSnapshotDiff,
     qNearDupDedup, qNearDupBest, qSourceCap, qApproxQuantiles, qPngPixelStats, qRandomProjection,
     qBoilerplateNgrams, qSpanDedup, qSourceReport, qSplitContamination,
+    qDecontaminate,
     qBpePairCounts, qCurationPipeline, qLshRecallAudit, qQualityRankNorm)
 }

@@ -129,16 +129,9 @@ object Fingerprint {
       train: DataFrame, heldOut: DataFrame,
       idCol: String, textCol: String, n: Int): DataFrame = {
     require(n >= 1, s"n=$n must be >= 1")
-    def grams(df: DataFrame): DataFrame = df
-      .select(col(idCol), Dedup.tokens(col(textCol)).as("__tk"))
-      .select(
-        col(idCol),
-        explode(array_distinct(Dedup.wordShinglesFromTokens(col("__tk"), n)))
-          .as("__gram"))
-      .select(col(idCol), md5(col("__gram")).as("__gh"))
-    val trainGrams = grams(train).select("__gh").distinct()
+    val trainGrams = gramHashes(train, idCol, textCol, n).select("__gh").distinct()
       .withColumn("__hit", lit(1L))
-    grams(heldOut)
+    gramHashes(heldOut, idCol, textCol, n)
       .join(trainGrams, Seq("__gh"), "left")
       .groupBy(col(idCol))
       .agg(
@@ -147,5 +140,46 @@ object Fingerprint {
       .select(
         col(idCol), col("n_grams"), col("n_hit"),
         (col("n_hit") > 0L).as("contaminated"))
+  }
+
+  /** (id, md5(gram)) rows over each document's DISTINCT word n-grams
+    * — the shared frontier of [[ngramContamination]] and
+    * [[decontaminate]]. */
+  private def gramHashes(
+      df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = df
+    .select(col(idCol), Dedup.tokens(col(textCol)).as("__tk"))
+    .select(
+      col(idCol),
+      explode(array_distinct(Dedup.wordShinglesFromTokens(col("__tk"), n)))
+        .as("__gram"))
+    .select(col(idCol), md5(col("__gram")).as("__gh"))
+
+  /** Decontamination REMOVAL — the action [[ngramContamination]]'s
+    * detection exists to license, in the conservative GPT-3 direction
+    * (Brown et al. 2020, appendix C): drop from the TRAINING split
+    * every document sharing any word n-gram with the held-out split,
+    * so eval answers that leaked into the crawl cannot be memorized.
+    * Returns the surviving train rows with their full schema.
+    * Documents shorter than n tokens have no grams and always
+    * survive (nothing to leak). The same relationship
+    * [[graft.operators.Dedup.dedupNearDups]] has to its pair
+    * detector: detection queries audit, this emits the corpus you
+    * actually train on.
+    *
+    * Scale shape: held-out grams collapse to ONE distinct md5 set
+    * (held-out ≪ train at 100 TB, but nothing assumes it); train
+    * gram rows (id, 32-hex) LEFT SEMI join it — gram-keyed,
+    * AQE-skew-splittable, text never rides the gram shuffle;
+    * contaminated ids collapse to a distinct id set; the payload
+    * rides only the final id-keyed LEFT ANTI join. */
+  def decontaminate(
+      train: DataFrame, heldOut: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"n=$n must be >= 1")
+    val heldGrams = gramHashes(heldOut, idCol, textCol, n).select("__gh").distinct()
+    val contaminated = gramHashes(train, idCol, textCol, n)
+      .join(heldGrams, Seq("__gh"), "left_semi")
+      .select(idCol).distinct()
+    train.join(contaminated, Seq(idCol), "left_anti")
   }
 }

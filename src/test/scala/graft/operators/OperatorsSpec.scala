@@ -1459,6 +1459,25 @@ class OperatorsSpec extends SparkSpec {
     assert(out(1) == ((11L, 1L, 0L, false)))
   }
 
+  test("decontaminate: drops train docs sharing a gram with held-out; short docs survive") {
+    val train = docs(
+      1L -> "the quick brown fox jumps today", // shares "the quick brown fox jumps"
+      2L -> "over the lazy dog right now",     // clean
+      3L -> "tiny doc")                        // < 5 tokens: always survives
+    val held = docs(10L -> "the quick brown fox jumps high")
+    val out = Fingerprint.decontaminate(train, held, "doc_id", "text", n = 5)
+    // full train schema preserved, contaminated doc 1 gone
+    assert(out.columns.toSeq == train.columns.toSeq)
+    assert(out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
+    // consistency with the detector run in the same direction: a doc
+    // survives iff reverse-contamination (train as "held-out") finds
+    // zero hits for it
+    val rev = Fingerprint.ngramContamination(held, train, "doc_id", "text", n = 5)
+      .filter(col("contaminated")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(rev == Set(1L))
+  }
+
   // ------------------------------------- BPE merge-candidate mining
 
   test("bpePairCounts: occurrence-weighted adjacent pairs, single-char words skipped") {
