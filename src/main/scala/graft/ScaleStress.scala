@@ -212,6 +212,18 @@ object ScaleStress {
           b.filter(col("__sb") < 80), b.filter(col("__sb") >= 90),
           "doc_id", "text", n = 5).count()
       }
+      measure("decontaminate", scale) {
+        // the removal twin of split_contamination: same gram frontier,
+        // but the verdict drives an id-keyed anti-join carrying the
+        // full train payload — the claim under test is that the
+        // payload rides ONLY that final join, so cost tracks the
+        // detection op plus one output-linear pass
+        val b = docs.withColumn("__sb",
+          operators.Sampling.hashBucket(col("doc_id"), "split25", 100))
+        operators.Fingerprint.decontaminate(
+          b.filter(col("__sb") < 80), b.filter(col("__sb") >= 90),
+          "doc_id", "text", n = 5).count()
+      }
       measure("pq_topk", scale) {
         // codebook/queries stay the ORIGINAL vectors (copy 0): only
         // the encoded+scanned corpus grows with scale — the ADC-scan
