@@ -158,6 +158,55 @@ object ScaleStress {
     for (scale <- scales) {
       val docs = amplifyDocs(docs0, scale)
       val emb = amplifyEmbeddings(emb0, scale)
+      // ---- CDC decode throughput: the reference's ONE intrinsic
+      // number is a ~3 events/s ceiling (BASELINE.md reference table:
+      // 3 workers × time.sleep(1)); this measures the repo's
+      // counterpart on the same wire format — full pgoutput v1 frames
+      // (R/B/I/U('O' old image)/D('K' image)/C) through the
+      // production CdcDecode.decode path. One replication stream is a
+      // totally ordered SERIAL unit (SURVEY §4.2: frames of a stream
+      // decode sequentially in one partition), so the recorded number
+      // is PER-STREAM throughput; slots/publications are independent,
+      // so aggregate throughput scales linearly with stream count.
+      // Frame GENERATION is outside the timed body (written to
+      // parquet first); the timed path is scan + decode + count.
+      // The whole block (generation included) honors the op filter.
+      if (opFilter.isEmpty || opFilter.exists("cdc_decode_throughput".contains)) {
+      val cdcFeed = {
+        import spark.implicits._
+        val dir = s"${sys.props("java.io.tmpdir")}/graft-cdctp-$scale"
+        val nTxn = 2000 * scale
+        val relBytes = graft.cdc.PgOutput.Encoder.relation(graft.cdc.UsersFixture.relation)
+        val relId = graft.cdc.UsersFixture.RelId
+        spark.range(nTxn).coalesce(1).mapPartitions { it =>
+          import graft.cdc.PgOutput.{Encoder => E, WText}
+          def row(i: Long, tag: String) = Seq(
+            WText(i.toString), WText(s"User $i $tag"), WText(s"u$i@example.com"),
+            WText("active"), WText("2026-01-01 00:00:00"), WText("2026-01-01 00:00:00"))
+          val head = Iterator(graft.cdc.CdcFrame(1L, 0L, relBytes))
+          head ++ it.flatMap { i =>
+            val base = 10L + i * 10
+            Iterator(
+              graft.cdc.CdcFrame(base, 0L, E.begin()),
+              graft.cdc.CdcFrame(base + 1, 0L, E.insert(relId, row(i, "v1"))),
+              graft.cdc.CdcFrame(base + 2, 0L, E.update(relId,
+                old = Some(('O', row(i, "v1"))), neu = row(i, "v2"))),
+              graft.cdc.CdcFrame(base + 3, 0L, E.delete(relId, 'K', row(i, "v2"))),
+              graft.cdc.CdcFrame(base + 4, 0L, E.commit()))
+          }
+        }.write.mode("overwrite").parquet(dir)
+        dir
+      }
+      measure("cdc_decode_throughput", scale) {
+        import spark.implicits._
+        val frames = spark.read.parquet(cdcFeed).as[graft.cdc.CdcFrame].coalesce(1)
+        graft.cdc.CdcDecode.resetStream(s"tp$scale")
+        val events = graft.cdc.CdcDecode.decode(
+          frames, streamId = s"tp$scale", sortByLsn = true).count()
+        extraFields = s""","events":$events"""
+        events
+      }
+      }
       measure("minhash_near_dup_pairs", scale) {
         Dedup.nearDupPairsShingled(docs, "doc_id", "text",
           n = 3, k = 12, rowsPerBand = 3, threshold = 0.5).count()
