@@ -144,15 +144,34 @@ object Fingerprint {
 
   /** (id, md5(gram)) rows over each document's DISTINCT word n-grams
     * — the shared frontier of [[ngramContamination]] and
-    * [[decontaminate]]. */
+    * [[decontaminate]].
+    *
+    * The id-keyed repartition sits BELOW the tokenize/shingle/md5
+    * projection: written directly over the scan, the whole gram
+    * frontier (this operator family's entire CPU cost) fuses into
+    * the file-scan stage and runs at scan parallelism — measured at
+    * 100× ScaleStress (r14 `decontaminate`): 37 tasks total, and the
+    * slowest stage's MEDIAN task was 45.6 s — the gram hashing ran
+    * nearly serial while 31 cores idled. Same lesson, same fix as
+    * [[Dedup]]'s shingle frontier and [[Importance]]'s gram rows.
+    * REPARTITION_BY_NUM (explicit count) so AQE cannot re-coalesce
+    * on input bytes: raw text is small, the gram explosion that
+    * follows is the real volume. The payload never rides this
+    * shuffle — only (id, text) does, and only (id, 32-hex) leaves. */
   private def gramHashes(
-      df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = df
-    .select(col(idCol), Dedup.tokens(col(textCol)).as("__tk"))
-    .select(
-      col(idCol),
-      explode(array_distinct(Dedup.wordShinglesFromTokens(col("__tk"), n)))
-        .as("__gram"))
-    .select(col(idCol), md5(col("__gram")).as("__gh"))
+      df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val parts = math.max(
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt, 16)
+    df
+      .select(col(idCol), col(textCol))
+      .repartition(parts, col(idCol))
+      .select(col(idCol), Dedup.tokens(col(textCol)).as("__tk"))
+      .select(
+        col(idCol),
+        explode(array_distinct(Dedup.wordShinglesFromTokens(col("__tk"), n)))
+          .as("__gram"))
+      .select(col(idCol), md5(col("__gram")).as("__gh"))
+  }
 
   /** Decontamination REMOVAL — the action [[ngramContamination]]'s
     * detection exists to license, in the conservative GPT-3 direction
