@@ -79,7 +79,11 @@ object Fingerprint {
     require(k >= 1 && w >= 1, s"k=$k and w=$w must be >= 1")
     val th = docs
       .select(col(idCol), Dedup.tokens(col(textCol)).as("__toks"))
-      .repartition(col(idCol))
+      // REPARTITION_BY_NUM like [[gramHashes]]: a count-less keyed
+      // repartition (REPARTITION_BY_COL) is AQE-coalescible on the
+      // small raw-text input bytes, un-buying the parallelism the
+      // repartition exists to buy (Dedup.pinnedParts scaladoc).
+      .repartition(Dedup.pinnedParts(docs), col(idCol))
       .select(col(idCol), transform(col("__toks"), tokenHash(_)).as("th"))
       // filter on the ATTRIBUTE th (len(kg) >= w ⟺ len(th) >= w+k-1):
       // a size(kg) filter on the projected alias would push down with
@@ -159,19 +163,16 @@ object Fingerprint {
     * follows is the real volume. The payload never rides this
     * shuffle — only (id, text) does, and only (id, 32-hex) leaves. */
   private def gramHashes(
-      df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val parts = math.max(
-      df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt, 16)
+      df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     df
       .select(col(idCol), col(textCol))
-      .repartition(parts, col(idCol))
+      .repartition(Dedup.pinnedParts(df), col(idCol))
       .select(col(idCol), Dedup.tokens(col(textCol)).as("__tk"))
       .select(
         col(idCol),
         explode(array_distinct(Dedup.wordShinglesFromTokens(col("__tk"), n)))
           .as("__gram"))
       .select(col(idCol), md5(col("__gram")).as("__gh"))
-  }
 
   /** Decontamination REMOVAL — the action [[ngramContamination]]'s
     * detection exists to license, in the conservative GPT-3 direction

@@ -55,8 +55,7 @@ object Importance {
       docs: DataFrame, idCol: String, textCol: String,
       n: Int, dim: Int, salt: String, carry: Seq[String] = Nil): DataFrame = {
     val extra = carry.map(col)
-    val parts = math.max(
-      docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt, 16)
+    val parts = Dedup.pinnedParts(docs)
     docs
       // repartition BELOW the tokenize/explode/md5 projection: fused
       // into a few-file scan stage, the whole gram frontier (the
