@@ -153,11 +153,14 @@ object Fingerprint {
     * The id-keyed repartition sits BELOW the tokenize/shingle/md5
     * projection: written directly over the scan, the whole gram
     * frontier (this operator family's entire CPU cost) fuses into
-    * the file-scan stage and runs at scan parallelism — measured at
-    * 100× ScaleStress (r14 `decontaminate`): 37 tasks total, and the
-    * slowest stage's MEDIAN task was 45.6 s — the gram hashing ran
-    * nearly serial while 31 cores idled. Same lesson, same fix as
-    * [[Dedup]]'s shingle frontier and [[Importance]]'s gram rows.
+    * the file-scan stage and runs at scan parallelism. Same-session
+    * A/B at ScaleStress `decontaminate` (r16, BASELINE.md): WITHOUT
+    * the repartition 32.9 s/58.9 s at 50×/100× with the slowest
+    * stage's MEDIAN task at 24.5 s/49.5 s (gram hashing nearly
+    * serial, 21/37 tasks total); WITH it 12.6 s/15.2 s, 100 tasks,
+    * max-stage median 6.3 s/8.4 s — 2.6×/3.9×, identical output
+    * rows. Same lesson, same fix as [[Dedup]]'s shingle frontier
+    * and [[Importance]]'s gram rows.
     * REPARTITION_BY_NUM (explicit count) so AQE cannot re-coalesce
     * on input bytes: raw text is small, the gram explosion that
     * follows is the real volume. The payload never rides this
