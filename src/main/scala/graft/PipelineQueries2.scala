@@ -925,51 +925,66 @@ object PipelineQueries2 {
   // three gates' existing CTE logic — quality formula, fingerprint
   // groups, and the recursive-CTE minhash+CC loser set — and checks
   // every flag and the final kept verdict per document.
-  private val duckCurationCtes =
-    s"""t AS (SELECT doc_id, ${PipelineQueries.duckShingles3} AS sh FROM documents),
-      t2 AS (SELECT doc_id, sh FROM t WHERE len(sh) > 0),
-      sig AS (SELECT doc_id, sh,
+  /** The factored curation-gate CTE chain, parameterized by source
+    * relation and a CTE-name suffix so a query can instantiate it
+    * TWICE (the lineage query runs it over two corpus snapshots).
+    * `("documents", "")` reproduces the original single-run text. */
+  private def duckCurationCtes(src: String, x: String) =
+    s"""t$x AS (SELECT doc_id, ${PipelineQueries.duckShingles3} AS sh FROM $src),
+      t2$x AS (SELECT doc_id, sh FROM t$x WHERE len(sh) > 0),
+      sig$x AS (SELECT doc_id, sh,
                 list_transform(generate_series(0, 11),
                   j -> list_min(list_transform(sh, x -> md5(j || ':' || x)))) AS s
-              FROM t2),
-      bands AS (SELECT doc_id, b.generate_series AS band,
+              FROM t2$x),
+      bands$x AS (SELECT doc_id, b.generate_series AS band,
                   md5(s[b.generate_series*3+1] || '|' || s[b.generate_series*3+2] || '|' || s[b.generate_series*3+3]) AS bh
-                FROM sig, generate_series(0, 3) b),
-      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-               FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
-      pairs AS (SELECT id_a, id_b FROM cand
-                JOIN t2 ta ON ta.doc_id = id_a
-                JOIN t2 tb ON tb.doc_id = id_b
+                FROM sig$x, generate_series(0, 3) b),
+      cand$x AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+               FROM bands$x a JOIN bands$x b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+      pairs$x AS (SELECT id_a, id_b FROM cand$x
+                JOIN t2$x ta ON ta.doc_id = id_a
+                JOIN t2$x tb ON tb.doc_id = id_b
                 WHERE CAST(len(list_intersect(ta.sh, tb.sh)) AS DOUBLE)
                         / len(list_distinct(list_concat(ta.sh, tb.sh))) >= 0.5),
-      e AS (SELECT id_a AS u, id_b AS v FROM pairs
-            UNION SELECT id_b AS u, id_a AS v FROM pairs),
-      reach(node, r) AS (SELECT u, u FROM (SELECT DISTINCT u FROM e)
+      e$x AS (SELECT id_a AS u, id_b AS v FROM pairs$x
+            UNION SELECT id_b AS u, id_a AS v FROM pairs$x),
+      reach$x(node, r) AS (SELECT u, u FROM (SELECT DISTINCT u FROM e$x)
                          UNION
-                         SELECT e.v, reach.r FROM reach JOIN e ON e.u = reach.node),
-      losers AS (SELECT node FROM (SELECT node, MIN(r) AS grp FROM reach GROUP BY node)
+                         SELECT e$x.v, reach$x.r FROM reach$x JOIN e$x ON e$x.u = reach$x.node),
+      losers$x AS (SELECT node FROM (SELECT node, MIN(r) AS grp FROM reach$x GROUP BY node)
                  WHERE node <> grp),
-      v AS (SELECT doc_id, text,
+      v$x AS (SELECT doc_id, text,
                    len(string_split(text, ' ')) AS n,
                    len(list_distinct(string_split(text, ' '))) AS nd,
                    len(list_filter(string_split(text, ' '),
                        tk -> list_contains(['the','a','an','and','or','of','to','in','is','it'], tk))) AS nstop
-            FROM documents),
-      r AS (SELECT doc_id, n,
+            FROM $src),
+      r$x AS (SELECT doc_id, n,
                    CASE WHEN n < 10 THEN 'too_short'
                         WHEN CAST(length(text) - (n - 1) AS DOUBLE) / n > 10.0 THEN 'long_words'
                         WHEN nstop = 0 THEN 'no_stopwords'
                         WHEN 1.0 - CAST(nd AS DOUBLE) / n > 0.6 THEN 'repetitive'
                         ELSE NULL END AS drop_reason
-            FROM v),
-      ex AS (SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp FROM documents),
-      exg AS (SELECT fp, MIN(doc_id) AS keep_id FROM ex GROUP BY fp),
-      exl AS (SELECT ex.doc_id FROM ex JOIN exg USING (fp) WHERE ex.doc_id <> exg.keep_id)"""
+            FROM v$x),
+      ex$x AS (SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp FROM $src),
+      exg$x AS (SELECT fp, MIN(doc_id) AS keep_id FROM ex$x GROUP BY fp),
+      exl$x AS (SELECT ex$x.doc_id FROM ex$x JOIN exg$x USING (fp) WHERE ex$x.doc_id <> exg$x.keep_id)"""
+
+  /** One run's per-doc decision row over the suffixed CTE chain —
+    * the lineage query's report side. */
+  private def duckReportCte(x: String) =
+    s"""rep$x AS (SELECT r$x.doc_id,
+             r$x.drop_reason IS NULL AS quality_keep, r$x.drop_reason,
+             r$x.doc_id IN (SELECT doc_id FROM exl$x) AS exact_dup_loser,
+             r$x.doc_id IN (SELECT node FROM losers$x) AS near_dup_loser,
+             (r$x.drop_reason IS NULL AND r$x.doc_id NOT IN (SELECT doc_id FROM exl$x)
+              AND r$x.doc_id NOT IN (SELECT node FROM losers$x)) AS kept
+           FROM r$x)"""
 
   private val qCurationReport = Queries.Q(
     "p_curation_report",
     Some(s"""
-      WITH RECURSIVE $duckCurationCtes
+      WITH RECURSIVE ${duckCurationCtes("documents", "")}
       SELECT r.doc_id, CAST(r.n AS BIGINT) AS n_tokens,
              r.drop_reason IS NULL AS quality_keep, r.drop_reason,
              r.doc_id IN (SELECT doc_id FROM exl) AS exact_dup_loser,
@@ -1447,7 +1462,7 @@ object PipelineQueries2 {
   private val qCurationV2 = Queries.Q(
     "p_curation_v2",
     Some(s"""
-      WITH RECURSIVE $duckCurationCtes,
+      WITH RECURSIVE ${duckCurationCtes("documents", "")},
       dtk AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
       dg AS (SELECT doc_id, lang,
                unnest(list_transform(generate_series(1, greatest(len(t) - 1, 0)),
@@ -1548,6 +1563,79 @@ object PipelineQueries2 {
         .transform(Queries.sortedSmall(_, "id"))
     })
 
+  // ------------------------------ cross-run curation lineage (r16)
+  // The provenance surface of a RECURRING pipeline: run N (a derived
+  // "previous crawl": docs with id % 10 != 0, and id % 7 = 3 carrying
+  // drifted text) vs run N+1 (the full corpus), each curated by the
+  // full 3-gate report, composed with the snapshot content diff into
+  // one per-doc row: content status, decision transition, and the
+  // exact gates that flipped. The oracle instantiates the factored
+  // curation CTE chain TWICE (suffixes _o/_n) over the two snapshots
+  // — every gate formula is the proven p_curation_report logic, so a
+  // drift in any gate fails this query too.
+  private val qCurationLineage = Queries.Q(
+    "p_curation_lineage",
+    Some(s"""
+      WITH RECURSIVE
+      old_docs AS (SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 3 THEN text || ' drifted crawl content here'
+                          ELSE text END AS text
+                   FROM documents WHERE doc_id % 10 != 0),
+      new_docs AS (SELECT doc_id, text FROM documents),
+      ${duckCurationCtes("old_docs", "_o")},
+      ${duckCurationCtes("new_docs", "_n")},
+      ${duckReportCte("_o")},
+      ${duckReportCte("_n")},
+      fo AS (SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS old_fp FROM old_docs),
+      fn AS (SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS new_fp FROM new_docs),
+      d AS (SELECT COALESCE(fo.doc_id, fn.doc_id) AS doc_id,
+              CASE WHEN fo.doc_id IS NULL THEN 'added'
+                   WHEN fn.doc_id IS NULL THEN 'removed'
+                   WHEN old_fp <> new_fp THEN 'changed'
+                   ELSE 'unchanged' END AS status
+            FROM fo FULL OUTER JOIN fn ON fo.doc_id = fn.doc_id)
+      SELECT d.doc_id, d.status,
+             CASE WHEN d.status = 'removed' THEN 'retired'
+                  WHEN d.status = 'added' THEN
+                    CASE WHEN rn.kept THEN 'entered_kept' ELSE 'entered_dropped' END
+                  WHEN ro.kept AND rn.kept THEN 'still_kept'
+                  WHEN NOT ro.kept AND NOT rn.kept THEN 'still_dropped'
+                  WHEN NOT ro.kept AND rn.kept THEN 'promoted'
+                  ELSE 'demoted' END AS transition,
+             ro.kept AS old_kept, rn.kept AS new_kept,
+             ro.drop_reason AS old_drop_reason, rn.drop_reason AS new_drop_reason,
+             CASE WHEN d.status IN ('changed', 'unchanged') THEN
+               -- array_to_string of an EMPTY list is NULL in DuckDB;
+               -- the no-flip row must read '' like the Spark side
+               COALESCE(array_to_string(list_concat(list_concat(
+                 CASE WHEN ro.quality_keep IS DISTINCT FROM rn.quality_keep
+                      THEN ['quality_keep'] ELSE [] END,
+                 CASE WHEN ro.exact_dup_loser IS DISTINCT FROM rn.exact_dup_loser
+                      THEN ['exact_dup_loser'] ELSE [] END),
+                 CASE WHEN ro.near_dup_loser IS DISTINCT FROM rn.near_dup_loser
+                      THEN ['near_dup_loser'] ELSE [] END), ','), '')
+             ELSE '' END AS flipped_gates
+      FROM d
+      LEFT JOIN rep_o ro ON ro.doc_id = d.doc_id
+      LEFT JOIN rep_n rn ON rn.doc_id = d.doc_id
+      ORDER BY d.doc_id"""),
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      val oldDocs = docs
+        .filter(pmod(col("doc_id"), lit(10)) =!= 0)
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(7)) === 3,
+            concat(col("text"), lit(" drifted crawl content here")))
+            .otherwise(col("text")).as("text"))
+      val newDocs = docs.select("doc_id", "text")
+      def rep(dd: org.apache.spark.sql.DataFrame) =
+        operators.Curation.report(dd, "doc_id", "text",
+          n = 3, k = 12, rowsPerBand = 3, threshold = 0.5)
+      operators.Curation.lineage(
+        oldDocs, newDocs, rep(oldDocs), rep(newDocs), "doc_id", "text")
+        .transform(Queries.sortedSmall(_, "doc_id"))
+    })
+
   val all: Seq[Queries.Q] =
     Seq(qDupGroupSizes, qTextNormalize, qSourceShare, qTokenLenHist, qCellSizes,
       qAviFrameStats, qSemanticDedup, qImageResize, qWavSampleStats,
@@ -1557,5 +1645,5 @@ object PipelineQueries2 {
       qIncrementalDedup, qDsirWeights, qDsirResample, qHybridRrf,
       qWeightedSample, qSemanticContamination, qIvfPqTopK,
       qIvfPqRecallAudit, qIvfPqRefined, qEmbeddingOutliers, qCurationV2,
-      qCellBalancedSample)
+      qCellBalancedSample, qCurationLineage)
 }

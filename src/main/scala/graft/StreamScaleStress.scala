@@ -115,6 +115,52 @@ object StreamScaleStress {
         StreamingOps.nearDupCandidatesStream(
           s, "doc_id", "text", n = 3, k = 12, rowsPerBand = 3).toDF()
       }
+      // UNBOUNDED-horizon variant (VERDICT r14 #2): the same corpus
+      // as 30 micro-batches through the INDEXED operator. Claims
+      // under test: state-store rows identically ZERO at every batch
+      // (membership lives in the parquet signature index, the
+      // companion `index_rows` series — bounded per bucket, off the
+      // state store), and per-batch latency tracking the batch's own
+      // banding cost, not the history horizon.
+      if (opFilter.isEmpty || opFilter.exists("stream_near_dup_indexed".contains)) {
+        val nB = 30
+        val feed30 = s"$work/feed30-$scale"
+        ScaleStress.amplifyDocs(docs0, scale).repartition(nB)
+          .write.mode("overwrite").parquet(feed30)
+        val idxDir = s"$work/ndidx-$scale"
+        val idxRows = scala.collection.mutable.ArrayBuffer[Long]()
+        var outRows = 0L
+        val stream = spark.readStream
+          .schema(spark.read.parquet(feed30).schema)
+          .option("maxFilesPerTrigger", "1").parquet(feed30)
+        val t0 = System.nanoTime()
+        val q = stream.writeStream
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            outRows += StreamingOps.nearDupCandidatesIndexed(
+              b, id, "doc_id", "text", n = 3, k = 12, rowsPerBand = 3,
+              indexDir = idxDir).count()
+            idxRows += spark.read.option("recursiveFileLookup", "true")
+              .parquet(idxDir).count()
+            ()
+          }
+          .option("checkpointLocation", s"$work/ckpt-ndidx-$scale")
+          .trigger(Trigger.ProcessingTime(0)).start()
+        try q.processAllAvailable() finally q.stop()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val prog = q.recentProgress.toSeq.filter(_.numInputRows > 0)
+        val batchMs = prog.map(p =>
+          Option(p.durationMs.get("triggerExecution")).map(_.longValue).getOrElse(0L))
+        val stateRows = prog.map(p =>
+          Option(p.stateOperators).map(_.map(_.numRowsTotal).sum).getOrElse(0L))
+        val line =
+          f"""{"op":"stream_near_dup_indexed","scale":$scale,"sec":$sec%.2f,""" +
+            s""""rows":$outRows,"batches":${prog.size},""" +
+            s""""batch_ms":[${batchMs.mkString(",")}],""" +
+            s""""state_rows":[${stateRows.mkString(",")}],""" +
+            s""""index_rows":[${idxRows.mkString(",")}]}"""
+        println(line)
+        results += line
+      }
       // static artifacts for the two stateless gates come from the
       // UNAMPLIFIED corpus — the production shape (reference set /
       // trained counts are fixed; the stream is what scales)

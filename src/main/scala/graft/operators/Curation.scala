@@ -112,4 +112,75 @@ object Curation {
         col("kept") && col("affinity_keep") && !col("embedding_outlier"))
       .drop("sum_raw")
   }
+
+  /** CROSS-RUN curation lineage — the provenance surface a recurring
+    * pipeline needs when run N+1's kept-set differs from run N's:
+    * per document, what happened to the CONTENT
+    * ([[Snapshot.diff]] status: added/removed/changed/unchanged) and
+    * what happened to the DECISION (the two runs' [[report]] rows
+    * joined side by side), with the exact gates that flipped. "Doc
+    * 4711 was demoted because near_dup_loser flipped after the crawl
+    * changed its text" is the row a regression bisect or an appeal
+    * needs; deriving it from the kept-set diff after the fact loses
+    * both the reason and the content/decision distinction.
+    *
+    * Output, one row per id in either corpus:
+    * (idCol, status, transition, old_kept, new_kept,
+    * old_drop_reason, new_drop_reason, flipped_gates) where
+    *  - `transition` ∈ 'retired' (id left the corpus),
+    *    'entered_kept' / 'entered_dropped' (id is new),
+    *    'still_kept', 'still_dropped', 'promoted' (dropped→kept),
+    *    'demoted' (kept→dropped);
+    *  - `flipped_gates` is the comma-joined `gateCols` whose verdict
+    *    differs between the runs (empty unless the id is in both);
+    *  - old_* columns are NULL for added ids, new_* for removed.
+    *
+    * Both report frames must carry `kept`, `drop_reason` and every
+    * `gateCols` column keyed by `idCol` — [[report]] and [[reportV2]]
+    * both qualify (pass the v2 gate list for the latter).
+    *
+    * Scale shape (100 TB): the content diff is [[Snapshot.diff]]'s
+    * one fingerprint-keyed full-outer join; everything else is two
+    * id-keyed left joins of decision rows (booleans + a reason
+    * string — the text never rides any lineage shuffle) and pure
+    * row-local CASE logic. Bucket the report tables by id and the
+    * recurring lineage run is exchange-free. */
+  def lineage(
+      oldDocs: DataFrame, newDocs: DataFrame,
+      oldReport: DataFrame, newReport: DataFrame,
+      idCol: String, textCol: String,
+      gateCols: Seq[String] =
+        Seq("quality_keep", "exact_dup_loser", "near_dup_loser")): DataFrame = {
+    val d = Snapshot.diff(oldDocs, newDocs, idCol, textCol)
+      .withColumnRenamed("doc_id", idCol)
+      .select(idCol, "status")
+    def side(rep: DataFrame, p: String): DataFrame = rep.select(
+      col(idCol) +:
+        (gateCols.map(g => col(g).as(s"${p}_$g")) ++ Seq(
+          col("kept").as(s"${p}_kept"),
+          col("drop_reason").as(s"${p}_drop_reason"))): _*)
+    val flipped = concat(gateCols.map { g =>
+      when(!(col(s"old_$g") <=> col(s"new_$g")), array(lit(g)))
+        .otherwise(array().cast("array<string>"))
+    }: _*)
+    d
+      .join(side(oldReport, "old"), Seq(idCol), "left")
+      .join(side(newReport, "new"), Seq(idCol), "left")
+      .withColumn("transition",
+        when(col("status") === "removed", "retired")
+          .when(col("status") === "added",
+            when(col("new_kept"), "entered_kept").otherwise("entered_dropped"))
+          .when(col("old_kept") && col("new_kept"), "still_kept")
+          .when(!col("old_kept") && !col("new_kept"), "still_dropped")
+          .when(!col("old_kept") && col("new_kept"), "promoted")
+          .otherwise("demoted"))
+      .withColumn("flipped_gates",
+        when(col("status").isin("changed", "unchanged"),
+          array_join(flipped, ",")).otherwise(lit("")))
+      .select(
+        (Seq(col(idCol), col("status"), col("transition"),
+          col("old_kept"), col("new_kept"),
+          col("old_drop_reason"), col("new_drop_reason"),
+          col("flipped_gates"))): _*)
+  }
 }

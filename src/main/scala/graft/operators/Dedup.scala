@@ -268,7 +268,7 @@ object Dedup {
     * a 310 s straggler. `repartition(n, col)` (REPARTITION_BY_NUM) is
     * exempt from coalescing, so the explicit count preserves the
     * parallelism the repartition exists to buy. */
-  private[operators] def pinnedParts(df: DataFrame): Int =
+  private[graft] def pinnedParts(df: DataFrame): Int =
     math.max(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt, 16)
 
   private def shingleFrontier(

@@ -363,12 +363,14 @@ object StreamingOps {
     * State is ≤ `maxBucket` id strings per occupied bucket, keyed by
     * the bucket hash in the state store (checkpointed, scaled out by
     * key hash). Like streaming `dropDuplicates` without a watermark,
-    * occupied-bucket count grows with the corpus — bound the run with
-    * the candidate horizon the pipeline needs, or clear state by
-    * restarting the query per corpus epoch (candidate detection
-    * against ALL history is inherently unbounded state). Exact
-    * verification happens downstream (stream–static join against the
-    * document store) exactly as batch candidates verify. */
+    * occupied-bucket count grows with the corpus (measured at 100×
+    * StreamScaleStress: 140k→1.07M state rows over 10 batches) — so
+    * this form is ONLY for bounded candidate horizons (one corpus
+    * epoch per query restart). For an UNBOUNDED stream use
+    * [[nearDupCandidatesIndexed]], which keeps the state store EMPTY
+    * and persists membership in a parquet signature index instead.
+    * Exact verification happens downstream (stream–static join
+    * against the document store) exactly as batch candidates verify. */
   def nearDupCandidatesStream(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int, k: Int, rowsPerBand: Int,
@@ -376,8 +378,20 @@ object StreamingOps {
     require(maxBucket > 1, s"maxBucket=$maxBucket must exceed 1")
     val spark = docs.sparkSession
     import spark.implicits._
+    // same micro-batch frontier as [[nearDupCandidatesIndexed]]:
+    // spread off the few-file trigger scan BEFORE the projections
+    // (fused, they run at scan parallelism) and materialize
+    // tokens/shingles as attributes so the k minhash transforms read
+    // them instead of re-deriving split() each — A/B'd r16 on the
+    // indexed twin (StreamScaleStress 50×: ~83 s/batch → ~2 s/batch;
+    // this operator re-measured 10×/50×/100× after the same fix)
+    val spread = docs.select(col(idCol), col(textCol))
+      .repartition(graft.operators.Dedup.pinnedParts(docs))
+      .select(col(idCol), graft.operators.Dedup.tokens(col(textCol)).as("__tk"))
+      .select(col(idCol),
+        graft.operators.Dedup.wordShinglesFromTokens(col("__tk"), n).as("__sh"))
     val sig = graft.operators.Dedup.minhashSignatureOver(
-      docs, idCol, graft.operators.Dedup.wordShingles(col(textCol), n), k)
+      spread, idCol, col("__sh"), k)
     graft.operators.Dedup.bandMembership(sig, idCol, k, rowsPerBand)
       .select(
         concat_ws("|", col("band"), col("band_hash")).as("bucket"),
@@ -401,6 +415,138 @@ object StreamingOps {
           state.update(members)
           out.iterator
       }
+  }
+
+  /** UNBOUNDED-HORIZON streaming near-dup candidates — the
+    * [[nearDupCandidatesStream]] semantics with bucket membership
+    * moved OUT of the state store into a PERSISTED parquet signature
+    * index under `indexDir`. Full-history candidate detection is
+    * inherently corpus-sized state; the scale question is only WHERE
+    * that state lives. The state-store form keeps it in executor
+    * memory, checkpointed wholesale every batch — it grows without
+    * eviction (measured: 1.07M rows after just 10 batches at 100×)
+    * and eventually dominates the job. This form keeps the state
+    * store at ZERO rows forever: membership is (bucket, id, pos)
+    * parquet — columnar, compactable, object-store-resident, the
+    * same home [[graft.operators.Dedup.minhashIndex]] gives the
+    * batch incremental pipeline.
+    *
+    * Call from `writeStream.foreachBatch`; each call bands the
+    * micro-batch with the IDENTICAL minhash/banding pipeline as the
+    * batch operator, probes the index for cross-history candidates,
+    * pairs within the batch, and appends the admitted memberships to
+    * `indexDir/b<batchId>`:
+    *
+    * {{{
+    * docs.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+    *   val pairs = StreamingOps.nearDupCandidatesIndexed(
+    *     batch, id, "doc_id", "text", n = 3, k = 12, rowsPerBand = 3,
+    *     indexDir = idx)
+    *   pairs.write.mode("append").parquet(out)
+    * }
+    * }}}
+    *
+    * Semantics match the state-store form: a bucket stops ADMITTING
+    * members at `maxBucket` (admission order is arrival order across
+    * batches, id order within one — deterministic where the stateful
+    * form is partition-order dependent); an already-indexed (bucket,
+    * id) is absorbed (idempotent under redelivery); only admitted
+    * members emit pairs, one against every earlier member of the
+    * bucket. On any prefix with no overflowing bucket the cumulative
+    * pair set equals batch `minhashCandidatePairs` over the prefix
+    * (spec-diffed, same anchor as the stateful form).
+    *
+    * Exactly-once: the index write is per-batch-scoped
+    * (`b<batchId>`, mode overwrite) and the history read EXCLUDES
+    * the current batch's directory, so a foreachBatch retry
+    * recomputes from the same history and overwrites the same dir —
+    * idempotent; pair output is as transactional as the caller's
+    * sink (parquet append = at-least-once, standard foreachBatch
+    * contract).
+    *
+    * Scale shape: banding is map-side; admission is one
+    * bucket-keyed window rank over the BATCH (not history); the
+    * probe is a bucket equi-join with the batch side as the
+    * shuffle-hash build, so history is streamed, never sorted. Per
+    * batch the index IS scanned (ids are 128-bit-hash-sized rows,
+    * ~100 bytes/member — three orders under the text) — at real
+    * scale, partition `indexDir` by bucket hash so the probe prunes,
+    * and compact the per-batch dirs periodically, both standard
+    * parquet hygiene this layout already permits.
+    *
+    * The returned pair frame is LAZY but stable: the admitted
+    * members are written before it is built, and both its inputs are
+    * file-backed with explicitly pinned paths (history = the prior
+    * dirs, batch = the dir just written), so re-evaluation can never
+    * see a different index than the one this batch ran against — no
+    * checkpoint, no block-manager residue on an unbounded stream. */
+  def nearDupCandidatesIndexed(
+      batch: DataFrame, batchId: Long, idCol: String, textCol: String,
+      n: Int, k: Int, rowsPerBand: Int,
+      indexDir: String, maxBucket: Int = 1024): DataFrame = {
+    require(maxBucket > 1, s"maxBucket=$maxBucket must exceed 1")
+    val spark = batch.sparkSession
+    import spark.implicits._
+    // spread the batch off its one-file-per-trigger scan BEFORE the
+    // shingle/minhash projections (a projection below the first
+    // exchange fuses INTO the scan stage — the gram-frontier lesson,
+    // measured same-session r16: the unspread form idled 31 cores),
+    // and materialize tokens/shingles as attributes so the 12 minhash
+    // transforms read them instead of re-deriving split() each
+    val spread = batch.select(col(idCol), col(textCol))
+      .repartition(graft.operators.Dedup.pinnedParts(batch))
+      .select(col(idCol), graft.operators.Dedup.tokens(col(textCol)).as("__tk"))
+      .select(col(idCol),
+        graft.operators.Dedup.wordShinglesFromTokens(col("__tk"), n).as("__sh"))
+    val sig = graft.operators.Dedup.minhashSignatureOver(
+      spread, idCol, col("__sh"), k)
+    val bm = graft.operators.Dedup.bandMembership(sig, idCol, k, rowsPerBand)
+      .select(
+        concat_ws("|", col("band"), col("band_hash")).as("bucket"),
+        col(idCol).cast("string").as("id"))
+      .distinct()
+    // history = every PRIOR batch's admitted members; the current
+    // batchId's dir is excluded so a retry reruns against the same
+    // history and its overwrite stays idempotent
+    val dir = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prior =
+      if (!fs.exists(dir)) Seq.empty[String]
+      else fs.listStatus(dir).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName != s"b$batchId")
+        .map(_.getPath.toString)
+    val idx =
+      if (prior.isEmpty) Seq.empty[(String, String, Long)].toDF("bucket", "id", "pos")
+      else spark.read.parquet(prior: _*)
+    val cnts = idx.groupBy("bucket").agg(count(lit(1)).as("__n"))
+    val ranked = bm
+      .join(idx.select("bucket", "id"), Seq("bucket", "id"), "left_anti")
+      .withColumn("__r", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("bucket").orderBy("id")))
+    ranked
+      .join(cnts, Seq("bucket"), "left")
+      .withColumn("__n", coalesce(col("__n"), lit(0L)))
+      .filter(col("__n") + col("__r") <= maxBucket)
+      .select(col("bucket"), col("id"), (col("__n") + col("__r") - 1L).as("pos"))
+      .write.mode("overwrite").parquet(s"$indexDir/b$batchId")
+    // the batch's admitted members, file-backed (the one evaluation
+    // of the admission plan above was the write action; everything
+    // below reads stable files at pinned paths)
+    val adm = spark.read.parquet(s"$indexDir/b$batchId")
+    val crossPairs = adm.select(col("bucket"), col("id").as("__new"))
+      .hint("shuffle_hash") // build on the batch side, stream history unsorted
+      .join(idx.select(col("bucket"), col("id").as("__old")), Seq("bucket"))
+    val withinPairs = adm
+      .select(col("bucket"), col("id").as("__new"), col("pos").as("__pn"))
+      .join(adm.select(col("bucket"), col("id").as("__old"), col("pos").as("__po")),
+        Seq("bucket"))
+      .filter(col("__po") < col("__pn"))
+    crossPairs.select("__new", "__old")
+      .unionByName(withinPairs.select("__new", "__old"))
+      .select(
+        least(col("__new"), col("__old")).as("id_a"),
+        greatest(col("__new"), col("__old")).as("id_b"))
+      .distinct()
   }
 
   /** STREAMING importance gate — online DSIR curation: keep a

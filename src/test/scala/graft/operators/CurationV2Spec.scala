@@ -73,4 +73,50 @@ class CurationV2Spec extends SparkSpec {
     // vec 2 (the farthest) is certainly among them
     assert(outliers.contains(2L))
   }
+
+  test("lineage: every transition class, flipped gates, snapshot statuses") {
+    val good = "the quick brown fox jumps over the lazy dog today and it is fine"
+    // old run: 1 kept, 2 kept, 3 quality-dropped, 4 kept, 9 present
+    val oldDocs = Seq(
+      1L -> good,
+      2L -> (good + " second variant"),
+      3L -> "short",                       // too_short -> dropped
+      4L -> (good + " fourth doc body"),
+      9L -> (good + " soon to retire")
+    ).toDF("doc_id", "text")
+    // new run: 1 unchanged-kept; 2 becomes an exact dup of 1
+    // (demoted, exact_dup_loser flips); 3's text grew past the
+    // quality gate (promoted, quality_keep flips); 4 unchanged;
+    // 9 removed; 5 added and kept; 6 added and quality-dropped
+    val newDocs = Seq(
+      1L -> good,
+      2L -> good,
+      3L -> (good + " now long enough to pass the gate"),
+      4L -> (good + " fourth doc body"),
+      5L -> (good + " fresh crawl arrival"),
+      6L -> "tiny"
+    ).toDF("doc_id", "text")
+    def rep(d: org.apache.spark.sql.DataFrame) =
+      Curation.report(d, "doc_id", "text",
+        n = 3, k = 12, rowsPerBand = 3, threshold = 0.9)
+    val out = Curation.lineage(
+      oldDocs, newDocs, rep(oldDocs), rep(newDocs), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.size === 7)
+    def tr(id: Long) = out(id).getAs[String]("transition")
+    def st(id: Long) = out(id).getAs[String]("status")
+    def fl(id: Long) = out(id).getAs[String]("flipped_gates")
+    assert(st(1L) === "unchanged" && tr(1L) === "still_kept" && fl(1L) === "")
+    assert(st(2L) === "changed" && tr(2L) === "demoted")
+    assert(fl(2L).split(",").contains("exact_dup_loser"))
+    assert(st(3L) === "changed" && tr(3L) === "promoted")
+    assert(fl(3L) === "quality_keep")
+    assert(st(4L) === "unchanged" && tr(4L) === "still_kept")
+    assert(st(9L) === "removed" && tr(9L) === "retired")
+    assert(out(9L).isNullAt(out(9L).fieldIndex("new_kept")))
+    assert(st(5L) === "added" && tr(5L) === "entered_kept" && fl(5L) === "")
+    assert(out(5L).isNullAt(out(5L).fieldIndex("old_kept")))
+    assert(st(6L) === "added" && tr(6L) === "entered_dropped")
+    assert(out(6L).getAs[String]("new_drop_reason") === "too_short")
+  }
 }

@@ -849,4 +849,64 @@ class StreamingSpec extends SparkSpec {
       assert(p2.contains(("10", "11")), "cross-batch family-2 pair must come from state")
     } finally q.stop()
   }
+
+  test("indexed streaming candidates == batch pairs; state store stays EMPTY") {
+    import spark.implicits._
+    val fam1 = "the quick brown fox jumps over the lazy dog again and again"
+    val fam2 = "spark builds a logical plan and catalyst optimizes the physical plan"
+    val b1 = Seq(
+      1L -> fam1,
+      2L -> (fam1 + " tail"),
+      10L -> fam2,
+      50L -> "completely unrelated text with no shared shingles at all here")
+    val b2 = Seq(
+      3L -> (fam1 + " other"),
+      11L -> (fam2 + " extended"),
+      51L -> "another fully distinct document about nothing in particular today")
+    def batchPairs(rows: Seq[(Long, String)]): Set[(String, String)] = {
+      val sig = graft.operators.Dedup.minhashSignatureOver(
+        rows.toDF("doc_id", "text"), "doc_id",
+        graft.operators.Dedup.wordShingles(col("text"), 3), 12)
+      graft.operators.Dedup.minhashCandidatePairs(sig, "doc_id", 12, 3)
+        .collect().map(r => (r.get(0).toString, r.get(1).toString)).toSet
+    }
+    val idxDir = tmp("ndx_idx")
+    val emitted = scala.collection.mutable.Set.empty[(String, String)]
+    val stream = MemoryStream[(Long, String)](spark)
+    val q = stream.toDS().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        emitted ++= StreamingOps.nearDupCandidatesIndexed(
+          batch, id, "doc_id", "text", n = 3, k = 12, rowsPerBand = 3,
+          indexDir = idxDir)
+          .collect().map(r => (r.getString(0), r.getString(1)))
+        ()
+      }
+      .option("checkpointLocation", tmp("chk_ndx")).start()
+    try {
+      stream.addData(b1); q.processAllAvailable()
+      assert(emitted.toSet == batchPairs(b1), "prefix 1 must equal the batch candidate set")
+      stream.addData(b2); q.processAllAvailable()
+      assert(emitted.toSet == batchPairs(b1 ++ b2),
+        "full feed must equal the batch candidate set")
+      assert(emitted.contains(("10", "11")),
+        "cross-batch family-2 pair must come from the persisted index")
+      // THE claim this operator exists for: zero state-store rows —
+      // membership lives in the parquet index, not executor state
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows == 0L, s"state store must stay empty, found $stateRows rows")
+      // retry idempotence: re-running a batchId against the same
+      // history reproduces its pair set and leaves the index unchanged
+      val idxBefore = spark.read.option("recursiveFileLookup", "true")
+        .parquet(idxDir).collect().map(_.toString).sorted.toSeq
+      val replay = StreamingOps.nearDupCandidatesIndexed(
+        b2.toDF("doc_id", "text"), 1L, "doc_id", "text",
+        n = 3, k = 12, rowsPerBand = 3, indexDir = idxDir)
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      val idxAfter = spark.read.option("recursiveFileLookup", "true")
+        .parquet(idxDir).collect().map(_.toString).sorted.toSeq
+      assert(idxBefore == idxAfter, "retry must leave the index unchanged")
+      assert((emitted.toSet -- batchPairs(b1)) subsetOf replay,
+        "retry must re-emit the batch's cross+within pairs")
+    } finally q.stop()
+  }
 }
