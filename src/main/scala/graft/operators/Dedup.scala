@@ -527,7 +527,7 @@ object Dedup {
       .join(docFreq, "shingle")
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= col("len") - ceil(col("len") * threshold).cast("int") + 1)
-      .select(col(idCol), col("len"), col("shingle"))
+      .select(col(idCol), col("len"), col("shingle"), col("rk"))
     // flood-shingle chunking (see the scaladoc): members of each
     // shingle's prefix posting list hash-assign to ⌈p/chunkSize⌉
     // chunks; side A of a chunk-c row covers cells (c, c..k−1), side
@@ -539,10 +539,12 @@ object Dedup {
       .withColumn("__c", pmod(hash(col(idCol)), col("__k")).cast("int"))
     val a = chunked.select(
       col("shingle"), explode(sequence(col("__c"), col("__k") - 1)).as("__cj"),
-      col("__c").as("__ci"), col(idCol).as("id_a"), col("len").as("len_a"))
+      col("__c").as("__ci"), col(idCol).as("id_a"), col("len").as("len_a"),
+      col("rk").as("rk_a"))
     val b = chunked.select(
       col("shingle"), explode(sequence(lit(0), col("__c"))).as("__ci"),
-      col("__c").as("__cj"), col(idCol).as("id_b"), col("len").as("len_b"))
+      col("__c").as("__cj"), col(idCol).as("id_b"), col("len").as("len_b"),
+      col("rk").as("rk_b"))
     // cross-chunk cells see one arbitrary orientation per pair, so
     // normalize ids (lengths follow their ids) instead of filtering
     // id_a < id_b; the length-ratio filter is symmetric either way
@@ -570,7 +572,26 @@ object Dedup {
         col("id_a") =!= col("id_b") &&
           (col("__ci") =!= col("__cj") || col("id_a") < col("id_b")) &&
           col("len_b").cast("double") >= col("len_a") * threshold &&
-          col("len_a").cast("double") >= col("len_b") * threshold)
+          col("len_a").cast("double") >= col("len_b") * threshold &&
+          // PPJoin POSITIONAL filter, applied per candidate ROW inside
+          // the join stage — i.e. BEFORE the quadratic rows reach the
+          // overlap-count exchange. Both docs sort their shingles by
+          // the one global (df, hash) order, so for a shared shingle
+          // at ranks (rk_a, rk_b): shared shingles ordered before it
+          // number ≤ min(rk_a−1, rk_b−1) (they precede it in BOTH
+          // sorted lists) and shared shingles after it number
+          // ≤ min(len_a−rk_a, len_b−rk_b); hence
+          //   |A∩B| ≤ min(rk_a,rk_b) + min(len_a−rk_a, len_b−rk_b).
+          // A row where that bound < α proves THE PAIR sits below the
+          // threshold, so dropping the row never loses a true pair —
+          // true pairs keep every row (each row's bound ≥ |A∩B| ≥ α),
+          // their overlap count c stays exact, and undercounted pairs
+          // are exactly the provably-failing ones the count filter
+          // below would need to drop anyway. Lossless; the exact
+          // verify still computes true Jaccard for every survivor.
+          least(col("rk_a"), col("rk_b")) +
+            least(col("len_a") - col("rk_a"), col("len_b") - col("rk_b")) >=
+            ceil((col("len_a") + col("len_b")) * (threshold / (1.0 + threshold))))
       // lengths ride along through the count aggregation (functionally
       // dependent on the ids) so the verify needs no union:
       // |A∪B| = len_a+len_b−inter
@@ -612,7 +633,13 @@ object Dedup {
       // reducer waves, 103.7→127.6 s. The direct groupBy (partial
       // beside the join + final at session parallelism) is the
       // fastest of the three because the quadratic rows ride ONE
-      // exchange once.
+      // exchange once. The lever that DID recover the 100× default-
+      // heap spill tax (r16, same-session A/B at 256 reducers):
+      // the positional filter above — 501.8→318.3 s (1.58×), pairs
+      // identical, max task 45.4→24.3 s, because the pruned rows
+      // never reach this exchange or its agg state. More reducers is
+      // NOT a lever: 512 OOMs the 8 GiB JVM outright (measured r16)
+      // where 256 completes.
       .groupBy("id_a", "id_b", "len_a", "len_b")
       .agg(count(lit(1)).as("__c"))
       .filter(
