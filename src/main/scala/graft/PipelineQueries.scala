@@ -31,6 +31,14 @@ object PipelineQueries {
       |  i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2]))"""
       .stripMargin
 
+  // DuckDB fragment: the md5 hash bucket of Sampling.hashBucket —
+  // first 8 hex digits of md5("salt:key") as an integer, mod 100.
+  // Declared before first use (object vals initialize in order).
+  private val duckBucketOn = (salt: String, key: String) =>
+    s"""list_reduce(list_prepend(0, list_transform(generate_series(1, 8),
+       |  i -> strpos('0123456789abcdef', substr(md5('$salt:' || CAST($key AS VARCHAR)), i, 1)) - 1)),
+       |  (h, c) -> h*16 + c) % 100""".stripMargin
+
   // ------------------------------------------------------- text stats
   private val qTextStats = Queries.Q(
     "p_text_stats",
@@ -239,6 +247,54 @@ object PipelineQueries {
           n = 3, k = 12, rowsPerBand = 3, threshold = 0.5),
         "id_a", "id_b")
         .select(col("node").as("doc_id"), col("component").as("group_id"))
+        .transform(Queries.sortedSmall(_, "doc_id")))
+
+  // --------------------------------------- leakage-safe group split
+  // Constructive counterpart of the p_split_contamination audit: that
+  // query DETECTS near-dup pairs straddling the train/test boundary
+  // under per-doc hash splitting; [[Dedup.groupSafeSplit]] PREVENTS
+  // them by hashing the near-dup group representative (CC min id;
+  // singletons hash their own id — same salt ⇒ byte-identical to
+  // Sampling.withSplit for every unclustered doc). The oracle replays
+  // the full chain: shared shingle CTE → minhash/banding → pairs →
+  // recursive-CTE components → md5 bucket on the group rep.
+  private val qGroupSafeSplit = Queries.Q(
+    "p_group_safe_split",
+    Some(s"""
+      WITH RECURSIVE t AS (SELECT doc_id, $duckShingles3 AS sh FROM documents),
+      t2 AS (SELECT doc_id, sh FROM t WHERE len(sh) > 0),
+      sig AS (SELECT doc_id, sh,
+                list_transform(generate_series(0, 11),
+                  j -> list_min(list_transform(sh, x -> md5(j || ':' || x)))) AS s
+              FROM t2),
+      bands AS (SELECT doc_id, b.generate_series AS band,
+                  md5(s[b.generate_series*3+1] || '|' || s[b.generate_series*3+2] || '|' || s[b.generate_series*3+3]) AS bh
+                FROM sig, generate_series(0, 3) b),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+               FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+      pairs AS (SELECT id_a, id_b
+                FROM cand
+                JOIN t2 ta ON ta.doc_id = id_a
+                JOIN t2 tb ON tb.doc_id = id_b
+                WHERE CAST(len(list_intersect(ta.sh, tb.sh)) AS DOUBLE)
+                        / len(list_distinct(list_concat(ta.sh, tb.sh))) >= 0.5),
+      e AS (SELECT id_a AS u, id_b AS v FROM pairs
+            UNION SELECT id_b AS u, id_a AS v FROM pairs),
+      reach(node, r) AS (SELECT u, u FROM (SELECT DISTINCT u FROM e)
+                         UNION
+                         SELECT e.v, reach.r FROM reach JOIN e ON e.u = reach.node),
+      grp AS (SELECT node, MIN(r) AS group_id FROM reach GROUP BY node),
+      g AS (SELECT d.doc_id, COALESCE(grp.group_id, d.doc_id) AS group_id
+            FROM documents d LEFT JOIN grp ON grp.node = d.doc_id),
+      gb AS (SELECT doc_id, group_id,
+               ${duckBucketOn("split25", "group_id")} AS sb FROM g)
+      SELECT doc_id, group_id,
+             CASE WHEN sb < 80 THEN 'train' WHEN sb < 90 THEN 'val' ELSE 'test' END AS split
+      FROM gb ORDER BY doc_id"""),
+    (s, dir) =>
+      Dedup.groupSafeSplit(Tables(s, dir).documents, "doc_id", "text",
+        n = 3, k = 12, rowsPerBand = 3, threshold = 0.5,
+        salt = "split25", trainPct = 80, valPct = 10)
         .transform(Queries.sortedSmall(_, "doc_id")))
 
   // -------------------------------------- minhash bucket-overflow audit
@@ -456,10 +512,7 @@ object PipelineQueries {
   // subsample, aggregated per (lang, split). Pure integer/md5
   // arithmetic ⇒ exact oracle; independent salts keep split and
   // sample decisions uncorrelated.
-  private val duckBucket = (salt: String) =>
-    s"""list_reduce(list_prepend(0, list_transform(generate_series(1, 8),
-       |  i -> strpos('0123456789abcdef', substr(md5('$salt:' || CAST(doc_id AS VARCHAR)), i, 1)) - 1)),
-       |  (h, c) -> h*16 + c) % 100""".stripMargin
+  private val duckBucket = (salt: String) => duckBucketOn(salt, "doc_id")
 
   private val qHashSplit = Queries.Q(
     "p_hash_split",
@@ -1803,7 +1856,7 @@ object PipelineQueries {
 
   val all: Seq[Queries.Q] = Seq(
     qTextStats, qLangQuality, qRepetitionStats, qExactDedup, qNgramJaccard, qMinhashNearDup,
-    qDupGroups, qMinhashBucketAudit, qSimhash, qSimhashNearDup, qWinnowFingerprints,
+    qDupGroups, qGroupSafeSplit, qMinhashBucketAudit, qSimhash, qSimhashNearDup, qWinnowFingerprints,
     qContamination, qHashSplit, qUniformSample, qCorpusShuffle,
     qKeywordTopK, qBm25TopK, qBm25PrefilterAudit, qBruteTopK, qBruteTopKL2,
     qLshTopK, qLshTopKMultiProbe, qIvfTopK, qEmbeddingNearDup, qEmbeddingQuantize,

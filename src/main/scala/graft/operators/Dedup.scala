@@ -416,6 +416,44 @@ object Dedup {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Leakage-safe train/val/test assignment: every near-dup GROUP
+    * lands wholly in one split. [[Sampling.withSplit]] hashes each
+    * doc independently, so two near-duplicates can straddle the
+    * train/test boundary — exactly the contamination the
+    * `p_split_contamination` audit DETECTS; this operator is the
+    * constructive counterpart that PREVENTS it: split decisions hash
+    * the group representative (the connected component's min id;
+    * unclustered docs represent themselves), so a pair above the
+    * near-dup threshold can never be separated. Returns one
+    * (id, group_id, split) row per input doc.
+    *
+    * Same pipeline shape as [[dedupNearDupsBest]]: banded-LSH pairs →
+    * min-label contraction CC → one id-keyed shuffle join back onto
+    * the doc ids (the clustered side is pairs-bounded, ≪ corpus), then
+    * a pure md5-bucket projection — no new scale surface beyond the
+    * proven pair/CC stages. Singletons get the same bucket
+    * [[Sampling.withSplit]] would give them (same salt ⇒ identical
+    * assignment for every doc no near-dup machinery touches). */
+  def groupSafeSplit(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int, k: Int, rowsPerBand: Int, threshold: Double,
+      salt: String, trainPct: Int, valPct: Int,
+      maxBucket: Int = 1024): DataFrame = {
+    require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"trainPct=$trainPct + valPct=$valPct must fit in 100")
+    val pairs =
+      nearDupPairsShingled(docs, idCol, textCol, n, k, rowsPerBand, threshold, maxBucket)
+    val groups = Graph.connectedComponents(pairs, "id_a", "id_b")
+    val b = Sampling.hashBucket(col("group_id"), salt, 100)
+    docs.select(col(idCol))
+      .join(groups, col(idCol) === col("node"), "left")
+      .select(col(idCol), coalesce(col("component"), col(idCol)).as("group_id"))
+      .withColumn("split",
+        when(b < trainPct, "train")
+          .when(b < trainPct + valPct, "val")
+          .otherwise("test"))
+  }
+
   /** Word n-gram (shingle) array: tokens i..i+n-1 joined by a space.
     * Documents shorter than n tokens yield an empty array (guarded:
     * an unguarded `sequence(1, size-(n-1))` would step DOWN through 0

@@ -1243,6 +1243,32 @@ class OperatorsSpec extends SparkSpec {
     assert(out == Seq(3L, 4L, 5L, 6L))
   }
 
+  test("groupSafeSplit: near-dup groups never straddle splits; singletons match withSplit") {
+    import spark.implicits._
+    val fam1 = "the quick brown fox jumps over the lazy dog again today"
+    val fam2 = "entirely different second family text with many shared tokens here also"
+    val solo = "a lone document that matches nothing else in this tiny corpus"
+    val corpus = Seq(
+      (1L, fam1), (2L, fam1), (7L, fam1),   // one group, rep = 1
+      (4L, fam2), (5L, fam2),               // one group, rep = 4
+      (6L, solo))                           // singleton, rep = itself
+      .toDF("doc_id", "text")
+    val out = Dedup.groupSafeSplit(corpus, "doc_id", "text",
+      n = 3, k = 12, rowsPerBand = 3, threshold = 0.5,
+      salt = "sp", trainPct = 80, valPct = 10)
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 1L), (2L, 1L), (4L, 4L), (5L, 4L), (6L, 6L), (7L, 1L)))
+    // whole group shares one split
+    val byGroup = out.groupBy(_.getLong(1)).view.mapValues(_.map(_.getString(2)).distinct)
+    assert(byGroup.values.forall(_.size == 1), s"split straddles a group: $byGroup")
+    // a singleton's split is exactly what per-doc withSplit assigns (same salt)
+    val singletonSplit = out.find(_.getLong(0) == 6L).get.getString(2)
+    val perDoc = Sampling.withSplit(Seq(6L).toDF("doc_id"), "doc_id", "sp", 80, 10)
+      .collect().head.getString(1)
+    assert(singletonSplit == perDoc)
+  }
+
   test("uniformPerKey: exactly k per key, deterministic, salt redraws the sample") {
     import spark.implicits._
     val df = (1L to 40L).map(i => (i, if (i <= 30) "big" else "small", s"p$i"))
