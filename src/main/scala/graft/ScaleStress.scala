@@ -480,6 +480,36 @@ object ScaleStress {
           dsirDim = 512, dsirSalt = "dsir", minAffinity = 0.4,
           outlierFraction = 0.1).count()
       }
+      measure("curation_lineage", scale) {
+        // cross-run provenance at amplification, same derivation as
+        // p_curation_lineage: old = corpus minus every 10th doc, with
+        // content drift on doc_id%7==3; new = the corpus. The claim
+        // under test: lineage adds ONE fingerprint-keyed full-outer
+        // and two id-keyed report joins on top of its two report runs
+        // (each individually linear) — so wall ≈ 2× report + ε and
+        // output is one row per doc in either snapshot.
+        val oldDocs = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+          .select(col("doc_id"),
+            when(pmod(col("doc_id"), lit(7)) === 3,
+              concat(col("text"), lit(" drifted crawl content here")))
+              .otherwise(col("text")).as("text"))
+        val newDocs = docs.select("doc_id", "text")
+        def rep(dd: DataFrame) =
+          operators.Curation.report(dd, "doc_id", "text",
+            n = 3, k = 12, rowsPerBand = 3, threshold = 0.5)
+        operators.Curation.lineage(
+          oldDocs, newDocs, rep(oldDocs), rep(newDocs), "doc_id", "text")
+          .count()
+      }
+      measure("group_safe_split", scale) {
+        // the leakage-safe split: pairs + CC (both individually
+        // measured) + one id-keyed join back + a pure md5-bucket
+        // projection — the claim under test is wall ≈ dup_groups_cc
+        // + ε with exactly one output row per doc
+        Dedup.groupSafeSplit(docs, "doc_id", "text",
+          n = 3, k = 12, rowsPerBand = 3, threshold = 0.5,
+          salt = "split25", trainPct = 80, valPct = 10).count()
+      }
       measure("dsir_select", scale) {
         // full train → score → resample loop; the claim under test is
         // linear scaling: the trained artifact stays dim-bounded (a
