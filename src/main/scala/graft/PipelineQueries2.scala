@@ -1636,6 +1636,91 @@ object PipelineQueries2 {
         .transform(Queries.sortedSmall(_, "doc_id"))
     })
 
+  // ------------------------------ incremental curation (r16)
+  // The delta-proportional re-curation of a grown corpus: run N's
+  // report + fingerprints + minhash index are the frozen history; the
+  // unchanged documents of run N+1 (same id, same fingerprint) reuse
+  // their old verdict row verbatim, and only the delta (added ids and
+  // changed texts — here ids %10=0 and %7=3, the same derived-crawl
+  // construction as p_curation_lineage) pays the three gates, judged
+  // against history-union-delta. The oracle instantiates the factored
+  // curation CTE chain over the OLD corpus (for the frozen verdicts
+  // and the signature index) and over the DELTA (for the fresh
+  // gates), plus the proven incremental-dedup band/agreement CTEs for
+  // the history near-dup flag and a fingerprint join for the history
+  // exact flag — every fragment is the same logic its standalone
+  // query already hash-checks.
+  private val qIncrementalCuration = Queries.Q(
+    "p_incremental_curation",
+    Some(s"""
+      WITH RECURSIVE
+      old_docs AS (SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 3 THEN text || ' drifted crawl content here'
+                          ELSE text END AS text
+                   FROM documents WHERE doc_id % 10 != 0),
+      new_docs AS (SELECT doc_id, text FROM documents),
+      ${duckCurationCtes("old_docs", "_o")},
+      ${duckReportCte("_o")},
+      fo AS (SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp FROM old_docs),
+      fn AS (SELECT doc_id, text, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp FROM new_docs),
+      reusedx AS (SELECT fn.doc_id FROM fn JOIN fo ON fo.doc_id = fn.doc_id AND fo.fp = fn.fp),
+      delta_docs AS (SELECT doc_id, text FROM fn WHERE doc_id NOT IN (SELECT doc_id FROM reusedx)),
+      ${duckCurationCtes("delta_docs", "_d")},
+      ob2 AS (SELECT doc_id, b.generate_series AS band,
+                md5(s[b.generate_series*3+1] || '|' || s[b.generate_series*3+2] || '|' || s[b.generate_series*3+3]) AS bh, s
+              FROM sig_o, generate_series(0, 3) b),
+      keepb2 AS (SELECT band, bh FROM ob2 GROUP BY band, bh HAVING COUNT(*) <= 1024),
+      nb2 AS (SELECT doc_id, b.generate_series AS band,
+                md5(s[b.generate_series*3+1] || '|' || s[b.generate_series*3+2] || '|' || s[b.generate_series*3+3]) AS bh, s
+              FROM sig_d, generate_series(0, 3) b),
+      candh AS (SELECT DISTINCT nb2.doc_id AS new_id, nb2.s AS sa, ob2.s AS sb
+                FROM nb2 JOIN ob2 USING (band, bh) JOIN keepb2 USING (band, bh)
+                WHERE ob2.doc_id <> nb2.doc_id),
+      ndh AS (SELECT DISTINCT new_id FROM candh
+              WHERE CAST(len(list_filter(generate_series(1, 12), i -> sa[i] = sb[i])) AS DOUBLE) / 12.0 >= 0.5),
+      exh AS (SELECT DISTINCT fn.doc_id FROM fn JOIN fo ON fo.fp = fn.fp AND fo.doc_id <> fn.doc_id
+              WHERE fn.doc_id IN (SELECT doc_id FROM delta_docs))
+      SELECT * FROM (
+        SELECT ro.doc_id, CAST(r_o.n AS BIGINT) AS n_tokens, ro.quality_keep,
+               ro.drop_reason, ro.exact_dup_loser, ro.near_dup_loser, ro.kept,
+               TRUE AS reused
+        FROM rep_o ro JOIN r_o ON r_o.doc_id = ro.doc_id
+        WHERE ro.doc_id IN (SELECT doc_id FROM reusedx)
+        UNION ALL
+        SELECT r_d.doc_id, CAST(r_d.n AS BIGINT) AS n_tokens,
+               r_d.drop_reason IS NULL AS quality_keep, r_d.drop_reason,
+               (r_d.doc_id IN (SELECT doc_id FROM exl_d)
+                OR r_d.doc_id IN (SELECT doc_id FROM exh)) AS exact_dup_loser,
+               (r_d.doc_id IN (SELECT node FROM losers_d)
+                OR r_d.doc_id IN (SELECT new_id FROM ndh)) AS near_dup_loser,
+               (r_d.drop_reason IS NULL
+                AND r_d.doc_id NOT IN (SELECT doc_id FROM exl_d)
+                AND r_d.doc_id NOT IN (SELECT doc_id FROM exh)
+                AND r_d.doc_id NOT IN (SELECT node FROM losers_d)
+                AND r_d.doc_id NOT IN (SELECT new_id FROM ndh)) AS kept,
+               FALSE AS reused
+        FROM r_d)
+      ORDER BY doc_id"""),
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      val oldDocs = docs
+        .filter(pmod(col("doc_id"), lit(10)) =!= 0)
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(7)) === 3,
+            concat(col("text"), lit(" drifted crawl content here")))
+            .otherwise(col("text")).as("text"))
+      val newDocs = docs.select("doc_id", "text")
+      val oldRep = operators.Curation.report(oldDocs, "doc_id", "text",
+          n = 3, k = 12, rowsPerBand = 3, threshold = 0.5)
+        .join(oldDocs.select(col("doc_id"),
+          Dedup.fingerprint(col("text")).as("fingerprint")), Seq("doc_id"))
+      val oldIdx = Dedup.minhashIndex(oldDocs, "doc_id", "text", n = 3, k = 12)
+      operators.Curation.incrementalReport(newDocs, "doc_id", "text",
+        oldRep, oldIdx, n = 3, k = 12, rowsPerBand = 3, threshold = 0.5,
+        minAgree = 0.5)
+        .transform(Queries.sortedSmall(_, "doc_id"))
+    })
+
   val all: Seq[Queries.Q] =
     Seq(qDupGroupSizes, qTextNormalize, qSourceShare, qTokenLenHist, qCellSizes,
       qAviFrameStats, qSemanticDedup, qImageResize, qWavSampleStats,
@@ -1645,5 +1730,5 @@ object PipelineQueries2 {
       qIncrementalDedup, qDsirWeights, qDsirResample, qHybridRrf,
       qWeightedSample, qSemanticContamination, qIvfPqTopK,
       qIvfPqRecallAudit, qIvfPqRefined, qEmbeddingOutliers, qCurationV2,
-      qCellBalancedSample, qCurationLineage)
+      qCellBalancedSample, qCurationLineage, qIncrementalCuration)
 }

@@ -113,6 +113,110 @@ object Curation {
       .drop("sum_raw")
   }
 
+  /** INCREMENTAL curation — re-curate a GROWN corpus paying only for
+    * its delta. At 100 TB a recurring pipeline cannot re-run every
+    * gate over the whole corpus when a crawl increment changed 1% of
+    * it; this call reuses the previous run's verdicts for every
+    * document whose content is unchanged and runs the three [[report]]
+    * gates only on the delta (added or changed documents), judging
+    * the delta against the frozen history through two persisted
+    * artifacts that never require re-reading old text:
+    *
+    *  - `oldReport`: the previous run's [[report]] rows PLUS a
+    *    `fingerprint` column ([[Dedup.fingerprint]] of the old text —
+    *    persist `report(old).join(old.select(id, fingerprint))`);
+    *  - `oldIndex`: the old corpus's [[Dedup.minhashIndex]].
+    *
+    * THE INCREMENTAL CONTRACT (documented, not hidden): history is
+    * FROZEN. Unchanged documents keep their old verdicts verbatim —
+    * even if a full re-run would now flip one (e.g. their duplicate
+    * partner left the corpus). Delta documents are judged against
+    * history-union-delta: exact dup iff their fingerprint exists in
+    * the old corpus under a different id OR loses first-copy-wins
+    * within the delta; near dup iff the signature-agreement estimate
+    * vs the index reaches `minAgree` (same estimator, same flood cap
+    * as [[Dedup.dedupAgainstIndex]] — history always wins) OR they
+    * lose the exact-jaccard CC pipeline WITHIN the delta. A changed
+    * document never matches its own old signature or fingerprint
+    * (same-id matches are excluded), so drift alone is not a drop.
+    * Run-to-run convergence to the full-recompute answer is restored
+    * whenever a full [[report]] re-baseline runs; this call is the
+    * cheap path between baselines.
+    *
+    * Output: [[report]]'s columns plus `reused BOOLEAN` (true = the
+    * verdict row was inherited from `oldReport`), one row per
+    * document of `newDocs`.
+    *
+    * Scale shape (100 TB): the reuse decision is one (id, fingerprint)
+    * equi-join of two NARROW projections (the text never rides it);
+    * the payload meets the decision once, in ONE id-keyed anti join
+    * that extracts the delta; every gate then runs on the delta only
+    * — quality map-side, exact as two fingerprint-keyed joins
+    * (delta×delta and delta×history fingerprints), near-dup as the
+    * capped banded pipelines on delta-sized inputs. History cost is
+    * index-sized (signatures, no text), so the whole call scales
+    * with |delta| + |index|, not |corpus|. */
+  def incrementalReport(
+      newDocs: DataFrame, idCol: String, textCol: String,
+      oldReport: DataFrame, oldIndex: DataFrame,
+      n: Int, k: Int, rowsPerBand: Int, threshold: Double,
+      minAgree: Double, maxBucket: Int = 1024): DataFrame = {
+    val newFp = newDocs.select(
+      col(idCol), Dedup.fingerprint(col(textCol)).as("__fp"))
+    val histKeys = oldReport.select(
+      col(idCol), col("fingerprint").as("__fp"))
+    // same id + same fingerprint ⇒ content unchanged ⇒ reuse
+    val reusedIds = newFp.join(histKeys, Seq(idCol, "__fp"), "left_semi")
+      .select(idCol)
+    val reusedRows = oldReport
+      .join(reusedIds, Seq(idCol), "left_semi")
+      .select(col(idCol), col("n_tokens"), col("quality_keep"),
+        col("drop_reason"), col("exact_dup_loser"), col("near_dup_loser"),
+        col("kept"), lit(true).as("reused"))
+    val delta = newDocs.join(reusedIds, Seq(idCol), "left_anti")
+
+    val quality = TextAnalysis.qualityFilter(delta, idCol, textCol)
+      .select(col(idCol), col("n_tokens"),
+        col("keep").as("quality_keep"), col("drop_reason"))
+    val deltaFp = delta.select(
+      col(idCol), Dedup.fingerprint(col(textCol)).as("__fp"))
+    // exact vs history: fingerprint seen in the old corpus under a
+    // DIFFERENT id (a changed doc's own old fingerprint differs by
+    // construction, but the guard keeps the contract explicit)
+    val exHist = deltaFp
+      .join(oldReport.select(col(idCol).as("__oid"),
+        col("fingerprint").as("__fp")), Seq("__fp"))
+      .filter(col(idCol) =!= col("__oid"))
+      .select(idCol)
+    // exact within the delta: first-copy-wins, as in [[report]]
+    val exDelta = deltaFp
+      .join(Dedup.exactGroups(delta, idCol, textCol)
+        .select(col("fingerprint").as("__fp"), col("keep_id")), "__fp")
+      .filter(col(idCol) =!= col("keep_id"))
+      .select(col(idCol))
+    val exactLosers = exHist.union(exDelta).distinct()
+    val ndDelta = Graph.connectedComponents(
+      Dedup.nearDupPairsShingled(delta, idCol, textCol,
+        n, k, rowsPerBand, threshold, maxBucket),
+      "id_a", "id_b")
+      .filter(col("node") =!= col("component"))
+      .select(col("node").as(idCol))
+    val ndHist = Dedup.indexNearDupIds(delta, idCol, textCol, oldIndex,
+      n, k, rowsPerBand, minAgree, maxBucket, excludeSameId = true)
+    val nearLosers = ndDelta.union(ndHist).distinct()
+    val freshRows = quality
+      .join(exactLosers.withColumn("__ex", lit(true)), Seq(idCol), "left")
+      .join(nearLosers.withColumn("__nd", lit(true)), Seq(idCol), "left")
+      .select(
+        col(idCol), col("n_tokens"), col("quality_keep"), col("drop_reason"),
+        coalesce(col("__ex"), lit(false)).as("exact_dup_loser"),
+        coalesce(col("__nd"), lit(false)).as("near_dup_loser"),
+        (col("quality_keep") && coalesce(col("__ex"), lit(false)) === false &&
+          coalesce(col("__nd"), lit(false)) === false).as("kept"),
+        lit(false).as("reused"))
+    reusedRows.unionByName(freshRows)
+  }
+
   /** CROSS-RUN curation lineage — the provenance surface a recurring
     * pipeline needs when run N+1's kept-set differs from run N's:
     * per document, what happened to the CONTENT

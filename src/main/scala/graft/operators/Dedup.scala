@@ -1088,7 +1088,30 @@ object Dedup {
   def dedupAgainstIndex(
       newDocs: DataFrame, idCol: String, textCol: String,
       index: DataFrame, n: Int, k: Int, rowsPerBand: Int,
-      minAgree: Double, maxBucket: Int = 1024): DataFrame = {
+      minAgree: Double, maxBucket: Int = 1024): DataFrame =
+    newDocs.join(
+      indexNearDupIds(newDocs, idCol, textCol, index,
+        n, k, rowsPerBand, minAgree, maxBucket),
+      Seq(idCol), "left_anti")
+
+  /** The MATCHED-id set behind [[dedupAgainstIndex]]: the distinct
+    * ids of `newDocs` rows whose minhash signature agrees with some
+    * index member on ≥ `minAgree` of the `k` positions. Exposed so
+    * callers that need the history-duplicate FLAG rather than the
+    * surviving rows (e.g. [[Curation.incrementalReport]]'s near-dup
+    * gate) reuse the identical banded join + agreement verify.
+    *
+    * `excludeSameId = true` ignores index members carrying the SAME
+    * id as the probe row — required when the increment contains
+    * CHANGED documents whose own previous version is in the index
+    * (a doc must not be dropped as a near-dup of its old self).
+    * [[dedupAgainstIndex]] keeps the default `false`: its contract
+    * is disjoint id spaces (a fresh crawl increment). */
+  def indexNearDupIds(
+      newDocs: DataFrame, idCol: String, textCol: String,
+      index: DataFrame, n: Int, k: Int, rowsPerBand: Int,
+      minAgree: Double, maxBucket: Int = 1024,
+      excludeSameId: Boolean = false): DataFrame = {
     require(minAgree > 0 && minAgree <= 1, s"minAgree in (0,1], got $minAgree")
     def bands(sig: DataFrame, outId: String): DataFrame = {
       require(k % rowsPerBand == 0,
@@ -1113,15 +1136,17 @@ object Dedup {
       .map(j => when(element_at(col("sig"), j + 1) ===
         element_at(col("__osig"), j + 1), 1).otherwise(0))
       .reduce(_ + _).cast("double") / k
-    val dropped = bands(newSig, "new_id")
+    val cand = bands(newSig, "new_id")
       .join(idxBands.join(keepBuckets, Seq("band", "band_hash"))
         .select(col("band"), col("band_hash"),
           col("old_id"), col("sig").as("__osig")),
         Seq("band", "band_hash"))
+    val scoped =
+      if (excludeSameId) cand.filter(col("old_id") =!= col("new_id")) else cand
+    scoped
       .select(col("new_id"), col("sig"), col("__osig")).distinct()
       .filter(agree >= minAgree)
       .select(col("new_id").as(idCol)).distinct()
-    newDocs.join(dropped, Seq(idCol), "left_anti")
   }
 
   /** Span-level duplication stats — the practical stand-in for
