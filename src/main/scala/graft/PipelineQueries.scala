@@ -1634,6 +1634,39 @@ object PipelineQueries {
         .transform(Queries.sortedSmall(_, "doc_id"))
     })
 
+  // ------------------------------ multi-suite leak attribution (r16)
+  // One scrub pass, several frozen eval suites (source stands in for
+  // the suite label): per (train doc, suite), HOW MANY distinct
+  // 5-grams are shared — the per-suite leak-exposure audit that
+  // decides whether the eval item or the crawl is at fault. Same
+  // salted-md5 split and gram pipeline as p_decontaminate, suite
+  // label attached on the held-out side before the distinct.
+  private val qContaminationBySuite = Queries.Q(
+    "p_contamination_by_suite",
+    Some(s"""
+      WITH b AS (SELECT doc_id, text, source, ${duckBucket("split25")} AS sb FROM documents),
+      hg AS (SELECT DISTINCT source AS suite, md5(array_to_string(w[i:i+4], ' ')) AS gh
+             FROM (SELECT source, string_split(text, ' ') AS w FROM b WHERE sb >= 90) t,
+                  unnest(generate_series(1, len(w) - 4)) AS s(i)
+             WHERE len(w) >= 5),
+      tg AS (SELECT doc_id, md5(gram) AS gh FROM (
+               SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS gram
+               FROM (SELECT doc_id, string_split(text, ' ') AS w FROM b WHERE sb < 80) t,
+                    unnest(generate_series(1, len(w) - 4)) AS s(i)
+               WHERE len(w) >= 5))
+      SELECT tg.doc_id, hg.suite, CAST(COUNT(*) AS BIGINT) AS n_hit
+      FROM tg JOIN hg ON tg.gh = hg.gh
+      GROUP BY tg.doc_id, hg.suite
+      ORDER BY doc_id, suite"""),
+    (s, dir) => {
+      val b = Tables(s, dir).documents
+        .withColumn("__sb", Sampling.hashBucket(col("doc_id"), "split25", 100))
+      Fingerprint.contaminationBySuite(
+        b.filter(col("__sb") < 80), b.filter(col("__sb") >= 90),
+        "doc_id", "text", "source", n = 5)
+        .transform(Queries.sortedSmall(_, "doc_id", "suite"))
+    })
+
   // ------------------------------- cross-split n-gram decontamination
   // GPT-3-style eval-leakage scrub: distinct word 5-grams of each
   // held-out (test-split) doc probed against the train split's gram
@@ -1865,6 +1898,6 @@ object PipelineQueries {
     qApproxVocab, qLmFamiliarity, qTfidfTopK, qTokenBudgetMix, qSnapshotDiff,
     qNearDupDedup, qNearDupBest, qSourceCap, qApproxQuantiles, qPngPixelStats, qRandomProjection,
     qBoilerplateNgrams, qSpanDedup, qSourceReport, qSplitContamination,
-    qDecontaminate,
+    qDecontaminate, qContaminationBySuite,
     qBpePairCounts, qCurationPipeline, qLshRecallAudit, qQualityRankNorm)
 }

@@ -501,6 +501,43 @@ object ScaleStress {
           oldDocs, newDocs, rep(oldDocs), rep(newDocs), "doc_id", "text")
           .count()
       }
+      // ---- incremental curation: the delta-proportional claim.
+      // History (old corpus's 3-gate report + fingerprints + minhash
+      // index) is built and PERSISTED to parquet OUTSIDE the timed
+      // body — exactly what a recurring pipeline amortizes — so the
+      // timed incremental step pays only the (id, fingerprint) reuse
+      // decision, the delta gates (~22% of the corpus here: %10==0
+      // added + %7==3 changed), and the signature-index joins. The
+      // A/B partner is the full 3-gate report over the same corpus.
+      if (opFilter.isEmpty || opFilter.exists(f =>
+          "curation_report_full".contains(f) || "incremental_curation".contains(f))) {
+        val oldDocs = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+          .select(col("doc_id"),
+            when(pmod(col("doc_id"), lit(7)) === 3,
+              concat(col("text"), lit(" drifted crawl content here")))
+              .otherwise(col("text")).as("text"))
+        val newDocs = docs.select("doc_id", "text")
+        measure("curation_report_full", scale) {
+          operators.Curation.report(newDocs, "doc_id", "text",
+            n = 3, k = 12, rowsPerBand = 3, threshold = 0.5).count()
+        }
+        val tmp = s"${sys.props("java.io.tmpdir")}/graft-incr-$scale"
+        operators.Curation.report(oldDocs, "doc_id", "text",
+            n = 3, k = 12, rowsPerBand = 3, threshold = 0.5)
+          .join(oldDocs.select(col("doc_id"),
+            operators.Dedup.fingerprint(col("text")).as("fingerprint")),
+            Seq("doc_id"))
+          .write.mode("overwrite").parquet(s"$tmp/old_report")
+        operators.Dedup.minhashIndex(oldDocs, "doc_id", "text", n = 3, k = 12)
+          .write.mode("overwrite").parquet(s"$tmp/old_index")
+        measure("incremental_curation", scale) {
+          operators.Curation.incrementalReport(newDocs, "doc_id", "text",
+            spark.read.parquet(s"$tmp/old_report"),
+            spark.read.parquet(s"$tmp/old_index"),
+            n = 3, k = 12, rowsPerBand = 3, threshold = 0.5,
+            minAgree = 0.5).count()
+        }
+      }
       measure("group_safe_split", scale) {
         // the leakage-safe split: pairs + CC (both individually
         // measured) + one id-keyed join back + a pure md5-bucket

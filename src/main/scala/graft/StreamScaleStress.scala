@@ -182,6 +182,34 @@ object StreamScaleStress {
         StreamingOps.importanceFilterStream(
           s, "text", counts, minAffinity = 0.1)
       }
+      // ---- streaming decontamination twins. Held-out = the BASE
+      // corpus's %10==0 slice: eval suites are fixed-size frozen
+      // artifacts — they do NOT grow with the stream — so the static
+      // side stays base-sized at every scale and the claims under
+      // test are (a) per-batch wall flat across batches with ZERO
+      // state rows (both gates stateless ⇒ unbounded horizon), and
+      // (b) the Bloom gate's per-batch cost ≈ a map-side fold (no
+      // join stage at all) vs the detection stream's explode + probe.
+      if (opFilter.isEmpty || opFilter.exists(f =>
+          "stream_contamination_hits".contains(f) ||
+            "stream_decontaminate_bloom".contains(f))) {
+        // artifact builds (once per eval-suite freeze in production)
+        // sit OUTSIDE the timed bodies
+        val heldOut5 = docs0.filter(pmod(col("doc_id"), lit(10)) === 0)
+        val heldGrams5 = graft.operators.Fingerprint
+          .heldOutGrams(heldOut5, "doc_id", "text", 5).localCheckpoint(true)
+        val nG = heldGrams5.count()
+        val bloom = graft.operators.Fingerprint.gramBloomFilter(
+          heldOut5, "doc_id", "text", n = 5,
+          expectedItems = nG, numBits = 28L * nG)
+        measure("stream_contamination_hits", scale, feedDir, "append") { s =>
+          StreamingOps.contaminationHitsStream(
+            s, "doc_id", "text", heldGrams5, n = 5)
+        }
+        measure("stream_decontaminate_bloom", scale, feedDir, "append") { s =>
+          StreamingOps.decontaminateStreamBloom(s, "text", bloom, n = 5)
+        }
+      }
     }
     ScaleStress.mergeResults(results.toSeq)
     spark.stop()

@@ -173,6 +173,12 @@ object Curation {
       .select(col(idCol), col("n_tokens"), col("quality_keep"),
         col("drop_reason"), col("exact_dup_loser"), col("near_dup_loser"),
         col("kept"), lit(true).as("reused"))
+    // Six gate subtrees consume the delta. An eager localCheckpoint
+    // here (the [[Graph]]/[[Dedup]] pattern) was A/B-REJECTED, same
+    // session, r16: 50× 37.1→40.3 s, 100× 61.7→73.7 s — exchange
+    // reuse already shares the anti-join subtree across consumers,
+    // so the block materialization is pure added cost. Leave the
+    // plan declarative.
     val delta = newDocs.join(reusedIds, Seq(idCol), "left_anti")
 
     val quality = TextAnalysis.qualityFilter(delta, idCol, textCol)

@@ -177,6 +177,72 @@ object Fingerprint {
           .as("__gram"))
       .select(col(idCol), md5(col("__gram")).as("__gh"))
 
+  /** Multi-suite contamination ATTRIBUTION — when one scrub pass
+    * covers several frozen eval suites, the audit row a leak
+    * investigation needs is not "doc 4711 is contaminated" but
+    * "doc 4711 shares 17 grams with suite X and 2 with suite Y":
+    * whether the eval item leaked into the crawl or the crawl into
+    * the eval item is adjudicated per suite, and a doc dropped for
+    * one suite's sake must not count against another's leak rate.
+    *
+    * Output: (`idCol`, suite, n_hit LONG) — one row per (train
+    * document, suite) sharing ≥1 distinct word `n`-gram, n_hit =
+    * how many. Clean docs are absent; `sum(n_hit > 0)` per suite is
+    * the per-suite leak exposure, and the id set under any suite
+    * filter is exactly what [[decontaminate]] would drop scoped to
+    * that suite.
+    *
+    * Scale shape: identical to [[ngramContamination]] with the
+    * suite label riding the (small) held-out side only — held gram
+    * rows join their doc's suite id-keyed BEFORE the distinct, so
+    * the train side still ships (id, 32-hex) rows into one
+    * gram-keyed join, and the rollup is a (doc, suite)-keyed
+    * partial-aggregated count. */
+  def contaminationBySuite(
+      train: DataFrame, heldOut: DataFrame,
+      idCol: String, textCol: String, suiteCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"n=$n must be >= 1")
+    val suiteGrams = gramHashes(heldOut, idCol, textCol, n)
+      .join(heldOut.select(col(idCol), col(suiteCol).as("suite")), Seq(idCol))
+      .select(col("suite"), col("__gh")).distinct()
+    gramHashes(train, idCol, textCol, n)
+      .join(suiteGrams, Seq("__gh"))
+      .groupBy(col(idCol), col("suite"))
+      .agg(count(lit(1)).as("n_hit"))
+  }
+
+  /** The distinct held-out gram-md5 SET as a one-column frame
+    * (`gh` — 32-hex md5 of each word `n`-gram appearing in any
+    * held-out document). This is the persistable eval-suite artifact
+    * the streaming decontamination gates probe
+    * ([[graft.streaming.StreamingOps.contaminationHitsStream]] joins
+    * it; [[gramBloomFilter]] compresses it): eval suites freeze
+    * rarely, so a recurring pipeline builds this once per freeze and
+    * reuses it across every run and every stream. */
+  def heldOutGrams(
+      heldOut: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    gramHashes(heldOut, idCol, textCol, n)
+      .select(col("__gh").as("gh")).distinct()
+
+  /** A serialized Bloom filter over [[heldOutGrams]] — the compact
+    * form of the held-out gram set for MAP-SIDE membership probes
+    * (built with Spark's native `BloomFilterAggregate` via
+    * [[BloomPrune.buildFilter]]; no false negatives ever). Size
+    * `numBits` against the per-DOCUMENT false-positive budget, not
+    * the per-gram one: a clean document is wrongly dropped iff ANY
+    * of its |grams| probes false-positives, so P(FP drop) ≤
+    * |grams(doc)| · fpp. At ~28 bits/gram fpp ≈ 1e-6, putting a
+    * 1000-gram document's wrong-drop chance under 0.1% — and a
+    * false positive only ever OVER-drops (the conservative
+    * direction decontamination already chose). Returns null when
+    * the held-out split has no grams. */
+  def gramBloomFilter(
+      heldOut: DataFrame, idCol: String, textCol: String, n: Int,
+      expectedItems: Long, numBits: Long): Array[Byte] =
+    BloomPrune.buildFilter(
+      heldOutGrams(heldOut, idCol, textCol, n), "gh",
+      expectedItems, numBits)
+
   /** Decontamination REMOVAL — the action [[ngramContamination]]'s
     * detection exists to license, in the conservative GPT-3 direction
     * (Brown et al. 2020, appendix C): drop from the TRAINING split
