@@ -71,6 +71,29 @@ object StageProbe {
       case "minhash" =>
         Dedup.nearDupPairsShingled(docs, "doc_id", "text",
           n = 3, k = 12, rowsPerBand = 3, threshold = 0.5).count()
+      case "incr" =>
+        // mirrors the ScaleStress incremental_curation arm; history
+        // build stages print before the marker line
+        val oldDocs = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+          .select(col("doc_id"),
+            when(pmod(col("doc_id"), lit(7)) === 3,
+              concat(col("text"), lit(" drifted crawl content here")))
+              .otherwise(col("text")).as("text"))
+        val newDocs = docs.select("doc_id", "text")
+        val tmp = s"${sys.props("java.io.tmpdir")}/graft-probe-incr-$scale"
+        operators.Curation.report(oldDocs, "doc_id", "text",
+            n = 3, k = 12, rowsPerBand = 3, threshold = 0.5)
+          .join(oldDocs.select(col("doc_id"),
+            Dedup.fingerprint(col("text")).as("fingerprint")), Seq("doc_id"))
+          .write.mode("overwrite").parquet(s"$tmp/old_report")
+        Dedup.minhashIndex(oldDocs, "doc_id", "text", n = 3, k = 12)
+          .write.mode("overwrite").parquet(s"$tmp/old_index")
+        println("== history built; incremental stages follow")
+        operators.Curation.incrementalReport(newDocs, "doc_id", "text",
+          spark.read.parquet(s"$tmp/old_report"),
+          spark.read.parquet(s"$tmp/old_index"),
+          n = 3, k = 12, rowsPerBand = 3, threshold = 0.5,
+          minAgree = 0.5).count()
       case _ =>
         Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5).count()
     }

@@ -161,8 +161,18 @@ object Curation {
       oldReport: DataFrame, oldIndex: DataFrame,
       n: Int, k: Int, rowsPerBand: Int, threshold: Double,
       minAgree: Double, maxBucket: Int = 1024): DataFrame = {
-    val newFp = newDocs.select(
-      col(idCol), Dedup.fingerprint(col(textCol)).as("__fp"))
+    // Fingerprint-frontier spread (the gramHashes lesson, StageProbe-
+    // diagnosed r16): without the exchange the md5(normalize(text))
+    // projection fuses into the file scan and runs at input-FILE
+    // parallelism — measured as TWO single-task 28 s stages at 100×
+    // (one per reusedIds consumer). Round-robin, not keyed: the
+    // exchange ships raw (id, text) once and the hash runs wide in
+    // every consumer. REPARTITION_BY_NUM so AQE can't re-coalesce on
+    // input bytes.
+    val newFp = newDocs
+      .select(col(idCol), col(textCol))
+      .repartition(Dedup.pinnedParts(newDocs))
+      .select(col(idCol), Dedup.fingerprint(col(textCol)).as("__fp"))
     val histKeys = oldReport.select(
       col(idCol), col("fingerprint").as("__fp"))
     // same id + same fingerprint ⇒ content unchanged ⇒ reuse
