@@ -35,18 +35,25 @@ object Curation {
       docs: DataFrame, idCol: String, textCol: String,
       n: Int, k: Int, rowsPerBand: Int, threshold: Double,
       maxBucket: Int = 1024): DataFrame = {
-    val quality = TextAnalysis.qualityFilter(docs, idCol, textCol)
+    // Text share point ([[Dedup.spreadText]]): FOUR gate frontiers
+    // consume the raw text (quality map-side, the fingerprint
+    // projection, exactGroups' partial agg, the shingle frontier) —
+    // one barriered exchange materializes it once and every frontier
+    // runs wide above the ReusedExchange instead of re-deriving the
+    // scan lineage serially per branch (StageProbe r16).
+    val spread = Dedup.spreadText(docs, idCol, textCol)
+    val quality = TextAnalysis.qualityFilter(spread, idCol, textCol)
       .select(col(idCol), col("n_tokens"),
         col("keep").as("quality_keep"), col("drop_reason"))
     // exact: a doc loses iff its fingerprint group keeps another id
-    val exactLosers = docs
+    val exactLosers = spread
       .select(col(idCol), Dedup.fingerprint(col(textCol)).as("__fp"))
-      .join(Dedup.exactGroups(docs, idCol, textCol)
+      .join(Dedup.exactGroups(spread, idCol, textCol)
         .select(col("fingerprint").as("__fp"), col("keep_id")), "__fp")
       .filter(col(idCol) =!= col("keep_id"))
       .select(col(idCol))
     val nearLosers = Graph.connectedComponents(
-      Dedup.nearDupPairsShingled(docs, idCol, textCol,
+      Dedup.nearDupPairsShingled(spread, idCol, textCol,
         n, k, rowsPerBand, threshold, maxBucket),
       "id_a", "id_b")
       .filter(col("node") =!= col("component"))
@@ -161,17 +168,19 @@ object Curation {
       oldReport: DataFrame, oldIndex: DataFrame,
       n: Int, k: Int, rowsPerBand: Int, threshold: Double,
       minAgree: Double, maxBucket: Int = 1024): DataFrame = {
-    // Fingerprint-frontier spread (the gramHashes lesson, StageProbe-
-    // diagnosed r16): without the exchange the md5(normalize(text))
+    // Text share point ([[Dedup.spreadText]], StageProbe-diagnosed
+    // r16 in two steps): without any exchange the md5(normalize(text))
     // projection fuses into the file scan and runs at input-FILE
-    // parallelism — measured as TWO single-task 28 s stages at 100×
-    // (one per reusedIds consumer). Round-robin, not keyed: the
-    // exchange ships raw (id, text) once and the hash runs wide in
-    // every consumer. REPARTITION_BY_NUM so AQE can't re-coalesce on
-    // input bytes.
-    val newFp = newDocs
-      .select(col(idCol), col(textCol))
-      .repartition(Dedup.pinnedParts(newDocs))
+    // parallelism — TWO single-task 28 s stages at 100×, one per
+    // reusedIds consumer. A spread under newFp ALONE still
+    // materialized twice (22.4 s + 24.7 s single-task stages: the
+    // semi- and anti-join branches push different inferred filters
+    // into their copies, so ReuseExchange saw two distinct subtrees)
+    // AND left delta's six gate frontiers re-deriving the scan. ONE
+    // barriered spread shared by newFp and delta pays the serial
+    // input lineage exactly once.
+    val spread = Dedup.spreadText(newDocs, idCol, textCol)
+    val newFp = spread
       .select(col(idCol), Dedup.fingerprint(col(textCol)).as("__fp"))
     val histKeys = oldReport.select(
       col(idCol), col("fingerprint").as("__fp"))
@@ -189,7 +198,7 @@ object Curation {
     // reuse already shares the anti-join subtree across consumers,
     // so the block materialization is pure added cost. Leave the
     // plan declarative.
-    val delta = newDocs.join(reusedIds, Seq(idCol), "left_anti")
+    val delta = spread.join(reusedIds, Seq(idCol), "left_anti")
 
     val quality = TextAnalysis.qualityFilter(delta, idCol, textCol)
       .select(col(idCol), col("n_tokens"),

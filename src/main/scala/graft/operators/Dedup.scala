@@ -271,6 +271,28 @@ object Dedup {
   private[graft] def pinnedParts(df: DataFrame): Int =
     math.max(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt, 16)
 
+  /** Raw-text SHARE POINT: one pinned round-robin exchange over
+    * (id, text), pushdown-barriered. Multi-gate operators
+    * ([[graft.operators.Curation.report]]/`incrementalReport`,
+    * [[graft.operators.Snapshot.diff]] inside lineage) consume the
+    * same corpus text from several frontiers; without a shared
+    * exchange each branch re-derives the full upstream text lineage
+    * at INPUT parallelism (serial on a single-file or computed feed —
+    * StageProbe r16 measured two ~23 s single-task re-derivations
+    * inside one incrementalReport at 100×), and consumer-side
+    * inferred filters diverge the copies so ReuseExchange silently
+    * turns off (the [[graft.functions.PushdownBarrier]] lesson).
+    * Building every frontier over THIS subtree scans the text once,
+    * shuffles it once, and runs everything above at cluster
+    * parallelism; identical call sites on the same df unify across
+    * operators too (lineage's diff + report share one exchange per
+    * side). At scale the one corpus-sized shuffle replaces one
+    * parquet re-read per gate — strictly fewer bytes moved whenever
+    * an operator has ≥2 text consumers. */
+  private[graft] def spreadText(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    graft.functions.PushdownBarrier(
+      df.select(col(idCol), col(textCol)).repartition(pinnedParts(df)))
+
   private def shingleFrontier(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int, hashed: Boolean): DataFrame = {

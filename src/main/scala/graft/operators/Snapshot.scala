@@ -29,9 +29,15 @@ object Snapshot {
   def diff(
       oldSnap: DataFrame, newSnap: DataFrame,
       idCol: String, textCol: String): DataFrame = {
-    val o = oldSnap.select(
+    // [[Dedup.spreadText]]: the fingerprint projections otherwise sit
+    // in the map side of the full-outer join's id shuffle, fused into
+    // each snapshot's scan lineage (serial on a single-file feed).
+    // Using the canonical spread subtree also unifies with a
+    // [[Curation.report]] run over the same snapshot (lineage calls
+    // both) — one text materialization per side via ReuseExchange.
+    val o = Dedup.spreadText(oldSnap, idCol, textCol).select(
       col(idCol).as("__oid"), Dedup.fingerprint(col(textCol)).as("old_fp"))
-    val n = newSnap.select(
+    val n = Dedup.spreadText(newSnap, idCol, textCol).select(
       col(idCol).as("__nid"), Dedup.fingerprint(col(textCol)).as("new_fp"))
     o.join(n, col("__oid") === col("__nid"), "full_outer")
       .select(
