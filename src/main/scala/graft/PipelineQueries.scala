@@ -34,7 +34,7 @@ object PipelineQueries {
   // DuckDB fragment: the md5 hash bucket of Sampling.hashBucket —
   // first 8 hex digits of md5("salt:key") as an integer, mod 100.
   // Declared before first use (object vals initialize in order).
-  private val duckBucketOn = (salt: String, key: String) =>
+  private[graft] val duckBucketOn = (salt: String, key: String) =>
     s"""list_reduce(list_prepend(0, list_transform(generate_series(1, 8),
        |  i -> strpos('0123456789abcdef', substr(md5('$salt:' || CAST($key AS VARCHAR)), i, 1)) - 1)),
        |  (h, c) -> h*16 + c) % 100""".stripMargin

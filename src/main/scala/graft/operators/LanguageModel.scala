@@ -52,6 +52,96 @@ object LanguageModel {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** TRUE backoff perplexity — the full CCNet-style LM gate the
+    * familiarity score stands in for when oracle exactness is
+    * required. Train [[ngramCounts]] artifacts on a TRUSTED reference
+    * slice (n=1 and n=2), score any corpus with stupid backoff:
+    *   P(w | ctx) = c2(ctx w) / c1(ctx)          if the bigram is known
+    *              = alpha * (c1(w) + 1) / (N + V) otherwise
+    * (N = total reference tokens, V = distinct reference vocabulary;
+    * add-one keeps OOV finite). Output per document: n_scored
+    * (bigram positions), n_hit / n_backoff (which model order
+    * fired), hit_frac (ONE IEEE division — engine-exact), and the
+    * `ln`-bearing avg_logprob / ppl = exp(-avg_logprob).
+    *
+    * Oracle discipline (the [[Importance.logRatioWeights]]
+    * precedent): the integer tallies + hit_frac are oracle-gated
+    * (`p_lm_score_audit`); avg_logprob/ppl go through `ln`/`exp`,
+    * which IEEE leaves implementation-defined, so they are
+    * spec-gated (LanguageModelSpec: hand-computed model +
+    * Scala-reference fold). Scoring the training corpus itself is
+    * degenerate (every position hits); the intended shape is
+    * train-on-reference / score-the-rest.
+    *
+    * Scale shape (100 TB): the model artifacts are vocabulary-sized
+    * DataFrames the caller persists — NEVER broadcast; the three
+    * gram-keyed joins hash-build the model side (`shuffle_hash`:
+    * SMJ would sort the corpus-sized gram stream) and AQE can
+    * skew-split head grams. One id-keyed aggregation reduces to a
+    * per-doc row; the text never rides a shuffle past the pinned
+    * gram frontier. */
+  def perplexity(
+      docs: DataFrame, idCol: String, textCol: String,
+      uni: DataFrame, bi: DataFrame, alpha: Double = 0.4): DataFrame = {
+    require(alpha > 0, s"alpha=$alpha must be > 0")
+    val totals = uni.agg(sum("cnt").as("__n"), count(lit(1)).as("__v"))
+    val grams = docs
+      .select(col(idCol), col(textCol))
+      // gram frontier BELOW the tokenize/explode ([[Importance]]
+      // gramRows lesson: fused into a few-file scan it runs at scan
+      // parallelism); REPARTITION_BY_NUM so AQE cannot re-coalesce
+      .repartition(Dedup.pinnedParts(docs), col(idCol))
+      .select(col(idCol), split(col(textCol), " ").as("__toks"))
+      .select(col(idCol),
+        explode(Dedup.wordShinglesFromTokens(col("__toks"), 2)).as("gram"))
+      // tokens are space-split, so gram = w1 || ' ' || w2 is
+      // bijective and the context/word recover by splitting
+      .withColumn("__w1", element_at(split(col("gram"), " "), 1))
+      .withColumn("__w2", element_at(split(col("gram"), " "), 2))
+    val perGram = grams
+      .join(bi.select(col("gram"), col("cnt").as("__c2"))
+        .hint("shuffle_hash"), Seq("gram"), "left")
+      .join(uni.select(col("gram").as("__w1"), col("cnt").as("__ctx"))
+        .hint("shuffle_hash"), Seq("__w1"), "left")
+      .join(uni.select(col("gram").as("__w2"), col("cnt").as("__uw"))
+        .hint("shuffle_hash"), Seq("__w2"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("__hit", col("__c2").isNotNull && col("__ctx").isNotNull)
+      .withColumn("__lp",
+        when(col("__hit"), log(col("__c2").cast("double") / col("__ctx")))
+          .otherwise(log(lit(alpha)) +
+            log((coalesce(col("__uw"), lit(0L)) + 1).cast("double") /
+              (col("__n") + col("__v")).cast("double"))))
+    val agg = perGram.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_scored"),
+      sum(when(col("__hit"), 1L).otherwise(0L)).as("n_hit"),
+      sum(col("__lp")).as("__lpsum"))
+    docs.select(col(idCol)).join(agg, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_scored"), lit(0L)).as("n_scored"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_scored"), lit(0L)) -
+          coalesce(col("n_hit"), lit(0L))).as("n_backoff"),
+        when(col("n_scored") > 0,
+          col("n_hit").cast("double") / col("n_scored")).as("hit_frac"),
+        when(col("n_scored") > 0,
+          col("__lpsum") / col("n_scored")).as("avg_logprob"),
+        when(col("n_scored") > 0,
+          exp(-(col("__lpsum") / col("n_scored")))).as("ppl"))
+  }
+
+  /** [[perplexity]] + the gate: keep ⇔ ppl ≤ maxPpl, with
+    * unscorable documents (no bigram positions, or an empty model)
+    * KEPT — the LM gate only drops what it can prove; compose with
+    * [[TextAnalysis.qualityFilter]]'s too_short rule for length. */
+  def perplexityFilter(
+      docs: DataFrame, idCol: String, textCol: String,
+      uni: DataFrame, bi: DataFrame, maxPpl: Double,
+      alpha: Double = 0.4): DataFrame =
+    perplexity(docs, idCol, textCol, uni, bi, alpha)
+      .withColumn("keep", col("ppl").isNull || col("ppl") <= maxPpl)
+
   /** Per-document familiarity vs the corpus' own n-gram counts:
     * (doc_id, n_grams, familiar_grams, familiar_rate) where
     * `familiar_grams` counts the document's n-gram positions whose

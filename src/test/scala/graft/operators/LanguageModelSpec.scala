@@ -43,6 +43,70 @@ class LanguageModelSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  // ---------------------------------------------------------------
+  // perplexity: train on a fixed reference, hand-compute the backoff
+  // model. Reference "a b a b c" + "a b x":
+  //   unigrams a:3 b:3 c:1 x:1  (N=8 tokens, V=4 vocab)
+  //   bigrams  "a b":3 "b a":1 "b c":1 "b x":1
+  private def refDocs = Seq(
+    (1L, "a b a b c"),
+    (2L, "a b x")).toDF("doc_id", "text")
+
+  private def scoreDocs = Seq(
+    (10L, "a b c"), // both bigrams hit
+    (11L, "a q"),   // unknown bigram, unknown word → pure backoff
+    (12L, "z"),     // sub-bigram doc → zero row
+    (13L, "c a b")  // one backoff (known word a), one hit
+  ).toDF("doc_id", "text")
+
+  private def scored = LanguageModel.perplexity(
+    scoreDocs, "doc_id", "text",
+    LanguageModel.ngramCounts(refDocs, "text", 1),
+    LanguageModel.ngramCounts(refDocs, "text", 2))
+
+  test("perplexity: engine-exact tallies and hit_frac") {
+    val m = scored.orderBy("doc_id").collect().map { r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) null else r.getDouble(4)))
+    }.toMap
+    assert(m(10L) == ((2L, 2L, 0L, 1.0)))
+    assert(m(11L) == ((1L, 0L, 1L, 0.0)))
+    assert(m(12L) == ((0L, 0L, 0L, null)))
+    assert(m(13L) == ((2L, 1L, 1L, 0.5)))
+  }
+
+  test("perplexity: hand-computed backoff log-probs (spec-gated floats)") {
+    val m = scored.filter($"n_scored" > 0).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(5), r.getDouble(6)))).toMap
+    // doc 10: lp = ln(3/3) + ln(1/3) → ppl = exp(-lp/2) = sqrt(3)
+    assert(math.abs(m(10L)._1 - math.log(1.0 / 3) / 2) < 1e-12)
+    assert(math.abs(m(10L)._2 - math.sqrt(3.0)) < 1e-12)
+    // doc 11: lp = ln(0.4) + ln((0+1)/(8+4)) → ppl = 12/0.4 = 30
+    assert(math.abs(m(11L)._1 - math.log(0.4 / 12)) < 1e-12)
+    assert(math.abs(m(11L)._2 - 30.0) < 1e-9)
+    // doc 13: "c a" backs off via c1(a)=3 → ln(0.4 * 4/12); "a b" hits at ln(1)
+    assert(math.abs(m(13L)._1 - math.log(0.4 / 3) / 2) < 1e-12)
+    assert(math.abs(m(13L)._2 - math.sqrt(3.0 / 0.4)) < 1e-12)
+  }
+
+  test("perplexityFilter: gate keeps unscorable docs, drops only proven-high ppl") {
+    val kept = LanguageModel.perplexityFilter(
+      scoreDocs, "doc_id", "text",
+      LanguageModel.ngramCounts(refDocs, "text", 1),
+      LanguageModel.ngramCounts(refDocs, "text", 2), maxPpl = 5.0)
+      .filter($"keep").select("doc_id").collect().map(_.getLong(0)).toSet
+    // ppl: 10→1.73 keep, 11→30 drop, 12→null keep, 13→2.74 keep
+    assert(kept == Set(10L, 12L, 13L))
+  }
+
+  test("perplexity plan: gram joins are shuffled-hash, no unbounded nested loop") {
+    val plan = scored.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"))
+    assert(!plan.contains("CartesianProduct"))
+    // the ONLY nested-loop is the broadcast of the 1-row totals scalar
+    assert(plan.split("BroadcastNestedLoopJoin").length <= 2)
+  }
+
   test("familiarity: trigram familiarity on the real documents table") {
     val real = graft.Tables(spark, sf("sf0.001")).documents
     val out = LanguageModel.familiarity(real, "doc_id", "text", n = 3, minCount = 2)
