@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{LanguageModel, Sampling}
+import graft.operators.{LanguageModel, Sampling, Shards}
 
 /** Third pipeline-query wave (round 16): the TRUE n-gram LM
   * perplexity gate ([[graft.operators.LanguageModel.perplexity]]) in
@@ -100,5 +100,77 @@ object PipelineQueries3 {
         .transform(Queries.sortedSmall(_, "doc_id"))
     })
 
-  val all: Seq[Queries.Q] = Seq(qLmBigramCounts, qLmScoreAudit)
+  // --------------------------------------- token-balanced sharding
+  // The md5 bucket fold of Sampling.hashBucket at an arbitrary
+  // modulus (PipelineQueries.duckBucketOn is the %-100 instance).
+  private def duckBucketMod(salt: String, key: String, m: Int) =
+    s"""list_reduce(list_prepend(0, list_transform(generate_series(1, 8),
+       |  i -> strpos('0123456789abcdef', substr(md5('$salt:' || CAST($key AS VARCHAR)), i, 1)) - 1)),
+       |  (h, c) -> h*16 + c) % $m""".stripMargin
+
+  // Export sharding: every document → one of 8 shards, serpentine-
+  // dealt by token count within 32 salted hash buckets (never a
+  // global sort — see Shards scaladoc). Oracle replays the bucket,
+  // the within-bucket rank, and the integer serpentine arithmetic.
+  private val qShardAssign = Queries.Q(
+    "p_shard_assign",
+    Some(s"""
+      WITH b AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               (${duckBucketMod("shard", "doc_id", 32)}) AS bucket
+        FROM documents),
+      r AS (
+        SELECT doc_id, n_tokens,
+               CAST(row_number() OVER (
+                 PARTITION BY bucket ORDER BY n_tokens DESC, doc_id) - 1
+                 AS BIGINT) AS rr
+        FROM b)
+      SELECT doc_id, n_tokens,
+             CAST(CASE WHEN (rr // 8) % 2 = 0 THEN rr % 8
+                       ELSE 7 - (rr % 8) END AS INT) AS shard
+      FROM r
+      ORDER BY doc_id"""),
+    (s, dir) =>
+      Shards.assignBalanced(Tables(s, dir).documents, "doc_id", "text",
+        nShards = 8, numBuckets = 32, salt = "shard")
+        .transform(Queries.sortedSmall(_, "doc_id")))
+
+  // The export manifest: per-shard doc/token totals (the balance
+  // audit) + id span. Exact integer aggregates over the assignment.
+  private val qShardManifest = Queries.Q(
+    "p_shard_manifest",
+    Some(s"""
+      WITH b AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               (${duckBucketMod("shard", "doc_id", 32)}) AS bucket
+        FROM documents),
+      r AS (
+        SELECT doc_id, n_tokens,
+               CAST(row_number() OVER (
+                 PARTITION BY bucket ORDER BY n_tokens DESC, doc_id) - 1
+                 AS BIGINT) AS rr
+        FROM b),
+      a AS (
+        SELECT doc_id, n_tokens,
+               CAST(CASE WHEN (rr // 8) % 2 = 0 THEN rr % 8
+                         ELSE 7 - (rr % 8) END AS INT) AS shard
+        FROM r)
+      SELECT shard,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+             MIN(doc_id) AS min_id,
+             MAX(doc_id) AS max_id
+      FROM a
+      GROUP BY shard
+      ORDER BY shard"""),
+    (s, dir) =>
+      Shards.manifest(
+        Shards.assignBalanced(Tables(s, dir).documents, "doc_id", "text",
+          nShards = 8, numBuckets = 32, salt = "shard"), "doc_id")
+        .transform(Queries.sortedSmall(_, "shard")))
+
+  val all: Seq[Queries.Q] =
+    Seq(qLmBigramCounts, qLmScoreAudit, qShardAssign, qShardManifest)
 }

@@ -304,6 +304,30 @@ object ScaleStress {
           b.filter(col("__sb") < 80), b.filter(col("__sb") >= 90),
           "doc_id", "text", n = 5).count()
       }
+      measure("lm_perplexity", scale) {
+        // the true backoff-LM gate end-to-end: train unigram+bigram
+        // counts on the ~40% reference slice, score the other ~60%
+        // with stupid backoff. The `~i`/`#i` copy markers inflate the
+        // reference VOCABULARY ~linearly with scale — the honest load
+        // for the vocabulary-sized model artifacts, which stay
+        // DataFrames on gram-keyed shuffle-hash joins (never
+        // broadcast). The claim under test: wall is corpus-linear
+        // (three gram-keyed joins + one id-keyed reduce) and no stage
+        // serializes onto the parquet scan lineage (the frontier sits
+        // below the tokenize).
+        val b = docs.withColumn("__sb",
+          operators.Sampling.hashBucket(col("doc_id"), "lmref", 100))
+        val ref = b.filter(col("__sb") < 40).select("doc_id", "text")
+        val tgt = b.filter(col("__sb") >= 40).select("doc_id", "text")
+        // filter on a SCORE column: a bare count() over the final
+        // id-keyed left join lets Catalyst prune the whole gram-join
+        // subtree (unique right key, no referenced column — measured:
+        // 2 tasks, sub-second "wall") and the arm would time a scan
+        operators.LanguageModel.perplexity(tgt, "doc_id", "text",
+          operators.LanguageModel.ngramCounts(ref, "text", 1),
+          operators.LanguageModel.ngramCounts(ref, "text", 2))
+          .filter(col("avg_logprob").isNotNull).count()
+      }
       measure("pq_topk", scale) {
         // codebook/queries stay the ORIGINAL vectors (copy 0): only
         // the encoded+scanned corpus grows with scale — the ADC-scan

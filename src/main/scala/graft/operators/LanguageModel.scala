@@ -46,6 +46,14 @@ object LanguageModel {
   def ngramCounts(docs: DataFrame, textCol: String, n: Int): DataFrame = {
     require(n >= 1, s"n=$n must be >= 1")
     docs
+      .select(col(textCol))
+      // spread the tokenize/shingle frontier off the file scan
+      // (round-robin REPARTITION_BY_NUM — not AQE-coalescible):
+      // fused into a few-file scan the whole explode runs at scan
+      // parallelism (measured in the lm_perplexity ScaleStress arm:
+      // a 22 s uniform stage at 100× was this projection on the
+      // reference-slice scan tasks)
+      .repartition(Dedup.pinnedParts(docs))
       .select(split(col(textCol), " ").as("__toks"))
       .select(explode(Dedup.wordShinglesFromTokens(col("__toks"), n)).as("gram"))
       .groupBy("gram")
