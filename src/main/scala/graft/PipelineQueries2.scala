@@ -929,7 +929,7 @@ object PipelineQueries2 {
     * relation and a CTE-name suffix so a query can instantiate it
     * TWICE (the lineage query runs it over two corpus snapshots).
     * `("documents", "")` reproduces the original single-run text. */
-  private def duckCurationCtes(src: String, x: String) =
+  private[graft] def duckCurationCtes(src: String, x: String) =
     s"""t$x AS (SELECT doc_id, ${PipelineQueries.duckShingles3} AS sh FROM $src),
       t2$x AS (SELECT doc_id, sh FROM t$x WHERE len(sh) > 0),
       sig$x AS (SELECT doc_id, sh,
@@ -1047,7 +1047,7 @@ object PipelineQueries2 {
   // log-ratio estimator is spec-gated in ImportanceSpec instead; see
   // operators/Importance.scala scaladoc). Oracle replays the full
   // train→score→resample pipeline in SQL from the same md5 buckets.
-  private def duckGramBucket(sqlExpr: String, salt: String, dim: Int): String =
+  private[graft] def duckGramBucket(sqlExpr: String, salt: String, dim: Int): String =
     s"""list_reduce(list_prepend(0, list_transform(generate_series(1, 8),
        |  i -> strpos('0123456789abcdef', substr(md5('$salt:' || $sqlExpr), i, 1)) - 1)),
        |  (h, c) -> h*16 + c) % $dim""".stripMargin

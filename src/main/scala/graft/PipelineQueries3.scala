@@ -171,6 +171,117 @@ object PipelineQueries3 {
           nShards = 8, numBuckets = 32, salt = "shard"), "doc_id")
         .transform(Queries.sortedSmall(_, "shard")))
 
+  // --------------------------------------- curation v3: + the LM gate
+  // The CCNet-shaped full lineup: reportV2's five gates + the backoff-
+  // LM hit-fraction gate (trained on the lmref 40% slice, scoring the
+  // whole corpus; keep iff hit_frac >= 0.99 or unscorable). Oracle
+  // composes the proven v2 CTE chains (curation gates via
+  // PipelineQueries2.duckCurationCtes, DSIR, outliers) with the
+  // p_lm_score_audit LM chain over all documents.
+  private val qCurationV3 = Queries.Q(
+    "p_curation_v3",
+    Some(s"""
+      WITH RECURSIVE ${PipelineQueries2.duckCurationCtes("documents", "")},
+      dtk AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+      dg AS (SELECT doc_id, lang,
+               unnest(list_transform(generate_series(1, greatest(len(t) - 1, 0)),
+                 i -> t[i] || ' ' || t[i+1])) AS gm
+             FROM dtk),
+      db AS (SELECT doc_id, lang, ${PipelineQueries2.duckGramBucket("gm", "dsir", 512)} AS bucket FROM dg),
+      dc AS (SELECT bucket,
+               CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tgt_cnt,
+               CAST(COUNT(*) AS BIGINT) AS raw_cnt
+             FROM db GROUP BY 1),
+      dds AS (SELECT db.doc_id,
+                CAST(SUM(dc.tgt_cnt) AS BIGINT) AS st,
+                CAST(SUM(dc.raw_cnt) AS BIGINT) AS sr
+              FROM db JOIN dc USING (bucket) GROUP BY 1),
+      daff AS (SELECT d.doc_id,
+                 CAST(COALESCE(dds.st, 0) + 1 AS DOUBLE) / (COALESCE(dds.sr, 0) + 1) AS affinity,
+                 COALESCE(dds.sr, 0) AS sum_raw
+               FROM documents d LEFT JOIN dds ON dds.doc_id = d.doc_id),
+      oct AS (SELECT vec_id AS cent, embedding AS cvv FROM embeddings WHERE vec_id < 16),
+      oca AS (SELECT e.vec_id, oct.cent,
+                list_sum(list_transform(list_zip(e.embedding, oct.cvv), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+                (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+                 sqrt(list_sum(list_transform(oct.cvv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS ccos
+              FROM embeddings e CROSS JOIN oct),
+      ocell AS (SELECT vec_id, (min({'nc': -ccos, 'cent': cent})).cent AS cell FROM oca GROUP BY vec_id),
+      od AS (SELECT e.vec_id AS id, ocell.cell,
+               sqrt(list_sum(list_transform(list_zip(e.embedding, c2.cvv),
+                 x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))) AS dist
+             FROM embeddings e
+             JOIN ocell ON ocell.vec_id = e.vec_id
+             JOIN oct c2 ON c2.cent = ocell.cell),
+      orr AS (SELECT id,
+                row_number() OVER (PARTITION BY cell ORDER BY dist DESC, id) AS rn,
+                COUNT(*) OVER (PARTITION BY cell) AS nc
+              FROM od),
+      ofl AS (SELECT id FROM orr WHERE rn <= CAST(ceil(nc * 0.1) AS BIGINT)),
+      lref AS (SELECT doc_id, text FROM documents WHERE $duckRefPred),
+      lrt AS (SELECT doc_id, string_split(text, ' ') AS tk FROM lref),
+      luni AS (SELECT w, COUNT(*) AS c1
+               FROM (SELECT unnest(tk) AS w FROM lrt) GROUP BY w),
+      lrg AS (SELECT unnest(list_transform(
+                generate_series(1, greatest(len(tk) - 1, 0)),
+                i -> tk[i] || ' ' || tk[i + 1])) AS gram
+              FROM lrt),
+      lbi AS (SELECT gram, COUNT(*) AS c2 FROM lrg GROUP BY gram),
+      ltg AS (SELECT doc_id, unnest(list_transform(
+                generate_series(1, greatest(len(t) - 1, 0)),
+                i -> struct_pack(w1 := t[i], gram := t[i] || ' ' || t[i + 1]))) AS s
+              FROM dtk),
+      lper AS (SELECT t.doc_id,
+                 CASE WHEN lbi.c2 IS NOT NULL AND u1.c1 IS NOT NULL
+                      THEN 1 ELSE 0 END AS hit
+               FROM (SELECT doc_id, s.w1 AS w1, s.gram AS gram FROM ltg) t
+               LEFT JOIN lbi ON t.gram = lbi.gram
+               LEFT JOIN luni u1 ON t.w1 = u1.w),
+      lagg AS (SELECT doc_id, COUNT(*) AS n_scored,
+                 CAST(SUM(hit) AS BIGINT) AS n_hit
+               FROM lper GROUP BY doc_id),
+      lsc AS (SELECT d.doc_id,
+                CASE WHEN a.n_scored > 0
+                     THEN CAST(a.n_hit AS DOUBLE) / a.n_scored END AS lm_hit_frac,
+                (COALESCE(a.n_scored, 0) = 0
+                  OR CAST(a.n_hit AS DOUBLE) / a.n_scored >= 0.99) AS lm_keep
+              FROM documents d LEFT JOIN lagg a USING (doc_id))
+      SELECT r.doc_id, CAST(r.n AS BIGINT) AS n_tokens,
+             r.drop_reason IS NULL AS quality_keep, r.drop_reason,
+             r.doc_id IN (SELECT doc_id FROM exl) AS exact_dup_loser,
+             r.doc_id IN (SELECT node FROM losers) AS near_dup_loser,
+             daff.affinity,
+             r.doc_id IN (SELECT id FROM ofl) AS embedding_outlier,
+             (daff.affinity >= 0.435 AND daff.sum_raw > 0) AS affinity_keep,
+             lsc.lm_hit_frac, lsc.lm_keep,
+             (r.drop_reason IS NULL AND r.doc_id NOT IN (SELECT doc_id FROM exl)
+              AND r.doc_id NOT IN (SELECT node FROM losers)
+              AND daff.affinity >= 0.435 AND daff.sum_raw > 0
+              AND r.doc_id NOT IN (SELECT id FROM ofl)
+              AND lsc.lm_keep) AS kept
+      FROM r
+      JOIN daff ON daff.doc_id = r.doc_id
+      JOIN lsc ON lsc.doc_id = r.doc_id
+      ORDER BY r.doc_id"""),
+    (s, dir) => {
+      val tbl = Tables(s, dir)
+      graft.operators.Curation.reportV3(
+        tbl.documents, "doc_id", "text",
+        tbl.embeddings, "vec_id", "embedding",
+        tbl.embeddings.filter(col("vec_id") < 16), "vec_id", "embedding",
+        isTarget = col("lang") === "en",
+        lmRef = refPred,
+        n = 3, k = 12, rowsPerBand = 3, threshold = 0.5,
+        dsirDim = 512, dsirSalt = "dsir", minAffinity = 0.435,
+        outlierFraction = 0.1, minHitFrac = 0.99)
+        .select("doc_id", "n_tokens", "quality_keep", "drop_reason",
+          "exact_dup_loser", "near_dup_loser", "affinity",
+          "embedding_outlier", "affinity_keep", "lm_hit_frac", "lm_keep",
+          "kept")
+        .transform(Queries.sortedSmall(_, "doc_id"))
+    })
+
   val all: Seq[Queries.Q] =
-    Seq(qLmBigramCounts, qLmScoreAudit, qShardAssign, qShardManifest)
+    Seq(qLmBigramCounts, qLmScoreAudit, qShardAssign, qShardManifest,
+      qCurationV3)
 }

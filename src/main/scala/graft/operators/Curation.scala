@@ -120,6 +120,53 @@ object Curation {
       .drop("sum_raw")
   }
 
+  /** [[reportV2]] extended with the LANGUAGE-MODEL gate — the full
+    * CCNet-shaped lineup (heuristic quality + LM quality + dedup +
+    * importance + prototypicality) as ONE decision log. The LM gate
+    * trains [[LanguageModel.ngramCounts]] artifacts (n=1,2) on the
+    * `lmRef` slice of the corpus (the trusted-reference predicate —
+    * same role `isTarget` plays for DSIR) and scores EVERY document
+    * with [[LanguageModel.perplexity]]; the gate keeps a document iff
+    * its bigram hit fraction reaches `minHitFrac` OR it has no
+    * scorable bigram position (flag what you can prove — the
+    * [[LanguageModel.perplexityFilter]] contract). hit_frac is the
+    * engine-exact LM surface (one IEEE division), so the WHOLE
+    * decision log stays oracle-gated; the `ln`-bearing ppl ranking
+    * remains spec-gated in LanguageModelSpec. Reference-slice
+    * documents naturally score ~1 (their bigrams trained the model)
+    * — the gate targets the NON-reference tail, like production
+    * CCNet buckets.
+    *
+    * Scale shape: adds two vocabulary-sized model aggregations and
+    * three gram-keyed shuffle-hash joins ([[LanguageModel.perplexity]]'s
+    * own audited shape) + one id-keyed join back to the report. */
+  def reportV3(
+      docs: DataFrame, idCol: String, textCol: String,
+      emb: DataFrame, vecIdCol: String, vecCol: String,
+      centroids: DataFrame, centIdCol: String, centVecCol: String,
+      isTarget: org.apache.spark.sql.Column,
+      lmRef: org.apache.spark.sql.Column,
+      n: Int, k: Int, rowsPerBand: Int, threshold: Double,
+      dsirDim: Int, dsirSalt: String, minAffinity: Double,
+      outlierFraction: Double, minHitFrac: Double,
+      maxBucket: Int = 1024): DataFrame = {
+    val v2 = reportV2(docs, idCol, textCol, emb, vecIdCol, vecCol,
+      centroids, centIdCol, centVecCol, isTarget,
+      n, k, rowsPerBand, threshold, dsirDim, dsirSalt, minAffinity,
+      outlierFraction, maxBucket)
+    val ref = docs.filter(lmRef)
+    val lm = LanguageModel.perplexity(docs, idCol, textCol,
+      LanguageModel.ngramCounts(ref, textCol, 1),
+      LanguageModel.ngramCounts(ref, textCol, 2))
+      .select(col(idCol), col("n_scored"), col("hit_frac"))
+    v2.join(lm, Seq(idCol))
+      .withColumn("lm_hit_frac", col("hit_frac"))
+      .withColumn("lm_keep",
+        col("n_scored") === 0 || col("hit_frac") >= minHitFrac)
+      .withColumn("kept", col("kept") && col("lm_keep"))
+      .drop("n_scored", "hit_frac")
+  }
+
   /** INCREMENTAL curation — re-curate a GROWN corpus paying only for
     * its delta. At 100 TB a recurring pipeline cannot re-run every
     * gate over the whole corpus when a crawl increment changed 1% of

@@ -74,6 +74,57 @@ class CurationV2Spec extends SparkSpec {
     assert(outliers.contains(2L))
   }
 
+  test("reportV3: LM gate composes; unscorable docs pass; kept is the six-way conjunction") {
+    val cents = emb.filter(col("vec_id") === 0L)
+    // reference = the two en docs: their bigrams train the model, so
+    // they score hit_frac 1.0; doc 2 shares NO bigram with them
+    // (hit_frac 0.0); doc 3 has no bigram position (unscorable)
+    val out = Curation.reportV3(
+      docs, "doc_id", "text", emb, "vec_id", "embedding",
+      cents, "vec_id", "embedding",
+      isTarget = col("lang") === "en",
+      lmRef = col("lang") === "en",
+      n = 3, k = 12, rowsPerBand = 3, threshold = 0.5,
+      dsirDim = 64, dsirSalt = "dsir", minAffinity = 0.5,
+      outlierFraction = 0.34, minHitFrac = 0.5)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.size == 4)
+    assert(out(0L).getAs[Double]("lm_hit_frac") == 1.0 &&
+      out(0L).getAs[Boolean]("lm_keep"))
+    assert(out(2L).getAs[Double]("lm_hit_frac") == 0.0 &&
+      !out(2L).getAs[Boolean]("lm_keep"))
+    // the sub-bigram doc is unscorable: NULL hit_frac, gate passes
+    assert(out(3L).isNullAt(out(3L).fieldIndex("lm_hit_frac")))
+    assert(out(3L).getAs[Boolean]("lm_keep"))
+    // kept = v2's five-way conjunction AND lm_keep
+    out.values.foreach { r =>
+      val conj = r.getAs[Boolean]("quality_keep") &&
+        !r.getAs[Boolean]("exact_dup_loser") &&
+        !r.getAs[Boolean]("near_dup_loser") &&
+        r.getAs[Boolean]("affinity_keep") &&
+        !r.getAs[Boolean]("embedding_outlier") &&
+        r.getAs[Boolean]("lm_keep")
+      assert(r.getAs[Boolean]("kept") === conj,
+        s"kept != conjunction doc ${r.getLong(0)}")
+    }
+    // v2 verdict columns are untouched by the extension
+    val v2 = Curation.reportV2(
+      docs, "doc_id", "text", emb, "vec_id", "embedding",
+      cents, "vec_id", "embedding",
+      isTarget = col("lang") === "en",
+      n = 3, k = 12, rowsPerBand = 3, threshold = 0.5,
+      dsirDim = 64, dsirSalt = "dsir", minAffinity = 0.5,
+      outlierFraction = 0.34)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    out.foreach { case (id, r) =>
+      Seq("quality_keep", "exact_dup_loser", "near_dup_loser",
+        "affinity_keep", "embedding_outlier").foreach { c =>
+        assert(r.getAs[Boolean](c) === v2(id).getAs[Boolean](c),
+          s"$c drift doc $id")
+      }
+    }
+  }
+
   test("lineage: every transition class, flipped gates, snapshot statuses") {
     val good = "the quick brown fox jumps over the lazy dog today and it is fine"
     // old run: 1 kept, 2 kept, 3 quality-dropped, 4 kept, 9 present
