@@ -281,7 +281,70 @@ object PipelineQueries3 {
         .transform(Queries.sortedSmall(_, "doc_id"))
     })
 
+  // --------------------------------------- corpus drift monitor
+  // Distribution shift between two corpus snapshots (old = documents
+  // minus every 10th, with content drift on doc_id%7==3 — the
+  // curation-lineage derivation; new = the corpus). Every bucket and
+  // ppm is exact integer arithmetic: binary-magnitude length bins
+  // (length(bin(n)) — a float log2 would round differently at powers
+  // of two), integer-division stopword deciles, (n·1e6) div N ppm.
+  private def duckDriftBuckets(src: String) =
+    s"""SELECT 'len_bin' AS feature,
+          CAST(length(bin(len(string_split(text, ' ')))) AS VARCHAR) AS bucket
+        FROM $src
+        UNION ALL
+        SELECT 'stop_decile',
+          CAST(CASE WHEN n > 0 THEN (s * 10) // n ELSE -1 END AS VARCHAR)
+        FROM (SELECT len(string_split(text, ' ')) AS n,
+                len(list_filter(string_split(text, ' '),
+                  t -> list_contains(['the','a','an','and','or','of','to','in','is','it'], t))) AS s
+              FROM $src)
+        UNION ALL
+        SELECT 'lang', COALESCE(CAST(lang AS VARCHAR), '∅') FROM $src"""
+
+  private val qCorpusDrift = Queries.Q(
+    "p_corpus_drift",
+    Some(s"""
+      WITH oldc AS (SELECT doc_id,
+               CASE WHEN doc_id % 7 = 3 THEN text || ' drifted crawl content here'
+                    ELSE text END AS text, lang
+             FROM documents WHERE doc_id % 10 <> 0),
+      newc AS (SELECT doc_id, text, lang FROM documents),
+      ob AS (SELECT feature, bucket, CAST(COUNT(*) AS BIGINT) AS old_n
+             FROM (${duckDriftBuckets("oldc")}) GROUP BY 1, 2),
+      nb AS (SELECT feature, bucket, CAST(COUNT(*) AS BIGINT) AS new_n
+             FROM (${duckDriftBuckets("newc")}) GROUP BY 1, 2),
+      ot AS (SELECT feature, SUM(old_n) AS t FROM ob GROUP BY 1),
+      nt AS (SELECT feature, SUM(new_n) AS t FROM nb GROUP BY 1),
+      j AS (SELECT COALESCE(ob.feature, nb.feature) AS feature,
+                   COALESCE(ob.bucket, nb.bucket) AS bucket,
+                   COALESCE(ob.old_n, 0) AS old_n,
+                   COALESCE(nb.new_n, 0) AS new_n
+            FROM ob FULL OUTER JOIN nb
+              ON ob.feature = nb.feature AND ob.bucket = nb.bucket)
+      SELECT j.feature, j.bucket, j.old_n, j.new_n,
+             CAST(COALESCE((j.old_n * 1000000) // ot.t, 0) AS BIGINT) AS old_ppm,
+             CAST(COALESCE((j.new_n * 1000000) // nt.t, 0) AS BIGINT) AS new_ppm,
+             CAST(COALESCE((j.new_n * 1000000) // nt.t, 0)
+               - COALESCE((j.old_n * 1000000) // ot.t, 0) AS BIGINT) AS delta_ppm
+      FROM j
+      LEFT JOIN ot ON ot.feature = j.feature
+      LEFT JOIN nt ON nt.feature = j.feature
+      ORDER BY j.feature, j.bucket"""),
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      val oldc = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(7)) === 3,
+            concat(col("text"), lit(" drifted crawl content here")))
+            .otherwise(col("text")).as("text"),
+          col("lang"))
+      graft.operators.Drift.report(oldc, docs, "doc_id", "text",
+        langCol = Some("lang"))
+        .transform(Queries.sortedSmall(_, "feature", "bucket"))
+    })
+
   val all: Seq[Queries.Q] =
     Seq(qLmBigramCounts, qLmScoreAudit, qShardAssign, qShardManifest,
-      qCurationV3)
+      qCurationV3, qCorpusDrift)
 }

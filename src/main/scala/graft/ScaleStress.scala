@@ -304,6 +304,44 @@ object ScaleStress {
           b.filter(col("__sb") < 80), b.filter(col("__sb") >= 90),
           "doc_id", "text", n = 5).count()
       }
+      measure("shard_balanced", scale) {
+        // token-balanced export sharding: the claim under test is
+        // that the bucket-partitioned serpentine scales linearly with
+        // NO SinglePartition stage — buckets scale with the corpus
+        // (the Shards scaladoc contract), here 16·scale so per-bucket
+        // deals stay ~constant-sized as the corpus grows
+        val out = operators.Shards.assignBalanced(
+          docs, "doc_id", "text",
+          nShards = 16, numBuckets = 16 * scale, salt = "shard")
+        val m = operators.Shards.manifest(out, "doc_id")
+          .agg(min("total_tokens"), max("total_tokens"), sum("n_docs"))
+          .collect()(0)
+        extraFields = f""","imbalance":${
+          (m.getLong(1) - m.getLong(0)).toDouble / m.getLong(1)}%.4f"""
+        m.getLong(2)
+      }
+      measure("curation_v3", scale) {
+        // the six-gate log: v2's families + the LM hit-frac gate
+        // (model trained on the 40% lmref slice of the amplified
+        // corpus — the `#i` markers inflate the vocabulary linearly,
+        // the honest load for the vocabulary-sized model joins)
+        // aggregate over `kept` (not a bare count): kept depends on
+        // every gate, so no join subtree is prunable — the
+        // lm_perplexity count()-prune lesson
+        val r = operators.Curation.reportV3(
+          docs, "doc_id", "text", emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") < lit(16L) * scale &&
+            pmod(col("vec_id"), lit(scale)) === 0), "vec_id", "embedding",
+          isTarget = operators.Sampling.hashBucket(col("doc_id"), "tgt", 100) < 40,
+          lmRef = operators.Sampling.hashBucket(col("doc_id"), "lmref", 100) < 40,
+          n = 3, k = 12, rowsPerBand = 3, threshold = 0.5,
+          dsirDim = 512, dsirSalt = "dsir", minAffinity = 0.4,
+          outlierFraction = 0.1, minHitFrac = 0.99)
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("kept"), 1L).otherwise(0L)).as("k")).collect()(0)
+        extraFields = s""","kept":${r.getLong(1)}"""
+        r.getLong(0)
+      }
       measure("lm_perplexity", scale) {
         // the true backoff-LM gate end-to-end: train unigram+bigram
         // counts on the ~40% reference slice, score the other ~60%

@@ -698,8 +698,11 @@ object Dedup {
       // the positional filter above — 501.8→318.3 s (1.58×), pairs
       // identical, max task 45.4→24.3 s, because the pruned rows
       // never reach this exchange or its agg state. More reducers is
-      // NOT a lever: 512 OOMs the 8 GiB JVM outright (measured r16)
-      // where 256 completes.
+      // NOT a lever: pre-filter, 512 OOM'd the 8 GiB JVM where 256
+      // completed; post-filter, 512 completes but ~32% slower
+      // (420.2 s vs 318.3 s at 100×, same pairs — the added
+      // task/shuffle overhead outweighs the smaller per-task state;
+      // both probes r16).
       .groupBy("id_a", "id_b", "len_a", "len_b")
       .agg(count(lit(1)).as("__c"))
       .filter(

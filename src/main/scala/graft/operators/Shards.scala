@@ -28,8 +28,10 @@ import org.apache.spark.sql.functions._
   * per bucket while every stage runs bucket-parallel:
   *
   *  - the window is `partitionBy(bucket)` over NARROW (id, tokens,
-  *    bucket) rows — text never rides the rank shuffle (the
-  *    [[Sampling.perKeyCap]] discipline), and Spark executes it as
+  *    bucket) rows — text rides ONE round-robin spread exchange (to
+  *    run the tokenize at cluster parallelism instead of scan
+  *    parallelism) and never the rank shuffle (the
+  *    [[Sampling.perKeyCap]] discipline); Spark executes the rank as
   *    `numBuckets`-way parallel sorts, never a single partition;
   *  - `numBuckets` scales with the corpus (buckets ≫ shards keeps
   *    each deal long enough to balance; buckets ≪ corpus keeps the
@@ -50,10 +52,20 @@ object Shards {
       nShards: Int, numBuckets: Int, salt: String = "shard"): DataFrame = {
     require(nShards >= 1, s"nShards=$nShards must be >= 1")
     require(numBuckets >= 1, s"numBuckets=$numBuckets must be >= 1")
-    val narrow = docs.select(
-      col(idCol),
-      TextAnalysis.tokenCount(col(textCol)).as("n_tokens"),
-      Sampling.hashBucket(col(idCol), salt, numBuckets).as("__bucket"))
+    // spread the tokenize/md5 projection off the file scan (the
+    // gram-frontier lesson: fused into a few-file scan it runs at
+    // scan parallelism — measured in the shard_balanced ScaleStress
+    // arm, 500k docs tokenized in ONE ~10 s task), then pin the
+    // window's bucket exchange so AQE cannot coalesce the tiny
+    // narrow-row shuffle back to a handful of reducers
+    val parts = Dedup.pinnedParts(docs)
+    val narrow = docs.select(col(idCol), col(textCol))
+      .repartition(parts)
+      .select(
+        col(idCol),
+        TextAnalysis.tokenCount(col(textCol)).as("n_tokens"),
+        Sampling.hashBucket(col(idCol), salt, numBuckets).as("__bucket"))
+      .repartition(parts, col("__bucket"))
     val rank = row_number().over(
       Window.partitionBy("__bucket")
         .orderBy(col("n_tokens").desc, col(idCol)))
