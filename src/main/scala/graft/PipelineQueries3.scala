@@ -344,7 +344,29 @@ object PipelineQueries3 {
         .transform(Queries.sortedSmall(_, "feature", "bucket"))
     })
 
+  // --------------------------------------- exact global rank
+  // row_number() over the WHOLE corpus by (n_tokens, doc_id) — the
+  // oracle is the naive global window; the Spark side is
+  // Rank.globalRank's decomposition (key offsets + monotone id
+  // sub-buckets + (key, sub)-partitioned local rank), which never
+  // forms Exchange SinglePartition over corpus rows.
+  private val qGlobalRank = Queries.Q(
+    "p_global_rank",
+    Some("""
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(row_number() OVER (
+               ORDER BY len(string_split(text, ' ')), doc_id) AS BIGINT) AS rank
+      FROM documents
+      ORDER BY doc_id"""),
+    (s, dir) =>
+      graft.operators.Rank.globalRank(
+        Tables(s, dir).documents.select(col("doc_id"),
+          graft.operators.TextAnalysis.tokenCount(col("text")).as("n_tokens")),
+        "doc_id", "n_tokens")
+        .transform(Queries.sortedSmall(_, "doc_id")))
+
   val all: Seq[Queries.Q] =
     Seq(qLmBigramCounts, qLmScoreAudit, qShardAssign, qShardManifest,
-      qCurationV3, qCorpusDrift)
+      qCurationV3, qCorpusDrift, qGlobalRank)
 }

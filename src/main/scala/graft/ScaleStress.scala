@@ -304,6 +304,23 @@ object ScaleStress {
           b.filter(col("__sb") < 80), b.filter(col("__sb") >= 90),
           "doc_id", "text", n = 5).count()
       }
+      measure("global_rank", scale) {
+        // exact corpus-wide row_number by (n_tokens, doc_id): the
+        // amplified corpus has HEAVY key ties (every copy family
+        // shares its token count), the distribution the sub-bucket
+        // split exists for. Spread the tokenize off the scan (caller
+        // contract); force the rank column through an aggregate
+        // (count-prune lesson) — max(rank) must equal the row count,
+        // the arithmetic's own invariant riding the line.
+        val keyed = docs.repartition(spark.sparkContext.defaultParallelism)
+          .select(col("doc_id"),
+            operators.TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        val r = operators.Rank.globalRank(keyed, "doc_id", "n_tokens")
+          .agg(count(lit(1)).as("n"), max("rank").as("m")).collect()(0)
+        require(r.getLong(0) == r.getLong(1),
+          s"rank invariant broken: n=${r.getLong(0)} max_rank=${r.getLong(1)}")
+        r.getLong(0)
+      }
       measure("shard_balanced", scale) {
         // token-balanced export sharding: the claim under test is
         // that the bucket-partitioned serpentine scales linearly with
