@@ -366,7 +366,25 @@ object PipelineQueries3 {
         "doc_id", "n_tokens")
         .transform(Queries.sortedSmall(_, "doc_id")))
 
+  // The continuous-key variant over customer balances (a double with
+  // ~corpus-cardinality values — the shape whose distinct-key table
+  // would itself be corpus-sized): bucket offsets + within-bucket
+  // (key, id) rank; oracle is again the naive window.
+  private val qGlobalRankRange = Queries.Q(
+    "p_global_rank_range",
+    Some("""
+      SELECT c_custkey,
+             c_acctbal,
+             CAST(row_number() OVER (ORDER BY c_acctbal, c_custkey) AS BIGINT) AS rank
+      FROM customer
+      ORDER BY c_custkey"""),
+    (s, dir) =>
+      graft.operators.Rank.globalRankRange(
+        Tables(s, dir).customer.select("c_custkey", "c_acctbal"),
+        "c_custkey", "c_acctbal", numBuckets = 64)
+        .transform(Queries.sortedSmall(_, "c_custkey")))
+
   val all: Seq[Queries.Q] =
     Seq(qLmBigramCounts, qLmScoreAudit, qShardAssign, qShardManifest,
-      qCurationV3, qCorpusDrift, qGlobalRank)
+      qCurationV3, qCorpusDrift, qGlobalRank, qGlobalRankRange)
 }

@@ -97,4 +97,50 @@ object Rank {
         col(idCol), col(keyCol),
         (col("__koff") + col("__soff") + col("__lr")).as(out))
   }
+
+  /** [[globalRank]] for CONTINUOUS / high-cardinality keys, where a
+    * distinct-key offset table would itself be corpus-sized: bucket
+    * the key by `numBuckets−1` monotone sketch boundaries (equal keys
+    * always co-locate — the boundary compare is strict), take bucket
+    * offsets from the ≤ numBuckets-row count table, and rank within
+    * each bucket by (key, id). Exact wherever the boundaries fall;
+    * their placement only balances the per-bucket sort volume
+    * (~corpus/numBuckets under a healthy sketch). The one skew case
+    * this variant does NOT split is a single key value carrying a
+    * dominant corpus fraction — that is [[globalRank]]'s tie-split
+    * territory; pick by key shape. */
+  def globalRankRange(
+      df: DataFrame, idCol: String, keyCol: String,
+      numBuckets: Int = 256, out: String = "rank"): DataFrame = {
+    require(numBuckets >= 1, s"numBuckets=$numBuckets must be >= 1")
+    val parts = Dedup.pinnedParts(df)
+    val narrow = df.select(col(idCol), col(keyCol))
+    val bounds: Seq[Double] =
+      if (numBuckets == 1) Seq.empty
+      else {
+        val qs = (1 until numBuckets).map(_.toDouble / numBuckets)
+        val row = narrow.agg(percentile_approx(
+          col(keyCol).cast("double"), typedLit(qs), lit(10000))).collect()(0)
+        if (row.isNullAt(0)) Seq.empty
+        else row.getSeq[Double](0).distinct.sorted
+      }
+    val bktCol =
+      if (bounds.isEmpty) lit(0)
+      else size(filter(typedLit(bounds), b => b < col(keyCol).cast("double")))
+    val rows = narrow.withColumn("__bkt", bktCol)
+    val bktOff = rows.groupBy("__bkt").agg(count(lit(1)).as("__cb"))
+      .withColumn("__boff",
+        coalesce(
+          sum("__cb").over(Window.orderBy(col("__bkt"))
+            .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .drop("__cb")
+    val local = row_number().over(
+      Window.partitionBy(col("__bkt")).orderBy(col(keyCol), col(idCol)))
+    rows
+      .repartition(parts, col("__bkt"))
+      .withColumn("__lr", local.cast("long"))
+      .join(broadcast(bktOff), Seq("__bkt"))
+      .select(col(idCol), col(keyCol), (col("__boff") + col("__lr")).as(out))
+  }
 }

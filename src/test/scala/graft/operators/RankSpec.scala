@@ -48,6 +48,24 @@ class RankSpec extends SparkSpec {
     assert(run() == run())
   }
 
+  test("globalRankRange ≡ the window rank on a continuous key") {
+    val cust = graft.Tables(spark, sf("sf0.001")).customer
+      .select(col("c_custkey").as("id"), col("c_acctbal").as("k"))
+    val got = Rank.globalRankRange(cust, "id", "k", numBuckets = 16)
+      .orderBy("id").collect().toSeq
+    val want = windowRank(cust, "id", "k").orderBy("id").collect().toSeq
+    assert(got == want)
+  }
+
+  test("globalRankRange: equal keys at a boundary co-locate (strict compare)") {
+    // many duplicates of a handful of values — boundaries land ON
+    // values; correctness requires equal keys in one bucket
+    val df = spark.range(0, 900).toDF("id").withColumn("k", (col("id") % 3).cast("double"))
+    val got = Rank.globalRankRange(df, "id", "k", numBuckets = 8)
+      .orderBy("id").collect().toSeq
+    assert(got == windowRank(df, "id", "k").orderBy("id").collect().toSeq)
+  }
+
   test("plan: the corpus-row window is (key, sub)-partitioned, never SinglePartition") {
     val docs = graft.Tables(spark, sf("sf0.001")).documents
       .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("k"))
