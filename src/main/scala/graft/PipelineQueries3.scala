@@ -384,7 +384,80 @@ object PipelineQueries3 {
         "c_custkey", "c_acctbal", numBuckets = 64)
         .transform(Queries.sortedSmall(_, "c_custkey")))
 
+  // --------------------------------------- CCNet-style LM buckets
+  // The head/middle/tail split CCNet applies per language: rank every
+  // SCORABLE document by LM quality (hit_frac DESC — the engine-exact
+  // LM surface; ties broken by doc_id) and cut exact terciles with
+  // integer arithmetic: bucket = ((rank−1)·3) div n. Composes the LM
+  // gate with Rank.globalRank (hit_frac is tie-HEAVY — most docs
+  // score 1.0 — exactly the distribution the discrete variant's id
+  // sub-buckets split). Oracle is the naive global window + the same
+  // integer cut.
+  private val qCcnetBuckets = Queries.Q(
+    "p_ccnet_buckets",
+    Some(s"""
+      WITH ref AS (SELECT doc_id, text FROM documents WHERE $duckRefPred),
+      rtok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM ref),
+      uni AS (SELECT w, COUNT(*) AS c1
+              FROM (SELECT unnest(tk) AS w FROM rtok) GROUP BY w),
+      rg AS (SELECT unnest(list_transform(
+               generate_series(1, greatest(len(tk) - 1, 0)),
+               i -> tk[i] || ' ' || tk[i + 1])) AS gram
+             FROM rtok),
+      bi AS (SELECT gram, COUNT(*) AS c2 FROM rg GROUP BY gram),
+      ttok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      tg AS (SELECT doc_id, unnest(list_transform(
+               generate_series(1, greatest(len(tk) - 1, 0)),
+               i -> struct_pack(w1 := tk[i], gram := tk[i] || ' ' || tk[i + 1]))) AS s
+             FROM ttok),
+      per AS (SELECT t.doc_id,
+                CASE WHEN bi.c2 IS NOT NULL AND u1.c1 IS NOT NULL
+                     THEN 1 ELSE 0 END AS hit
+              FROM (SELECT doc_id, s.w1 AS w1, s.gram AS gram FROM tg) t
+              LEFT JOIN bi ON t.gram = bi.gram
+              LEFT JOIN uni u1 ON t.w1 = u1.w),
+      agg AS (SELECT doc_id, COUNT(*) AS n_scored,
+                CAST(SUM(hit) AS BIGINT) AS n_hit
+              FROM per GROUP BY doc_id),
+      sc AS (SELECT doc_id,
+               CAST(n_hit AS DOUBLE) / n_scored AS hit_frac
+             FROM agg WHERE n_scored > 0),
+      rk AS (SELECT doc_id, hit_frac,
+               CAST(row_number() OVER (
+                 ORDER BY hit_frac DESC, doc_id) AS BIGINT) AS rank,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n
+             FROM sc)
+      SELECT doc_id, hit_frac, rank,
+             CASE CAST(((rank - 1) * 3) // n AS BIGINT)
+               WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail'
+             END AS bucket
+      FROM rk
+      ORDER BY doc_id"""),
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      val ref = docs.filter(refPred)
+      val scored = LanguageModel.perplexity(docs, "doc_id", "text",
+        LanguageModel.ngramCounts(ref, "text", 1),
+        LanguageModel.ngramCounts(ref, "text", 2))
+        .filter(col("n_scored") > 0)
+        // rank DESC via the negated exact fraction: hit_frac is one
+        // IEEE division, so -hit_frac is exact and order-equivalent
+        .select(col("doc_id"), col("hit_frac"),
+          (-col("hit_frac")).as("__negf"))
+      val n = scored.agg(count(lit(1)).as("__n"))
+      graft.operators.Rank.globalRank(scored, "doc_id", "__negf")
+        .crossJoin(broadcast(n))
+        .join(scored.select("doc_id", "hit_frac"), Seq("doc_id"))
+        .select(
+          col("doc_id"), col("hit_frac"), col("rank"),
+          when(expr("((rank - 1) * 3) div __n") === 0, "head")
+            .when(expr("((rank - 1) * 3) div __n") === 1, "middle")
+            .otherwise("tail").as("bucket"))
+        .transform(Queries.sortedSmall(_, "doc_id"))
+    })
+
   val all: Seq[Queries.Q] =
     Seq(qLmBigramCounts, qLmScoreAudit, qShardAssign, qShardManifest,
-      qCurationV3, qCorpusDrift, qGlobalRank, qGlobalRankRange)
+      qCurationV3, qCorpusDrift, qGlobalRank, qGlobalRankRange,
+      qCcnetBuckets)
 }
