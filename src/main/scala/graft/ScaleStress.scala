@@ -304,6 +304,26 @@ object ScaleStress {
           b.filter(col("__sb") < 80), b.filter(col("__sb") >= 90),
           "doc_id", "text", n = 5).count()
       }
+      measure("corpus_drift", scale) {
+        // snapshot-to-snapshot distribution monitor: old = corpus
+        // minus every 10th doc with drift on %7==3 (the lineage
+        // derivation). The claim under test: cost is two map-side
+        // passes — the shuffle carries only (feature, bucket)
+        // aggregates, so wall tracks the scans, never a join of
+        // corpus-sized sides. Output is bucket-bounded (rows stay
+        // ~constant as the corpus grows); force the ppm columns
+        // through an aggregate (count-prune lesson).
+        val sOld = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+          .select(col("doc_id"),
+            when(pmod(col("doc_id"), lit(7)) === 3,
+              concat(col("text"), lit(" drifted crawl content here")))
+              .otherwise(col("text")).as("text"))
+        val r = operators.Drift.report(sOld, docs, "doc_id", "text")
+          .agg(count(lit(1)).as("n"),
+            sum(abs(col("delta_ppm"))).as("tv")).collect()(0)
+        extraFields = s""","sum_abs_delta_ppm":${r.getLong(1)}"""
+        r.getLong(0)
+      }
       measure("global_rank", scale) {
         // exact corpus-wide row_number by (n_tokens, doc_id): the
         // amplified corpus has HEAVY key ties (every copy family
