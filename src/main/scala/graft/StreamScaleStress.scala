@@ -162,6 +162,13 @@ object StreamScaleStress {
         results += line
       }
       // static artifacts for the two stateless gates come from the
+      measure("stream_drift_counts", scale, feedDir, "update") { s =>
+        // the online corpus monitor: state is the BUCKET SPACE
+        // (≤ ~76 rows here — len_bin magnitudes + stop deciles),
+        // never the corpus; the state_rows series must stay flat and
+        // tiny while input grows — the bounded-horizon claim
+        StreamingOps.driftCountsStream(s, "doc_id", "text")
+      }
       // UNAMPLIFIED corpus — the production shape (reference set /
       // trained counts are fixed; the stream is what scales)
       measure("stream_simhash_drop", scale, feedDir, "append") { s =>

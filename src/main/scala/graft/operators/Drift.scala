@@ -36,7 +36,7 @@ import org.apache.spark.sql.functions._
   */
 object Drift {
 
-  private def buckets(
+  private[graft] def buckets(
       docs0: DataFrame, idCol: String, textCol: String,
       langCol: Option[String]): DataFrame = {
     // spread the tokenize off the file scan (the frontier checklist:

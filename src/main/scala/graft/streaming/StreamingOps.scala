@@ -654,6 +654,28 @@ object StreamingOps {
         g => BloomPrune.mightContain(heldGramFilter, md5(g))))
     }
 
+  /** STREAMING corpus monitor — the online twin of
+    * [[graft.operators.Drift.report]]'s counting side: running
+    * (feature, bucket, n) histogram counts over an unbounded document
+    * stream, maintained by a plain streaming aggregation whose state
+    * is BOUNDED BY THE BUCKET SPACE (len_bin ≤ 64 binary magnitudes,
+    * stop_decile ≤ 12 values, lang ≤ live languages — never the
+    * corpus), so the horizon is unbounded by construction with no
+    * watermark or eviction policy needed. The bucket expressions are
+    * the batch operator's own ([[graft.operators.Drift.buckets]]),
+    * so after ANY stream prefix the counts equal the batch histogram
+    * over the same rows exactly (spec-diffed) — join the output
+    * against a frozen baseline snapshot's ppm (stream-static,
+    * bucket-keyed broadcast) to alert on live distribution shift.
+    * Use output mode Update (deltas) or Complete (the whole bounded
+    * table, ≤ the bucket space). */
+  def driftCountsStream(
+      docs: DataFrame, idCol: String, textCol: String,
+      langCol: Option[String] = None): DataFrame =
+    graft.operators.Drift.buckets(docs, idCol, textCol, langCol)
+      .groupBy("feature", "bucket")
+      .agg(count(lit(1)).as("n"))
+
   /** STREAMING cluster-balanced sample — the incremental form of
     * [[graft.operators.Similarity.cellBalancedSample]]: assign each
     * arriving embedding to its nearest-centroid cell with the
