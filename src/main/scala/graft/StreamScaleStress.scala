@@ -161,7 +161,6 @@ object StreamScaleStress {
         println(line)
         results += line
       }
-      // static artifacts for the two stateless gates come from the
       measure("stream_drift_counts", scale, feedDir, "update") { s =>
         // the online corpus monitor: state is the BUCKET SPACE
         // (≤ ~76 rows here — len_bin magnitudes + stop deciles),
@@ -169,6 +168,7 @@ object StreamScaleStress {
         // tiny while input grows — the bounded-horizon claim
         StreamingOps.driftCountsStream(s, "doc_id", "text")
       }
+      // static artifacts for the two stateless gates come from the
       // UNAMPLIFIED corpus — the production shape (reference set /
       // trained counts are fixed; the stream is what scales)
       measure("stream_simhash_drop", scale, feedDir, "append") { s =>

@@ -327,6 +327,12 @@ object Curation {
       idCol: String, textCol: String,
       gateCols: Seq[String] =
         Seq("quality_keep", "exact_dup_loser", "near_dup_loser")): DataFrame = {
+    // concat() with zero children fails at ANALYSIS time, so an
+    // explicit empty gate list would die with an opaque planner error
+    // deep inside flipped_gates — fail at the API boundary instead
+    // (a lineage with no gates has no flip semantics to report).
+    require(gateCols.nonEmpty,
+      "lineage needs at least one gate column (flipped_gates is defined over gateCols)")
     val d = Snapshot.diff(oldDocs, newDocs, idCol, textCol)
       .withColumnRenamed("doc_id", idCol)
       .select(idCol, "status")

@@ -37,7 +37,7 @@ import org.apache.spark.sql.functions._
 object Drift {
 
   private[graft] def buckets(
-      docs0: DataFrame, idCol: String, textCol: String,
+      docs0: DataFrame, textCol: String,
       langCol: Option[String]): DataFrame = {
     // spread the tokenize off the file scan (the frontier checklist:
     // fused into a few-file scan the whole stopword/length pass runs
@@ -66,12 +66,16 @@ object Drift {
     }
   }
 
+  /** `idCol` is unused by the counting (histograms are per-feature,
+    * not per-document) — kept for signature symmetry with every other
+    * two-snapshot operator in the library ([[Snapshot.diff]],
+    * [[Curation.lineage]]), so call sites stay drop-in swappable. */
   def report(
       oldDocs: DataFrame, newDocs: DataFrame,
       idCol: String, textCol: String,
       langCol: Option[String] = None): DataFrame = {
     def agg(docs: DataFrame, side: String) = {
-      val b = buckets(docs, idCol, textCol, langCol)
+      val b = buckets(docs, textCol, langCol)
         .groupBy("feature", "bucket")
         .agg(count(lit(1)).as(s"${side}_n"))
       // per-feature totals, not a global scalar: every feature

@@ -464,6 +464,18 @@ object StreamingOps {
     * sink (parquet append = at-least-once, standard foreachBatch
     * contract).
     *
+    * LIFECYCLE CONTRACT: `indexDir` is an extension of the query's
+    * CHECKPOINT, and the two must live and die together. The
+    * overwrite-idempotency above distinguishes a retry from a fresh
+    * batch purely by batchId — and batchIds come from the
+    * checkpoint. Restarting with a FRESH checkpoint but the SAME
+    * indexDir restarts batchIds at 0, so each "new" batch silently
+    * overwrites b0, b1, … and corrupts the accumulated history
+    * (nothing inside the function can tell that apart from a
+    * legitimate retry of batch 0). Treat them as one unit: same
+    * lifetime, same deletion, ideally sibling paths
+    * (`$root/checkpoint`, `$root/ndindex`).
+    *
     * Scale shape: banding is map-side; admission is one
     * bucket-keyed window rank over the BATCH (not history); the
     * probe is a bucket equi-join with the batch side as the
@@ -672,7 +684,7 @@ object StreamingOps {
   def driftCountsStream(
       docs: DataFrame, idCol: String, textCol: String,
       langCol: Option[String] = None): DataFrame =
-    graft.operators.Drift.buckets(docs, idCol, textCol, langCol)
+    graft.operators.Drift.buckets(docs, textCol, langCol)
       .groupBy("feature", "bucket")
       .agg(count(lit(1)).as("n"))
 
