@@ -456,8 +456,91 @@ object PipelineQueries3 {
         .transform(Queries.sortedSmall(_, "doc_id"))
     })
 
+  // --------------------------- perceptual image near-dup under oracle
+  // The multimodal dedup gap (r16 verdict "What's missing" #2): 18
+  // formulaic PNGs — 6 families of (original, brightness-shifted
+  // copy, sparsely-perturbed copy) across all four channel layouts —
+  // plus 2 undecodable payloads, paired by 64-bit dHash Hamming ≤3
+  // through the SAME pigeonhole block join as text simhash. The
+  // oracle decodes nothing: it recomputes every grid luma from the
+  // pixel formula and the NN floor rule, reassembles both dHashes
+  // bit by bit, and derives the pair set with xor + bit_count — one
+  // wrong resample index, luma rule, gradient sign, or band split
+  // fails the hash. The fixture is tuned so the uniform-shift copies
+  // land at Hamming 0 (dHash's invariance claim), the perturbed
+  // copies at 1–5 (one family EXCEEDS the threshold — the boundary
+  // is exercised from both sides), and cross-family distances stay
+  // ≥11 (no coincidental pairs).
+  private val qImageNearDup = Queries.Q(
+    "p_image_near_dup",
+    Some("""
+      WITH imgs AS (
+        SELECT i, (i // 3) AS b, (i % 3) AS v,
+               12 + (i // 3) AS w, 10 + ((i // 3) % 4) AS h,
+               CASE (i // 3) % 4 WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 2 THEN 2 ELSE 4 END AS ch
+        FROM generate_series(0, 17) t(i)),
+      cells AS (
+        SELECT i, b, v, ch, gx, gy,
+               ((gx * w) // 9) AS sx, ((gy * h) // 8) AS sy
+        FROM imgs, generate_series(0, 8) gxs(gx), generate_series(0, 7) gys(gy)),
+      px AS (
+        SELECT i, gx, gy,
+               CASE WHEN ch >= 3 THEN (f0 + f1 + f2) // 3 ELSE f0 END AS luma
+        FROM (SELECT *,
+                (sx*17 + sy*29 + b*53) % 180 + sh AS f0,
+                (sx*17 + sy*29 + 37 + b*53) % 180 + sh AS f1,
+                (sx*17 + sy*29 + 74 + b*53) % 180 + sh AS f2
+              FROM (SELECT *,
+                      CASE WHEN v = 1 THEN 40
+                           WHEN v = 2 AND (sx + sy) % 11 = 0 THEN 25
+                           ELSE 0 END AS sh
+                    FROM cells))),
+      bits AS (
+        SELECT a.i, (a.gy * 8 + a.gx) AS bb,
+               CASE WHEN n.luma > a.luma THEN 1 ELSE 0 END AS bit
+        FROM px a JOIN px n ON n.i = a.i AND n.gy = a.gy AND n.gx = a.gx + 1
+        WHERE a.gx < 8),
+      hs AS (
+        -- two 32-bit halves: DuckDB range-checks << so 1<<63 is not
+        -- assemblable in one BIGINT; Hamming sums over halves anyway
+        SELECT i,
+               bit_or(CASE WHEN bit = 1 AND bb < 32
+                           THEN (CAST(1 AS BIGINT) << bb) ELSE 0 END) AS dh_lo,
+               bit_or(CASE WHEN bit = 1 AND bb >= 32
+                           THEN (CAST(1 AS BIGINT) << (bb - 32)) ELSE 0 END) AS dh_hi
+        FROM bits GROUP BY i)
+      SELECT id_a, id_b, hamming FROM (
+        SELECT CAST(x.i AS BIGINT) AS id_a, CAST(y.i AS BIGINT) AS id_b,
+               CAST(bit_count(xor(x.dh_lo, y.dh_lo)) +
+                    bit_count(xor(x.dh_hi, y.dh_hi)) AS BIGINT) AS hamming
+        FROM hs x JOIN hs y ON x.i < y.i)
+      WHERE hamming <= 3
+      ORDER BY id_a, id_b"""),
+    (s, dir) => {
+      val imgs: Seq[(Long, Array[Byte])] = (0 until 18).map { i =>
+        val b = i / 3
+        val v = i % 3
+        val (w, h) = (12 + b, 10 + b % 4)
+        val ch = Seq(1, 3, 2, 4)(b % 4)
+        (i.toLong, operators.Multimodal.encodePng(w, h, ch,
+          (x, y, c) => (x * 17 + y * 29 + c * 37 + b * 53) % 180 +
+            (if (v == 1) 40 else if (v == 2 && (x + y) % 11 == 0) 25 else 0),
+          y => (y + i) % 5))
+      }
+      // undecodable payloads flow through as NULL hashes and must be
+      // dropped, never paired
+      val junk: Seq[(Long, Array[Byte])] = Seq(
+        18L -> "not an image at all".getBytes("UTF-8"),
+        19L -> Array[Byte](0x1, 0x2, 0x3))
+      import s.implicits._
+      operators.Multimodal.imageNearDupPairs(
+        (imgs ++ junk).toDF("img_id", "payload"), "img_id", "payload",
+        maxHamming = 3)
+        .transform(Queries.sortedSmall(_, "id_a", "id_b"))
+    })
+
   val all: Seq[Queries.Q] =
     Seq(qLmBigramCounts, qLmScoreAudit, qShardAssign, qShardManifest,
       qCurationV3, qCorpusDrift, qGlobalRank, qGlobalRankRange,
-      qCcnetBuckets)
+      qCcnetBuckets, qImageNearDup)
 }

@@ -205,6 +205,15 @@ object GraftFunctions {
     graftBridge.column(ImageResizeNN(
       Seq(pixels, srcW, srcH, channels, dstW, dstH).map(graftBridge.expression)))
 
+  /** Column-API form of [[ImageDHash64]]: 64-bit perceptual
+    * difference hash of a raw pixel buffer (9×8 NN grid → integer
+    * luma → horizontal gradient signs); NULL when the pixels are
+    * NULL or the buffer breaks the w·h·ch layout contract. */
+  def imageDHash64(pixels: Column, width: Column, height: Column,
+      channels: Column): Column =
+    graftBridge.column(ImageDHash64(
+      Seq(pixels, width, height, channels).map(graftBridge.expression)))
+
   /** Column-API form of [[AviMeta]]: struct<width, height, fps_num,
     * fps_den, n_frames> of an uncompressed AVI payload; NULL when
     * absent/undecodable. */
@@ -365,6 +374,13 @@ object GraftFunctions {
         (args: Seq[Expression]) => {
           require(args.length == 6, s"graft_resize_nn expects 6 arguments, got ${args.length}")
           ImageResizeNN(args)
+        }),
+      (
+        FunctionIdentifier("graft_image_dhash"),
+        new ExpressionInfo(classOf[ImageDHash64].getName, "graft_image_dhash"),
+        (args: Seq[Expression]) => {
+          require(args.length == 4, s"graft_image_dhash expects 4 arguments, got ${args.length}")
+          ImageDHash64(args)
         }),
       (
         FunctionIdentifier("graft_top_k"),

@@ -898,9 +898,6 @@ object Dedup {
   def simhashNearDupPairs(
       docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, maxBucket: Int = 65536, chunkSize: Int = 256): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 3,
-      s"maxHamming=$maxHamming outside [0,3]: 4-block pigeonhole is lossless only to 3")
-    require(chunkSize > 0, s"chunkSize=$chunkSize must be positive")
     // Parse the four 16-bit blocks from the hex signature ONCE per
     // doc, BEFORE fan-out: the per-pair verify below is then pure
     // long xor + popcount — no per-pair substring/conv of hex (8
@@ -910,6 +907,32 @@ object Dedup {
         col(idCol).as("id") +:
           (0 until 4).map(b => simhashBand(col("__sh"), b).as(s"__b$b")): _*)
       .localCheckpoint(true)
+    hammingBandPairs(sh, maxHamming, maxBucket, chunkSize)
+  }
+
+  /** The pigeonhole Hamming-pair core of [[simhashNearDupPairs]],
+    * factored over the SIGNATURE so any 64-bit fingerprint family
+    * reuses the one audited block/chunk join — text simhash above,
+    * perceptual image dHash
+    * ([[graft.operators.Multimodal.imageNearDupPairs]]).
+    *
+    * `sig` must be one row per document: (id, __b0..__b3), the four
+    * 16-bit blocks of the 64-bit fingerprint as ints — pre-split so
+    * the per-pair verify is pure long xor + popcount. The caller is
+    * expected to have materialized it ([[simhash64ByKey]] ends in an
+    * aggregation; the image path localCheckpoints after decode) so
+    * the block fan-out below doesn't recompute the signature four
+    * times. Block/chunk semantics, the `maxBucket` cap, and the
+    * flood-block straggler chunking are exactly as documented on
+    * [[simhashNearDupPairs]]. Output: (id_a, id_b, hamming),
+    * id_a < id_b. */
+  private[graft] def hammingBandPairs(
+      sig: DataFrame,
+      maxHamming: Int, maxBucket: Int, chunkSize: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"maxHamming=$maxHamming outside [0,3]: 4-block pigeonhole is lossless only to 3")
+    require(chunkSize > 0, s"chunkSize=$chunkSize must be positive")
+    val sh = sig
     val bandCols = (0 until 4).map(b => col(s"__b$b"))
     val rows = sh.select(
       (col("id") +: bandCols) :+

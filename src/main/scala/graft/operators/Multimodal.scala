@@ -210,6 +210,61 @@ object Multimodal {
       .when(isGif(payload), graft.functions.GraftFunctions.gifPixelStats(payload))
       .when(isJpeg(payload), graft.functions.GraftFunctions.jpegPixelStats(payload))
 
+  /** 64-bit perceptual dHash of an image payload — decode dispatch
+    * ([[imagePixels]]) + header dims ([[imageMeta]]) + the
+    * [[graft.functions.ImageDHash64]] gradient hash, as one per-row
+    * column. NULL for payloads outside the decodable scope (they
+    * flow through, exactly like [[imagePixels]]). The decoded pixel
+    * buffer lives only inside this projection's expression tree — it
+    * is never materialized into the row, so nothing image-sized ever
+    * rides a shuffle. */
+  def imageDHash(payload: Column): Column = {
+    val m = imageMeta(payload)
+    graft.functions.GraftFunctions.imageDHash64(
+      imagePixels(payload),
+      m.getField("width").cast("int"),
+      m.getField("height").cast("int"),
+      m.getField("channels").cast("int"))
+  }
+
+  /** Perceptual image NEAR-DUP pairs — the multimodal twin of
+    * [[Dedup.simhashNearDupPairs]]: every unordered pair of decodable
+    * images whose [[imageDHash]] fingerprints are within `maxHamming`
+    * bits, found by the SAME lossless 4×16-bit pigeonhole block join
+    * (a pair within Hamming ≤3 shares at least one block), the same
+    * `maxBucket` flood cap and the same chunked straggler control —
+    * the machinery is literally shared ([[Dedup.hammingBandPairs]]),
+    * so every scale property measured on the text path (bucketed
+    * join, never all-pairs, chunk-split flood blocks) carries over.
+    *
+    * dHash is brightness-shift- and rescale-invariant by
+    * construction, so re-encoded / resized / brightness-nudged copies
+    * of one image — the dominant duplicate classes in a crawled
+    * multimodal corpus — land at Hamming 0–3 while unrelated images
+    * scatter near 32. Undecodable payloads (NULL hash) are dropped
+    * here, not paired: absence of evidence is not similarity.
+    *
+    * Output: (id_a, id_b, hamming), id_a < id_b.
+    * The decode frontier is spread off the file scan first (the
+    * tokenize-frontier checklist — per-row image decode fused into a
+    * few-file scan would run at scan parallelism). */
+  def imageNearDupPairs(
+      docs: DataFrame, idCol: String, payloadCol: String,
+      maxHamming: Int = 3, maxBucket: Int = 65536, chunkSize: Int = 256): DataFrame = {
+    val sig = docs
+      .select(col(idCol), col(payloadCol))
+      .repartition(Dedup.pinnedParts(docs))
+      .select(col(idCol).as("id"), imageDHash(col(payloadCol)).as("__dh"))
+      .filter(col("__dh").isNotNull)
+      .select(
+        col("id") +:
+          (0 until 4).map(b =>
+            shiftrightunsigned(col("__dh"), 48 - 16 * b)
+              .bitwiseAND(lit(0xFFFFL)).cast("int").as(s"__b$b")): _*)
+      .localCheckpoint(true)
+    Dedup.hammingBandPairs(sig, maxHamming, maxBucket, chunkSize)
+  }
+
   /** RIFF/AVI magic: 'RIFF' at offset 0, 'AVI ' at offset 8. */
   private def isAvi(payload: Column): Column =
     octet_length(payload) >= 24 &&

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.GraftFunctions
+
+/** Perceptual image near-dup: dHash known values, the two invariance
+  * claims (uniform brightness shift, exact NN upscale), NULL
+  * tolerance for undecodable payloads, and pigeonhole completeness —
+  * the banded pair set must equal brute force over all hash pairs. */
+class ImageNearDupSpec extends SparkSpec {
+
+  private def dhashOf(payload: Array[Byte]): java.lang.Long = {
+    import spark.implicits._
+    Seq(Tuple1(payload)).toDF("p")
+      .select(Multimodal.imageDHash(col("p")).as("h"))
+      .collect().head.getAs[java.lang.Long]("h")
+  }
+
+  test("dHash known values: monotone row = all bits, constant = zero") {
+    // 9×8 gray, pixel = x: the NN grid is the identity, every
+    // horizontal gradient is +1 → all 64 bits set → -1L as a signed
+    // long; a constant image has no positive gradient anywhere → 0L
+    val monotone = Multimodal.encodePng(9, 8, 1, (x, _, _) => x)
+    val const = Multimodal.encodePng(9, 8, 1, (_, _, _) => 77)
+    assert(dhashOf(monotone) == -1L)
+    assert(dhashOf(const) == 0L)
+  }
+
+  test("dHash is invariant to uniform brightness shift and exact NN upscale") {
+    def pix(x: Int, y: Int, c: Int): Int = (x * 11 + y * 23 + c * 31) % 150
+    val base = Multimodal.encodePng(13, 9, 3, pix)
+    val brighter = Multimodal.encodePng(13, 9, 3, (x, y, c) => pix(x, y, c) + 90)
+    // 2× NN upscale: (gx·2w/9)/2 == gx·w/9 for every gx (floor
+    // algebra), so the grid resamples the identical source pixels
+    val upscaled = Multimodal.encodePng(26, 18, 3, (x, y, c) => pix(x / 2, y / 2, c))
+    val h = dhashOf(base)
+    assert(dhashOf(brighter) == h)
+    assert(dhashOf(upscaled) == h)
+  }
+
+  test("undecodable payloads hash NULL and never pair") {
+    import spark.implicits._
+    val df = Seq(
+      1L -> Multimodal.encodePng(6, 6, 1, (x, y, _) => (x * 3 + y) % 200),
+      2L -> Multimodal.encodePng(6, 6, 1, (x, y, _) => (x * 3 + y) % 200 + 30),
+      3L -> "junk bytes".getBytes("UTF-8")).toDF("img_id", "payload")
+    assert(df.select(Multimodal.imageDHash(col("payload"))).collect()
+      .count(_.isNullAt(0)) == 1)
+    val pairs = Multimodal.imageNearDupPairs(df, "img_id", "payload")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 0L)))
+  }
+
+  test("banded pairs equal brute force over every hash pair") {
+    import spark.implicits._
+    // a corpus with families at several Hamming distances (the
+    // p_image_near_dup fixture formula) + noise images
+    val imgs = (0 until 18).map { i =>
+      val b = i / 3; val v = i % 3
+      val ch = Seq(1, 3, 2, 4)(b % 4)
+      (i.toLong, Multimodal.encodePng(12 + b, 10 + b % 4, ch,
+        (x, y, c) => (x * 17 + y * 29 + c * 37 + b * 53) % 180 +
+          (if (v == 1) 40 else if (v == 2 && (x + y) % 11 == 0) 25 else 0),
+        y => (y + i) % 5))
+    }
+    val df = imgs.toDF("img_id", "payload")
+    val got = Multimodal.imageNearDupPairs(df, "img_id", "payload", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val hs = df.select(col("img_id"),
+      Multimodal.imageDHash(col("payload")).as("h"))
+    val brute = hs.as("a").join(hs.as("b"),
+        col("a.img_id") < col("b.img_id"))
+      .select(col("a.img_id"), col("b.img_id"),
+        bit_count(col("a.h").bitwiseXOR(col("b.h"))).cast("long").as("hm"))
+      .filter(col("hm") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(brute.nonEmpty && brute.exists(_._3 > 0L) && got == brute)
+  }
+}
