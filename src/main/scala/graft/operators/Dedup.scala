@@ -703,6 +703,35 @@ object Dedup {
       // (420.2 s vs 318.3 s at 100×, same pairs — the added
       // task/shuffle overhead outweighs the smaller per-task state;
       // both probes r16).
+      //
+      // The PPJoin+ SUFFIX-FILTER family (incl. the asymmetric
+      // indexing prefix) was ANALYZED AND REJECTED r17 — it is a
+      // provably negative trade at this operator's threshold, not an
+      // untried lever. Both variants prune candidate rows by
+      // restricting which shared tokens are emitted/counted, which
+      // weakens what the count c certifies: with the asymmetric
+      // prefix p_u = l_u − ⌈2t/(1+t)·l_u⌉ + 1 on the shorter side,
+      // the value-order bound on uncounted shared tokens becomes
+      // max(⌈2t/(1+t)·l_u⌉, ⌈t·l_v⌉) − 1 — at t=0.5, equal lengths,
+      // that is ⌈⅔L⌉−1 against α = ⌈⅔L⌉, so the post-agg filter
+      // keeps EVERY pair with c ≥ 1 and the entire junk candidate
+      // class (252M of 298M at 50×, sharing 1–5 prefix shingles)
+      // flows into the array-attach verify joins — the exact
+      // measured drowning the count filter exists to prevent. The
+      // true per-row suffix probe of the PPJoin+ paper needs the
+      // candidate's actual suffix contents in hand, i.e. shuffling
+      // corpus×prefix-sized arrays into the candidate join — the
+      // intermediate this shape is designed to never materialize.
+      // The count therefore must aggregate over BOTH full standard
+      // prefixes, and the exchange's key space — the distinct
+      // candidate pair set — is irreducible in this design. Its
+      // per-task agg state at 100×/256 reducers (~1.2B rows) is a
+      // bounded uniform disk spill under local-mode's thin per-core
+      // slice (the ~315 s wall: re-measured 314.4 s r17, 318.3 s
+      // r16 — stable, not noise) and in-memory state on any real
+      // executor's 1–4 GB/core. 50×→100× wall grows ~4.5× against
+      // ~4× candidate volume: linear in candidates, the right
+      // asymptotic shape.
       .groupBy("id_a", "id_b", "len_a", "len_b")
       .agg(count(lit(1)).as("__c"))
       .filter(
