@@ -483,8 +483,10 @@ object StreamingOps {
     * batch the index IS scanned (ids are 128-bit-hash-sized rows,
     * ~100 bytes/member — three orders under the text) — at real
     * scale, partition `indexDir` by bucket hash so the probe prunes,
-    * and compact the per-batch dirs periodically, both standard
-    * parquet hygiene this layout already permits.
+    * and fold the per-batch dirs into one compacted dir periodically
+    * with [[compactNearDupIndex]] (one maintenance call every N
+    * triggers keeps the dir/file count CONSTANT in stream horizon —
+    * without it the per-batch listing grows forever).
     *
     * The returned pair frame is LAZY but stable: the admitted
     * members are written before it is built, and both its inputs are
@@ -522,10 +524,15 @@ object StreamingOps {
     // history and its overwrite stays idempotent
     val dir = new org.apache.hadoop.fs.Path(indexDir)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // member dirs are b<id> (per batch) and c<id> (compacted, covers
+    // every admitted member from batches ≤ id — [[compactNearDupIndex]]);
+    // the name filter also shields the probe from a crashed
+    // compaction's _tmp_ leftovers
     val prior =
       if (!fs.exists(dir)) Seq.empty[String]
       else fs.listStatus(dir).toSeq
-        .filter(s => s.isDirectory && s.getPath.getName != s"b$batchId")
+        .filter(s => s.isDirectory && s.getPath.getName.matches("[bc]\\d+") &&
+          s.getPath.getName != s"b$batchId")
         .map(_.getPath.toString)
     val idx =
       if (prior.isEmpty) Seq.empty[(String, String, Long)].toDF("bucket", "id", "pos")
@@ -559,6 +566,73 @@ object StreamingOps {
         least(col("__new"), col("__old")).as("id_a"),
         greatest(col("__new"), col("__old")).as("id_b"))
       .distinct()
+  }
+
+  /** Maintenance pass for [[nearDupCandidatesIndexed]]'s signature
+    * index: merge the accumulated per-batch dirs into one cumulative
+    * compacted dir. An unbounded stream otherwise accretes one
+    * small-file directory per trigger FOREVER — at real horizons the
+    * per-batch listing + footer reads become their own scale problem
+    * long before the data does (the classic small-files tax). After
+    * compaction the history read costs one dir + `targetFiles`
+    * footers no matter how many batches have passed.
+    *
+    * Call BETWEEN batches from the same single-writer maintenance
+    * context as the stream (e.g. inside foreachBatch every N
+    * triggers, after the batch's pairs are consumed). The newest
+    * b<id> dir is always LEFT ALONE — it is the retry target of the
+    * possibly-in-flight trigger; everything older is committed
+    * history (foreachBatch never retries a committed batchId while
+    * the checkpoint lives — and [[nearDupCandidatesIndexed]]'s
+    * lifecycle contract already ties indexDir to the checkpoint).
+    *
+    * Layout + crash safety: members merge into `c<maxId>` (maxId =
+    * the largest compacted member id), which by construction covers
+    * EVERY admitted membership from batches ≤ maxId. The write goes
+    * to a `_tmp_` dir first (invisible to the `[bc]\d+` reader
+    * filter), renames into place, then deletes its sources — so a
+    * crash at any point leaves either the old dirs (rerun compacts
+    * them) or the new dir plus stale sources; the recovery sweep at
+    * the top of every call deletes members with id ≤ an existing
+    * c-dir's id (they are covered by it, by the invariant), making
+    * the pass idempotent and crash-rerunnable. Admitted (bucket, id,
+    * pos) rows are immutable facts, so compaction is a pure union —
+    * no merge logic, no ordering requirement. */
+  def compactNearDupIndex(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      targetFiles: Int = 4): Unit = {
+    require(targetFiles > 0, s"targetFiles=$targetFiles must be positive")
+    val dir = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return
+    def members() = fs.listStatus(dir).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.matches("[bc]\\d+"))
+      .map(_.getPath)
+    // recovery sweep: a previous pass that crashed between rename and
+    // source deletion leaves members the surviving c-dir already
+    // covers — deleting them first keeps the pass idempotent
+    val cIds = members().filter(_.getName.startsWith("c"))
+      .map(_.getName.tail.toLong)
+    if (cIds.nonEmpty) {
+      val cover = cIds.max
+      members()
+        .filter(p => p.getName != s"c$cover" && p.getName.tail.toLong <= cover)
+        .foreach(p => fs.delete(p, true))
+    }
+    val live = members().sortBy(_.getName.tail.toLong)
+    if (live.size < 3) return // nothing worth compacting
+    // live.last — the newest dir — is the in-flight trigger's retry
+    // target and stays untouched; everything older is committed
+    val sources = live.init
+    val cId = sources.map(_.getName.tail.toLong).max
+    val tmp = new org.apache.hadoop.fs.Path(dir, s"_tmp_c$cId")
+    spark.read.parquet(sources.map(_.toString): _*)
+      .repartition(targetFiles)
+      .write.mode("overwrite").parquet(tmp.toString)
+    if (!fs.rename(tmp, new org.apache.hadoop.fs.Path(dir, s"c$cId")))
+      throw new java.io.IOException(
+        s"compactNearDupIndex: rename of $tmp failed (concurrent writer?)")
+    sources.foreach(p => fs.delete(p, true))
   }
 
   /** STREAMING importance gate — online DSIR curation: keep a
@@ -665,6 +739,57 @@ object StreamingOps {
       docs.filter(!exists(grams,
         g => BloomPrune.mightContain(heldGramFilter, md5(g))))
     }
+
+  /** STREAMING LM scoring — the online twin of
+    * [[graft.operators.LanguageModel.perplexity]]: score each
+    * arriving document against FROZEN backoff-model artifacts
+    * (collected once via [[graft.operators.LanguageModel.collectModel]]
+    * from a trusted reference slice — reference models retrain
+    * rarely, exactly the importanceFilterStream artifact contract).
+    * The score is a pure per-row fold with literal-map probes
+    * ([[graft.operators.LanguageModel.perplexityColumn]]): stateless,
+    * no watermark, no state store, no join stage, so the horizon is
+    * unbounded by construction and any stream prefix equals the
+    * batch scorer on the same rows — BIT-identically for
+    * n_scored/n_hit/n_backoff/hit_frac, up to FP reassociation for
+    * the ln/exp-bearing avg_logprob/ppl (spec-diffed on both terms).
+    * Output schema matches the batch operator exactly:
+    * (idCol, n_scored, n_hit, n_backoff, hit_frac, avg_logprob, ppl).
+    *
+    * Scale contract: legal when the model is a bounded curated
+    * artifact (the maps ship once per executor inside the task
+    * binary, like a broadcast); for open-vocabulary models keep the
+    * DataFrame artifacts and run the batch operator per micro-batch
+    * in foreachBatch — a document's grams never straddle batches, so
+    * that form is exact too. */
+  def perplexityScoreStream(
+      docs: DataFrame, idCol: String, textCol: String,
+      uniCounts: Map[String, Long], biCounts: Map[String, Long],
+      nTotal: Long, vocab: Long, alpha: Double = 0.4): DataFrame =
+    docs
+      .withColumn("__lm", graft.operators.LanguageModel.perplexityColumn(
+        split(col(textCol), " "), uniCounts, biCounts, nTotal, vocab, alpha))
+      .select(col(idCol), col("__lm.n_scored").as("n_scored"),
+        col("__lm.n_hit").as("n_hit"), col("__lm.n_backoff").as("n_backoff"),
+        col("__lm.hit_frac").as("hit_frac"),
+        col("__lm.avg_logprob").as("avg_logprob"), col("__lm.ppl").as("ppl"))
+
+  /** STREAMING LM gate — [[perplexityScoreStream]]'s scoring with
+    * [[graft.operators.LanguageModel.perplexityFilter]]'s keep rule
+    * (drop ⇔ provably ppl > maxPpl; unscorable documents pass), as a
+    * composable filter that preserves the input columns. Stateless —
+    * composes inside any continuous pipeline at one fold per
+    * document. */
+  def perplexityFilterStream(
+      docs: DataFrame, textCol: String,
+      uniCounts: Map[String, Long], biCounts: Map[String, Long],
+      nTotal: Long, vocab: Long, maxPpl: Double,
+      alpha: Double = 0.4): DataFrame = {
+    val ppl = graft.operators.LanguageModel.perplexityColumn(
+      split(col(textCol), " "), uniCounts, biCounts, nTotal, vocab, alpha)
+      .getField("ppl")
+    docs.filter(ppl.isNull || ppl <= maxPpl)
+  }
 
   /** STREAMING corpus monitor — the online twin of
     * [[graft.operators.Drift.report]]'s counting side: running

@@ -909,4 +909,51 @@ class StreamingSpec extends SparkSpec {
         "retry must re-emit the batch's cross+within pairs")
     } finally q.stop()
   }
+
+  test("index compaction: identical pairs + memberships, collapsed dirs, idempotent") {
+    import spark.implicits._
+    val fam1 = "the quick brown fox jumps over the lazy dog again and again"
+    val fam2 = "spark builds a logical plan and catalyst optimizes the physical plan"
+    // six micro-batches that keep adding members to both families
+    val batches: Seq[Seq[(Long, String)]] = (0 until 6).map { b =>
+      Seq(
+        (10L * b + 1) -> (fam1 + (" x" * b)),
+        (10L * b + 2) -> (fam2 + (" y" * b)),
+        (10L * b + 3) -> s"unique filler document number $b about nothing shared")
+    }
+    def run(idxDir: String, compactEvery: Option[Int]): Set[(String, String)] = {
+      val out = scala.collection.mutable.Set.empty[(String, String)]
+      batches.zipWithIndex.foreach { case (rows, id) =>
+        out ++= StreamingOps.nearDupCandidatesIndexed(
+          rows.toDF("doc_id", "text"), id.toLong, "doc_id", "text",
+          n = 3, k = 12, rowsPerBand = 3, indexDir = idxDir)
+          .collect().map(r => (r.getString(0), r.getString(1)))
+        compactEvery.foreach { n =>
+          if ((id + 1) % n == 0)
+            StreamingOps.compactNearDupIndex(spark, idxDir, targetFiles = 2)
+        }
+      }
+      out.toSet
+    }
+    def index(idxDir: String): Seq[String] =
+      spark.read.option("recursiveFileLookup", "true").parquet(idxDir)
+        .collect().map(_.toString).sorted.toSeq
+    val plain = tmp("ndc_plain")
+    val compacted = tmp("ndc_compact")
+    val pairsPlain = run(plain, None)
+    val pairsCompacted = run(compacted, Some(2))
+    assert(pairsPlain.nonEmpty && pairsCompacted == pairsPlain,
+      "compaction must not change the cumulative pair set")
+    assert(index(compacted) == index(plain),
+      "compaction must preserve the admitted memberships exactly")
+    def dirs(p: String): Seq[String] = new java.io.File(p).listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(dirs(plain).size == 6, s"plain run keeps one dir per batch: ${dirs(plain)}")
+    assert(dirs(compacted) == Seq("b5", "c4"),
+      s"compacted run must hold one c-dir + the newest b-dir, got ${dirs(compacted)}")
+    // idempotence / crash-rerun: an immediate second pass is a no-op
+    StreamingOps.compactNearDupIndex(spark, compacted, targetFiles = 2)
+    assert(dirs(compacted) == Seq("b5", "c4") && index(compacted) == index(plain),
+      "re-running compaction must change nothing")
+  }
 }
