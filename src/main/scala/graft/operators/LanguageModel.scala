@@ -186,4 +186,82 @@ object LanguageModel {
         when(col("n_grams") === 0, lit(0.0))
           .otherwise(col("familiar_grams").cast("double") / col("n_grams")))
   }
+
+  /** The trained backoff model as driver-side maps + totals — the
+    * STREAM-SIDE form of the [[perplexity]] artifacts, same contract
+    * as [[Importance.collectCounts]]: collecting is legal exactly
+    * when the model is a bounded artifact (a curated reference
+    * vocabulary — NOT an open-domain web vocabulary; for those, keep
+    * the DataFrame form and score in foreachBatch with the batch
+    * operator instead). Returns (unigram counts, bigram counts,
+    * N = total reference tokens, V = distinct vocabulary). */
+  def collectModel(
+      uni: DataFrame, bi: DataFrame): (Map[String, Long], Map[String, Long], Long, Long) = {
+    val u = uni.select("gram", "cnt").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = bi.select("gram", "cnt").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    (u, b, u.values.sum, u.size.toLong)
+  }
+
+  /** Per-row exact backoff scoring of a MATERIALIZED token-array
+    * attribute against a collected model — the [[perplexity]]
+    * arithmetic as one fold over the document's own bigram
+    * positions, with two literal-map probes per position instead of
+    * three gram-keyed joins. Pure expression: no join, no state, no
+    * watermark — legal on a streaming DataFrame
+    * ([[graft.streaming.StreamingOps.perplexityFilterStream]]).
+    *
+    * Exactness vs the batch operator: n_scored / n_hit / n_backoff /
+    * hit_frac are BIT-IDENTICAL (integer tallies + one IEEE
+    * division); avg_logprob / ppl sum the same per-position logprobs
+    * but in document order where the batch aggregation sums in
+    * arbitrary shuffle order, so they agree only up to FP
+    * reassociation — the same split the oracle discipline already
+    * draws (integer surfaces oracle-gated, ln/exp spec-gated).
+    *
+    * Returns a struct (n_scored, n_hit, n_backoff, hit_frac,
+    * avg_logprob, ppl) with the batch operator's NULL semantics for
+    * unscorable documents. */
+  def perplexityColumn(
+      toksCol: Column,
+      uniCounts: Map[String, Long], biCounts: Map[String, Long],
+      nTotal: Long, vocab: Long, alpha: Double = 0.4): Column = {
+    require(alpha > 0, s"alpha=$alpha must be > 0")
+    val uniLit = typedLit(uniCounts)
+    val biLit = typedLit(biCounts)
+    val n = size(toksCol)
+    // fold over bigram START positions 1..n-1 (1-based element_at);
+    // sequence() must be guarded — start > stop infers step -1
+    val folded = aggregate(
+      sequence(lit(1), n - 1),
+      struct(lit(0L).as("s"), lit(0L).as("h"), lit(0.0).as("lp")),
+      (acc, i) => {
+        val w1 = element_at(toksCol, i)
+        val w2 = element_at(toksCol, i + 1)
+        val c2 = try_element_at(biLit, concat(w1, lit(" "), w2))
+        val ctx = try_element_at(uniLit, w1)
+        val uw = try_element_at(uniLit, w2)
+        val hit = c2.isNotNull && ctx.isNotNull
+        val lp = when(hit, log(c2.cast("double") / ctx))
+          .otherwise(log(lit(alpha)) +
+            log((coalesce(uw, lit(0L)) + 1).cast("double") /
+              lit((nTotal + vocab).toDouble)))
+        struct(
+          (acc.getField("s") + 1L).as("s"),
+          (acc.getField("h") + when(hit, 1L).otherwise(0L)).as("h"),
+          (acc.getField("lp") + lp).as("lp"))
+      })
+    val f = when(n >= 2, folded)
+      .otherwise(struct(lit(0L).as("s"), lit(0L).as("h"), lit(0.0).as("lp")))
+    val scored = f.getField("s") > 0
+    struct(
+      f.getField("s").as("n_scored"),
+      f.getField("h").as("n_hit"),
+      (f.getField("s") - f.getField("h")).as("n_backoff"),
+      when(scored, f.getField("h").cast("double") / f.getField("s"))
+        .as("hit_frac"),
+      when(scored, f.getField("lp") / f.getField("s")).as("avg_logprob"),
+      when(scored, exp(-(f.getField("lp") / f.getField("s")))).as("ppl"))
+  }
 }

@@ -118,4 +118,52 @@ class LanguageModelSpec extends SparkSpec {
         (n == 0 && rate == 0.0 || math.abs(rate - fam.toDouble / n) < 1e-15)
     })
   }
+
+  test("perplexityColumn: literal-map fold == the batch joins (integers exact, floats to FP)") {
+    val uni = LanguageModel.ngramCounts(refDocs, "text", 1)
+    val bi = LanguageModel.ngramCounts(refDocs, "text", 2)
+    val (u, b, n, v) = LanguageModel.collectModel(uni, bi)
+    assert((n, v) == ((8L, 4L)), "hand-computed reference totals")
+    val batch = scored.collect().map(r => r.getLong(0) -> r).toMap
+    val stream = graft.streaming.StreamingOps.perplexityScoreStream(
+      scoreDocs, "doc_id", "text", u, b, n, v)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(stream.keySet == batch.keySet)
+    stream.foreach { case (id, s) =>
+      val g = batch(id)
+      assert((s.getLong(1), s.getLong(2), s.getLong(3)) ==
+        ((g.getLong(1), g.getLong(2), g.getLong(3))), s"integer tallies for $id")
+      assert(s.isNullAt(4) == g.isNullAt(4) &&
+        (s.isNullAt(4) || s.getDouble(4) == g.getDouble(4)),
+        s"hit_frac must be bit-identical for $id")
+      // avg_logprob/ppl: same logprobs summed in a different order
+      assert(s.isNullAt(5) == g.isNullAt(5) &&
+        (s.isNullAt(5) || math.abs(s.getDouble(5) - g.getDouble(5)) < 1e-12))
+      assert(s.isNullAt(6) == g.isNullAt(6) &&
+        (s.isNullAt(6) || math.abs(s.getDouble(6) - g.getDouble(6)) < 1e-12))
+    }
+  }
+
+  test("perplexityFilterStream: streaming gate == batch gate, zero state rows") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val uni = LanguageModel.ngramCounts(refDocs, "text", 1)
+    val bi = LanguageModel.ngramCounts(refDocs, "text", 2)
+    val (u, b, n, v) = LanguageModel.collectModel(uni, bi)
+    val stream = MemoryStream[(Long, String)](spark)
+    val out = graft.streaming.StreamingOps.perplexityFilterStream(
+      stream.toDS().toDF("doc_id", "text"), "text", u, b, n, v, maxPpl = 5.0)
+    val ckpt = java.nio.file.Files.createTempDirectory("lmgate").toString
+    val q = out.writeStream.format("memory").queryName("lm_gate_out")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      stream.addData(Seq((10L, "a b c"), (11L, "a q"), (12L, "z"), (13L, "c a b")))
+      q.processAllAvailable()
+      val kept = spark.table("lm_gate_out").collect().map(_.getLong(0)).toSet
+      // the batch gate's verdicts: ppl 10→1.73 keep, 11→30 drop,
+      // 12→unscorable keep, 13→2.74 keep
+      assert(kept == Set(10L, 12L, 13L))
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows == 0L, s"pure expression gate must carry no state, got $stateRows")
+    } finally q.stop()
+  }
 }
