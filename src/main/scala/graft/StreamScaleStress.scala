@@ -129,7 +129,15 @@ object StreamScaleStress {
           .write.mode("overwrite").parquet(feed30)
         val idxDir = s"$work/ndidx-$scale"
         val idxRows = scala.collection.mutable.ArrayBuffer[Long]()
+        val idxFiles = scala.collection.mutable.ArrayBuffer[Int]()
         var outRows = 0L
+        def parquetFiles(): Int = {
+          def walk(f: java.io.File): Int =
+            if (f.isDirectory) f.listFiles().map(walk).sum
+            else if (f.getName.endsWith(".parquet")) 1 else 0
+          val root = new java.io.File(idxDir)
+          if (root.exists()) walk(root) else 0
+        }
         val stream = spark.readStream
           .schema(spark.read.parquet(feed30).schema)
           .option("maxFilesPerTrigger", "1").parquet(feed30)
@@ -139,8 +147,15 @@ object StreamScaleStress {
             outRows += StreamingOps.nearDupCandidatesIndexed(
               b, id, "doc_id", "text", n = 3, k = 12, rowsPerBand = 3,
               indexDir = idxDir).count()
+            // maintenance cadence: fold committed history every 10
+            // triggers — the file-count series must PLATEAU instead
+            // of growing one dir per trigger forever (the metadata
+            // scale-killer the compactor exists for)
+            if ((id + 1) % 10 == 0)
+              StreamingOps.compactNearDupIndex(spark, idxDir)
             idxRows += spark.read.option("recursiveFileLookup", "true")
               .parquet(idxDir).count()
+            idxFiles += parquetFiles()
             ()
           }
           .option("checkpointLocation", s"$work/ckpt-ndidx-$scale")
@@ -157,7 +172,8 @@ object StreamScaleStress {
             s""""rows":$outRows,"batches":${prog.size},""" +
             s""""batch_ms":[${batchMs.mkString(",")}],""" +
             s""""state_rows":[${stateRows.mkString(",")}],""" +
-            s""""index_rows":[${idxRows.mkString(",")}]}"""
+            s""""index_rows":[${idxRows.mkString(",")}],""" +
+            s""""index_files":[${idxFiles.mkString(",")}]}"""
         println(line)
         results += line
       }
@@ -188,6 +204,26 @@ object StreamScaleStress {
       measure("stream_importance_filter", scale, feedDir, "append") { s =>
         StreamingOps.importanceFilterStream(
           s, "text", counts, minAffinity = 0.1)
+      }
+      // ---- streaming LM gate: the frozen backoff artifacts come
+      // from the UNAMPLIFIED corpus's %10==0 reference slice
+      // (reference models retrain rarely — fixed-size artifacts; the
+      // stream is what scales). Claims under test: stateless (zero
+      // state rows forever), per-batch wall flat across batches
+      // (the gate is one fold per document — cost tracks the batch,
+      // never the horizon or the model-training corpus).
+      if (opFilter.isEmpty || opFilter.exists("stream_lm_gate".contains)) {
+        val lmRef = docs0.filter(pmod(col("doc_id"), lit(10)) === 0)
+        val (u, b, nTot, voc) = graft.operators.LanguageModel.collectModel(
+          graft.operators.LanguageModel.ngramCounts(lmRef, "text", 1),
+          graft.operators.LanguageModel.ngramCounts(lmRef, "text", 2))
+        // maxPpl at the corpus's own scoring scale: the reference
+        // slice shares the synthetic vocabulary, so most documents
+        // score low-ppl; a mid threshold keeps both branches live
+        measure("stream_lm_gate", scale, feedDir, "append") { s =>
+          StreamingOps.perplexityFilterStream(
+            s, "text", u, b, nTot, voc, maxPpl = 20.0)
+        }
       }
       // ---- streaming decontamination twins. Held-out = the BASE
       // corpus's %10==0 slice: eval suites are fixed-size frozen

@@ -108,4 +108,58 @@ class IncrementalCurationSpec extends SparkSpec {
     assert(!rows(3L).getAs[Boolean]("exact_dup_loser"))
     assert(rows(3L).getAs[Boolean]("kept"))
   }
+
+  test("lineage over id-BUCKETED report tables: report joins are exchange-free") {
+    // the scaladoc's recurring-pipeline promise: persist each run's
+    // report bucketed by id and the lineage run pays NO exchange on
+    // either report side — correctness identical to the frame form
+    val old = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(7)) === 3,
+          concat(col("text"), lit(" drifted crawl content here")))
+          .otherwise(col("text")).as("text"))
+    def rep(dd: DataFrame) = Curation.report(dd, "doc_id", "text",
+      n = 3, k = 12, rowsPerBand = 3, threshold = 0.5)
+    val dir = java.nio.file.Files.createTempDirectory("lin_bkt").toString
+    Bucketing.writeBucketed(rep(old), "lin_old_rep", s"$dir/old", "doc_id", 4)
+    Bucketing.writeBucketed(rep(docs), "lin_new_rep", s"$dir/new", "doc_id", 4)
+    // tiny test tables would broadcast (bypassing bucketing) and AQE
+    // hides the tree inside leaf stage nodes — pin both off so the
+    // structural assert sees the real fact-fact shape
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val lin = Curation.lineage(
+        old, docs, spark.table("lin_old_rep"), spark.table("lin_new_rep"),
+        "doc_id", "text")
+      // plan assert: no shuffle exchange feeds off a BUCKETED scan —
+      // both report sides satisfy the join distribution off the scan
+      // (the diff/docs side still exchanges; that is its cost, not
+      // the persisted reports')
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+      val plan = lin.queryExecution.executedPlan
+      val bucketedScans = plan.collect {
+        case s: FileSourceScanExec if s.relation.bucketSpec.isDefined => s
+      }
+      assert(bucketedScans.size == 2, s"both report scans must be bucketed, got ${bucketedScans.size}")
+      val shuffledBucketed = plan.collect { case e: ShuffleExchangeLike => e }
+        .flatMap(_.collect {
+          case s: FileSourceScanExec if s.relation.bucketSpec.isDefined => s })
+      assert(shuffledBucketed.isEmpty,
+        "a bucketed report scan must never sit under a shuffle exchange")
+      // correctness: identical to the plain-frame lineage
+      val plain = Curation.lineage(old, docs, rep(old), rep(docs),
+        "doc_id", "text")
+      assert(lin.exceptAll(plain).count() === 0L)
+      assert(plain.exceptAll(lin).count() === 0L)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.sql("DROP TABLE IF EXISTS lin_old_rep")
+      spark.sql("DROP TABLE IF EXISTS lin_new_rep")
+    }
+  }
 }
