@@ -206,17 +206,26 @@ object LanguageModel {
 
   /** Per-row exact backoff scoring of a MATERIALIZED token-array
     * attribute against a collected model — the [[perplexity]]
-    * arithmetic as one fold over the document's own bigram
-    * positions, with two literal-map probes per position instead of
-    * three gram-keyed joins. Pure expression: no join, no state, no
-    * watermark — legal on a streaming DataFrame
+    * arithmetic as ONE pass over the document's own bigram
+    * positions ([[graft.functions.BackoffLmScore]]: the model rides
+    * the expression as real hash maps, two O(1) probes per
+    * position). Pure expression: no join, no state, no watermark —
+    * legal on a streaming DataFrame
     * ([[graft.streaming.StreamingOps.perplexityFilterStream]]).
+    *
+    * NOT a literal-map fold: `element_at` over a map literal scans
+    * ArrayBasedMapData linearly, making that formulation
+    * O(|doc|·|model|) string compares per document — measured ~40 s
+    * for a 5k-doc micro-batch against a ~900-bigram TOY model on the
+    * stream path; real models are 100–1000× larger. The native
+    * kernel is O(|doc|).
     *
     * Exactness vs the batch operator: n_scored / n_hit / n_backoff /
     * hit_frac are BIT-IDENTICAL (integer tallies + one IEEE
-    * division); avg_logprob / ppl sum the same per-position logprobs
-    * but in document order where the batch aggregation sums in
-    * arbitrary shuffle order, so they agree only up to FP
+    * division), and each position's logprob is the same
+    * StrictMath.log over the same division; avg_logprob / ppl sum
+    * those logprobs in document order where the batch aggregation
+    * sums in arbitrary shuffle order, so the two agree up to FP
     * reassociation — the same split the oracle discipline already
     * draws (integer surfaces oracle-gated, ln/exp spec-gated).
     *
@@ -226,42 +235,7 @@ object LanguageModel {
   def perplexityColumn(
       toksCol: Column,
       uniCounts: Map[String, Long], biCounts: Map[String, Long],
-      nTotal: Long, vocab: Long, alpha: Double = 0.4): Column = {
-    require(alpha > 0, s"alpha=$alpha must be > 0")
-    val uniLit = typedLit(uniCounts)
-    val biLit = typedLit(biCounts)
-    val n = size(toksCol)
-    // fold over bigram START positions 1..n-1 (1-based element_at);
-    // sequence() must be guarded — start > stop infers step -1
-    val folded = aggregate(
-      sequence(lit(1), n - 1),
-      struct(lit(0L).as("s"), lit(0L).as("h"), lit(0.0).as("lp")),
-      (acc, i) => {
-        val w1 = element_at(toksCol, i)
-        val w2 = element_at(toksCol, i + 1)
-        val c2 = try_element_at(biLit, concat(w1, lit(" "), w2))
-        val ctx = try_element_at(uniLit, w1)
-        val uw = try_element_at(uniLit, w2)
-        val hit = c2.isNotNull && ctx.isNotNull
-        val lp = when(hit, log(c2.cast("double") / ctx))
-          .otherwise(log(lit(alpha)) +
-            log((coalesce(uw, lit(0L)) + 1).cast("double") /
-              lit((nTotal + vocab).toDouble)))
-        struct(
-          (acc.getField("s") + 1L).as("s"),
-          (acc.getField("h") + when(hit, 1L).otherwise(0L)).as("h"),
-          (acc.getField("lp") + lp).as("lp"))
-      })
-    val f = when(n >= 2, folded)
-      .otherwise(struct(lit(0L).as("s"), lit(0L).as("h"), lit(0.0).as("lp")))
-    val scored = f.getField("s") > 0
-    struct(
-      f.getField("s").as("n_scored"),
-      f.getField("h").as("n_hit"),
-      (f.getField("s") - f.getField("h")).as("n_backoff"),
-      when(scored, f.getField("h").cast("double") / f.getField("s"))
-        .as("hit_frac"),
-      when(scored, f.getField("lp") / f.getField("s")).as("avg_logprob"),
-      when(scored, exp(-(f.getField("lp") / f.getField("s")))).as("ppl"))
-  }
+      nTotal: Long, vocab: Long, alpha: Double = 0.4): Column =
+    graft.functions.BackoffLmScore.score(
+      toksCol, uniCounts, biCounts, nTotal, vocab, alpha)
 }

@@ -119,7 +119,7 @@ class LanguageModelSpec extends SparkSpec {
     })
   }
 
-  test("perplexityColumn: literal-map fold == the batch joins (integers exact, floats to FP)") {
+  test("perplexityColumn: native kernel == the batch joins (integers exact, floats to FP)") {
     val uni = LanguageModel.ngramCounts(refDocs, "text", 1)
     val bi = LanguageModel.ngramCounts(refDocs, "text", 2)
     val (u, b, n, v) = LanguageModel.collectModel(uni, bi)
