@@ -214,15 +214,25 @@ object StreamScaleStress {
       // never the horizon or the model-training corpus).
       if (opFilter.isEmpty || opFilter.exists("stream_lm_gate".contains)) {
         val lmRef = docs0.filter(pmod(col("doc_id"), lit(10)) === 0)
-        val (u, b, nTot, voc) = graft.operators.LanguageModel.collectModel(
-          graft.operators.LanguageModel.ngramCounts(lmRef, "text", 1),
-          graft.operators.LanguageModel.ngramCounts(lmRef, "text", 2))
-        // maxPpl at the corpus's own scoring scale: the reference
-        // slice shares the synthetic vocabulary, so most documents
-        // score low-ppl; a mid threshold keeps both branches live
+        val uniDf = graft.operators.LanguageModel.ngramCounts(lmRef, "text", 1)
+          .localCheckpoint(true)
+        val biDf = graft.operators.LanguageModel.ngramCounts(lmRef, "text", 2)
+          .localCheckpoint(true)
+        val (u, b, nTot, voc) =
+          graft.operators.LanguageModel.collectModel(uniDf, biDf)
+        // self-calibrated threshold (the importance-gate lesson: a
+        // fixed threshold on a synthetic corpus gates out EVERYTHING
+        // and the measurement degenerates to output-empty): the
+        // median ppl of the base corpus under this model — by
+        // construction both branches of the gate stay on the
+        // measured path; computed OUTSIDE the timed body, like every
+        // artifact build
+        val maxPpl = graft.operators.LanguageModel.perplexity(
+            docs0, "doc_id", "text", uniDf, biDf)
+          .agg(expr("approx_percentile(ppl, 0.5)")).head.getDouble(0)
         measure("stream_lm_gate", scale, feedDir, "append") { s =>
           StreamingOps.perplexityFilterStream(
-            s, "text", u, b, nTot, voc, maxPpl = 20.0)
+            s, "text", u, b, nTot, voc, maxPpl = maxPpl)
         }
       }
       // ---- streaming decontamination twins. Held-out = the BASE
