@@ -539,8 +539,92 @@ object PipelineQueries3 {
         .transform(Queries.sortedSmall(_, "id_a", "id_b"))
     })
 
+  // --------------------------- image near-dup DEDUP output (corpus)
+  // The decision the pair query feeds: dHash pairs → connected
+  // components → smallest-id representative per cluster, junk
+  // payloads always kept (they cannot pair). Same fixture as
+  // p_image_near_dup, so the two queries cross-check each other; the
+  // oracle recomputes the hashes, the pair set, a recursive
+  // min-reachability closure, and the NOT IN — the p_semantic_dedup
+  // discipline on the multimodal column.
+  private val qImageDedup = Queries.Q(
+    "p_image_dedup",
+    Some("""
+      WITH RECURSIVE imgs AS (
+        SELECT i, (i // 3) AS b, (i % 3) AS v,
+               12 + (i // 3) AS w, 10 + ((i // 3) % 4) AS h,
+               CASE (i // 3) % 4 WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 2 THEN 2 ELSE 4 END AS ch
+        FROM generate_series(0, 17) t(i)),
+      cells AS (
+        SELECT i, b, v, ch, gx, gy,
+               ((gx * w) // 9) AS sx, ((gy * h) // 8) AS sy
+        FROM imgs, generate_series(0, 8) gxs(gx), generate_series(0, 7) gys(gy)),
+      px AS (
+        SELECT i, gx, gy,
+               CASE WHEN ch >= 3 THEN (f0 + f1 + f2) // 3 ELSE f0 END AS luma
+        FROM (SELECT *,
+                (sx*17 + sy*29 + b*53) % 180 + sh AS f0,
+                (sx*17 + sy*29 + 37 + b*53) % 180 + sh AS f1,
+                (sx*17 + sy*29 + 74 + b*53) % 180 + sh AS f2
+              FROM (SELECT *,
+                      CASE WHEN v = 1 THEN 40
+                           WHEN v = 2 AND (sx + sy) % 11 = 0 THEN 25
+                           ELSE 0 END AS sh
+                    FROM cells))),
+      bits AS (
+        SELECT a.i, (a.gy * 8 + a.gx) AS bb,
+               CASE WHEN n.luma > a.luma THEN 1 ELSE 0 END AS bit
+        FROM px a JOIN px n ON n.i = a.i AND n.gy = a.gy AND n.gx = a.gx + 1
+        WHERE a.gx < 8),
+      hs AS (
+        SELECT i,
+               bit_or(CASE WHEN bit = 1 AND bb < 32
+                           THEN (CAST(1 AS BIGINT) << bb) ELSE 0 END) AS dh_lo,
+               bit_or(CASE WHEN bit = 1 AND bb >= 32
+                           THEN (CAST(1 AS BIGINT) << (bb - 32)) ELSE 0 END) AS dh_hi
+        FROM bits GROUP BY i),
+      pairs AS (
+        SELECT x.i AS id_a, y.i AS id_b
+        FROM hs x JOIN hs y ON x.i < y.i
+        WHERE bit_count(xor(x.dh_lo, y.dh_lo)) +
+              bit_count(xor(x.dh_hi, y.dh_hi)) <= 3),
+      g AS (SELECT id_a AS u, id_b AS v FROM pairs
+            UNION SELECT id_b AS u, id_a AS v FROM pairs),
+      reach(node, r) AS (SELECT u, u FROM (SELECT DISTINCT u FROM g)
+                         UNION
+                         SELECT g.v, reach.r FROM reach JOIN g ON g.u = reach.node),
+      losers AS (SELECT node FROM (SELECT node, MIN(r) AS grp FROM reach GROUP BY node)
+                 WHERE node <> grp)
+      SELECT CAST(i AS BIGINT) AS img_id,
+             CASE WHEN i >= 18 THEN 'other' ELSE 'png' END AS kind
+      FROM generate_series(0, 19) t(i)
+      WHERE i NOT IN (SELECT node FROM losers)
+      ORDER BY img_id"""),
+    (s, dir) => {
+      val imgs: Seq[(Long, Array[Byte])] = (0 until 18).map { i =>
+        val b = i / 3
+        val v = i % 3
+        val (w, h) = (12 + b, 10 + b % 4)
+        val ch = Seq(1, 3, 2, 4)(b % 4)
+        (i.toLong, operators.Multimodal.encodePng(w, h, ch,
+          (x, y, c) => (x * 17 + y * 29 + c * 37 + b * 53) % 180 +
+            (if (v == 1) 40 else if (v == 2 && (x + y) % 11 == 0) 25 else 0),
+          y => (y + i) % 5))
+      }
+      val junk: Seq[(Long, Array[Byte])] = Seq(
+        18L -> "not an image at all".getBytes("UTF-8"),
+        19L -> Array[Byte](0x1, 0x2, 0x3))
+      import s.implicits._
+      operators.Multimodal.dedupImageNearDups(
+        (imgs ++ junk).toDF("img_id", "payload"), "img_id", "payload",
+        maxHamming = 3)
+        .select(col("img_id"),
+          operators.Multimodal.mediaKind(col("payload")).as("kind"))
+        .transform(Queries.sortedSmall(_, "img_id"))
+    })
+
   val all: Seq[Queries.Q] =
     Seq(qLmBigramCounts, qLmScoreAudit, qShardAssign, qShardManifest,
       qCurationV3, qCorpusDrift, qGlobalRank, qGlobalRankRange,
-      qCcnetBuckets, qImageNearDup)
+      qCcnetBuckets, qImageNearDup, qImageDedup)
 }

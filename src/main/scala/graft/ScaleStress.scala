@@ -178,8 +178,32 @@ object ScaleStress {
     val emb0 = spark.read.parquet(s"$sfDir/embeddings.parquet").select("vec_id", "embedding")
 
     for (scale <- scales) {
-      val docs = amplifyDocs(docs0, scale)
-      val emb = amplifyEmbeddings(emb0, scale)
+      // MATERIALIZE the amplified corpora to parquet OUTSIDE every
+      // timed body (r17 harness fix). Lazily-amplified frames fuse
+      // the per-token copy transform into the base corpus's scan —
+      // and sf0.1 documents.parquet is ONE file with ONE row group,
+      // so at 200× that is ~1M document rewrites in a SINGLE task
+      // (measured: a 115 s stage median == its 122 s max task inside
+      // the simhash arm — 60% of its wall was the harness, not the
+      // operator). A real corpus at any scale is many-file parquet;
+      // feeding the ops the same shape makes the arms measure the
+      // OPERATOR. StreamScaleStress and the cdc feed already did
+      // this; prior rounds' batch numbers carry the fused amplify
+      // tax uniformly (same-session A/B deltas remain valid).
+      val docs = {
+        val dir = s"${sys.props("java.io.tmpdir")}/graft-amp-docs-$scale"
+        amplifyDocs(docs0, scale)
+          .repartition(spark.sparkContext.defaultParallelism)
+          .write.mode("overwrite").parquet(dir)
+        spark.read.parquet(dir)
+      }
+      val emb = {
+        val dir = s"${sys.props("java.io.tmpdir")}/graft-amp-emb-$scale"
+        amplifyEmbeddings(emb0, scale)
+          .repartition(spark.sparkContext.defaultParallelism)
+          .write.mode("overwrite").parquet(dir)
+        spark.read.parquet(dir)
+      }
       // ---- CDC decode throughput: the reference's ONE intrinsic
       // number is a ~3 events/s ceiling (BASELINE.md reference table:
       // 3 workers × time.sleep(1)); this measures the repo's

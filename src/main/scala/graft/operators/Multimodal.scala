@@ -265,6 +265,25 @@ object Multimodal {
     Dedup.hammingBandPairs(sig, maxHamming, maxBucket, chunkSize)
   }
 
+  /** Image near-dup DEDUP output — the corpus-level multimodal twin
+    * of [[Dedup.dedupNearDups]]: [[imageNearDupPairs]] →
+    * [[Graph.connectedComponents]] → keep each cluster's smallest-id
+    * representative, one left-anti join against the non-
+    * representatives (the payload never rides a shuffle on the dedup
+    * decision; undecodable payloads can't pair, so they are always
+    * kept — absence of evidence is not duplication). Same scale
+    * shape as the text form: pair volume is block-bounded, CC runs
+    * on pair rows only, and the final anti join is id-keyed. */
+  def dedupImageNearDups(
+      docs: DataFrame, idCol: String, payloadCol: String,
+      maxHamming: Int = 3, maxBucket: Int = 65536, chunkSize: Int = 256): DataFrame = {
+    val pairs = imageNearDupPairs(docs, idCol, payloadCol, maxHamming, maxBucket, chunkSize)
+    val losers = Graph.connectedComponents(pairs, "id_a", "id_b")
+      .filter(col("node") =!= col("component"))
+      .select(col("node").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** RIFF/AVI magic: 'RIFF' at offset 0, 'AVI ' at offset 8. */
   private def isAvi(payload: Column): Column =
     octet_length(payload) >= 24 &&
