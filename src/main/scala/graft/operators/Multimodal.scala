@@ -265,6 +265,38 @@ object Multimodal {
     Dedup.hammingBandPairs(sig, maxHamming, maxBucket, chunkSize)
   }
 
+  /** The four 16-bit dHash blocks of an image payload as columns
+    * __b0..__b3 (map-side only — usable on a streaming DataFrame;
+    * NULL for undecodable payloads, which therefore never match any
+    * block probe). The multimodal mirror of
+    * [[Dedup.withSimhashBlocks]]. */
+  def withImageBlocks(df: DataFrame, payloadCol: String): DataFrame = {
+    val withH = df.withColumn("__dh", imageDHash(col(payloadCol)))
+    withH.select(
+      df.columns.toIndexedSeq.map(col) ++
+        (0 until 4).map(b =>
+          shiftrightunsigned(col("__dh"), 48 - 16 * b)
+            .bitwiseAND(lit(0xFFFFL)).cast("int").as(s"__b$b")): _*)
+  }
+
+  /** The reference image corpus's distinct dHash blocks, (band, bv)
+    * — the membership table for INCREMENTAL image dedup (filter new
+    * or streaming images against an already-ingested catalog,
+    * [[graft.streaming.StreamingOps.dropImageNearDups]]). Hard size
+    * bound: 4 bands × ≤65,536 16-bit values = ≤262,144 rows
+    * REGARDLESS of corpus size, so it always broadcasts — the same
+    * contract as [[Dedup.simhashBlockTable]], and the same
+    * pigeonhole recall guarantee: a new image within Hamming ≤3 of
+    * ANY reference image shares at least one block. */
+  def imageBlockTable(docs: DataFrame, payloadCol: String): DataFrame =
+    docs
+      .select(imageDHash(col(payloadCol)).as("__dh"))
+      .filter(col("__dh").isNotNull)
+      .select(posexplode(array((0 until 4).map(b =>
+        shiftrightunsigned(col("__dh"), 48 - 16 * b)
+          .bitwiseAND(lit(0xFFFFL)).cast("int")): _*)).as(Seq("band", "bv")))
+      .distinct()
+
   /** Image near-dup DEDUP output — the corpus-level multimodal twin
     * of [[Dedup.dedupNearDups]]: [[imageNearDupPairs]] →
     * [[Graph.connectedComponents]] → keep each cluster's smallest-id

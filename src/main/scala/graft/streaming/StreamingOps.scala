@@ -264,6 +264,32 @@ object StreamingOps {
       .drop((0 until 4).flatMap(b => Seq(s"__b$b", s"__m$b")): _*)
   }
 
+  /** STREAMING image near-dup gate — the multimodal twin of
+    * [[dropSimhashNearDups]]: drop an arriving image iff any of its
+    * four dHash blocks appears in the reference catalog's block
+    * table ([[graft.operators.Multimodal.imageBlockTable]], ≤262,144
+    * rows by construction → always broadcast). Stateless per
+    * micro-batch — no watermark, no state store, and catalog scale
+    * never enters the plan. Pigeonhole gives 100% recall on true
+    * Hamming-≤3 image dups (re-encodes, brightness nudges, exact NN
+    * rescales); coincidental block collisions over-drop (high-recall
+    * prefilter semantics) — verify downstream when precision
+    * matters. Undecodable payloads have NULL blocks, match nothing,
+    * and are KEPT: absence of evidence is not duplication. */
+  def dropImageNearDups(
+      stream: DataFrame, idCol: String, payloadCol: String,
+      refBlocks: DataFrame): DataFrame = {
+    val withBlocks = graft.operators.Multimodal.withImageBlocks(stream, payloadCol)
+    val probed = (0 until 4).foldLeft(withBlocks) { (df, b) =>
+      val ref = broadcast(
+        refBlocks.filter(col("band") === b).select(col("bv").as(s"__m$b")))
+      df.join(ref, col(s"__b$b") === col(s"__m$b"), "left")
+    }
+    probed
+      .filter((0 until 4).map(b => col(s"__m$b").isNull).reduce(_ && _))
+      .drop((0 until 4).flatMap(b => Seq(s"__b$b", s"__m$b")): _*)
+  }
+
   /** Misra–Gries summary state of one shard: tracked item → counter,
     * plus the total decrement count that bounds every estimate. */
   final case class MgState(counts: Map[String, Long], decrements: Long)

@@ -78,4 +78,45 @@ class ImageNearDupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(brute.nonEmpty && brute.exists(_._3 > 0L) && got == brute)
   }
+
+  test("image block gate: drops exactly block-sharers, keeps undecodables, zero state") {
+    import spark.implicits._
+    def pix(b: Int)(x: Int, y: Int, c: Int): Int =
+      (x * 17 + y * 29 + c * 37 + b * 53) % 180
+    // reference catalog: two images from different families
+    val ref = Seq(
+      100L -> Multimodal.encodePng(12, 10, 1, pix(0)),
+      101L -> Multimodal.encodePng(13, 10, 3, pix(1))).toDF("img_id", "payload")
+    val blocks = Multimodal.imageBlockTable(ref, "payload")
+    assert(blocks.count() <= 8, "two images yield at most 8 (band, bv) blocks")
+    // arriving stream: a brightness-shifted copy of ref 0 (Hamming 0
+    // -> must drop), a fresh family (keep), and junk (keep)
+    val arrivals = Seq(
+      1L -> Multimodal.encodePng(12, 10, 1, (x, y, c) => pix(0)(x, y, c) + 40),
+      2L -> Multimodal.encodePng(14, 11, 3, pix(4)),
+      3L -> "junk not an image".getBytes("UTF-8"))
+    // batch form first: the expected keep set
+    val keptBatch = graft.streaming.StreamingOps.dropImageNearDups(
+      arrivals.toDF("img_id", "payload"), "img_id", "payload", blocks)
+      .select("img_id").collect().map(_.getLong(0)).toSet
+    assert(!keptBatch.contains(1L), "hamming-0 copy must share every block and drop")
+    assert(keptBatch.contains(3L), "undecodable payloads must be kept")
+    assert(keptBatch.contains(2L), "the fresh family must survive (fixture families are >=11 bits apart)")
+    // streaming form: same verdicts, zero state rows
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val stream = MemoryStream[(Long, Array[Byte])](spark)
+    val out = graft.streaming.StreamingOps.dropImageNearDups(
+      stream.toDS().toDF("img_id", "payload"), "img_id", "payload", blocks)
+    val ckpt = java.nio.file.Files.createTempDirectory("imggate").toString
+    val q = out.writeStream.format("memory").queryName("img_gate_out")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      stream.addData(arrivals)
+      q.processAllAvailable()
+      val keptStream = spark.table("img_gate_out")
+        .select("img_id").collect().map(_.getLong(0)).toSet
+      assert(keptStream == keptBatch, "stream verdicts must equal the batch gate")
+      assert(q.lastProgress.stateOperators.map(_.numRowsTotal).sum == 0L)
+    } finally q.stop()
+  }
 }
