@@ -623,8 +623,89 @@ object PipelineQueries3 {
         .transform(Queries.sortedSmall(_, "img_id"))
     })
 
+  // --------------------------- video near-dup by frame-aligned dHash
+  // The video column's dedup verb, composed from oracle-proven parts:
+  // 10 uncompressed AVIs (5 originals + 5 brightness-shifted
+  // re-encodes, both row orders), every 2nd frame decoded and
+  // dHashed, videos paired on same-index frame-hash matches. The
+  // oracle decodes nothing — it predicts every sampled frame's 9×8
+  // luma grid from the pixel formula, reassembles each frame hash,
+  // and recomputes the pair fractions; one wrong frame index, row
+  // flip, resample, or luma rule fails the hash.
+  private val qVideoNearDup = Queries.Q(
+    "p_video_near_dup",
+    Some("""
+      WITH vids AS (
+        SELECT i, (i // 2) AS b, (i % 2) AS v,
+               12 + (i // 2) % 3 AS w, 10 + (i // 2) % 2 AS h,
+               4 + (i // 2) % 3 AS nf
+        FROM generate_series(0, 9) t(i)),
+      fr AS (SELECT i, b, v, w, h, unnest(generate_series(0, nf - 1, 2)) AS f
+             FROM vids),
+      cells AS (
+        SELECT i, f, b, v, gx, gy, ((gx * w) // 9) AS sx, ((gy * h) // 8) AS sy
+        FROM fr, generate_series(0, 8) gxs(gx), generate_series(0, 7) gys(gy)),
+      px AS (
+        SELECT i, f, gx, gy, (f0 + f1 + f2) // 3 AS luma
+        FROM (SELECT *,
+                (sx*17 + sy*29 + f*41 + b*53) % 180 + sh AS f0,
+                (sx*17 + sy*29 + 37 + f*41 + b*53) % 180 + sh AS f1,
+                (sx*17 + sy*29 + 74 + f*41 + b*53) % 180 + sh AS f2
+              FROM (SELECT *,
+                      CASE WHEN v = 1 THEN 40 ELSE 0 END +
+                      CASE WHEN v = 1 AND (sx + sy) % 3 = 0
+                                AND (b = 0 OR f = 2) THEN 25
+                           ELSE 0 END AS sh
+                    FROM cells))),
+      bits AS (
+        SELECT a.i, a.f, (a.gy * 8 + a.gx) AS bb,
+               CASE WHEN n.luma > a.luma THEN 1 ELSE 0 END AS bit
+        FROM px a JOIN px n ON n.i = a.i AND n.f = a.f AND n.gy = a.gy
+                           AND n.gx = a.gx + 1
+        WHERE a.gx < 8),
+      hs AS (
+        SELECT i, f,
+               bit_or(CASE WHEN bit = 1 AND bb < 32
+                           THEN (CAST(1 AS BIGINT) << bb) ELSE 0 END) AS lo,
+               bit_or(CASE WHEN bit = 1 AND bb >= 32
+                           THEN (CAST(1 AS BIGINT) << (bb - 32)) ELSE 0 END) AS hi
+        FROM bits GROUP BY i, f),
+      ns AS (SELECT i, COUNT(*) AS n FROM hs GROUP BY i),
+      mm AS (SELECT x.i AS ia, y.i AS ib, COUNT(*) AS nm
+             FROM hs x JOIN hs y
+               ON x.f = y.f AND x.lo = y.lo AND x.hi = y.hi AND x.i < y.i
+             GROUP BY x.i, y.i)
+      SELECT CAST(ia AS BIGINT) AS id_a, CAST(ib AS BIGINT) AS id_b,
+             CAST(nm AS BIGINT) AS n_match,
+             CAST(nm AS DOUBLE) / LEAST(na.n, nb.n) AS match_frac
+      FROM mm JOIN ns na ON na.i = mm.ia JOIN ns nb ON nb.i = mm.ib
+      WHERE CAST(nm AS DOUBLE) / LEAST(na.n, nb.n) >= 0.5
+      ORDER BY id_a, id_b"""),
+    (s, dir) => {
+      val vids: Seq[(Long, Array[Byte])] = (0 until 10).map { i =>
+        val b = i / 2
+        val v = i % 2
+        val (w, h, nf) = (12 + b % 3, 10 + b % 2, 4 + b % 3)
+        // re-encode shift (+40, hash-invariant) everywhere; a LOCAL
+        // edit (+25 on a sparse mask) on every frame of family 0 (its
+        // pair must fall BELOW the threshold) and on frame 2 of the
+        // rest (partial match: frac 1/2 or 2/3, exercising the
+        // boundary from both sides)
+        (i.toLong, operators.Multimodal.encodeAvi(w, h, nf,
+          (f, x, y, c) => (x * 17 + y * 29 + c * 37 + f * 41 + b * 53) % 180 +
+            (if (v == 1) 40 else 0) +
+            (if (v == 1 && (x + y) % 3 == 0 && (b == 0 || f == 2)) 25 else 0),
+          topDown = i % 2 == 1))
+      }
+      import s.implicits._
+      operators.Multimodal.videoNearDupPairs(
+        vids.toDF("video_id", "payload"), "video_id", "payload",
+        stride = 2, minFrac = 0.5)
+        .transform(Queries.sortedSmall(_, "id_a", "id_b"))
+    })
+
   val all: Seq[Queries.Q] =
     Seq(qLmBigramCounts, qLmScoreAudit, qShardAssign, qShardManifest,
       qCurationV3, qCorpusDrift, qGlobalRank, qGlobalRankRange,
-      qCcnetBuckets, qImageNearDup, qImageDedup)
+      qCcnetBuckets, qImageNearDup, qImageDedup, qVideoNearDup)
 }

@@ -316,6 +316,71 @@ object Multimodal {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Video NEAR-DUP pairs by frame-aligned perceptual hashing — the
+    * video column's dedup verb, composed entirely from audited
+    * parts: sample every `stride`-th frame ([[videoFramePixels]] —
+    * the decoder emits stills in the shared pixel layout), dHash
+    * each sampled frame ([[graft.functions.ImageDHash64]] — so every
+    * invariance the image path proves carries over per frame), and
+    * pair videos whose sampled frames MATCH AT THE SAME INDEX:
+    * n_match = |{f : dhash_a(f) = dhash_b(f)}|, emitted when
+    * n_match / min(n_sampled_a, n_sampled_b) ≥ `minFrac`.
+    *
+    * This is the RE-ENCODE / brightness-nudge / rescale duplicate
+    * class (the dominant one in crawled video) — frame-ALIGNED by
+    * design; temporally shifted or trimmed copies need a
+    * shift-tolerant join (e.g. hash-set overlap without the frame
+    * key), which trades away the equi-join scale shape below.
+    *
+    * Scale shape: one map-side decode+hash pass per video (frames
+    * never materialize into rows — each dHash lives inside its
+    * projection), then ONE (frame_idx, dhash)-keyed equi-join of
+    * narrow (id, f, hash) rows + one pair-keyed count — bucketed,
+    * never all-pairs. A corpus-wide constant frame (black/slate
+    * intros) floods its (f, hash) bucket exactly like a flood
+    * shingle; if a real catalog hits that, route this join through
+    * the [[Dedup.hammingBandPairs]] chunk machinery the image path
+    * uses. Undecodable/out-of-scope payloads sample no frames and
+    * never pair. Output: (id_a, id_b, n_match, match_frac),
+    * id_a < id_b. */
+  def videoNearDupPairs(
+      docs: DataFrame, idCol: String, payloadCol: String,
+      stride: Int, minFrac: Double = 0.5): DataFrame = {
+    require(stride > 0, s"stride=$stride must be positive")
+    require(minFrac > 0 && minFrac <= 1, s"minFrac=$minFrac outside (0,1]")
+    val m = videoMeta(col(payloadCol))
+    val frames = docs
+      .select(col(idCol), col(payloadCol))
+      .repartition(Dedup.pinnedParts(docs)) // decode frontier spread
+      .select(col(idCol), col(payloadCol), m.as("__m"))
+      .filter(col("__m").isNotNull && col("__m.n_frames") > 0)
+      .select(col(idCol), col(payloadCol), col("__m"),
+        explode(sequence(lit(0), col("__m.n_frames").cast("int") - 1,
+          lit(stride))).as("__f"))
+      .select(col(idCol), col("__f"),
+        graft.functions.GraftFunctions.imageDHash64(
+          videoFramePixels(col(payloadCol), col("__f")),
+          col("__m.width").cast("int"), col("__m.height").cast("int"),
+          lit(3)).as("__dh"))
+      .filter(col("__dh").isNotNull)
+      .localCheckpoint(true)
+    val sampled = frames.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
+    val a = frames.select(
+      col(idCol).as("id_a"), col("__f"), col("__dh"))
+    val b = frames.select(
+      col(idCol).as("id_b"), col("__f"), col("__dh"))
+    a.join(b, Seq("__f", "__dh"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_match"))
+      .join(sampled.select(col(idCol).as("id_a"), col("__n").as("__na")), "id_a")
+      .join(sampled.select(col(idCol).as("id_b"), col("__n").as("__nb")), "id_b")
+      .withColumn("match_frac",
+        col("n_match").cast("double") / least(col("__na"), col("__nb")))
+      .filter(col("match_frac") >= minFrac)
+      .select("id_a", "id_b", "n_match", "match_frac")
+  }
+
   /** RIFF/AVI magic: 'RIFF' at offset 0, 'AVI ' at offset 8. */
   private def isAvi(payload: Column): Column =
     octet_length(payload) >= 24 &&

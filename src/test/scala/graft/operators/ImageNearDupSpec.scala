@@ -79,6 +79,31 @@ class ImageNearDupSpec extends SparkSpec {
     assert(brute.nonEmpty && brute.exists(_._3 > 0L) && got == brute)
   }
 
+  test("video near-dup: frame-aligned matching, threshold, junk never pairs") {
+    import spark.implicits._
+    def pix(b: Int)(f: Int, x: Int, y: Int, c: Int): Int =
+      (x * 17 + y * 29 + c * 37 + f * 41 + b * 53) % 180
+    val vids = Seq(
+      0L -> Multimodal.encodeAvi(12, 10, 4, pix(0), topDown = true),
+      // brightness-shifted re-encode: every frame hash identical
+      1L -> Multimodal.encodeAvi(12, 10, 4,
+        (f, x, y, c) => pix(0)(f, x, y, c) + 40, topDown = false),
+      // the SAME content time-shifted by one frame: frame-ALIGNED
+      // matching must NOT pair it (the documented contract)
+      2L -> Multimodal.encodeAvi(12, 10, 4,
+        (f, x, y, c) => pix(0)(f + 1, x, y, c), topDown = true),
+      // unrelated family
+      3L -> Multimodal.encodeAvi(12, 10, 4, pix(7), topDown = true),
+      // junk payload: samples no frames, never pairs
+      4L -> "not a video".getBytes("UTF-8"))
+      .toDF("video_id", "payload")
+    val pairs = Multimodal.videoNearDupPairs(
+      vids, "video_id", "payload", stride = 2, minFrac = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(pairs.toSeq == Seq((0L, 1L, 2L, 1.0)),
+      s"only the re-encode pair survives, got ${pairs.toSeq}")
+  }
+
   test("image block gate: drops exactly block-sharers, keeps undecodables, zero state") {
     import spark.implicits._
     def pix(b: Int)(x: Int, y: Int, c: Int): Int =
