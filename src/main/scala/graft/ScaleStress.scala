@@ -260,6 +260,50 @@ object ScaleStress {
       measure("simhash_near_dup", scale) {
         Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxHamming = 3).count()
       }
+      // ---- image near-dup at decode volume: the multimodal family's
+      // scale dimension the fixture queries can't exercise — REAL
+      // PNG decode (inflate + unfilter) + dHash + the shared
+      // pigeonhole join over 2k images per unit scale. Corpus:
+      // formulaic 48×32 RGB PNGs with injected 3-member brightness
+      // families every 10 ids, PLUS the formula family's own
+      // structure: dHash keys on GRADIENT SIGNS, and the linear
+      // formula has only ~190 distinct gradient classes (k mod 190),
+      // so ids collapse into ~190 near-dup families of ~N/190
+      // members — a deliberately dup-HEAVY corpus, the image mirror
+      // of amplifyDocs' copy families (measured: 984k pairs from 20k
+      // images, 20.9M from 200k — quadratic in family size, i.e.
+      // OUTPUT-bound, while wall grows 6.5→13.0 s). That shape
+      // exercises the flood-block chunking exactly like amplified
+      // text. Encoded driver-side (the fixture encoder is a test
+      // artifact) and written to parquet OUTSIDE the timed body,
+      // like every feed.
+      if (opFilter.isEmpty || opFilter.exists("image_near_dup".contains)) {
+        val n = 2000 * scale
+        val feed = s"${sys.props("java.io.tmpdir")}/graft-imgfeed-$scale"
+        locally {
+          import spark.implicits._
+          (0 until n).map { i =>
+            val fam = i - i % 10 // family head
+            val v = i % 10 // 0 = head; 1,2 = its near-dup variants
+            val shift = if (v == 1) 35 else if (v == 2) 60 else 0
+            val b = if (v <= 2) fam else i // variants share the head's formula
+            // formula injective in b over the arm's id range (two
+            // ids share it only when b1≡b2 mod 9973 AND mod 190 —
+            // lcm ≈ 1.9M, past any measured N), so unrelated images
+            // never collapse into accidental mega-families
+            (i.toLong, operators.Multimodal.encodePng(48, 32, 3,
+              (x, y, c) => ((x * 7 + y * 13 + c * 31) * (b % 9973 + 1) + b) % 190 + shift,
+              y => (y + b) % 5))
+          }.toDF("img_id", "payload")
+            .repartition(spark.sparkContext.defaultParallelism)
+            .write.mode("overwrite").parquet(feed)
+        }
+        measure("image_near_dup", scale) {
+          operators.Multimodal.imageNearDupPairs(
+            spark.read.parquet(feed), "img_id", "payload",
+            maxHamming = 3).count()
+        }
+      }
       measure("ngram_jaccard_ppjoin", scale) {
         // the prefix-filtered inverted-index (PPJoin/AllPairs) exact
         // join — quadratic-prone by nature; the claim under test is
