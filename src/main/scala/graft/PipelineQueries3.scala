@@ -704,8 +704,87 @@ object PipelineQueries3 {
         .transform(Queries.sortedSmall(_, "id_a", "id_b"))
     })
 
+  // --------------------------- audio near-dup by energy-envelope hash
+  // The third fingerprint family: 12 PCM WAV clips (4 originals, 4
+  // gain-rescaled copies — the hash's invariance claim, Hamming 0 —
+  // and 4 locally-edited copies: one re-mixed on alternating windows
+  // (Hamming 29, must be EXCLUDED) and three with a single amplified
+  // burst (Hamming 2–3, the boundary's other side)) + 2 junk
+  // payloads, paired through the SAME pigeonhole join as text/image.
+  // The oracle decodes nothing: it predicts every i16 sample from the
+  // formula, recomputes the 65 floor windows, the cross-multiplied
+  // envelope-gradient bits, both hash halves, and the pair set.
+  private val qAudioNearDup = Queries.Q(
+    "p_audio_near_dup",
+    Some("""
+      WITH clips AS (
+        SELECT i, (i // 3) AS b, (i % 3) AS v,
+               400 + (i // 3) * 37 AS nf, 1 + (i // 3) % 2 AS ch
+        FROM generate_series(0, 11) t(i)),
+      fr AS (SELECT i, b, v, nf, ch, unnest(generate_series(0, nf - 1)) AS f
+             FROM clips),
+      cs AS (SELECT i, b, v, nf, f, unnest(generate_series(0, ch - 1)) AS c
+             FROM fr),
+      smp AS (
+        SELECT i, nf, f,
+               (((f*31 + c*17 + b*101) % 4001) - 2000) *
+               CASE WHEN v = 1 THEN 3
+                    WHEN v = 2 AND b = 0 AND ((f * 65) // nf) % 2 = 0 THEN 4
+                    WHEN v = 2 AND b <> 0 AND (f * 10) // nf = 3 THEN 4
+                    ELSE 1 END AS s
+        FROM cs),
+      win AS (
+        SELECT c.i, c.nf, w, (w * c.nf) // 65 AS lo, ((w + 1) * c.nf) // 65 AS hi
+        FROM clips c, generate_series(0, 64) ws(w)),
+      e AS (
+        SELECT win.i, win.w, (win.hi - win.lo) AS len, SUM(ABS(smp.s)) AS e
+        FROM win JOIN smp ON smp.i = win.i AND smp.f >= win.lo AND smp.f < win.hi
+        GROUP BY win.i, win.w, win.hi, win.lo),
+      bits AS (
+        SELECT a.i, a.w AS bb,
+               CASE WHEN n.e * a.len > a.e * n.len THEN 1 ELSE 0 END AS bit
+        FROM e a JOIN e n ON n.i = a.i AND n.w = a.w + 1
+        WHERE a.w < 64),
+      hs AS (
+        SELECT i,
+               bit_or(CASE WHEN bit = 1 AND bb < 32
+                           THEN (CAST(1 AS BIGINT) << bb) ELSE 0 END) AS dh_lo,
+               bit_or(CASE WHEN bit = 1 AND bb >= 32
+                           THEN (CAST(1 AS BIGINT) << (bb - 32)) ELSE 0 END) AS dh_hi
+        FROM bits GROUP BY i)
+      SELECT id_a, id_b, hamming FROM (
+        SELECT CAST(x.i AS BIGINT) AS id_a, CAST(y.i AS BIGINT) AS id_b,
+               CAST(bit_count(xor(x.dh_lo, y.dh_lo)) +
+                    bit_count(xor(x.dh_hi, y.dh_hi)) AS BIGINT) AS hamming
+        FROM hs x JOIN hs y ON x.i < y.i)
+      WHERE hamming <= 3
+      ORDER BY id_a, id_b"""),
+    (s, dir) => {
+      val clips: Seq[(Long, Array[Byte])] = (0 until 12).map { i =>
+        val b = i / 3
+        val v = i % 3
+        val (nf, ch) = (400 + b * 37, 1 + b % 2)
+        // encodeWav's sample callback is (channel, frame)
+        (i.toLong, operators.Multimodal.encodeWav(ch, 8000, nf,
+          (c, f) => (((f * 31 + c * 17 + b * 101) % 4001) - 2000) *
+            (if (v == 1) 3
+            else if (v == 2 && b == 0 && (f * 65) / nf % 2 == 0) 4
+            else if (v == 2 && b != 0 && (f * 10) / nf == 3) 4
+            else 1)))
+      }
+      val junk: Seq[(Long, Array[Byte])] = Seq(
+        12L -> "definitely not audio".getBytes("UTF-8"),
+        13L -> Array[Byte](0x7, 0x8))
+      import s.implicits._
+      operators.Multimodal.audioNearDupPairs(
+        (clips ++ junk).toDF("clip_id", "payload"), "clip_id", "payload",
+        maxHamming = 3)
+        .transform(Queries.sortedSmall(_, "id_a", "id_b"))
+    })
+
   val all: Seq[Queries.Q] =
     Seq(qLmBigramCounts, qLmScoreAudit, qShardAssign, qShardManifest,
       qCurationV3, qCorpusDrift, qGlobalRank, qGlobalRankRange,
-      qCcnetBuckets, qImageNearDup, qImageDedup, qVideoNearDup)
+      qCcnetBuckets, qImageNearDup, qImageDedup, qVideoNearDup,
+      qAudioNearDup)
 }

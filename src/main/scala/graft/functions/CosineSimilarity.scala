@@ -214,6 +214,12 @@ object GraftFunctions {
     graftBridge.column(ImageDHash64(
       Seq(pixels, width, height, channels).map(graftBridge.expression)))
 
+  /** Column-API form of [[AudioDHash64]]: 64-bit gain-invariant
+    * energy-envelope fingerprint of a PCM WAV payload; NULL when
+    * undecodable or under 65 frames. */
+  def audioDHash64(payload: Column): Column =
+    graftBridge.column(AudioDHash64(graftBridge.expression(payload)))
+
   /** Column-API form of [[AviMeta]]: struct<width, height, fps_num,
     * fps_den, n_frames> of an uncompressed AVI payload; NULL when
     * absent/undecodable. */
@@ -374,6 +380,13 @@ object GraftFunctions {
         (args: Seq[Expression]) => {
           require(args.length == 6, s"graft_resize_nn expects 6 arguments, got ${args.length}")
           ImageResizeNN(args)
+        }),
+      (
+        FunctionIdentifier("graft_audio_dhash"),
+        new ExpressionInfo(classOf[AudioDHash64].getName, "graft_audio_dhash"),
+        (args: Seq[Expression]) => {
+          require(args.length == 1, s"graft_audio_dhash expects 1 argument, got ${args.length}")
+          AudioDHash64(args(0))
         }),
       (
         FunctionIdentifier("graft_image_dhash"),

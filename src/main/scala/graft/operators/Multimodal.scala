@@ -316,6 +316,40 @@ object Multimodal {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** 64-bit gain-invariant audio fingerprint of a PCM WAV payload —
+    * [[graft.functions.AudioDHash64]] (65 floor-rule energy windows
+    * → envelope gradient signs). NULL for undecodable or sub-65-frame
+    * payloads, which flow through unpaired. */
+  def audioDHash(payload: Column): Column =
+    graft.functions.GraftFunctions.audioDHash64(payload)
+
+  /** Audio NEAR-DUP pairs — the third member of the perceptual
+    * fingerprint family, through the SAME lossless 4×16-bit
+    * pigeonhole block join as text simhash and image dHash
+    * ([[Dedup.hammingBandPairs]] — one audited machinery, three
+    * fingerprint families): every unordered pair of decodable clips
+    * whose [[audioDHash]] envelopes are within `maxHamming` bits.
+    * Gain-rescaled / re-normalized copies land at Hamming 0; local
+    * edits (an inserted jingle, a re-mixed section) cost bits
+    * proportional to the span they disturb; unrelated clips scatter
+    * near 32. Output: (id_a, id_b, hamming), id_a < id_b. */
+  def audioNearDupPairs(
+      docs: DataFrame, idCol: String, payloadCol: String,
+      maxHamming: Int = 3, maxBucket: Int = 65536, chunkSize: Int = 256): DataFrame = {
+    val sig = docs
+      .select(col(idCol), col(payloadCol))
+      .repartition(Dedup.pinnedParts(docs)) // decode frontier spread
+      .select(col(idCol).as("id"), audioDHash(col(payloadCol)).as("__dh"))
+      .filter(col("__dh").isNotNull)
+      .select(
+        col("id") +:
+          (0 until 4).map(b =>
+            shiftrightunsigned(col("__dh"), 48 - 16 * b)
+              .bitwiseAND(lit(0xFFFFL)).cast("int").as(s"__b$b")): _*)
+      .localCheckpoint(true)
+    Dedup.hammingBandPairs(sig, maxHamming, maxBucket, chunkSize)
+  }
+
   /** Video NEAR-DUP pairs by frame-aligned perceptual hashing — the
     * video column's dedup verb, composed entirely from audited
     * parts: sample every `stride`-th frame ([[videoFramePixels]] —

@@ -144,7 +144,8 @@ class FunctionsSpec extends SparkSpec {
         "graft_jaro_winkler",
         "graft_gif_pixels", "graft_gif_stats",
         "graft_wav_samples", "graft_wav_stats",
-        "graft_resize_nn", "graft_image_dhash", "graft_top_k"))
+        "graft_resize_nn", "graft_audio_dhash", "graft_image_dhash",
+        "graft_top_k"))
   }
 
   test("native cosine participates in whole-stage codegen (no CodegenFallback)") {

@@ -104,6 +104,42 @@ class ImageNearDupSpec extends SparkSpec {
       s"only the re-encode pair survives, got ${pairs.toSeq}")
   }
 
+  test("audio fingerprint: gain invariance, short-clip NULL, junk never pairs") {
+    import spark.implicits._
+    // the p_audio_near_dup family-1 parameters (437 frames, stereo):
+    // the amplified burst provably flips 2 envelope bits there
+    // encodeWav's sample callback is (channel, frame)
+    def s0(c: Int, f: Int): Int = ((f * 31 + c * 17 + 101) % 4001) - 2000
+    def hashOf(p: Array[Byte]): java.lang.Long =
+      Seq(Tuple1(p)).toDF("p")
+        .select(Multimodal.audioDHash(col("p")).as("h"))
+        .collect().head.getAs[java.lang.Long]("h")
+    val base = Multimodal.encodeWav(2, 8000, 437, s0)
+    val louder = Multimodal.encodeWav(2, 8000, 437, (c, f) => s0(c, f) * 3)
+    assert(hashOf(base) != null && hashOf(louder) == hashOf(base),
+      "uniform gain must not move a single envelope-gradient bit")
+    // a locally re-mixed copy moves bits; an unrelated clip scatters
+    val burst = Multimodal.encodeWav(2, 8000, 437,
+      (c, f) => s0(c, f) * (if ((f * 10) / 437 == 3) 4 else 1))
+    val other = Multimodal.encodeWav(1, 8000, 400,
+      (c, f) => ((f * 31 + c * 17 + 202) % 4001) - 2000)
+    def ham(a: java.lang.Long, b: java.lang.Long): Int =
+      java.lang.Long.bitCount(a ^ b)
+    assert(ham(hashOf(burst), hashOf(base)) > 0)
+    assert(ham(hashOf(other), hashOf(base)) > 3)
+    // too short to fingerprint (< 65 frames) and junk → NULL
+    assert(hashOf(Multimodal.encodeWav(1, 8000, 64, s0)) == null)
+    assert(hashOf("not audio".getBytes("UTF-8")) == null)
+    // pairing: only (base, louder); short/junk flow through unpaired
+    val pairs = Multimodal.audioNearDupPairs(
+      Seq(1L -> base, 2L -> louder, 3L -> other,
+        4L -> Multimodal.encodeWav(1, 8000, 64, s0),
+        5L -> "junk".getBytes("UTF-8")).toDF("clip_id", "payload"),
+      "clip_id", "payload")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 0L)))
+  }
+
   test("image block gate: drops exactly block-sharers, keeps undecodables, zero state") {
     import spark.implicits._
     def pix(b: Int)(x: Int, y: Int, c: Int): Int =
