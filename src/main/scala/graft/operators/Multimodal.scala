@@ -297,6 +297,20 @@ object Multimodal {
           .bitwiseAND(lit(0xFFFFL)).cast("int")): _*)).as(Seq("band", "bv")))
       .distinct()
 
+  /** The reference audio catalog's distinct envelope-hash blocks,
+    * (band, bv) — the membership table for INCREMENTAL audio dedup
+    * ([[graft.streaming.StreamingOps.dropAudioNearDups]]). Same
+    * ≤262,144-row bound and pigeonhole recall contract as
+    * [[imageBlockTable]]. */
+  def audioBlockTable(docs: DataFrame, payloadCol: String): DataFrame =
+    docs
+      .select(audioDHash(col(payloadCol)).as("__dh"))
+      .filter(col("__dh").isNotNull)
+      .select(posexplode(array((0 until 4).map(b =>
+        shiftrightunsigned(col("__dh"), 48 - 16 * b)
+          .bitwiseAND(lit(0xFFFFL)).cast("int")): _*)).as(Seq("band", "bv")))
+      .distinct()
+
   /** Image near-dup DEDUP output — the corpus-level multimodal twin
     * of [[Dedup.dedupNearDups]]: [[imageNearDupPairs]] →
     * [[Graph.connectedComponents]] → keep each cluster's smallest-id

@@ -290,6 +290,36 @@ object StreamingOps {
       .drop((0 until 4).flatMap(b => Seq(s"__b$b", s"__m$b")): _*)
   }
 
+  /** STREAMING audio near-dup gate — [[dropImageNearDups]] for the
+    * audio column: drop an arriving clip iff any of its four
+    * envelope-hash blocks appears in the reference catalog's block
+    * table ([[graft.operators.Multimodal.audioBlockTable]], always
+    * broadcast). Stateless; pigeonhole-complete for Hamming-≤3
+    * envelope edits (gain rescales land at Hamming 0 and always
+    * drop); undecodable or sub-65-frame payloads match nothing and
+    * are kept. */
+  def dropAudioNearDups(
+      stream: DataFrame, idCol: String, payloadCol: String,
+      refBlocks: DataFrame): DataFrame = {
+    val withBlocks = {
+      val withH = stream.withColumn("__dh",
+        graft.operators.Multimodal.audioDHash(col(payloadCol)))
+      withH.select(
+        stream.columns.toIndexedSeq.map(col) ++
+          (0 until 4).map(b =>
+            shiftrightunsigned(col("__dh"), 48 - 16 * b)
+              .bitwiseAND(lit(0xFFFFL)).cast("int").as(s"__b$b")): _*)
+    }
+    val probed = (0 until 4).foldLeft(withBlocks) { (df, b) =>
+      val ref = broadcast(
+        refBlocks.filter(col("band") === b).select(col("bv").as(s"__m$b")))
+      df.join(ref, col(s"__b$b") === col(s"__m$b"), "left")
+    }
+    probed
+      .filter((0 until 4).map(b => col(s"__m$b").isNull).reduce(_ && _))
+      .drop((0 until 4).flatMap(b => Seq(s"__b$b", s"__m$b")): _*)
+  }
+
   /** Misra–Gries summary state of one shard: tracked item → counter,
     * plus the total decrement count that bounds every estimate. */
   final case class MgState(counts: Map[String, Long], decrements: Long)

@@ -140,6 +140,29 @@ class ImageNearDupSpec extends SparkSpec {
     assert(pairs.toSeq == Seq((1L, 2L, 0L)))
   }
 
+  test("audio block gate: drops gain copies, keeps fresh/short/junk clips") {
+    import spark.implicits._
+    def s0(c: Int, f: Int): Int = ((f * 31 + c * 17 + 101) % 4001) - 2000
+    val ref = Seq(100L -> Multimodal.encodeWav(2, 8000, 437, s0))
+      .toDF("clip_id", "payload")
+    val blocks = Multimodal.audioBlockTable(ref, "payload")
+    assert(blocks.count() <= 4)
+    val kept = graft.streaming.StreamingOps.dropAudioNearDups(
+      Seq(
+        1L -> Multimodal.encodeWav(2, 8000, 437, (c, f) => s0(c, f) * 3), // gain copy → drop
+        // fresh clip with a structurally DIFFERENT envelope (a mere
+        // +offset of the reference formula shares a whole 16-bit band
+        // by coincidence — the documented high-recall over-drop)
+        2L -> Multimodal.encodeWav(1, 8000, 400,
+          (c, f) => ((f * 173 + c * 13 + 999) % 3797) - 1898), // fresh → keep
+        3L -> Multimodal.encodeWav(1, 8000, 64, s0), // too short → keep
+        4L -> "junk".getBytes("UTF-8")) // undecodable → keep
+        .toDF("clip_id", "payload"),
+      "clip_id", "payload", blocks)
+      .select("clip_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L, 4L), s"got $kept")
+  }
+
   test("image block gate: drops exactly block-sharers, keeps undecodables, zero state") {
     import spark.implicits._
     def pix(b: Int)(x: Int, y: Int, c: Int): Int =
