@@ -205,6 +205,52 @@ object StreamScaleStress {
         StreamingOps.importanceFilterStream(
           s, "text", counts, minAffinity = 0.1)
       }
+      // ---- streaming media gates: the image and audio block gates
+      // over REAL payload streams (PNG decode + dHash, WAV decode +
+      // envelope hash per arriving row). Catalog = every 10th id's
+      // blocks (the "already ingested" slice, frozen — broadcast by
+      // construction). Claims: zero state rows, flat per-batch wall
+      // (the gate costs one decode+hash+broadcast-probe per row,
+      // never the catalog or horizon), and a LIVE split (family
+      // members of catalog heads drop; the rest keep).
+      if (opFilter.isEmpty || opFilter.exists(f =>
+          "stream_image_gate".contains(f) || "stream_audio_gate".contains(f))) {
+        import spark.implicits._
+        val nMedia = 2000 * scale
+        val imgFeed = s"$work/imgfeed-$scale"
+        (0 until nMedia).map { i =>
+          val fam = i - i % 10
+          val v = i % 10
+          val shift = if (v == 1) 35 else if (v == 2) 60 else 0
+          val b = if (v <= 2) fam else i
+          (i.toLong, graft.operators.Multimodal.encodePng(48, 32, 3,
+            (x, y, c) => ((x * 7 + y * 13 + c * 31) * (b % 9973 + 1) + b) % 190 + shift,
+            y => (y + b) % 5))
+        }.toDF("img_id", "payload")
+          .repartition(nBatches).write.mode("overwrite").parquet(imgFeed)
+        val imgBlocks = graft.operators.Multimodal.imageBlockTable(
+          spark.read.parquet(imgFeed).filter(pmod(col("img_id"), lit(10)) === 0),
+          "payload").localCheckpoint(true)
+        measure("stream_image_gate", scale, imgFeed, "append") { s =>
+          StreamingOps.dropImageNearDups(s, "img_id", "payload", imgBlocks)
+        }
+        val wavFeed = s"$work/wavfeed-$scale"
+        (0 until nMedia).map { i =>
+          val fam = i - i % 10
+          val v = i % 10
+          val gain = if (v == 1) 3 else if (v == 2) 5 else 1
+          val b = if (v <= 2) fam else i
+          (i.toLong, graft.operators.Multimodal.encodeWav(1 + b % 2, 8000, 200 + b % 97,
+            (c, f) => ((((f * 31 + c * 17) * (b % 9973 + 1) + b) % 4001) - 2000) * gain))
+        }.toDF("clip_id", "payload")
+          .repartition(nBatches).write.mode("overwrite").parquet(wavFeed)
+        val wavBlocks = graft.operators.Multimodal.audioBlockTable(
+          spark.read.parquet(wavFeed).filter(pmod(col("clip_id"), lit(10)) === 0),
+          "payload").localCheckpoint(true)
+        measure("stream_audio_gate", scale, wavFeed, "append") { s =>
+          StreamingOps.dropAudioNearDups(s, "clip_id", "payload", wavBlocks)
+        }
+      }
       // ---- streaming LM gate: the frozen backoff artifacts come
       // from the UNAMPLIFIED corpus's %10==0 reference slice
       // (reference models retrain rarely — fixed-size artifacts; the
