@@ -51,6 +51,19 @@ private[graft] object AviDecode {
       width: Int, height: Int, fpsNum: Int, fpsDen: Int,
       frames: IndexedSeq[Array[Byte]])
 
+  /** Container header + validated frame-chunk directory, with NO
+    * pixel materialization — the one walk every AVI expression
+    * shares. `frameOffsets(i)` is the wire offset of frame i's data;
+    * every chunk is pre-validated to hold a full `wireStride·height`
+    * frame, and the total decoded volume is pre-checked against
+    * [[MaxRawBytes]], so a consumer that passes the header can read
+    * any frame without further bounds logic. Null ⇔ [[decode]] null
+    * (same scope, same caps — result-equivalence by construction). */
+  final case class Header(
+      width: Int, height: Int, topDown: Boolean,
+      fpsNum: Int, fpsDen: Int, wireStride: Int,
+      frameOffsets: Array[Int])
+
   private def leU32(b: Array[Byte], i: Int): Long =
     (b(i) & 0xFFL) | ((b(i + 1) & 0xFFL) << 8) |
       ((b(i + 2) & 0xFFL) << 16) | ((b(i + 3) & 0xFFL) << 24)
@@ -60,8 +73,8 @@ private[graft] object AviDecode {
   private def fourcc(b: Array[Byte], i: Int): String =
     new String(b, i, 4, "US-ASCII")
 
-  /** Decode or null. Never throws on malformed input. */
-  def decode(b: Array[Byte]): Decoded = {
+  /** Header walk or null. Never throws on malformed input. */
+  def header(b: Array[Byte]): Header = {
     if (b == null || b.length < 24) return null
     if (fourcc(b, 0) != "RIFF" || fourcc(b, 8) != "AVI ") return null
     var width, height = -1
@@ -123,16 +136,32 @@ private[graft] object AviDecode {
     val outFrame = width.toLong * h * 3
     if (outFrame * math.max(frameChunks.size, 1) > MaxRawBytes) return null
     val wireStride = ((width * 3 + 3) / 4) * 4 // rows pad to 4 bytes
-    val frames = frameChunks.map { case (off, len) =>
-      if (len < wireStride * h) return null // truncated frame
-      val out = new Array[Byte](outFrame.toInt)
+    val offsets = new Array[Int](frameChunks.size)
+    var i = 0
+    while (i < frameChunks.size) {
+      val (off, len) = frameChunks(i)
+      if (len < wireStride.toLong * h) return null // truncated frame
+      offsets(i) = off
+      i += 1
+    }
+    Header(width, h, topDown, fpsNum, fpsDen, wireStride, offsets)
+  }
+
+  /** Decode or null. Never throws on malformed input. */
+  def decode(b: Array[Byte]): Decoded = {
+    val hd = header(b)
+    if (hd == null) return null
+    val w = hd.width; val h = hd.height
+    val outFrame = w * h * 3
+    val frames = hd.frameOffsets.map { off =>
+      val out = new Array[Byte](outFrame)
       var y = 0
       while (y < h) {
-        val srcRow = off + (if (topDown) y else h - 1 - y) * wireStride
+        val srcRow = off + (if (hd.topDown) y else h - 1 - y) * hd.wireStride
         var x = 0
-        while (x < width) {
+        while (x < w) {
           val s = srcRow + x * 3 // wire BGR → out RGB
-          val d = (y * width + x) * 3
+          val d = (y * w + x) * 3
           out(d) = b(s + 2); out(d + 1) = b(s + 1); out(d + 2) = b(s)
           x += 1
         }
@@ -140,7 +169,7 @@ private[graft] object AviDecode {
       }
       out
     }
-    Decoded(width, h, fpsNum, fpsDen, frames.toIndexedSeq)
+    Decoded(w, h, hd.fpsNum, hd.fpsDen, frames.toIndexedSeq)
   }
 }
 
@@ -166,9 +195,11 @@ case class AviMeta(child: Expression) extends UnaryExpression with CodegenFallba
   override def nullable: Boolean = true
   override def prettyName: String = "graft_avi_meta"
   override protected def nullSafeEval(input: Any): Any = {
-    val d = AviDecode.decode(input.asInstanceOf[Array[Byte]])
-    if (d == null) null
-    else InternalRow(d.width, d.height, d.fpsNum, d.fpsDen, d.frames.length)
+    // Header-only walk — metadata never materializes a pixel buffer.
+    val hd = AviDecode.header(input.asInstanceOf[Array[Byte]])
+    if (hd == null) null
+    else InternalRow(hd.width, hd.height, hd.fpsNum, hd.fpsDen,
+      hd.frameOffsets.length)
   }
   override protected def withNewChildInternal(newChild: Expression): AviMeta =
     copy(child = newChild)
@@ -201,6 +232,85 @@ case class AviFramePixels(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Frame sampling + per-frame dHash in ONE container walk:
+  * `array<struct<frame_idx:int, dhash:long>>` for frames 0, stride,
+  * 2·stride, … — the video near-dup frontier
+  * ([[graft.operators.Multimodal.videoNearDupPairs]]) without the
+  * quadratic decode the composed form
+  * (`ImageDHash64(AviFramePixels(payload, f), …)` per exploded frame
+  * row) pays: that shape re-runs the full container decode once per
+  * sampled frame (1 + f/stride passes per video), this one walks the
+  * container ONCE and never allocates a frame buffer at all — dHash
+  * needs only 72 samples per frame, read straight from the wire
+  * (padded bottom-up BGR), exploiting that [[ImageDHash64]]'s luma
+  * ⌊(c0+c1+c2)/3⌋ is channel-order-invariant and its NN floor grid
+  * maps to wire rows by the same top-down flip [[AviDecode.decode]]
+  * applies. Bit-identical to the composed form by construction
+  * (pinned by AviSpec's equivalence test). NULL when the payload is
+  * out of [[AviDecode]] scope or stride < 1; empty array when the
+  * container holds zero frame chunks. */
+case class AviFrameDHashes(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, IntegerType | LongType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (binary, integral), got ($l, $r)")
+    }
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("dhash", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_avi_frame_dhashes"
+
+  private final val GridW = 9
+  private final val GridH = 8
+
+  override protected def nullSafeEval(payload: Any, strideAny: Any): Any = {
+    val stride = strideAny match { case l: Long => l; case n: Int => n.toLong }
+    if (stride < 1) return null
+    val b = payload.asInstanceOf[Array[Byte]]
+    val hd = AviDecode.header(b)
+    if (hd == null) return null
+    val w = hd.width; val h = hd.height
+    // Wire offset of the NN-sampled source pixel for grid cell
+    // (gx, gy) of the frame at `off` — the same floor rule as
+    // ImageDHash64 (sy = ⌊gy·h/8⌋, sx = ⌊gx·w/9⌋ in the TOP-DOWN
+    // frame), flipped to the wire's row order.
+    def luma(off: Int, gx: Int, gy: Int): Int = {
+      val sy = (gy.toLong * h / GridH).toInt
+      val sx = (gx.toLong * w / GridW).toInt
+      val s = off + (if (hd.topDown) sy else h - 1 - sy) * hd.wireStride + sx * 3
+      // wire BGR; luma = ⌊(R+G+B)/3⌋ — order-free sum
+      ((b(s) & 0xFF) + (b(s + 1) & 0xFF) + (b(s + 2) & 0xFF)) / 3
+    }
+    val out = scala.collection.mutable.ArrayBuffer[Any]()
+    var i = 0L
+    while (i < hd.frameOffsets.length) {
+      val off = hd.frameOffsets(i.toInt)
+      var hash = 0L
+      var gy = 0
+      while (gy < GridH) {
+        var prev = luma(off, 0, gy)
+        var gx = 0
+        while (gx < GridW - 1) {
+          val next = luma(off, gx + 1, gy)
+          if (next > prev) hash |= 1L << (gy * 8 + gx)
+          prev = next
+          gx += 1
+        }
+        gy += 1
+      }
+      out += InternalRow(i.toInt, hash)
+      i += stride
+    }
+    new GenericArrayData(out.toArray)
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): AviFrameDHashes =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Frame sampling + per-frame brightness in one pass:
   * `array<struct<frame_idx:long, mean:double>>` for frames 0, stride,
   * 2·stride, … — the "sample frames, featurize each" shape a video
@@ -223,16 +333,27 @@ case class AviFrameStats(left: Expression, right: Expression)
   override protected def nullSafeEval(payload: Any, strideAny: Any): Any = {
     val stride = strideAny match { case l: Long => l; case n: Int => n.toLong }
     if (stride < 1) return null
-    val d = AviDecode.decode(payload.asInstanceOf[Array[Byte]])
-    if (d == null) return null
+    val b = payload.asInstanceOf[Array[Byte]]
+    val hd = AviDecode.header(b)
+    if (hd == null) return null
+    // Sum wire bytes directly (row padding excluded) — a mean is
+    // row-order- and channel-order-free, so no frame buffer is ever
+    // allocated and only SAMPLED frames are touched.
+    val rowBytes = hd.width * 3
+    val nSamples = hd.width.toLong * hd.height * 3
     val out = scala.collection.mutable.ArrayBuffer[Any]()
     var i = 0L
-    while (i < d.frames.length) {
-      val f = d.frames(i.toInt)
+    while (i < hd.frameOffsets.length) {
+      val off = hd.frameOffsets(i.toInt)
       var sum = 0L
-      var j = 0
-      while (j < f.length) { sum += f(j) & 0xFF; j += 1 }
-      out += InternalRow(i, sum.toDouble / f.length)
+      var y = 0
+      while (y < hd.height) {
+        val row = off + y * hd.wireStride
+        var j = 0
+        while (j < rowBytes) { sum += b(row + j) & 0xFF; j += 1 }
+        y += 1
+      }
+      out += InternalRow(i, sum.toDouble / nSamples)
       i += stride
     }
     new GenericArrayData(out.toArray)

@@ -239,6 +239,13 @@ object GraftFunctions {
     graftBridge.column(AviFrameStats(
       graftBridge.expression(payload), graftBridge.expression(stride)))
 
+  /** Column-API form of [[AviFrameDHashes]]:
+    * array<struct<frame_idx:int, dhash:long>> for every stride-th
+    * frame, ONE container walk, zero frame-buffer allocations. */
+  def aviFrameDHashes(payload: Column, stride: Column): Column =
+    graftBridge.column(AviFrameDHashes(
+      graftBridge.expression(payload), graftBridge.expression(stride)))
+
   private[graft] val descriptors: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(
       (
@@ -324,6 +331,13 @@ object GraftFunctions {
         (args: Seq[Expression]) => {
           require(args.length == 2, s"graft_avi_frame_stats expects 2 arguments, got ${args.length}")
           AviFrameStats(args(0), args(1))
+        }),
+      (
+        FunctionIdentifier("graft_avi_frame_dhashes"),
+        new ExpressionInfo(classOf[AviFrameDHashes].getName, "graft_avi_frame_dhashes"),
+        (args: Seq[Expression]) => {
+          require(args.length == 2, s"graft_avi_frame_dhashes expects 2 arguments, got ${args.length}")
+          AviFrameDHashes(args(0), args(1))
         }),
       (
         FunctionIdentifier("graft_bmp_pixels"),

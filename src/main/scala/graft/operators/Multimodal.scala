@@ -380,9 +380,11 @@ object Multimodal {
     * shift-tolerant join (e.g. hash-set overlap without the frame
     * key), which trades away the equi-join scale shape below.
     *
-    * Scale shape: one map-side decode+hash pass per video (frames
-    * never materialize into rows — each dHash lives inside its
-    * projection), then ONE (frame_idx, dhash)-keyed equi-join of
+    * Scale shape: ONE map-side container walk per video
+    * ([[graft.functions.AviFrameDHashes]] — 72 wire samples per
+    * sampled frame, zero frame-buffer allocations; bit-identical to
+    * `imageDHash64(videoFramePixels(p, f), …)` per frame, pinned by
+    * AviSpec), then ONE (frame_idx, dhash)-keyed equi-join of
     * narrow (id, f, hash) rows + one pair-keyed count — bucketed,
     * never all-pairs. A corpus-wide constant frame (black/slate
     * intros) floods its (f, hash) bucket exactly like a flood
@@ -396,21 +398,15 @@ object Multimodal {
       stride: Int, minFrac: Double = 0.5): DataFrame = {
     require(stride > 0, s"stride=$stride must be positive")
     require(minFrac > 0 && minFrac <= 1, s"minFrac=$minFrac outside (0,1]")
-    val m = videoMeta(col(payloadCol))
     val frames = docs
       .select(col(idCol), col(payloadCol))
       .repartition(Dedup.pinnedParts(docs)) // decode frontier spread
-      .select(col(idCol), col(payloadCol), m.as("__m"))
-      .filter(col("__m").isNotNull && col("__m.n_frames") > 0)
-      .select(col(idCol), col(payloadCol), col("__m"),
-        explode(sequence(lit(0), col("__m.n_frames").cast("int") - 1,
-          lit(stride))).as("__f"))
-      .select(col(idCol), col("__f"),
-        graft.functions.GraftFunctions.imageDHash64(
-          videoFramePixels(col(payloadCol), col("__f")),
-          col("__m.width").cast("int"), col("__m.height").cast("int"),
-          lit(3)).as("__dh"))
-      .filter(col("__dh").isNotNull)
+      .select(col(idCol),
+        videoFrameDHashes(col(payloadCol), stride).as("__fh"))
+      .filter(col("__fh").isNotNull && size(col("__fh")) > 0)
+      .select(col(idCol), explode(col("__fh")).as("__e"))
+      .select(col(idCol), col("__e.frame_idx").as("__f"),
+        col("__e.dhash").as("__dh"))
       .localCheckpoint(true)
     val sampled = frames.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
     val a = frames.select(
@@ -448,6 +444,15 @@ object Multimodal {
     * frames feed the same featurizers as stills. */
   def videoFramePixels(payload: Column, frameIdx: Column): Column =
     graft.functions.GraftFunctions.aviFrame(payload, frameIdx)
+
+  /** Every `stride`-th frame's index + perceptual dHash in ONE
+    * container walk (`array<struct<frame_idx:int, dhash:long>>`) —
+    * the sample-and-fingerprint frontier of [[videoNearDupPairs]],
+    * frame-for-frame bit-identical to
+    * `imageDHash64(videoFramePixels(p, f), w, h, 3)` but 1 container
+    * walk instead of 1 + n_frames/stride full decodes. */
+  def videoFrameDHashes(payload: Column, stride: Int): Column =
+    graft.functions.GraftFunctions.aviFrameDHashes(payload, lit(stride))
 
   /** REAL frame sampling for uncompressed AVI payloads: every
     * `stride`-th frame's index + mean RGB brightness

@@ -162,6 +162,74 @@ class AviSpec extends SparkSpec {
     assert(frameResized.sameElements(want))
   }
 
+  test("aviFrameDHashes ≡ imageDHash64∘videoFramePixels per sampled frame (one-pass result equivalence)") {
+    import spark.implicits._
+    import graft.functions.GraftFunctions.{aviFrameDHashes, imageDHash64}
+    // Varied shapes: odd width (wire-row padding ≠ 0), both row
+    // orders, width/height below and above the 9×8 dHash grid —
+    // the composed form decodes the full container per frame; the
+    // one-pass form must be bit-identical on every sampled frame.
+    val fixtures = for {
+      (w, h, nf) <- Seq((5, 3, 7), (12, 10, 4), (9, 8, 1), (16, 9, 10))
+      topDown <- Seq(false, true)
+    } yield Multimodal.encodeAvi(w, h, nf,
+      (f, x, y, c) => (f * 37 + x * 11 + y * 23 + c * 5) % 256,
+      fpsNum = 30, topDown = topDown)
+    for (avi <- fixtures; stride <- Seq(1, 2, 3)) {
+      val df = Seq(avi).toDF("payload")
+      val onePass = df.select(explode(aviFrameDHashes(col("payload"), lit(stride))).as("e"))
+        .select(col("e.frame_idx"), col("e.dhash"))
+        .as[(Int, Long)].collect().toSeq
+      val m = df.select(Multimodal.videoMeta(col("payload")).as("m"))
+        .select(col("m.n_frames"), col("m.width"), col("m.height"))
+        .as[(Int, Int, Int)].head()
+      val composed = (0 until m._1 by stride).map { f =>
+        val dh = df.select(imageDHash64(
+          Multimodal.videoFramePixels(col("payload"), lit(f)),
+          lit(m._2), lit(m._3), lit(3))).as[Long].head()
+        (f, dh)
+      }
+      assert(onePass == composed, s"stride=$stride w=${m._2} h=${m._3}")
+    }
+    // scope edges: non-AVI → NULL; stride<1 → NULL
+    val junk = Seq("not a video".getBytes).toDF("payload")
+    assert(junk.select(aviFrameDHashes(col("payload"), lit(2))).head().isNullAt(0))
+    assert(Seq(fixtures.head).toDF("payload")
+      .select(aviFrameDHashes(col("payload"), lit(0))).head().isNullAt(0))
+  }
+
+  test("videoNearDupPairs through the one-pass frontier matches the composed-form pairs") {
+    import spark.implicits._
+    import graft.functions.GraftFunctions.imageDHash64
+    // 3 videos: b = a with a uniform brightness shift on every frame
+    // (dHash-invariant ⇒ full match), c = unrelated noise.
+    def pxA(f: Int, x: Int, y: Int, c: Int) = (f * 31 + x * 13 + y * 17 + c * 3) % 200
+    val a = Multimodal.encodeAvi(12, 10, 6, pxA)
+    val b = Multimodal.encodeAvi(12, 10, 6, (f, x, y, c) => pxA(f, x, y, c) + 40)
+    val cvid = Multimodal.encodeAvi(12, 10, 6,
+      (f, x, y, c) => ((f * 7 + x) * (y * 5 + c) * 73 + x * y) % 256)
+    val docs = Seq(("a", a), ("b", b), ("c", cvid)).toDF("id", "payload")
+    val got = Multimodal.videoNearDupPairs(docs, "id", "payload", stride = 2)
+      .select("id_a", "id_b", "n_match").as[(String, String, Long)].collect().toSeq
+    assert(got == Seq(("a", "b", 3L)), got.toString)
+    // Composed-form oracle, computed inline the way the pre-one-pass
+    // operator did it: explode frame indices, decode per frame.
+    val m = Multimodal.videoMeta(col("payload"))
+    val frames = docs.select(col("id"), col("payload"), m.as("__m"))
+      .filter(col("__m").isNotNull && col("__m.n_frames") > 0)
+      .select(col("id"), col("payload"),
+        explode(sequence(lit(0), col("__m.n_frames").cast("int") - 1, lit(2))).as("__f"),
+        col("__m"))
+      .select(col("id"), col("__f"), imageDHash64(
+        Multimodal.videoFramePixels(col("payload"), col("__f")),
+        col("__m.width").cast("int"), col("__m.height").cast("int"), lit(3)).as("__dh"))
+    val oracle = frames.as("x").join(frames.as("y"), Seq("__f", "__dh"))
+      .filter(col("x.id") < col("y.id"))
+      .groupBy(col("x.id"), col("y.id")).count()
+      .as[(String, String, Long)].collect().toSeq
+    assert(oracle == Seq(("a", "b", 3L)), oracle.toString)
+  }
+
   test("frameSample falls back to NULL on non-AVI payloads (stub routes those)") {
     import spark.implicits._
     val df = Seq("plain text payload".getBytes).toDF("payload")
