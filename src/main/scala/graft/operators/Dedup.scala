@@ -927,6 +927,9 @@ object Dedup {
   def simhashNearDupPairs(
       docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, maxBucket: Int = 65536, chunkSize: Int = 256): DataFrame = {
+    // fail fast BEFORE the eager full-corpus localCheckpoint below —
+    // hammingBandPairs re-checks, but by then the signature job ran
+    requireHammingArgs(maxHamming, chunkSize)
     // Parse the four 16-bit blocks from the hex signature ONCE per
     // doc, BEFORE fan-out: the per-pair verify below is then pure
     // long xor + popcount — no per-pair substring/conv of hex (8
@@ -955,12 +958,20 @@ object Dedup {
     * flood-block straggler chunking are exactly as documented on
     * [[simhashNearDupPairs]]. Output: (id_a, id_b, hamming),
     * id_a < id_b. */
-  private[graft] def hammingBandPairs(
-      sig: DataFrame,
-      maxHamming: Int, maxBucket: Int, chunkSize: Int): DataFrame = {
+  /** Shared argument validator for the 4-block pigeonhole family —
+    * every caller that eagerly materializes a signature table
+    * (localCheckpoint) MUST call this FIRST so invalid arguments fail
+    * before the full-corpus job, not after it. */
+  private[graft] def requireHammingArgs(maxHamming: Int, chunkSize: Int): Unit = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"maxHamming=$maxHamming outside [0,3]: 4-block pigeonhole is lossless only to 3")
     require(chunkSize > 0, s"chunkSize=$chunkSize must be positive")
+  }
+
+  private[graft] def hammingBandPairs(
+      sig: DataFrame,
+      maxHamming: Int, maxBucket: Int, chunkSize: Int): DataFrame = {
+    requireHammingArgs(maxHamming, chunkSize)
     val sh = sig
     val bandCols = (0 until 4).map(b => col(s"__b$b"))
     val rows = sh.select(

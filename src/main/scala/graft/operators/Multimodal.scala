@@ -251,6 +251,7 @@ object Multimodal {
   def imageNearDupPairs(
       docs: DataFrame, idCol: String, payloadCol: String,
       maxHamming: Int = 3, maxBucket: Int = 65536, chunkSize: Int = 256): DataFrame = {
+    Dedup.requireHammingArgs(maxHamming, chunkSize) // before the decode job
     val sig = docs
       .select(col(idCol), col(payloadCol))
       .repartition(Dedup.pinnedParts(docs))
@@ -350,6 +351,7 @@ object Multimodal {
   def audioNearDupPairs(
       docs: DataFrame, idCol: String, payloadCol: String,
       maxHamming: Int = 3, maxBucket: Int = 65536, chunkSize: Int = 256): DataFrame = {
+    Dedup.requireHammingArgs(maxHamming, chunkSize) // before the decode job
     val sig = docs
       .select(col(idCol), col(payloadCol))
       .repartition(Dedup.pinnedParts(docs)) // decode frontier spread

@@ -275,7 +275,12 @@ object StreamingOps {
     * rescales); coincidental block collisions over-drop (high-recall
     * prefilter semantics) — verify downstream when precision
     * matters. Undecodable payloads have NULL blocks, match nothing,
-    * and are KEPT: absence of evidence is not duplication. */
+    * and are KEPT: absence of evidence is not duplication.
+    *
+    * `idCol` is unused by the gate (membership is decided per
+    * payload, not per id) — kept for signature symmetry with the
+    * batch near-dup family ([[graft.operators.Multimodal.imageNearDupPairs]])
+    * so gate and pairs calls stay drop-in swappable. */
   def dropImageNearDups(
       stream: DataFrame, idCol: String, payloadCol: String,
       refBlocks: DataFrame): DataFrame = {
@@ -297,7 +302,8 @@ object StreamingOps {
     * broadcast). Stateless; pigeonhole-complete for Hamming-≤3
     * envelope edits (gain rescales land at Hamming 0 and always
     * drop); undecodable or sub-65-frame payloads match nothing and
-    * are kept. */
+    * are kept. `idCol` is unused — signature symmetry, see
+    * [[dropImageNearDups]]. */
   def dropAudioNearDups(
       stream: DataFrame, idCol: String, payloadCol: String,
       refBlocks: DataFrame): DataFrame = {
@@ -525,12 +531,17 @@ object StreamingOps {
     * overwrite-idempotency above distinguishes a retry from a fresh
     * batch purely by batchId — and batchIds come from the
     * checkpoint. Restarting with a FRESH checkpoint but the SAME
-    * indexDir restarts batchIds at 0, so each "new" batch silently
-    * overwrites b0, b1, … and corrupts the accumulated history
-    * (nothing inside the function can tell that apart from a
-    * legitimate retry of batch 0). Treat them as one unit: same
-    * lifetime, same deletion, ideally sibling paths
-    * (`$root/checkpoint`, `$root/ndindex`).
+    * indexDir restarts batchIds at 0, so each "new" batch would
+    * silently overwrite b0, b1, … and corrupt the accumulated
+    * history. The function REFUSES that state: batchIds are
+    * monotone within one checkpoint's lifetime, so `batchId` below
+    * the largest member id already in `indexDir` can only mean a
+    * checkpoint/index lifecycle split, and throws
+    * IllegalStateException before touching the index (a retry of
+    * the newest batch — batchId == max id — stays legal and
+    * idempotent). Treat them as one unit: same lifetime, same
+    * deletion, ideally sibling paths (`$root/checkpoint`,
+    * `$root/ndindex`).
     *
     * Scale shape: banding is map-side; admission is one
     * bucket-keyed window rank over the BATCH (not history); the
@@ -584,12 +595,35 @@ object StreamingOps {
     // every admitted member from batches ≤ id — [[compactNearDupIndex]]);
     // the name filter also shields the probe from a crashed
     // compaction's _tmp_ leftovers
-    val prior =
-      if (!fs.exists(dir)) Seq.empty[String]
+    val memberDirs =
+      if (!fs.exists(dir)) Seq.empty[org.apache.hadoop.fs.Path]
       else fs.listStatus(dir).toSeq
-        .filter(s => s.isDirectory && s.getPath.getName.matches("[bc]\\d+") &&
-          s.getPath.getName != s"b$batchId")
-        .map(_.getPath.toString)
+        .filter(s => s.isDirectory && s.getPath.getName.matches("[bc]\\d+"))
+        .map(_.getPath)
+    // lifecycle guard: batchIds are monotone within one checkpoint,
+    // so a batchId BELOW the max member id means a fresh checkpoint
+    // was pointed at a populated indexDir — refusing here is the
+    // difference between a crash and silent history corruption
+    val maxSeen = memberDirs.map(_.getName.tail.toLong).maxOption.getOrElse(-1L)
+    if (batchId < maxSeen)
+      throw new IllegalStateException(
+        s"nearDupCandidatesIndexed: batchId=$batchId is below the newest " +
+          s"index member id=$maxSeen in $indexDir — the checkpoint was reset " +
+          "without resetting the index (they must live and die together); " +
+          "replaying would overwrite committed history. Delete/fork the " +
+          "indexDir together with the checkpoint.")
+    // covered-by-c invariant (same rule as compactNearDupIndex's
+    // recovery sweep): c<cover> contains every admitted member of
+    // batches ≤ cover, so if a compaction crashed between rename and
+    // source deletion, the surviving [bc]<j> with j ≤ cover are stale
+    // DUPLICATES — reading them would double-count bucket sizes and
+    // permanently mis-admit until the next sweep
+    val cover = memberDirs.filter(_.getName.startsWith("c"))
+      .map(_.getName.tail.toLong).maxOption.getOrElse(-1L)
+    val prior = memberDirs
+      .filter(p => p.getName != s"b$batchId" &&
+        (p.getName == s"c$cover" || p.getName.tail.toLong > cover))
+      .map(_.toString)
     val idx =
       if (prior.isEmpty) Seq.empty[(String, String, Long)].toDF("bucket", "id", "pos")
       else spark.read.parquet(prior: _*)
@@ -825,8 +859,14 @@ object StreamingOps {
     docs
       .withColumn("__lm", graft.operators.LanguageModel.perplexityColumn(
         split(col(textCol), " "), uniCounts, biCounts, nTotal, vocab, alpha))
-      .select(col(idCol), col("__lm.n_scored").as("n_scored"),
-        col("__lm.n_hit").as("n_hit"), col("__lm.n_backoff").as("n_backoff"),
+      // NULL text ⇒ the whole kernel struct is NULL; the batch
+      // operator's left-join+coalesce path emits 0/0/0 counts for
+      // such docs (fracs stay NULL both ways) — coalesce to keep the
+      // "matches the batch operator exactly" claim true on null rows
+      .select(col(idCol),
+        coalesce(col("__lm.n_scored"), lit(0L)).as("n_scored"),
+        coalesce(col("__lm.n_hit"), lit(0L)).as("n_hit"),
+        coalesce(col("__lm.n_backoff"), lit(0L)).as("n_backoff"),
         col("__lm.hit_frac").as("hit_frac"),
         col("__lm.avg_logprob").as("avg_logprob"), col("__lm.ppl").as("ppl"))
 

@@ -124,11 +124,18 @@ class LanguageModelSpec extends SparkSpec {
     val bi = LanguageModel.ngramCounts(refDocs, "text", 2)
     val (u, b, n, v) = LanguageModel.collectModel(uni, bi)
     assert((n, v) == ((8L, 4L)), "hand-computed reference totals")
-    val batch = scored.collect().map(r => r.getLong(0) -> r).toMap
-    val stream = graft.streaming.StreamingOps.perplexityScoreStream(
-      scoreDocs, "doc_id", "text", u, b, n, v)
+    // include a NULL-text doc: the batch left-join path emits 0/0/0
+    // counts + NULL fracs for it, and the stream form must agree
+    val withNull = scoreDocs.unionByName(
+      Seq((14L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val batch = LanguageModel.perplexity(withNull, "doc_id", "text", uni, bi)
       .collect().map(r => r.getLong(0) -> r).toMap
-    assert(stream.keySet == batch.keySet)
+    val stream = graft.streaming.StreamingOps.perplexityScoreStream(
+      withNull, "doc_id", "text", u, b, n, v)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(stream.keySet == batch.keySet && stream.contains(14L))
+    assert((stream(14L).getLong(1), stream(14L).getLong(2), stream(14L).getLong(3))
+      == ((0L, 0L, 0L)), "NULL text scores as an explicit zero row, not NULLs")
     stream.foreach { case (id, s) =>
       val g = batch(id)
       assert((s.getLong(1), s.getLong(2), s.getLong(3)) ==

@@ -956,4 +956,124 @@ class StreamingSpec extends SparkSpec {
     assert(dirs(compacted) == Seq("b5", "c4") && index(compacted) == index(plain),
       "re-running compaction must change nothing")
   }
+
+  test("fresh checkpoint against a populated indexDir is REFUSED, not silently overwritten") {
+    import spark.implicits._
+    val fam = "the quick brown fox jumps over the lazy dog again and again"
+    val idxDir = tmp("ndx_reset_idx")
+    // populate the index: batches 0 and 1 under the "old" checkpoint
+    Seq(0L, 1L).foreach { id =>
+      StreamingOps.nearDupCandidatesIndexed(
+        Seq((10 * id + 1) -> (fam + s" v$id")).toDF("doc_id", "text"),
+        id, "doc_id", "text", n = 3, k = 12, rowsPerBand = 3,
+        indexDir = idxDir).collect()
+    }
+    // direct form: batchId below the newest member id = lifecycle split
+    val ex = intercept[IllegalStateException] {
+      StreamingOps.nearDupCandidatesIndexed(
+        Seq(99L -> (fam + " reset")).toDF("doc_id", "text"),
+        0L, "doc_id", "text", n = 3, k = 12, rowsPerBand = 3,
+        indexDir = idxDir).collect()
+    }
+    assert(ex.getMessage.contains("checkpoint was reset"), ex.getMessage)
+    // retry of the NEWEST batch stays legal (idempotent overwrite)
+    StreamingOps.nearDupCandidatesIndexed(
+      Seq(11L -> (fam + " v1")).toDF("doc_id", "text"),
+      1L, "doc_id", "text", n = 3, k = 12, rowsPerBand = 3,
+      indexDir = idxDir).collect()
+    // end-to-end: a restarted query with a FRESH checkpoint (batchIds
+    // restart at 0) against the same indexDir must fail, not corrupt
+    val stream = MemoryStream[(Long, String)](spark)
+    val q = stream.toDS().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        StreamingOps.nearDupCandidatesIndexed(
+          batch, id, "doc_id", "text", n = 3, k = 12, rowsPerBand = 3,
+          indexDir = idxDir).collect()
+        ()
+      }
+      .option("checkpointLocation", tmp("chk_ndx_fresh")).start()
+    try {
+      stream.addData(Seq(200L -> (fam + " after reset")))
+      val qe = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Seq.empty else t +: causes(t.getCause)
+      assert(causes(qe).exists(c => c.isInstanceOf[IllegalStateException] &&
+        c.getMessage.contains("checkpoint was reset")),
+        s"expected the lifecycle refusal in the cause chain: $qe")
+    } finally q.stop()
+    // and the index history survived untouched: b0, b1 intact
+    val dirs = new java.io.File(idxDir).listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(dirs == Seq("b0", "b1"), s"history must survive the refusal: $dirs")
+  }
+
+  test("compaction crash between rename and source-delete: reads stay correct, next pass converges") {
+    import spark.implicits._
+    val fam1 = "the quick brown fox jumps over the lazy dog again and again"
+    val fam2 = "spark builds a logical plan and catalyst optimizes the physical plan"
+    val batches: Seq[Seq[(Long, String)]] = (0 until 4).map { b =>
+      Seq(
+        (10L * b + 1) -> (fam1 + (" x" * b)),
+        (10L * b + 2) -> (fam2 + (" y" * b)))
+    }
+    def feed(idxDir: String, upTo: Int): Set[(String, String)] = {
+      val out = scala.collection.mutable.Set.empty[(String, String)]
+      (0 until upTo).foreach { id =>
+        out ++= StreamingOps.nearDupCandidatesIndexed(
+          batches(id).toDF("doc_id", "text"), id.toLong, "doc_id", "text",
+          n = 3, k = 12, rowsPerBand = 3, indexDir = idxDir)
+          .collect().map(r => (r.getString(0), r.getString(1)))
+      }
+      out.toSet
+    }
+    def copyDir(src: java.io.File, dst: java.io.File): Unit = {
+      if (src.isDirectory) {
+        dst.mkdirs()
+        src.listFiles().foreach(f => copyDir(f, new java.io.File(dst, f.getName)))
+      } else java.nio.file.Files.copy(src.toPath, dst.toPath)
+    }
+    // control: clean run of all 4 batches, compacted at the end
+    val control = tmp("ndc_ctl")
+    val controlPairs = feed(control, 4)
+    // crashed: 3 batches, compact (c1 + b2), then PLANT the
+    // post-rename / pre-source-delete state by restoring b0, b1
+    val crashed = tmp("ndc_crash")
+    feed(crashed, 3)
+    val saved = new java.io.File(tmp("ndc_saved"))
+    Seq("b0", "b1").foreach(d =>
+      copyDir(new java.io.File(crashed, d), new java.io.File(saved, d)))
+    StreamingOps.compactNearDupIndex(spark, crashed, targetFiles = 2)
+    Seq("b0", "b1").foreach(d =>
+      copyDir(new java.io.File(saved, d), new java.io.File(crashed, d)))
+    def dirs(p: String): Seq[String] = new java.io.File(p).listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(dirs(crashed) == Seq("b0", "b1", "b2", "c1"),
+      s"planted crash state: ${dirs(crashed)}")
+    // batch 3 reads the crashed index: the covered-by-c invariant must
+    // ignore the stale b0/b1 (double-counted buckets would corrupt
+    // admission), so its pairs equal the control's batch-3 pairs
+    val p3 = StreamingOps.nearDupCandidatesIndexed(
+      batches(3).toDF("doc_id", "text"), 3L, "doc_id", "text",
+      n = 3, k = 12, rowsPerBand = 3, indexDir = crashed)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val ctl3 = StreamingOps.nearDupCandidatesIndexed(
+      batches(3).toDF("doc_id", "text"), 3L, "doc_id", "text",
+      n = 3, k = 12, rowsPerBand = 3, indexDir = control)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(p3 == ctl3 && p3.nonEmpty,
+      s"covered b-dirs must not affect reads: got $p3 vs control $ctl3")
+    // next compaction pass converges: recovery sweep removes the
+    // stale sources, memberships equal the control index exactly
+    StreamingOps.compactNearDupIndex(spark, crashed, targetFiles = 2)
+    StreamingOps.compactNearDupIndex(spark, control, targetFiles = 2)
+    def index(p: String): Seq[String] =
+      spark.read.option("recursiveFileLookup", "true").parquet(p)
+        .collect().map(_.toString).sorted.toSeq
+    assert(index(crashed) == index(control),
+      "post-recovery memberships must equal the clean run")
+    assert(dirs(crashed) == dirs(control),
+      s"post-recovery layout must converge: ${dirs(crashed)} vs ${dirs(control)}")
+  }
 }
