@@ -304,6 +304,73 @@ object ScaleStress {
             maxHamming = 3).count()
         }
       }
+      // ---- video near-dup at container volume (r18, post one-pass
+      // fix — the arm the r17 verdict said would have caught the
+      // quadratic re-decode): 200 uncompressed 32×24 AVIs of 24
+      // frames per unit scale (~55 KB each), brightness-shifted
+      // 3-member families every 10 ids (uniform shifts are
+      // dHash-invariant per frame ⇒ full frame-aligned matches),
+      // formula keyed off the family head like the image arm.
+      // Claim under test: wall tracks CONTAINER volume linearly —
+      // one walk per video, 72 wire samples per sampled frame —
+      // never frames×decodes. Generated DISTRIBUTED (the encoder
+      // runs in executors; a driver-side Seq would cap the scale at
+      // driver heap), written outside the timed body like every feed.
+      if (opFilter.isEmpty || opFilter.exists("video_near_dup".contains)) {
+        val n = 200 * scale
+        val feed = s"${sys.props("java.io.tmpdir")}/graft-avifeed-$scale"
+        locally {
+          import spark.implicits._
+          spark.range(n).repartition(spark.sparkContext.defaultParallelism)
+            .map { i =>
+              val id: Long = i
+              val fam = id - id % 10
+              val v = id % 10
+              val shift = if (v == 1) 35 else if (v == 2) 60 else 0
+              val b = (if (v <= 2) fam else id).toInt
+              (id, operators.Multimodal.encodeAvi(32, 24, 24,
+                (f, x, y, c) =>
+                  ((x * 7 + y * 13 + c * 31 + f * 17) * (b % 9973 + 1) + b) % 190 + shift))
+            }.toDF("vid_id", "payload")
+            .write.mode("overwrite").parquet(feed)
+        }
+        measure("video_near_dup", scale) {
+          operators.Multimodal.videoNearDupPairs(
+            spark.read.parquet(feed), "vid_id", "payload", stride = 4).count()
+        }
+      }
+      // ---- audio near-dup pairs at decode volume (r18 — the stream
+      // gate had arms, the batch pairs op did not): 500 mono 8 kHz
+      // 4000-frame WAVs per unit scale (~8 KB each), gain-rescaled
+      // 3-member families every 10 ids (the envelope hash is
+      // gain-invariant by cross-multiplication ⇒ Hamming 0), same
+      // formula family as the stream arm's fixture. Same pigeonhole
+      // join as image/simhash — the claim is decode volume + the
+      // audited block/chunk machinery, nothing op-specific.
+      if (opFilter.isEmpty || opFilter.exists("audio_near_dup".contains)) {
+        val n = 500 * scale
+        val feed = s"${sys.props("java.io.tmpdir")}/graft-awavfeed-$scale"
+        locally {
+          import spark.implicits._
+          spark.range(n).repartition(spark.sparkContext.defaultParallelism)
+            .map { i =>
+              val id: Long = i
+              val fam = id - id % 10
+              val v = id % 10
+              val gain = if (v == 1) 3 else if (v == 2) 5 else 1
+              val b = (if (v <= 2) fam else id).toInt
+              (id, operators.Multimodal.encodeWav(1, 8000, 4000,
+                (c, f) =>
+                  ((((f * 31 + c * 17) * (b % 9973 + 1) + b) % 4001) - 2000) * gain))
+            }.toDF("clip_id", "payload")
+            .write.mode("overwrite").parquet(feed)
+        }
+        measure("audio_near_dup", scale) {
+          operators.Multimodal.audioNearDupPairs(
+            spark.read.parquet(feed), "clip_id", "payload",
+            maxHamming = 3).count()
+        }
+      }
       measure("ngram_jaccard_ppjoin", scale) {
         // the prefix-filtered inverted-index (PPJoin/AllPairs) exact
         // join — quadratic-prone by nature; the claim under test is

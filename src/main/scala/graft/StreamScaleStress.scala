@@ -280,6 +280,47 @@ object StreamScaleStress {
           StreamingOps.perplexityFilterStream(
             s, "text", u, b, nTot, voc, maxPpl = maxPpl)
         }
+        // OPEN-VOCABULARY fallback (r18 — the documented alternative
+        // in collectModel's bounded-artifact contract, measured):
+        // when the model is too large to collect, keep the counts as
+        // DataFrames and run the BATCH operator per micro-batch in
+        // foreachBatch — gram-keyed shuffle-hash joins instead of a
+        // baked-in hash map. A document's grams never straddle
+        // batches, so the keep set equals the literal-map gate on
+        // integer surfaces (ppl itself differs only by FP
+        // reassociation). Claims: zero state rows, per-batch wall
+        // flat across batches (the joins cost the BATCH × model,
+        // never the horizon), kept-rows ≡ stream_lm_gate's.
+        if (opFilter.isEmpty || opFilter.exists("stream_lm_gate_open".contains)) {
+          var outRows = 0L
+          val stream = spark.readStream
+            .schema(spark.read.parquet(feedDir).schema)
+            .option("maxFilesPerTrigger", "1").parquet(feedDir)
+          val t0 = System.nanoTime()
+          val q = stream.writeStream
+            .foreachBatch { (batch: DataFrame, _: Long) =>
+              outRows += graft.operators.LanguageModel.perplexityFilter(
+                batch, "doc_id", "text", uniDf, biDf, maxPpl = maxPpl)
+                .filter(col("keep")).count()
+              ()
+            }
+            .option("checkpointLocation", s"$work/ckpt-lmopen-$scale")
+            .trigger(Trigger.ProcessingTime(0)).start()
+          try q.processAllAvailable() finally q.stop()
+          val sec = (System.nanoTime() - t0) / 1e9
+          val prog = q.recentProgress.toSeq.filter(_.numInputRows > 0)
+          val batchMs = prog.map(p =>
+            Option(p.durationMs.get("triggerExecution")).map(_.longValue).getOrElse(0L))
+          val stateRows = prog.map(p =>
+            Option(p.stateOperators).map(_.map(_.numRowsTotal).sum).getOrElse(0L))
+          val line =
+            f"""{"op":"stream_lm_gate_open","scale":$scale,"sec":$sec%.2f,""" +
+              s""""rows":$outRows,"batches":${prog.size},""" +
+              s""""batch_ms":[${batchMs.mkString(",")}],""" +
+              s""""state_rows":[${stateRows.mkString(",")}]}"""
+          println(line)
+          results += line
+        }
       }
       // ---- streaming decontamination twins. Held-out = the BASE
       // corpus's %10==0 slice: eval suites are fixed-size frozen
