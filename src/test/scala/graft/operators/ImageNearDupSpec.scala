@@ -79,6 +79,55 @@ class ImageNearDupSpec extends SparkSpec {
     assert(brute.nonEmpty && brute.exists(_._3 > 0L) && got == brute)
   }
 
+  test("JPEG branch: re-encodes and brightness nudges pair at Hamming ≤3 through the same join") {
+    import spark.implicits._
+    // real ImageIO JPEG encodes (the dominant crawled-image format —
+    // the oracle can only pin PNG/BMP/GIF because JPEG IDCT output is
+    // decoder-specific, so this branch is spec-gated here): a smooth
+    // gradient image whose grid-sample luma deltas (~16 per grid
+    // step) dwarf codec quantization noise, so the dHash survives a
+    // quality-70 re-encode and a uniform +10 nudge — the two edits a
+    // re-hosted JPEG actually carries
+    def jpeg(w: Int, h: Int, q: Float, pix: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = math.min(math.max(pix(x, y), 0), 255)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+      val p = writer.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(q)
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+      writer.dispose(); ios.close()
+      out.toByteArray
+    }
+    def ham(a: java.lang.Long, b: java.lang.Long): Int =
+      java.lang.Long.bitCount(a ^ b)
+    def grad(x: Int, y: Int): Int = 40 + x * 3 + y * 2 // max 243, no clipping
+    val base = jpeg(48, 32, 0.9f, grad)
+    val requant = jpeg(48, 32, 0.7f, grad) // quality-70 re-encode
+    val nudged = jpeg(48, 32, 0.9f, (x, y) => grad(x, y) + 10)
+    val other = jpeg(48, 32, 0.9f, (x, y) => 250 - x * 3 - y * 2) // inverted
+    val hBase = dhashOf(base)
+    assert(hBase != null, "JPEG must decode through the magic dispatch")
+    assert(ham(dhashOf(requant), hBase) <= 3, "re-encode must stay within the near-dup band")
+    assert(ham(dhashOf(nudged), hBase) <= 3, "brightness nudge must stay within the band")
+    assert(ham(dhashOf(other), hBase) > 3, "the inverted gradient must scatter")
+    val pairs = Multimodal.imageNearDupPairs(
+      Seq(1L -> base, 2L -> requant, 3L -> nudged, 4L -> other)
+        .toDF("img_id", "payload"), "img_id", "payload", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)),
+      s"JPEG family must pair through the pigeonhole join, got $pairs")
+    assert(pairs.forall(p => p._1 != 4L && p._2 != 4L),
+      s"the unrelated JPEG must never pair, got $pairs")
+  }
+
   test("video near-dup: frame-aligned matching, threshold, junk never pairs") {
     import spark.implicits._
     def pix(b: Int)(f: Int, x: Int, y: Int, c: Int): Int =
