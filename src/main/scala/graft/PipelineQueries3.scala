@@ -704,6 +704,90 @@ object PipelineQueries3 {
         .transform(Queries.sortedSmall(_, "id_a", "id_b"))
     })
 
+  // ------------------- shift-tolerant video near-dup (hash-set form)
+  // The trade the frame-ALIGNED query documents, as its own operator:
+  // 12 AVIs — 4 originals, 4 TRIMMED copies (first 2 frames dropped,
+  // remaining content identical: the aligned form misses them by
+  // design, the set form scores containment 1.0), and 4 locally
+  // edited copies (+25 sparse mask on 2/3 of frames — only the
+  // untouched frames' hashes survive, landing fracs on both sides of
+  // the 0.5 gate). Stride 1: shift tolerance is modulo the stride.
+  // The oracle decodes nothing — it rebuilds every frame hash from
+  // the pixel formula WITH the trim's content shift, collapses each
+  // video to its DISTINCT hash set, and recomputes the overlap
+  // fractions.
+  private val qVideoNearDupShifted = Queries.Q(
+    "p_video_near_dup_shifted",
+    Some("""
+      WITH vids AS (
+        SELECT i, (i // 3) AS b, (i % 3) AS v,
+               12 + (i // 3) % 3 AS w, 10 + (i // 3) % 2 AS h,
+               6 + (i // 3) AS nf0
+        FROM generate_series(0, 11) t(i)),
+      fr AS ( -- physical frames carry CONTENT index f (trim shifts it)
+        SELECT i, b, v, w, h,
+               unnest(generate_series(CASE WHEN v = 1 THEN 2 ELSE 0 END,
+                                      nf0 - 1)) AS f
+        FROM vids),
+      cells AS (
+        SELECT i, f, b, v, gx, gy, ((gx * w) // 9) AS sx, ((gy * h) // 8) AS sy
+        FROM fr, generate_series(0, 8) gxs(gx), generate_series(0, 7) gys(gy)),
+      px AS (
+        SELECT i, f, gx, gy, (f0 + f1 + f2) // 3 AS luma
+        FROM (SELECT *,
+                (sx*17 + sy*29 + f*41 + b*53) % 180 + sh AS f0,
+                (sx*17 + sy*29 + 37 + f*41 + b*53) % 180 + sh AS f1,
+                (sx*17 + sy*29 + 74 + f*41 + b*53) % 180 + sh AS f2
+              FROM (SELECT *,
+                      CASE WHEN v = 2 AND (sx + sy) % 3 = 0 AND f % 3 <> 0
+                           THEN 25 ELSE 0 END AS sh
+                    FROM cells))),
+      bits AS (
+        SELECT a.i, a.f, (a.gy * 8 + a.gx) AS bb,
+               CASE WHEN n.luma > a.luma THEN 1 ELSE 0 END AS bit
+        FROM px a JOIN px n ON n.i = a.i AND n.f = a.f AND n.gy = a.gy
+                           AND n.gx = a.gx + 1
+        WHERE a.gx < 8),
+      hs AS (
+        SELECT i, f,
+               bit_or(CASE WHEN bit = 1 AND bb < 32
+                           THEN (CAST(1 AS BIGINT) << bb) ELSE 0 END) AS lo,
+               bit_or(CASE WHEN bit = 1 AND bb >= 32
+                           THEN (CAST(1 AS BIGINT) << (bb - 32)) ELSE 0 END) AS hi
+        FROM bits GROUP BY i, f),
+      hset AS (SELECT DISTINCT i, lo, hi FROM hs),
+      ns AS (SELECT i, COUNT(*) AS n FROM hset GROUP BY i),
+      mm AS (SELECT x.i AS ia, y.i AS ib, COUNT(*) AS nm
+             FROM hset x JOIN hset y
+               ON x.lo = y.lo AND x.hi = y.hi AND x.i < y.i
+             GROUP BY x.i, y.i)
+      SELECT CAST(ia AS BIGINT) AS id_a, CAST(ib AS BIGINT) AS id_b,
+             CAST(nm AS BIGINT) AS n_match,
+             CAST(nm AS DOUBLE) / LEAST(na.n, nb.n) AS match_frac
+      FROM mm JOIN ns na ON na.i = mm.ia JOIN ns nb ON nb.i = mm.ib
+      WHERE CAST(nm AS DOUBLE) / LEAST(na.n, nb.n) >= 0.5
+      ORDER BY id_a, id_b"""),
+    (s, dir) => {
+      val vids: Seq[(Long, Array[Byte])] = (0 until 12).map { i =>
+        val b = i / 3
+        val v = i % 3
+        val (w, h, nf0) = (12 + b % 3, 10 + b % 2, 6 + b)
+        val trim = if (v == 1) 2 else 0
+        (i.toLong, operators.Multimodal.encodeAvi(w, h, nf0 - trim,
+          (pf, x, y, c) => {
+            val f = pf + trim // trimmed copies shift CONTENT, not layout
+            (x * 17 + y * 29 + c * 37 + f * 41 + b * 53) % 180 +
+              (if (v == 2 && (x + y) % 3 == 0 && f % 3 != 0) 25 else 0)
+          },
+          topDown = i % 2 == 1))
+      }
+      import s.implicits._
+      operators.Multimodal.videoNearDupPairsShifted(
+        vids.toDF("video_id", "payload"), "video_id", "payload",
+        stride = 1, minFrac = 0.5)
+        .transform(Queries.sortedSmall(_, "id_a", "id_b"))
+    })
+
   // --------------------------- audio near-dup by energy-envelope hash
   // The third fingerprint family: 12 PCM WAV clips (4 originals, 4
   // gain-rescaled copies — the hash's invariance claim, Hamming 0 —
@@ -786,5 +870,5 @@ object PipelineQueries3 {
     Seq(qLmBigramCounts, qLmScoreAudit, qShardAssign, qShardManifest,
       qCurationV3, qCorpusDrift, qGlobalRank, qGlobalRankRange,
       qCcnetBuckets, qImageNearDup, qImageDedup, qVideoNearDup,
-      qAudioNearDup)
+      qVideoNearDupShifted, qAudioNearDup)
 }

@@ -316,7 +316,8 @@ object ScaleStress {
       // never frames×decodes. Generated DISTRIBUTED (the encoder
       // runs in executors; a driver-side Seq would cap the scale at
       // driver heap), written outside the timed body like every feed.
-      if (opFilter.isEmpty || opFilter.exists("video_near_dup".contains)) {
+      if (opFilter.isEmpty || opFilter.exists(f =>
+          "video_near_dup".contains(f) || "video_near_dup_shifted".contains(f))) {
         val n = 200 * scale
         val feed = s"${sys.props("java.io.tmpdir")}/graft-avifeed-$scale"
         locally {
@@ -336,6 +337,14 @@ object ScaleStress {
         }
         measure("video_near_dup", scale) {
           operators.Multimodal.videoNearDupPairs(
+            spark.read.parquet(feed), "vid_id", "payload", stride = 4).count()
+        }
+        // the shift-tolerant set-overlap form on the SAME feed (its
+        // brightness families overlap fully, so pair volume mirrors
+        // the aligned arm); the extra cost is the distinct over
+        // (id, hash) rows instead of the frame-keyed join
+        measure("video_near_dup_shifted", scale) {
+          operators.Multimodal.videoNearDupPairsShifted(
             spark.read.parquet(feed), "vid_id", "payload", stride = 4).count()
         }
       }

@@ -427,6 +427,93 @@ object Multimodal {
       .select("id_a", "id_b", "n_match", "match_frac")
   }
 
+  /** SHIFT-TOLERANT video near-dup pairs — the documented trade of
+    * [[videoNearDupPairs]] made into its own operator: videos are
+    * paired on the OVERLAP OF THEIR SAMPLED-FRAME HASH SETS, frame
+    * index discarded, so trimmed intros, dropped leaders, and
+    * time-shifted re-cuts — which the frame-ALIGNED form must miss
+    * by design — still pair. The price is the set semantics: frame
+    * ORDER no longer witnesses (a shuffled re-cut of the same frames
+    * pairs at 1.0), and `n_match` counts distinct matched HASH
+    * values, not frame positions.
+    *
+    * Semantics: H(v) = the DISTINCT dHashes of v's sampled frames
+    * (every `stride`-th); n_match(a, b) = |{(x, y) ∈ H(a)×H(b) :
+    * hamming(x, y) ≤ maxHamming}|, which at the default
+    * maxHamming=0 is exactly |H(a) ∩ H(b)|; emit when
+    * n_match / min(|H(a)|, |H(b)|) ≥ `minFrac` (containment-style:
+    * a pure trim of a longer video scores 1.0). Shift tolerance is
+    * MODULO THE STRIDE — sampling every s-th frame detects only
+    * shifts ≡ 0 (mod s); run stride=1 when arbitrary one-frame
+    * shifts matter (the sampling frontier is cheap post one-pass:
+    * 72 wire samples per frame).
+    *
+    * Scale shape: the same one-walk [[graft.functions.AviFrameDHashes]]
+    * frontier, a distinct over narrow (id, hash) rows, then a
+    * hash-keyed equi-join (maxHamming=0) — or, for maxHamming>0, the
+    * near-equal hash-VALUE pairs come from the one audited
+    * [[Dedup.hammingBandPairs]] pigeonhole core over the DISTINCT
+    * hash values (a set that grows with content diversity, not
+    * corpus size) and are joined back symmetrically. Never
+    * all-pairs; a corpus-wide constant frame floods its hash bucket
+    * exactly like a flood shingle — same caveat, same fix as the
+    * aligned form. Output: (id_a, id_b, n_match, match_frac),
+    * id_a < id_b. */
+  def videoNearDupPairsShifted(
+      docs: DataFrame, idCol: String, payloadCol: String,
+      stride: Int, minFrac: Double = 0.5, maxHamming: Int = 0,
+      maxBucket: Int = 65536, chunkSize: Int = 256): DataFrame = {
+    require(stride > 0, s"stride=$stride must be positive")
+    require(minFrac > 0 && minFrac <= 1, s"minFrac=$minFrac outside (0,1]")
+    Dedup.requireHammingArgs(maxHamming, chunkSize) // before the decode job
+    val hashes = docs
+      .select(col(idCol), col(payloadCol))
+      .repartition(Dedup.pinnedParts(docs)) // decode frontier spread
+      .select(col(idCol),
+        videoFrameDHashes(col(payloadCol), stride).as("__fh"))
+      .filter(col("__fh").isNotNull && size(col("__fh")) > 0)
+      .select(col(idCol), explode(col("__fh.dhash")).as("__dh"))
+      .distinct()
+      .localCheckpoint(true)
+    val sizes = hashes.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
+    // matched hash-VALUE pairs: identity always; near values through
+    // the pigeonhole core when tolerance is requested (symmetric
+    // closure so each orientation of an unordered video pair sees it)
+    val ident = hashes.select(col("__dh").as("__ha")).distinct()
+      .withColumn("__hb", col("__ha"))
+    val matches =
+      if (maxHamming == 0) ident
+      else {
+        val sig = hashes.select(col("__dh")).distinct()
+          .select(
+            col("__dh").as("id") +:
+              (0 until 4).map(b =>
+                shiftrightunsigned(col("__dh"), 48 - 16 * b)
+                  .bitwiseAND(lit(0xFFFFL)).cast("int").as(s"__b$b")): _*)
+          .localCheckpoint(true)
+        val near = Dedup.hammingBandPairs(sig, maxHamming, maxBucket, chunkSize)
+          .select(col("id_a").as("__ha"), col("id_b").as("__hb"))
+        ident
+          .unionByName(near)
+          .unionByName(near.select(col("__hb").as("__ha"), col("__ha").as("__hb")))
+      }
+    val a = hashes.select(col(idCol).as("id_a"), col("__dh").as("__ha"))
+    val b = hashes.select(col(idCol).as("id_b"), col("__dh").as("__hb"))
+    a.join(matches, Seq("__ha"))
+      .join(b, Seq("__hb"))
+      .filter(col("id_a") < col("id_b"))
+      // (id_a, __ha, __hb, id_b) is unique by construction (hashes is
+      // distinct per video, matches is a distinct pair set), so this
+      // count IS the distinct matched-hash-pair count
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_match"))
+      .join(sizes.select(col(idCol).as("id_a"), col("__n").as("__na")), "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("__n").as("__nb")), "id_b")
+      .withColumn("match_frac",
+        col("n_match").cast("double") / least(col("__na"), col("__nb")))
+      .filter(col("match_frac") >= minFrac)
+      .select("id_a", "id_b", "n_match", "match_frac")
+  }
+
   /** RIFF/AVI magic: 'RIFF' at offset 0, 'AVI ' at offset 8. */
   private def isAvi(payload: Column): Column =
     octet_length(payload) >= 24 &&

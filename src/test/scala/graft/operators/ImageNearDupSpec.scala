@@ -153,6 +153,54 @@ class ImageNearDupSpec extends SparkSpec {
       s"only the re-encode pair survives, got ${pairs.toSeq}")
   }
 
+  test("shifted video near-dup: catches trims the aligned form misses; tolerance path agrees") {
+    import spark.implicits._
+    def pix(b: Int)(f: Int, x: Int, y: Int, c: Int): Int =
+      (x * 17 + y * 29 + c * 37 + f * 41 + b * 53) % 180
+    val vids = Seq(
+      // original: 8 frames of family 0
+      0L -> Multimodal.encodeAvi(12, 10, 8, pix(0)),
+      // trimmed copy: first 2 frames dropped, content otherwise
+      // identical — at stride 1 its hash set is CONTAINED in 0's
+      1L -> Multimodal.encodeAvi(12, 10, 6,
+        (f, x, y, c) => pix(0)(f + 2, x, y, c), topDown = true),
+      // unrelated family
+      2L -> Multimodal.encodeAvi(12, 10, 8, pix(7)),
+      // junk: samples no frames, never pairs
+      3L -> "not a video".getBytes("UTF-8"))
+      .toDF("video_id", "payload")
+    // the frame-ALIGNED operator misses the trim by design...
+    val aligned = Multimodal.videoNearDupPairs(
+      vids, "video_id", "payload", stride = 1, minFrac = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!aligned.contains((0L, 1L)),
+      s"aligned form must miss the time-shifted copy, got ${aligned.toSeq}")
+    // ...the set-overlap form scores containment 1.0
+    val shifted = Multimodal.videoNearDupPairsShifted(
+      vids, "video_id", "payload", stride = 1, minFrac = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(shifted.toSeq == Seq((0L, 1L, 6L, 1.0)),
+      s"trim must pair at containment 1.0, got ${shifted.toSeq}")
+    // maxHamming>0 routes hash-value pairs through hammingBandPairs;
+    // on exact-copy fixtures it must agree with the exact path
+    val tolerant = Multimodal.videoNearDupPairsShifted(
+      vids, "video_id", "payload", stride = 1, minFrac = 0.5, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(tolerant.contains((0L, 1L)) && !tolerant.exists(p => p._1 == 3L || p._2 == 3L),
+      s"tolerance path must keep the trim pair and never pair junk, got ${tolerant.toSeq}")
+    // stride caveat (documented): a 1-frame shift at stride 2 samples
+    // DISJOINT content — detection is modulo the stride
+    val offByOne = Seq(
+      0L -> Multimodal.encodeAvi(12, 10, 8, pix(0)),
+      1L -> Multimodal.encodeAvi(12, 10, 7,
+        (f, x, y, c) => pix(0)(f + 1, x, y, c)))
+      .toDF("video_id", "payload")
+    assert(Multimodal.videoNearDupPairsShifted(
+      offByOne, "video_id", "payload", stride = 2, minFrac = 0.5).isEmpty)
+    assert(Multimodal.videoNearDupPairsShifted(
+      offByOne, "video_id", "payload", stride = 1, minFrac = 0.5).count() == 1)
+  }
+
   test("audio fingerprint: gain invariance, short-clip NULL, junk never pairs") {
     import spark.implicits._
     // the p_audio_near_dup family-1 parameters (437 frames, stereo):
