@@ -866,9 +866,112 @@ object PipelineQueries3 {
         .transform(Queries.sortedSmall(_, "id_a", "id_b"))
     })
 
+  // ------------------- shift-tolerant audio near-dup (segment form)
+  // The audio mirror of p_video_near_dup_shifted: 12 PCM WAV clips —
+  // 4 originals, 4 copies that are BOTH trimmed by exactly one
+  // 128-frame segment AND gain-rescaled ×3 (the two invariances
+  // composed: the whole-clip envelope hash re-stretches its windows
+  // over the new length and misses the trim; the segment-set form
+  // pairs at containment 1.0), and 4 locally edited copies (×4 on
+  // the first half of a segment subset — non-uniform WITHIN the
+  // segment, so those segments' hashes flip: families land on both
+  // sides of the 0.5 gate). The oracle decodes nothing — it
+  // recomputes every i16 sample WITH the trim's content shift and
+  // the sub-segment gain mask, rebuilds all 65 windows per segment,
+  // the cross-multiplied bits, both hash halves, the distinct sets,
+  // and the overlap fractions.
+  private val qAudioNearDupShifted = Queries.Q(
+    "p_audio_near_dup_shifted",
+    Some("""
+      WITH clips AS (
+        SELECT i, (i // 3) AS b, (i % 3) AS v,
+               500 + (i // 3) * 61 AS nf0, 1 + (i // 3) % 2 AS ch,
+               CASE WHEN i % 3 = 1 THEN 128 ELSE 0 END AS trim
+        FROM generate_series(0, 11) t(i)),
+      phys AS (SELECT *, nf0 - trim AS pn FROM clips),
+      segs AS (
+        SELECT i, ch, s, s * 128 AS sfrom, LEAST(s * 128 + 128, pn) AS sto
+        FROM phys, generate_series(0, 10) ss(s)
+        WHERE s * 128 + 65 <= pn),
+      win AS (
+        SELECT i, s, w,
+               sfrom + (w * (sto - sfrom)) // 65 AS wf,
+               sfrom + ((w + 1) * (sto - sfrom)) // 65 AS wt
+        FROM segs, generate_series(0, 64) ws(w)),
+      fr AS (
+        SELECT i, b, v, ch, trim, unnest(generate_series(0, pn - 1)) AS f
+        FROM phys),
+      fm AS ( -- per-frame gain multiplier (physical segment masks)
+        SELECT i, b, trim, f, ch,
+               CASE WHEN v = 1 THEN 3
+                    WHEN v = 2 AND f % 128 < 64 AND
+                         CASE WHEN b % 2 = 0 THEN (f // 128) % 3 <> 0
+                              ELSE (f // 128) % 2 = 1 END
+                    THEN 4 ELSE 1 END AS mult
+        FROM fr),
+      cs AS (SELECT i, b, trim, f, mult, unnest(generate_series(0, ch - 1)) AS c
+             FROM fm),
+      smp AS ( -- total |amplitude| per (clip, frame) over channels
+        SELECT i, f,
+               SUM(ABS(((((f + trim) * 31 + c * 17 + b * 101) % 4001) - 2000)
+                       * mult)) AS aamp
+        FROM cs GROUP BY i, f),
+      e AS (
+        SELECT win.i, win.s, win.w, (win.wt - win.wf) AS len,
+               SUM(smp.aamp) AS e
+        FROM win JOIN smp ON smp.i = win.i AND smp.f >= win.wf AND smp.f < win.wt
+        GROUP BY win.i, win.s, win.w, win.wt, win.wf),
+      bits AS (
+        SELECT a.i, a.s, a.w AS bb,
+               CASE WHEN n.e * a.len > a.e * n.len THEN 1 ELSE 0 END AS bit
+        FROM e a JOIN e n ON n.i = a.i AND n.s = a.s AND n.w = a.w + 1
+        WHERE a.w < 64),
+      hs AS (
+        SELECT i, s,
+               bit_or(CASE WHEN bit = 1 AND bb < 32
+                           THEN (CAST(1 AS BIGINT) << bb) ELSE 0 END) AS lo,
+               bit_or(CASE WHEN bit = 1 AND bb >= 32
+                           THEN (CAST(1 AS BIGINT) << (bb - 32)) ELSE 0 END) AS hi
+        FROM bits GROUP BY i, s),
+      hset AS (SELECT DISTINCT i, lo, hi FROM hs),
+      ns AS (SELECT i, COUNT(*) AS n FROM hset GROUP BY i),
+      mm AS (SELECT x.i AS ia, y.i AS ib, COUNT(*) AS nm
+             FROM hset x JOIN hset y
+               ON x.lo = y.lo AND x.hi = y.hi AND x.i < y.i
+             GROUP BY x.i, y.i)
+      SELECT CAST(ia AS BIGINT) AS id_a, CAST(ib AS BIGINT) AS id_b,
+             CAST(nm AS BIGINT) AS n_match,
+             CAST(nm AS DOUBLE) / LEAST(na.n, nb.n) AS match_frac
+      FROM mm JOIN ns na ON na.i = mm.ia JOIN ns nb ON nb.i = mm.ib
+      WHERE CAST(nm AS DOUBLE) / LEAST(na.n, nb.n) >= 0.5
+      ORDER BY id_a, id_b"""),
+    (s, dir) => {
+      val clips: Seq[(Long, Array[Byte])] = (0 until 12).map { i =>
+        val b = i / 3
+        val v = i % 3
+        val (nf0, ch) = (500 + b * 61, 1 + b % 2)
+        val trim = if (v == 1) 128 else 0
+        def base(c: Int, cf: Int): Int = (((cf * 31 + c * 17 + b * 101) % 4001) - 2000)
+        (i.toLong, operators.Multimodal.encodeWav(ch, 8000, nf0 - trim,
+          (c, f) => {
+            val mult =
+              if (v == 1) 3
+              else if (v == 2 && f % 128 < 64 &&
+                (if (b % 2 == 0) (f / 128) % 3 != 0 else (f / 128) % 2 == 1)) 4
+              else 1
+            base(c, f + trim) * mult
+          }))
+      }
+      import s.implicits._
+      operators.Multimodal.audioNearDupPairsShifted(
+        clips.toDF("clip_id", "payload"), "clip_id", "payload",
+        segFrames = 128, minFrac = 0.5)
+        .transform(Queries.sortedSmall(_, "id_a", "id_b"))
+    })
+
   val all: Seq[Queries.Q] =
     Seq(qLmBigramCounts, qLmScoreAudit, qShardAssign, qShardManifest,
       qCurationV3, qCorpusDrift, qGlobalRank, qGlobalRankRange,
       qCcnetBuckets, qImageNearDup, qImageDedup, qVideoNearDup,
-      qVideoNearDupShifted, qAudioNearDup)
+      qVideoNearDupShifted, qAudioNearDup, qAudioNearDupShifted)
 }

@@ -356,7 +356,8 @@ object ScaleStress {
       // formula family as the stream arm's fixture. Same pigeonhole
       // join as image/simhash — the claim is decode volume + the
       // audited block/chunk machinery, nothing op-specific.
-      if (opFilter.isEmpty || opFilter.exists("audio_near_dup".contains)) {
+      if (opFilter.isEmpty || opFilter.exists(f =>
+          "audio_near_dup".contains(f) || "audio_near_dup_shifted".contains(f))) {
         val n = 500 * scale
         val feed = s"${sys.props("java.io.tmpdir")}/graft-awavfeed-$scale"
         locally {
@@ -378,6 +379,13 @@ object ScaleStress {
           operators.Multimodal.audioNearDupPairs(
             spark.read.parquet(feed), "clip_id", "payload",
             maxHamming = 3).count()
+        }
+        // the trim-tolerant segment-set form on the SAME feed: 31
+        // 128-frame segments per 4000-frame clip, exact set overlap
+        measure("audio_near_dup_shifted", scale) {
+          operators.Multimodal.audioNearDupPairsShifted(
+            spark.read.parquet(feed), "clip_id", "payload",
+            segFrames = 128).count()
         }
       }
       measure("ngram_jaccard_ppjoin", scale) {

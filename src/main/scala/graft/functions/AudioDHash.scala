@@ -1,9 +1,51 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/** The 65-window envelope-gradient kernel shared by [[AudioDHash64]]
+  * (whole clip) and [[AudioSegmentDHashes]] (per fixed-length
+  * segment): windows partition frames [from, to) by the floor rule,
+  * energy is total |amplitude| over all channels, bit w compares
+  * adjacent windows cross-multiplied by their lengths (exact — no
+  * division). The overflow argument on [[AudioDHash64]] covers any
+  * sub-range of a decodable clip a fortiori. */
+private[graft] object AudioEnvelope {
+  final val Windows = 65
+
+  /** Envelope hash of frames [from, to); requires to - from ≥ 65. */
+  def hashRange(samples: Array[Short], ch: Int, from: Int, to: Int): Long = {
+    val n = to - from
+    val e = new Array[Long](Windows)
+    val len = new Array[Long](Windows)
+    var w = 0
+    while (w < Windows) {
+      val wf = from + (w.toLong * n / Windows).toInt
+      val wt = from + ((w + 1).toLong * n / Windows).toInt
+      len(w) = wt - wf
+      var acc = 0L
+      var i = wf * ch
+      val end = wt * ch
+      while (i < end) {
+        acc += math.abs(samples(i).toLong)
+        i += 1
+      }
+      e(w) = acc
+      w += 1
+    }
+    var hash = 0L
+    var b = 0
+    while (b < 64) {
+      if (e(b + 1) * len(b) > e(b) * len(b + 1)) hash |= 1L << b
+      b += 1
+    }
+    hash
+  }
+}
 
 /** 64-bit perceptual audio fingerprint over a PCM WAV payload — the
   * audio member of the dHash family ([[ImageDHash64]] stills,
@@ -52,34 +94,66 @@ case class AudioDHash64(child: Expression)
   override protected def nullSafeEval(payload: Any): Any = {
     val d = WavDecode.decode(payload.asInstanceOf[Array[Byte]])
     if (d == null || d.nFrames < Windows) return null
-    val n = d.nFrames
-    val ch = d.channels
-    val e = new Array[Long](Windows)
-    val len = new Array[Long](Windows)
-    var w = 0
-    while (w < Windows) {
-      val from = (w.toLong * n / Windows).toInt
-      val to = ((w + 1).toLong * n / Windows).toInt
-      len(w) = to - from
-      var acc = 0L
-      var i = from * ch
-      val end = to * ch
-      while (i < end) {
-        acc += math.abs(d.samples(i).toLong)
-        i += 1
-      }
-      e(w) = acc
-      w += 1
-    }
-    var hash = 0L
-    var b = 0
-    while (b < 64) {
-      if (e(b + 1) * len(b) > e(b) * len(b + 1)) hash |= 1L << b
-      b += 1
-    }
-    hash
+    AudioEnvelope.hashRange(d.samples, d.channels, 0, d.nFrames)
   }
 
   override protected def withNewChildInternal(newChild: Expression): AudioDHash64 =
     copy(child = newChild)
+}
+
+/** Per-SEGMENT audio fingerprints in one decode:
+  * `array<struct<seg_idx:int, dhash:long>>` — the clip's frame axis
+  * cut into consecutive FIXED-LENGTH segments of `segFrames` frames
+  * (segment s = frames [s·segFrames, (s+1)·segFrames)), each
+  * fingerprinted by the SAME 65-window envelope kernel as
+  * [[AudioDHash64]]. Fixed absolute segment length — NOT the whole-
+  * clip floor rule — is what makes the hashes TRIM-TOLERANT: a copy
+  * missing its first k·segFrames frames produces the identical hash
+  * sequence shifted by k, so a hash-SET overlap pairs them
+  * ([[graft.operators.Multimodal.audioNearDupPairsShifted]]), while
+  * the whole-clip hash re-stretches its 65 windows over the new
+  * length and misses. Tolerance is modulo segFrames, the exact
+  * analog of the video form's stride caveat. Gain invariance carries
+  * per segment (each bit compares energies of the same clip).
+  *
+  * A trailing partial segment shorter than 65 frames is dropped
+  * (can't fill one sample per window); a partial of ≥65 frames is
+  * hashed over its actual length — its hash only matches a copy
+  * truncated at the same point, the honest semantics for tails.
+  * NULL when the payload is out of [[WavDecode]] scope or
+  * segFrames < 65; empty array when no segment reaches 65 frames. */
+case class AudioSegmentDHashes(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, IntegerType | LongType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (binary, integral), got ($l, $r)")
+    }
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("seg_idx", IntegerType, nullable = false),
+    StructField("dhash", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_audio_segment_dhashes"
+
+  override protected def nullSafeEval(payload: Any, segAny: Any): Any = {
+    val segFrames = segAny match { case l: Long => l; case n: Int => n.toLong }
+    if (segFrames < AudioEnvelope.Windows) return null
+    val d = WavDecode.decode(payload.asInstanceOf[Array[Byte]])
+    if (d == null) return null
+    val seg = segFrames.toInt
+    val out = scala.collection.mutable.ArrayBuffer[Any]()
+    var s = 0
+    var from = 0
+    while (from + AudioEnvelope.Windows <= d.nFrames) {
+      val to = math.min(from + seg, d.nFrames)
+      out += InternalRow(s, AudioEnvelope.hashRange(d.samples, d.channels, from, to))
+      s += 1
+      from += seg
+    }
+    new GenericArrayData(out.toArray)
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): AudioSegmentDHashes =
+    copy(left = newLeft, right = newRight)
 }

@@ -220,6 +220,13 @@ object GraftFunctions {
   def audioDHash64(payload: Column): Column =
     graftBridge.column(AudioDHash64(graftBridge.expression(payload)))
 
+  /** Column-API form of [[AudioSegmentDHashes]]:
+    * array<struct<seg_idx:int, dhash:long>> — one envelope hash per
+    * fixed-length segment, one decode; the trim-tolerant form. */
+  def audioSegmentDHashes(payload: Column, segFrames: Column): Column =
+    graftBridge.column(AudioSegmentDHashes(
+      graftBridge.expression(payload), graftBridge.expression(segFrames)))
+
   /** Column-API form of [[AviMeta]]: struct<width, height, fps_num,
     * fps_den, n_frames> of an uncompressed AVI payload; NULL when
     * absent/undecodable. */
@@ -331,6 +338,13 @@ object GraftFunctions {
         (args: Seq[Expression]) => {
           require(args.length == 2, s"graft_avi_frame_stats expects 2 arguments, got ${args.length}")
           AviFrameStats(args(0), args(1))
+        }),
+      (
+        FunctionIdentifier("graft_audio_segment_dhashes"),
+        new ExpressionInfo(classOf[AudioSegmentDHashes].getName, "graft_audio_segment_dhashes"),
+        (args: Seq[Expression]) => {
+          require(args.length == 2, s"graft_audio_segment_dhashes expects 2 arguments, got ${args.length}")
+          AudioSegmentDHashes(args(0), args(1))
         }),
       (
         FunctionIdentifier("graft_avi_frame_dhashes"),

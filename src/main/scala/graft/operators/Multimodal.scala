@@ -464,8 +464,6 @@ object Multimodal {
       stride: Int, minFrac: Double = 0.5, maxHamming: Int = 0,
       maxBucket: Int = 65536, chunkSize: Int = 256): DataFrame = {
     require(stride > 0, s"stride=$stride must be positive")
-    require(minFrac > 0 && minFrac <= 1, s"minFrac=$minFrac outside (0,1]")
-    Dedup.requireHammingArgs(maxHamming, chunkSize) // before the decode job
     val hashes = docs
       .select(col(idCol), col(payloadCol))
       .repartition(Dedup.pinnedParts(docs)) // decode frontier spread
@@ -473,12 +471,25 @@ object Multimodal {
         videoFrameDHashes(col(payloadCol), stride).as("__fh"))
       .filter(col("__fh").isNotNull && size(col("__fh")) > 0)
       .select(col(idCol), explode(col("__fh.dhash")).as("__dh"))
-      .distinct()
-      .localCheckpoint(true)
+    hashSetOverlapPairs(hashes, idCol, minFrac, maxHamming, maxBucket, chunkSize)
+  }
+
+  /** The hash-SET overlap pair core shared by
+    * [[videoNearDupPairsShifted]] and [[audioNearDupPairsShifted]]:
+    * `hashed` is (idCol, __dh) rows — one per (media item, sampled
+    * unit hash), duplicates allowed (a distinct is taken here).
+    * Emits (id_a, id_b, n_match, match_frac) per the set semantics
+    * documented on the video form. Validates BEFORE any job runs. */
+  private def hashSetOverlapPairs(
+      hashed: DataFrame, idCol: String, minFrac: Double,
+      maxHamming: Int, maxBucket: Int, chunkSize: Int): DataFrame = {
+    require(minFrac > 0 && minFrac <= 1, s"minFrac=$minFrac outside (0,1]")
+    Dedup.requireHammingArgs(maxHamming, chunkSize) // before the decode job
+    val hashes = hashed.distinct().localCheckpoint(true)
     val sizes = hashes.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
     // matched hash-VALUE pairs: identity always; near values through
     // the pigeonhole core when tolerance is requested (symmetric
-    // closure so each orientation of an unordered video pair sees it)
+    // closure so each orientation of an unordered item pair sees it)
     val ident = hashes.select(col("__dh").as("__ha")).distinct()
       .withColumn("__hb", col("__ha"))
     val matches =
@@ -503,7 +514,7 @@ object Multimodal {
       .join(b, Seq("__hb"))
       .filter(col("id_a") < col("id_b"))
       // (id_a, __ha, __hb, id_b) is unique by construction (hashes is
-      // distinct per video, matches is a distinct pair set), so this
+      // distinct per item, matches is a distinct pair set), so this
       // count IS the distinct matched-hash-pair count
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_match"))
       .join(sizes.select(col(idCol).as("id_a"), col("__n").as("__na")), "id_a")
@@ -512,6 +523,42 @@ object Multimodal {
         col("n_match").cast("double") / least(col("__na"), col("__nb")))
       .filter(col("match_frac") >= minFrac)
       .select("id_a", "id_b", "n_match", "match_frac")
+  }
+
+  /** Per-segment audio fingerprints:
+    * array<struct<seg_idx:int, dhash:long>> — one [[audioDHash]]-style
+    * envelope hash per fixed `segFrames`-frame slice, one decode
+    * ([[graft.functions.AudioSegmentDHashes]]). */
+  def audioSegmentDHashes(payload: Column, segFrames: Int): Column =
+    graft.functions.GraftFunctions.audioSegmentDHashes(payload, lit(segFrames))
+
+  /** SHIFT-TOLERANT audio near-dup pairs — [[videoNearDupPairsShifted]]
+    * for the audio column: clips are paired on the OVERLAP OF THEIR
+    * SEGMENT-HASH SETS ([[audioSegmentDHashes]], fixed `segFrames`
+    * slices), so a clip whose leading k·segFrames frames were trimmed
+    * — which moves EVERY window of the whole-clip envelope hash and
+    * defeats [[audioNearDupPairs]] — still pairs on its surviving
+    * segments. Tolerance is modulo segFrames (the video form's stride
+    * caveat on the time axis); gain invariance carries per segment.
+    * Same set semantics as the video form: n_match over distinct
+    * matched hash values, frac against min(|H(a)|, |H(b)|)
+    * (containment: a pure trim of a longer clip scores 1.0), optional
+    * maxHamming through the shared pigeonhole core. Undecodable or
+    * sub-65-frame payloads sample no segments and never pair.
+    * Output: (id_a, id_b, n_match, match_frac), id_a < id_b. */
+  def audioNearDupPairsShifted(
+      docs: DataFrame, idCol: String, payloadCol: String,
+      segFrames: Int, minFrac: Double = 0.5, maxHamming: Int = 0,
+      maxBucket: Int = 65536, chunkSize: Int = 256): DataFrame = {
+    require(segFrames >= 65, s"segFrames=$segFrames must be >= 65 (one frame per envelope window)")
+    val hashes = docs
+      .select(col(idCol), col(payloadCol))
+      .repartition(Dedup.pinnedParts(docs)) // decode frontier spread
+      .select(col(idCol),
+        audioSegmentDHashes(col(payloadCol), segFrames).as("__sh"))
+      .filter(col("__sh").isNotNull && size(col("__sh")) > 0)
+      .select(col(idCol), explode(col("__sh.dhash")).as("__dh"))
+    hashSetOverlapPairs(hashes, idCol, minFrac, maxHamming, maxBucket, chunkSize)
   }
 
   /** RIFF/AVI magic: 'RIFF' at offset 0, 'AVI ' at offset 8. */

@@ -237,6 +237,57 @@ class ImageNearDupSpec extends SparkSpec {
     assert(pairs.toSeq == Seq((1L, 2L, 0L)))
   }
 
+  test("shifted audio near-dup: catches the trim+gain copy the whole-clip hash misses") {
+    import spark.implicits._
+    // period 3989/53 ≈ 75 frames, comfortably off the 128-frame
+    // segment length (a near-period-aligned sawtooth makes adjacent
+    // segments hash EQUAL and the distinct set collapse — measured
+    // with the *31 % 4001 formula, period ≈ 129)
+    def s0(c: Int, f: Int): Int = ((f * 53 + c * 17 + 101) % 3989) - 1994
+    val clips = Seq(
+      // original: 640 frames = 5 full 128-frame segments
+      0L -> Multimodal.encodeWav(2, 8000, 640, s0),
+      // first segment trimmed AND gain x3 — both invariances composed
+      1L -> Multimodal.encodeWav(2, 8000, 512, (c, f) => s0(c, f + 128) * 3),
+      // unrelated envelope
+      2L -> Multimodal.encodeWav(1, 8000, 640,
+        (c, f) => ((f * 173 + c * 13 + 999) % 3797) - 1898),
+      // too short for even one segment, and junk: never pair
+      3L -> Multimodal.encodeWav(1, 8000, 64, s0),
+      4L -> "junk".getBytes("UTF-8"))
+      .toDF("clip_id", "payload")
+    // the whole-clip envelope hash re-stretches its 65 windows over
+    // the trimmed length — the aligned pairs op misses the copy...
+    val whole = Multimodal.audioNearDupPairs(clips, "clip_id", "payload", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!whole.contains((0L, 1L)),
+      s"whole-clip hash must miss the trimmed copy, got ${whole.toSeq}")
+    // ...the segment-set form pairs it at containment 1.0 (4 of the
+    // original's 5 segment hashes survive: segments 1-4)
+    val seg = Multimodal.audioNearDupPairsShifted(
+      clips, "clip_id", "payload", segFrames = 128, minFrac = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // containment: n_match == the copy's DISTINCT segment-hash count
+    val copyDistinct = clips.filter(col("clip_id") === 1L)
+      .select(explode(Multimodal.audioSegmentDHashes(col("payload"), 128)
+        .getField("dhash"))).distinct().count()
+    assert(copyDistinct == 4L, s"fixture degeneracy: copy has $copyDistinct distinct hashes")
+    assert(seg.toSeq == Seq((0L, 1L, copyDistinct, 1.0)),
+      s"trim+gain must pair at containment 1.0, got ${seg.toSeq}")
+    // a trim NOT on a segment boundary samples disjoint content —
+    // tolerance is modulo segFrames (the documented caveat)
+    val offBoundary = Seq(
+      0L -> Multimodal.encodeWav(2, 8000, 640, s0),
+      1L -> Multimodal.encodeWav(2, 8000, 576, (c, f) => s0(c, f + 64)))
+      .toDF("clip_id", "payload")
+    assert(Multimodal.audioNearDupPairsShifted(
+      offBoundary, "clip_id", "payload", segFrames = 128, minFrac = 0.5).isEmpty)
+    // segFrames below one frame per envelope window refuses fast
+    intercept[IllegalArgumentException] {
+      Multimodal.audioNearDupPairsShifted(clips, "clip_id", "payload", segFrames = 64)
+    }
+  }
+
   test("audio block gate: drops gain copies, keeps fresh/short/junk clips") {
     import spark.implicits._
     def s0(c: Int, f: Int): Int = ((f * 31 + c * 17 + 101) % 4001) - 2000
