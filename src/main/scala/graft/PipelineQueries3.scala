@@ -704,6 +704,177 @@ object PipelineQueries3 {
         .transform(Queries.sortedSmall(_, "id_a", "id_b"))
     })
 
+  // --------------------------- video near-dup DEDUP output (corpus)
+  // The decision p_video_near_dup's pairs feed: frame-aligned pairs →
+  // connected components → smallest-id representative, junk payloads
+  // always kept. Same fixture as the pair query (+2 junk rows), so
+  // the two cross-check; the oracle recomputes every frame hash, the
+  // frac-gated pair set, the recursive min-reachability closure, and
+  // the NOT IN — the p_image_dedup discipline on the video column.
+  private val qVideoDedup = Queries.Q(
+    "p_video_dedup",
+    Some("""
+      WITH RECURSIVE vids AS (
+        SELECT i, (i // 2) AS b, (i % 2) AS v,
+               12 + (i // 2) % 3 AS w, 10 + (i // 2) % 2 AS h,
+               4 + (i // 2) % 3 AS nf
+        FROM generate_series(0, 9) t(i)),
+      fr AS (SELECT i, b, v, w, h, unnest(generate_series(0, nf - 1, 2)) AS f
+             FROM vids),
+      cells AS (
+        SELECT i, f, b, v, gx, gy, ((gx * w) // 9) AS sx, ((gy * h) // 8) AS sy
+        FROM fr, generate_series(0, 8) gxs(gx), generate_series(0, 7) gys(gy)),
+      px AS (
+        SELECT i, f, gx, gy, (f0 + f1 + f2) // 3 AS luma
+        FROM (SELECT *,
+                (sx*17 + sy*29 + f*41 + b*53) % 180 + sh AS f0,
+                (sx*17 + sy*29 + 37 + f*41 + b*53) % 180 + sh AS f1,
+                (sx*17 + sy*29 + 74 + f*41 + b*53) % 180 + sh AS f2
+              FROM (SELECT *,
+                      CASE WHEN v = 1 THEN 40 ELSE 0 END +
+                      CASE WHEN v = 1 AND (sx + sy) % 3 = 0
+                                AND (b = 0 OR f = 2) THEN 25
+                           ELSE 0 END AS sh
+                    FROM cells))),
+      bits AS (
+        SELECT a.i, a.f, (a.gy * 8 + a.gx) AS bb,
+               CASE WHEN n.luma > a.luma THEN 1 ELSE 0 END AS bit
+        FROM px a JOIN px n ON n.i = a.i AND n.f = a.f AND n.gy = a.gy
+                           AND n.gx = a.gx + 1
+        WHERE a.gx < 8),
+      hs AS (
+        SELECT i, f,
+               bit_or(CASE WHEN bit = 1 AND bb < 32
+                           THEN (CAST(1 AS BIGINT) << bb) ELSE 0 END) AS lo,
+               bit_or(CASE WHEN bit = 1 AND bb >= 32
+                           THEN (CAST(1 AS BIGINT) << (bb - 32)) ELSE 0 END) AS hi
+        FROM bits GROUP BY i, f),
+      ns AS (SELECT i, COUNT(*) AS n FROM hs GROUP BY i),
+      mm AS (SELECT x.i AS ia, y.i AS ib, COUNT(*) AS nm
+             FROM hs x JOIN hs y
+               ON x.f = y.f AND x.lo = y.lo AND x.hi = y.hi AND x.i < y.i
+             GROUP BY x.i, y.i),
+      pairs AS (
+        SELECT ia, ib
+        FROM mm JOIN ns na ON na.i = mm.ia JOIN ns nb ON nb.i = mm.ib
+        WHERE CAST(nm AS DOUBLE) / LEAST(na.n, nb.n) >= 0.5),
+      g AS (SELECT ia AS u, ib AS v FROM pairs
+            UNION SELECT ib AS u, ia AS v FROM pairs),
+      reach(node, r) AS (SELECT u, u FROM (SELECT DISTINCT u FROM g)
+                         UNION
+                         SELECT g.v, reach.r FROM reach JOIN g ON g.u = reach.node),
+      losers AS (SELECT node FROM (SELECT node, MIN(r) AS grp FROM reach GROUP BY node)
+                 WHERE node <> grp)
+      SELECT CAST(i AS BIGINT) AS video_id,
+             CASE WHEN i >= 10 THEN 'other' ELSE 'avi' END AS kind
+      FROM generate_series(0, 11) t(i)
+      WHERE i NOT IN (SELECT node FROM losers)
+      ORDER BY video_id"""),
+    (s, dir) => {
+      val vids: Seq[(Long, Array[Byte])] = (0 until 10).map { i =>
+        val b = i / 2
+        val v = i % 2
+        val (w, h, nf) = (12 + b % 3, 10 + b % 2, 4 + b % 3)
+        (i.toLong, operators.Multimodal.encodeAvi(w, h, nf,
+          (f, x, y, c) => (x * 17 + y * 29 + c * 37 + f * 41 + b * 53) % 180 +
+            (if (v == 1) 40 else 0) +
+            (if (v == 1 && (x + y) % 3 == 0 && (b == 0 || f == 2)) 25 else 0),
+          topDown = i % 2 == 1))
+      }
+      val junk: Seq[(Long, Array[Byte])] = Seq(
+        10L -> "definitely not a video".getBytes("UTF-8"),
+        11L -> Array[Byte](0x4, 0x5, 0x6))
+      import s.implicits._
+      operators.Multimodal.dedupVideoNearDups(
+        (vids ++ junk).toDF("video_id", "payload"), "video_id", "payload",
+        stride = 2, minFrac = 0.5)
+        .select(col("video_id"),
+          operators.Multimodal.mediaKind(col("payload")).as("kind"))
+        .transform(Queries.sortedSmall(_, "video_id"))
+    })
+
+  // --------------------------- audio near-dup DEDUP output (corpus)
+  // p_audio_near_dup's pairs → CC → smallest-id representative; same
+  // fixture (incl. its junk rows), so the queries cross-check.
+  private val qAudioDedup = Queries.Q(
+    "p_audio_dedup",
+    Some("""
+      WITH RECURSIVE clips AS (
+        SELECT i, (i // 3) AS b, (i % 3) AS v,
+               400 + (i // 3) * 37 AS nf, 1 + (i // 3) % 2 AS ch
+        FROM generate_series(0, 11) t(i)),
+      fr AS (SELECT i, b, v, nf, ch, unnest(generate_series(0, nf - 1)) AS f
+             FROM clips),
+      cs AS (SELECT i, b, v, nf, f, unnest(generate_series(0, ch - 1)) AS c
+             FROM fr),
+      smp AS (
+        SELECT i, nf, f,
+               (((f*31 + c*17 + b*101) % 4001) - 2000) *
+               CASE WHEN v = 1 THEN 3
+                    WHEN v = 2 AND b = 0 AND ((f * 65) // nf) % 2 = 0 THEN 4
+                    WHEN v = 2 AND b <> 0 AND (f * 10) // nf = 3 THEN 4
+                    ELSE 1 END AS s
+        FROM cs),
+      win AS (
+        SELECT c.i, c.nf, w, (w * c.nf) // 65 AS lo, ((w + 1) * c.nf) // 65 AS hi
+        FROM clips c, generate_series(0, 64) ws(w)),
+      e AS (
+        SELECT win.i, win.w, (win.hi - win.lo) AS len, SUM(ABS(smp.s)) AS e
+        FROM win JOIN smp ON smp.i = win.i AND smp.f >= win.lo AND smp.f < win.hi
+        GROUP BY win.i, win.w, win.hi, win.lo),
+      bits AS (
+        SELECT a.i, a.w AS bb,
+               CASE WHEN n.e * a.len > a.e * n.len THEN 1 ELSE 0 END AS bit
+        FROM e a JOIN e n ON n.i = a.i AND n.w = a.w + 1
+        WHERE a.w < 64),
+      hs AS (
+        SELECT i,
+               bit_or(CASE WHEN bit = 1 AND bb < 32
+                           THEN (CAST(1 AS BIGINT) << bb) ELSE 0 END) AS dh_lo,
+               bit_or(CASE WHEN bit = 1 AND bb >= 32
+                           THEN (CAST(1 AS BIGINT) << (bb - 32)) ELSE 0 END) AS dh_hi
+        FROM bits GROUP BY i),
+      pairs AS (
+        SELECT x.i AS ia, y.i AS ib
+        FROM hs x JOIN hs y ON x.i < y.i
+        WHERE bit_count(xor(x.dh_lo, y.dh_lo)) +
+              bit_count(xor(x.dh_hi, y.dh_hi)) <= 3),
+      g AS (SELECT ia AS u, ib AS v FROM pairs
+            UNION SELECT ib AS u, ia AS v FROM pairs),
+      reach(node, r) AS (SELECT u, u FROM (SELECT DISTINCT u FROM g)
+                         UNION
+                         SELECT g.v, reach.r FROM reach JOIN g ON g.u = reach.node),
+      losers AS (SELECT node FROM (SELECT node, MIN(r) AS grp FROM reach GROUP BY node)
+                 WHERE node <> grp)
+      SELECT CAST(i AS BIGINT) AS clip_id,
+             CASE WHEN i >= 12 THEN 'other' ELSE 'wav' END AS kind
+      FROM generate_series(0, 13) t(i)
+      WHERE i NOT IN (SELECT node FROM losers)
+      ORDER BY clip_id"""),
+    (s, dir) => {
+      val clips: Seq[(Long, Array[Byte])] = (0 until 12).map { i =>
+        val b = i / 3
+        val v = i % 3
+        val (nf, ch) = (400 + b * 37, 1 + b % 2)
+        (i.toLong, operators.Multimodal.encodeWav(ch, 8000, nf,
+          (c, f) => (((f * 31 + c * 17 + b * 101) % 4001) - 2000) *
+            (if (v == 1) 3
+            else if (v == 2 && b == 0 && (f * 65) / nf % 2 == 0) 4
+            else if (v == 2 && b != 0 && (f * 10) / nf == 3) 4
+            else 1)))
+      }
+      val junk: Seq[(Long, Array[Byte])] = Seq(
+        12L -> "definitely not audio".getBytes("UTF-8"),
+        13L -> Array[Byte](0x7, 0x8))
+      import s.implicits._
+      operators.Multimodal.dedupAudioNearDups(
+        (clips ++ junk).toDF("clip_id", "payload"), "clip_id", "payload",
+        maxHamming = 3)
+        .select(col("clip_id"),
+          operators.Multimodal.mediaKind(col("payload")).as("kind"))
+        .transform(Queries.sortedSmall(_, "clip_id"))
+    })
+
   // ------------------- shift-tolerant video near-dup (hash-set form)
   // The trade the frame-ALIGNED query documents, as its own operator:
   // 12 AVIs — 4 originals, 4 TRIMMED copies (first 2 frames dropped,
@@ -973,5 +1144,6 @@ object PipelineQueries3 {
     Seq(qLmBigramCounts, qLmScoreAudit, qShardAssign, qShardManifest,
       qCurationV3, qCorpusDrift, qGlobalRank, qGlobalRankRange,
       qCcnetBuckets, qImageNearDup, qImageDedup, qVideoNearDup,
-      qVideoNearDupShifted, qAudioNearDup, qAudioNearDupShifted)
+      qVideoNearDupShifted, qVideoDedup, qAudioNearDup,
+      qAudioNearDupShifted, qAudioDedup)
 }

@@ -561,6 +561,37 @@ object Multimodal {
     hashSetOverlapPairs(hashes, idCol, minFrac, maxHamming, maxBucket, chunkSize)
   }
 
+  /** Video near-dup DEDUP output — [[dedupImageNearDups]] for the
+    * video column: [[videoNearDupPairs]] (frame-aligned) →
+    * [[Graph.connectedComponents]] → keep each cluster's smallest-id
+    * representative; undecodable payloads can't pair and are always
+    * kept. Same scale shape: the payload never rides a shuffle on
+    * the dedup decision (pairs are narrow id rows, the final anti
+    * join is id-keyed). Use [[videoNearDupPairsShifted]]-derived
+    * pairs + the same CC manually when trims must also collapse. */
+  def dedupVideoNearDups(
+      docs: DataFrame, idCol: String, payloadCol: String,
+      stride: Int, minFrac: Double = 0.5): DataFrame = {
+    val pairs = videoNearDupPairs(docs, idCol, payloadCol, stride, minFrac)
+    val losers = Graph.connectedComponents(pairs, "id_a", "id_b")
+      .filter(col("node") =!= col("component"))
+      .select(col("node").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** Audio near-dup DEDUP output — [[dedupImageNearDups]] for the
+    * audio column: [[audioNearDupPairs]] → CC → smallest-id
+    * representative; undecodable / sub-65-frame clips always kept. */
+  def dedupAudioNearDups(
+      docs: DataFrame, idCol: String, payloadCol: String,
+      maxHamming: Int = 3, maxBucket: Int = 65536, chunkSize: Int = 256): DataFrame = {
+    val pairs = audioNearDupPairs(docs, idCol, payloadCol, maxHamming, maxBucket, chunkSize)
+    val losers = Graph.connectedComponents(pairs, "id_a", "id_b")
+      .filter(col("node") =!= col("component"))
+      .select(col("node").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** RIFF/AVI magic: 'RIFF' at offset 0, 'AVI ' at offset 8. */
   private def isAvi(payload: Column): Column =
     octet_length(payload) >= 24 &&
