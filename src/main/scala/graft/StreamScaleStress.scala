@@ -250,6 +250,17 @@ object StreamScaleStress {
         measure("stream_audio_gate", scale, wavFeed, "append") { s =>
           StreamingOps.dropAudioNearDups(s, "clip_id", "payload", wavBlocks)
         }
+        // trim-tolerant twin: the 32 KB bitmap artifact replaces the
+        // four broadcast joins with ONE pure per-row expression —
+        // claims: zero state, flat walls, and per-batch cost at or
+        // under the join gate's (no join stage left in the plan)
+        val wavBitmaps = graft.operators.Multimodal.audioSegmentBlockBitmaps(
+          spark.read.parquet(wavFeed).filter(pmod(col("clip_id"), lit(10)) === 0),
+          "payload", segFrames = 128)
+        measure("stream_audio_gate_shifted", scale, wavFeed, "append") { s =>
+          StreamingOps.dropAudioNearDupsShifted(
+            s, "payload", wavBitmaps, segFrames = 128)
+        }
       }
       // ---- streaming LM gate: the frozen backoff artifacts come
       // from the UNAMPLIFIED corpus's %10==0 reference slice

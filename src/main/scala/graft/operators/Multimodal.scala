@@ -592,6 +592,49 @@ object Multimodal {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Build the 4×65,536-bit block bitmaps of a 64-bit-hash column —
+    * the catalog artifact of the streaming trim-tolerant gates
+    * ([[graft.streaming.StreamingOps.dropAudioNearDupsShifted]] /
+    * `dropVideoNearDupsShifted`). `hashes` is a single LONG column
+    * of unit fingerprints (segment or frame hashes). The collect is
+    * BOUNDED BY CONSTRUCTION: the distinct (band, block) set is
+    * ≤262,144 rows no matter how many hashes feed it (the
+    * [[imageBlockTable]] bound), and the returned artifact is 32 KB
+    * — the collectModel bounded-artifact contract, compressed one
+    * step further (bitset instead of broadcast rows). */
+  def segmentBlockBitmaps(hashes: DataFrame): Array[Array[Long]] = {
+    require(hashes.columns.length == 1,
+      s"expected a single hash column, got ${hashes.columns.mkString(",")}")
+    val h = col(hashes.columns.head)
+    val blocks = hashes
+      .filter(h.isNotNull)
+      .select(posexplode(array((0 until 4).map(b =>
+        shiftrightunsigned(h, 48 - 16 * b)
+          .bitwiseAND(lit(0xFFFFL)).cast("int")): _*)).as(Seq("band", "bv")))
+      .distinct()
+      .collect()
+    val maps = Array.fill(4)(new Array[Long](1024))
+    blocks.foreach { r =>
+      val band = r.getInt(0); val bv = r.getInt(1)
+      maps(band)(bv >>> 6) |= 1L << (bv & 63)
+    }
+    maps
+  }
+
+  /** [[segmentBlockBitmaps]] over a WAV corpus's SEGMENT hashes. */
+  def audioSegmentBlockBitmaps(
+      docs: DataFrame, payloadCol: String, segFrames: Int): Array[Array[Long]] =
+    segmentBlockBitmaps(docs.select(
+      explode(audioSegmentDHashes(col(payloadCol), segFrames)
+        .getField("dhash")).as("__dh")))
+
+  /** [[segmentBlockBitmaps]] over an AVI corpus's FRAME hashes. */
+  def videoFrameBlockBitmaps(
+      docs: DataFrame, payloadCol: String, stride: Int): Array[Array[Long]] =
+    segmentBlockBitmaps(docs.select(
+      explode(videoFrameDHashes(col(payloadCol), stride)
+        .getField("dhash")).as("__dh")))
+
   /** RIFF/AVI magic: 'RIFF' at offset 0, 'AVI ' at offset 8. */
   private def isAvi(payload: Column): Column =
     octet_length(payload) >= 24 &&

@@ -326,6 +326,49 @@ object StreamingOps {
       .drop((0 until 4).flatMap(b => Seq(s"__b$b", s"__m$b")): _*)
   }
 
+  /** STREAMING trim-tolerant audio gate — the SHIFTED twin of
+    * [[dropAudioNearDups]]: drop an arriving clip iff at least
+    * `minFrac` of its fixed-length SEGMENT hashes
+    * ([[graft.operators.Multimodal.audioSegmentDHashes]]) hit the
+    * reference catalog's block bitmaps
+    * ([[graft.operators.Multimodal.audioSegmentBlockBitmaps]] — a
+    * 32 KB artifact bounded by the block space, probed at O(1) per
+    * band inside ONE pure expression). Catches re-uploads whose
+    * leading segments were trimmed (modulo segFrames — the batch
+    * form's caveat), which move every window of the whole-clip hash
+    * and slip through the aligned gate. PURE per-row: no join stage
+    * at all (the aligned gates pay four broadcast joins), no
+    * watermark, no state. Per segment the block probe is
+    * pigeonhole-complete for Hamming ≤3; block coincidences
+    * over-count matched segments (high-recall semantics — the
+    * `minFrac` threshold is the precision lever the single-hash
+    * gates don't have). Undecodable / sub-segment payloads have no
+    * segments and are KEPT. */
+  def dropAudioNearDupsShifted(
+      stream: DataFrame, payloadCol: String,
+      refBitmaps: Array[Array[Long]], segFrames: Int,
+      minFrac: Double = 0.5): DataFrame = {
+    require(minFrac > 0 && minFrac <= 1, s"minFrac=$minFrac outside (0,1]")
+    val frac = graft.functions.GraftFunctions.blockBitmapMatchFrac(
+      graft.operators.Multimodal.audioSegmentDHashes(col(payloadCol), segFrames)
+        .getField("dhash"), refBitmaps)
+    stream.filter(frac.isNull || frac < minFrac)
+  }
+
+  /** STREAMING trim-tolerant video gate — [[dropAudioNearDupsShifted]]
+    * on frame hashes ([[graft.operators.Multimodal.videoFrameDHashes]],
+    * one container walk per row; tolerance modulo `stride`). */
+  def dropVideoNearDupsShifted(
+      stream: DataFrame, payloadCol: String,
+      refBitmaps: Array[Array[Long]], stride: Int,
+      minFrac: Double = 0.5): DataFrame = {
+    require(minFrac > 0 && minFrac <= 1, s"minFrac=$minFrac outside (0,1]")
+    val frac = graft.functions.GraftFunctions.blockBitmapMatchFrac(
+      graft.operators.Multimodal.videoFrameDHashes(col(payloadCol), stride)
+        .getField("dhash"), refBitmaps)
+    stream.filter(frac.isNull || frac < minFrac)
+  }
+
   /** Misra–Gries summary state of one shard: tracked item → counter,
     * plus the total decrement count that bounds every estimate. */
   final case class MgState(counts: Map[String, Long], decrements: Long)

@@ -311,6 +311,71 @@ class ImageNearDupSpec extends SparkSpec {
     assert(kept == Set(2L, 3L, 4L), s"got $kept")
   }
 
+  test("trim-tolerant gates: bitmap artifact drops trimmed re-uploads, keeps fresh/short/junk, zero state") {
+    import spark.implicits._
+    // ---- audio: catalog = one 640-frame clip; arrival = its
+    // trim+gain copy (the whole-clip gate's blind spot)
+    def s0(c: Int, f: Int): Int = ((f * 53 + c * 17 + 101) % 3989) - 1994
+    val audioRef = Seq(100L -> Multimodal.encodeWav(2, 8000, 640, s0))
+      .toDF("clip_id", "payload")
+    val aBitmaps = Multimodal.audioSegmentBlockBitmaps(audioRef, "payload", 128)
+    assert(aBitmaps.map(_.map(java.lang.Long.bitCount(_)).sum).sum <= 4 * 5,
+      "5 segments set at most 4 blocks each")
+    val audioArrivals = Seq(
+      1L -> Multimodal.encodeWav(2, 8000, 512, (c, f) => s0(c, f + 128) * 3), // trim+gain → drop
+      2L -> Multimodal.encodeWav(1, 8000, 640,
+        (c, f) => ((f * 173 + c * 13 + 999) % 3797) - 1898), // fresh → keep
+      3L -> Multimodal.encodeWav(1, 8000, 64, s0), // sub-segment → keep
+      4L -> "junk".getBytes("UTF-8")) // undecodable → keep
+      .toDF("clip_id", "payload")
+    val aKept = graft.streaming.StreamingOps.dropAudioNearDupsShifted(
+      audioArrivals, "payload", aBitmaps, segFrames = 128)
+      .select("clip_id").collect().map(_.getLong(0)).toSet
+    assert(aKept == Set(2L, 3L, 4L), s"audio gate verdicts: got $aKept")
+    // ---- video: catalog = one 24-frame clip at stride 4; arrival =
+    // a 4-frame-trimmed brightness-shifted copy
+    def pix(b: Int)(f: Int, x: Int, y: Int, c: Int): Int =
+      (x * 17 + y * 29 + c * 37 + f * 41 + b * 53) % 180
+    val videoRef = Seq(100L -> Multimodal.encodeAvi(12, 10, 24, pix(0)))
+      .toDF("video_id", "payload")
+    val vBitmaps = Multimodal.videoFrameBlockBitmaps(videoRef, "payload", 4)
+    val videoArrivals = Seq(
+      1L -> Multimodal.encodeAvi(12, 10, 20,
+        (f, x, y, c) => pix(0)(f + 4, x, y, c) + 40, topDown = true), // trim+shift → drop
+      // fresh content must be structurally different: linear-gradient
+      // families share low-entropy blocks (0x0000/0xFFFF bands) with
+      // ANY same-family formula — the documented high-recall
+      // over-drop — so the keeper is noise-shaped
+      2L -> Multimodal.encodeAvi(12, 10, 24,
+        (f, x, y, c) => ((f * 7 + x) * (y * 5 + c) * 73 + x * y) % 256), // fresh → keep
+      3L -> "not a video".getBytes("UTF-8")) // undecodable → keep
+      .toDF("video_id", "payload")
+    val vKept = graft.streaming.StreamingOps.dropVideoNearDupsShifted(
+      videoArrivals, "payload", vBitmaps, stride = 4)
+      .select("video_id").collect().map(_.getLong(0)).toSet
+    assert(vKept == Set(2L, 3L), s"video gate verdicts: got $vKept")
+    // ---- streaming form: same verdicts, zero state rows (pure
+    // per-row expression — not even a broadcast join in the plan)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val stream = MemoryStream[(Long, Array[Byte])](spark)
+    val out = graft.streaming.StreamingOps.dropAudioNearDupsShifted(
+      stream.toDS().toDF("clip_id", "payload"), "payload", aBitmaps, segFrames = 128)
+    assert(!out.queryExecution.analyzed.toString.toLowerCase.contains("join"),
+      "the bitmap gate must be join-free")
+    val ckpt = java.nio.file.Files.createTempDirectory("shiftgate").toString
+    val q = out.writeStream.format("memory").queryName("shift_gate_out")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      stream.addData(Seq(1L, 2L, 3L, 4L).zip(
+        audioArrivals.orderBy("clip_id").collect().map(_.getAs[Array[Byte]]("payload"))))
+      q.processAllAvailable()
+      val keptStream = spark.table("shift_gate_out")
+        .select("clip_id").collect().map(_.getLong(0)).toSet
+      assert(keptStream == aKept, "stream verdicts must equal the batch gate")
+      assert(q.lastProgress.stateOperators.map(_.numRowsTotal).sum == 0L)
+    } finally q.stop()
+  }
+
   test("image block gate: drops exactly block-sharers, keeps undecodables, zero state") {
     import spark.implicits._
     def pix(b: Int)(x: Int, y: Int, c: Int): Int =
