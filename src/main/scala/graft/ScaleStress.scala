@@ -317,7 +317,8 @@ object ScaleStress {
       // runs in executors; a driver-side Seq would cap the scale at
       // driver heap), written outside the timed body like every feed.
       if (opFilter.isEmpty || opFilter.exists(f =>
-          "video_near_dup".contains(f) || "video_near_dup_shifted".contains(f))) {
+          "video_near_dup".contains(f) || "video_near_dup_shifted".contains(f) ||
+            "video_near_dup_long".contains(f))) {
         val n = 200 * scale
         val feed = s"${sys.props("java.io.tmpdir")}/graft-avifeed-$scale"
         locally {
@@ -335,6 +336,16 @@ object ScaleStress {
             }.toDF("vid_id", "payload")
             .write.mode("overwrite").parquet(feed)
         }
+        // WIDE-BINARY scan sizing (measured here at 200×): the
+        // vectorized parquet reader allocates columnarReaderBatchSize
+        // ROWS per batch — 4096 × ~55 KB payloads is a ~225 MB
+        // contiguous ask per task and OOMs the reader ("Cannot
+        // reserve additional contiguous bytes"). Any 100 TB media
+        // lake sizes this to row width; 64 rows covers the widest
+        // feed here (96-frame ≈ 220 KB payloads ⇒ ~14 MB/batch).
+        val prevBatch = spark.conf.get("spark.sql.parquet.columnarReaderBatchSize", "4096")
+        spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "64")
+        try {
         measure("video_near_dup", scale) {
           operators.Multimodal.videoNearDupPairs(
             spark.read.parquet(feed), "vid_id", "payload", stride = 4).count()
@@ -347,6 +358,36 @@ object ScaleStress {
           operators.Multimodal.videoNearDupPairsShifted(
             spark.read.parquet(feed), "vid_id", "payload", stride = 4).count()
         }
+        // FRAMES-linearity leg (the r17 verdict's exact question —
+        // the pre-fix form was quadratic in frames PER VIDEO, which
+        // video-count scaling alone cannot expose): same total wire
+        // frame volume as the main leg (n/4 videos × 96 frames vs
+        // n × 24), same stride ratio (16 ⇒ 6 sampled frames/video).
+        // Linear-in-frames ⇒ wall ≈ the main leg's; the quadratic
+        // form would pay 4× the per-video decode count on 4×-longer
+        // containers ⇒ ~16× the frame decodes.
+        val longFeed = s"${sys.props("java.io.tmpdir")}/graft-avifeed-long-$scale"
+        locally {
+          import spark.implicits._
+          spark.range(n / 4).repartition(spark.sparkContext.defaultParallelism)
+            .map { i =>
+              val id: Long = i
+              val fam = id - id % 10
+              val v = id % 10
+              val shift = if (v == 1) 35 else if (v == 2) 60 else 0
+              val b = (if (v <= 2) fam else id).toInt
+              (id, operators.Multimodal.encodeAvi(32, 24, 96,
+                (f, x, y, c) =>
+                  ((x * 7 + y * 13 + c * 31 + f * 17) * (b % 9973 + 1) + b) % 190 + shift))
+            }.toDF("vid_id", "payload")
+            .write.mode("overwrite").parquet(longFeed)
+        }
+        measure("video_near_dup_long", scale) {
+          operators.Multimodal.videoNearDupPairs(
+            spark.read.parquet(longFeed), "vid_id", "payload", stride = 16).count()
+        }
+        } finally spark.conf.set(
+          "spark.sql.parquet.columnarReaderBatchSize", prevBatch)
       }
       // ---- audio near-dup pairs at decode volume (r18 — the stream
       // gate had arms, the batch pairs op did not): 500 mono 8 kHz
