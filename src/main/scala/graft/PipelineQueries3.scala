@@ -793,6 +793,120 @@ object PipelineQueries3 {
         .transform(Queries.sortedSmall(_, "video_id"))
     })
 
+  // ----------------- cross-modal containment (image inside video)
+  // "Which videos contain this known image?" — sampled frame hashes
+  // vs catalog image hashes through the pigeonhole band join, exact
+  // because the decoders share one pixel layout and both modalities
+  // use the ImageDHash64 kernel. Fixture: 4 videos (+1 junk), 4 PNGs
+  // (+1 junk) — a brightness-shifted export of a SAMPLED frame
+  // (Hamming 0), a sparse-mask edit of another (small Hamming, the
+  // ≤3 gate decides), an export of an UNSAMPLED frame (stride
+  // semantics — matches only by hash coincidence), and an unrelated
+  // image. The oracle rebuilds BOTH derivations (video grid lumas
+  // with the frame term, image grid lumas with the shift/mask) and
+  // cross-joins with xor+bit_count.
+  private val qVideoImageMatches = Queries.Q(
+    "p_video_image_matches",
+    Some("""
+      WITH vids AS (
+        SELECT i, i AS b, 12 + i % 3 AS w, 10 + i % 2 AS h, 4 + i % 3 AS nf
+        FROM generate_series(0, 3) t(i)),
+      vfr AS (SELECT i, b, w, h, unnest(generate_series(0, nf - 1, 2)) AS f
+              FROM vids),
+      vcell AS (
+        SELECT i, f, b, gx, gy, ((gx * w) // 9) AS sx, ((gy * h) // 8) AS sy
+        FROM vfr, generate_series(0, 8) gxs(gx), generate_series(0, 7) gys(gy)),
+      vpx AS (
+        SELECT i, f, gx, gy,
+               ((sx*17 + sy*29 + f*41 + b*53) % 180 +
+                (sx*17 + sy*29 + 37 + f*41 + b*53) % 180 +
+                (sx*17 + sy*29 + 74 + f*41 + b*53) % 180) // 3 AS luma
+        FROM vcell),
+      vbits AS (
+        SELECT a.i, a.f, (a.gy * 8 + a.gx) AS bb,
+               CASE WHEN n.luma > a.luma THEN 1 ELSE 0 END AS bit
+        FROM vpx a JOIN vpx n ON n.i = a.i AND n.f = a.f AND n.gy = a.gy
+                             AND n.gx = a.gx + 1
+        WHERE a.gx < 8),
+      vhs AS (
+        SELECT i, f,
+               bit_or(CASE WHEN bit = 1 AND bb < 32
+                           THEN (CAST(1 AS BIGINT) << bb) ELSE 0 END) AS lo,
+               bit_or(CASE WHEN bit = 1 AND bb >= 32
+                           THEN (CAST(1 AS BIGINT) << (bb - 32)) ELSE 0 END) AS hi
+        FROM vbits GROUP BY i, f),
+      imgs AS (
+        SELECT j,
+               CASE WHEN j IN (1, 4) THEN 1 WHEN j = 2 THEN 2
+                    WHEN j = 3 THEN 9 ELSE 0 END AS b,
+               CASE j WHEN 0 THEN 2 WHEN 2 THEN 1 ELSE 0 END AS f,
+               CASE WHEN j IN (0, 2) THEN 40 ELSE 0 END AS shift,
+               -- sparse-mask density tunes Hamming: %7 lands exactly
+               -- at the gate (3, included), %3 at 8 (excluded)
+               CASE WHEN j = 1 THEN 7 WHEN j = 4 THEN 3 ELSE 0 END AS maskmod
+        FROM generate_series(0, 4) t(j)),
+      icell AS (
+        SELECT j, b, f, gx, gy,
+               ((gx * (12 + b % 3)) // 9) AS sx, ((gy * (10 + b % 2)) // 8) AS sy,
+               shift + CASE WHEN maskmod > 0 AND
+                                 (((gx * (12 + b % 3)) // 9) +
+                                  ((gy * (10 + b % 2)) // 8)) % maskmod = 0
+                            THEN 25 ELSE 0 END AS sh
+        FROM imgs, generate_series(0, 8) gxs(gx), generate_series(0, 7) gys(gy)),
+      ipx AS (
+        SELECT j, gx, gy,
+               ((sx*17 + sy*29 + f*41 + b*53) % 180 + sh +
+                (sx*17 + sy*29 + 37 + f*41 + b*53) % 180 + sh +
+                (sx*17 + sy*29 + 74 + f*41 + b*53) % 180 + sh) // 3 AS luma
+        FROM icell),
+      ibits AS (
+        SELECT a.j, (a.gy * 8 + a.gx) AS bb,
+               CASE WHEN n.luma > a.luma THEN 1 ELSE 0 END AS bit
+        FROM ipx a JOIN ipx n ON n.j = a.j AND n.gy = a.gy AND n.gx = a.gx + 1
+        WHERE a.gx < 8),
+      ihs AS (
+        SELECT j,
+               bit_or(CASE WHEN bit = 1 AND bb < 32
+                           THEN (CAST(1 AS BIGINT) << bb) ELSE 0 END) AS lo,
+               bit_or(CASE WHEN bit = 1 AND bb >= 32
+                           THEN (CAST(1 AS BIGINT) << (bb - 32)) ELSE 0 END) AS hi
+        FROM ibits GROUP BY j)
+      SELECT video_id, frame_idx, img_id, hamming FROM (
+        SELECT CAST(v.i AS BIGINT) AS video_id, CAST(v.f AS BIGINT) AS frame_idx,
+               CAST(im.j AS BIGINT) AS img_id,
+               CAST(bit_count(xor(v.lo, im.lo)) +
+                    bit_count(xor(v.hi, im.hi)) AS BIGINT) AS hamming
+        FROM vhs v, ihs im)
+      WHERE hamming <= 3
+      ORDER BY video_id, frame_idx, img_id"""),
+    (s, dir) => {
+      val vids: Seq[(Long, Array[Byte])] = (0 until 4).map { i =>
+        val b = i
+        val (w, h, nf) = (12 + i % 3, 10 + i % 2, 4 + i % 3)
+        (i.toLong, operators.Multimodal.encodeAvi(w, h, nf,
+          (f, x, y, c) => (x * 17 + y * 29 + c * 37 + f * 41 + b * 53) % 180,
+          topDown = i % 2 == 1))
+      } :+ (4L -> "not a video".getBytes("UTF-8"))
+      val imgs: Seq[(Long, Array[Byte])] = Seq(
+        (0, 0, 2, 40, 0), // frame 2 of video 0, uniform shift → Hamming 0
+        (1, 1, 0, 0, 7),  // frame 0 of video 1, %7 mask → Hamming 3 (boundary IN)
+        (2, 2, 1, 40, 0), // frame 1 of video 2 — UNSAMPLED at stride 2
+        (3, 9, 0, 0, 0),  // unrelated family
+        (4, 1, 0, 0, 3)   // frame 0 of video 1, %3 mask → Hamming 8 (OUT)
+      ).map { case (j, b, f, shift, maskmod) =>
+        val (w, h) = (12 + b % 3, 10 + b % 2)
+        (j.toLong, operators.Multimodal.encodePng(w, h, 3,
+          (x, y, c) => (x * 17 + y * 29 + c * 37 + f * 41 + b * 53) % 180 +
+            shift + (if (maskmod > 0 && (x + y) % maskmod == 0) 25 else 0),
+          y => (y + j) % 5))
+      } :+ (5L -> "not an image".getBytes("UTF-8"))
+      import s.implicits._
+      operators.Multimodal.videoImageMatches(
+        vids.toDF("video_id", "payload"), "video_id", "payload", 2,
+        imgs.toDF("img_id", "payload"), "img_id", "payload", maxHamming = 3)
+        .transform(Queries.sortedSmall(_, "video_id", "frame_idx", "img_id"))
+    })
+
   // --------------------------- audio near-dup DEDUP output (corpus)
   // p_audio_near_dup's pairs → CC → smallest-id representative; same
   // fixture (incl. its junk rows), so the queries cross-check.
@@ -1144,6 +1258,6 @@ object PipelineQueries3 {
     Seq(qLmBigramCounts, qLmScoreAudit, qShardAssign, qShardManifest,
       qCurationV3, qCorpusDrift, qGlobalRank, qGlobalRankRange,
       qCcnetBuckets, qImageNearDup, qImageDedup, qVideoNearDup,
-      qVideoNearDupShifted, qVideoDedup, qAudioNearDup,
-      qAudioNearDupShifted, qAudioDedup)
+      qVideoNearDupShifted, qVideoDedup, qVideoImageMatches,
+      qAudioNearDup, qAudioNearDupShifted, qAudioDedup)
 }

@@ -318,7 +318,7 @@ object ScaleStress {
       // driver heap), written outside the timed body like every feed.
       if (opFilter.isEmpty || opFilter.exists(f =>
           "video_near_dup".contains(f) || "video_near_dup_shifted".contains(f) ||
-            "video_near_dup_long".contains(f))) {
+            "video_near_dup_long".contains(f) || "video_image_matches".contains(f))) {
         val n = 200 * scale
         val feed = s"${sys.props("java.io.tmpdir")}/graft-avifeed-$scale"
         locally {
@@ -385,6 +385,28 @@ object ScaleStress {
         measure("video_near_dup_long", scale) {
           operators.Multimodal.videoNearDupPairs(
             spark.read.parquet(longFeed), "vid_id", "payload", stride = 16).count()
+        }
+        // cross-modal containment at volume: a still catalog of every
+        // 10th video's frame-0 export (n/10 PNGs) probed against the
+        // full video feed's sampled frames — family heads and their
+        // brightness variants match at Hamming 0
+        val stillFeed = s"${sys.props("java.io.tmpdir")}/graft-stillfeed-$scale"
+        locally {
+          import spark.implicits._
+          spark.range(n / 10).repartition(spark.sparkContext.defaultParallelism)
+            .map { i =>
+              val b = (i * 10).toInt // family heads: ids 0, 10, 20, …
+              (i, operators.Multimodal.encodePng(32, 24, 3,
+                (x, y, c) =>
+                  ((x * 7 + y * 13 + c * 31) * (b % 9973 + 1) + b) % 190))
+            }.toDF("img_id", "payload")
+            .write.mode("overwrite").parquet(stillFeed)
+        }
+        measure("video_image_matches", scale) {
+          operators.Multimodal.videoImageMatches(
+            spark.read.parquet(feed), "vid_id", "payload", 4,
+            spark.read.parquet(stillFeed), "img_id", "payload",
+            maxHamming = 3).count()
         }
         } finally spark.conf.set(
           "spark.sql.parquet.columnarReaderBatchSize", prevBatch)

@@ -592,6 +592,65 @@ object Multimodal {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** CROSS-MODAL containment search — find catalog IMAGES appearing
+    * as FRAMES inside videos: (video_id, frame_idx, img_id, hamming)
+    * for every sampled frame whose dHash is within `maxHamming` of a
+    * catalog image's dHash. Works because the library's decoders
+    * share ONE pixel layout (top-down row-major RGB — the
+    * [[graft.functions.PngPixels]] contract [[videoFramePixels]]
+    * honors) and both modalities fingerprint through the SAME
+    * [[graft.functions.ImageDHash64]] kernel, so a still exported
+    * from a frame hashes IDENTICALLY to the frame itself, and
+    * re-encodes / brightness shifts / exact NN rescales of it land
+    * within the Hamming band. The trust-and-safety / provenance verb:
+    * "which videos contain this known image?"
+    *
+    * Scale shape: one-walk frame hashing per video, one decode per
+    * image, then a (band, block)-keyed equi-join of the two narrow
+    * hash tables — the pigeonhole guarantee (any pair within Hamming
+    * ≤3 shares ≥1 of the 4 blocks) with the xor/popcount verify
+    * BEFORE the distinct, so only true matches ride the dedup
+    * shuffle. Never all-pairs; a corpus-constant frame floods its
+    * block bucket exactly like a flood shingle (same caveat as every
+    * member of the family). Output distinct (video_id, frame_idx,
+    * img_id, hamming), undecodable payloads on either side never
+    * match. */
+  def videoImageMatches(
+      videos: DataFrame, vidIdCol: String, vidPayloadCol: String, stride: Int,
+      images: DataFrame, imgIdCol: String, imgPayloadCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(stride > 0, s"stride=$stride must be positive")
+    require(maxHamming >= 0 && maxHamming <= 3, // before decode jobs
+      s"maxHamming=$maxHamming outside [0,3]: 4-block pigeonhole is lossless only to 3")
+    def blocks(h: Column): Column = array((0 until 4).map(b =>
+      shiftrightunsigned(h, 48 - 16 * b)
+        .bitwiseAND(lit(0xFFFFL)).cast("int")): _*)
+    val vf = videos
+      .select(col(vidIdCol), col(vidPayloadCol))
+      .repartition(Dedup.pinnedParts(videos)) // decode frontier spread
+      .select(col(vidIdCol),
+        videoFrameDHashes(col(vidPayloadCol), stride).as("__fh"))
+      .filter(col("__fh").isNotNull && size(col("__fh")) > 0)
+      .select(col(vidIdCol), explode(col("__fh")).as("__e"))
+      .select(col(vidIdCol), col("__e.frame_idx").as("frame_idx"),
+        col("__e.dhash").as("__dhv"))
+    val ih = images
+      .select(col(imgIdCol), col(imgPayloadCol))
+      .repartition(Dedup.pinnedParts(images))
+      .select(col(imgIdCol), imageDHash(col(imgPayloadCol)).as("__dhi"))
+      .filter(col("__dhi").isNotNull)
+    val vb = vf.select(col(vidIdCol), col("frame_idx"), col("__dhv"),
+      posexplode(blocks(col("__dhv"))).as(Seq("__band", "__bv")))
+    val ib = ih.select(col(imgIdCol), col("__dhi"),
+      posexplode(blocks(col("__dhi"))).as(Seq("__band", "__bv")))
+    vb.join(ib, Seq("__band", "__bv"))
+      .withColumn("hamming",
+        bit_count(col("__dhv").bitwiseXOR(col("__dhi"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col(vidIdCol), col("frame_idx"), col(imgIdCol), col("hamming"))
+      .distinct()
+  }
+
   /** Build the 4×65,536-bit block bitmaps of a 64-bit-hash column —
     * the catalog artifact of the streaming trim-tolerant gates
     * ([[graft.streaming.StreamingOps.dropAudioNearDupsShifted]] /

@@ -311,6 +311,31 @@ class ImageNearDupSpec extends SparkSpec {
     assert(kept == Set(2L, 3L, 4L), s"got $kept")
   }
 
+  test("cross-modal containment: an exported (even NN-upscaled) frame still matches its video") {
+    import spark.implicits._
+    def pix(f: Int, x: Int, y: Int, c: Int): Int =
+      (x * 17 + y * 29 + c * 37 + f * 41) % 180
+    val vids = Seq(
+      0L -> Multimodal.encodeAvi(12, 10, 6, pix),
+      1L -> "junk".getBytes("UTF-8")).toDF("video_id", "payload")
+    val imgs = Seq(
+      // exact export of frame 2 → Hamming 0
+      0L -> Multimodal.encodePng(12, 10, 3, (x, y, c) => pix(2, x, y, c)),
+      // 2x NN upscale of the same frame, +40 brightness: BOTH
+      // invariances across the modality boundary → still Hamming 0
+      1L -> Multimodal.encodePng(24, 20, 3,
+        (x, y, c) => pix(2, x / 2, y / 2, c) + 40),
+      // unrelated noise image
+      2L -> Multimodal.encodePng(12, 10, 3,
+        (x, y, c) => ((x * 7 + y) * (c * 5 + 3) * 73 + x * y) % 256),
+      3L -> "not an image".getBytes("UTF-8")).toDF("img_id", "payload")
+    val got = Multimodal.videoImageMatches(
+      vids, "video_id", "payload", 2, imgs, "img_id", "payload", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set((0L, 2L, 0L, 0L), (0L, 2L, 1L, 0L)),
+      s"exports (exact + upscaled/shifted) must match frame 2 at Hamming 0, got $got")
+  }
+
   test("trim-tolerant gates: bitmap artifact drops trimmed re-uploads, keeps fresh/short/junk, zero state") {
     import spark.implicits._
     // ---- audio: catalog = one 640-frame clip; arrival = its
