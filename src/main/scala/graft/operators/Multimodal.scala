@@ -694,6 +694,17 @@ object Multimodal {
       explode(videoFrameDHashes(col(payloadCol), stride)
         .getField("dhash")).as("__dh")))
 
+  /** [[segmentBlockBitmaps]] over a STILL-IMAGE catalog's dHashes —
+    * frame and still hashes share one kernel ([[videoImageMatches]]'s
+    * exactness argument), so feeding THIS artifact to
+    * [[graft.streaming.StreamingOps.dropVideoNearDupsShifted]] gates a
+    * video stream against an IMAGE catalog: drop clips where ≥minFrac
+    * of sampled frames match a banned still — the streaming form of
+    * the cross-modal containment verb. */
+  def imageBlockBitmaps(
+      docs: DataFrame, payloadCol: String): Array[Array[Long]] =
+    segmentBlockBitmaps(docs.select(imageDHash(col(payloadCol)).as("__dh")))
+
   /** RIFF/AVI magic: 'RIFF' at offset 0, 'AVI ' at offset 8. */
   private def isAvi(payload: Column): Column =
     octet_length(payload) >= 24 &&

@@ -334,6 +334,21 @@ class ImageNearDupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2), r.getLong(3))).toSet
     assert(got == Set((0L, 2L, 0L, 0L), (0L, 2L, 1L, 0L)),
       s"exports (exact + upscaled/shifted) must match frame 2 at Hamming 0, got $got")
+    // STREAMING composition: a banned-IMAGE catalog's bitmaps drive
+    // the video bitmap gate (frame and still hashes share one
+    // kernel) — the clip containing the banned still drops at every
+    // sampled frame, a noise clip and junk keep
+    val banned = Multimodal.imageBlockBitmaps(
+      imgs.filter(col("img_id") === 0L), "payload")
+    val arrivals = Seq(
+      0L -> Multimodal.encodeAvi(12, 10, 6, pix), // contains the banned frame family
+      1L -> Multimodal.encodeAvi(12, 10, 6,
+        (f, x, y, c) => ((f * 7 + x) * (y * 5 + c) * 73 + x * y) % 256),
+      2L -> "junk".getBytes("UTF-8")).toDF("video_id", "payload")
+    val kept = graft.streaming.StreamingOps.dropVideoNearDupsShifted(
+      arrivals, "payload", banned, stride = 2, minFrac = 0.3)
+      .select("video_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L), s"cross-modal gate verdicts: got $kept")
   }
 
   test("trim-tolerant gates: bitmap artifact drops trimmed re-uploads, keeps fresh/short/junk, zero state") {
