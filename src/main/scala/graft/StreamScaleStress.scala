@@ -214,7 +214,9 @@ object StreamScaleStress {
       // never the catalog or horizon), and a LIVE split (family
       // members of catalog heads drop; the rest keep).
       if (opFilter.isEmpty || opFilter.exists(f =>
-          "stream_image_gate".contains(f) || "stream_audio_gate".contains(f))) {
+          "stream_image_gate".contains(f) || "stream_audio_gate".contains(f) ||
+            "stream_audio_gate_shifted".contains(f) ||
+            "stream_video_gate_shifted".contains(f))) {
         import spark.implicits._
         val nMedia = 2000 * scale
         val imgFeed = s"$work/imgfeed-$scale"
@@ -260,6 +262,30 @@ object StreamScaleStress {
         measure("stream_audio_gate_shifted", scale, wavFeed, "append") { s =>
           StreamingOps.dropAudioNearDupsShifted(
             s, "payload", wavBitmaps, segFrames = 128)
+        }
+        // video gate (bitmap form — the video column's only stream
+        // gate): REAL AVI container walks per arriving row, catalog =
+        // every 10th id's frame-hash blocks as the 32 KB artifact.
+        // Claims: zero state, flat walls, join-free plan.
+        val aviFeed = s"$work/avifeed-$scale"
+        spark.range(nMedia).repartition(spark.sparkContext.defaultParallelism)
+          .map { i =>
+            val id: Long = i
+            val fam = id - id % 10
+            val v = id % 10
+            val shift = if (v == 1) 35 else if (v == 2) 60 else 0
+            val b = (if (v <= 2) fam else id).toInt
+            (id, graft.operators.Multimodal.encodeAvi(16, 12, 8,
+              (f, x, y, c) =>
+                ((x * 7 + y * 13 + c * 31 + f * 17) * (b % 9973 + 1) + b) % 190 + shift))
+          }.toDF("video_id", "payload")
+          .repartition(nBatches).write.mode("overwrite").parquet(aviFeed)
+        val aviBitmaps = graft.operators.Multimodal.videoFrameBlockBitmaps(
+          spark.read.parquet(aviFeed).filter(pmod(col("video_id"), lit(10)) === 0),
+          "payload", stride = 2)
+        measure("stream_video_gate_shifted", scale, aviFeed, "append") { s =>
+          StreamingOps.dropVideoNearDupsShifted(
+            s, "payload", aviBitmaps, stride = 2)
         }
       }
       // ---- streaming LM gate: the frozen backoff artifacts come
