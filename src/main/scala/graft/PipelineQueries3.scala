@@ -704,6 +704,109 @@ object PipelineQueries3 {
         .transform(Queries.sortedSmall(_, "id_a", "id_b"))
     })
 
+  // ------------------ image dedup, BEST-resolution survivor (corpus)
+  // p_image_dedup's decision with the survivor rule a real image pass
+  // wants: dHash is exact-NN-rescale-invariant, so each family's v=1
+  // member is a 2× UPSCALE (+40 brightness) of the head — same hash,
+  // 4× the pixels — and must WIN the cluster over the smaller-id
+  // head. The oracle exploits the invariance it tests: v=1's hash is
+  // computed at BASE dims (⌊⌊2a⌋/2⌋ = ⌊a⌋ makes the 2× NN grid
+  // resample identical source pixels), while its quality carries the
+  // 4× pixel count; survivor = argmax(quality, then min id) over the
+  // recursive closure.
+  private val qImageDedupBest = Queries.Q(
+    "p_image_dedup_best",
+    Some("""
+      WITH RECURSIVE imgs AS (
+        SELECT i, (i // 3) AS b, (i % 3) AS v,
+               12 + (i // 3) AS w, 10 + ((i // 3) % 4) AS h,
+               CASE (i // 3) % 4 WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 2 THEN 2 ELSE 4 END AS ch
+        FROM generate_series(0, 17) t(i)),
+      cells AS (
+        SELECT i, b, v, ch, gx, gy,
+               ((gx * w) // 9) AS sx, ((gy * h) // 8) AS sy
+        FROM imgs, generate_series(0, 8) gxs(gx), generate_series(0, 7) gys(gy)),
+      px AS (
+        SELECT i, gx, gy,
+               CASE WHEN ch >= 3 THEN (f0 + f1 + f2) // 3 ELSE f0 END AS luma
+        FROM (SELECT *,
+                (sx*17 + sy*29 + b*53) % 180 + sh AS f0,
+                (sx*17 + sy*29 + 37 + b*53) % 180 + sh AS f1,
+                (sx*17 + sy*29 + 74 + b*53) % 180 + sh AS f2
+              FROM (SELECT *,
+                      CASE WHEN v = 1 THEN 40
+                           WHEN v = 2 AND (sx + sy) % 11 = 0 THEN 25
+                           ELSE 0 END AS sh
+                    FROM cells))),
+      bits AS (
+        SELECT a.i, (a.gy * 8 + a.gx) AS bb,
+               CASE WHEN n.luma > a.luma THEN 1 ELSE 0 END AS bit
+        FROM px a JOIN px n ON n.i = a.i AND n.gy = a.gy AND n.gx = a.gx + 1
+        WHERE a.gx < 8),
+      hs AS (
+        SELECT i,
+               bit_or(CASE WHEN bit = 1 AND bb < 32
+                           THEN (CAST(1 AS BIGINT) << bb) ELSE 0 END) AS dh_lo,
+               bit_or(CASE WHEN bit = 1 AND bb >= 32
+                           THEN (CAST(1 AS BIGINT) << (bb - 32)) ELSE 0 END) AS dh_hi
+        FROM bits GROUP BY i),
+      qual AS (SELECT i, CASE WHEN v = 1 THEN 4 * w * h ELSE w * h END AS q
+               FROM imgs),
+      pairs AS (
+        SELECT x.i AS id_a, y.i AS id_b
+        FROM hs x JOIN hs y ON x.i < y.i
+        WHERE bit_count(xor(x.dh_lo, y.dh_lo)) +
+              bit_count(xor(x.dh_hi, y.dh_hi)) <= 3),
+      g AS (SELECT id_a AS u, id_b AS v FROM pairs
+            UNION SELECT id_b AS u, id_a AS v FROM pairs),
+      reach(node, r) AS (SELECT u, u FROM (SELECT DISTINCT u FROM g)
+                         UNION
+                         SELECT g.v, reach.r FROM reach JOIN g ON g.u = reach.node),
+      comp AS (SELECT node, MIN(r) AS grp FROM reach GROUP BY node),
+      best AS (SELECT node FROM (
+                 SELECT comp.node,
+                        ROW_NUMBER() OVER (PARTITION BY comp.grp
+                                           ORDER BY qual.q DESC, comp.node) AS rn
+                 FROM comp JOIN qual ON qual.i = comp.node)
+               WHERE rn = 1),
+      losers AS (SELECT node FROM comp
+                 WHERE node NOT IN (SELECT node FROM best))
+      SELECT CAST(i AS BIGINT) AS img_id,
+             CASE WHEN i >= 18 THEN 'other' ELSE 'png' END AS kind
+      FROM generate_series(0, 19) t(i)
+      WHERE i NOT IN (SELECT node FROM losers)
+      ORDER BY img_id"""),
+    (s, dir) => {
+      val imgs: Seq[(Long, Array[Byte])] = (0 until 18).map { i =>
+        val b = i / 3
+        val v = i % 3
+        val (w, h) = (12 + b, 10 + b % 4)
+        val ch = Seq(1, 3, 2, 4)(b % 4)
+        def base(x: Int, y: Int, c: Int): Int =
+          (x * 17 + y * 29 + c * 37 + b * 53) % 180
+        val png =
+          if (v == 1) // 2× NN upscale + uniform shift: same hash, 4× pixels
+            operators.Multimodal.encodePng(2 * w, 2 * h, ch,
+              (x, y, c) => base(x / 2, y / 2, c) + 40, y => (y + i) % 5)
+          else
+            operators.Multimodal.encodePng(w, h, ch,
+              (x, y, c) => base(x, y, c) +
+                (if (v == 2 && (x + y) % 11 == 0) 25 else 0),
+              y => (y + i) % 5)
+        (i.toLong, png)
+      }
+      val junk: Seq[(Long, Array[Byte])] = Seq(
+        18L -> "not an image at all".getBytes("UTF-8"),
+        19L -> Array[Byte](0x1, 0x2, 0x3))
+      import s.implicits._
+      operators.Multimodal.dedupImageNearDupsBest(
+        (imgs ++ junk).toDF("img_id", "payload"), "img_id", "payload",
+        maxHamming = 3)
+        .select(col("img_id"),
+          operators.Multimodal.mediaKind(col("payload")).as("kind"))
+        .transform(Queries.sortedSmall(_, "img_id"))
+    })
+
   // --------------------------- video near-dup DEDUP output (corpus)
   // The decision p_video_near_dup's pairs feed: frame-aligned pairs →
   // connected components → smallest-id representative, junk payloads
@@ -1257,7 +1360,7 @@ object PipelineQueries3 {
   val all: Seq[Queries.Q] =
     Seq(qLmBigramCounts, qLmScoreAudit, qShardAssign, qShardManifest,
       qCurationV3, qCorpusDrift, qGlobalRank, qGlobalRankRange,
-      qCcnetBuckets, qImageNearDup, qImageDedup, qVideoNearDup,
-      qVideoNearDupShifted, qVideoDedup, qVideoImageMatches,
+      qCcnetBuckets, qImageNearDup, qImageDedup, qImageDedupBest,
+      qVideoNearDup, qVideoNearDupShifted, qVideoDedup, qVideoImageMatches,
       qAudioNearDup, qAudioNearDupShifted, qAudioDedup)
 }

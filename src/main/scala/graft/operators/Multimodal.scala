@@ -331,6 +331,36 @@ object Multimodal {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** [[dedupImageNearDups]] with QUALITY-AWARE representative
+    * selection — the multimodal [[Dedup.dedupNearDupsBest]]: keep
+    * each cluster's HIGHEST-RESOLUTION member (pixel count
+    * |width·height| from [[imageMeta]]; ties → smallest id) instead
+    * of the smallest id. The semantic a real image-dedup pass wants:
+    * dHash is exact-NN-rescale-invariant, so a thumbnail and its
+    * original land in ONE cluster — min-id selection would keep
+    * whichever got the lower id, this keeps the original. Same scale
+    * shape: per-cluster argmax as one `min_by` aggregation over
+    * clustered nodes only (groups-sized, map-side partials), payload
+    * never shuffles on the decision; clustered members decoded by
+    * definition (they paired), so the quality is never null for a
+    * competing node. */
+  def dedupImageNearDupsBest(
+      docs: DataFrame, idCol: String, payloadCol: String,
+      maxHamming: Int = 3, maxBucket: Int = 65536, chunkSize: Int = 256): DataFrame = {
+    val pairs = imageNearDupPairs(docs, idCol, payloadCol, maxHamming, maxBucket, chunkSize)
+    val m = imageMeta(col(payloadCol))
+    val quality = abs(m.getField("width") * m.getField("height"))
+    val clustered = Graph.connectedComponents(pairs, "id_a", "id_b")
+      .join(docs.select(col(idCol).as("node"), quality.as("__q")), "node")
+    val best = clustered.filter(col("__q").isNotNull)
+      .groupBy("component")
+      .agg(min_by(col("node"), struct((-col("__q")).as("nq"), col("node"))).as("__best"))
+    val losers = clustered.join(best, "component")
+      .filter(col("node") =!= col("__best"))
+      .select(col("node").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** 64-bit gain-invariant audio fingerprint of a PCM WAV payload —
     * [[graft.functions.AudioDHash64]] (65 floor-rule energy windows
     * → envelope gradient signs). NULL for undecodable or sub-65-frame

@@ -311,6 +311,25 @@ class ImageNearDupSpec extends SparkSpec {
     assert(kept == Set(2L, 3L, 4L), s"got $kept")
   }
 
+  test("best-resolution survivor: the upscaled copy wins where min-id keeps the thumbnail") {
+    import spark.implicits._
+    def base(x: Int, y: Int, c: Int): Int = (x * 17 + y * 29 + c * 37) % 180
+    val docs = Seq(
+      0L -> Multimodal.encodePng(12, 10, 3, base), // the "thumbnail", smaller id
+      1L -> Multimodal.encodePng(24, 20, 3,
+        (x, y, c) => base(x / 2, y / 2, c) + 40),   // 2x original: same hash, 4x pixels
+      2L -> Multimodal.encodePng(12, 10, 3,
+        (x, y, c) => ((x * 7 + y) * (c * 5 + 3) * 73 + x * y) % 256), // unrelated
+      3L -> "junk".getBytes("UTF-8"))
+      .toDF("img_id", "payload")
+    val minId = Multimodal.dedupImageNearDups(docs, "img_id", "payload")
+      .select("img_id").collect().map(_.getLong(0)).toSet
+    assert(minId == Set(0L, 2L, 3L), s"min-id keeps the thumbnail: got $minId")
+    val best = Multimodal.dedupImageNearDupsBest(docs, "img_id", "payload")
+      .select("img_id").collect().map(_.getLong(0)).toSet
+    assert(best == Set(1L, 2L, 3L), s"best-resolution keeps the original: got $best")
+  }
+
   test("cross-modal containment: an exported (even NN-upscaled) frame still matches its video") {
     import spark.implicits._
     def pix(f: Int, x: Int, y: Int, c: Int): Int =
