@@ -295,7 +295,8 @@ object StreamScaleStress {
       // state rows forever), per-batch wall flat across batches
       // (the gate is one fold per document — cost tracks the batch,
       // never the horizon or the model-training corpus).
-      if (opFilter.isEmpty || opFilter.exists("stream_lm_gate".contains)) {
+      if (opFilter.isEmpty || opFilter.exists(f =>
+          "stream_lm_gate".contains(f) || "stream_lm_gate_open".contains(f))) {
         val lmRef = docs0.filter(pmod(col("doc_id"), lit(10)) === 0)
         val uniDf = graft.operators.LanguageModel.ngramCounts(lmRef, "text", 1)
           .localCheckpoint(true)
