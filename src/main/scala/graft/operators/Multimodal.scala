@@ -485,10 +485,11 @@ object Multimodal {
     * [[Dedup.hammingBandPairs]] pigeonhole core over the DISTINCT
     * hash values (a set that grows with content diversity, not
     * corpus size) and are joined back symmetrically. Never
-    * all-pairs; a corpus-wide constant frame floods its hash bucket
-    * exactly like a flood shingle — same caveat, same fix as the
-    * aligned form. Output: (id_a, id_b, n_match, match_frac),
-    * id_a < id_b. */
+    * all-pairs: a unit hash shared by more than `maxBucket` items
+    * (corpus-constant frames — black intros, slates) is dropped like
+    * a flood shingle BEFORE matching and sizing, so a constant-frame
+    * catalog cannot blow the hash-keyed join up quadratically.
+    * Output: (id_a, id_b, n_match, match_frac), id_a < id_b. */
   def videoNearDupPairsShifted(
       docs: DataFrame, idCol: String, payloadCol: String,
       stride: Int, minFrac: Double = 0.5, maxHamming: Int = 0,
@@ -514,8 +515,23 @@ object Multimodal {
       hashed: DataFrame, idCol: String, minFrac: Double,
       maxHamming: Int, maxBucket: Int, chunkSize: Int): DataFrame = {
     require(minFrac > 0 && minFrac <= 1, s"minFrac=$minFrac outside (0,1]")
+    require(maxBucket > 1, s"maxBucket=$maxBucket must exceed 1")
     Dedup.requireHammingArgs(maxHamming, chunkSize) // before the decode job
-    val hashes = hashed.distinct().localCheckpoint(true)
+    val all = hashed.distinct()
+    // FLOOD-HASH cap — the family's maxBucket discipline applied to
+    // the identity join: a unit hash shared by more than `maxBucket`
+    // items (corpus-constant frames/segments — black intros, slates,
+    // silence) carries no discriminative signal and would emit O(n²)
+    // pairs through the hash-keyed join with NO bound. Such hashes
+    // are dropped like flood shingles BEFORE matching AND sizing, so
+    // overlap fractions stay internally consistent (set semantics
+    // over the discriminative hashes); an item whose every hash is
+    // flood-popular samples nothing and never pairs.
+    val floodFree = all.groupBy("__dh")
+      .agg(countDistinct(col(idCol)).as("__ids"))
+      .filter(col("__ids") <= maxBucket)
+      .select("__dh")
+    val hashes = all.join(floodFree, Seq("__dh")).localCheckpoint(true)
     val sizes = hashes.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
     // matched hash-VALUE pairs: identity always; near values through
     // the pigeonhole core when tolerance is requested (symmetric

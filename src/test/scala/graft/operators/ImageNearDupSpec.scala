@@ -311,6 +311,35 @@ class ImageNearDupSpec extends SparkSpec {
     assert(kept == Set(2L, 3L, 4L), s"got $kept")
   }
 
+  test("set-overlap flood cap: a corpus-constant frame never pairs unrelated videos") {
+    import spark.implicits._
+    // every video OPENS with the same constant black frame (the
+    // slate/intro pattern), then diverges into per-id content —
+    // without the cap the shared frame-0 hash joins ALL videos
+    // pairwise; with maxBucket=3 (< the 5 sharers) the flood hash is
+    // dropped and only the real family (3, 4: full-content copies)
+    // pairs
+    def pix(b: Int)(f: Int, x: Int, y: Int, c: Int): Int =
+      if (f == 0) 0 else ((x * 3 + y * 7 + c) * (b * 97 + 13) + b * 29) % 200
+    val vids = (0L to 2L).map(i => i -> Multimodal.encodeAvi(12, 10, 6, pix(i.toInt))) ++ Seq(
+      3L -> Multimodal.encodeAvi(12, 10, 6, pix(7)),
+      4L -> Multimodal.encodeAvi(12, 10, 6, (f, x, y, c) => pix(7)(f, x, y, c) + 40))
+    val df = vids.toDF("video_id", "payload")
+    val capped = Multimodal.videoNearDupPairsShifted(
+      df, "video_id", "payload", stride = 1, minFrac = 0.5, maxBucket = 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((3L, 4L)),
+      s"only the true copy family must pair once the flood hash is capped, got $capped")
+    // and the cap is load-bearing: uncapped, the shared slate makes
+    // every pair reach the join (frac 1/6 < 0.5 gates them out of the
+    // OUTPUT, but the quadratic join volume is exactly what the cap
+    // exists to prevent — assert the frac-level behavior too)
+    val uncapped = Multimodal.videoNearDupPairsShifted(
+      df, "video_id", "payload", stride = 1, minFrac = 0.1)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.size == 10, s"uncapped at low minFrac: all 10 pairs share the slate, got $uncapped")
+  }
+
   test("best-resolution survivor: the upscaled copy wins where min-id keeps the thumbnail") {
     import spark.implicits._
     def base(x: Int, y: Int, c: Int): Int = (x * 17 + y * 29 + c * 37) % 180
