@@ -656,15 +656,18 @@ object Multimodal {
     * hash tables — the pigeonhole guarantee (any pair within Hamming
     * ≤3 shares ≥1 of the 4 blocks) with the xor/popcount verify
     * BEFORE the distinct, so only true matches ride the dedup
-    * shuffle. Never all-pairs; a corpus-constant frame floods its
-    * block bucket exactly like a flood shingle (same caveat as every
-    * member of the family). Output distinct (video_id, frame_idx,
-    * img_id, hamming), undecodable payloads on either side never
-    * match. */
+    * shuffle. Never all-pairs: a (band, block) whose CATALOG-side
+    * membership exceeds `maxBucket` distinct images (low-entropy
+    * blocks — flat regions hash to 0x0000-style values shared by
+    * half the catalog) is dropped from the probe, the same
+    * documented recall trade as every maxBucket in the family (a
+    * match loses recall only if ALL of its agreeing blocks are
+    * flood blocks). Output distinct (video_id, frame_idx, img_id,
+    * hamming), undecodable payloads on either side never match. */
   def videoImageMatches(
       videos: DataFrame, vidIdCol: String, vidPayloadCol: String, stride: Int,
       images: DataFrame, imgIdCol: String, imgPayloadCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBucket: Int = 65536): DataFrame = {
     require(stride > 0, s"stride=$stride must be positive")
     require(maxHamming >= 0 && maxHamming <= 3, // before decode jobs
       s"maxHamming=$maxHamming outside [0,3]: 4-block pigeonhole is lossless only to 3")
@@ -687,8 +690,15 @@ object Multimodal {
       .filter(col("__dhi").isNotNull)
     val vb = vf.select(col(vidIdCol), col("frame_idx"), col("__dhv"),
       posexplode(blocks(col("__dhv"))).as(Seq("__band", "__bv")))
-    val ib = ih.select(col(imgIdCol), col("__dhi"),
+    val ib0 = ih.select(col(imgIdCol), col("__dhi"),
       posexplode(blocks(col("__dhi"))).as(Seq("__band", "__bv")))
+    // flood-block cap (the family's maxBucket discipline on the
+    // catalog side of the cross join)
+    val keepBlocks = ib0.groupBy("__band", "__bv")
+      .agg(countDistinct(col(imgIdCol)).as("__ids"))
+      .filter(col("__ids") <= maxBucket)
+      .select("__band", "__bv")
+    val ib = ib0.join(keepBlocks, Seq("__band", "__bv"))
     vb.join(ib, Seq("__band", "__bv"))
       .withColumn("hamming",
         bit_count(col("__dhv").bitwiseXOR(col("__dhi"))).cast("long"))

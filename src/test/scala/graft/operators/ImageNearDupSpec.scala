@@ -397,6 +397,20 @@ class ImageNearDupSpec extends SparkSpec {
       arrivals, "payload", banned, stride = 2, minFrac = 0.3)
       .select("video_id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(1L, 2L), s"cross-modal gate verdicts: got $kept")
+    // catalog-side flood cap: two identical catalog entries push every
+    // block's membership to 2 — maxBucket=1 drops all their blocks and
+    // nothing matches; the default cap keeps the matches
+    val dupCatalog = Seq(
+      10L -> Multimodal.encodePng(12, 10, 3, (x, y, c) => pix(2, x, y, c)),
+      11L -> Multimodal.encodePng(12, 10, 3, (x, y, c) => pix(2, x, y, c),
+        y => (y + 1) % 5)).toDF("img_id", "payload")
+    assert(Multimodal.videoImageMatches(
+      vids, "video_id", "payload", 2, dupCatalog, "img_id", "payload",
+      maxHamming = 3, maxBucket = 1).isEmpty,
+      "flood-capped catalog blocks must not probe")
+    assert(Multimodal.videoImageMatches(
+      vids, "video_id", "payload", 2, dupCatalog, "img_id", "payload",
+      maxHamming = 3).count() == 2, "default cap keeps both catalog matches")
   }
 
   test("trim-tolerant gates: bitmap artifact drops trimmed re-uploads, keeps fresh/short/junk, zero state") {
