@@ -141,7 +141,12 @@ case class AudioSegmentDHashes(left: Expression, right: Expression)
     if (segFrames < AudioEnvelope.Windows) return null
     val d = WavDecode.decode(payload.asInstanceOf[Array[Byte]])
     if (d == null) return null
-    val seg = segFrames.toInt
+    // Clamp to the clip length BEFORE narrowing to Int: any segFrames
+    // ≥ nFrames means exactly one whole-clip segment, and nFrames ≤
+    // 2²⁵ (the 64 MiB decode cap) keeps the cursor arithmetic below
+    // exact — an unclamped `.toInt` would truncate huge Long args
+    // (2³²+65 → 65) and overflow `from += seg` near Int.MaxValue.
+    val seg = math.min(segFrames, d.nFrames.toLong).toInt
     val out = scala.collection.mutable.ArrayBuffer[Any]()
     var s = 0
     var from = 0

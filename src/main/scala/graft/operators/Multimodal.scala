@@ -510,7 +510,34 @@ object Multimodal {
     * `hashed` is (idCol, __dh) rows — one per (media item, sampled
     * unit hash), duplicates allowed (a distinct is taken here).
     * Emits (id_a, id_b, n_match, match_frac) per the set semantics
-    * documented on the video form. Validates BEFORE any job runs. */
+    * documented on the video form. Validates BEFORE any job runs.
+    *
+    * Flood-hash STRAGGLER control (beyond the `maxBucket` drop): a
+    * unit hash shared by n ≤ maxBucket items still emits O(n²) rows,
+    * and routing them through ONE equi-join key serializes that
+    * quadratic work on one task (measured at 200×: max task 7.3 s vs
+    * stage median 0.72 s — AQE cannot split it because the join
+    * INPUT is tiny). So the item-expansion join is CHUNKED the same
+    * way [[Dedup.hammingBandPairs]] chunks flood blocks, generalized
+    * to two sides: each matched hash-VALUE pair (x, y) carries the
+    * chunk counts k(x) = ⌈n(x)/chunkSize⌉ and k(y); an item holding
+    * x lands in chunk c = murmur3(id) mod k(x) and replicates over
+    * y's k(y) cells, an item holding y symmetrically over x's k(x)
+    * cells, and the join key is (x, y, cx, cy) — every (item, item,
+    * x, y) combination lands in EXACTLY ONE of k(x)·k(y) cells, so a
+    * flood hash's quadratic output spreads over k² independent join
+    * keys. Replication is n·k = n²/chunkSize rows of narrow
+    * (id, hash) data — linear in the OUTPUT it parallelizes, and the
+    * k = 1 common case (n ≤ chunkSize) replicates nothing and
+    * degenerates to the plain equi-join. Pair-set equivalence across
+    * chunkings is spec-pinned (ImageNearDupSpec).
+    *
+    * `match_frac` is clamped to 1.0: with maxHamming > 0, n_match
+    * counts matched hash-VALUE pairs from H(a)×H(b), which can
+    * exceed min(|H(a)|, |H(b)|) (one hash of the smaller side can
+    * near-match several of the other's); consumers read the column
+    * as a [0,1] containment fraction, so the excess is capped —
+    * `n_match` keeps the raw pair count. */
   private def hashSetOverlapPairs(
       hashed: DataFrame, idCol: String, minFrac: Double,
       maxHamming: Int, maxBucket: Int, chunkSize: Int): DataFrame = {
@@ -526,22 +553,31 @@ object Multimodal {
     // are dropped like flood shingles BEFORE matching AND sizing, so
     // overlap fractions stay internally consistent (set semantics
     // over the discriminative hashes); an item whose every hash is
-    // flood-popular samples nothing and never pairs.
-    val floodFree = all.groupBy("__dh")
+    // flood-popular samples nothing and never pairs. Surviving
+    // hashes keep their chunk count k = ⌈n/chunkSize⌉ for the
+    // chunked expansion below; the table is one narrow row per
+    // surviving DISTINCT hash value (bounded by content diversity,
+    // not corpus size), checkpointed because both match arms and
+    // both join sides fan out from it.
+    val hashStats = all.groupBy("__dh")
       .agg(countDistinct(col(idCol)).as("__ids"))
       .filter(col("__ids") <= maxBucket)
-      .select("__dh")
-    val hashes = all.join(floodFree, Seq("__dh")).localCheckpoint(true)
+      .select(col("__dh"),
+        ceil(col("__ids").cast("double") / lit(chunkSize)).cast("int").as("__k"))
+      .localCheckpoint(true)
+    val hashes = all.join(hashStats.select("__dh"), Seq("__dh")).localCheckpoint(true)
     val sizes = hashes.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
-    // matched hash-VALUE pairs: identity always; near values through
-    // the pigeonhole core when tolerance is requested (symmetric
-    // closure so each orientation of an unordered item pair sees it)
-    val ident = hashes.select(col("__dh").as("__ha")).distinct()
-      .withColumn("__hb", col("__ha"))
+    // matched hash-VALUE pairs, each carrying BOTH sides' chunk
+    // counts: identity always; near values through the pigeonhole
+    // core when tolerance is requested (symmetric closure so each
+    // orientation of an unordered item pair sees it)
+    val ident = hashStats.select(
+      col("__dh").as("__ha"), col("__dh").as("__hb"),
+      col("__k").as("__ka"), col("__k").as("__kb"))
     val matches =
       if (maxHamming == 0) ident
       else {
-        val sig = hashes.select(col("__dh")).distinct()
+        val sig = hashStats
           .select(
             col("__dh").as("id") +:
               (0 until 4).map(b =>
@@ -550,23 +586,39 @@ object Multimodal {
           .localCheckpoint(true)
         val near = Dedup.hammingBandPairs(sig, maxHamming, maxBucket, chunkSize)
           .select(col("id_a").as("__ha"), col("id_b").as("__hb"))
-        ident
-          .unionByName(near)
-          .unionByName(near.select(col("__hb").as("__ha"), col("__ha").as("__hb")))
+        val sym = near.unionByName(
+          near.select(col("__hb").as("__ha"), col("__ha").as("__hb")))
+          .join(hashStats.select(col("__dh").as("__ha"), col("__k").as("__ka")), "__ha")
+          .join(hashStats.select(col("__dh").as("__hb"), col("__k").as("__kb")), "__hb")
+          .select("__ha", "__hb", "__ka", "__kb")
+        ident.unionByName(sym)
       }
+    // two-sided chunk-cell expansion (see the scaladoc): side A pins
+    // its own chunk and replicates over B's cells, side B the
+    // mirror, so the (x, y, cx, cy) equi-join sees each (item_a,
+    // item_b, x, y) combination exactly once
     val a = hashes.select(col(idCol).as("id_a"), col("__dh").as("__ha"))
+      .join(matches, Seq("__ha"))
+      .select(col("id_a"), col("__ha"), col("__hb"),
+        pmod(hash(col("id_a")), col("__ka")).cast("int").as("__ca"),
+        explode(sequence(lit(0), col("__kb") - 1)).as("__cb"))
     val b = hashes.select(col(idCol).as("id_b"), col("__dh").as("__hb"))
-    a.join(matches, Seq("__ha"))
-      .join(b, Seq("__hb"))
+      .join(matches, Seq("__hb"))
+      .select(col("id_b"), col("__ha"), col("__hb"),
+        explode(sequence(lit(0), col("__ka") - 1)).as("__ca"),
+        pmod(hash(col("id_b")), col("__kb")).cast("int").as("__cb"))
+    a.join(b, Seq("__ha", "__hb", "__ca", "__cb"))
       .filter(col("id_a") < col("id_b"))
       // (id_a, __ha, __hb, id_b) is unique by construction (hashes is
-      // distinct per item, matches is a distinct pair set), so this
-      // count IS the distinct matched-hash-pair count
+      // distinct per item, matches is a distinct pair set, the cell
+      // construction sees each combination once), so this count IS
+      // the distinct matched-hash-pair count
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_match"))
       .join(sizes.select(col(idCol).as("id_a"), col("__n").as("__na")), "id_a")
       .join(sizes.select(col(idCol).as("id_b"), col("__n").as("__nb")), "id_b")
       .withColumn("match_frac",
-        col("n_match").cast("double") / least(col("__na"), col("__nb")))
+        least(lit(1.0),
+          col("n_match").cast("double") / least(col("__na"), col("__nb"))))
       .filter(col("match_frac") >= minFrac)
       .select("id_a", "id_b", "n_match", "match_frac")
   }
@@ -663,12 +715,28 @@ object Multimodal {
     * documented recall trade as every maxBucket in the family (a
     * match loses recall only if ALL of its agreeing blocks are
     * flood blocks). Output distinct (video_id, frame_idx, img_id,
-    * hamming), undecodable payloads on either side never match. */
+    * hamming), undecodable payloads on either side never match.
+    *
+    * PROBE-side flood blocks (a black frame repeated across the
+    * corpus puts millions of frame rows in one (band, block)) are
+    * handled by CHUNKING, not capping — dropping probe rows would
+    * silently lose matches for exactly the frames a provenance scan
+    * cares about. Both sides of the block join spread over
+    * ⌈n/chunkSize⌉ chunk cells ([[hashSetOverlapPairs]]'s two-sided
+    * expansion): a frame row pins chunk murmur3(vid, frame) mod k_v
+    * and replicates over the block's k_i catalog cells, a catalog
+    * row the mirror, join key (band, block, c_v, c_i) — each
+    * (frame, image) candidate meets in EXACTLY ONE cell, so the
+    * output is bit-identical to the unchunked join (spec-pinned)
+    * while a flood block's quadratic verify work spreads over
+    * k_v·k_i independent join keys. Block membership ≤ chunkSize
+    * gives k = 1 — the common case replicates nothing. */
   def videoImageMatches(
       videos: DataFrame, vidIdCol: String, vidPayloadCol: String, stride: Int,
       images: DataFrame, imgIdCol: String, imgPayloadCol: String,
-      maxHamming: Int = 3, maxBucket: Int = 65536): DataFrame = {
+      maxHamming: Int = 3, maxBucket: Int = 65536, chunkSize: Int = 256): DataFrame = {
     require(stride > 0, s"stride=$stride must be positive")
+    require(chunkSize > 0, s"chunkSize=$chunkSize must be positive")
     require(maxHamming >= 0 && maxHamming <= 3, // before decode jobs
       s"maxHamming=$maxHamming outside [0,3]: 4-block pigeonhole is lossless only to 3")
     def blocks(h: Column): Column = array((0 until 4).map(b =>
@@ -693,13 +761,32 @@ object Multimodal {
     val ib0 = ih.select(col(imgIdCol), col("__dhi"),
       posexplode(blocks(col("__dhi"))).as(Seq("__band", "__bv")))
     // flood-block cap (the family's maxBucket discipline on the
-    // catalog side of the cross join)
+    // catalog side of the cross join), keeping each surviving
+    // block's catalog-side chunk count k_i
     val keepBlocks = ib0.groupBy("__band", "__bv")
       .agg(countDistinct(col(imgIdCol)).as("__ids"))
       .filter(col("__ids") <= maxBucket)
-      .select("__band", "__bv")
-    val ib = ib0.join(keepBlocks, Seq("__band", "__bv"))
-    vb.join(ib, Seq("__band", "__bv"))
+      .select(col("__band"), col("__bv"),
+        ceil(col("__ids").cast("double") / lit(chunkSize)).cast("int").as("__ki"))
+    // probe-side chunk count k_v per surviving block (count of frame
+    // rows — distinct (vid, frame) by construction of vb)
+    val vbk = vb.join(keepBlocks, Seq("__band", "__bv"))
+    val probeBlocks = vbk.groupBy("__band", "__bv")
+      .agg(ceil(count(lit(1)).cast("double") / lit(chunkSize)).cast("int").as("__kv"))
+    // two-sided chunk-cell expansion: probe pins c_v, covers the
+    // block's k_i catalog cells; catalog pins c_i, covers k_v — each
+    // candidate meets in exactly one (band, bv, __cv, __ci) cell
+    val vc = vbk.join(probeBlocks, Seq("__band", "__bv"))
+      .select(col(vidIdCol), col("frame_idx"), col("__dhv"),
+        col("__band"), col("__bv"),
+        pmod(hash(col(vidIdCol), col("frame_idx")), col("__kv")).cast("int").as("__cv"),
+        explode(sequence(lit(0), col("__ki") - 1)).as("__ci"))
+    val ic = ib0.join(keepBlocks, Seq("__band", "__bv"))
+      .join(probeBlocks, Seq("__band", "__bv"))
+      .select(col(imgIdCol), col("__dhi"), col("__band"), col("__bv"),
+        explode(sequence(lit(0), col("__kv") - 1)).as("__cv"),
+        pmod(hash(col(imgIdCol)), col("__ki")).cast("int").as("__ci"))
+    vc.join(ic, Seq("__band", "__bv", "__cv", "__ci"))
       .withColumn("hamming",
         bit_count(col("__dhv").bitwiseXOR(col("__dhi"))).cast("long"))
       .filter(col("hamming") <= maxHamming)

@@ -340,6 +340,83 @@ class ImageNearDupSpec extends SparkSpec {
     assert(uncapped.size == 10, s"uncapped at low minFrac: all 10 pairs share the slate, got $uncapped")
   }
 
+  test("chunked cell expansion: pair sets identical across chunkings (shifted media + cross-modal)") {
+    import spark.implicits._
+    // a corpus built to EXERCISE the chunking: every video opens with
+    // the same slate frame (one hash shared by all 6 → k=6 at
+    // chunkSize 1), one real copy family, per-id content elsewhere —
+    // chunkSize=1 (maximal spread, every member its own chunk),
+    // chunkSize=2 (mixed diagonal/cross cells) and the default
+    // (k=1 degenerate single-cell path) must emit the IDENTICAL
+    // (id_a, id_b, n_match, match_frac) set, at exact matching and
+    // through the maxHamming>0 pigeonhole arm
+    def pix(b: Int)(f: Int, x: Int, y: Int, c: Int): Int =
+      if (f == 0) 0 else ((x * 3 + y * 7 + c) * (b * 97 + 13) + b * 29) % 200
+    val vids = (0L to 3L).map(i =>
+      i -> Multimodal.encodeAvi(12, 10, 6, pix(i.toInt))) ++ Seq(
+      4L -> Multimodal.encodeAvi(12, 10, 6, pix(7)),
+      5L -> Multimodal.encodeAvi(12, 10, 6,
+        (f, x, y, c) => pix(7)(f, x, y, c) + 40))
+    val vdf = vids.toDF("video_id", "payload")
+    def vpairs(maxHamming: Int, chunkSize: Int) =
+      Multimodal.videoNearDupPairsShifted(
+        vdf, "video_id", "payload", stride = 1, minFrac = 0.1,
+        maxHamming = maxHamming, chunkSize = chunkSize)
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    for (mh <- Seq(0, 3)) {
+      val default = vpairs(mh, 256)
+      assert(default.nonEmpty && default.exists(_._2 == 5L),
+        s"fixture must pair through maxHamming=$mh, got $default")
+      assert(vpairs(mh, 1) == default,
+        s"chunkSize=1 must not change the maxHamming=$mh pair set")
+      assert(vpairs(mh, 2) == default,
+        s"chunkSize=2 must not change the maxHamming=$mh pair set")
+    }
+    // audio mirror: trim+gain copy through the segment-set core
+    def s0(c: Int, f: Int): Int = ((f * 53 + c * 17 + 101) % 3989) - 1994
+    val clips = Seq(
+      0L -> Multimodal.encodeWav(2, 8000, 640, s0),
+      1L -> Multimodal.encodeWav(2, 8000, 512, (c, f) => s0(c, f + 128) * 3),
+      2L -> Multimodal.encodeWav(1, 8000, 640,
+        (c, f) => ((f * 173 + c * 13 + 999) % 3797) - 1898))
+      .toDF("clip_id", "payload")
+    def apairs(chunkSize: Int) =
+      Multimodal.audioNearDupPairsShifted(
+        clips, "clip_id", "payload", segFrames = 128, minFrac = 0.5,
+        chunkSize = chunkSize)
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val aDefault = apairs(256)
+    assert(aDefault.map(p => (p._1, p._2)) == Set((0L, 1L)))
+    assert(apairs(1) == aDefault, "audio chunkSize=1 must not change the pair set")
+    // cross-modal: duplicate catalog entries force multi-member
+    // blocks on the catalog side; the slate corpus floods the probe
+    // side — matches must be bit-identical across chunkings
+    def fpix(f: Int, x: Int, y: Int, c: Int): Int =
+      (x * 17 + y * 29 + c * 37 + f * 41) % 180
+    val mvids = Seq(
+      0L -> Multimodal.encodeAvi(12, 10, 6, fpix),
+      1L -> Multimodal.encodeAvi(12, 10, 6, (f, x, y, c) => fpix(f, x, y, c) + 40))
+      .toDF("video_id", "payload")
+    val mimgs = Seq(
+      0L -> Multimodal.encodePng(12, 10, 3, (x, y, c) => fpix(2, x, y, c)),
+      1L -> Multimodal.encodePng(12, 10, 3, (x, y, c) => fpix(2, x, y, c),
+        y => (y + 1) % 5),
+      2L -> Multimodal.encodePng(12, 10, 3, (x, y, c) => fpix(4, x, y, c) + 40))
+      .toDF("img_id", "payload")
+    def matches(chunkSize: Int) =
+      Multimodal.videoImageMatches(
+        mvids, "video_id", "payload", 2, mimgs, "img_id", "payload",
+        maxHamming = 3, chunkSize = chunkSize)
+        .collect().map(r =>
+          (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    val mDefault = matches(256)
+    assert(mDefault.size >= 6, s"both videos x 3 catalog stills must match, got $mDefault")
+    assert(matches(1) == mDefault, "cross-modal chunkSize=1 must not change the match set")
+    assert(matches(2) == mDefault, "cross-modal chunkSize=2 must not change the match set")
+  }
+
   test("best-resolution survivor: the upscaled copy wins where min-id keeps the thumbnail") {
     import spark.implicits._
     def base(x: Int, y: Int, c: Int): Int = (x * 17 + y * 29 + c * 37) % 180
