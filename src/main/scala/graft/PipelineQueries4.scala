@@ -1,0 +1,308 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-19 pipeline queries: DEDUP OUTPUTS for the shift-tolerant
+  * media pair ops (the decision surface [[PipelineQueries3]]'s
+  * aligned forms got in r18) and INCREMENTAL image dedup against a
+  * persisted fingerprint index. Oracle discipline as everywhere:
+  * DuckDB recomputes every pixel/sample from the fixture formula,
+  * every hash bit, the pair sets, and the recursive min-reachability
+  * closure — the Spark side decodes real containers. */
+object PipelineQueries4 {
+
+  // ----------------- shift-tolerant video dedup output (corpus)
+  // The decision p_video_near_dup_shifted's pairs feed: set-overlap
+  // pairs → connected components → smallest-id representative, junk
+  // payloads always kept. Same 12-video fixture as the pair query
+  // (4 families × (original, 2-frame trim, sparse-edit)) + 2 junk
+  // rows, so the two cross-check: the trims collapse onto their
+  // originals (the frame-aligned p_video_dedup keeps them by
+  // design), edited copies collapse only where their surviving
+  // hash overlap clears the 0.5 gate.
+  private val qVideoDedupShifted = Queries.Q(
+    "p_video_dedup_shifted",
+    Some("""
+      WITH RECURSIVE vids AS (
+        SELECT i, (i // 3) AS b, (i % 3) AS v,
+               12 + (i // 3) % 3 AS w, 10 + (i // 3) % 2 AS h,
+               6 + (i // 3) AS nf0
+        FROM generate_series(0, 11) t(i)),
+      fr AS ( -- physical frames carry CONTENT index f (trim shifts it)
+        SELECT i, b, v, w, h,
+               unnest(generate_series(CASE WHEN v = 1 THEN 2 ELSE 0 END,
+                                      nf0 - 1)) AS f
+        FROM vids),
+      cells AS (
+        SELECT i, f, b, v, gx, gy, ((gx * w) // 9) AS sx, ((gy * h) // 8) AS sy
+        FROM fr, generate_series(0, 8) gxs(gx), generate_series(0, 7) gys(gy)),
+      px AS (
+        SELECT i, f, gx, gy, (f0 + f1 + f2) // 3 AS luma
+        FROM (SELECT *,
+                (sx*17 + sy*29 + f*41 + b*53) % 180 + sh AS f0,
+                (sx*17 + sy*29 + 37 + f*41 + b*53) % 180 + sh AS f1,
+                (sx*17 + sy*29 + 74 + f*41 + b*53) % 180 + sh AS f2
+              FROM (SELECT *,
+                      CASE WHEN v = 2 AND (sx + sy) % 3 = 0 AND f % 3 <> 0
+                           THEN 25 ELSE 0 END AS sh
+                    FROM cells))),
+      bits AS (
+        SELECT a.i, a.f, (a.gy * 8 + a.gx) AS bb,
+               CASE WHEN n.luma > a.luma THEN 1 ELSE 0 END AS bit
+        FROM px a JOIN px n ON n.i = a.i AND n.f = a.f AND n.gy = a.gy
+                           AND n.gx = a.gx + 1
+        WHERE a.gx < 8),
+      hs AS (
+        SELECT i, f,
+               bit_or(CASE WHEN bit = 1 AND bb < 32
+                           THEN (CAST(1 AS BIGINT) << bb) ELSE 0 END) AS lo,
+               bit_or(CASE WHEN bit = 1 AND bb >= 32
+                           THEN (CAST(1 AS BIGINT) << (bb - 32)) ELSE 0 END) AS hi
+        FROM bits GROUP BY i, f),
+      hset AS (SELECT DISTINCT i, lo, hi FROM hs),
+      ns AS (SELECT i, COUNT(*) AS n FROM hset GROUP BY i),
+      mm AS (SELECT x.i AS ia, y.i AS ib, COUNT(*) AS nm
+             FROM hset x JOIN hset y
+               ON x.lo = y.lo AND x.hi = y.hi AND x.i < y.i
+             GROUP BY x.i, y.i),
+      pairs AS (
+        SELECT ia, ib
+        FROM mm JOIN ns na ON na.i = mm.ia JOIN ns nb ON nb.i = mm.ib
+        WHERE CAST(nm AS DOUBLE) / LEAST(na.n, nb.n) >= 0.5),
+      g AS (SELECT ia AS u, ib AS v FROM pairs
+            UNION SELECT ib AS u, ia AS v FROM pairs),
+      reach(node, r) AS (SELECT u, u FROM (SELECT DISTINCT u FROM g)
+                         UNION
+                         SELECT g.v, reach.r FROM reach JOIN g ON g.u = reach.node),
+      losers AS (SELECT node FROM (SELECT node, MIN(r) AS grp FROM reach GROUP BY node)
+                 WHERE node <> grp)
+      SELECT CAST(i AS BIGINT) AS video_id,
+             CASE WHEN i >= 12 THEN 'other' ELSE 'avi' END AS kind
+      FROM generate_series(0, 13) t(i)
+      WHERE i NOT IN (SELECT node FROM losers)
+      ORDER BY video_id"""),
+    (s, dir) => {
+      val vids: Seq[(Long, Array[Byte])] = (0 until 12).map { i =>
+        val b = i / 3
+        val v = i % 3
+        val (w, h, nf0) = (12 + b % 3, 10 + b % 2, 6 + b)
+        val trim = if (v == 1) 2 else 0
+        (i.toLong, operators.Multimodal.encodeAvi(w, h, nf0 - trim,
+          (pf, x, y, c) => {
+            val f = pf + trim // trimmed copies shift CONTENT, not layout
+            (x * 17 + y * 29 + c * 37 + f * 41 + b * 53) % 180 +
+              (if (v == 2 && (x + y) % 3 == 0 && f % 3 != 0) 25 else 0)
+          },
+          topDown = i % 2 == 1))
+      }
+      val junk: Seq[(Long, Array[Byte])] = Seq(
+        12L -> "definitely not a video".getBytes("UTF-8"),
+        13L -> Array[Byte](0x4, 0x5, 0x6))
+      import s.implicits._
+      operators.Multimodal.dedupVideoNearDupsShifted(
+        (vids ++ junk).toDF("video_id", "payload"), "video_id", "payload",
+        stride = 1, minFrac = 0.5)
+        .select(col("video_id"),
+          operators.Multimodal.mediaKind(col("payload")).as("kind"))
+        .transform(Queries.sortedSmall(_, "video_id"))
+    })
+
+  // ----------------- shift-tolerant audio dedup output (corpus)
+  // p_audio_near_dup_shifted's fixture (4 families × (original,
+  // segment-trim+gain copy, sub-segment-edited copy)) + 2 junk rows,
+  // through segment-set pairs → CC → smallest-id representative: the
+  // trim+gain copies the whole-clip hash misses collapse here.
+  private val qAudioDedupShifted = Queries.Q(
+    "p_audio_dedup_shifted",
+    Some("""
+      WITH RECURSIVE clips AS (
+        SELECT i, (i // 3) AS b, (i % 3) AS v,
+               500 + (i // 3) * 61 AS nf0, 1 + (i // 3) % 2 AS ch,
+               CASE WHEN i % 3 = 1 THEN 128 ELSE 0 END AS trim
+        FROM generate_series(0, 11) t(i)),
+      phys AS (SELECT *, nf0 - trim AS pn FROM clips),
+      segs AS (
+        SELECT i, ch, s, s * 128 AS sfrom, LEAST(s * 128 + 128, pn) AS sto
+        FROM phys, generate_series(0, 10) ss(s)
+        WHERE s * 128 + 65 <= pn),
+      win AS (
+        SELECT i, s, w,
+               sfrom + (w * (sto - sfrom)) // 65 AS wf,
+               sfrom + ((w + 1) * (sto - sfrom)) // 65 AS wt
+        FROM segs, generate_series(0, 64) ws(w)),
+      fr AS (
+        SELECT i, b, v, ch, trim, unnest(generate_series(0, pn - 1)) AS f
+        FROM phys),
+      fm AS ( -- per-frame gain multiplier (physical segment masks)
+        SELECT i, b, trim, f, ch,
+               CASE WHEN v = 1 THEN 3
+                    WHEN v = 2 AND f % 128 < 64 AND
+                         CASE WHEN b % 2 = 0 THEN (f // 128) % 3 <> 0
+                              ELSE (f // 128) % 2 = 1 END
+                    THEN 4 ELSE 1 END AS mult
+        FROM fr),
+      cs AS (SELECT i, b, trim, f, mult, unnest(generate_series(0, ch - 1)) AS c
+             FROM fm),
+      smp AS ( -- total |amplitude| per (clip, frame) over channels
+        SELECT i, f,
+               SUM(ABS(((((f + trim) * 31 + c * 17 + b * 101) % 4001) - 2000)
+                       * mult)) AS aamp
+        FROM cs GROUP BY i, f),
+      e AS (
+        SELECT win.i, win.s, win.w, (win.wt - win.wf) AS len,
+               SUM(smp.aamp) AS e
+        FROM win JOIN smp ON smp.i = win.i AND smp.f >= win.wf AND smp.f < win.wt
+        GROUP BY win.i, win.s, win.w, win.wt, win.wf),
+      bits AS (
+        SELECT a.i, a.s, a.w AS bb,
+               CASE WHEN n.e * a.len > a.e * n.len THEN 1 ELSE 0 END AS bit
+        FROM e a JOIN e n ON n.i = a.i AND n.s = a.s AND n.w = a.w + 1
+        WHERE a.w < 64),
+      hs AS (
+        SELECT i, s,
+               bit_or(CASE WHEN bit = 1 AND bb < 32
+                           THEN (CAST(1 AS BIGINT) << bb) ELSE 0 END) AS lo,
+               bit_or(CASE WHEN bit = 1 AND bb >= 32
+                           THEN (CAST(1 AS BIGINT) << (bb - 32)) ELSE 0 END) AS hi
+        FROM bits GROUP BY i, s),
+      hset AS (SELECT DISTINCT i, lo, hi FROM hs),
+      ns AS (SELECT i, COUNT(*) AS n FROM hset GROUP BY i),
+      mm AS (SELECT x.i AS ia, y.i AS ib, COUNT(*) AS nm
+             FROM hset x JOIN hset y
+               ON x.lo = y.lo AND x.hi = y.hi AND x.i < y.i
+             GROUP BY x.i, y.i),
+      pairs AS (
+        SELECT ia, ib
+        FROM mm JOIN ns na ON na.i = mm.ia JOIN ns nb ON nb.i = mm.ib
+        WHERE CAST(nm AS DOUBLE) / LEAST(na.n, nb.n) >= 0.5),
+      g AS (SELECT ia AS u, ib AS v FROM pairs
+            UNION SELECT ib AS u, ia AS v FROM pairs),
+      reach(node, r) AS (SELECT u, u FROM (SELECT DISTINCT u FROM g)
+                         UNION
+                         SELECT g.v, reach.r FROM reach JOIN g ON g.u = reach.node),
+      losers AS (SELECT node FROM (SELECT node, MIN(r) AS grp FROM reach GROUP BY node)
+                 WHERE node <> grp)
+      SELECT CAST(i AS BIGINT) AS clip_id,
+             CASE WHEN i >= 12 THEN 'other' ELSE 'wav' END AS kind
+      FROM generate_series(0, 13) t(i)
+      WHERE i NOT IN (SELECT node FROM losers)
+      ORDER BY clip_id"""),
+    (s, dir) => {
+      val clips: Seq[(Long, Array[Byte])] = (0 until 12).map { i =>
+        val b = i / 3
+        val v = i % 3
+        val (nf0, ch) = (500 + b * 61, 1 + b % 2)
+        val trim = if (v == 1) 128 else 0
+        def base(c: Int, cf: Int): Int = (((cf * 31 + c * 17 + b * 101) % 4001) - 2000)
+        (i.toLong, operators.Multimodal.encodeWav(ch, 8000, nf0 - trim,
+          (c, f) => {
+            val mult =
+              if (v == 1) 3
+              else if (v == 2 && f % 128 < 64 &&
+                (if (b % 2 == 0) (f / 128) % 3 != 0 else (f / 128) % 2 == 1)) 4
+              else 1
+            base(c, f + trim) * mult
+          }))
+      }
+      val junk: Seq[(Long, Array[Byte])] = Seq(
+        12L -> "definitely not audio".getBytes("UTF-8"),
+        13L -> Array[Byte](0x7, 0x8))
+      import s.implicits._
+      operators.Multimodal.dedupAudioNearDupsShifted(
+        (clips ++ junk).toDF("clip_id", "payload"), "clip_id", "payload",
+        segFrames = 128, minFrac = 0.5)
+        .select(col("clip_id"),
+          operators.Multimodal.mediaKind(col("payload")).as("kind"))
+        .transform(Queries.sortedSmall(_, "clip_id"))
+    })
+
+  // ----------------- incremental image dedup vs a persisted index
+  // The growing-corpus production shape for the image column: history
+  // is 6 indexed images (id 0–5, one dHash each via imageHashIndex —
+  // 8 bytes per image, payloads never re-read); the increment brings
+  // a brightness-shifted copy of history 0 (Hamming 0 → drop), a
+  // sparse-masked variant of history 1 (Hamming ≤3 → drop), a fresh
+  // noise image (keep), and junk bytes (undecodable → keep,
+  // unconditionally). The oracle recomputes every grid luma, both
+  // hash halves for BOTH catalogs, and the ≤3-Hamming match NOT IN.
+  private val qIncrementalImageDedup = Queries.Q(
+    "p_incremental_image_dedup",
+    Some("""
+      WITH ims(id, b, mode, is_new) AS (
+        SELECT * FROM (VALUES
+          (0, 0, 0, 0), (1, 1, 0, 0), (2, 2, 0, 0),
+          (3, 3, 0, 0), (4, 4, 0, 0), (5, 5, 0, 0),
+          (100, 0, 1, 1), (101, 1, 2, 1), (102, 0, 3, 1))),
+      cells AS (
+        SELECT id, b, mode, is_new, gx, gy,
+               ((gx * 12) // 9) AS sx, ((gy * 10) // 8) AS sy
+        FROM ims, generate_series(0, 8) gxs(gx), generate_series(0, 7) gys(gy)),
+      px AS (
+        SELECT id, is_new, gx, gy, (f0 + f1 + f2) // 3 AS luma
+        FROM (SELECT *,
+                CASE WHEN mode = 3 THEN ((sx*7 + sy) * 3 * 73 + sx*sy) % 256
+                     ELSE (sx*17 + sy*29 + b*53) % 180 + sh END AS f0,
+                CASE WHEN mode = 3 THEN ((sx*7 + sy) * 8 * 73 + sx*sy) % 256
+                     ELSE (sx*17 + sy*29 + 37 + b*53) % 180 + sh END AS f1,
+                CASE WHEN mode = 3 THEN ((sx*7 + sy) * 13 * 73 + sx*sy) % 256
+                     ELSE (sx*17 + sy*29 + 74 + b*53) % 180 + sh END AS f2
+              FROM (SELECT *,
+                      CASE WHEN mode = 1 THEN 40
+                           WHEN mode = 2 AND (sx + sy) % 11 = 0 THEN 25
+                           ELSE 0 END AS sh
+                    FROM cells))),
+      bits AS (
+        SELECT a.id, a.is_new, (a.gy * 8 + a.gx) AS bb,
+               CASE WHEN n.luma > a.luma THEN 1 ELSE 0 END AS bit
+        FROM px a JOIN px n ON n.id = a.id AND n.gy = a.gy AND n.gx = a.gx + 1
+        WHERE a.gx < 8),
+      hs AS (
+        SELECT id, is_new,
+               bit_or(CASE WHEN bit = 1 AND bb < 32
+                           THEN (CAST(1 AS BIGINT) << bb) ELSE 0 END) AS lo,
+               bit_or(CASE WHEN bit = 1 AND bb >= 32
+                           THEN (CAST(1 AS BIGINT) << (bb - 32)) ELSE 0 END) AS hi
+        FROM bits GROUP BY id, is_new),
+      matched AS (
+        SELECT DISTINCT n.id
+        FROM hs n JOIN hs h
+          ON n.is_new = 1 AND h.is_new = 0
+         AND bit_count(xor(n.lo, h.lo)) + bit_count(xor(n.hi, h.hi)) <= 3)
+      SELECT CAST(i AS BIGINT) AS img_id,
+             CASE WHEN i = 103 THEN 'other' ELSE 'png' END AS kind
+      FROM (SELECT unnest([100, 101, 102, 103]) AS i)
+      WHERE i NOT IN (SELECT id FROM matched)
+      ORDER BY img_id"""),
+    (s, dir) => {
+      def base(b: Int)(x: Int, y: Int, c: Int): Int =
+        (x * 17 + y * 29 + c * 37 + b * 53) % 180
+      val history: Seq[(Long, Array[Byte])] = (0 until 6).map(b =>
+        (b.toLong, operators.Multimodal.encodePng(12, 10, 3, base(b), y => (y + b) % 5)))
+      val increment: Seq[(Long, Array[Byte])] = Seq(
+        100L -> operators.Multimodal.encodePng(12, 10, 3,
+          (x, y, c) => base(0)(x, y, c) + 40), // Hamming 0 of history 0
+        101L -> operators.Multimodal.encodePng(12, 10, 3,
+          (x, y, c) => base(1)(x, y, c) +
+            (if ((x + y) % 11 == 0) 25 else 0), // sparse mask: Hamming <=3
+        y => (y + 1) % 5),
+        102L -> operators.Multimodal.encodePng(12, 10, 3,
+          (x, y, c) => ((x * 7 + y) * (c * 5 + 3) * 73 + x * y) % 256), // fresh
+        103L -> "junk, not an image".getBytes("UTF-8"))
+      import s.implicits._
+      // the index round-trips through parquet — the persisted-artifact
+      // contract under test, not an in-memory shortcut
+      val idxDir = s"${sys.props("java.io.tmpdir")}/graft-imgidx-oracle"
+      operators.Multimodal.imageHashIndex(
+        history.toDF("img_id", "payload"), "img_id", "payload")
+        .write.mode("overwrite").parquet(idxDir)
+      operators.Multimodal.dedupImagesAgainstIndex(
+        increment.toDF("img_id", "payload"), "img_id", "payload",
+        s.read.parquet(idxDir), maxHamming = 3)
+        .select(col("img_id"),
+          operators.Multimodal.mediaKind(col("payload")).as("kind"))
+        .transform(Queries.sortedSmall(_, "img_id"))
+    })
+
+  val all: Seq[Queries.Q] =
+    Seq(qVideoDedupShifted, qAudioDedupShifted, qIncrementalImageDedup)
+}

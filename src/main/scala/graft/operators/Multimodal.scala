@@ -312,6 +312,103 @@ object Multimodal {
           .bitwiseAND(lit(0xFFFFL)).cast("int")): _*)).as(Seq("band", "bv")))
       .distinct()
 
+  /** Portable image fingerprint INDEX of a corpus: (id, dhash) — the
+    * artifact an INCREMENTAL image-dedup pipeline persists between
+    * runs (8 bytes per image vs re-decoding the whole history every
+    * batch): write it as parquet, read it back, and feed it to
+    * [[dedupImagesAgainstIndex]] for each new crawl increment — the
+    * multimodal mirror of [[Dedup.minhashIndex]]. The hash alone
+    * supports both the pigeonhole candidate join AND the xor/popcount
+    * verify — historical payloads are never read again. Undecodable
+    * payloads index nothing (they can never near-dup). */
+  def imageHashIndex(docs: DataFrame, idCol: String, payloadCol: String): DataFrame =
+    docs
+      .select(col(idCol), col(payloadCol))
+      .repartition(Dedup.pinnedParts(docs)) // decode frontier spread
+      .select(col(idCol).as("id"), imageDHash(col(payloadCol)).as("dhash"))
+      .filter(col("dhash").isNotNull)
+
+  /** The MATCHED-id set behind [[dedupImagesAgainstIndex]]: distinct
+    * ids of `newDocs` whose dHash lands within `maxHamming` of some
+    * [[imageHashIndex]] member — [[Dedup.indexNearDupIds]] for the
+    * image column. The increment is decoded ONCE; the history side
+    * is pre-computed 8-byte hashes (no payloads, no re-decode); the
+    * candidate join is the family's (band, block) pigeonhole with
+    * the history-side flood cap (`maxBucket` distinct members per
+    * block — the growing side gets the cap, exactly like the text
+    * index gate) and the TWO-SIDED chunk-cell expansion of
+    * [[videoImageMatches]] (a probe-side flood block — near-constant
+    * thumbnails in one crawl batch — spreads over chunk cells
+    * instead of serializing one join task). Verify is xor/popcount
+    * per candidate BEFORE the distinct.
+    *
+    * `excludeSameId = true` ignores index members carrying the SAME
+    * id as the probe row — required when the increment contains
+    * CHANGED images whose own previous version is in the index (an
+    * image must not drop as a near-dup of its old self). */
+  def imageNearDupIdsAgainstIndex(
+      newDocs: DataFrame, idCol: String, payloadCol: String, index: DataFrame,
+      maxHamming: Int = 3, maxBucket: Int = 65536, chunkSize: Int = 256,
+      excludeSameId: Boolean = false): DataFrame = {
+    require(maxBucket > 1, s"maxBucket=$maxBucket must exceed 1")
+    Dedup.requireHammingArgs(maxHamming, chunkSize) // before the decode job
+    def blocks(h: Column): Column = array((0 until 4).map(b =>
+      shiftrightunsigned(h, 48 - 16 * b)
+        .bitwiseAND(lit(0xFFFFL)).cast("int")): _*)
+    val probe = newDocs
+      .select(col(idCol), col(payloadCol))
+      .repartition(Dedup.pinnedParts(newDocs)) // decode frontier spread
+      .select(col(idCol).as("__nid"), imageDHash(col(payloadCol)).as("__dhn"))
+      .filter(col("__dhn").isNotNull)
+    val pb = probe.select(col("__nid"), col("__dhn"),
+      posexplode(blocks(col("__dhn"))).as(Seq("__band", "__bv")))
+    val ib0 = index
+      .select(col("id").as("__oid"), col("dhash").as("__dho"))
+      .filter(col("__dho").isNotNull)
+      .select(col("__oid"), col("__dho"),
+        posexplode(blocks(col("__dho"))).as(Seq("__band", "__bv")))
+    val keep = ib0.groupBy("__band", "__bv")
+      .agg(countDistinct(col("__oid")).as("__ids"))
+      .filter(col("__ids") <= maxBucket)
+      .select(col("__band"), col("__bv"),
+        ceil(col("__ids").cast("double") / lit(chunkSize)).cast("int").as("__ko"))
+    val pbk = pb.join(keep, Seq("__band", "__bv"))
+    val probeBlocks = pbk.groupBy("__band", "__bv")
+      .agg(ceil(count(lit(1)).cast("double") / lit(chunkSize)).cast("int").as("__kn"))
+    val pc = pbk.join(probeBlocks, Seq("__band", "__bv"))
+      .select(col("__nid"), col("__dhn"), col("__band"), col("__bv"),
+        pmod(hash(col("__nid")), col("__kn")).cast("int").as("__cn"),
+        explode(sequence(lit(0), col("__ko") - 1)).as("__co"))
+    val ic = ib0.join(keep, Seq("__band", "__bv"))
+      .join(probeBlocks, Seq("__band", "__bv"))
+      .select(col("__oid"), col("__dho"), col("__band"), col("__bv"),
+        explode(sequence(lit(0), col("__kn") - 1)).as("__cn"),
+        pmod(hash(col("__oid")), col("__ko")).cast("int").as("__co"))
+    val cand = pc.join(ic, Seq("__band", "__bv", "__cn", "__co"))
+    val scoped =
+      if (excludeSameId) cand.filter(col("__oid") =!= col("__nid")) else cand
+    scoped
+      .filter(bit_count(col("__dhn").bitwiseXOR(col("__dho"))) <= maxHamming)
+      .select(col("__nid").as(idCol)).distinct()
+  }
+
+  /** INCREMENTAL image dedup: keep the rows of `newDocs` that are
+    * NOT near-duplicates of an already-ingested catalog represented
+    * only by its [[imageHashIndex]] — the multimodal
+    * [[Dedup.dedupAgainstIndex]]. Intra-batch duplicates are
+    * deliberately out of scope — run [[dedupImageNearDups]] on the
+    * increment first, then this against history; the surviving
+    * increment's [[imageHashIndex]] unions into the persisted index
+    * for the next run. Undecodable payloads never match and are
+    * always kept. */
+  def dedupImagesAgainstIndex(
+      newDocs: DataFrame, idCol: String, payloadCol: String, index: DataFrame,
+      maxHamming: Int = 3, maxBucket: Int = 65536, chunkSize: Int = 256): DataFrame =
+    newDocs.join(
+      imageNearDupIdsAgainstIndex(newDocs, idCol, payloadCol, index,
+        maxHamming, maxBucket, chunkSize),
+      Seq(idCol), "left_anti")
+
   /** Image near-dup DEDUP output — the corpus-level multimodal twin
     * of [[Dedup.dedupNearDups]]: [[imageNearDupPairs]] →
     * [[Graph.connectedComponents]] → keep each cluster's smallest-id
@@ -684,6 +781,43 @@ object Multimodal {
       docs: DataFrame, idCol: String, payloadCol: String,
       maxHamming: Int = 3, maxBucket: Int = 65536, chunkSize: Int = 256): DataFrame = {
     val pairs = audioNearDupPairs(docs, idCol, payloadCol, maxHamming, maxBucket, chunkSize)
+    val losers = Graph.connectedComponents(pairs, "id_a", "id_b")
+      .filter(col("node") =!= col("component"))
+      .select(col("node").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** SHIFT-TOLERANT video dedup output — [[dedupVideoNearDups]] with
+    * [[videoNearDupPairsShifted]] pairs, so trimmed intros / dropped
+    * leaders / re-cuts collapse into one representative too (the
+    * frame-aligned form keeps every trim by design). Pairs → CC →
+    * smallest-id representative; undecodable payloads sample no
+    * frames, never pair, always kept. The dedup DECISION rides only
+    * narrow id rows — payloads stay out of every shuffle until the
+    * final id-keyed anti join, the family's scale invariant. */
+  def dedupVideoNearDupsShifted(
+      docs: DataFrame, idCol: String, payloadCol: String,
+      stride: Int, minFrac: Double = 0.5, maxHamming: Int = 0,
+      maxBucket: Int = 65536, chunkSize: Int = 256): DataFrame = {
+    val pairs = videoNearDupPairsShifted(
+      docs, idCol, payloadCol, stride, minFrac, maxHamming, maxBucket, chunkSize)
+    val losers = Graph.connectedComponents(pairs, "id_a", "id_b")
+      .filter(col("node") =!= col("component"))
+      .select(col("node").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** SHIFT-TOLERANT audio dedup output — [[dedupAudioNearDups]] with
+    * [[audioNearDupPairsShifted]] segment-set pairs: a clip trimmed
+    * by whole segments (and/or gain-rescaled) collapses onto its
+    * source, which the whole-clip envelope hash misses by design.
+    * Undecodable / sub-65-frame clips never pair, always kept. */
+  def dedupAudioNearDupsShifted(
+      docs: DataFrame, idCol: String, payloadCol: String,
+      segFrames: Int, minFrac: Double = 0.5, maxHamming: Int = 0,
+      maxBucket: Int = 65536, chunkSize: Int = 256): DataFrame = {
+    val pairs = audioNearDupPairsShifted(
+      docs, idCol, payloadCol, segFrames, minFrac, maxHamming, maxBucket, chunkSize)
     val losers = Graph.connectedComponents(pairs, "id_a", "id_b")
       .filter(col("node") =!= col("component"))
       .select(col("node").as(idCol))

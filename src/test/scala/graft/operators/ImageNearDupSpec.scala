@@ -417,6 +417,46 @@ class ImageNearDupSpec extends SparkSpec {
     assert(matches(2) == mDefault, "cross-modal chunkSize=2 must not change the match set")
   }
 
+  test("incremental image dedup: index gate drops history twins, excludeSameId spares changed docs") {
+    import spark.implicits._
+    def base(b: Int)(x: Int, y: Int, c: Int): Int =
+      (x * 17 + y * 29 + c * 37 + b * 53) % 180
+    val history = (0 until 4).map(b =>
+      (b.toLong, Multimodal.encodePng(12, 10, 3, base(b))))
+      .toDF("img_id", "payload")
+    val index = Multimodal.imageHashIndex(history, "img_id", "payload")
+    // an increment whose id space OVERLAPS history: id 0 is a CHANGED
+    // version of history 0 (brightness shift — Hamming 0 of its OLD
+    // SELF only), id 100 a twin of history 1, id 101 fresh, id 102 junk
+    val increment = Seq(
+      0L -> Multimodal.encodePng(12, 10, 3, (x, y, c) => base(0)(x, y, c) + 40),
+      100L -> Multimodal.encodePng(12, 10, 3, (x, y, c) => base(1)(x, y, c) + 25),
+      101L -> Multimodal.encodePng(12, 10, 3,
+        (x, y, c) => ((x * 7 + y) * (c * 5 + 3) * 73 + x * y) % 256),
+      102L -> "junk".getBytes("UTF-8")).toDF("img_id", "payload")
+    // default (disjoint-id contract): the changed doc matches its old
+    // self and drops with the twin
+    val matchedDefault = Multimodal.imageNearDupIdsAgainstIndex(
+      increment, "img_id", "payload", index)
+      .collect().map(_.getLong(0)).toSet
+    assert(matchedDefault == Set(0L, 100L), s"got $matchedDefault")
+    // excludeSameId: the changed doc survives (its only match IS its
+    // own previous version), the twin still drops
+    val matchedExcl = Multimodal.imageNearDupIdsAgainstIndex(
+      increment, "img_id", "payload", index, excludeSameId = true)
+      .collect().map(_.getLong(0)).toSet
+    assert(matchedExcl == Set(100L), s"got $matchedExcl")
+    val kept = Multimodal.dedupImagesAgainstIndex(
+      increment, "img_id", "payload", index)
+      .select("img_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(101L, 102L), s"fresh + junk survive, got $kept")
+    // chunked-cell equivalence on the index gate too
+    val chunked = Multimodal.imageNearDupIdsAgainstIndex(
+      increment, "img_id", "payload", index, chunkSize = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(chunked == matchedDefault, "chunkSize=1 must not change the matched set")
+  }
+
   test("best-resolution survivor: the upscaled copy wins where min-id keeps the thumbnail") {
     import spark.implicits._
     def base(x: Int, y: Int, c: Int): Int = (x * 17 + y * 29 + c * 37) % 180
