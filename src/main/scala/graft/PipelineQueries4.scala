@@ -303,6 +303,116 @@ object PipelineQueries4 {
         .transform(Queries.sortedSmall(_, "img_id"))
     })
 
+  // ----------------- cross-modal containment (audio inside video)
+  // "Which videos contain this known audio clip?" — the AVI 'auds'
+  // PCM track's segment hashes vs catalog WAV clips' segment hashes
+  // through ONE envelope kernel: a clip cut from a soundtrack at a
+  // segment boundary (any uniform gain) hashes identically, a
+  // non-boundary cut misses (tolerance modulo segFrames), junk and
+  // sub-segment clips never match. PCM is EXACT, so the oracle
+  // predicts every sample of both catalogs from the formula,
+  // rebuilds all 65 windows per 128-frame segment, both hash halves,
+  // and the containment fractions — full-hash oracle, no spec-only
+  // carve-out like the lossy-codec paths need.
+  private val qAudioVideoMatches = Queries.Q(
+    "p_audio_video_matches",
+    Some("""
+      WITH srcs(side, id, b, trim, nf, ch, gain) AS (
+        SELECT * FROM (VALUES
+          (0, 0, 0, 0, 512, 1, 1), (0, 1, 1, 0, 640, 2, 1),
+          (0, 2, 2, 0, 768, 1, 1), (0, 3, 3, 0, 896, 2, 1),
+          (1, 0, 0, 128, 256, 1, 1), (1, 1, 1, 128, 256, 2, 3),
+          (1, 2, 2, 64, 256, 1, 1), (1, 3, 3, 384, 256, 2, 3),
+          (1, 4, 9, 0, 256, 1, 1))),
+      segs AS (
+        SELECT side, id, s, s * 128 AS sfrom, LEAST(s * 128 + 128, nf) AS sto
+        FROM srcs, generate_series(0, 7) ss(s)
+        WHERE s * 128 + 65 <= nf),
+      win AS (
+        SELECT side, id, s, w,
+               sfrom + (w * (sto - sfrom)) // 65 AS wf,
+               sfrom + ((w + 1) * (sto - sfrom)) // 65 AS wt
+        FROM segs, generate_series(0, 64) ws(w)),
+      fr AS (
+        SELECT side, id, b, trim, ch, gain, unnest(generate_series(0, nf - 1)) AS f
+        FROM srcs),
+      cs AS (SELECT side, id, b, trim, f, gain, unnest(generate_series(0, ch - 1)) AS c
+             FROM fr),
+      smp AS ( -- total |amplitude| per (source, frame) over channels
+        SELECT side, id, f,
+               SUM(ABS(((((f + trim) * 53 + c * 17 + b * 101) % 3989) - 1994)
+                       * gain)) AS aamp
+        FROM cs GROUP BY side, id, f),
+      e AS (
+        SELECT win.side, win.id, win.s, win.w, (win.wt - win.wf) AS len,
+               SUM(smp.aamp) AS e
+        FROM win JOIN smp ON smp.side = win.side AND smp.id = win.id
+                         AND smp.f >= win.wf AND smp.f < win.wt
+        GROUP BY win.side, win.id, win.s, win.w, win.wt, win.wf),
+      bits AS (
+        SELECT a.side, a.id, a.s, a.w AS bb,
+               CASE WHEN n.e * a.len > a.e * n.len THEN 1 ELSE 0 END AS bit
+        FROM e a JOIN e n ON n.side = a.side AND n.id = a.id AND n.s = a.s
+                         AND n.w = a.w + 1
+        WHERE a.w < 64),
+      hs AS (
+        SELECT side, id, s,
+               bit_or(CASE WHEN bit = 1 AND bb < 32
+                           THEN (CAST(1 AS BIGINT) << bb) ELSE 0 END) AS lo,
+               bit_or(CASE WHEN bit = 1 AND bb >= 32
+                           THEN (CAST(1 AS BIGINT) << (bb - 32)) ELSE 0 END) AS hi
+        FROM bits GROUP BY side, id, s),
+      hset AS (SELECT DISTINCT side, id, lo, hi FROM hs),
+      ns AS (SELECT id, COUNT(*) AS n FROM hset WHERE side = 1 GROUP BY id),
+      mm AS (SELECT v.id AS vid, c.id AS cid, COUNT(*) AS nm
+             FROM hset v JOIN hset c
+               ON v.side = 0 AND c.side = 1 AND v.lo = c.lo AND v.hi = c.hi
+             GROUP BY v.id, c.id)
+      SELECT CAST(vid AS BIGINT) AS video_id, CAST(cid AS BIGINT) AS clip_id,
+             CAST(nm AS BIGINT) AS n_match,
+             CAST(nm AS DOUBLE) / ns.n AS match_frac
+      FROM mm JOIN ns ON ns.id = mm.cid
+      WHERE CAST(nm AS DOUBLE) / ns.n >= 0.5
+      ORDER BY video_id, clip_id"""),
+    (s, dir) => {
+      def base(b: Int)(c: Int, f: Int): Int =
+        (((f * 53 + c * 17 + b * 101) % 3989) - 1994)
+      val videos: Seq[(Long, Array[Byte])] = (0 until 4).map { b =>
+        (b.toLong, operators.Multimodal.encodeAvi(8, 6, 2,
+          (f, x, y, c) => (x * 3 + y + f + c + b) % 200,
+          audioChannels = 1 + b % 2, audioRate = 8000,
+          audioFrames = 512 + b * 128, audioSample = base(b)))
+      } ++ Seq(
+        4L -> operators.Multimodal.encodeAvi(8, 6, 2,
+          (f, x, y, c) => (x + y + f + c) % 200), // no audio track
+        5L -> "not a video".getBytes("UTF-8"))
+      val clips: Seq[(Long, Array[Byte])] = Seq(
+        // segments 1-2 of video 0's track: containment 1.0
+        0L -> operators.Multimodal.encodeWav(1, 8000, 256,
+          (c, f) => base(0)(c, f + 128)),
+        // segments 1-2 of video 1's track, gain x3: still 1.0
+        1L -> operators.Multimodal.encodeWav(2, 8000, 256,
+          (c, f) => base(1)(c, f + 128) * 3),
+        // NON-boundary cut of video 2's track: misses (mod-segFrames)
+        2L -> operators.Multimodal.encodeWav(1, 8000, 256,
+          (c, f) => base(2)(c, f + 64)),
+        // segments 3-4 of video 3's track, gain x3
+        3L -> operators.Multimodal.encodeWav(2, 8000, 256,
+          (c, f) => base(3)(c, f + 384) * 3),
+        // unrelated content: no video carries it
+        4L -> operators.Multimodal.encodeWav(1, 8000, 256, base(9)),
+        // sub-segment and junk: never match
+        5L -> operators.Multimodal.encodeWav(1, 8000, 64, base(0)),
+        6L -> "junk".getBytes("UTF-8"))
+      import s.implicits._
+      operators.Multimodal.audioVideoMatches(
+        videos.toDF("video_id", "payload"), "video_id", "payload",
+        clips.toDF("clip_id", "payload"), "clip_id", "payload",
+        segFrames = 128, minFrac = 0.5)
+        .transform(Queries.sortedSmall(_, "video_id", "clip_id"))
+    })
+
   val all: Seq[Queries.Q] =
-    Seq(qVideoDedupShifted, qAudioDedupShifted, qIncrementalImageDedup)
+    Seq(qVideoDedupShifted, qAudioDedupShifted, qIncrementalImageDedup,
+      qAudioVideoMatches)
 }

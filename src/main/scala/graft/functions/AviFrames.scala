@@ -20,16 +20,28 @@ import org.apache.spark.sql.types._
   *   frame chunks…], 'idx1'? }
   *
   * Scope (documented, not silently wrong): the FIRST 'vids' stream,
-  * biCompression = BI_RGB (0), biBitCount = 24, frame chunks of
-  * stream 00 ('00db'/'00dc'). Bottom-up rows (positive biHeight, the
-  * AVI default) and top-down (negative) both decode; rows are
-  * 4-byte-padded BGR on the wire and come out TOP-DOWN, row-major,
-  * RGB-interleaved — the SAME layout as [[PngPixels]]/[[JpegPixels]],
-  * so one featurizer consumes stills and frames alike. Compressed
-  * streams (MJPG/H.264/…) return NULL — honest absence; the
-  * `mapPartitions` JNI bridge documented in
-  * [[graft.operators.Multimodal]] is the production swap-in for
+  * with TWO codecs — biCompression = BI_RGB (0) + biBitCount = 24
+  * (raw), and biCompression = 'MJPG' (Motion JPEG, each frame chunk a
+  * standalone JPEG image decoded through the audited [[JpegDecode]]
+  * path — the one compressed legacy-AVI class reachable with the
+  * already-shipped JDK reader; frames that omit their Huffman tables,
+  * the old "AVI1" shorthand, are out of scope and null like any other
+  * undecodable payload). Frame chunks are matched by the stream's
+  * ACTUAL strh index (nndb/nndc), not a hardcoded 00. Bottom-up rows
+  * (positive biHeight, the AVI default) and top-down (negative) both
+  * decode; frames come out TOP-DOWN, row-major, RGB-interleaved — the
+  * SAME layout as [[PngPixels]]/[[JpegPixels]], so one featurizer
+  * consumes stills and frames alike. Other codecs (H.264/…) return
+  * NULL — honest absence; the `mapPartitions` JNI bridge documented
+  * in [[graft.operators.Multimodal]] is the production swap-in for
   * those, with THIS as the layout contract it must match.
+  *
+  * The walk also surfaces the FIRST 'auds' stream when it is 16-bit
+  * PCM (WAVEFORMATEX wFormatTag = 1, the [[WavDecode]] scope): its
+  * nnwb chunks concatenate, in wire order, into the interleaved
+  * sample stream that [[AviAudioSegmentDHashes]] fingerprints — the
+  * audio-in-video containment frontier. Non-PCM audio tracks are
+  * simply absent (the video side still decodes).
   *
   * Safety at scale: a media lake WILL contain container bombs — a
   * few-KB payload declaring huge dimensions or frame counts. The
@@ -51,18 +63,37 @@ private[graft] object AviDecode {
       width: Int, height: Int, fpsNum: Int, fpsDen: Int,
       frames: IndexedSeq[Array[Byte]])
 
+  /** Video codec of a decodable container: raw BI_RGB 24-bit. */
+  val CodecRaw = 0
+  /** Video codec of a decodable container: Motion JPEG. */
+  val CodecMjpeg = 1
+
   /** Container header + validated frame-chunk directory, with NO
     * pixel materialization — the one walk every AVI expression
-    * shares. `frameOffsets(i)` is the wire offset of frame i's data;
-    * every chunk is pre-validated to hold a full `wireStride·height`
-    * frame, and the total decoded volume is pre-checked against
+    * shares. `frameOffsets(i)`/`frameLens(i)` locate frame i's wire
+    * data; for [[CodecRaw]] every chunk is pre-validated to hold a
+    * full `wireStride·height` frame (wireStride = 0 for
+    * [[CodecMjpeg]], whose chunks are SOI-checked variable-length
+    * JPEGs), and the total decoded volume is pre-checked against
     * [[MaxRawBytes]], so a consumer that passes the header can read
     * any frame without further bounds logic. Null ⇔ [[decode]] null
-    * (same scope, same caps — result-equivalence by construction). */
+    * (same scope, same caps — result-equivalence by construction).
+    *
+    * `audChannels` > 0 ⇔ the container carries a 16-bit PCM 'auds'
+    * stream: `audChunkOffs`/`audChunkLens` locate its nnwb chunks
+    * (lens pre-trimmed to whole interleaved frames across the
+    * concatenation, total bytes capped at [[MaxRawBytes]]). */
   final case class Header(
       width: Int, height: Int, topDown: Boolean,
-      fpsNum: Int, fpsDen: Int, wireStride: Int,
-      frameOffsets: Array[Int])
+      fpsNum: Int, fpsDen: Int, wireStride: Int, codec: Int,
+      frameOffsets: Array[Int], frameLens: Array[Int],
+      audChannels: Int, audRate: Int,
+      audChunkOffs: Array[Int], audChunkLens: Array[Int]) {
+    /** Interleaved PCM frames in the audio track (0 when absent). */
+    def audFrames: Int =
+      if (audChannels <= 0) 0
+      else (audChunkLens.foldLeft(0L)(_ + _) / (2L * audChannels)).toInt
+  }
 
   private def leU32(b: Array[Byte], i: Int): Long =
     (b(i) & 0xFFL) | ((b(i + 1) & 0xFFL) << 8) |
@@ -80,9 +111,13 @@ private[graft] object AviDecode {
     var width, height = -1
     var fpsNum, fpsDen = 0
     var bitCount, compression = -1
-    var sawVids = false // first 'vids' strh seen (its strf is authoritative)
-    var strfPending = false // next strf belongs to the vids stream
+    var compFcc = ""
+    var strhSeen = 0 // strh ORDER defines the stream number in chunk ids
+    var vidStream, audStream = -1
+    var vidStrfPending, audStrfPending = false
+    var audChannels, audRate = 0
     val frameChunks = scala.collection.mutable.ArrayBuffer[(Int, Int)]() // (off, len)
+    val audChunks = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
     var chunks = 0
 
     // Iterative chunk walk: `walk(from, until)` scans one chunk run;
@@ -103,73 +138,181 @@ private[graft] object AviDecode {
             if (dataLen < 4) return false
             if (!walk(dataOff + 4, dataOff + dataLen)) return false
           case "strh" =>
+            val streamNo = strhSeen
+            strhSeen += 1
             if (dataLen >= 32) {
-              val isVids = fourcc(b, dataOff) == "vids"
-              strfPending = isVids && !sawVids
-              if (strfPending) {
-                sawVids = true
+              val typ = fourcc(b, dataOff)
+              if (typ == "vids" && vidStream < 0) {
+                vidStream = streamNo
+                vidStrfPending = true
                 fpsDen = leI32(b, dataOff + 20) // dwScale
                 fpsNum = leI32(b, dataOff + 24) // dwRate
+              } else if (typ == "auds" && audStream < 0) {
+                audStream = streamNo
+                audStrfPending = true
               }
             }
           case "strf" =>
-            if (strfPending) {
-              strfPending = false
+            if (vidStrfPending) {
+              vidStrfPending = false
               if (dataLen < 20) return false
               width = leI32(b, dataOff + 4) // biWidth
               height = leI32(b, dataOff + 8) // biHeight (neg = top-down)
               bitCount = leU16(b, dataOff + 14)
               compression = leI32(b, dataOff + 16)
+              compFcc = fourcc(b, dataOff + 16)
+            } else if (audStrfPending) {
+              audStrfPending = false
+              // WAVEFORMATEX: PCM scope only (the WavDecode contract);
+              // anything else leaves the audio track honestly absent
+              if (dataLen >= 16 && leU16(b, dataOff) == 1 &&
+                leU16(b, dataOff + 14) == 16) {
+                val ch = leU16(b, dataOff + 2)
+                if (ch >= 1 && ch <= 8) {
+                  audChannels = ch
+                  audRate = leI32(b, dataOff + 4)
+                }
+              }
             }
-          case "00db" | "00dc" => frameChunks += ((dataOff, dataLen))
-          case _ => () // avih (strf is authoritative), idx1, JUNK, audio …
+          case _ =>
+            // data chunks carry their stream number: nndb/nndc video,
+            // nnwb audio (avih/idx1/JUNK/… fall through untouched)
+            val d0 = id.charAt(0) - '0'
+            val d1 = id.charAt(1) - '0'
+            if (d0 >= 0 && d0 <= 9 && d1 >= 0 && d1 <= 9) {
+              val streamNo = d0 * 10 + d1
+              val suffix = id.substring(2)
+              if (streamNo == vidStream && (suffix == "db" || suffix == "dc"))
+                frameChunks += ((dataOff, dataLen))
+              else if (streamNo == audStream && suffix == "wb")
+                audChunks += ((dataOff, dataLen))
+            }
         }
         pos = dataOff + dataLen + (dataLen & 1) // chunks pad to even
       }
       true
     }
     if (!walk(12, b.length)) return null
-    if (!sawVids || compression != 0 || bitCount != 24) return null
+    val codec =
+      if (compression == 0 && bitCount == 24) CodecRaw
+      else if (compFcc == "MJPG") CodecMjpeg
+      else return null
+    if (vidStream < 0) return null
     val topDown = height < 0
     val h = math.abs(height)
     if (width <= 0 || h <= 0) return null
     val outFrame = width.toLong * h * 3
     if (outFrame * math.max(frameChunks.size, 1) > MaxRawBytes) return null
-    val wireStride = ((width * 3 + 3) / 4) * 4 // rows pad to 4 bytes
+    val wireStride =
+      if (codec == CodecRaw) ((width * 3 + 3) / 4) * 4 // rows pad to 4 bytes
+      else 0
     val offsets = new Array[Int](frameChunks.size)
+    val lens = new Array[Int](frameChunks.size)
     var i = 0
     while (i < frameChunks.size) {
       val (off, len) = frameChunks(i)
-      if (len < wireStride.toLong * h) return null // truncated frame
+      if (codec == CodecRaw) {
+        if (len < wireStride.toLong * h) return null // truncated frame
+      } else {
+        // MJPEG: each chunk must at least open as a JPEG (SOI marker);
+        // full validation happens at decode time per sampled frame
+        if (len < 4 || (b(off) & 0xFF) != 0xFF || (b(off + 1) & 0xFF) != 0xD8)
+          return null
+      }
       offsets(i) = off
+      lens(i) = len
       i += 1
     }
-    Header(width, h, topDown, fpsNum, fpsDen, wireStride, offsets)
+    // audio: only a validated PCM track survives; cap total bytes
+    val (aOffs, aLens) =
+      if (audChannels > 0 && audChunks.nonEmpty &&
+        audChunks.foldLeft(0L)(_ + _._2) <= MaxRawBytes)
+        (audChunks.map(_._1).toArray, audChunks.map(_._2).toArray)
+      else (Array.empty[Int], Array.empty[Int])
+    Header(width, h, topDown, fpsNum, fpsDen, wireStride, codec,
+      offsets, lens,
+      if (aOffs.isEmpty) 0 else audChannels,
+      if (aOffs.isEmpty) 0 else audRate, aOffs, aLens)
   }
+
+  /** One MJPEG frame decoded to the shared layout (top-down row-major
+    * RGB), or null when the chunk fails to decode or its dimensions /
+    * channel count disagree with the container header — a consumer
+    * treats that as an out-of-scope payload, never a silent skip. */
+  def mjpegFrame(b: Array[Byte], off: Int, len: Int, w: Int, h: Int): Array[Byte] = {
+    val d = JpegDecode.decode(java.util.Arrays.copyOfRange(b, off, off + len))
+    if (d == null || d.width != w || d.height != h || d.channels != 3) null
+    else d.pixels
+  }
+
+  /** The PCM audio track as interleaved i16 samples (whole frames
+    * only — a trailing partial frame across the chunk concatenation
+    * is dropped), or null when the container carries none. */
+  def audioSamples(b: Array[Byte], hd: Header): Array[Short] = {
+    if (hd.audChannels <= 0) return null
+    val nSamples = hd.audFrames * hd.audChannels
+    if (nSamples <= 0) return null
+    val out = new Array[Short](nSamples)
+    var s = 0
+    var c = 0
+    var lo = -1 // pending low byte when a chunk ends mid-sample
+    while (c < hd.audChunkOffs.length && s < nSamples) {
+      val off = hd.audChunkOffs(c)
+      val len = hd.audChunkLens(c)
+      var i = 0
+      while (i < len && s < nSamples) {
+        if (lo < 0) lo = b(off + i) & 0xFF
+        else {
+          out(s) = (lo | (b(off + i) << 8)).toShort
+          s += 1
+          lo = -1
+        }
+        i += 1
+      }
+      c += 1
+    }
+    out
+  }
+
+  /** One raw (BI_RGB) frame re-ordered to the shared layout. */
+  private[graft] def rawFrame(b: Array[Byte], hd: Header, off: Int): Array[Byte] = {
+    val w = hd.width; val h = hd.height
+    val out = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      val srcRow = off + (if (hd.topDown) y else h - 1 - y) * hd.wireStride
+      var x = 0
+      while (x < w) {
+        val s = srcRow + x * 3 // wire BGR → out RGB
+        val d = (y * w + x) * 3
+        out(d) = b(s + 2); out(d + 1) = b(s + 1); out(d + 2) = b(s)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Frame i to the shared layout, or null (MJPEG chunk that fails
+    * [[mjpegFrame]]'s decode/shape contract). */
+  private[graft] def frame(b: Array[Byte], hd: Header, i: Int): Array[Byte] =
+    if (hd.codec == CodecRaw) rawFrame(b, hd, hd.frameOffsets(i))
+    else mjpegFrame(b, hd.frameOffsets(i), hd.frameLens(i), hd.width, hd.height)
 
   /** Decode or null. Never throws on malformed input. */
   def decode(b: Array[Byte]): Decoded = {
     val hd = header(b)
     if (hd == null) return null
-    val w = hd.width; val h = hd.height
-    val outFrame = w * h * 3
-    val frames = hd.frameOffsets.map { off =>
-      val out = new Array[Byte](outFrame)
-      var y = 0
-      while (y < h) {
-        val srcRow = off + (if (hd.topDown) y else h - 1 - y) * hd.wireStride
-        var x = 0
-        while (x < w) {
-          val s = srcRow + x * 3 // wire BGR → out RGB
-          val d = (y * w + x) * 3
-          out(d) = b(s + 2); out(d + 1) = b(s + 1); out(d + 2) = b(s)
-          x += 1
-        }
-        y += 1
-      }
-      out
+    val frames = new Array[Array[Byte]](hd.frameOffsets.length)
+    var i = 0
+    while (i < frames.length) {
+      val f = frame(b, hd, i)
+      if (f == null) return null // one bad MJPEG chunk ⇒ out of scope
+      frames(i) = f
+      i += 1
     }
-    Decoded(w, h, hd.fpsNum, hd.fpsDen, frames.toIndexedSeq)
+    Decoded(hd.width, hd.height, hd.fpsNum, hd.fpsDen,
+      frames.toIndexedSeq)
   }
 }
 
@@ -205,11 +348,14 @@ case class AviMeta(child: Expression) extends UnaryExpression with CodegenFallba
     copy(child = newChild)
 }
 
-/** One decoded frame of an uncompressed AVI as BINARY — top-down,
+/** One decoded frame of a raw or MJPEG AVI as BINARY — top-down,
   * row-major, RGB-interleaved, the SAME layout as [[PngPixels]], so
   * still-image featurizers consume sampled frames unchanged. NULL
-  * when the payload is out of [[AviDecode]] scope or the index is out
-  * of range. Frame index is 0-based. */
+  * when the payload is out of [[AviDecode]] scope, the index is out
+  * of range, or (MJPEG) that frame's JPEG chunk fails the decode /
+  * shape contract. Only the ADDRESSED frame is decoded — one header
+  * walk plus one frame, never a full-container decode. Frame index
+  * is 0-based. */
 case class AviFramePixels(left: Expression, right: Expression)
   extends BinaryExpression with CodegenFallback {
   override def checkInputDataTypes(): TypeCheckResult =
@@ -222,10 +368,12 @@ case class AviFramePixels(left: Expression, right: Expression)
   override def nullable: Boolean = true
   override def prettyName: String = "graft_avi_frame"
   override protected def nullSafeEval(payload: Any, idx: Any): Any = {
-    val d = AviDecode.decode(payload.asInstanceOf[Array[Byte]])
-    if (d == null) return null
+    val b = payload.asInstanceOf[Array[Byte]]
+    val hd = AviDecode.header(b)
+    if (hd == null) return null
     val i = idx match { case l: Long => l; case n: Int => n.toLong }
-    if (i < 0 || i >= d.frames.length) null else d.frames(i.toInt)
+    if (i < 0 || i >= hd.frameOffsets.length) null
+    else AviDecode.frame(b, hd, i.toInt)
   }
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): AviFramePixels =
@@ -277,31 +425,51 @@ case class AviFrameDHashes(left: Expression, right: Expression)
     // (gx, gy) of the frame at `off` — the same floor rule as
     // ImageDHash64 (sy = ⌊gy·h/8⌋, sx = ⌊gx·w/9⌋ in the TOP-DOWN
     // frame), flipped to the wire's row order.
-    def luma(off: Int, gx: Int, gy: Int): Int = {
+    def wireLuma(off: Int, gx: Int, gy: Int): Int = {
       val sy = (gy.toLong * h / GridH).toInt
       val sx = (gx.toLong * w / GridW).toInt
       val s = off + (if (hd.topDown) sy else h - 1 - sy) * hd.wireStride + sx * 3
       // wire BGR; luma = ⌊(R+G+B)/3⌋ — order-free sum
       ((b(s) & 0xFF) + (b(s + 1) & 0xFF) + (b(s + 2) & 0xFF)) / 3
     }
+    // MJPEG frames can't wire-sample — the SAMPLED frame decodes
+    // through JpegDecode into the shared top-down RGB layout (still
+    // one container walk; only every stride-th frame pays a decode)
+    // and the same grid rule reads the buffer.
+    def bufLuma(px: Array[Byte], gx: Int, gy: Int): Int = {
+      val sy = (gy.toLong * h / GridH).toInt
+      val sx = (gx.toLong * w / GridW).toInt
+      val s = (sy * w + sx) * 3
+      ((px(s) & 0xFF) + (px(s + 1) & 0xFF) + (px(s + 2) & 0xFF)) / 3
+    }
     val out = scala.collection.mutable.ArrayBuffer[Any]()
     var i = 0L
     while (i < hd.frameOffsets.length) {
-      val off = hd.frameOffsets(i.toInt)
+      val fi = i.toInt
+      val off = hd.frameOffsets(fi)
+      val px =
+        if (hd.codec == AviDecode.CodecRaw) null
+        else {
+          val p = AviDecode.frame(b, hd, fi)
+          if (p == null) return null // one bad chunk ⇒ out of scope
+          p
+        }
+      def luma(gx: Int, gy: Int): Int =
+        if (px == null) wireLuma(off, gx, gy) else bufLuma(px, gx, gy)
       var hash = 0L
       var gy = 0
       while (gy < GridH) {
-        var prev = luma(off, 0, gy)
+        var prev = luma(0, gy)
         var gx = 0
         while (gx < GridW - 1) {
-          val next = luma(off, gx + 1, gy)
+          val next = luma(gx + 1, gy)
           if (next > prev) hash |= 1L << (gy * 8 + gx)
           prev = next
           gx += 1
         }
         gy += 1
       }
-      out += InternalRow(i.toInt, hash)
+      out += InternalRow(fi, hash)
       i += stride
     }
     new GenericArrayData(out.toArray)
@@ -336,22 +504,31 @@ case class AviFrameStats(left: Expression, right: Expression)
     val b = payload.asInstanceOf[Array[Byte]]
     val hd = AviDecode.header(b)
     if (hd == null) return null
-    // Sum wire bytes directly (row padding excluded) — a mean is
-    // row-order- and channel-order-free, so no frame buffer is ever
-    // allocated and only SAMPLED frames are touched.
+    // Raw frames sum wire bytes directly (row padding excluded) — a
+    // mean is row-order- and channel-order-free, so no frame buffer
+    // is ever allocated; MJPEG frames decode (sampled frames only)
+    // and sum the shared-layout buffer.
     val rowBytes = hd.width * 3
     val nSamples = hd.width.toLong * hd.height * 3
     val out = scala.collection.mutable.ArrayBuffer[Any]()
     var i = 0L
     while (i < hd.frameOffsets.length) {
-      val off = hd.frameOffsets(i.toInt)
+      val fi = i.toInt
       var sum = 0L
-      var y = 0
-      while (y < hd.height) {
-        val row = off + y * hd.wireStride
+      if (hd.codec == AviDecode.CodecRaw) {
+        val off = hd.frameOffsets(fi)
+        var y = 0
+        while (y < hd.height) {
+          val row = off + y * hd.wireStride
+          var j = 0
+          while (j < rowBytes) { sum += b(row + j) & 0xFF; j += 1 }
+          y += 1
+        }
+      } else {
+        val px = AviDecode.frame(b, hd, fi)
+        if (px == null) return null // one bad chunk ⇒ out of scope
         var j = 0
-        while (j < rowBytes) { sum += b(row + j) & 0xFF; j += 1 }
-        y += 1
+        while (j < px.length) { sum += px(j) & 0xFF; j += 1 }
       }
       out += InternalRow(i, sum.toDouble / nSamples)
       i += stride
@@ -360,5 +537,63 @@ case class AviFrameStats(left: Expression, right: Expression)
   }
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): AviFrameStats =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Segment fingerprints of an AVI's PCM AUDIO TRACK in one container
+  * walk: `array<struct<seg_idx:int, dhash:long>>` — the container's
+  * 'auds' stream ([[AviDecode.Header]] scope: first 16-bit PCM audio
+  * stream, nnwb chunks concatenated in wire order) cut into fixed
+  * `segFrames`-frame segments, each fingerprinted by the SAME
+  * 65-window envelope kernel as [[AudioSegmentDHashes]] — so a clip
+  * extracted from a video's soundtrack (PCM is exact: same samples,
+  * any uniform gain) hashes IDENTICALLY to the corresponding
+  * segments of the track, and a hash-set join finds which videos
+  * CONTAIN a catalog clip
+  * ([[graft.operators.Multimodal.audioVideoMatches]]). Same segment
+  * semantics as the WAV form: trailing partial ≥65 frames hashes
+  * over its actual length, shorter is dropped; tolerance is modulo
+  * segFrames. NULL when the payload is out of AVI scope, carries no
+  * PCM audio track, or segFrames < 65. */
+case class AviAudioSegmentDHashes(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, IntegerType | LongType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (binary, integral), got ($l, $r)")
+    }
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("seg_idx", IntegerType, nullable = false),
+    StructField("dhash", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_avi_audio_segment_dhashes"
+
+  override protected def nullSafeEval(payload: Any, segAny: Any): Any = {
+    val segFrames = segAny match { case l: Long => l; case n: Int => n.toLong }
+    if (segFrames < AudioEnvelope.Windows) return null
+    val b = payload.asInstanceOf[Array[Byte]]
+    val hd = AviDecode.header(b)
+    if (hd == null) return null
+    val samples = AviDecode.audioSamples(b, hd)
+    if (samples == null) return null
+    val ch = hd.audChannels
+    val nFrames = hd.audFrames
+    // same clamp as AudioSegmentDHashes: segFrames ≥ track length ⇒
+    // one whole-track segment; keeps the Int cursor arithmetic exact
+    val seg = math.min(segFrames, nFrames.toLong).toInt
+    val out = scala.collection.mutable.ArrayBuffer[Any]()
+    var s = 0
+    var from = 0
+    while (from + AudioEnvelope.Windows <= nFrames) {
+      val to = math.min(from + seg, nFrames)
+      out += InternalRow(s, AudioEnvelope.hashRange(samples, ch, from, to))
+      s += 1
+      from += seg
+    }
+    new GenericArrayData(out.toArray)
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): AviAudioSegmentDHashes =
     copy(left = newLeft, right = newRight)
 }

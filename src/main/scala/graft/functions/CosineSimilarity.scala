@@ -248,10 +248,19 @@ object GraftFunctions {
 
   /** Column-API form of [[AviFrameDHashes]]:
     * array<struct<frame_idx:int, dhash:long>> for every stride-th
-    * frame, ONE container walk, zero frame-buffer allocations. */
+    * frame, ONE container walk; raw frames never allocate a buffer,
+    * MJPEG frames decode only when sampled. */
   def aviFrameDHashes(payload: Column, stride: Column): Column =
     graftBridge.column(AviFrameDHashes(
       graftBridge.expression(payload), graftBridge.expression(stride)))
+
+  /** Column-API form of [[AviAudioSegmentDHashes]]:
+    * array<struct<seg_idx:int, dhash:long>> — segment envelope
+    * fingerprints of the container's PCM 'auds' track, the
+    * audio-in-video containment frontier. */
+  def aviAudioSegmentDHashes(payload: Column, segFrames: Column): Column =
+    graftBridge.column(AviAudioSegmentDHashes(
+      graftBridge.expression(payload), graftBridge.expression(segFrames)))
 
   /** Column-API form of [[BlockBitmapMatchFrac]]: fraction of a
     * hash array whose pigeonhole blocks hit the 4×65,536-bit catalog
@@ -361,6 +370,13 @@ object GraftFunctions {
         (args: Seq[Expression]) => {
           require(args.length == 2, s"graft_avi_frame_dhashes expects 2 arguments, got ${args.length}")
           AviFrameDHashes(args(0), args(1))
+        }),
+      (
+        FunctionIdentifier("graft_avi_audio_segment_dhashes"),
+        new ExpressionInfo(classOf[AviAudioSegmentDHashes].getName, "graft_avi_audio_segment_dhashes"),
+        (args: Seq[Expression]) => {
+          require(args.length == 2, s"graft_avi_audio_segment_dhashes expects 2 arguments, got ${args.length}")
+          AviAudioSegmentDHashes(args(0), args(1))
         }),
       (
         FunctionIdentifier("graft_bmp_pixels"),

@@ -928,6 +928,88 @@ object Multimodal {
       .distinct()
   }
 
+  /** CROSS-MODAL containment search, audio edition — find catalog
+    * AUDIO CLIPS appearing inside videos' PCM soundtracks:
+    * (video_id, clip_id, n_match, match_frac) where match_frac is
+    * the fraction of the CLIP's distinct segment hashes found among
+    * the video track's segment hashes ([[videoAudioSegmentDHashes]]
+    * vs [[audioSegmentDHashes]] — one kernel, so a clip cut from a
+    * soundtrack at a segment boundary, at any uniform gain, hashes
+    * IDENTICALLY; PCM is exact, which is why the identity join
+    * suffices where the image edition needs a Hamming band).
+    * Alignment is modulo segFrames, the family's stride caveat on
+    * the clip's cut points.
+    *
+    * Scale shape: one container walk per video, one decode per clip,
+    * narrow (id, hash) rows both sides. Flood hashes (silence — a
+    * hash shared by more than `maxBucket` videos OR clips) drop
+    * BEFORE matching and sizing, the [[hashSetOverlapPairs]] cap
+    * discipline; surviving hashes join through the same TWO-SIDED
+    * chunk-cell expansion, so a popular-but-sub-cap hash spreads its
+    * probe×catalog product over chunk cells instead of one task.
+    * Clips with no decodable segments (junk, sub-65-frame) and
+    * videos without a PCM track never match. */
+  def audioVideoMatches(
+      videos: DataFrame, vidIdCol: String, vidPayloadCol: String,
+      clips: DataFrame, clipIdCol: String, clipPayloadCol: String,
+      segFrames: Int, minFrac: Double = 0.5,
+      maxBucket: Int = 65536, chunkSize: Int = 256): DataFrame = {
+    require(segFrames >= 65,
+      s"segFrames=$segFrames must be >= 65 (one frame per envelope window)")
+    require(minFrac > 0 && minFrac <= 1, s"minFrac=$minFrac outside (0,1]")
+    require(maxBucket > 1, s"maxBucket=$maxBucket must exceed 1")
+    require(chunkSize > 0, s"chunkSize=$chunkSize must be positive")
+    val va = videos
+      .select(col(vidIdCol), col(vidPayloadCol))
+      .repartition(Dedup.pinnedParts(videos)) // container-walk frontier spread
+      .select(col(vidIdCol).as("__vid"),
+        videoAudioSegmentDHashes(col(vidPayloadCol), segFrames).as("__sh"))
+      .filter(col("__sh").isNotNull && size(col("__sh")) > 0)
+      .select(col("__vid"), explode(col("__sh.dhash")).as("__dh"))
+      .distinct()
+    val ca = clips
+      .select(col(clipIdCol), col(clipPayloadCol))
+      .repartition(Dedup.pinnedParts(clips)) // decode frontier spread
+      .select(col(clipIdCol).as("__cid"),
+        audioSegmentDHashes(col(clipPayloadCol), segFrames).as("__sh"))
+      .filter(col("__sh").isNotNull && size(col("__sh")) > 0)
+      .select(col("__cid"), explode(col("__sh.dhash")).as("__dh"))
+    // flood cap on EITHER side, dropped before matching AND sizing
+    // so containment fractions stay internally consistent
+    val flood = va.groupBy("__dh").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxBucket).select("__dh")
+      .unionByName(
+        ca.distinct().groupBy("__dh").agg(count(lit(1)).as("__n"))
+          .filter(col("__n") > maxBucket).select("__dh"))
+      .distinct()
+    val vaFree = va.join(flood, Seq("__dh"), "left_anti").localCheckpoint(true)
+    val caFree = ca.distinct().join(flood, Seq("__dh"), "left_anti")
+      .localCheckpoint(true)
+    val sizes = caFree.groupBy("__cid").agg(count(lit(1)).as("__n"))
+    // per-hash chunk counts for the two-sided cell expansion — only
+    // CO-OCCURRING hashes can match, so the stats table inner-joins
+    val hk = vaFree.groupBy("__dh").agg(count(lit(1)).as("__nv"))
+      .join(caFree.groupBy("__dh").agg(count(lit(1)).as("__nc")), Seq("__dh"))
+      .select(col("__dh"),
+        ceil(col("__nv").cast("double") / lit(chunkSize)).cast("int").as("__kv"),
+        ceil(col("__nc").cast("double") / lit(chunkSize)).cast("int").as("__kc"))
+    val vx = vaFree.join(hk, Seq("__dh"))
+      .select(col("__vid"), col("__dh"),
+        pmod(hash(col("__vid")), col("__kv")).cast("int").as("__cv"),
+        explode(sequence(lit(0), col("__kc") - 1)).as("__cc"))
+    val cx = caFree.join(hk, Seq("__dh"))
+      .select(col("__cid"), col("__dh"),
+        explode(sequence(lit(0), col("__kv") - 1)).as("__cv"),
+        pmod(hash(col("__cid")), col("__kc")).cast("int").as("__cc"))
+    vx.join(cx, Seq("__dh", "__cv", "__cc"))
+      .groupBy("__vid", "__cid").agg(count(lit(1)).as("n_match"))
+      .join(sizes, Seq("__cid"))
+      .withColumn("match_frac", col("n_match").cast("double") / col("__n"))
+      .filter(col("match_frac") >= minFrac)
+      .select(col("__vid").as(vidIdCol), col("__cid").as(clipIdCol),
+        col("n_match"), col("match_frac"))
+  }
+
   /** Build the 4×65,536-bit block bitmaps of a 64-bit-hash column —
     * the catalog artifact of the streaming trim-tolerant gates
     * ([[graft.streaming.StreamingOps.dropAudioNearDupsShifted]] /
@@ -1010,6 +1092,15 @@ object Multimodal {
     * walk instead of 1 + n_frames/stride full decodes. */
   def videoFrameDHashes(payload: Column, stride: Int): Column =
     graft.functions.GraftFunctions.aviFrameDHashes(payload, lit(stride))
+
+  /** Segment envelope fingerprints of an AVI's PCM AUDIO TRACK
+    * (`array<struct<seg_idx:int, dhash:long>>`) — the 'auds'-stream
+    * twin of [[audioSegmentDHashes]], one container walk, same
+    * kernel, so soundtrack segments hash identically to the same PCM
+    * in a WAV ([[audioVideoMatches]]'s frontier). NULL when the
+    * container carries no 16-bit PCM audio track. */
+  def videoAudioSegmentDHashes(payload: Column, segFrames: Int): Column =
+    graft.functions.GraftFunctions.aviAudioSegmentDHashes(payload, lit(segFrames))
 
   /** REAL frame sampling for uncompressed AVI payloads: every
     * `stride`-th frame's index + mean RGB brightness
@@ -1237,8 +1328,72 @@ object Multimodal {
     * Used by the `p_avi_frame_stats` oracle fixtures and AviSpec. */
   def encodeAvi(width: Int, height: Int, nFrames: Int,
       pixel: (Int, Int, Int, Int) => Int,
-      fpsNum: Int = 30, fpsDen: Int = 1, topDown: Boolean = false): Array[Byte] = {
+      fpsNum: Int = 30, fpsDen: Int = 1, topDown: Boolean = false,
+      audioChannels: Int = 0, audioRate: Int = 8000, audioFrames: Int = 0,
+      audioSample: (Int, Int) => Int = (_, _) => 0): Array[Byte] = {
     require(width > 0 && height > 0 && nFrames >= 0, s"bad shape ${width}x$height x$nFrames")
+    val wireStride = ((width * 3 + 3) / 4) * 4
+    val frames = (0 until nFrames).toArray.map { f =>
+      val d = new Array[Byte](wireStride * height)
+      for (y <- 0 until height; x <- 0 until width) {
+        val row = if (topDown) y else height - 1 - y
+        val o = row * wireStride + x * 3
+        d(o) = (pixel(f, x, y, 2) & 0xFF).toByte // wire order is BGR
+        d(o + 1) = (pixel(f, x, y, 1) & 0xFF).toByte
+        d(o + 2) = (pixel(f, x, y, 0) & 0xFF).toByte
+      }
+      d
+    }
+    encodeAviWire(width, height, topDown, raw = true, frames,
+      fpsNum, fpsDen, audioChannels, audioRate, audioFrames, audioSample)
+  }
+
+  /** Driver-side MOTION-JPEG AVI encoder (fixture machinery): each
+    * frame is a real `javax.imageio` JPEG write (explicit `quality`)
+    * carried in a '00dc' chunk under biCompression 'MJPG' — the
+    * compressed-legacy-AVI fixture for the [[graft.functions
+    * .AviDecode.CodecMjpeg]] decode path. Same optional PCM audio
+    * track as [[encodeAvi]]. JPEG output is encoder/decoder-specific
+    * (IDCT rounding), so fixtures built here are SPEC material, not
+    * oracle material — the documented JPEG discipline. */
+  def encodeAviMjpeg(width: Int, height: Int, nFrames: Int,
+      pixel: (Int, Int, Int, Int) => Int, quality: Float = 0.9f,
+      fpsNum: Int = 30, fpsDen: Int = 1,
+      audioChannels: Int = 0, audioRate: Int = 8000, audioFrames: Int = 0,
+      audioSample: (Int, Int) => Int = (_, _) => 0): Array[Byte] = {
+    require(width > 0 && height > 0 && nFrames >= 0, s"bad shape ${width}x$height x$nFrames")
+    val frames = (0 until nFrames).toArray.map { f =>
+      val img = new java.awt.image.BufferedImage(
+        width, height, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      for (y <- 0 until height; x <- 0 until width) {
+        def ch(c: Int): Int = math.min(math.max(pixel(f, x, y, c), 0), 255)
+        img.setRGB(x, y, (ch(0) << 16) | (ch(1) << 8) | ch(2))
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+      val p = writer.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(quality)
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+      writer.dispose(); ios.close()
+      out.toByteArray
+    }
+    encodeAviWire(width, height, topDown = false, raw = false, frames,
+      fpsNum, fpsDen, audioChannels, audioRate, audioFrames, audioSample)
+  }
+
+  /** Shared RIFF assembly for [[encodeAvi]]/[[encodeAviMjpeg]]: hdrl
+    * with a vids strl (+ an auds strl when audioChannels > 0), movi
+    * with the frame chunks followed by the PCM track split into TWO
+    * '01wb' chunks at an ODD byte offset — deliberately, so decoder
+    * tests exercise the sample-straddles-chunks carry path. */
+  private def encodeAviWire(width: Int, height: Int, topDown: Boolean,
+      raw: Boolean, frames: Array[Array[Byte]],
+      fpsNum: Int, fpsDen: Int,
+      audioChannels: Int, audioRate: Int, audioFrames: Int,
+      audioSample: (Int, Int) => Int): Array[Byte] = {
     import java.nio.{ByteBuffer, ByteOrder}
     def le(n: Int): ByteBuffer = ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)
     val wireStride = ((width * 3 + 3) / 4) * 4
@@ -1249,14 +1404,17 @@ object Multimodal {
     }
     def list(listType: String, subchunks: Array[Byte]): Array[Byte] =
       chunk("LIST", listType.getBytes("US-ASCII") ++ subchunks)
+    val hasAudio = audioChannels > 0
+    val nFrames = frames.length
     val avih = le(56)
       .putInt(if (fpsNum > 0) (1000000L * fpsDen / fpsNum).toInt else 0) // µs/frame
       .putInt(0).putInt(0).putInt(0)
-      .putInt(nFrames).putInt(0).putInt(1).putInt(0)
+      .putInt(nFrames).putInt(0).putInt(if (hasAudio) 2 else 1).putInt(0)
       .putInt(width).putInt(height)
       .putInt(0).putInt(0).putInt(0).putInt(0).array()
+    val handler = if (raw) "DIB " else "MJPG"
     val strh = le(56)
-      .put("vids".getBytes("US-ASCII")).put("DIB ".getBytes("US-ASCII"))
+      .put("vids".getBytes("US-ASCII")).put(handler.getBytes("US-ASCII"))
       .putInt(0).putShort(0).putShort(0).putInt(0)
       .putInt(fpsDen) // dwScale
       .putInt(fpsNum) // dwRate
@@ -1265,22 +1423,44 @@ object Multimodal {
     val strf = le(40)
       .putInt(40).putInt(width).putInt(if (topDown) -height else height)
       .putShort(1).putShort(24)
-      .putInt(0) // BI_RGB
+    if (raw) strf.putInt(0) // BI_RGB
+    else strf.put("MJPG".getBytes("US-ASCII"))
+    val strfArr = strf
       .putInt(wireStride * height).putInt(0).putInt(0).putInt(0).putInt(0).array()
-    val frames = (0 until nFrames).toArray.map { f =>
-      val d = new Array[Byte](wireStride * height)
-      for (y <- 0 until height; x <- 0 until width) {
-        val row = if (topDown) y else height - 1 - y
-        val o = row * wireStride + x * 3
-        d(o) = (pixel(f, x, y, 2) & 0xFF).toByte // wire order is BGR
-        d(o + 1) = (pixel(f, x, y, 1) & 0xFF).toByte
-        d(o + 2) = (pixel(f, x, y, 0) & 0xFF).toByte
+    val videoStrl = list("strl", chunk("strh", strh) ++ chunk("strf", strfArr))
+    val frameChunks = frames.flatMap(d => chunk(if (raw) "00db" else "00dc", d))
+    val (audioStrl, audioChunks) =
+      if (!hasAudio) (Array.empty[Byte], Array.empty[Byte])
+      else {
+        val blockAlign = 2 * audioChannels
+        val astrh = le(56)
+          .put("auds".getBytes("US-ASCII")).putInt(0)
+          .putInt(0).putShort(0).putShort(0).putInt(0)
+          .putInt(1) // dwScale
+          .putInt(audioRate) // dwRate
+          .putInt(0).putInt(audioFrames).putInt(audioRate * blockAlign)
+          .putInt(-1).putInt(blockAlign).putShort(0).putShort(0).array()
+        val astrf = le(16)
+          .putShort(1) // WAVE_FORMAT_PCM
+          .putShort(audioChannels.toShort)
+          .putInt(audioRate)
+          .putInt(audioRate * blockAlign)
+          .putShort(blockAlign.toShort)
+          .putShort(16).array()
+        val pcm = le(audioFrames * blockAlign)
+        for (f <- 0 until audioFrames; c <- 0 until audioChannels)
+          pcm.putShort(audioSample(c, f).toShort)
+        val bytes = pcm.array()
+        // split at an odd offset: a sample STRADDLES the chunk
+        // boundary, pinning the decoder's carry path
+        val cut = math.min(math.max(bytes.length / 2 | 1, 1), bytes.length)
+        val chunks =
+          if (bytes.length <= 1) chunk("01wb", bytes)
+          else chunk("01wb", bytes.take(cut)) ++ chunk("01wb", bytes.drop(cut))
+        (list("strl", chunk("strh", astrh) ++ chunk("strf", astrf)), chunks)
       }
-      chunk("00db", d)
-    }
-    val body = list("hdrl", chunk("avih", avih) ++
-      list("strl", chunk("strh", strh) ++ chunk("strf", strf))) ++
-      list("movi", frames.flatten)
+    val body = list("hdrl", chunk("avih", avih) ++ videoStrl ++ audioStrl) ++
+      list("movi", frameChunks ++ audioChunks)
     le(12 + body.length)
       .put("RIFF".getBytes("US-ASCII")).putInt(4 + body.length)
       .put("AVI ".getBytes("US-ASCII")).put(body).array()
