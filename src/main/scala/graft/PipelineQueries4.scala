@@ -412,7 +412,89 @@ object PipelineQueries4 {
         .transform(Queries.sortedSmall(_, "video_id", "clip_id"))
     })
 
+  // --------------------------- IMA-ADPCM decode (compressed audio)
+  // The IMA quantizer is an INTEGER state machine (public step/index
+  // tables, successive-approximation nibbles), so unlike JPEG the
+  // compressed-audio path is fully oracle-checkable: DuckDB replays
+  // encoder+decoder per (clip, channel, frame) in one recursive CTE —
+  // block-header resets at 169-frame boundaries, cross-block step
+  // index carry, stereo interleave — and rebuilds the exact
+  // [channels, rate, n_frames, mean…, rms…] stats vector the Spark
+  // side reads with audioSampleStats off the real wire payload.
+  private val qAdpcmStats = Queries.Q(
+    "p_adpcm_stats",
+    Some("""
+      WITH RECURSIVE clips(id, b, nf, ch) AS (
+        SELECT * FROM (VALUES (0, 37, 169, 1), (1, 59, 400, 1), (2, 83, 338, 2))),
+      tabs AS (SELECT
+        [7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,41,45,50,55,
+         60,66,73,80,88,97,107,118,130,143,157,173,190,209,230,253,279,
+         307,337,371,408,449,494,544,598,658,724,796,876,963,1060,1166,
+         1282,1411,1552,1707,1878,2066,2272,2499,2749,3024,3327,3660,
+         4026,4428,4871,5358,5894,6484,7132,7845,8630,9493,10442,11487,
+         12635,13899,15289,16818,18500,20350,22385,24623,27086,29794,
+         32767] AS st,
+        [-1,-1,-1,-1,2,4,6,8,-1,-1,-1,-1,2,4,6,8] AS it),
+      dec(id, b, nf, ch, c, f, pred, idx) AS (
+        SELECT id, b, nf, ch, c, 0, ((c * 17) % 4001) - 2000, 0
+        FROM clips, generate_series(0, 1) cs(c) WHERE c < ch
+        UNION ALL
+        SELECT id, b, nf, ch, c, f + 1,
+               CASE WHEN (f + 1) % 169 = 0 THEN tgt
+                    WHEN s8 THEN GREATEST(-32768, pred - delta)
+                    ELSE LEAST(32767, pred + delta) END,
+               CASE WHEN (f + 1) % 169 = 0 THEN idx
+                    ELSE LEAST(88, GREATEST(0, idx + it[nib + 1])) END
+        FROM (
+          SELECT *,
+                 (CASE WHEN s8 THEN 8 ELSE 0 END) + (CASE WHEN b4 THEN 4 ELSE 0 END) +
+                 (CASE WHEN b2 THEN 2 ELSE 0 END) + (CASE WHEN b1 THEN 1 ELSE 0 END) AS nib,
+                 (step // 8) + (CASE WHEN b1 THEN step // 4 ELSE 0 END) +
+                 (CASE WHEN b2 THEN step // 2 ELSE 0 END) +
+                 (CASE WHEN b4 THEN step ELSE 0 END) AS delta
+          FROM (
+            SELECT *, (ad2 - CASE WHEN b2 THEN step // 2 ELSE 0 END) >= step // 4 AS b1
+            FROM (
+              SELECT *, ad2 >= step // 2 AS b2
+              FROM (
+                SELECT *, ad - CASE WHEN b4 THEN step ELSE 0 END AS ad2
+                FROM (
+                  SELECT *, ad >= step AS b4
+                  FROM (
+                    SELECT q0.*, tgt - pred < 0 AS s8, ABS(tgt - pred) AS ad
+                    FROM (SELECT d.*, t.it,
+                            (((d.f + 1) * d.b + d.c * 17) % 4001) - 2000 AS tgt,
+                            t.st[d.idx + 1] AS step
+                          FROM dec d, tabs t WHERE d.f + 1 < d.nf) q0
+                  ) q1) q2) q3) q4) q5) q6),
+      agg AS (
+        SELECT id, ch, nf, c,
+               SUM(CAST(pred AS BIGINT)) AS s,
+               SUM(CAST(pred AS BIGINT) * pred) AS sq
+        FROM dec GROUP BY id, ch, nf, c),
+      outp AS (
+        SELECT id, 0 AS pos, CAST(ch AS DOUBLE) AS stat FROM clips
+        UNION ALL SELECT id, 1, 8000.0 FROM clips
+        UNION ALL SELECT id, 2, CAST(nf AS DOUBLE) FROM clips
+        UNION ALL SELECT id, 3 + c, CAST(s AS DOUBLE) / nf FROM agg
+        UNION ALL SELECT id, 3 + ch + c, SQRT(CAST(sq AS DOUBLE) / nf) FROM agg)
+      SELECT CAST(id AS BIGINT) AS clip_id, CAST(pos AS INT) AS pos, stat
+      FROM outp ORDER BY clip_id, pos"""),
+    (s, dir) => {
+      def smp(b: Int)(c: Int, f: Int): Int = ((f * b + c * 17) % 4001) - 2000
+      val clips = Seq(
+        0L -> operators.Multimodal.encodeWavImaAdpcm(1, 8000, 169, smp(37), 169),
+        1L -> operators.Multimodal.encodeWavImaAdpcm(1, 8000, 400, smp(59), 169),
+        2L -> operators.Multimodal.encodeWavImaAdpcm(2, 8000, 338, smp(83), 169))
+      import s.implicits._
+      clips.toDF("clip_id", "payload")
+        .select(col("clip_id"),
+          posexplode(operators.Multimodal.audioSampleStats(col("payload")))
+            .as(Seq("pos", "stat")))
+        .transform(Queries.sortedSmall(_, "clip_id", "pos"))
+    })
+
   val all: Seq[Queries.Q] =
     Seq(qVideoDedupShifted, qAudioDedupShifted, qIncrementalImageDedup,
-      qAudioVideoMatches)
+      qAudioVideoMatches, qAdpcmStats)
 }

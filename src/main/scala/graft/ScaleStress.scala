@@ -451,6 +451,141 @@ object ScaleStress {
             segFrames = 128).count()
         }
       }
+      // ---- r19 media extensions: MJPEG decode volume, audio-in-video
+      // containment, incremental image dedup vs a persisted index.
+      if (opFilter.isEmpty || opFilter.exists(f =>
+          "video_near_dup_mjpeg".contains(f) || "audio_video_matches".contains(f) ||
+            "incremental_image_dedup".contains(f))) {
+        val prevBatch = spark.conf.get("spark.sql.parquet.columnarReaderBatchSize", "4096")
+        spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "64")
+        try {
+        // MJPEG near-dup: 100 clips × 12 real ImageIO JPEG frames per
+        // unit scale, smooth per-family gradients (quantization noise
+        // stays inside the Hamming band), 3-member families every 10
+        // ids (head + quality-0.7 re-encode + +10 brightness nudge).
+        // Claim under test: the per-SAMPLED-frame JPEG decode path is
+        // linear in sampled-frame volume — the container walk itself
+        // stays one-pass.
+        if (opFilter.isEmpty || opFilter.exists("video_near_dup_mjpeg".contains)) {
+          val n = 100 * scale
+          val feed = s"${sys.props("java.io.tmpdir")}/graft-mjpegfeed-$scale"
+          locally {
+            import spark.implicits._
+            spark.range(n).repartition(spark.sparkContext.defaultParallelism)
+              .map { i =>
+                val id: Long = i
+                val fam = id - id % 10
+                val v = id % 10
+                val b = (if (v <= 2) fam else id).toInt
+                val nudge = if (v == 2) 10 else 0
+                val q = if (v == 1) 0.7f else 0.9f
+                // smooth (JPEG-robust) but family-DISTINCT gradients:
+                // per-family slopes/phase change the gradient-sign
+                // pattern, so only intended families pair and pair
+                // volume stays ~n (the arm measures DECODE volume)
+                (id, operators.Multimodal.encodeAviMjpeg(48, 32, 12,
+                  (f, x, y, c) =>
+                    40 + ((x * (2 + b % 7) + y * (1 + b % 5) + c + f * 5 + b * 11) % 160) + nudge, q))
+              }.toDF("vid_id", "payload")
+              .write.mode("overwrite").parquet(feed)
+          }
+          measure("video_near_dup_mjpeg", scale) {
+            operators.Multimodal.videoNearDupPairsShifted(
+              spark.read.parquet(feed), "vid_id", "payload",
+              stride = 4, minFrac = 0.5, maxHamming = 3).count()
+          }
+        }
+        // audio-in-video containment: 200 videos per unit scale with
+        // 4000-frame mono PCM tracks, a clip catalog of n/10 cuts at
+        // segment boundaries (gain x3 on odd ids) — every clip
+        // contains in exactly its source video.
+        if (opFilter.isEmpty || opFilter.exists("audio_video_matches".contains)) {
+          val n = 200 * scale
+          val vidFeed = s"${sys.props("java.io.tmpdir")}/graft-avfeed-$scale"
+          val clipFeed = s"${sys.props("java.io.tmpdir")}/graft-avclipfeed-$scale"
+          locally {
+            import spark.implicits._
+            spark.range(n).repartition(spark.sparkContext.defaultParallelism)
+              .map { i =>
+                val b = i.toInt
+                (i, operators.Multimodal.encodeAvi(8, 6, 2,
+                  (f, x, y, c) => (x * 3 + y + f + c + b) % 200,
+                  audioChannels = 1, audioRate = 8000, audioFrames = 4000,
+                  audioSample = (c, f) =>
+                    ((((f * 53 + c * 17) * (b % 9973 + 1) + b) % 3989) - 1994)))
+              }.toDF("vid_id", "payload")
+              .write.mode("overwrite").parquet(vidFeed)
+            spark.range(n / 10).repartition(spark.sparkContext.defaultParallelism)
+              .map { i =>
+                val b = (i * 10).toInt // source video
+                val gain = if (i % 2 == 1) 3 else 1
+                val trim = 128 * (1 + (i % 5)).toInt
+                (i, operators.Multimodal.encodeWav(1, 8000, 512,
+                  (c, f) => ((((f + trim) * 53 + c * 17) * (b % 9973 + 1) + b) % 3989 - 1994) * gain))
+              }.toDF("clip_id", "payload")
+              .write.mode("overwrite").parquet(clipFeed)
+          }
+          measure("audio_video_matches", scale) {
+            operators.Multimodal.audioVideoMatches(
+              spark.read.parquet(vidFeed), "vid_id", "payload",
+              spark.read.parquet(clipFeed), "clip_id", "payload",
+              segFrames = 128, minFrac = 0.5).count()
+          }
+        }
+        // incremental image dedup: history = the image arm's corpus
+        // persisted as an 8-byte-per-image hash index (built OUTSIDE
+        // the timed body — that's the artifact's whole point); the
+        // timed body dedups a 10% increment (half twins of history
+        // heads, half fresh) against it. Claim: increment cost scales
+        // with the INCREMENT + index size, never re-decoding history.
+        if (opFilter.isEmpty || opFilter.exists("incremental_image_dedup".contains)) {
+          val nHist = 2000 * scale
+          val nInc = nHist / 10
+          val idxDir = s"${sys.props("java.io.tmpdir")}/graft-imgidx-$scale"
+          val incFeed = s"${sys.props("java.io.tmpdir")}/graft-imginc-$scale"
+          locally {
+            import spark.implicits._
+            val hist = spark.range(nHist)
+              .repartition(spark.sparkContext.defaultParallelism)
+              .map { i =>
+                val b = i.toInt
+                (i, operators.Multimodal.encodePng(48, 32, 3,
+                  (x, y, c) => ((x * 7 + y * 13 + c * 31) * (b % 9973 + 1) + b) % 190,
+                  y => (y + b) % 5))
+              }.toDF("img_id", "payload")
+            operators.Multimodal.imageHashIndex(hist, "img_id", "payload")
+              .write.mode("overwrite").parquet(idxDir)
+            spark.range(nInc).repartition(spark.sparkContext.defaultParallelism)
+              .map { i =>
+                val id: Long = nHist + i
+                // even ids: +35 brightness twins of history heads
+                // (drop); odd ids: NOISE-shaped fresh content (keep —
+                // the linear-gradient formula has only ~190 gradient
+                // classes, so a "fresh" linear image would collide
+                // with history and make kept counts uninterpretable)
+                if (i % 2 == 0) {
+                  val b = ((i * 10) % nHist).toInt
+                  (id, operators.Multimodal.encodePng(48, 32, 3,
+                    (x, y, c) => (((x * 7 + y * 13 + c * 31) * (b % 9973 + 1) + b) % 190 + 35),
+                    y => (y + b) % 5))
+                } else {
+                  val b = i.toInt
+                  (id, operators.Multimodal.encodePng(48, 32, 3,
+                    (x, y, c) => ((x * 7 + y) * (c * 5 + 3) * 73 + x * y * (b % 41 + 2) + b) % 256,
+                    y => (y + b) % 5))
+                }
+              }.toDF("img_id", "payload")
+              .write.mode("overwrite").parquet(incFeed)
+          }
+          measure("incremental_image_dedup", scale) {
+            operators.Multimodal.dedupImagesAgainstIndex(
+              spark.read.parquet(incFeed), "img_id", "payload",
+              spark.read.parquet(idxDir), maxHamming = 3).count()
+          }
+        }
+        } finally spark.conf.set(
+          "spark.sql.parquet.columnarReaderBatchSize", prevBatch)
+      }
       measure("ngram_jaccard_ppjoin", scale) {
         // the prefix-filtered inverted-index (PPJoin/AllPairs) exact
         // join — quadratic-prone by nature; the claim under test is

@@ -19,11 +19,16 @@ import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType}
   * fact/cue chunks before 'data', where offset-35 header peeks
   * silently misread.
   *
-  * Scope: PCM (format 1), 16-bit signed LE, 1–8 channels — the
-  * interchange form every transcoder emits. Float/ADPCM/24-bit
-  * return NULL (honest absence). Declared sizes are length-checked
-  * against the physical buffer and decoded volume is capped at 64 MiB
-  * before allocation (same bomb stance as the image/video decoders).
+  * Scope: PCM (format 1, 16-bit signed LE) and IMA/DVI ADPCM
+  * (format 17, 4-bit — the one compressed-audio format that is both
+  * public-spec and pure-JVM trivial: per-block predictor + step-index
+  * headers, nibble-per-sample step-adaptive differences, so a
+  * compressed corpus flows into the SAME i16 sample stream every
+  * downstream fingerprint consumes), 1–8 channels. Float/µ-law/
+  * 24-bit return NULL (honest absence). Declared sizes are
+  * length-checked against the physical buffer and decoded volume is
+  * capped at 64 MiB before allocation (same bomb stance as the
+  * image/video decoders).
   */
 private[graft] object WavDecode {
   val MaxRawBytes: Long = 64L * 1024 * 1024
@@ -39,12 +44,47 @@ private[graft] object WavDecode {
   private def fourcc(b: Array[Byte], i: Int): String =
     new String(b, i, 4, "US-ASCII")
 
+  /** The public IMA ADPCM quantizer tables (IMA Recommended Practices
+    * for Enhancing Digital Audio Compatibility, rev 3.00). */
+  private[graft] val StepTable: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+    34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544,
+    598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707,
+    1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871,
+    5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635,
+    13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+  private[graft] val IndexTable: Array[Int] = Array(
+    -1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** Decode one IMA nibble against (pred, idx) packed as (pred << 8 |
+    * idx); returns the new packed state (pred clamped to i16, idx to
+    * [0, 88]). Shared verbatim by the driver-side encoder so the
+    * round-trip state machines cannot drift. */
+  private[graft] def imaStep(pred: Int, idx: Int, nib: Int): Long = {
+    val step = StepTable(idx)
+    var diff = step >> 3
+    if ((nib & 1) != 0) diff += step >> 2
+    if ((nib & 2) != 0) diff += step >> 1
+    if ((nib & 4) != 0) diff += step
+    var p = if ((nib & 8) != 0) pred - diff else pred + diff
+    if (p > 32767) p = 32767
+    if (p < -32768) p = -32768
+    var i = idx + IndexTable(nib)
+    if (i < 0) i = 0
+    if (i > 88) i = 88
+    (p.toLong << 32) | i.toLong
+  }
+
   /** Decode or null. Never throws on malformed input. */
   def decode(b: Array[Byte]): Decoded = {
     if (b == null || b.length < 44) return null
     if (fourcc(b, 0) != "RIFF" || fourcc(b, 8) != "WAVE") return null
     var channels, sampleRate, bits = -1
     var fmtCode = -1
+    var blockAlign = -1
+    var samplesPerBlock = -1
+    var factFrames = -1L
     var dataOff, dataLen = -1
     var pos = 12
     var chunks = 0
@@ -60,25 +100,87 @@ private[graft] object WavDecode {
           fmtCode = leU16(b, off)
           channels = leU16(b, off + 2)
           sampleRate = leU32(b, off + 4).toInt
+          blockAlign = leU16(b, off + 12)
           bits = leU16(b, off + 14)
+          if (len >= 20) samplesPerBlock = leU16(b, off + 18)
+        case "fact" =>
+          if (len >= 4) factFrames = leU32(b, off)
         case "data" => dataOff = off; dataLen = len.toInt
-        case _ => () // LIST/fact/cue/bext — irrelevant to PCM samples
+        case _ => () // LIST/cue/bext — irrelevant to samples
       }
       pos = off + len.toInt + (len.toInt & 1) // even padding
     }
-    if (fmtCode != 1 || bits != 16) return null
     if (channels < 1 || channels > 8 || sampleRate <= 0) return null
     if (dataOff < 0 || dataLen < 0) return null
-    if (dataLen > MaxRawBytes) return null
-    val nSamples = dataLen / 2
-    val nFrames = nSamples / channels
-    val out = new Array[Short](nFrames * channels) // trailing partial frame dropped
-    var i = 0
-    while (i < out.length) {
-      out(i) = ((b(dataOff + 2 * i) & 0xFF) | (b(dataOff + 2 * i + 1) << 8)).toShort
-      i += 1
-    }
-    Decoded(channels, sampleRate, nFrames, out)
+    if (fmtCode == 1 && bits == 16) {
+      if (dataLen > MaxRawBytes) return null
+      val nSamples = dataLen / 2
+      val nFrames = nSamples / channels
+      val out = new Array[Short](nFrames * channels) // trailing partial frame dropped
+      var i = 0
+      while (i < out.length) {
+        out(i) = ((b(dataOff + 2 * i) & 0xFF) | (b(dataOff + 2 * i + 1) << 8)).toShort
+        i += 1
+      }
+      Decoded(channels, sampleRate, nFrames, out)
+    } else if (fmtCode == 17 && bits == 4) {
+      // IMA ADPCM: per-block per-channel 4-byte headers (predictor
+      // i16, step index u8, reserved), then the channels' nibble data
+      // interleaved in 4-byte groups (8 samples per group per channel)
+      val ch = channels
+      if (blockAlign <= 4 * ch) return null
+      val dataPerBlock = blockAlign - 4 * ch
+      if (dataPerBlock % (4 * ch) != 0) return null
+      val spb = dataPerBlock * 2 / ch + 1
+      // a declared wSamplesPerBlock must agree with the block geometry
+      if (samplesPerBlock > 0 && samplesPerBlock != spb) return null
+      val nBlocks = dataLen / blockAlign // trailing partial block dropped
+      var totalFrames = nBlocks.toLong * spb
+      if (factFrames >= 0 && factFrames < totalFrames) totalFrames = factFrames
+      if (totalFrames * ch * 2 > MaxRawBytes) return null
+      val nFrames = totalFrames.toInt
+      val out = new Array[Short](nFrames * ch)
+      val pred = new Array[Int](ch)
+      val idx = new Array[Int](ch)
+      var frame = 0
+      var blk = 0
+      while (blk < nBlocks && frame < nFrames) {
+        val boff = dataOff + blk * blockAlign
+        var c = 0
+        while (c < ch) {
+          pred(c) = leU16(b, boff + 4 * c).toShort.toInt // signed predictor
+          idx(c) = b(boff + 4 * c + 2) & 0xFF
+          if (idx(c) > 88) return null
+          c += 1
+        }
+        // first frame of the block IS the header predictors
+        var c1 = 0
+        while (c1 < ch) { out(frame * ch + c1) = pred(c1).toShort; c1 += 1 }
+        frame += 1
+        val groups = dataPerBlock / (4 * ch) // 4-byte groups per channel
+        var g = 0
+        while (g < groups && frame < nFrames) {
+          var s = 0
+          while (s < 8 && frame < nFrames) {
+            var c2 = 0
+            while (c2 < ch) {
+              val byte = b(boff + 4 * ch + g * 4 * ch + c2 * 4 + s / 2) & 0xFF
+              val nib = if ((s & 1) == 0) byte & 0xF else byte >>> 4
+              val st = imaStep(pred(c2), idx(c2), nib)
+              pred(c2) = (st >> 32).toInt
+              idx(c2) = (st & 0xFF).toInt
+              out(frame * ch + c2) = pred(c2).toShort
+              c2 += 1
+            }
+            frame += 1
+            s += 1
+          }
+          g += 1
+        }
+        blk += 1
+      }
+      Decoded(ch, sampleRate, nFrames, out)
+    } else null
   }
 }
 

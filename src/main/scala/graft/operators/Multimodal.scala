@@ -1316,6 +1316,81 @@ object Multimodal {
       .put("WAVE".getBytes("US-ASCII")).put(body).array()
   }
 
+  /** Driver-side IMA-ADPCM WAV ENCODER (fixture machinery, not a
+    * data path): format tag 17, 4-bit, the standard block layout —
+    * per-channel (predictor, step-index) headers, nibble data in
+    * interleaved 4-byte channel groups, a 'fact' chunk carrying the
+    * true frame count (the final block is padded by repeating the
+    * last sample; the decoder truncates to 'fact'). The quantizer
+    * state machine is [[graft.functions.WavDecode.imaStep]] ITSELF —
+    * encoder and decoder share one table walk, so round-trip error is
+    * exactly the quantizer's, never table drift. */
+  def encodeWavImaAdpcm(channels: Int, sampleRate: Int, nFrames: Int,
+      sample: (Int, Int) => Int, samplesPerBlock: Int = 505): Array[Byte] = {
+    require(channels >= 1 && channels <= 8 && nFrames >= 0,
+      s"bad shape ch=$channels frames=$nFrames")
+    require(samplesPerBlock >= 9 && (samplesPerBlock - 1) % 8 == 0,
+      s"samplesPerBlock=$samplesPerBlock must be 1+8k (4-byte channel groups)")
+    import java.nio.{ByteBuffer, ByteOrder}
+    def le(n: Int): ByteBuffer = ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)
+    val spb = samplesPerBlock
+    val blockAlign = 4 * channels + (spb - 1) / 2 * channels
+    val nBlocks = (nFrames + spb - 1) / spb
+    val fmt = le(20)
+      .putShort(17).putShort(channels.toShort)
+      .putInt(sampleRate)
+      .putInt((sampleRate.toLong * blockAlign / spb).toInt)
+      .putShort(blockAlign.toShort).putShort(4)
+      .putShort(2).putShort(spb.toShort).array()
+    val fact = le(4).putInt(nFrames).array()
+    def clamp16(v: Int): Int = math.max(-32768, math.min(32767, v))
+    // running per-channel quantizer state carries ACROSS blocks (each
+    // block header snapshots it — the standard encoder shape)
+    val idx = new Array[Int](channels)
+    val data = le(nBlocks * blockAlign)
+    def sampleAt(c: Int, f: Int): Int = // pad by repeating the last frame
+      clamp16(sample(c, math.min(f, math.max(nFrames - 1, 0))))
+    for (blk <- 0 until nBlocks) {
+      val f0 = blk * spb
+      val pred = new Array[Int](channels)
+      for (c <- 0 until channels) {
+        pred(c) = sampleAt(c, f0)
+        data.putShort(pred(c).toShort).put(idx(c).toByte).put(0.toByte)
+      }
+      val groups = (spb - 1) / 8
+      for (g <- 0 until groups; c <- 0 until channels) {
+        var packed = 0L
+        for (s <- 0 until 8) {
+          val f = f0 + 1 + g * 8 + s
+          val target = sampleAt(c, f)
+          // standard successive-approximation quantization
+          val step = graft.functions.WavDecode.StepTable(idx(c))
+          var diff = target - pred(c)
+          var nib = 0
+          if (diff < 0) { nib = 8; diff = -diff }
+          if (diff >= step) { nib |= 4; diff -= step }
+          if (diff >= (step >> 1)) { nib |= 2; diff -= step >> 1 }
+          if (diff >= (step >> 2)) { nib |= 1 }
+          val st = graft.functions.WavDecode.imaStep(pred(c), idx(c), nib)
+          pred(c) = (st >> 32).toInt
+          idx(c) = (st & 0xFF).toInt
+          packed |= nib.toLong << (4 * s)
+        }
+        for (byte <- 0 until 4)
+          data.put(((packed >>> (8 * byte)) & 0xFF).toByte)
+      }
+    }
+    def chunk(tag: String, d: Array[Byte]): Array[Byte] = {
+      val b = le(8 + d.length + (d.length & 1))
+      b.put(tag.getBytes("US-ASCII")).putInt(d.length).put(d)
+      b.array()
+    }
+    val body = chunk("fmt ", fmt) ++ chunk("fact", fact) ++ chunk("data", data.array())
+    le(12 + body.length)
+      .put("RIFF".getBytes("US-ASCII")).putInt(4 + body.length)
+      .put("WAVE".getBytes("US-ASCII")).put(body).array()
+  }
+
   /** Driver-side AVI ENCODER (fixture machinery, not a data path):
     * uncompressed BI_RGB 24-bit, one 'vids' stream, frames as '00db'
     * chunks — the minimal spec-complete container
