@@ -444,11 +444,15 @@ object ScaleStress {
             maxHamming = 3).count()
         }
         // the trim-tolerant segment-set form on the SAME feed: 31
-        // 128-frame segments per 4000-frame clip, exact set overlap
+        // 128-frame segments per 4000-frame clip, exact set overlap.
+        // GRAFT_SHIFTED_CHUNK: A/B lever for the r19 chunk-cell fix —
+        // a huge value forces k=1 everywhere (the pre-fix single-cell
+        // join shape) for same-session comparison.
         measure("audio_near_dup_shifted", scale) {
           operators.Multimodal.audioNearDupPairsShifted(
             spark.read.parquet(feed), "clip_id", "payload",
-            segFrames = 128).count()
+            segFrames = 128,
+            chunkSize = sys.env.getOrElse("GRAFT_SHIFTED_CHUNK", "1024").toInt).count()
         }
       }
       // ---- r19 media extensions: MJPEG decode volume, audio-in-video

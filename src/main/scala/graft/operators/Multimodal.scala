@@ -590,7 +590,7 @@ object Multimodal {
   def videoNearDupPairsShifted(
       docs: DataFrame, idCol: String, payloadCol: String,
       stride: Int, minFrac: Double = 0.5, maxHamming: Int = 0,
-      maxBucket: Int = 65536, chunkSize: Int = 256): DataFrame = {
+      maxBucket: Int = 65536, chunkSize: Int = 1024): DataFrame = {
     require(stride > 0, s"stride=$stride must be positive")
     val hashes = docs
       .select(col(idCol), col(payloadCol))
@@ -626,7 +626,17 @@ object Multimodal {
     * keys. Replication is n·k = n²/chunkSize rows of narrow
     * (id, hash) data — linear in the OUTPUT it parallelizes, and the
     * k = 1 common case (n ≤ chunkSize) replicates nothing and
-    * degenerates to the plain equi-join. Pair-set equivalence across
+    * degenerates to the plain equi-join. The default maxHamming = 0
+    * path short-circuits to a straight chunked SELF-join on the hash
+    * value (hammingBandPairs' ordered cells, ONE shuffle —
+    * A/B-measured at parity with the unchunked join at 200×, where
+    * routing identity pairs through the generic two-sided expansion
+    * paid an extra b-side⋈matches shuffle, ~14% wall). The media
+    * family defaults chunkSize = 1024 (vs the text family's 256):
+    * the same A/B measured k = 4 chunking of ~1000-member hash
+    * classes costing ~8% on an already-wide stage, while 1024 holds
+    * worst-case cell output at ~1M rows — floods at 10k–65k members
+    * still spread over ⌈n/1024⌉² cells. Pair-set equivalence across
     * chunkings is spec-pinned (ImageNearDupSpec).
     *
     * `match_frac` is clamped to 1.0: with maxHamming > 0, n_match
@@ -664,16 +674,47 @@ object Multimodal {
       .localCheckpoint(true)
     val hashes = all.join(hashStats.select("__dh"), Seq("__dh")).localCheckpoint(true)
     val sizes = hashes.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
+    if (maxHamming == 0) {
+      // IDENTITY fast path (the default): a straight chunked
+      // self-join on the hash value — the hammingBandPairs ordered-
+      // cell pattern (side A covers cells (c, c..k−1), side B
+      // (0..c, c); every unordered pair lands in exactly one cell,
+      // diagonal cells half-filter, cross-chunk cells normalize with
+      // least/greatest). ONE shuffle join, hashStats broadcasts, and
+      // k = 1 (the common case) replicates nothing — measured at
+      // parity with the unchunked join (A/B at 200×: 18.8 s both)
+      // where the generic two-sided expansion below pays an extra
+      // b-side⋈matches shuffle (~14%).
+      val memb = hashes.join(hashStats, Seq("__dh"))
+        .withColumn("__c", pmod(hash(col(idCol)), col("__k")).cast("int"))
+      val a = memb.select(col("__dh"), col(idCol).as("id_a"),
+        explode(sequence(col("__c"), col("__k") - 1)).as("__cj"),
+        col("__c").as("__ci"))
+      val b = memb.select(col("__dh"), col(idCol).as("id_b"),
+        explode(sequence(lit(0), col("__c"))).as("__ci"),
+        col("__c").as("__cj"))
+      return a.join(b, Seq("__dh", "__ci", "__cj"))
+        .filter(col("__ci") =!= col("__cj") || col("id_a") < col("id_b"))
+        .select(
+          least(col("id_a"), col("id_b")).as("id_a"),
+          greatest(col("id_a"), col("id_b")).as("id_b"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_match"))
+        .join(sizes.select(col(idCol).as("id_a"), col("__n").as("__na")), "id_a")
+        .join(sizes.select(col(idCol).as("id_b"), col("__n").as("__nb")), "id_b")
+        .withColumn("match_frac",
+          least(lit(1.0),
+            col("n_match").cast("double") / least(col("__na"), col("__nb"))))
+        .filter(col("match_frac") >= minFrac)
+        .select("id_a", "id_b", "n_match", "match_frac")
+    }
     // matched hash-VALUE pairs, each carrying BOTH sides' chunk
-    // counts: identity always; near values through the pigeonhole
-    // core when tolerance is requested (symmetric closure so each
-    // orientation of an unordered item pair sees it)
+    // counts: identity plus near values through the pigeonhole
+    // core (symmetric closure so each orientation of an unordered
+    // item pair sees it)
     val ident = hashStats.select(
       col("__dh").as("__ha"), col("__dh").as("__hb"),
       col("__k").as("__ka"), col("__k").as("__kb"))
-    val matches =
-      if (maxHamming == 0) ident
-      else {
+    val matches = {
         val sig = hashStats
           .select(
             col("__dh").as("id") +:
@@ -744,7 +785,7 @@ object Multimodal {
   def audioNearDupPairsShifted(
       docs: DataFrame, idCol: String, payloadCol: String,
       segFrames: Int, minFrac: Double = 0.5, maxHamming: Int = 0,
-      maxBucket: Int = 65536, chunkSize: Int = 256): DataFrame = {
+      maxBucket: Int = 65536, chunkSize: Int = 1024): DataFrame = {
     require(segFrames >= 65, s"segFrames=$segFrames must be >= 65 (one frame per envelope window)")
     val hashes = docs
       .select(col(idCol), col(payloadCol))
@@ -798,7 +839,7 @@ object Multimodal {
   def dedupVideoNearDupsShifted(
       docs: DataFrame, idCol: String, payloadCol: String,
       stride: Int, minFrac: Double = 0.5, maxHamming: Int = 0,
-      maxBucket: Int = 65536, chunkSize: Int = 256): DataFrame = {
+      maxBucket: Int = 65536, chunkSize: Int = 1024): DataFrame = {
     val pairs = videoNearDupPairsShifted(
       docs, idCol, payloadCol, stride, minFrac, maxHamming, maxBucket, chunkSize)
     val losers = Graph.connectedComponents(pairs, "id_a", "id_b")
@@ -815,7 +856,7 @@ object Multimodal {
   def dedupAudioNearDupsShifted(
       docs: DataFrame, idCol: String, payloadCol: String,
       segFrames: Int, minFrac: Double = 0.5, maxHamming: Int = 0,
-      maxBucket: Int = 65536, chunkSize: Int = 256): DataFrame = {
+      maxBucket: Int = 65536, chunkSize: Int = 1024): DataFrame = {
     val pairs = audioNearDupPairsShifted(
       docs, idCol, payloadCol, segFrames, minFrac, maxHamming, maxBucket, chunkSize)
     val losers = Graph.connectedComponents(pairs, "id_a", "id_b")
@@ -868,7 +909,7 @@ object Multimodal {
   def videoImageMatches(
       videos: DataFrame, vidIdCol: String, vidPayloadCol: String, stride: Int,
       images: DataFrame, imgIdCol: String, imgPayloadCol: String,
-      maxHamming: Int = 3, maxBucket: Int = 65536, chunkSize: Int = 256): DataFrame = {
+      maxHamming: Int = 3, maxBucket: Int = 65536, chunkSize: Int = 1024): DataFrame = {
     require(stride > 0, s"stride=$stride must be positive")
     require(chunkSize > 0, s"chunkSize=$chunkSize must be positive")
     require(maxHamming >= 0 && maxHamming <= 3, // before decode jobs
@@ -953,7 +994,7 @@ object Multimodal {
       videos: DataFrame, vidIdCol: String, vidPayloadCol: String,
       clips: DataFrame, clipIdCol: String, clipPayloadCol: String,
       segFrames: Int, minFrac: Double = 0.5,
-      maxBucket: Int = 65536, chunkSize: Int = 256): DataFrame = {
+      maxBucket: Int = 65536, chunkSize: Int = 1024): DataFrame = {
     require(segFrames >= 65,
       s"segFrames=$segFrames must be >= 65 (one frame per envelope window)")
     require(minFrac > 0 && minFrac <= 1, s"minFrac=$minFrac outside (0,1]")
