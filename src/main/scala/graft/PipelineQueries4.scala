@@ -216,6 +216,90 @@ object PipelineQueries4 {
         .transform(Queries.sortedSmall(_, "clip_id"))
     })
 
+  // ------- shift-tolerant video near-dup, TOLERANCE arm (maxHamming=3)
+  // The maxHamming>0 path of the set-overlap core — near hash-VALUE
+  // pairs through the pigeonhole band join, the symmetric closure,
+  // the two-sided chunk-cell expansion, and the 1.0 frac clamp — was
+  // spec-gated only until r19; this oracle pins it end-to-end: same
+  // 12-video fixture as p_video_near_dup_shifted, but sparse-edited
+  // copies whose flipped frame hashes land within Hamming 3 of the
+  // originals' now MATCH, and n_match counts ordered VALUE pairs
+  // from H(a)×H(b) (so frac clamps at 1.0 where one hash near-matches
+  // several). DuckDB recomputes every hash and brute-forces the
+  // ≤3-Hamming value-pair counts.
+  private val qVideoNearDupShiftedTol = Queries.Q(
+    "p_video_near_dup_shifted_tol",
+    Some("""
+      WITH vids AS (
+        SELECT i, (i // 3) AS b, (i % 3) AS v,
+               12 + (i // 3) % 3 AS w, 10 + (i // 3) % 2 AS h,
+               6 + (i // 3) AS nf0
+        FROM generate_series(0, 11) t(i)),
+      fr AS (
+        SELECT i, b, v, w, h,
+               unnest(generate_series(CASE WHEN v = 1 THEN 2 ELSE 0 END,
+                                      nf0 - 1)) AS f
+        FROM vids),
+      cells AS (
+        SELECT i, f, b, v, gx, gy, ((gx * w) // 9) AS sx, ((gy * h) // 8) AS sy
+        FROM fr, generate_series(0, 8) gxs(gx), generate_series(0, 7) gys(gy)),
+      px AS (
+        SELECT i, f, gx, gy, (f0 + f1 + f2) // 3 AS luma
+        FROM (SELECT *,
+                (sx*17 + sy*29 + f*41 + b*53) % 180 + sh AS f0,
+                (sx*17 + sy*29 + 37 + f*41 + b*53) % 180 + sh AS f1,
+                (sx*17 + sy*29 + 74 + f*41 + b*53) % 180 + sh AS f2
+              FROM (SELECT *,
+                      CASE WHEN v = 2 AND (sx + sy) % 3 = 0 AND f % 3 <> 0
+                           THEN 25 ELSE 0 END AS sh
+                    FROM cells))),
+      bits AS (
+        SELECT a.i, a.f, (a.gy * 8 + a.gx) AS bb,
+               CASE WHEN n.luma > a.luma THEN 1 ELSE 0 END AS bit
+        FROM px a JOIN px n ON n.i = a.i AND n.f = a.f AND n.gy = a.gy
+                           AND n.gx = a.gx + 1
+        WHERE a.gx < 8),
+      hs AS (
+        SELECT i, f,
+               bit_or(CASE WHEN bit = 1 AND bb < 32
+                           THEN (CAST(1 AS BIGINT) << bb) ELSE 0 END) AS lo,
+               bit_or(CASE WHEN bit = 1 AND bb >= 32
+                           THEN (CAST(1 AS BIGINT) << (bb - 32)) ELSE 0 END) AS hi
+        FROM bits GROUP BY i, f),
+      hset AS (SELECT DISTINCT i, lo, hi FROM hs),
+      ns AS (SELECT i, COUNT(*) AS n FROM hset GROUP BY i),
+      mm AS (SELECT x.i AS ia, y.i AS ib, COUNT(*) AS nm
+             FROM hset x JOIN hset y
+               ON x.i < y.i
+              AND bit_count(xor(x.lo, y.lo)) + bit_count(xor(x.hi, y.hi)) <= 3
+             GROUP BY x.i, y.i)
+      SELECT CAST(ia AS BIGINT) AS id_a, CAST(ib AS BIGINT) AS id_b,
+             CAST(nm AS BIGINT) AS n_match,
+             LEAST(1.0, CAST(nm AS DOUBLE) / LEAST(na.n, nb.n)) AS match_frac
+      FROM mm JOIN ns na ON na.i = mm.ia JOIN ns nb ON nb.i = mm.ib
+      WHERE LEAST(1.0, CAST(nm AS DOUBLE) / LEAST(na.n, nb.n)) >= 0.5
+      ORDER BY id_a, id_b"""),
+    (s, dir) => {
+      val vids: Seq[(Long, Array[Byte])] = (0 until 12).map { i =>
+        val b = i / 3
+        val v = i % 3
+        val (w, h, nf0) = (12 + b % 3, 10 + b % 2, 6 + b)
+        val trim = if (v == 1) 2 else 0
+        (i.toLong, operators.Multimodal.encodeAvi(w, h, nf0 - trim,
+          (pf, x, y, c) => {
+            val f = pf + trim
+            (x * 17 + y * 29 + c * 37 + f * 41 + b * 53) % 180 +
+              (if (v == 2 && (x + y) % 3 == 0 && f % 3 != 0) 25 else 0)
+          },
+          topDown = i % 2 == 1))
+      }
+      import s.implicits._
+      operators.Multimodal.videoNearDupPairsShifted(
+        vids.toDF("video_id", "payload"), "video_id", "payload",
+        stride = 1, minFrac = 0.5, maxHamming = 3)
+        .transform(Queries.sortedSmall(_, "id_a", "id_b"))
+    })
+
   // ----------------- incremental image dedup vs a persisted index
   // The growing-corpus production shape for the image column: history
   // is 6 indexed images (id 0–5, one dHash each via imageHashIndex —
@@ -495,6 +579,6 @@ object PipelineQueries4 {
     })
 
   val all: Seq[Queries.Q] =
-    Seq(qVideoDedupShifted, qAudioDedupShifted, qIncrementalImageDedup,
-      qAudioVideoMatches, qAdpcmStats)
+    Seq(qVideoDedupShifted, qAudioDedupShifted, qVideoNearDupShiftedTol,
+      qIncrementalImageDedup, qAudioVideoMatches, qAdpcmStats)
 }

@@ -369,6 +369,32 @@ object StreamingOps {
     stream.filter(frac.isNull || frac < minFrac)
   }
 
+  /** STREAMING cross-modal AUDIO gate — drop an arriving VIDEO iff at
+    * least `minFrac` of its PCM soundtrack's segment hashes
+    * ([[graft.operators.Multimodal.videoAudioSegmentDHashes]] — the
+    * 'auds'-track twin of the WAV form, one envelope kernel) hit a
+    * banned-AUDIO catalog's block bitmaps
+    * ([[graft.operators.Multimodal.audioSegmentBlockBitmaps]] over
+    * the WAV catalog — the SAME 32 KB artifact, because soundtrack
+    * and clip segments hash through one kernel). The trust-and-safety
+    * verb "block uploads that embed this known audio", batch or
+    * stream, PURE per-row: no join, no watermark, no state. Segment
+    * probes are pigeonhole-complete for Hamming ≤3; block
+    * coincidences over-count (high-recall — `minFrac` is the
+    * precision lever); tolerance to leading trims is modulo
+    * segFrames. Videos without a decodable PCM track are KEPT
+    * (absence of evidence, the family rule). */
+  def dropVideosWithKnownAudio(
+      stream: DataFrame, payloadCol: String,
+      refBitmaps: Array[Array[Long]], segFrames: Int,
+      minFrac: Double = 0.5): DataFrame = {
+    require(minFrac > 0 && minFrac <= 1, s"minFrac=$minFrac outside (0,1]")
+    val frac = graft.functions.GraftFunctions.blockBitmapMatchFrac(
+      graft.operators.Multimodal.videoAudioSegmentDHashes(col(payloadCol), segFrames)
+        .getField("dhash"), refBitmaps)
+    stream.filter(frac.isNull || frac < minFrac)
+  }
+
   /** Misra–Gries summary state of one shard: tracked item → counter,
     * plus the total decrement count that bounds every estimate. */
   final case class MgState(counts: Map[String, Long], decrements: Long)
