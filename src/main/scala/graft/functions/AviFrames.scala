@@ -79,20 +79,26 @@ private[graft] object AviDecode {
     * any frame without further bounds logic. Null ⇔ [[decode]] null
     * (same scope, same caps — result-equivalence by construction).
     *
-    * `audChannels` > 0 ⇔ the container carries a 16-bit PCM 'auds'
-    * stream: `audChunkOffs`/`audChunkLens` locate its nnwb chunks
-    * (lens pre-trimmed to whole interleaved frames across the
-    * concatenation, total bytes capped at [[MaxRawBytes]]). */
+    * `audChannels` > 0 ⇔ the container carries a decodable 'auds'
+    * stream — 16-bit PCM (`audFormat` = 1) or IMA-ADPCM
+    * (`audFormat` = 17, with `audBlockAlign`/`audSpb` geometry):
+    * `audChunkOffs`/`audChunkLens` locate its nnwb chunks (total
+    * bytes capped at [[MaxRawBytes]]). */
   final case class Header(
       width: Int, height: Int, topDown: Boolean,
       fpsNum: Int, fpsDen: Int, wireStride: Int, codec: Int,
       frameOffsets: Array[Int], frameLens: Array[Int],
-      audChannels: Int, audRate: Int,
+      audChannels: Int, audRate: Int, audFormat: Int,
+      audBlockAlign: Int, audSpb: Int,
       audChunkOffs: Array[Int], audChunkLens: Array[Int]) {
-    /** Interleaved PCM frames in the audio track (0 when absent). */
-    def audFrames: Int =
-      if (audChannels <= 0) 0
-      else (audChunkLens.foldLeft(0L)(_ + _) / (2L * audChannels)).toInt
+    /** Interleaved frames in the audio track (0 when absent); a
+      * trailing partial PCM frame / ADPCM block is dropped. */
+    def audFrames: Int = {
+      if (audChannels <= 0) return 0
+      val bytes = audChunkLens.foldLeft(0L)(_ + _)
+      if (audFormat == 1) (bytes / (2L * audChannels)).toInt
+      else (bytes / audBlockAlign).toInt * audSpb
+    }
   }
 
   private def leU32(b: Array[Byte], i: Int): Long =
@@ -115,7 +121,7 @@ private[graft] object AviDecode {
     var strhSeen = 0 // strh ORDER defines the stream number in chunk ids
     var vidStream, audStream = -1
     var vidStrfPending, audStrfPending = false
-    var audChannels, audRate = 0
+    var audChannels, audRate, audFormat, audBlockAlign, audSpb = 0
     val frameChunks = scala.collection.mutable.ArrayBuffer[(Int, Int)]() // (off, len)
     val audChunks = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
     var chunks = 0
@@ -163,14 +169,20 @@ private[graft] object AviDecode {
               compFcc = fourcc(b, dataOff + 16)
             } else if (audStrfPending) {
               audStrfPending = false
-              // WAVEFORMATEX: PCM scope only (the WavDecode contract);
+              // WAVEFORMATEX: the WavDecode scope — 16-bit PCM (tag 1)
+              // or IMA-ADPCM (tag 17, geometry-validated at decode);
               // anything else leaves the audio track honestly absent
-              if (dataLen >= 16 && leU16(b, dataOff) == 1 &&
-                leU16(b, dataOff + 14) == 16) {
+              if (dataLen >= 16) {
+                val tag = leU16(b, dataOff)
+                val bits = leU16(b, dataOff + 14)
                 val ch = leU16(b, dataOff + 2)
-                if (ch >= 1 && ch <= 8) {
+                if (ch >= 1 && ch <= 8 &&
+                  ((tag == 1 && bits == 16) || (tag == 17 && bits == 4))) {
                   audChannels = ch
                   audRate = leI32(b, dataOff + 4)
+                  audFormat = tag
+                  audBlockAlign = leU16(b, dataOff + 12)
+                  audSpb = if (dataLen >= 20) leU16(b, dataOff + 18) else 0
                 }
               }
             }
@@ -223,16 +235,31 @@ private[graft] object AviDecode {
       lens(i) = len
       i += 1
     }
-    // audio: only a validated PCM track survives; cap total bytes
+    // audio: only a validated track survives; cap total bytes. For
+    // ADPCM the WAVEFORMATEX geometry must cohere (the WavDecode
+    // rule) — a bad claim drops the TRACK, never the video.
+    var audOk = audChannels > 0 && audChunks.nonEmpty &&
+      audChunks.foldLeft(0L)(_ + _._2) <= MaxRawBytes
+    if (audOk && audFormat == 17) {
+      val dpb = audBlockAlign - 4 * audChannels
+      if (dpb <= 0 || dpb % (4 * audChannels) != 0) audOk = false
+      else {
+        val spbGeom = dpb * 2 / audChannels + 1
+        if (audSpb > 0 && audSpb != spbGeom) audOk = false
+        else audSpb = spbGeom
+      }
+    }
     val (aOffs, aLens) =
-      if (audChannels > 0 && audChunks.nonEmpty &&
-        audChunks.foldLeft(0L)(_ + _._2) <= MaxRawBytes)
-        (audChunks.map(_._1).toArray, audChunks.map(_._2).toArray)
+      if (audOk) (audChunks.map(_._1).toArray, audChunks.map(_._2).toArray)
       else (Array.empty[Int], Array.empty[Int])
     Header(width, h, topDown, fpsNum, fpsDen, wireStride, codec,
       offsets, lens,
       if (aOffs.isEmpty) 0 else audChannels,
-      if (aOffs.isEmpty) 0 else audRate, aOffs, aLens)
+      if (aOffs.isEmpty) 0 else audRate,
+      if (aOffs.isEmpty) 0 else audFormat,
+      if (aOffs.isEmpty) 0 else audBlockAlign,
+      if (aOffs.isEmpty) 0 else audSpb,
+      aOffs, aLens)
   }
 
   /** One MJPEG frame decoded to the shared layout (top-down row-major
@@ -245,11 +272,30 @@ private[graft] object AviDecode {
     else d.pixels
   }
 
-  /** The PCM audio track as interleaved i16 samples (whole frames
-    * only — a trailing partial frame across the chunk concatenation
-    * is dropped), or null when the container carries none. */
+  /** The audio track as interleaved i16 samples (whole frames only —
+    * a trailing partial frame / ADPCM block across the chunk
+    * concatenation is dropped), or null when the container carries
+    * none. PCM reads straight off the chunks; IMA-ADPCM assembles
+    * the chunk bytes and runs the SAME audited
+    * [[WavDecode.imaDecodeBlocks]] state walk the WAV branch uses. */
   def audioSamples(b: Array[Byte], hd: Header): Array[Short] = {
     if (hd.audChannels <= 0) return null
+    if (hd.audFormat == 17) {
+      // contiguous copy (≤ MaxRawBytes by the header cap), then the
+      // shared block decoder — chunk boundaries need not align with
+      // ADPCM blocks, so decoding per chunk would be wrong
+      val total = hd.audChunkLens.sum
+      val raw = new Array[Byte](total)
+      var at = 0
+      var c = 0
+      while (c < hd.audChunkOffs.length) {
+        System.arraycopy(b, hd.audChunkOffs(c), raw, at, hd.audChunkLens(c))
+        at += hd.audChunkLens(c)
+        c += 1
+      }
+      return WavDecode.imaDecodeBlocks(raw, 0, total, hd.audChannels,
+        hd.audBlockAlign, hd.audSpb, -1L)
+    }
     val nSamples = hd.audFrames * hd.audChannels
     if (nSamples <= 0) return null
     val out = new Array[Short](nSamples)
@@ -578,7 +624,7 @@ case class AviAudioSegmentDHashes(left: Expression, right: Expression)
     val samples = AviDecode.audioSamples(b, hd)
     if (samples == null) return null
     val ch = hd.audChannels
-    val nFrames = hd.audFrames
+    val nFrames = samples.length / ch
     // same clamp as AudioSegmentDHashes: segFrames ≥ track length ⇒
     // one whole-track segment; keeps the Int cursor arithmetic exact
     val seg = math.min(segFrames, nFrames.toLong).toInt

@@ -124,63 +124,78 @@ private[graft] object WavDecode {
       }
       Decoded(channels, sampleRate, nFrames, out)
     } else if (fmtCode == 17 && bits == 4) {
-      // IMA ADPCM: per-block per-channel 4-byte headers (predictor
-      // i16, step index u8, reserved), then the channels' nibble data
-      // interleaved in 4-byte groups (8 samples per group per channel)
-      val ch = channels
-      if (blockAlign <= 4 * ch) return null
-      val dataPerBlock = blockAlign - 4 * ch
-      if (dataPerBlock % (4 * ch) != 0) return null
-      val spb = dataPerBlock * 2 / ch + 1
-      // a declared wSamplesPerBlock must agree with the block geometry
-      if (samplesPerBlock > 0 && samplesPerBlock != spb) return null
-      val nBlocks = dataLen / blockAlign // trailing partial block dropped
-      var totalFrames = nBlocks.toLong * spb
-      if (factFrames >= 0 && factFrames < totalFrames) totalFrames = factFrames
-      if (totalFrames * ch * 2 > MaxRawBytes) return null
-      val nFrames = totalFrames.toInt
-      val out = new Array[Short](nFrames * ch)
-      val pred = new Array[Int](ch)
-      val idx = new Array[Int](ch)
-      var frame = 0
-      var blk = 0
-      while (blk < nBlocks && frame < nFrames) {
-        val boff = dataOff + blk * blockAlign
-        var c = 0
-        while (c < ch) {
-          pred(c) = leU16(b, boff + 4 * c).toShort.toInt // signed predictor
-          idx(c) = b(boff + 4 * c + 2) & 0xFF
-          if (idx(c) > 88) return null
-          c += 1
-        }
-        // first frame of the block IS the header predictors
-        var c1 = 0
-        while (c1 < ch) { out(frame * ch + c1) = pred(c1).toShort; c1 += 1 }
-        frame += 1
-        val groups = dataPerBlock / (4 * ch) // 4-byte groups per channel
-        var g = 0
-        while (g < groups && frame < nFrames) {
-          var s = 0
-          while (s < 8 && frame < nFrames) {
-            var c2 = 0
-            while (c2 < ch) {
-              val byte = b(boff + 4 * ch + g * 4 * ch + c2 * 4 + s / 2) & 0xFF
-              val nib = if ((s & 1) == 0) byte & 0xF else byte >>> 4
-              val st = imaStep(pred(c2), idx(c2), nib)
-              pred(c2) = (st >> 32).toInt
-              idx(c2) = (st & 0xFF).toInt
-              out(frame * ch + c2) = pred(c2).toShort
-              c2 += 1
-            }
-            frame += 1
-            s += 1
-          }
-          g += 1
-        }
-        blk += 1
-      }
-      Decoded(ch, sampleRate, nFrames, out)
+      val out = imaDecodeBlocks(b, dataOff, dataLen, channels,
+        blockAlign, samplesPerBlock, factFrames)
+      if (out == null) null
+      else Decoded(channels, sampleRate, out.length / channels, out)
     } else null
+  }
+
+  /** Decode a contiguous IMA-ADPCM block stream into interleaved i16
+    * samples, or null on invalid geometry / corrupt step index /
+    * volume-cap breach. Per-block layout: per-channel 4-byte headers
+    * (predictor i16, step index u8, reserved), then the channels'
+    * nibble data interleaved in 4-byte groups (8 samples per group
+    * per channel). `declaredSpb` > 0 must agree with the geometry;
+    * `maxFrames` ≥ 0 truncates (the 'fact' semantics); a trailing
+    * partial block is dropped. Shared by the WAV 'data' branch and
+    * the AVI 'auds' track ([[AviDecode]]) — one audited state walk. */
+  private[graft] def imaDecodeBlocks(
+      b: Array[Byte], dataOff: Int, dataLen: Int, ch: Int,
+      blockAlign: Int, declaredSpb: Int, maxFrames: Long): Array[Short] = {
+    if (ch < 1 || ch > 8) return null
+    if (blockAlign <= 4 * ch) return null
+    val dataPerBlock = blockAlign - 4 * ch
+    if (dataPerBlock % (4 * ch) != 0) return null
+    val spb = dataPerBlock * 2 / ch + 1
+    // a declared wSamplesPerBlock must agree with the block geometry
+    if (declaredSpb > 0 && declaredSpb != spb) return null
+    val nBlocks = dataLen / blockAlign // trailing partial block dropped
+    var totalFrames = nBlocks.toLong * spb
+    if (maxFrames >= 0 && maxFrames < totalFrames) totalFrames = maxFrames
+    if (totalFrames * ch * 2 > MaxRawBytes) return null
+    val nFrames = totalFrames.toInt
+    val out = new Array[Short](nFrames * ch)
+    val pred = new Array[Int](ch)
+    val idx = new Array[Int](ch)
+    var frame = 0
+    var blk = 0
+    while (blk < nBlocks && frame < nFrames) {
+      val boff = dataOff + blk * blockAlign
+      var c = 0
+      while (c < ch) {
+        pred(c) = leU16(b, boff + 4 * c).toShort.toInt // signed predictor
+        idx(c) = b(boff + 4 * c + 2) & 0xFF
+        if (idx(c) > 88) return null
+        c += 1
+      }
+      // first frame of the block IS the header predictors
+      var c1 = 0
+      while (c1 < ch) { out(frame * ch + c1) = pred(c1).toShort; c1 += 1 }
+      frame += 1
+      val groups = dataPerBlock / (4 * ch) // 4-byte groups per channel
+      var g = 0
+      while (g < groups && frame < nFrames) {
+        var s = 0
+        while (s < 8 && frame < nFrames) {
+          var c2 = 0
+          while (c2 < ch) {
+            val byte = b(boff + 4 * ch + g * 4 * ch + c2 * 4 + s / 2) & 0xFF
+            val nib = if ((s & 1) == 0) byte & 0xF else byte >>> 4
+            val st = imaStep(pred(c2), idx(c2), nib)
+            pred(c2) = (st >> 32).toInt
+            idx(c2) = (st & 0xFF).toInt
+            out(frame * ch + c2) = pred(c2).toShort
+            c2 += 1
+          }
+          frame += 1
+          s += 1
+        }
+        g += 1
+      }
+      blk += 1
+    }
+    out
   }
 }
 

@@ -1384,11 +1384,30 @@ object Multimodal {
       .putShort(blockAlign.toShort).putShort(4)
       .putShort(2).putShort(spb.toShort).array()
     val fact = le(4).putInt(nFrames).array()
+    def chunk(tag: String, d: Array[Byte]): Array[Byte] = {
+      val b = le(8 + d.length + (d.length & 1))
+      b.put(tag.getBytes("US-ASCII")).putInt(d.length).put(d)
+      b.array()
+    }
+    val body = chunk("fmt ", fmt) ++ chunk("fact", fact) ++
+      chunk("data", imaAdpcmBlocks(channels, nFrames, sample, spb))
+    le(12 + body.length)
+      .put("RIFF".getBytes("US-ASCII")).putInt(4 + body.length)
+      .put("WAVE".getBytes("US-ASCII")).put(body).array()
+  }
+
+  /** The IMA-ADPCM block stream of [[encodeWavImaAdpcm]], factored so
+    * [[encodeAvi]]'s 'auds' track can carry the same wire bytes. */
+  private def imaAdpcmBlocks(channels: Int, nFrames: Int,
+      sample: (Int, Int) => Int, spb: Int): Array[Byte] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val blockAlign = 4 * channels + (spb - 1) / 2 * channels
+    val nBlocks = (nFrames + spb - 1) / spb
     def clamp16(v: Int): Int = math.max(-32768, math.min(32767, v))
     // running per-channel quantizer state carries ACROSS blocks (each
     // block header snapshots it — the standard encoder shape)
     val idx = new Array[Int](channels)
-    val data = le(nBlocks * blockAlign)
+    val data = ByteBuffer.allocate(nBlocks * blockAlign).order(ByteOrder.LITTLE_ENDIAN)
     def sampleAt(c: Int, f: Int): Int = // pad by repeating the last frame
       clamp16(sample(c, math.min(f, math.max(nFrames - 1, 0))))
     for (blk <- 0 until nBlocks) {
@@ -1421,15 +1440,7 @@ object Multimodal {
           data.put(((packed >>> (8 * byte)) & 0xFF).toByte)
       }
     }
-    def chunk(tag: String, d: Array[Byte]): Array[Byte] = {
-      val b = le(8 + d.length + (d.length & 1))
-      b.put(tag.getBytes("US-ASCII")).putInt(d.length).put(d)
-      b.array()
-    }
-    val body = chunk("fmt ", fmt) ++ chunk("fact", fact) ++ chunk("data", data.array())
-    le(12 + body.length)
-      .put("RIFF".getBytes("US-ASCII")).putInt(4 + body.length)
-      .put("WAVE".getBytes("US-ASCII")).put(body).array()
+    data.array()
   }
 
   /** Driver-side AVI ENCODER (fixture machinery, not a data path):
@@ -1446,7 +1457,8 @@ object Multimodal {
       pixel: (Int, Int, Int, Int) => Int,
       fpsNum: Int = 30, fpsDen: Int = 1, topDown: Boolean = false,
       audioChannels: Int = 0, audioRate: Int = 8000, audioFrames: Int = 0,
-      audioSample: (Int, Int) => Int = (_, _) => 0): Array[Byte] = {
+      audioSample: (Int, Int) => Int = (_, _) => 0,
+      audioAdpcm: Boolean = false): Array[Byte] = {
     require(width > 0 && height > 0 && nFrames >= 0, s"bad shape ${width}x$height x$nFrames")
     val wireStride = ((width * 3 + 3) / 4) * 4
     val frames = (0 until nFrames).toArray.map { f =>
@@ -1461,7 +1473,8 @@ object Multimodal {
       d
     }
     encodeAviWire(width, height, topDown, raw = true, frames,
-      fpsNum, fpsDen, audioChannels, audioRate, audioFrames, audioSample)
+      fpsNum, fpsDen, audioChannels, audioRate, audioFrames, audioSample,
+      audioAdpcm)
   }
 
   /** Driver-side MOTION-JPEG AVI encoder (fixture machinery): each
@@ -1509,7 +1522,8 @@ object Multimodal {
       raw: Boolean, frames: Array[Array[Byte]],
       fpsNum: Int, fpsDen: Int,
       audioChannels: Int, audioRate: Int, audioFrames: Int,
-      audioSample: (Int, Int) => Int): Array[Byte] = {
+      audioSample: (Int, Int) => Int,
+      audioAdpcm: Boolean = false): Array[Byte] = {
     import java.nio.{ByteBuffer, ByteOrder}
     def le(n: Int): ByteBuffer = ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)
     val wireStride = ((width * 3 + 3) / 4) * 4
@@ -1548,7 +1562,10 @@ object Multimodal {
     val (audioStrl, audioChunks) =
       if (!hasAudio) (Array.empty[Byte], Array.empty[Byte])
       else {
-        val blockAlign = 2 * audioChannels
+        val spb = 505
+        val blockAlign =
+          if (audioAdpcm) 4 * audioChannels + (spb - 1) / 2 * audioChannels
+          else 2 * audioChannels
         val astrh = le(56)
           .put("auds".getBytes("US-ASCII")).putInt(0)
           .putInt(0).putShort(0).putShort(0).putInt(0)
@@ -1556,17 +1573,32 @@ object Multimodal {
           .putInt(audioRate) // dwRate
           .putInt(0).putInt(audioFrames).putInt(audioRate * blockAlign)
           .putInt(-1).putInt(blockAlign).putShort(0).putShort(0).array()
-        val astrf = le(16)
-          .putShort(1) // WAVE_FORMAT_PCM
-          .putShort(audioChannels.toShort)
-          .putInt(audioRate)
-          .putInt(audioRate * blockAlign)
-          .putShort(blockAlign.toShort)
-          .putShort(16).array()
-        val pcm = le(audioFrames * blockAlign)
-        for (f <- 0 until audioFrames; c <- 0 until audioChannels)
-          pcm.putShort(audioSample(c, f).toShort)
-        val bytes = pcm.array()
+        val astrf =
+          if (audioAdpcm)
+            le(20)
+              .putShort(17) // WAVE_FORMAT_IMA_ADPCM
+              .putShort(audioChannels.toShort)
+              .putInt(audioRate)
+              .putInt((audioRate.toLong * blockAlign / spb).toInt)
+              .putShort(blockAlign.toShort)
+              .putShort(4)
+              .putShort(2).putShort(spb.toShort).array()
+          else
+            le(16)
+              .putShort(1) // WAVE_FORMAT_PCM
+              .putShort(audioChannels.toShort)
+              .putInt(audioRate)
+              .putInt(audioRate * blockAlign)
+              .putShort(blockAlign.toShort)
+              .putShort(16).array()
+        val bytes =
+          if (audioAdpcm) imaAdpcmBlocks(audioChannels, audioFrames, audioSample, spb)
+          else {
+            val pcm = le(audioFrames * blockAlign)
+            for (f <- 0 until audioFrames; c <- 0 until audioChannels)
+              pcm.putShort(audioSample(c, f).toShort)
+            pcm.array()
+          }
         // split at an odd offset: a sample STRADDLES the chunk
         // boundary, pinning the decoder's carry path
         val cut = math.min(math.max(bytes.length / 2 | 1, 1), bytes.length)

@@ -102,6 +102,52 @@ class AviAudioMjpegSpec extends SparkSpec {
       .select(Multimodal.videoAudioSegmentDHashes(col("p"), 128)).head().isNullAt(0))
   }
 
+  test("IMA-ADPCM soundtrack: container parity with the WAV form, containment end-to-end") {
+    import spark.implicits._
+    def s0(c: Int, f: Int): Int = ((f * 53 + c * 17 + 101) % 3989) - 1994
+    // 1010 frames = 2 whole 505-sample blocks: no final-block padding,
+    // so the AVI track (no 'fact' chunk) and the WAV (fact = nFrames)
+    // decode the IDENTICAL nibble stream to identical samples
+    val avi = Multimodal.encodeAvi(8, 6, 2, (f, x, y, c) => (x + y + f + c) % 200,
+      audioChannels = 2, audioRate = 8000, audioFrames = 1010,
+      audioSample = s0, audioAdpcm = true)
+    val wav = Multimodal.encodeWavImaAdpcm(2, 8000, 1010, s0, samplesPerBlock = 505)
+    val hd = AviDecode.header(avi)
+    assert(hd != null && hd.audFormat == 17 && hd.audChannels == 2 &&
+      hd.audFrames == 1010, s"ADPCM track must surface: $hd")
+    val got = Seq((avi, wav)).toDF("avi", "wav").select(
+      Multimodal.videoAudioSegmentDHashes(col("avi"), 128).as("a"),
+      Multimodal.audioSegmentDHashes(col("wav"), 128).as("w")).head()
+    assert(!got.isNullAt(0) && got.getSeq[Any](0) == got.getSeq[Any](1),
+      "compressed soundtrack segment hashes must bit-equal the WAV form's")
+    // end-to-end containment: the identical compressed clip scores 1.0
+    // against the video carrying it; a fresh clip and junk never match
+    val matches = Multimodal.audioVideoMatches(
+      Seq(0L -> avi).toDF("video_id", "payload"), "video_id", "payload",
+      Seq(
+        0L -> wav,
+        1L -> Multimodal.encodeWav(1, 8000, 640,
+          (c, f) => ((f * 173 + c * 13 + 999) % 3797) - 1898),
+        2L -> "junk".getBytes("UTF-8")).toDF("clip_id", "payload"),
+      "clip_id", "payload", segFrames = 128, minFrac = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
+    assert(matches == Set((0L, 0L, 1.0)), s"got $matches")
+    // geometry guard: a corrupted wSamplesPerBlock drops the TRACK,
+    // never the video
+    val strfs = {
+      var at = -1
+      var all = List.empty[Int]
+      while ({ at = avi.indexOfSlice("strf".getBytes, at + 1); at >= 0 })
+        all = all :+ at
+      all
+    }
+    val bad = avi.clone(); bad(strfs(1) + 8 + 18) = 7 // audio strf is the 2nd
+    val badHd = AviDecode.header(bad)
+    assert(badHd != null && badHd.audChannels == 0 &&
+      badHd.frameOffsets.length == 2,
+      "bad ADPCM geometry must drop only the audio track")
+  }
+
   test("streaming cross-modal audio gate: drops videos embedding banned audio, keeps mute/fresh/junk, zero state") {
     import spark.implicits._
     def base(b: Int)(c: Int, f: Int): Int = (((f * 53 + c * 17 + b * 101) % 3989) - 1994)
