@@ -496,6 +496,198 @@ object PipelineQueries4 {
         .transform(Queries.sortedSmall(_, "video_id", "clip_id"))
     })
 
+  // --------- incremental shift-tolerant video dedup vs persisted index
+  // The video column's growing-corpus shape: history = 4 videos whose
+  // DISTINCT sampled-frame hashes persist as an 8-byte-per-hash
+  // parquet index (videoFrameHashIndex); the increment brings a
+  // 2-frame trim of history 0 (set containment 1.0 → drop), a
+  // brightness +40 re-encode of history 1 (Hamming-0 frame hashes →
+  // drop), a fresh family (keep), and junk (keep). The oracle
+  // rebuilds every frame hash for BOTH catalogs from the pixel
+  // formula (with the trim's content shift and the brightness shift),
+  // collapses to distinct sets, and recomputes the min-normalized
+  // overlap NOT IN.
+  private val qIncrementalVideoDedup = Queries.Q(
+    "p_incremental_video_dedup",
+    Some("""
+      WITH vids(side, id, b, w, h, nf, trim, shift) AS (
+        SELECT * FROM (VALUES
+          (0, 0, 0, 12, 10, 6, 0, 0),
+          (0, 1, 1, 13, 11, 7, 0, 0),
+          (0, 2, 2, 14, 10, 8, 0, 0),
+          (0, 3, 3, 12, 11, 9, 0, 0),
+          (1, 100, 0, 12, 10, 4, 2, 0),
+          (1, 101, 1, 13, 11, 7, 0, 40),
+          (1, 102, 7, 13, 11, 13, 0, 0))),
+      fr AS (SELECT side, id, b, w, h, trim, shift,
+                    unnest(generate_series(0, nf - 1)) AS f
+             FROM vids),
+      cells AS (
+        SELECT side, id, b, (f + trim) AS cf, f, shift, gx, gy,
+               ((gx * w) // 9) AS sx, ((gy * h) // 8) AS sy
+        FROM fr, generate_series(0, 8) gxs(gx), generate_series(0, 7) gys(gy)),
+      px AS (
+        SELECT side, id, f, gx, gy, (f0 + f1 + f2) // 3 AS luma
+        FROM (SELECT *,
+                (sx*17 + sy*29 + cf*41 + b*53) % 180 + shift AS f0,
+                (sx*17 + sy*29 + 37 + cf*41 + b*53) % 180 + shift AS f1,
+                (sx*17 + sy*29 + 74 + cf*41 + b*53) % 180 + shift AS f2
+              FROM cells)),
+      bits AS (
+        SELECT a.side, a.id, a.f, (a.gy * 8 + a.gx) AS bb,
+               CASE WHEN n.luma > a.luma THEN 1 ELSE 0 END AS bit
+        FROM px a JOIN px n ON n.side = a.side AND n.id = a.id AND n.f = a.f
+                           AND n.gy = a.gy AND n.gx = a.gx + 1
+        WHERE a.gx < 8),
+      hs AS (
+        SELECT side, id, f,
+               bit_or(CASE WHEN bit = 1 AND bb < 32
+                           THEN (CAST(1 AS BIGINT) << bb) ELSE 0 END) AS lo,
+               bit_or(CASE WHEN bit = 1 AND bb >= 32
+                           THEN (CAST(1 AS BIGINT) << (bb - 32)) ELSE 0 END) AS hi
+        FROM bits GROUP BY side, id, f),
+      hset AS (SELECT DISTINCT side, id, lo, hi FROM hs),
+      ns AS (SELECT side, id, COUNT(*) AS n FROM hset GROUP BY side, id),
+      mm AS (SELECT n.id AS nid, o.id AS oid, COUNT(*) AS nm
+             FROM hset n JOIN hset o
+               ON n.side = 1 AND o.side = 0 AND n.lo = o.lo AND n.hi = o.hi
+             GROUP BY n.id, o.id),
+      matched AS (
+        SELECT DISTINCT mm.nid
+        FROM mm JOIN ns nn ON nn.side = 1 AND nn.id = mm.nid
+                JOIN ns no ON no.side = 0 AND no.id = mm.oid
+        WHERE CAST(mm.nm AS DOUBLE) / LEAST(nn.n, no.n) >= 0.5)
+      SELECT CAST(i AS BIGINT) AS video_id,
+             CASE WHEN i = 103 THEN 'other' ELSE 'avi' END AS kind
+      FROM (SELECT unnest([100, 101, 102, 103]) AS i)
+      WHERE i NOT IN (SELECT nid FROM matched)
+      ORDER BY video_id"""),
+    (s, dir) => {
+      def pix(b: Int, shift: Int, trim: Int)(pf: Int, x: Int, y: Int, c: Int): Int =
+        (x * 17 + y * 29 + c * 37 + (pf + trim) * 41 + b * 53) % 180 + shift
+      val history: Seq[(Long, Array[Byte])] = (0 until 4).map { b =>
+        (b.toLong, operators.Multimodal.encodeAvi(
+          12 + b % 3, 10 + b % 2, 6 + b, pix(b, 0, 0), topDown = b % 2 == 1))
+      }
+      val increment: Seq[(Long, Array[Byte])] = Seq(
+        100L -> operators.Multimodal.encodeAvi(12, 10, 4, pix(0, 0, 2)), // trim of h0
+        101L -> operators.Multimodal.encodeAvi(13, 11, 7, pix(1, 40, 0),
+          topDown = true), // brightness re-encode of h1
+        102L -> operators.Multimodal.encodeAvi(13, 11, 13, pix(7, 0, 0)), // fresh
+        103L -> "not a video".getBytes("UTF-8"))
+      import s.implicits._
+      val idxDir = s"${sys.props("java.io.tmpdir")}/graft-vididx-oracle"
+      operators.Multimodal.videoFrameHashIndex(
+        history.toDF("video_id", "payload"), "video_id", "payload", stride = 1)
+        .write.mode("overwrite").parquet(idxDir)
+      operators.Multimodal.dedupVideosAgainstIndex(
+        increment.toDF("video_id", "payload"), "video_id", "payload",
+        s.read.parquet(idxDir), stride = 1, minFrac = 0.5)
+        .select(col("video_id"),
+          operators.Multimodal.mediaKind(col("payload")).as("kind"))
+        .transform(Queries.sortedSmall(_, "video_id"))
+    })
+
+  // --------- incremental shift-tolerant audio dedup vs persisted index
+  // The audio mirror: history = 3 clips indexed as distinct segment
+  // hashes; the increment brings a segment-trim + gain-x3 copy of
+  // history 0 (both invariances composed → drop), a fresh clip
+  // (keep), a sub-segment clip and junk (keep unconditionally). The
+  // oracle predicts every i16 sample with the trim shift and gain,
+  // rebuilds all 65 windows per 128-frame segment, and recomputes the
+  // min-normalized set overlap.
+  private val qIncrementalAudioDedup = Queries.Q(
+    "p_incremental_audio_dedup",
+    Some("""
+      WITH clips(side, id, b, nf, ch, trim, gain) AS (
+        SELECT * FROM (VALUES
+          (0, 0, 0, 640, 1, 0, 1),
+          (0, 1, 1, 768, 2, 0, 1),
+          (0, 2, 2, 896, 1, 0, 1),
+          (1, 100, 0, 512, 1, 128, 3),
+          (1, 101, 9, 640, 1, 0, 1))),
+      segs AS (
+        SELECT side, id, s, s * 128 AS sfrom, LEAST(s * 128 + 128, nf) AS sto
+        FROM clips, generate_series(0, 7) ss(s)
+        WHERE s * 128 + 65 <= nf),
+      win AS (
+        SELECT side, id, s, w,
+               sfrom + (w * (sto - sfrom)) // 65 AS wf,
+               sfrom + ((w + 1) * (sto - sfrom)) // 65 AS wt
+        FROM segs, generate_series(0, 64) ws(w)),
+      fr AS (
+        SELECT side, id, b, ch, trim, gain, unnest(generate_series(0, nf - 1)) AS f
+        FROM clips),
+      cs AS (SELECT side, id, b, trim, f, gain, unnest(generate_series(0, ch - 1)) AS c
+             FROM fr),
+      smp AS (
+        SELECT side, id, f,
+               SUM(ABS(((((f + trim) * 53 + c * 17 + b * 101) % 3989) - 1994)
+                       * gain)) AS aamp
+        FROM cs GROUP BY side, id, f),
+      e AS (
+        SELECT win.side, win.id, win.s, win.w, (win.wt - win.wf) AS len,
+               SUM(smp.aamp) AS e
+        FROM win JOIN smp ON smp.side = win.side AND smp.id = win.id
+                         AND smp.f >= win.wf AND smp.f < win.wt
+        GROUP BY win.side, win.id, win.s, win.w, win.wt, win.wf),
+      bits AS (
+        SELECT a.side, a.id, a.s, a.w AS bb,
+               CASE WHEN n.e * a.len > a.e * n.len THEN 1 ELSE 0 END AS bit
+        FROM e a JOIN e n ON n.side = a.side AND n.id = a.id AND n.s = a.s
+                         AND n.w = a.w + 1
+        WHERE a.w < 64),
+      hs AS (
+        SELECT side, id, s,
+               bit_or(CASE WHEN bit = 1 AND bb < 32
+                           THEN (CAST(1 AS BIGINT) << bb) ELSE 0 END) AS lo,
+               bit_or(CASE WHEN bit = 1 AND bb >= 32
+                           THEN (CAST(1 AS BIGINT) << (bb - 32)) ELSE 0 END) AS hi
+        FROM bits GROUP BY side, id, s),
+      hset AS (SELECT DISTINCT side, id, lo, hi FROM hs),
+      ns AS (SELECT side, id, COUNT(*) AS n FROM hset GROUP BY side, id),
+      mm AS (SELECT n.id AS nid, o.id AS oid, COUNT(*) AS nm
+             FROM hset n JOIN hset o
+               ON n.side = 1 AND o.side = 0 AND n.lo = o.lo AND n.hi = o.hi
+             GROUP BY n.id, o.id),
+      matched AS (
+        SELECT DISTINCT mm.nid
+        FROM mm JOIN ns nn ON nn.side = 1 AND nn.id = mm.nid
+                JOIN ns no ON no.side = 0 AND no.id = mm.oid
+        WHERE CAST(mm.nm AS DOUBLE) / LEAST(nn.n, no.n) >= 0.5)
+      SELECT CAST(i AS BIGINT) AS clip_id,
+             CASE WHEN i = 103 THEN 'other' ELSE 'wav' END AS kind
+      FROM (SELECT unnest([100, 101, 102, 103]) AS i)
+      WHERE i NOT IN (SELECT nid FROM matched)
+      ORDER BY clip_id"""),
+    (s, dir) => {
+      def base(b: Int)(c: Int, f: Int): Int =
+        (((f * 53 + c * 17 + b * 101) % 3989) - 1994)
+      val history: Seq[(Long, Array[Byte])] = Seq(
+        0L -> operators.Multimodal.encodeWav(1, 8000, 640, base(0)),
+        1L -> operators.Multimodal.encodeWav(2, 8000, 768, base(1)),
+        2L -> operators.Multimodal.encodeWav(1, 8000, 896, base(2)))
+      val increment: Seq[(Long, Array[Byte])] = Seq(
+        // segment-trim + gain x3 of history 0: both invariances → drop
+        100L -> operators.Multimodal.encodeWav(1, 8000, 512,
+          (c, f) => base(0)(c, f + 128) * 3),
+        101L -> operators.Multimodal.encodeWav(1, 8000, 640, base(9)), // fresh
+        // sub-segment (64 frames, no segment hashes) and junk: kept
+        102L -> operators.Multimodal.encodeWav(1, 8000, 64, base(0)),
+        103L -> "junk".getBytes("UTF-8"))
+      import s.implicits._
+      val idxDir = s"${sys.props("java.io.tmpdir")}/graft-audidx-oracle"
+      operators.Multimodal.audioSegmentHashIndex(
+        history.toDF("clip_id", "payload"), "clip_id", "payload", segFrames = 128)
+        .write.mode("overwrite").parquet(idxDir)
+      operators.Multimodal.dedupAudioAgainstIndex(
+        increment.toDF("clip_id", "payload"), "clip_id", "payload",
+        s.read.parquet(idxDir), segFrames = 128, minFrac = 0.5)
+        .select(col("clip_id"),
+          operators.Multimodal.mediaKind(col("payload")).as("kind"))
+        .transform(Queries.sortedSmall(_, "clip_id"))
+    })
+
   // --------------------------- IMA-ADPCM decode (compressed audio)
   // The IMA quantizer is an INTEGER state machine (public step/index
   // tables, successive-approximation nibbles), so unlike JPEG the
@@ -580,5 +772,6 @@ object PipelineQueries4 {
 
   val all: Seq[Queries.Q] =
     Seq(qVideoDedupShifted, qAudioDedupShifted, qVideoNearDupShiftedTol,
-      qIncrementalImageDedup, qAudioVideoMatches, qAdpcmStats)
+      qIncrementalImageDedup, qIncrementalVideoDedup, qIncrementalAudioDedup,
+      qAudioVideoMatches, qAdpcmStats)
 }

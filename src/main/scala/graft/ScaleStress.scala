@@ -459,7 +459,8 @@ object ScaleStress {
       // containment, incremental image dedup vs a persisted index.
       if (opFilter.isEmpty || opFilter.exists(f =>
           "video_near_dup_mjpeg".contains(f) || "audio_video_matches".contains(f) ||
-            "incremental_image_dedup".contains(f))) {
+            "incremental_image_dedup".contains(f) ||
+            "incremental_video_dedup".contains(f))) {
         val prevBatch = spark.conf.get("spark.sql.parquet.columnarReaderBatchSize", "4096")
         spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "64")
         try {
@@ -585,6 +586,50 @@ object ScaleStress {
             operators.Multimodal.dedupImagesAgainstIndex(
               spark.read.parquet(incFeed), "img_id", "payload",
               spark.read.parquet(idxDir), maxHamming = 3).count()
+          }
+        }
+        // incremental shift-tolerant VIDEO dedup vs the persisted
+        // frame-hash index (audio shares the identical
+        // setOverlapIdsAgainstIndex core and plan — one growth arm
+        // covers the shape): history = 200 AVIs/unit scale indexed
+        // outside the timed body; increment = 10%, half 4-frame trims
+        // of history heads (drop), half fresh content (keep).
+        if (opFilter.isEmpty || opFilter.exists("incremental_video_dedup".contains)) {
+          val nHist = 200 * scale
+          val nInc = nHist / 10
+          val idxDir = s"${sys.props("java.io.tmpdir")}/graft-vididx-$scale"
+          val incFeed = s"${sys.props("java.io.tmpdir")}/graft-vidinc-$scale"
+          locally {
+            import spark.implicits._
+            def pix(b: Int)(f: Int, x: Int, y: Int, c: Int): Int =
+              ((x * 7 + y * 13 + c * 31 + f * 17) * (b % 9973 + 1) + b) % 190
+            val hist = spark.range(nHist)
+              .repartition(spark.sparkContext.defaultParallelism)
+              .map(i => (i, operators.Multimodal.encodeAvi(32, 24, 24, pix(i.toInt))))
+              .toDF("vid_id", "payload")
+            operators.Multimodal.videoFrameHashIndex(
+              hist, "vid_id", "payload", stride = 4)
+              .write.mode("overwrite").parquet(idxDir)
+            spark.range(nInc).repartition(spark.sparkContext.defaultParallelism)
+              .map { i =>
+                val id: Long = nHist + i
+                if (i % 2 == 0) { // 4-frame trim of a history head
+                  val b = ((i * 10) % nHist).toInt
+                  (id, operators.Multimodal.encodeAvi(32, 24, 20,
+                    (f, x, y, c) => pix(b)(f + 4, x, y, c)))
+                } else { // noise-shaped fresh content
+                  val b = i.toInt
+                  (id, operators.Multimodal.encodeAvi(32, 24, 24,
+                    (f, x, y, c) =>
+                      ((f * 7 + x) * (y * 5 + c) * 73 + x * y * (b % 41 + 2) + b) % 256))
+                }
+              }.toDF("vid_id", "payload")
+              .write.mode("overwrite").parquet(incFeed)
+          }
+          measure("incremental_video_dedup", scale) {
+            operators.Multimodal.dedupVideosAgainstIndex(
+              spark.read.parquet(incFeed), "vid_id", "payload",
+              spark.read.parquet(idxDir), stride = 4, minFrac = 0.5).count()
           }
         }
         } finally spark.conf.set(

@@ -969,6 +969,162 @@ object Multimodal {
       .distinct()
   }
 
+  /** Portable VIDEO fingerprint index: one row per (id, DISTINCT
+    * sampled-frame dHash) — the artifact an incremental
+    * shift-tolerant video dedup persists between crawls (8 bytes per
+    * distinct frame hash vs re-walking every historical container):
+    * [[imageHashIndex]] generalized to the set-overlap family. Feed
+    * increments to [[dedupVideosAgainstIndex]]. */
+  def videoFrameHashIndex(
+      docs: DataFrame, idCol: String, payloadCol: String, stride: Int): DataFrame = {
+    require(stride > 0, s"stride=$stride must be positive")
+    docs
+      .select(col(idCol), col(payloadCol))
+      .repartition(Dedup.pinnedParts(docs)) // container-walk frontier spread
+      .select(col(idCol).as("id"),
+        videoFrameDHashes(col(payloadCol), stride).as("__fh"))
+      .filter(col("__fh").isNotNull && size(col("__fh")) > 0)
+      .select(col("id"), explode(col("__fh.dhash")).as("dhash"))
+      .distinct()
+  }
+
+  /** Portable AUDIO fingerprint index: one row per (id, DISTINCT
+    * segment envelope hash) — [[videoFrameHashIndex]] for the audio
+    * column. */
+  def audioSegmentHashIndex(
+      docs: DataFrame, idCol: String, payloadCol: String, segFrames: Int): DataFrame = {
+    require(segFrames >= 65,
+      s"segFrames=$segFrames must be >= 65 (one frame per envelope window)")
+    docs
+      .select(col(idCol), col(payloadCol))
+      .repartition(Dedup.pinnedParts(docs)) // decode frontier spread
+      .select(col(idCol).as("id"),
+        audioSegmentDHashes(col(payloadCol), segFrames).as("__sh"))
+      .filter(col("__sh").isNotNull && size(col("__sh")) > 0)
+      .select(col("id"), explode(col("__sh.dhash")).as("dhash"))
+      .distinct()
+  }
+
+  /** The shared INCREMENTAL set-overlap matcher behind
+    * [[dedupVideosAgainstIndex]]/[[dedupAudioAgainstIndex]]: `probe`
+    * is the increment's (idCol, __dh) distinct hash rows (decoded
+    * once), `index` a persisted (id, dhash) fingerprint table —
+    * history payloads never re-read. A new item matches an index
+    * member when their DISTINCT-hash overlap clears `minFrac` of
+    * min(|H(new)|, |H(old)|) — the [[hashSetOverlapPairs]] semantics
+    * against frozen history. Flood hashes (index membership >
+    * `maxBucket` — history is the side that grows) drop before
+    * matching AND sizing; survivors join through the two-sided
+    * chunk-cell expansion. `excludeSameId` spares changed items from
+    * matching their own previous version. Returns distinct matched
+    * increment ids. */
+  private def setOverlapIdsAgainstIndex(
+      probe: DataFrame, index: DataFrame, idCol: String,
+      minFrac: Double, maxBucket: Int, chunkSize: Int,
+      excludeSameId: Boolean): DataFrame = {
+    val idx = index
+      .select(col("id").as("__oid"), col("dhash").as("__dh"))
+      .filter(col("__dh").isNotNull)
+      .distinct()
+    val floodFree = idx.groupBy("__dh")
+      .agg(countDistinct(col("__oid")).as("__ids"))
+      .filter(col("__ids") <= maxBucket)
+      .select("__dh")
+    // anti join against the FLOOD set = inner join with survivors is
+    // wrong for sizing: a probe hash ABSENT from the index is
+    // discriminative (counts toward |H(new)|), it just can't match —
+    // so sizing drops only the flood hashes, matching inner-joins
+    val flood = idx.groupBy("__dh")
+      .agg(countDistinct(col("__oid")).as("__ids"))
+      .filter(col("__ids") > maxBucket)
+      .select("__dh")
+    val probeSized = probe.join(flood, Seq("__dh"), "left_anti").localCheckpoint(true)
+    val idxF = idx.join(floodFree, Seq("__dh")).localCheckpoint(true)
+    val newSizes = probeSized.groupBy("__nid").agg(count(lit(1)).as("__n_new"))
+    val oldSizes = idxF.groupBy("__oid").agg(count(lit(1)).as("__n_old"))
+    // two-sided chunk-cell expansion over co-occurring hashes
+    val hk = probeSized.groupBy("__dh").agg(count(lit(1)).as("__np"))
+      .join(idxF.groupBy("__dh").agg(count(lit(1)).as("__no")), Seq("__dh"))
+      .select(col("__dh"),
+        ceil(col("__np").cast("double") / lit(chunkSize)).cast("int").as("__kn"),
+        ceil(col("__no").cast("double") / lit(chunkSize)).cast("int").as("__ko"))
+    val px = probeSized.join(hk, Seq("__dh"))
+      .select(col("__nid"), col("__dh"),
+        pmod(hash(col("__nid")), col("__kn")).cast("int").as("__cn"),
+        explode(sequence(lit(0), col("__ko") - 1)).as("__co"))
+    val ox = idxF.join(hk, Seq("__dh"))
+      .select(col("__oid"), col("__dh"),
+        explode(sequence(lit(0), col("__kn") - 1)).as("__cn"),
+        pmod(hash(col("__oid")), col("__ko")).cast("int").as("__co"))
+    val cand = px.join(ox, Seq("__dh", "__cn", "__co"))
+    val scoped =
+      if (excludeSameId) cand.filter(col("__oid") =!= col("__nid")) else cand
+    scoped
+      .groupBy("__nid", "__oid").agg(count(lit(1)).as("__nm"))
+      .join(newSizes, Seq("__nid"))
+      .join(oldSizes, Seq("__oid"))
+      .filter(col("__nm").cast("double") / least(col("__n_new"), col("__n_old"))
+        >= minFrac)
+      .select(col("__nid").as(idCol)).distinct()
+  }
+
+  /** INCREMENTAL shift-tolerant VIDEO dedup: keep the rows of
+    * `newDocs` whose sampled-frame hash sets do NOT overlap any
+    * [[videoFrameHashIndex]] member at `minFrac` — the growing-corpus
+    * production shape for the video column ([[Dedup.dedupAgainstIndex]]
+    * / [[dedupImagesAgainstIndex]] discipline: the increment decodes
+    * once, history is 8-byte hash rows). Trims, re-cuts, and
+    * brightness re-encodes of historical videos drop; undecodable
+    * payloads never match and are always kept. */
+  def dedupVideosAgainstIndex(
+      newDocs: DataFrame, idCol: String, payloadCol: String, index: DataFrame,
+      stride: Int, minFrac: Double = 0.5,
+      maxBucket: Int = 65536, chunkSize: Int = 1024): DataFrame = {
+    require(stride > 0, s"stride=$stride must be positive")
+    require(minFrac > 0 && minFrac <= 1, s"minFrac=$minFrac outside (0,1]")
+    require(maxBucket > 1, s"maxBucket=$maxBucket must exceed 1")
+    require(chunkSize > 0, s"chunkSize=$chunkSize must be positive")
+    val probe = newDocs
+      .select(col(idCol), col(payloadCol))
+      .repartition(Dedup.pinnedParts(newDocs))
+      .select(col(idCol).as("__nid"),
+        videoFrameDHashes(col(payloadCol), stride).as("__fh"))
+      .filter(col("__fh").isNotNull && size(col("__fh")) > 0)
+      .select(col("__nid"), explode(col("__fh.dhash")).as("__dh"))
+      .distinct()
+    newDocs.join(
+      setOverlapIdsAgainstIndex(probe, index, idCol,
+        minFrac, maxBucket, chunkSize, excludeSameId = false),
+      Seq(idCol), "left_anti")
+  }
+
+  /** INCREMENTAL shift-tolerant AUDIO dedup — [[dedupVideosAgainstIndex]]
+    * for the audio column against an [[audioSegmentHashIndex]]:
+    * segment-trimmed / gain-rescaled / ADPCM-re-encoded copies of
+    * historical clips drop without re-decoding history. */
+  def dedupAudioAgainstIndex(
+      newDocs: DataFrame, idCol: String, payloadCol: String, index: DataFrame,
+      segFrames: Int, minFrac: Double = 0.5,
+      maxBucket: Int = 65536, chunkSize: Int = 1024): DataFrame = {
+    require(segFrames >= 65,
+      s"segFrames=$segFrames must be >= 65 (one frame per envelope window)")
+    require(minFrac > 0 && minFrac <= 1, s"minFrac=$minFrac outside (0,1]")
+    require(maxBucket > 1, s"maxBucket=$maxBucket must exceed 1")
+    require(chunkSize > 0, s"chunkSize=$chunkSize must be positive")
+    val probe = newDocs
+      .select(col(idCol), col(payloadCol))
+      .repartition(Dedup.pinnedParts(newDocs))
+      .select(col(idCol).as("__nid"),
+        audioSegmentDHashes(col(payloadCol), segFrames).as("__sh"))
+      .filter(col("__sh").isNotNull && size(col("__sh")) > 0)
+      .select(col("__nid"), explode(col("__sh.dhash")).as("__dh"))
+      .distinct()
+    newDocs.join(
+      setOverlapIdsAgainstIndex(probe, index, idCol,
+        minFrac, maxBucket, chunkSize, excludeSameId = false),
+      Seq(idCol), "left_anti")
+  }
+
   /** CROSS-MODAL containment search, audio edition — find catalog
     * AUDIO CLIPS appearing inside videos' PCM soundtracks:
     * (video_id, clip_id, n_match, match_frac) where match_frac is
