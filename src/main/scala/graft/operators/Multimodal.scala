@@ -348,7 +348,7 @@ object Multimodal {
     * image must not drop as a near-dup of its old self). */
   def imageNearDupIdsAgainstIndex(
       newDocs: DataFrame, idCol: String, payloadCol: String, index: DataFrame,
-      maxHamming: Int = 3, maxBucket: Int = 65536, chunkSize: Int = 256,
+      maxHamming: Int = 3, maxBucket: Int = 65536, chunkSize: Int = 1024,
       excludeSameId: Boolean = false): DataFrame = {
     require(maxBucket > 1, s"maxBucket=$maxBucket must exceed 1")
     Dedup.requireHammingArgs(maxHamming, chunkSize) // before the decode job
@@ -403,7 +403,7 @@ object Multimodal {
     * always kept. */
   def dedupImagesAgainstIndex(
       newDocs: DataFrame, idCol: String, payloadCol: String, index: DataFrame,
-      maxHamming: Int = 3, maxBucket: Int = 65536, chunkSize: Int = 256): DataFrame =
+      maxHamming: Int = 3, maxBucket: Int = 65536, chunkSize: Int = 1024): DataFrame =
     newDocs.join(
       imageNearDupIdsAgainstIndex(newDocs, idCol, payloadCol, index,
         maxHamming, maxBucket, chunkSize),
