@@ -1299,6 +1299,35 @@ object Multimodal {
   def videoAudioSegmentDHashes(payload: Column, segFrames: Int): Column =
     graft.functions.GraftFunctions.aviAudioSegmentDHashes(payload, lit(segFrames))
 
+  /** SHOT-BOUNDARY detection (scene cuts) as a pure declarative
+    * expression over the one-pass frame hashes: `array<int>` of the
+    * frame indices that OPEN a new shot — frame f is a boundary when
+    * hamming(dHash(f−1), dHash(f)) > `maxHamming` (consecutive-frame
+    * perceptual distance, the classic hard-cut detector; gradual
+    * fades spread their distance over many frames and are out of
+    * scope, documented). Composed entirely from codegen'd builtins
+    * (`zip_with`/`filter` over two slices of the hash array — no new
+    * Expression, no extra decode: one [[videoFrameDHashes]] walk at
+    * stride 1). NULL for undecodable payloads; empty array for
+    * single-frame or cut-free clips. The video-curation signal a
+    * frame-sampling pipeline keys on (sample per shot, not per
+    * stride). */
+  def videoShotBoundaries(payload: Column, maxHamming: Int = 16): Column = {
+    val fh = videoFrameDHashes(payload, 1)
+    val n = size(fh)
+    // n ≤ 1 guard BEFORE the slices: ANSI slice throws on negative
+    // length (n = 0), and CaseWhen evaluates only the matched branch
+    when(n <= 1, array().cast("array<int>"))
+      .otherwise(filter(
+        zip_with(
+          slice(fh, lit(1), n - 1), slice(fh, lit(2), n - 1),
+          (a, b) => when(
+            bit_count(a.getField("dhash").bitwiseXOR(b.getField("dhash")))
+              > maxHamming,
+            b.getField("frame_idx")).otherwise(lit(-1))),
+        x => x >= 0))
+  }
+
   /** REAL frame sampling for uncompressed AVI payloads: every
     * `stride`-th frame's index + mean RGB brightness
     * (`array<struct<frame_idx, mean>>`, one decode pass, pixels never

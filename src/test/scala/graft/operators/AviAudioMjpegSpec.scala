@@ -102,6 +102,36 @@ class AviAudioMjpegSpec extends SparkSpec {
       .select(Multimodal.videoAudioSegmentDHashes(col("p"), 128)).head().isNullAt(0))
   }
 
+  test("shot boundaries: structural cuts detected, brightness shifts are not cuts, degenerates empty") {
+    import spark.implicits._
+    def scenePix(scene: Int)(x: Int, y: Int, c: Int): Int =
+      ((x * (2 + scene) + y * (3 + 2 * scene) + c * 37) * (scene * 97 + 13)) % 180
+    val vids = Seq(
+      // structural cut at frame 2
+      0L -> Multimodal.encodeAvi(12, 10, 5,
+        (f, x, y, c) => scenePix(if (f >= 2) 1 else 0)(x, y, c)),
+      // brightness-only change at frame 2: dHash-invariant, NO cut
+      1L -> Multimodal.encodeAvi(12, 10, 5,
+        (f, x, y, c) => scenePix(0)(x, y, c) + (if (f >= 2) 40 else 0)),
+      // single frame and junk: empty / null
+      2L -> Multimodal.encodeAvi(12, 10, 1, (_, x, y, c) => scenePix(0)(x, y, c)),
+      3L -> "junk".getBytes("UTF-8")).toDF("video_id", "payload")
+    val got = vids.select(col("video_id"),
+      Multimodal.videoShotBoundaries(col("payload"), 16).as("b"))
+      .collect().map(r =>
+        r.getLong(0) -> (if (r.isNullAt(1)) null else r.getSeq[Int](1))).toMap
+    assert(got(0L) == Seq(2), s"cut at frame 2: got ${got(0L)}")
+    assert(got(1L) == Seq(), s"brightness shift must not cut: got ${got(1L)}")
+    assert(got(2L) == Seq(), s"single frame: got ${got(2L)}")
+    assert(got(3L) == null, "junk payloads are NULL")
+    // MJPEG clips flow through the same hashes
+    val mjpeg = Seq(Tuple1(Multimodal.encodeAviMjpeg(48, 32, 5,
+      (f, x, y, _) => 40 + (if (f >= 3) 255 - x * 3 - y * 2 else x * 3 + y * 2))))
+      .toDF("p")
+      .select(Multimodal.videoShotBoundaries(col("p"), 16)).head().getSeq[Int](0)
+    assert(mjpeg == Seq(3), s"MJPEG cut at frame 3: got $mjpeg")
+  }
+
   test("IMA-ADPCM soundtrack: container parity with the WAV form, containment end-to-end") {
     import spark.implicits._
     def s0(c: Int, f: Int): Int = ((f * 53 + c * 17 + 101) % 3989) - 1994
