@@ -688,6 +688,263 @@ object PipelineQueries4 {
         .transform(Queries.sortedSmall(_, "clip_id"))
     })
 
+  // --------------------------- MEDIA curation report (composite)
+  // The mixed-corpus decision log: 18 images (6 families of 3), 12
+  // AVIs (4 shifted families), 12 WAVs (4 shifted families), 2 junk
+  // payloads — per-kind dedup through the audited pair machineries,
+  // CC, smallest-id representative; output one row per payload with
+  // (media_id, kind, verdict, reason, dup_of). The oracle rebuilds
+  // ALL THREE fingerprint derivations (image grid lumas with
+  // upscale/shift/mask, video frame hashes with trims, audio segment
+  // envelopes with trim+gain), all three recursive closures, and the
+  // final assembly — the media twin of the composed text-curation
+  // logs.
+  private val qMediaCuration = Queries.Q(
+    "p_media_curation",
+    Some("""
+      WITH RECURSIVE
+      imgs AS (
+        SELECT i, (i // 3) AS b, (i % 3) AS v,
+               12 + (i // 3) AS w, 10 + ((i // 3) % 4) AS h,
+               CASE (i // 3) % 4 WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 2 THEN 2 ELSE 4 END AS ch
+        FROM generate_series(0, 17) t(i)),
+      icells AS (
+        SELECT i, b, v, ch, gx, gy,
+               ((gx * w) // 9) AS sx, ((gy * h) // 8) AS sy
+        FROM imgs, generate_series(0, 8) gxs(gx), generate_series(0, 7) gys(gy)),
+      ipx AS (
+        SELECT i, gx, gy,
+               CASE WHEN ch >= 3 THEN (f0 + f1 + f2) // 3 ELSE f0 END AS luma
+        FROM (SELECT *,
+                (sx*17 + sy*29 + b*53) % 180 + sh AS f0,
+                (sx*17 + sy*29 + 37 + b*53) % 180 + sh AS f1,
+                (sx*17 + sy*29 + 74 + b*53) % 180 + sh AS f2
+              FROM (SELECT *,
+                      CASE WHEN v = 1 THEN 40
+                           WHEN v = 2 AND (sx + sy) % 11 = 0 THEN 25
+                           ELSE 0 END AS sh
+                    FROM icells))),
+      ibits AS (
+        SELECT a.i, (a.gy * 8 + a.gx) AS bb,
+               CASE WHEN n.luma > a.luma THEN 1 ELSE 0 END AS bit
+        FROM ipx a JOIN ipx n ON n.i = a.i AND n.gy = a.gy AND n.gx = a.gx + 1
+        WHERE a.gx < 8),
+      ihs AS (
+        SELECT i,
+               bit_or(CASE WHEN bit = 1 AND bb < 32
+                           THEN (CAST(1 AS BIGINT) << bb) ELSE 0 END) AS lo,
+               bit_or(CASE WHEN bit = 1 AND bb >= 32
+                           THEN (CAST(1 AS BIGINT) << (bb - 32)) ELSE 0 END) AS hi
+        FROM ibits GROUP BY i),
+      ipairs AS (
+        SELECT x.i AS ia, y.i AS ib
+        FROM ihs x JOIN ihs y ON x.i < y.i
+         AND bit_count(xor(x.lo, y.lo)) + bit_count(xor(x.hi, y.hi)) <= 3),
+      ig AS (SELECT ia AS u, ib AS v FROM ipairs
+             UNION SELECT ib AS u, ia AS v FROM ipairs),
+      ireach(node, r) AS (SELECT u, u FROM (SELECT DISTINCT u FROM ig)
+                          UNION
+                          SELECT ig.v, ireach.r FROM ireach JOIN ig ON ig.u = ireach.node),
+      ilosers AS (SELECT node, MIN(r) AS grp FROM ireach GROUP BY node
+                  HAVING node <> MIN(r)),
+      vvids AS (
+        SELECT i, (i // 3) AS b, (i % 3) AS v,
+               12 + (i // 3) % 3 AS w, 10 + (i // 3) % 2 AS h,
+               6 + (i // 3) AS nf0
+        FROM generate_series(0, 11) t(i)),
+      vfr AS (
+        SELECT i, b, v, w, h,
+               unnest(generate_series(CASE WHEN v = 1 THEN 2 ELSE 0 END,
+                                      nf0 - 1)) AS f
+        FROM vvids),
+      vcells AS (
+        SELECT i, f, b, v, gx, gy, ((gx * w) // 9) AS sx, ((gy * h) // 8) AS sy
+        FROM vfr, generate_series(0, 8) gxs(gx), generate_series(0, 7) gys(gy)),
+      vpx AS (
+        SELECT i, f, gx, gy, (f0 + f1 + f2) // 3 AS luma
+        FROM (SELECT *,
+                (sx*17 + sy*29 + f*41 + b*53) % 180 + sh AS f0,
+                (sx*17 + sy*29 + 37 + f*41 + b*53) % 180 + sh AS f1,
+                (sx*17 + sy*29 + 74 + f*41 + b*53) % 180 + sh AS f2
+              FROM (SELECT *,
+                      CASE WHEN v = 2 AND (sx + sy) % 3 = 0 AND f % 3 <> 0
+                           THEN 25 ELSE 0 END AS sh
+                    FROM vcells))),
+      vbits AS (
+        SELECT a.i, a.f, (a.gy * 8 + a.gx) AS bb,
+               CASE WHEN n.luma > a.luma THEN 1 ELSE 0 END AS bit
+        FROM vpx a JOIN vpx n ON n.i = a.i AND n.f = a.f AND n.gy = a.gy
+                            AND n.gx = a.gx + 1
+        WHERE a.gx < 8),
+      vhs AS (
+        SELECT i, f,
+               bit_or(CASE WHEN bit = 1 AND bb < 32
+                           THEN (CAST(1 AS BIGINT) << bb) ELSE 0 END) AS lo,
+               bit_or(CASE WHEN bit = 1 AND bb >= 32
+                           THEN (CAST(1 AS BIGINT) << (bb - 32)) ELSE 0 END) AS hi
+        FROM vbits GROUP BY i, f),
+      vhset AS (SELECT DISTINCT i, lo, hi FROM vhs),
+      vns AS (SELECT i, COUNT(*) AS n FROM vhset GROUP BY i),
+      vmm AS (SELECT x.i AS ia, y.i AS ib, COUNT(*) AS nm
+              FROM vhset x JOIN vhset y
+                ON x.lo = y.lo AND x.hi = y.hi AND x.i < y.i
+              GROUP BY x.i, y.i),
+      vpairs AS (
+        SELECT ia, ib
+        FROM vmm JOIN vns na ON na.i = vmm.ia JOIN vns nb ON nb.i = vmm.ib
+        WHERE CAST(nm AS DOUBLE) / LEAST(na.n, nb.n) >= 0.5),
+      vg AS (SELECT ia AS u, ib AS v FROM vpairs
+             UNION SELECT ib AS u, ia AS v FROM vpairs),
+      vreach(node, r) AS (SELECT u, u FROM (SELECT DISTINCT u FROM vg)
+                          UNION
+                          SELECT vg.v, vreach.r FROM vreach JOIN vg ON vg.u = vreach.node),
+      vlosers AS (SELECT node, MIN(r) AS grp FROM vreach GROUP BY node
+                  HAVING node <> MIN(r)),
+      aclips AS (
+        SELECT i, (i // 3) AS b, (i % 3) AS v,
+               500 + (i // 3) * 61 AS nf0, 1 + (i // 3) % 2 AS ch,
+               CASE WHEN i % 3 = 1 THEN 128 ELSE 0 END AS trim
+        FROM generate_series(0, 11) t(i)),
+      aphys AS (SELECT *, nf0 - trim AS pn FROM aclips),
+      asegs AS (
+        SELECT i, ch, s, s * 128 AS sfrom, LEAST(s * 128 + 128, pn) AS sto
+        FROM aphys, generate_series(0, 10) ss(s)
+        WHERE s * 128 + 65 <= pn),
+      awin AS (
+        SELECT i, s, w,
+               sfrom + (w * (sto - sfrom)) // 65 AS wf,
+               sfrom + ((w + 1) * (sto - sfrom)) // 65 AS wt
+        FROM asegs, generate_series(0, 64) ws(w)),
+      afr AS (
+        SELECT i, b, v, ch, trim, unnest(generate_series(0, pn - 1)) AS f
+        FROM aphys),
+      afm AS (
+        SELECT i, b, trim, f, ch,
+               CASE WHEN v = 1 THEN 3
+                    WHEN v = 2 AND f % 128 < 64 AND
+                         CASE WHEN b % 2 = 0 THEN (f // 128) % 3 <> 0
+                              ELSE (f // 128) % 2 = 1 END
+                    THEN 4 ELSE 1 END AS mult
+        FROM afr),
+      acs AS (SELECT i, b, trim, f, mult, unnest(generate_series(0, ch - 1)) AS c
+              FROM afm),
+      asmp AS (
+        SELECT i, f,
+               SUM(ABS(((((f + trim) * 31 + c * 17 + b * 101) % 4001) - 2000)
+                       * mult)) AS aamp
+        FROM acs GROUP BY i, f),
+      ae AS (
+        SELECT awin.i, awin.s, awin.w, (awin.wt - awin.wf) AS len,
+               SUM(asmp.aamp) AS e
+        FROM awin JOIN asmp ON asmp.i = awin.i AND asmp.f >= awin.wf
+                           AND asmp.f < awin.wt
+        GROUP BY awin.i, awin.s, awin.w, awin.wt, awin.wf),
+      abits AS (
+        SELECT a.i, a.s, a.w AS bb,
+               CASE WHEN n.e * a.len > a.e * n.len THEN 1 ELSE 0 END AS bit
+        FROM ae a JOIN ae n ON n.i = a.i AND n.s = a.s AND n.w = a.w + 1
+        WHERE a.w < 64),
+      ahs AS (
+        SELECT i, s,
+               bit_or(CASE WHEN bit = 1 AND bb < 32
+                           THEN (CAST(1 AS BIGINT) << bb) ELSE 0 END) AS lo,
+               bit_or(CASE WHEN bit = 1 AND bb >= 32
+                           THEN (CAST(1 AS BIGINT) << (bb - 32)) ELSE 0 END) AS hi
+        FROM abits GROUP BY i, s),
+      ahset AS (SELECT DISTINCT i, lo, hi FROM ahs),
+      ans AS (SELECT i, COUNT(*) AS n FROM ahset GROUP BY i),
+      amm AS (SELECT x.i AS ia, y.i AS ib, COUNT(*) AS nm
+              FROM ahset x JOIN ahset y
+                ON x.lo = y.lo AND x.hi = y.hi AND x.i < y.i
+              GROUP BY x.i, y.i),
+      apairs AS (
+        SELECT ia, ib
+        FROM amm JOIN ans na ON na.i = amm.ia JOIN ans nb ON nb.i = amm.ib
+        WHERE CAST(nm AS DOUBLE) / LEAST(na.n, nb.n) >= 0.5),
+      ag AS (SELECT ia AS u, ib AS v FROM apairs
+             UNION SELECT ib AS u, ia AS v FROM apairs),
+      areach(node, r) AS (SELECT u, u FROM (SELECT DISTINCT u FROM ag)
+                          UNION
+                          SELECT ag.v, areach.r FROM areach JOIN ag ON ag.u = areach.node),
+      alosers AS (SELECT node, MIN(r) AS grp FROM areach GROUP BY node
+                  HAVING node <> MIN(r)),
+      allm(id, kind) AS (
+        SELECT i, 'png' FROM generate_series(0, 17) t(i)
+        UNION ALL SELECT i + 100, 'avi' FROM generate_series(0, 11) t(i)
+        UNION ALL SELECT i + 200, 'wav' FROM generate_series(0, 11) t(i)
+        UNION ALL SELECT 300, 'other'
+        UNION ALL SELECT 301, 'other'),
+      losr(id, dup_of, reason) AS (
+        SELECT node, grp, 'image_near_dup' FROM ilosers
+        UNION ALL SELECT node + 100, grp + 100, 'video_near_dup' FROM vlosers
+        UNION ALL SELECT node + 200, grp + 200, 'audio_near_dup' FROM alosers)
+      SELECT CAST(allm.id AS BIGINT) AS media_id, kind,
+             CASE WHEN losr.id IS NOT NULL THEN 'drop' ELSE 'keep' END AS verdict,
+             COALESCE(losr.reason,
+               CASE WHEN kind = 'other' THEN 'undecodable' ELSE 'unique' END) AS reason,
+             CAST(losr.dup_of AS BIGINT) AS dup_of
+      FROM allm LEFT JOIN losr ON losr.id = allm.id
+      ORDER BY media_id"""),
+    (s, dir) => {
+      val images: Seq[(Long, Array[Byte])] = (0 until 18).map { i =>
+        val b = i / 3
+        val v = i % 3
+        val (w, h) = (12 + b, 10 + b % 4)
+        val ch = Seq(1, 3, 2, 4)(b % 4)
+        def base(x: Int, y: Int, c: Int): Int =
+          (x * 17 + y * 29 + c * 37 + b * 53) % 180
+        val png =
+          if (v == 1) // 2x NN upscale + uniform shift: same hash
+            operators.Multimodal.encodePng(2 * w, 2 * h, ch,
+              (x, y, c) => base(x / 2, y / 2, c) + 40, y => (y + i) % 5)
+          else
+            operators.Multimodal.encodePng(w, h, ch,
+              (x, y, c) => base(x, y, c) +
+                (if (v == 2 && (x + y) % 11 == 0) 25 else 0),
+              y => (y + i) % 5)
+        (i.toLong, png)
+      }
+      val videos: Seq[(Long, Array[Byte])] = (0 until 12).map { i =>
+        val b = i / 3
+        val v = i % 3
+        val (w, h, nf0) = (12 + b % 3, 10 + b % 2, 6 + b)
+        val trim = if (v == 1) 2 else 0
+        (100L + i, operators.Multimodal.encodeAvi(w, h, nf0 - trim,
+          (pf, x, y, c) => {
+            val f = pf + trim
+            (x * 17 + y * 29 + c * 37 + f * 41 + b * 53) % 180 +
+              (if (v == 2 && (x + y) % 3 == 0 && f % 3 != 0) 25 else 0)
+          },
+          topDown = i % 2 == 1))
+      }
+      val audios: Seq[(Long, Array[Byte])] = (0 until 12).map { i =>
+        val b = i / 3
+        val v = i % 3
+        val (nf0, ch) = (500 + b * 61, 1 + b % 2)
+        val trim = if (v == 1) 128 else 0
+        def base(c: Int, cf: Int): Int = (((cf * 31 + c * 17 + b * 101) % 4001) - 2000)
+        (200L + i, operators.Multimodal.encodeWav(ch, 8000, nf0 - trim,
+          (c, f) => {
+            val mult =
+              if (v == 1) 3
+              else if (v == 2 && f % 128 < 64 &&
+                (if (b % 2 == 0) (f / 128) % 3 != 0 else (f / 128) % 2 == 1)) 4
+              else 1
+            base(c, f + trim) * mult
+          }))
+      }
+      val junk: Seq[(Long, Array[Byte])] = Seq(
+        300L -> "not media at all".getBytes("UTF-8"),
+        301L -> Array[Byte](0x1, 0x2, 0x3))
+      import s.implicits._
+      operators.Multimodal.mediaCurationReport(
+        (images ++ videos ++ audios ++ junk).toDF("media_id", "payload"),
+        "media_id", "payload",
+        imageMaxHamming = 3, videoStride = 1, videoMinFrac = 0.5,
+        audioSegFrames = 128, audioMinFrac = 0.5)
+        .transform(Queries.sortedSmall(_, "media_id"))
+    })
+
   // --------------------------- video shot-boundary detection
   // Hard cuts as consecutive-frame perceptual distance: 4 videos with
   // scene-keyed gradient STRUCTURE (each scene multiplies different
@@ -845,5 +1102,5 @@ object PipelineQueries4 {
   val all: Seq[Queries.Q] =
     Seq(qVideoDedupShifted, qAudioDedupShifted, qVideoNearDupShiftedTol,
       qIncrementalImageDedup, qIncrementalVideoDedup, qIncrementalAudioDedup,
-      qAudioVideoMatches, qVideoShots, qAdpcmStats)
+      qAudioVideoMatches, qVideoShots, qMediaCuration, qAdpcmStats)
 }

@@ -1207,6 +1207,58 @@ object Multimodal {
         col("n_match"), col("match_frac"))
   }
 
+  /** MEDIA CURATION REPORT — the mixed-corpus DECISION LOG the text
+    * family's curation reports established ([[Curation]]), for the
+    * media columns: one row per input payload with
+    * (id, kind, verdict, reason, dup_of). Images dedup through the
+    * pigeonhole pair join (Hamming ≤ `imageMaxHamming`), videos and
+    * audio through their SHIFT-TOLERANT set-overlap forms (trims and
+    * re-cuts collapse), each family independently →
+    * [[Graph.connectedComponents]] → smallest-id representative;
+    * losers carry verdict 'drop', reason '<family>_near_dup', and
+    * `dup_of` = their cluster representative (the lineage a curation
+    * pass audits). Undecodable payloads KEEP with reason
+    * 'undecodable' (absence of evidence — the family rule);
+    * everything else keeps as 'unique'.
+    *
+    * Scale shape: the three pair generators are the audited
+    * banded/bucketed/chunked joins (never all-pairs), CC runs on
+    * narrow pair rows only, and the payload rides exactly ONE
+    * projection (the kind sniff) plus the per-family decode
+    * frontiers — the dedup DECISION never shuffles payload bytes. */
+  def mediaCurationReport(
+      docs: DataFrame, idCol: String, payloadCol: String,
+      imageMaxHamming: Int = 3,
+      videoStride: Int = 1, videoMinFrac: Double = 0.5,
+      audioSegFrames: Int = 128, audioMinFrac: Double = 0.5): DataFrame = {
+    val kinds = docs.select(col(idCol), col(payloadCol))
+      .withColumn("kind", mediaKind(col(payloadCol)))
+    val images = kinds.filter(col("kind").isin("png", "bmp", "gif", "jpeg"))
+    val videos = kinds.filter(col("kind") === "avi")
+    val audios = kinds.filter(col("kind") === "wav")
+    def losers(pairs: DataFrame, reason: String): DataFrame =
+      Graph.connectedComponents(pairs, "id_a", "id_b")
+        .filter(col("node") =!= col("component"))
+        .select(col("node").as(idCol), col("component").as("dup_of"),
+          lit(reason).as("__reason"))
+    val allLosers =
+      losers(imageNearDupPairs(images, idCol, payloadCol, imageMaxHamming),
+        "image_near_dup")
+        .unionByName(losers(
+          videoNearDupPairsShifted(videos, idCol, payloadCol,
+            videoStride, videoMinFrac), "video_near_dup"))
+        .unionByName(losers(
+          audioNearDupPairsShifted(audios, idCol, payloadCol,
+            audioSegFrames, audioMinFrac), "audio_near_dup"))
+    kinds.join(allLosers, Seq(idCol), "left")
+      .select(col(idCol), col("kind"),
+        when(col("dup_of").isNotNull, "drop").otherwise("keep").as("verdict"),
+        coalesce(col("__reason"),
+          when(col("kind") === "other", "undecodable").otherwise("unique"))
+          .as("reason"),
+        col("dup_of"))
+  }
+
   /** Build the 4×65,536-bit block bitmaps of a 64-bit-hash column —
     * the catalog artifact of the streaming trim-tolerant gates
     * ([[graft.streaming.StreamingOps.dropAudioNearDupsShifted]] /
