@@ -460,7 +460,8 @@ object ScaleStress {
       if (opFilter.isEmpty || opFilter.exists(f =>
           "video_near_dup_mjpeg".contains(f) || "audio_video_matches".contains(f) ||
             "incremental_image_dedup".contains(f) ||
-            "incremental_video_dedup".contains(f))) {
+            "incremental_video_dedup".contains(f) ||
+            "media_curation".contains(f))) {
         val prevBatch = spark.conf.get("spark.sql.parquet.columnarReaderBatchSize", "4096")
         spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "64")
         try {
@@ -630,6 +631,75 @@ object ScaleStress {
             operators.Multimodal.dedupVideosAgainstIndex(
               spark.read.parquet(incFeed), "vid_id", "payload",
               spark.read.parquet(idxDir), stride = 4, minFrac = 0.5).count()
+          }
+        }
+        // the composite media curation report over a MIXED feed
+        // (1000 images + 100 AVIs + 250 WAVs + 50 junk per unit
+        // scale, each family with injected near-dup members): all
+        // three dedup machineries + three CC passes + the assembly
+        // join in one measured body. The filter on the computed
+        // verdict blocks the count()-prune trap (left-join subtree
+        // must execute).
+        if (opFilter.isEmpty || opFilter.exists("media_curation".contains)) {
+          val nImg = 1000 * scale
+          val nVid = 100 * scale
+          val nAud = 250 * scale
+          val nJunk = 50 * scale
+          val feed = s"${sys.props("java.io.tmpdir")}/graft-mixedfeed-$scale"
+          locally {
+            import spark.implicits._
+            val imgs = spark.range(nImg)
+              .repartition(spark.sparkContext.defaultParallelism)
+              .map { i =>
+                val id: Long = i
+                val fam = id - id % 10
+                val v = id % 10
+                val shift = if (v == 1) 35 else if (v == 2) 60 else 0
+                val b = (if (v <= 2) fam else id).toInt
+                (id, operators.Multimodal.encodePng(48, 32, 3,
+                  (x, y, c) => ((x * 7 + y * 13 + c * 31) * (b % 9973 + 1) + b) % 190 + shift,
+                  y => (y + b) % 5))
+              }
+            val vids = spark.range(nVid)
+              .repartition(spark.sparkContext.defaultParallelism)
+              .map { i =>
+                val id: Long = i
+                val fam = id - id % 10
+                val v = id % 10
+                val shift = if (v == 1) 35 else if (v == 2) 60 else 0
+                val b = (if (v <= 2) fam else id).toInt
+                (nImg + id, operators.Multimodal.encodeAvi(32, 24, 24,
+                  (f, x, y, c) =>
+                    ((x * 7 + y * 13 + c * 31 + f * 17) * (b % 9973 + 1) + b) % 190 + shift))
+              }
+            val auds = spark.range(nAud)
+              .repartition(spark.sparkContext.defaultParallelism)
+              .map { i =>
+                val id: Long = i
+                val fam = id - id % 10
+                val v = id % 10
+                val gain = if (v == 1) 3 else if (v == 2) 5 else 1
+                val b = (if (v <= 2) fam else id).toInt
+                (nImg + nVid + id, operators.Multimodal.encodeWav(1, 8000, 4000,
+                  (c, f) =>
+                    ((((f * 31 + c * 17) * (b % 9973 + 1) + b) % 4001) - 2000) * gain))
+              }
+            val junk = spark.range(nJunk)
+              .repartition(spark.sparkContext.defaultParallelism)
+              .map { i =>
+                val id: Long = i
+                (nImg + nVid + nAud + id,
+                  s"junk payload number $id, decodable by nothing".getBytes("UTF-8"))
+              }
+            imgs.union(vids).union(auds).union(junk).toDF("media_id", "payload")
+              .write.mode("overwrite").parquet(feed)
+          }
+          measure("media_curation", scale) {
+            operators.Multimodal.mediaCurationReport(
+              spark.read.parquet(feed), "media_id", "payload",
+              imageMaxHamming = 3, videoStride = 4, videoMinFrac = 0.5,
+              audioSegFrames = 128, audioMinFrac = 0.5)
+              .filter(col("verdict") === "drop").count()
           }
         }
         } finally spark.conf.set(
