@@ -4,11 +4,17 @@ import org.apache.spark.sql.functions._
 
 /** Round-19 pipeline queries: DEDUP OUTPUTS for the shift-tolerant
   * media pair ops (the decision surface [[PipelineQueries3]]'s
-  * aligned forms got in r18) and INCREMENTAL image dedup against a
-  * persisted fingerprint index. Oracle discipline as everywhere:
-  * DuckDB recomputes every pixel/sample from the fixture formula,
-  * every hash bit, the pair sets, and the recursive min-reachability
-  * closure — the Spark side decodes real containers. */
+  * aligned forms got in r18), the tolerance (maxHamming>0) arm of the
+  * set-overlap core, INCREMENTAL image/video/audio dedup against
+  * persisted fingerprint indexes, audio-in-video containment
+  * (PCM-exact both sides), video shot boundaries, the composite
+  * media curation report, and IMA-ADPCM stats (the quantizer is an
+  * integer state machine, so the compressed-audio path gets a FULL
+  * oracle — a recursive CTE replays encode+decode per sample).
+  * Oracle discipline as everywhere: DuckDB recomputes every
+  * pixel/sample from the fixture formula, every hash bit, the pair
+  * sets, and the recursive min-reachability closures — the Spark
+  * side decodes real containers. */
 object PipelineQueries4 {
 
   // ----------------- shift-tolerant video dedup output (corpus)
