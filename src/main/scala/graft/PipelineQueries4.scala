@@ -694,6 +694,65 @@ object PipelineQueries4 {
         .transform(Queries.sortedSmall(_, "clip_id"))
     })
 
+  // --------------------------- per-segment audio level stats
+  // The silence-trim / clipping gate at segment granularity: clip 0
+  // carries a MUTED 128-frame stretch (segment 2 goes exactly
+  // silent), clip 1 is stereo with a 44-frame partial tail (stats
+  // cover every frame — no 65-frame floor), junk emits nothing. The
+  // oracle predicts every i16 sample (with the mute window),
+  // recomputes exact |amp| sums, counts, and peaks per segment, and
+  // the same silent verdict.
+  private val qAudioSegmentStats = Queries.Q(
+    "p_audio_segment_stats",
+    Some("""
+      WITH clips(id, b, nf, ch, m0, m1) AS (
+        SELECT * FROM (VALUES
+          (0, 1, 640, 1, 256, 384),
+          (1, 1, 300, 2, -1, -1))),
+      segs AS (
+        SELECT id, ch, s, s * 128 AS sfrom, LEAST(s * 128 + 128, nf) AS sto
+        FROM clips, generate_series(0, 5) ss(s)
+        WHERE s * 128 < nf),
+      fr AS (SELECT id, b, ch, m0, m1, unnest(generate_series(0, nf - 1)) AS f
+             FROM clips),
+      cs AS (SELECT id, b, m0, m1, f, unnest(generate_series(0, ch - 1)) AS c
+             FROM fr),
+      smp AS (
+        SELECT id, f, c,
+               CASE WHEN f >= m0 AND f < m1 THEN 0
+                    ELSE ABS(((f * 31 + c * 17 + b * 101) % 4001) - 2000) END AS a
+        FROM cs),
+      agg AS (
+        SELECT segs.id, segs.s, segs.sfrom, segs.sto,
+               SUM(smp.a) AS tot, MAX(smp.a) AS peak
+        FROM segs JOIN smp ON smp.id = segs.id
+                          AND smp.f >= segs.sfrom AND smp.f < segs.sto
+        GROUP BY segs.id, segs.s, segs.sfrom, segs.sto)
+      SELECT CAST(agg.id AS BIGINT) AS clip_id, CAST(s AS INT) AS seg_idx,
+             CAST(tot AS DOUBLE) / ((sto - sfrom) * c2.ch) AS mean_abs,
+             CAST(peak AS INT) AS peak,
+             (CAST(tot AS DOUBLE) / ((sto - sfrom) * c2.ch)) < 1.0 AS silent
+      FROM agg JOIN clips c2 ON c2.id = agg.id
+      ORDER BY clip_id, seg_idx"""),
+    (s, dir) => {
+      val clips: Seq[(Long, Array[Byte])] = Seq(
+        0L -> operators.Multimodal.encodeWav(1, 8000, 640,
+          (c, f) => if (f >= 256 && f < 384) 0
+          else ((f * 31 + c * 17 + 101) % 4001) - 2000),
+        1L -> operators.Multimodal.encodeWav(2, 8000, 300,
+          (c, f) => ((f * 31 + c * 17 + 1 * 101) % 4001) - 2000),
+        2L -> "junk".getBytes("UTF-8"))
+      import s.implicits._
+      clips.toDF("clip_id", "payload")
+        .select(col("clip_id"),
+          explode(operators.Multimodal.audioSegmentStats(col("payload"), 128))
+            .as("e"))
+        .select(col("clip_id"), col("e.seg_idx").as("seg_idx"),
+          col("e.mean_abs").as("mean_abs"), col("e.peak").as("peak"),
+          (col("e.mean_abs") < 1.0).as("silent"))
+        .transform(Queries.sortedSmall(_, "clip_id", "seg_idx"))
+    })
+
   // --------------------------- MEDIA curation report (composite)
   // The mixed-corpus decision log: 18 images (6 families of 3), 12
   // AVIs (4 shifted families), 12 WAVs (4 shifted families), 2 junk
@@ -1108,5 +1167,5 @@ object PipelineQueries4 {
   val all: Seq[Queries.Q] =
     Seq(qVideoDedupShifted, qAudioDedupShifted, qVideoNearDupShiftedTol,
       qIncrementalImageDedup, qIncrementalVideoDedup, qIncrementalAudioDedup,
-      qAudioVideoMatches, qVideoShots, qMediaCuration, qAdpcmStats)
+      qAudioVideoMatches, qVideoShots, qAudioSegmentStats, qMediaCuration, qAdpcmStats)
 }

@@ -162,3 +162,66 @@ case class AudioSegmentDHashes(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): AudioSegmentDHashes =
     copy(left = newLeft, right = newRight)
 }
+
+/** Per-SEGMENT level statistics in one decode:
+  * `array<struct<seg_idx:int, mean_abs:double, peak:int>>` — the
+  * clip's frame axis cut into consecutive `segFrames`-frame segments
+  * (same fixed-length rule as [[AudioSegmentDHashes]], so segment
+  * indexes line up when a pipeline joins level gates with segment
+  * fingerprints), each reporting mean |amplitude| over ALL channels
+  * (exact integer sum ÷ exact count — one bit-deterministic double
+  * division) and peak |amplitude|. Unlike the fingerprint form, NO
+  * 65-frame floor: stats are meaningful for any segment length, so
+  * every frame belongs to a segment and a trailing partial is
+  * reported over its actual length — the silence-trim / clipping /
+  * level signal an audio curation pass gates on, per segment instead
+  * of [[WavSampleStats]]'s whole-clip granularity. segFrames ≥ 1;
+  * NULL when the payload is out of [[WavDecode]] scope. */
+case class AudioSegmentStats(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, IntegerType | LongType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (binary, integral), got ($l, $r)")
+    }
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("seg_idx", IntegerType, nullable = false),
+    StructField("mean_abs", DoubleType, nullable = false),
+    StructField("peak", IntegerType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_audio_segment_stats"
+
+  override protected def nullSafeEval(payload: Any, segAny: Any): Any = {
+    val segFrames = segAny match { case l: Long => l; case n: Int => n.toLong }
+    if (segFrames < 1) return null
+    val d = WavDecode.decode(payload.asInstanceOf[Array[Byte]])
+    if (d == null) return null
+    val ch = d.channels
+    // same Long-clamp discipline as AudioSegmentDHashes
+    val seg = math.min(segFrames, math.max(d.nFrames.toLong, 1L)).toInt
+    val out = scala.collection.mutable.ArrayBuffer[Any]()
+    var s = 0
+    var from = 0
+    while (from < d.nFrames) {
+      val to = math.min(from + seg, d.nFrames)
+      var sum = 0L
+      var peak = 0
+      var i = from * ch
+      val end = to * ch
+      while (i < end) {
+        val a = math.abs(d.samples(i).toInt)
+        sum += a
+        if (a > peak) peak = a
+        i += 1
+      }
+      out += InternalRow(s, sum.toDouble / ((to - from).toLong * ch), peak)
+      s += 1
+      from += seg
+    }
+    new GenericArrayData(out.toArray)
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): AudioSegmentStats =
+    copy(left = newLeft, right = newRight)
+}

@@ -254,6 +254,13 @@ object GraftFunctions {
     graftBridge.column(AviFrameDHashes(
       graftBridge.expression(payload), graftBridge.expression(stride)))
 
+  /** Column-API form of [[AudioSegmentStats]]:
+    * array<struct<seg_idx:int, mean_abs:double, peak:int>> — the
+    * per-segment level/silence gate signal, one decode. */
+  def audioSegmentStats(payload: Column, segFrames: Column): Column =
+    graftBridge.column(AudioSegmentStats(
+      graftBridge.expression(payload), graftBridge.expression(segFrames)))
+
   /** Column-API form of [[AviAudioSegmentDHashes]]:
     * array<struct<seg_idx:int, dhash:long>> — segment envelope
     * fingerprints of the container's PCM 'auds' track, the
@@ -370,6 +377,13 @@ object GraftFunctions {
         (args: Seq[Expression]) => {
           require(args.length == 2, s"graft_avi_frame_dhashes expects 2 arguments, got ${args.length}")
           AviFrameDHashes(args(0), args(1))
+        }),
+      (
+        FunctionIdentifier("graft_audio_segment_stats"),
+        new ExpressionInfo(classOf[AudioSegmentStats].getName, "graft_audio_segment_stats"),
+        (args: Seq[Expression]) => {
+          require(args.length == 2, s"graft_audio_segment_stats expects 2 arguments, got ${args.length}")
+          AudioSegmentStats(args(0), args(1))
         }),
       (
         FunctionIdentifier("graft_avi_audio_segment_dhashes"),

@@ -768,6 +768,15 @@ object Multimodal {
   def audioSegmentDHashes(payload: Column, segFrames: Int): Column =
     graft.functions.GraftFunctions.audioSegmentDHashes(payload, lit(segFrames))
 
+  /** Per-segment audio LEVEL statistics:
+    * array<struct<seg_idx:int, mean_abs:double, peak:int>> — the
+    * silence-trim / clipping gate signal at segment granularity, one
+    * decode, segment indexes aligned with [[audioSegmentDHashes]]
+    * (fixed `segFrames` rule; stats also cover the trailing partial —
+    * stats need no 65-frame floor). */
+  def audioSegmentStats(payload: Column, segFrames: Int): Column =
+    graft.functions.GraftFunctions.audioSegmentStats(payload, lit(segFrames))
+
   /** SHIFT-TOLERANT audio near-dup pairs — [[videoNearDupPairsShifted]]
     * for the audio column: clips are paired on the OVERLAP OF THEIR
     * SEGMENT-HASH SETS ([[audioSegmentDHashes]], fixed `segFrames`

@@ -141,7 +141,7 @@ class FunctionsSpec extends SparkSpec {
         "graft_jpeg_pixels", "graft_jpeg_stats",
         "graft_avi_meta", "graft_avi_frame", "graft_avi_frame_stats",
         "graft_audio_segment_dhashes", "graft_avi_frame_dhashes",
-        "graft_avi_audio_segment_dhashes",
+        "graft_audio_segment_stats", "graft_avi_audio_segment_dhashes",
         "graft_bmp_pixels", "graft_bmp_stats",
         "graft_jaro_winkler",
         "graft_gif_pixels", "graft_gif_stats",

@@ -76,5 +76,13 @@ class WavAdpcmSpec extends SparkSpec {
       .toDF("p").select(Multimodal.audioSampleStats(col("p")))
       .head().getSeq[Double](0)
     assert(stats(0) == 1.0 && stats(1) == 8000.0 && stats(2) == 169.0)
+    // segment-level stats read compressed clips through the same
+    // decode: 169 frames at segFrames=64 -> 3 segments (64+64+41),
+    // none silent for the sawtooth
+    val segStats = Seq(Tuple1(Multimodal.encodeWavImaAdpcm(1, 8000, 169, smooth, 169)))
+      .toDF("p").select(explode(Multimodal.audioSegmentStats(col("p"), 64)).as("e"))
+      .select(col("e.seg_idx"), col("e.mean_abs")).collect()
+    assert(segStats.length == 3 && segStats.forall(_.getDouble(1) > 1.0),
+      s"got ${segStats.toSeq}")
   }
 }
