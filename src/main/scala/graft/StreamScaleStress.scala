@@ -216,7 +216,8 @@ object StreamScaleStress {
       if (opFilter.isEmpty || opFilter.exists(f =>
           "stream_image_gate".contains(f) || "stream_audio_gate".contains(f) ||
             "stream_audio_gate_shifted".contains(f) ||
-            "stream_video_gate_shifted".contains(f))) {
+            "stream_video_gate_shifted".contains(f) ||
+            "stream_media_verdicts".contains(f))) {
         import spark.implicits._
         val nMedia = 2000 * scale
         val imgFeed = s"$work/imgfeed-$scale"
@@ -286,6 +287,34 @@ object StreamScaleStress {
         measure("stream_video_gate_shifted", scale, aviFeed, "append") { s =>
           StreamingOps.dropVideoNearDupsShifted(
             s, "payload", aviBitmaps, stride = 2)
+        }
+        // mixed-stream curation VERDICTS: one pass over all three
+        // kinds + junk with CaseWhen-lazy per-kind dispatch against
+        // the three frozen 32 KB catalogs above. Claims: zero state,
+        // flat walls, join-free, and per-batch cost ≈ the sum of the
+        // matched kinds' decode costs (the dispatch never walks the
+        // wrong decoder).
+        if (opFilter.isEmpty || opFilter.exists("stream_media_verdicts".contains)) {
+          val imgBitmaps = graft.operators.Multimodal.imageBlockBitmaps(
+            spark.read.parquet(imgFeed).filter(pmod(col("img_id"), lit(10)) === 0),
+            "payload")
+          val mixedFeed = s"$work/mixedfeed-$scale"
+          spark.read.parquet(imgFeed)
+            .select(col("img_id").as("media_id"), col("payload"))
+            .unionByName(spark.read.parquet(wavFeed)
+              .select((col("clip_id") + nMedia).as("media_id"), col("payload")))
+            .unionByName(spark.read.parquet(aviFeed)
+              .select((col("video_id") + 2L * nMedia).as("media_id"), col("payload")))
+            .unionByName(spark.range(nMedia / 40)
+              .select((col("id") + 3L * nMedia).as("media_id"),
+                encode(concat(lit("junk payload "), col("id").cast("string")), "UTF-8")
+                  .as("payload")))
+            .repartition(nBatches).write.mode("overwrite").parquet(mixedFeed)
+          measure("stream_media_verdicts", scale, mixedFeed, "append") { s =>
+            StreamingOps.mediaCurationVerdicts(
+              s, "payload", imgBitmaps, aviBitmaps, wavBitmaps,
+              videoStride = 2, audioSegFrames = 128, minFrac = 0.3)
+          }
         }
       }
       // ---- streaming LM gate: the frozen backoff artifacts come
