@@ -694,6 +694,63 @@ object PipelineQueries4 {
         .transform(Queries.sortedSmall(_, "clip_id"))
     })
 
+  // --------------------------- Adam7 interlaced PNG decode
+  // The oracle claim IS layout invariance: an Adam7 wire layout (7
+  // independently-filtered passes scattered on the interlace grid)
+  // must decode to the SAME pixels as the progressive layout — so the
+  // oracle predicts stats and the full pixel md5 from the formula
+  // with NO layout term, and the Spark side decodes real interlaced
+  // containers (sizes span the empty-pass regime w,h < 8, all four
+  // channel counts, cycling per-row filters within every pass).
+  private val qPngInterlacedStats = Queries.Q(
+    "p_png_interlaced_stats",
+    Some("""
+      WITH dims AS (SELECT i, 1 + (i*7) % 19 AS w, 1 + (i*5) % 14 AS h,
+                           CASE i % 4 WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 2 THEN 2 ELSE 4 END AS ch
+                    FROM generate_series(0, 23) t(i)),
+      ys AS (SELECT i, w, h, ch, unnest(generate_series(0, h - 1)) AS y FROM dims),
+      xs AS (SELECT i, w, h, ch, y, unnest(generate_series(0, w - 1)) AS x FROM ys),
+      px AS (SELECT i, y, x, unnest(generate_series(0, ch - 1)) AS c FROM xs),
+      v AS (SELECT i, y, x, c, (x*11 + y*23 + c*31 + i*3) % 256 AS v FROM px),
+      md AS (SELECT i, md5(string_agg(printf('%02x', v), '' ORDER BY y, x, c)) AS pixel_md5
+             FROM v GROUP BY i),
+      mn AS (SELECT i, c AS channel, CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mean_val
+             FROM v GROUP BY i, c)
+      SELECT CAST(d.i AS BIGINT) AS img_id, CAST(d.w AS BIGINT) AS width,
+             CAST(d.h AS BIGINT) AS height, CAST(d.ch AS BIGINT) AS channels,
+             CAST(mn.channel AS BIGINT) AS channel, mn.mean_val, md.pixel_md5
+      FROM dims d JOIN mn ON mn.i = d.i JOIN md ON md.i = d.i
+      ORDER BY img_id, channel"""),
+    (s, dir) => {
+      val imgs: Seq[(Long, Array[Byte])] = (0 until 24).map { i =>
+        val (w, h) = (1 + (i * 7) % 19, 1 + (i * 5) % 14)
+        val ch = Seq(1, 3, 2, 4)(i % 4)
+        (i.toLong, operators.Multimodal.encodePng(w, h, ch,
+          (x, y, c) => (x * 11 + y * 23 + c * 31 + i * 3) % 256,
+          y => (y + i) % 5, interlaced = true))
+      }
+      import s.implicits._
+      val df = imgs.toDF("img_id", "payload")
+      val stats = operators.Multimodal.imagePixelStats(col("payload"))
+      df.select(
+          col("img_id"),
+          stats.as("__st"),
+          md5(lower(hex(operators.Multimodal.imagePixels(col("payload")))))
+            .as("pixel_md5"))
+        .select(
+          col("img_id"),
+          col("__st").getItem(0).cast("long").as("width"),
+          col("__st").getItem(1).cast("long").as("height"),
+          col("__st").getItem(2).cast("long").as("channels"),
+          posexplode(slice(col("__st"), lit(4), size(col("__st")) - 3)),
+          col("pixel_md5"))
+        .select(
+          col("img_id"), col("width"), col("height"), col("channels"),
+          col("pos").cast("long").as("channel"), col("col").as("mean_val"),
+          col("pixel_md5"))
+        .transform(Queries.sortedSmall(_, "img_id", "channel"))
+    })
+
   // --------------------------- per-segment audio level stats
   // The silence-trim / clipping gate at segment granularity: clip 0
   // carries a MUTED 128-frame stretch (segment 2 goes exactly
@@ -1167,5 +1224,6 @@ object PipelineQueries4 {
   val all: Seq[Queries.Q] =
     Seq(qVideoDedupShifted, qAudioDedupShifted, qVideoNearDupShiftedTol,
       qIncrementalImageDedup, qIncrementalVideoDedup, qIncrementalAudioDedup,
-      qAudioVideoMatches, qVideoShots, qAudioSegmentStats, qMediaCuration, qAdpcmStats)
+      qAudioVideoMatches, qVideoShots, qAudioSegmentStats, qPngInterlacedStats,
+      qMediaCuration, qAdpcmStats)
 }

@@ -14,10 +14,12 @@ import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType}
   * no external codec: the JDK's Inflater is the only dependency.
   *
   * Scope (documented, not silently wrong): 8-bit depth, color types
-  * 0/2/4/6 (gray, RGB, gray+alpha, RGBA), non-interlaced — what
-  * standard encoders emit for photographic/training images. Palette,
-  * 16-bit, and Adam7 payloads return NULL (honest absence), as does
-  * anything truncated or corrupt.
+  * 0/2/4/6 (gray, RGB, gray+alpha, RGBA), both progressive AND Adam7
+  * interlaced layouts (each interlace pass unfilters independently
+  * and scatters onto the pass grid per spec §8.2; the identity pass
+  * unfilters straight into the output, so the common non-interlaced
+  * path pays nothing). Palette and 16-bit payloads return NULL
+  * (honest absence), as does anything truncated or corrupt.
   *
   * Safety at scale: a 100 TB media lake WILL contain decompression
   * bombs — a few-KB payload declaring a huge IHDR and a zlib stream
@@ -38,6 +40,13 @@ private[graft] object PngDecode {
 
   final case class Decoded(width: Int, height: Int, channels: Int, pixels: Array[Byte])
 
+  /** The Adam7 pass grid (x0, y0, dx, dy) per the PNG spec §8.2;
+    * non-interlaced decode uses the single identity pass. */
+  private val Adam7: Array[(Int, Int, Int, Int)] = Array(
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+  private val Progressive: Array[(Int, Int, Int, Int)] = Array((0, 0, 1, 1))
+
   private def beU32(b: Array[Byte], i: Int): Long =
     ((b(i) & 0xFFL) << 24) | ((b(i + 1) & 0xFFL) << 16) |
       ((b(i + 2) & 0xFFL) << 8) | (b(i + 3) & 0xFFL)
@@ -50,6 +59,7 @@ private[graft] object PngDecode {
     while (i < 8) { if ((b(i) & 0xFF) != sig(i)) return null; i += 1 }
     var pos = 8
     var width, height, channels = -1
+    var interlaced = false
     var idat = new java.io.ByteArrayOutputStream()
     var chunks = 0
     var sawEnd = false
@@ -66,15 +76,19 @@ private[graft] object PngDecode {
           height = beU32(b, dataOff + 4).toInt
           val bitDepth = b(dataOff + 8) & 0xFF
           val colorType = b(dataOff + 9) & 0xFF
-          val interlace = b(dataOff + 12) & 0xFF
-          if (bitDepth != 8 || interlace != 0) return null
+          val il = b(dataOff + 12) & 0xFF
+          if (bitDepth != 8 || il > 1) return null
+          interlaced = il == 1
           channels = colorType match {
             case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4
             case _ => return null // palette (3) or invalid
           }
           if (width <= 0 || height <= 0) return null
+          // bomb guard, pre-allocation: the Adam7 raw stream is the
+          // same pixel volume plus ≤ 2·height + 7 extra filter bytes
+          // — guarding the plain raw size bounds both layouts
           val raw = height.toLong * (1L + width.toLong * channels)
-          if (raw > MaxRawBytes) return null // bomb guard, pre-allocation
+          if (raw > MaxRawBytes) return null
         case "IDAT" => idat.write(b, dataOff, len.toInt)
         case "IEND" => sawEnd = true
         case _ => () // PLTE/tEXt/gAMA/... irrelevant to truecolor pixels
@@ -83,7 +97,19 @@ private[graft] object PngDecode {
     }
     if (width < 0 || !sawEnd || idat.size() == 0) return null
     val stride = width * channels
-    val rawLen = height * (1 + stride)
+    // pass geometry: non-interlaced is the single identity pass;
+    // Adam7 passes with zero columns or rows contribute NO scanlines
+    // (not even filter bytes) per the spec
+    val passes = (if (interlaced) Adam7 else Progressive)
+      .map { case (x0, y0, dx, dy) =>
+        val pw = if (width > x0) (width - x0 + dx - 1) / dx else 0
+        val ph = if (height > y0) (height - y0 + dy - 1) / dy else 0
+        (x0, y0, dx, dy, pw, ph)
+      }
+      .filter { case (_, _, _, _, pw, ph) => pw > 0 && ph > 0 }
+    val rawLen = passes.map { case (_, _, _, _, pw, ph) =>
+      ph * (1 + pw * channels)
+    }.sum
     val raw = new Array[Byte](rawLen)
     val inf = new Inflater()
     try {
@@ -97,37 +123,63 @@ private[graft] object PngDecode {
       if (got < rawLen) return null // truncated pixel stream
     } catch { case _: java.util.zip.DataFormatException => return null }
     finally inf.end()
-    // unfilter scanlines in place into the output (PNG spec §9)
+    // unfilter each pass independently (PNG spec §9 — "previous row"
+    // is the previous row OF THE SAME PASS), then scatter the pass's
+    // pixels onto the Adam7 grid; the identity pass scatters 1:1
     val out = new Array[Byte](height * stride)
     val bpp = channels
-    var y = 0
-    while (y < height) {
-      val f = raw(y * (1 + stride)) & 0xFF
-      if (f > 4) return null
-      val rowIn = y * (1 + stride) + 1
-      val rowOut = y * stride
-      val prevOut = rowOut - stride
-      var x = 0
-      while (x < stride) {
-        val rawV = raw(rowIn + x) & 0xFF
-        val left = if (x >= bpp) out(rowOut + x - bpp) & 0xFF else 0
-        val up = if (y > 0) out(prevOut + x) & 0xFF else 0
-        val ul = if (y > 0 && x >= bpp) out(prevOut + x - bpp) & 0xFF else 0
-        val recon = f match {
-          case 0 => rawV
-          case 1 => rawV + left
-          case 2 => rawV + up
-          case 3 => rawV + ((left + up) >> 1)
-          case 4 => // Paeth predictor
-            val p = left + up - ul
-            val pa = math.abs(p - left); val pb = math.abs(p - up); val pc = math.abs(p - ul)
-            val pred = if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul
-            rawV + pred
+    var passOff = 0
+    passes.foreach { case (x0, y0, dx, dy, pw, ph) =>
+      val pStride = pw * channels
+      // the identity pass (every non-interlaced image) unfilters
+      // STRAIGHT into the output — no pass buffer, no scatter copy,
+      // so the hot path pays nothing for Adam7 support
+      val identity = x0 == 0 && y0 == 0 && dx == 1 && dy == 1
+      val pass = if (identity) out else new Array[Byte](ph * pStride)
+      var y = 0
+      while (y < ph) {
+        val f = raw(passOff + y * (1 + pStride)) & 0xFF
+        if (f > 4) return null
+        val rowIn = passOff + y * (1 + pStride) + 1
+        val rowOut = y * pStride
+        val prevOut = rowOut - pStride
+        var x = 0
+        while (x < pStride) {
+          val rawV = raw(rowIn + x) & 0xFF
+          val left = if (x >= bpp) pass(rowOut + x - bpp) & 0xFF else 0
+          val up = if (y > 0) pass(prevOut + x) & 0xFF else 0
+          val ul = if (y > 0 && x >= bpp) pass(prevOut + x - bpp) & 0xFF else 0
+          val recon = f match {
+            case 0 => rawV
+            case 1 => rawV + left
+            case 2 => rawV + up
+            case 3 => rawV + ((left + up) >> 1)
+            case 4 => // Paeth predictor
+              val p = left + up - ul
+              val pa = math.abs(p - left); val pb = math.abs(p - up); val pc = math.abs(p - ul)
+              val pred = if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul
+              rawV + pred
+          }
+          pass(rowOut + x) = (recon & 0xFF).toByte
+          x += 1
         }
-        out(rowOut + x) = (recon & 0xFF).toByte
-        x += 1
+        y += 1
       }
-      y += 1
+      if (!identity) {
+        var py = 0
+        while (py < ph) {
+          val iy = y0 + py * dy
+          var px = 0
+          while (px < pw) {
+            val ix = x0 + px * dx
+            System.arraycopy(pass, (py * pw + px) * channels,
+              out, (iy * width + ix) * channels, channels)
+            px += 1
+          }
+          py += 1
+        }
+      }
+      passOff += ph * (1 + pStride)
     }
     Decoded(width, height, channels, out)
   }

@@ -1418,7 +1418,8 @@ object Multimodal {
     * image corpus behind the `p_png_pixel_stats` oracle query and the
     * encode→decode round-trip specs. */
   def encodePng(width: Int, height: Int, channels: Int,
-      pixel: (Int, Int, Int) => Int, filterOf: Int => Int = _ => 0): Array[Byte] = {
+      pixel: (Int, Int, Int) => Int, filterOf: Int => Int = _ => 0,
+      interlaced: Boolean = false): Array[Byte] = {
     require(width > 0 && height > 0, s"bad dims ${width}x$height")
     require(channels >= 1 && channels <= 4, s"channels=$channels")
     val colorType = channels match { case 1 => 0; case 2 => 4; case 3 => 2; case 4 => 6 }
@@ -1427,31 +1428,51 @@ object Multimodal {
     val recon = new Array[Byte](height * stride)
     for (y <- 0 until height; x <- 0 until width; c <- 0 until channels)
       recon(y * stride + x * channels + c) = (pixel(x, y, c) & 0xFF).toByte
-    val raw = new Array[Byte](height * (1 + stride))
-    for (y <- 0 until height) {
-      val f = filterOf(y)
-      require(f >= 0 && f <= 4, s"filter $f")
-      raw(y * (1 + stride)) = f.toByte
-      var x = 0
-      while (x < stride) {
-        val cur = recon(y * stride + x) & 0xFF
-        val left = if (x >= channels) recon(y * stride + x - channels) & 0xFF else 0
-        val up = if (y > 0) recon((y - 1) * stride + x) & 0xFF else 0
-        val ul = if (y > 0 && x >= channels) recon((y - 1) * stride + x - channels) & 0xFF else 0
-        val pred = f match {
-          case 0 => 0
-          case 1 => left
-          case 2 => up
-          case 3 => (left + up) >> 1
-          case 4 =>
-            val p = left + up - ul
-            val pa = math.abs(p - left); val pb = math.abs(p - up); val pc = math.abs(p - ul)
-            if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul
+    // filter one (sub-)image pass: the plain layout is the identity
+    // pass, Adam7 extracts each pass's grid sub-image and filters it
+    // independently (per-pass "previous row" — the decode contract)
+    def filterPass(px0: Int, py0: Int, dx: Int, dy: Int): Array[Byte] = {
+      val pw = if (width > px0) (width - px0 + dx - 1) / dx else 0
+      val ph = if (height > py0) (height - py0 + dy - 1) / dy else 0
+      if (pw == 0 || ph == 0) return Array.emptyByteArray
+      val pStride = pw * channels
+      val sub = new Array[Byte](ph * pStride)
+      for (py <- 0 until ph; px <- 0 until pw; c <- 0 until channels)
+        sub(py * pStride + px * channels + c) =
+          recon((py0 + py * dy) * stride + (px0 + px * dx) * channels + c)
+      val out = new Array[Byte](ph * (1 + pStride))
+      for (y <- 0 until ph) {
+        val f = filterOf(y)
+        require(f >= 0 && f <= 4, s"filter $f")
+        out(y * (1 + pStride)) = f.toByte
+        var x = 0
+        while (x < pStride) {
+          val cur = sub(y * pStride + x) & 0xFF
+          val left = if (x >= channels) sub(y * pStride + x - channels) & 0xFF else 0
+          val up = if (y > 0) sub((y - 1) * pStride + x) & 0xFF else 0
+          val ul = if (y > 0 && x >= channels) sub((y - 1) * pStride + x - channels) & 0xFF else 0
+          val pred = f match {
+            case 0 => 0
+            case 1 => left
+            case 2 => up
+            case 3 => (left + up) >> 1
+            case 4 =>
+              val p = left + up - ul
+              val pa = math.abs(p - left); val pb = math.abs(p - up); val pc = math.abs(p - ul)
+              if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul
+          }
+          out(y * (1 + pStride) + 1 + x) = ((cur - pred) & 0xFF).toByte
+          x += 1
         }
-        raw(y * (1 + stride) + 1 + x) = ((cur - pred) & 0xFF).toByte
-        x += 1
       }
+      out
     }
+    val adam7 = Seq(
+      (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+      (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    val raw =
+      if (interlaced) adam7.toArray.flatMap { case (x0, y0, dx, dy) => filterPass(x0, y0, dx, dy) }
+      else filterPass(0, 0, 1, 1)
     val defl = new java.util.zip.Deflater()
     val zos = new java.io.ByteArrayOutputStream()
     try {
@@ -1474,7 +1495,8 @@ object Multimodal {
     val ihdr = java.nio.ByteBuffer.allocate(13)
       .putInt(width).putInt(height)
       .put(8.toByte).put(colorType.toByte)
-      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+      .put(0.toByte).put(0.toByte)
+      .put((if (interlaced) 1 else 0).toByte).array()
     Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A) ++
       chunk("IHDR", ihdr) ++ chunk("IDAT", zos.toByteArray) ++
       chunk("IEND", Array.emptyByteArray)

@@ -100,6 +100,40 @@ class PngPixelsSpec extends SparkSpec {
     }
   }
 
+  test("Adam7 interlaced decode == progressive decode for random shapes, channels, filters") {
+    val rnd = new scala.util.Random(19)
+    // shapes chosen to exercise EMPTY passes (w or h < 8 skips pass
+    // scanlines entirely), single-pixel, and pass-boundary sizes
+    for ((w, h) <- Seq((1, 1), (3, 2), (7, 5), (8, 8), (9, 8), (13, 11), (33, 17));
+         ch <- Seq(1, 2, 3, 4)) {
+      def p(x: Int, y: Int, c: Int): Int = (x * 31 + y * 17 + c * 7 + w + h) % 256
+      val filters = Array.fill(math.max(w, h))(rnd.nextInt(5))
+      val plain = graft.operators.Multimodal.encodePng(w, h, ch, p, y => filters(y))
+      val adam7 = graft.operators.Multimodal.encodePng(w, h, ch, p, y => filters(y),
+        interlaced = true)
+      val dp = PngDecode.decode(plain)
+      val di = PngDecode.decode(adam7)
+      assert(dp != null && di != null, s"${w}x$h ch=$ch")
+      assert(di.width == w && di.height == h && di.channels == ch)
+      assert(di.pixels.toSeq == dp.pixels.toSeq,
+        s"interlaced pixels must equal progressive for ${w}x$h ch=$ch")
+    }
+    // and against the independent JDK codec: ImageIO reads our
+    // interlaced output to the same pixels
+    val avi7 = graft.operators.Multimodal.encodePng(23, 17, 3,
+      (x, y, c) => (x * 13 + y * 29 + c * 37) % 256, interlaced = true)
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(avi7))
+    assert(ref != null, "ImageIO must accept the Adam7 wire output")
+    val d = PngDecode.decode(avi7)
+    for (y <- 0 until 17; x <- 0 until 23) {
+      val argb = ref.getRGB(x, y)
+      val base = (y * 23 + x) * 3
+      assert((d.pixels(base) & 0xFF) == ((argb >> 16) & 0xFF) &&
+        (d.pixels(base + 1) & 0xFF) == ((argb >> 8) & 0xFF) &&
+        (d.pixels(base + 2) & 0xFF) == (argb & 0xFF), s"($x,$y)")
+    }
+  }
+
   test("decode matches javax.imageio as an independent reference codec") {
     val rnd = new scala.util.Random(42)
     for ((imgType, channels) <- Seq(
