@@ -751,6 +751,77 @@ object PipelineQueries4 {
         .transform(Queries.sortedSmall(_, "img_id", "channel"))
     })
 
+  // --------------------------- palette PNG decode (PLTE + tRNS)
+  // Color-type-3 coverage: the decode claim is palette EXPANSION —
+  // indexes map through PLTE to RGB, or RGBA when tRNS carries
+  // per-entry alpha (trailing entries opaque, the spec default). The
+  // oracle predicts the expanded channels from the palette/index
+  // formulas (no wire term) and pins stats + the full pixel md5;
+  // fixtures cycle per-row filters, every third image is Adam7
+  // interlaced, odd images carry a 4-entry tRNS against larger
+  // palettes (the opaque-tail rule on the wire).
+  private val qPngPaletteStats = Queries.Q(
+    "p_png_palette_stats",
+    Some("""
+      WITH dims AS (SELECT i, 1 + (i*7) % 19 AS w, 1 + (i*5) % 14 AS h,
+                           3 + i % 14 AS n,
+                           CASE WHEN i % 2 = 1 THEN 4 ELSE 3 END AS ch,
+                           CASE WHEN i % 2 = 1 THEN LEAST(4, 3 + i % 14) ELSE 0 END AS alen
+                    FROM generate_series(0, 15) t(i)),
+      ys AS (SELECT i, w, h, n, ch, alen, unnest(generate_series(0, h - 1)) AS y FROM dims),
+      xs AS (SELECT i, w, h, n, ch, alen, y, unnest(generate_series(0, w - 1)) AS x FROM ys),
+      px AS (SELECT i, n, alen, y, x, unnest(generate_series(0, ch - 1)) AS c FROM xs),
+      v AS (SELECT i, y, x, c,
+                   CASE c WHEN 0 THEN (j*23 + i) % 256
+                          WHEN 1 THEN (j*57 + i*3) % 256
+                          WHEN 2 THEN (j*91 + i*5) % 256
+                          ELSE CASE WHEN j < alen THEN (j*40 + i) % 256 ELSE 255 END
+                   END AS v
+            FROM (SELECT *, (x*3 + y*7 + i) % n AS j FROM px)),
+      md AS (SELECT i, md5(string_agg(printf('%02x', v), '' ORDER BY y, x, c)) AS pixel_md5
+             FROM v GROUP BY i),
+      mn AS (SELECT i, c AS channel, CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mean_val
+             FROM v GROUP BY i, c)
+      SELECT CAST(d.i AS BIGINT) AS img_id, CAST(d.w AS BIGINT) AS width,
+             CAST(d.h AS BIGINT) AS height, CAST(d.ch AS BIGINT) AS channels,
+             CAST(mn.channel AS BIGINT) AS channel, mn.mean_val, md.pixel_md5
+      FROM dims d JOIN mn ON mn.i = d.i JOIN md ON md.i = d.i
+      ORDER BY img_id, channel"""),
+    (s, dir) => {
+      val imgs: Seq[(Long, Array[Byte])] = (0 until 16).map { i =>
+        val (w, h) = (1 + (i * 7) % 19, 1 + (i * 5) % 14)
+        val n = 3 + i % 14
+        val pal = (0 until n).map(j =>
+          ((j * 23 + i) % 256, (j * 57 + i * 3) % 256, (j * 91 + i * 5) % 256))
+        val alpha =
+          if (i % 2 == 1) (0 until math.min(4, n)).map(j => (j * 40 + i) % 256)
+          else Seq.empty[Int]
+        (i.toLong, operators.Multimodal.encodePngPalette(w, h, pal,
+          (x, y) => (x * 3 + y * 7 + i) % n, alpha,
+          y => (y + i) % 5, interlaced = i % 3 == 0))
+      }
+      import s.implicits._
+      val df = imgs.toDF("img_id", "payload")
+      val stats = operators.Multimodal.imagePixelStats(col("payload"))
+      df.select(
+          col("img_id"),
+          stats.as("__st"),
+          md5(lower(hex(operators.Multimodal.imagePixels(col("payload")))))
+            .as("pixel_md5"))
+        .select(
+          col("img_id"),
+          col("__st").getItem(0).cast("long").as("width"),
+          col("__st").getItem(1).cast("long").as("height"),
+          col("__st").getItem(2).cast("long").as("channels"),
+          posexplode(slice(col("__st"), lit(4), size(col("__st")) - 3)),
+          col("pixel_md5"))
+        .select(
+          col("img_id"), col("width"), col("height"), col("channels"),
+          col("pos").cast("long").as("channel"), col("col").as("mean_val"),
+          col("pixel_md5"))
+        .transform(Queries.sortedSmall(_, "img_id", "channel"))
+    })
+
   // --------------------------- per-segment audio level stats
   // The silence-trim / clipping gate at segment granularity: clip 0
   // carries a MUTED 128-frame stretch (segment 2 goes exactly
@@ -1225,5 +1296,6 @@ object PipelineQueries4 {
     Seq(qVideoDedupShifted, qAudioDedupShifted, qVideoNearDupShiftedTol,
       qIncrementalImageDedup, qIncrementalVideoDedup, qIncrementalAudioDedup,
       qAudioVideoMatches, qVideoShots, qAudioSegmentStats, qPngInterlacedStats,
+      qPngPaletteStats,
       qMediaCuration, qAdpcmStats)
 }

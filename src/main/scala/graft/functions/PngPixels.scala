@@ -14,12 +14,15 @@ import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType}
   * no external codec: the JDK's Inflater is the only dependency.
   *
   * Scope (documented, not silently wrong): 8-bit depth, color types
-  * 0/2/4/6 (gray, RGB, gray+alpha, RGBA), both progressive AND Adam7
-  * interlaced layouts (each interlace pass unfilters independently
-  * and scatters onto the pass grid per spec §8.2; the identity pass
-  * unfilters straight into the output, so the common non-interlaced
-  * path pays nothing). Palette and 16-bit payloads return NULL
-  * (honest absence), as does anything truncated or corrupt.
+  * 0/2/3/4/6 (gray, RGB, 8-bit PALETTE — expanded through PLTE to
+  * RGB, or RGBA when a tRNS chunk carries per-entry alpha (missing
+  * entries opaque, spec §11.3.2) — gray+alpha, RGBA), both
+  * progressive AND Adam7 interlaced layouts (each interlace pass
+  * unfilters independently and scatters onto the pass grid per spec
+  * §8.2; the identity pass unfilters straight into the output, so
+  * the common non-interlaced path pays nothing). Sub-byte palette
+  * depths (1/2/4-bit), 16-bit, and truecolor tRNS color keys return
+  * NULL (honest absence), as does anything truncated or corrupt.
   *
   * Safety at scale: a 100 TB media lake WILL contain decompression
   * bombs — a few-KB payload declaring a huge IHDR and a zlib stream
@@ -60,6 +63,9 @@ private[graft] object PngDecode {
     var pos = 8
     var width, height, channels = -1
     var interlaced = false
+    var paletted = false
+    var plte: Array[Byte] = null
+    var trns: Array[Byte] = null
     var idat = new java.io.ByteArrayOutputStream()
     var chunks = 0
     var sawEnd = false
@@ -81,17 +87,29 @@ private[graft] object PngDecode {
           interlaced = il == 1
           channels = colorType match {
             case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4
-            case _ => return null // palette (3) or invalid
+            case 3 => paletted = true; 1 // 1 index byte/pixel on the wire
+            case _ => return null // invalid
           }
           if (width <= 0 || height <= 0) return null
           // bomb guard, pre-allocation: the Adam7 raw stream is the
           // same pixel volume plus ≤ 2·height + 7 extra filter bytes
-          // — guarding the plain raw size bounds both layouts
+          // — guarding the plain raw size bounds both layouts; a
+          // palette image EXPANDS its 1-byte indexes to up to RGBA,
+          // so the expansion is guarded too
           val raw = height.toLong * (1L + width.toLong * channels)
           if (raw > MaxRawBytes) return null
+          if (paletted && width.toLong * height * 4 > MaxRawBytes) return null
         case "IDAT" => idat.write(b, dataOff, len.toInt)
+        case "PLTE" =>
+          if (len % 3 != 0 || len > 768) return null
+          plte = java.util.Arrays.copyOfRange(b, dataOff, dataOff + len.toInt)
+        case "tRNS" =>
+          if (paletted) { // truecolor tRNS (color keys) stays out of scope
+            if (len > 256) return null
+            trns = java.util.Arrays.copyOfRange(b, dataOff, dataOff + len.toInt)
+          }
         case "IEND" => sawEnd = true
-        case _ => () // PLTE/tEXt/gAMA/... irrelevant to truecolor pixels
+        case _ => () // tEXt/gAMA/... irrelevant to pixels
       }
       pos += 12 + len.toInt // len + type + data + crc (crc not validated)
     }
@@ -181,7 +199,29 @@ private[graft] object PngDecode {
       }
       passOff += ph * (1 + pStride)
     }
-    Decoded(width, height, channels, out)
+    if (!paletted) Decoded(width, height, channels, out)
+    else {
+      // expand the index plane through PLTE (+ tRNS alpha when
+      // present: RGBA out, missing entries opaque per spec §11.3.2)
+      if (plte == null) return null
+      val n = plte.length / 3
+      val hasAlpha = trns != null
+      val och = if (hasAlpha) 4 else 3
+      val exp = new Array[Byte](width * height * och)
+      var i = 0
+      val total = width * height
+      while (i < total) {
+        val idx = out(i) & 0xFF
+        if (idx >= n) return null // index past the palette — corrupt
+        exp(i * och) = plte(idx * 3)
+        exp(i * och + 1) = plte(idx * 3 + 1)
+        exp(i * och + 2) = plte(idx * 3 + 2)
+        if (hasAlpha)
+          exp(i * och + 3) = if (idx < trns.length) trns(idx) else 0xFF.toByte
+        i += 1
+      }
+      Decoded(width, height, och, exp)
+    }
   }
 }
 

@@ -1428,6 +1428,43 @@ object Multimodal {
     val recon = new Array[Byte](height * stride)
     for (y <- 0 until height; x <- 0 until width; c <- 0 until channels)
       recon(y * stride + x * channels + c) = (pixel(x, y, c) & 0xFF).toByte
+    pngAssemble(width, height, colorType, interlaced, Nil,
+      pngFilter(recon, width, height, channels, filterOf, interlaced))
+  }
+
+  /** Driver-side PALETTE PNG ENCODER (fixture machinery): color type
+    * 3 — a 1-byte index plane filtered like any scanline stream (bpp
+    * = 1), PLTE from `palette`, optional per-entry tRNS `alpha`
+    * (shorter than the palette ⇒ trailing entries opaque — the spec
+    * default the decoder must honor). Supports the same per-row
+    * filters and Adam7 interlacing as [[encodePng]]. */
+  def encodePngPalette(width: Int, height: Int,
+      palette: Seq[(Int, Int, Int)], index: (Int, Int) => Int,
+      alpha: Seq[Int] = Nil, filterOf: Int => Int = _ => 0,
+      interlaced: Boolean = false): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dims ${width}x$height")
+    require(palette.nonEmpty && palette.size <= 256, s"palette size ${palette.size}")
+    require(alpha.size <= palette.size, "tRNS longer than the palette")
+    val recon = new Array[Byte](height * width)
+    for (y <- 0 until height; x <- 0 until width) {
+      val i = index(x, y)
+      require(i >= 0 && i < palette.size, s"index $i out of palette at ($x,$y)")
+      recon(y * width + x) = i.toByte
+    }
+    val plte = palette.flatMap { case (r, g, b) => Seq(r, g, b) }
+      .map(v => (v & 0xFF).toByte).toArray
+    val extra = Seq("PLTE" -> plte) ++
+      (if (alpha.nonEmpty) Seq("tRNS" -> alpha.map(v => (v & 0xFF).toByte).toArray)
+       else Nil)
+    pngAssemble(width, height, 3, interlaced, extra,
+      pngFilter(recon, width, height, 1, filterOf, interlaced))
+  }
+
+  /** Shared scanline filtering for the PNG encoders — plain layout or
+    * Adam7 passes, each pass filtered independently. */
+  private def pngFilter(recon: Array[Byte], width: Int, height: Int,
+      channels: Int, filterOf: Int => Int, interlaced: Boolean): Array[Byte] = {
+    val stride = width * channels
     // filter one (sub-)image pass: the plain layout is the identity
     // pass, Adam7 extracts each pass's grid sub-image and filters it
     // independently (per-pass "previous row" — the decode contract)
@@ -1470,9 +1507,16 @@ object Multimodal {
     val adam7 = Seq(
       (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
       (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
-    val raw =
-      if (interlaced) adam7.toArray.flatMap { case (x0, y0, dx, dy) => filterPass(x0, y0, dx, dy) }
-      else filterPass(0, 0, 1, 1)
+    if (interlaced) adam7.toArray.flatMap { case (x0, y0, dx, dy) => filterPass(x0, y0, dx, dy) }
+    else filterPass(0, 0, 1, 1)
+  }
+
+  /** Shared RIFF-free PNG assembly: zlib-deflate the filtered raw
+    * stream and emit sig + IHDR + `extra` chunks (PLTE/tRNS, in
+    * order) + IDAT + IEND with correct CRCs. */
+  private def pngAssemble(width: Int, height: Int, colorType: Int,
+      interlaced: Boolean, extra: Seq[(String, Array[Byte])],
+      raw: Array[Byte]): Array[Byte] = {
     val defl = new java.util.zip.Deflater()
     val zos = new java.io.ByteArrayOutputStream()
     try {
@@ -1498,7 +1542,9 @@ object Multimodal {
       .put(0.toByte).put(0.toByte)
       .put((if (interlaced) 1 else 0).toByte).array()
     Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A) ++
-      chunk("IHDR", ihdr) ++ chunk("IDAT", zos.toByteArray) ++
+      chunk("IHDR", ihdr) ++
+      extra.toArray.flatMap { case (t, d) => chunk(t, d) } ++
+      chunk("IDAT", zos.toByteArray) ++
       chunk("IEND", Array.emptyByteArray)
   }
 

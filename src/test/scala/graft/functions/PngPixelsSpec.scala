@@ -134,6 +134,54 @@ class PngPixelsSpec extends SparkSpec {
     }
   }
 
+  test("palette PNGs expand through PLTE (+tRNS alpha), interlaced too, guards hold") {
+    val pal = (0 until 11).map(i => (i * 23 % 256, i * 57 % 256, i * 91 % 256))
+    def idx(x: Int, y: Int): Int = (x * 3 + y * 7) % 11
+    // opaque palette → RGB
+    val plain = graft.operators.Multimodal.encodePngPalette(13, 9, pal, idx)
+    val d = PngDecode.decode(plain)
+    assert(d != null && d.channels == 3 && d.width == 13 && d.height == 9)
+    for (y <- 0 until 9; x <- 0 until 13) {
+      val (r, g, b) = pal(idx(x, y))
+      val base = (y * 13 + x) * 3
+      assert((d.pixels(base) & 0xFF) == r && (d.pixels(base + 1) & 0xFF) == g &&
+        (d.pixels(base + 2) & 0xFF) == b, s"($x,$y)")
+    }
+    // tRNS SHORTER than the palette: listed entries carry alpha,
+    // trailing entries opaque (spec default) → RGBA
+    val alpha = Seq(10, 255, 0, 128)
+    val dt = PngDecode.decode(
+      graft.operators.Multimodal.encodePngPalette(13, 9, pal, idx, alpha))
+    assert(dt != null && dt.channels == 4)
+    for (y <- 0 until 9; x <- 0 until 13) {
+      val i = idx(x, y)
+      val expA = if (i < alpha.size) alpha(i) else 255
+      assert((dt.pixels((y * 13 + x) * 4 + 3) & 0xFF) == expA, s"($x,$y)")
+    }
+    // Adam7 palette: identical expansion
+    val di = PngDecode.decode(
+      graft.operators.Multimodal.encodePngPalette(13, 9, pal, idx, alpha,
+        interlaced = true))
+    assert(di != null && di.pixels.toSeq == dt.pixels.toSeq,
+      "interlaced palette must expand to the same RGBA")
+    // ImageIO reads our palette wire output to the same RGB
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(plain))
+    assert(ref != null)
+    for (y <- 0 until 9; x <- 0 until 13) {
+      val argb = ref.getRGB(x, y)
+      val base = (y * 13 + x) * 3
+      assert((d.pixels(base) & 0xFF) == ((argb >> 16) & 0xFF) &&
+        (d.pixels(base + 1) & 0xFF) == ((argb >> 8) & 0xFF) &&
+        (d.pixels(base + 2) & 0xFF) == (argb & 0xFF), s"imageio ($x,$y)")
+    }
+    // guard: a palette image with NO readable PLTE refuses (tag
+    // corrupted → the walk never records a palette)
+    val plteAt = plain.indexOfSlice("PLTE".getBytes)
+    val noPlte = plain.clone()
+    for ((c, k) <- "zzzz".getBytes.zipWithIndex) noPlte(plteAt + k) = c
+    assert(PngDecode.decode(noPlte) == null, "missing PLTE must refuse")
+  }
+
   test("decode matches javax.imageio as an independent reference codec") {
     val rnd = new scala.util.Random(42)
     for ((imgType, channels) <- Seq(
@@ -179,8 +227,8 @@ class PngPixelsSpec extends SparkSpec {
     assert(PngDecode.decode(good) != null)
     assert(PngDecode.decode(good.take(30)) == null)            // truncated
     assert(PngDecode.decode("not a png".getBytes) == null)     // wrong magic
-    val palette = png(2, 1, 3, 1, pix(0, 1))                   // colorType 3
-    assert(PngDecode.decode(palette) == null)
+    val palette = png(2, 1, 3, 1, pix(0, 1)) // colorType 3 with NO PLTE
+    assert(PngDecode.decode(palette) == null, "PLTE-less palette must refuse")
     val badFilter = png(2, 1, 2, 3, pix(1, 2, 3, 4, 5, 6), Seq(9))
     assert(PngDecode.decode(badFilter) == null)
   }
