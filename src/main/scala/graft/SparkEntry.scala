@@ -13,7 +13,8 @@ object SparkEntry {
   private def all: Seq[Queries.Q] =
     Queries.relational ++ Queries2.relational2 ++ Queries3.relational3 ++
       Queries4.relational4 ++ CdcQueries.all ++ PipelineQueries.all ++
-      PipelineQueries2.all ++ PipelineQueries3.all ++ PipelineQueries4.all
+      PipelineQueries2.all ++ PipelineQueries3.all ++ PipelineQueries4.all ++
+      PipelineQueries5.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

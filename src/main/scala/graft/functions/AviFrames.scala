@@ -97,6 +97,7 @@ private[graft] object AviDecode {
       if (audChannels <= 0) return 0
       val bytes = audChunkLens.foldLeft(0L)(_ + _)
       if (audFormat == 1) (bytes / (2L * audChannels)).toInt
+      else if (audFormat == 6 || audFormat == 7) (bytes / audChannels).toInt
       else (bytes / audBlockAlign).toInt * audSpb
     }
   }
@@ -177,7 +178,8 @@ private[graft] object AviDecode {
                 val bits = leU16(b, dataOff + 14)
                 val ch = leU16(b, dataOff + 2)
                 if (ch >= 1 && ch <= 8 &&
-                  ((tag == 1 && bits == 16) || (tag == 17 && bits == 4))) {
+                  ((tag == 1 && bits == 16) || (tag == 17 && bits == 4) ||
+                    ((tag == 6 || tag == 7) && bits == 8))) {
                   audChannels = ch
                   audRate = leI32(b, dataOff + 4)
                   audFormat = tag
@@ -188,11 +190,19 @@ private[graft] object AviDecode {
             }
           case _ =>
             // data chunks carry their stream number: nndb/nndc video,
-            // nnwb audio (avih/idx1/JUNK/… fall through untouched)
-            val d0 = id.charAt(0) - '0'
-            val d1 = id.charAt(1) - '0'
-            if (d0 >= 0 && d0 <= 9 && d1 >= 0 && d1 <= 9) {
-              val streamNo = d0 * 10 + d1
+            // nnwb audio (avih/idx1/JUNK/… fall through untouched).
+            // The two digits are HEX per avifmt.h's StreamFromFOURCC
+            // (stream 10 is '0A', 16 is '10' — NOT decimal), so a
+            // container with ≥10 streams still matches its chunks.
+            def hexDigit(ch: Char): Int =
+              if (ch >= '0' && ch <= '9') ch - '0'
+              else if (ch >= 'A' && ch <= 'F') ch - 'A' + 10
+              else if (ch >= 'a' && ch <= 'f') ch - 'a' + 10
+              else -1
+            val d0 = hexDigit(id.charAt(0))
+            val d1 = hexDigit(id.charAt(1))
+            if (d0 >= 0 && d1 >= 0) {
+              val streamNo = d0 * 16 + d1
               val suffix = id.substring(2)
               if (streamNo == vidStream && (suffix == "db" || suffix == "dc"))
                 frameChunks += ((dataOff, dataLen))
@@ -295,6 +305,28 @@ private[graft] object AviDecode {
       }
       return WavDecode.imaDecodeBlocks(raw, 0, total, hd.audChannels,
         hd.audBlockAlign, hd.audSpb, -1L)
+    }
+    if (hd.audFormat == 6 || hd.audFormat == 7) {
+      // G.711: one byte per sample, chunk boundaries can't split one
+      val n = hd.audFrames * hd.audChannels
+      if (n <= 0) return null
+      val out = new Array[Short](n)
+      var s = 0
+      var c = 0
+      while (c < hd.audChunkOffs.length && s < n) {
+        val off = hd.audChunkOffs(c)
+        val len = hd.audChunkLens(c)
+        var i = 0
+        while (i < len && s < n) {
+          out(s) =
+            if (hd.audFormat == 7) WavDecode.ulawToLinear(b(off + i) & 0xFF)
+            else WavDecode.alawToLinear(b(off + i) & 0xFF)
+          s += 1
+          i += 1
+        }
+        c += 1
+      }
+      return out
     }
     val nSamples = hd.audFrames * hd.audChannels
     if (nSamples <= 0) return null

@@ -104,10 +104,11 @@ private[graft] object PngDecode {
           if (len % 3 != 0 || len > 768) return null
           plte = java.util.Arrays.copyOfRange(b, dataOff, dataOff + len.toInt)
         case "tRNS" =>
-          if (paletted) { // truecolor tRNS (color keys) stays out of scope
+          if (paletted) {
             if (len > 256) return null
             trns = java.util.Arrays.copyOfRange(b, dataOff, dataOff + len.toInt)
-          }
+          } else return null // truecolor/gray color keys: out of scope ⇒ NULL,
+                             // never a decode that silently drops transparency
         case "IEND" => sawEnd = true
         case _ => () // tEXt/gAMA/... irrelevant to pixels
       }

@@ -24,8 +24,11 @@ import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType}
   * public-spec and pure-JVM trivial: per-block predictor + step-index
   * headers, nibble-per-sample step-adaptive differences, so a
   * compressed corpus flows into the SAME i16 sample stream every
-  * downstream fingerprint consumes), 1–8 channels. Float/µ-law/
-  * 24-bit return NULL (honest absence). Declared sizes are
+  * downstream fingerprint consumes), and G.711 µ-law / A-law
+  * (formats 7 / 6, 8-bit — the public telephony expansions
+  * [[ulawToLinear]]/[[alawToLinear]], exact integer table math),
+  * 1–8 channels. Float/24-bit return NULL (honest absence).
+  * Declared sizes are
   * length-checked against the physical buffer and decoded volume is
   * capped at 64 MiB before allocation (same bomb stance as the
   * image/video decoders).
@@ -57,10 +60,33 @@ private[graft] object WavDecode {
   private[graft] val IndexTable: Array[Int] = Array(
     -1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
 
-  /** Decode one IMA nibble against (pred, idx) packed as (pred << 8 |
-    * idx); returns the new packed state (pred clamped to i16, idx to
-    * [0, 88]). Shared verbatim by the driver-side encoder so the
-    * round-trip state machines cannot drift. */
+  /** G.711 µ-law byte → linear i16 (the public CCITT/Sun expansion:
+    * complement, then mantissa·2^segment re-bias). Exact integer
+    * table math — every one of the 256 codes is oracle-checkable. */
+  private[graft] def ulawToLinear(uByte: Int): Short = {
+    val u = ~uByte & 0xFF
+    val t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+    (if ((u & 0x80) != 0) 0x84 - t else t - 0x84).toShort
+  }
+
+  /** G.711 A-law byte → linear i16 (XOR 0x55 toggle-bit unscramble,
+    * then the segment expansion; sign bit SET means positive — the
+    * A-law convention, opposite to µ-law). */
+  private[graft] def alawToLinear(aByte: Int): Short = {
+    val a = aByte ^ 0x55
+    var t = (a & 0x0F) << 4
+    val seg = (a & 0x70) >> 4
+    if (seg == 0) t += 8
+    else if (seg == 1) t += 0x108
+    else t = (t + 0x108) << (seg - 1)
+    (if ((a & 0x80) != 0) t else -t).toShort
+  }
+
+  /** Decode one IMA nibble against (pred, idx); returns the new state
+    * packed as (pred << 32 | idx) — pred clamped to i16, idx to
+    * [0, 88]; callers unpack with `>> 32` / `& 0xFF`. Shared verbatim
+    * by the driver-side encoder so the round-trip state machines
+    * cannot drift. */
   private[graft] def imaStep(pred: Int, idx: Int, nib: Int): Long = {
     val step = StepTable(idx)
     var diff = step >> 3
@@ -128,6 +154,19 @@ private[graft] object WavDecode {
         blockAlign, samplesPerBlock, factFrames)
       if (out == null) null
       else Decoded(channels, sampleRate, out.length / channels, out)
+    } else if ((fmtCode == 7 || fmtCode == 6) && bits == 8) {
+      // G.711 µ-law (tag 7) / A-law (tag 6): one byte per sample,
+      // expanded through the exact public formulas — the telephony
+      // legacy formats a crawled audio corpus actually carries
+      if (dataLen.toLong * 2 > MaxRawBytes) return null
+      val nFrames = dataLen / channels
+      val out = new Array[Short](nFrames * channels) // trailing partial frame dropped
+      var i = 0
+      if (fmtCode == 7)
+        while (i < out.length) { out(i) = ulawToLinear(b(dataOff + i) & 0xFF); i += 1 }
+      else
+        while (i < out.length) { out(i) = alawToLinear(b(dataOff + i) & 0xFF); i += 1 }
+      Decoded(channels, sampleRate, nFrames, out)
     } else null
   }
 

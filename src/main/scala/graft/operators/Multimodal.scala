@@ -1671,6 +1671,38 @@ object Multimodal {
       .put("WAVE".getBytes("US-ASCII")).put(body).array()
   }
 
+  /** Driver-side G.711 WAV ENCODER (fixture machinery, not a data
+    * path): format tag 7 (µ-law) or 6 (A-law), 8 bits per sample,
+    * blockAlign = channels. `byteOf(c, t)` gives the WIRE byte
+    * (0–255) of channel c at frame t directly — fixtures pin decode
+    * TABLE behavior, so supplying codes (not linear samples) keeps
+    * the oracle a pure per-code replay of the public expansion with
+    * no encoder search anywhere. Same ignorable LIST chunk before
+    * 'data' as [[encodeWav]] (the chunk-walk proof). */
+  def encodeWavG711(channels: Int, sampleRate: Int, nFrames: Int,
+      byteOf: (Int, Int) => Int, aLaw: Boolean = false): Array[Byte] = {
+    require(channels >= 1 && nFrames >= 0, s"bad shape ch=$channels frames=$nFrames")
+    import java.nio.{ByteBuffer, ByteOrder}
+    def le(n: Int): ByteBuffer = ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)
+    val fmt = le(16)
+      .putShort(if (aLaw) 6 else 7).putShort(channels.toShort)
+      .putInt(sampleRate).putInt(sampleRate * channels)
+      .putShort(channels.toShort).putShort(8).array()
+    val info = "INFOgraft fixture".getBytes("US-ASCII")
+    val data = new Array[Byte](nFrames * channels)
+    for (t <- 0 until nFrames; c <- 0 until channels)
+      data(t * channels + c) = (byteOf(c, t) & 0xFF).toByte
+    def chunk(tag: String, d: Array[Byte]): Array[Byte] = {
+      val b = le(8 + d.length + (d.length & 1))
+      b.put(tag.getBytes("US-ASCII")).putInt(d.length).put(d)
+      b.array()
+    }
+    val body = chunk("fmt ", fmt) ++ chunk("LIST", info) ++ chunk("data", data)
+    le(12 + body.length)
+      .put("RIFF".getBytes("US-ASCII")).putInt(4 + body.length)
+      .put("WAVE".getBytes("US-ASCII")).put(body).array()
+  }
+
   /** Driver-side IMA-ADPCM WAV ENCODER (fixture machinery, not a
     * data path): format tag 17, 4-bit, the standard block layout —
     * per-channel (predictor, step-index) headers, nibble data in
@@ -1772,7 +1804,7 @@ object Multimodal {
       fpsNum: Int = 30, fpsDen: Int = 1, topDown: Boolean = false,
       audioChannels: Int = 0, audioRate: Int = 8000, audioFrames: Int = 0,
       audioSample: (Int, Int) => Int = (_, _) => 0,
-      audioAdpcm: Boolean = false): Array[Byte] = {
+      audioAdpcm: Boolean = false, audioG711ALaw: Option[Boolean] = None): Array[Byte] = {
     require(width > 0 && height > 0 && nFrames >= 0, s"bad shape ${width}x$height x$nFrames")
     val wireStride = ((width * 3 + 3) / 4) * 4
     val frames = (0 until nFrames).toArray.map { f =>
@@ -1788,7 +1820,7 @@ object Multimodal {
     }
     encodeAviWire(width, height, topDown, raw = true, frames,
       fpsNum, fpsDen, audioChannels, audioRate, audioFrames, audioSample,
-      audioAdpcm)
+      audioAdpcm, audioG711ALaw)
   }
 
   /** Driver-side MOTION-JPEG AVI encoder (fixture machinery): each
@@ -1837,7 +1869,8 @@ object Multimodal {
       fpsNum: Int, fpsDen: Int,
       audioChannels: Int, audioRate: Int, audioFrames: Int,
       audioSample: (Int, Int) => Int,
-      audioAdpcm: Boolean = false): Array[Byte] = {
+      audioAdpcm: Boolean = false,
+      audioG711ALaw: Option[Boolean] = None): Array[Byte] = {
     import java.nio.{ByteBuffer, ByteOrder}
     def le(n: Int): ByteBuffer = ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)
     val wireStride = ((width * 3 + 3) / 4) * 4
@@ -1879,6 +1912,7 @@ object Multimodal {
         val spb = 505
         val blockAlign =
           if (audioAdpcm) 4 * audioChannels + (spb - 1) / 2 * audioChannels
+          else if (audioG711ALaw.isDefined) audioChannels
           else 2 * audioChannels
         val astrh = le(56)
           .put("auds".getBytes("US-ASCII")).putInt(0)
@@ -1897,6 +1931,14 @@ object Multimodal {
               .putShort(blockAlign.toShort)
               .putShort(4)
               .putShort(2).putShort(spb.toShort).array()
+          else if (audioG711ALaw.isDefined)
+            le(16)
+              .putShort(if (audioG711ALaw.get) 6 else 7) // WAVE_FORMAT_ALAW/MULAW
+              .putShort(audioChannels.toShort)
+              .putInt(audioRate)
+              .putInt(audioRate * blockAlign)
+              .putShort(blockAlign.toShort)
+              .putShort(8).array()
           else
             le(16)
               .putShort(1) // WAVE_FORMAT_PCM
@@ -1907,7 +1949,14 @@ object Multimodal {
               .putShort(16).array()
         val bytes =
           if (audioAdpcm) imaAdpcmBlocks(audioChannels, audioFrames, audioSample, spb)
-          else {
+          else if (audioG711ALaw.isDefined) {
+            // G.711: audioSample supplies the WIRE BYTE (0–255), the
+            // encodeWavG711 convention — fixtures pin table decode
+            val g = new Array[Byte](audioFrames * audioChannels)
+            for (f <- 0 until audioFrames; c <- 0 until audioChannels)
+              g(f * audioChannels + c) = (audioSample(c, f) & 0xFF).toByte
+            g
+          } else {
             val pcm = le(audioFrames * blockAlign)
             for (f <- 0 until audioFrames; c <- 0 until audioChannels)
               pcm.putShort(audioSample(c, f).toShort)
