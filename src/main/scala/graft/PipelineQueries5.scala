@@ -84,6 +84,101 @@ object PipelineQueries5 {
         .transform(Queries.sortedSmall(_, "clip_id", "pos"))
     })
 
+  // --------------------------- arbitrary-offset audio near-dup
+  // The round-19 verdict's top gap: fixed-phase segment hashing
+  // zeroes containment for any trim that is NOT a segFrames
+  // multiple. Fixture pins a 37-frame trim (with a 3× gain for good
+  // measure), a 128-frame ALIGNED trim (the equivalence case), an
+  // unrelated clip, and junk; hop = 1 (full tolerance). The oracle
+  // rebuilds every sliding-window envelope hash via prefix sums,
+  // groups matches by implied alignment, and replays the
+  // best-alignment selection.
+  private val qAudioNearDupOffset = Queries.Q(
+    "p_audio_near_dup_offset",
+    Some("""
+      WITH clips(id, nf, mult, sh, b, addc) AS (
+        SELECT * FROM (VALUES
+          (0, 500, 1, 0, 31, 101), (1, 463, 3, 37, 31, 101),
+          (2, 372, 1, 128, 31, 101), (3, 400, 1, 0, 37, 211))),
+      fr AS ( -- quadratic-phase signal: f² mod p decorrelates every
+              -- shift (a linear sawtooth's ~129-frame period aliases
+              -- against the 128-frame window)
+        SELECT id, f,
+               ABS(mult * (((((f + sh) * (f + sh)) % 4001) * b
+                            + (f + sh) * 7 + addc) % 4001 - 2000)) AS aamp
+        FROM clips, generate_series(0, 499) fs(f) WHERE f < nf),
+      pre AS (
+        SELECT id, f, SUM(aamp) OVER (PARTITION BY id ORDER BY f
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ps
+        FROM fr),
+      wins AS (SELECT id, p FROM clips, generate_series(0, 372) pp(p)
+               WHERE p <= nf - 128),
+      we AS (
+        SELECT id, p, w,
+               p + (w * 128) // 65 AS wf, p + ((w + 1) * 128) // 65 AS wt
+        FROM wins, generate_series(0, 64) ws(w)),
+      en AS (
+        SELECT we.id, we.p, we.w, CAST(we.wt - we.wf AS BIGINT) AS len,
+               COALESCE(a.ps, 0) - COALESCE(bb.ps, 0) AS e
+        FROM we
+        LEFT JOIN pre a ON a.id = we.id AND a.f = we.wt - 1
+        LEFT JOIN pre bb ON bb.id = we.id AND bb.f = we.wf - 1),
+      bits AS (
+        SELECT a.id, a.p, a.w AS bb_,
+               CASE WHEN n.e * a.len > a.e * n.len THEN 1 ELSE 0 END AS bit
+        FROM en a JOIN en n ON n.id = a.id AND n.p = a.p AND n.w = a.w + 1
+        WHERE a.w < 64),
+      hs AS (
+        SELECT id, p,
+               bit_or(CASE WHEN bit = 1 AND bb_ < 32
+                           THEN (CAST(1 AS BIGINT) << bb_) ELSE 0 END) AS lo,
+               bit_or(CASE WHEN bit = 1 AND bb_ >= 32
+                           THEN (CAST(1 AS BIGINT) << (bb_ - 32)) ELSE 0 END) AS hi
+        FROM bits GROUP BY id, p),
+      cat AS (SELECT id AS cid, p // 128 AS k, lo, hi FROM hs WHERE p % 128 = 0),
+      catn AS (SELECT cid, COUNT(*) AS nc FROM cat GROUP BY cid),
+      prbn AS (SELECT id AS pid, p % 128 AS r, COUNT(*) AS np
+               FROM hs GROUP BY id, p % 128),
+      m AS (
+        SELECT h.id AS pid, c.cid, c.k * 128 - h.p AS off, COUNT(*) AS nm
+        FROM hs h JOIN cat c ON c.lo = h.lo AND c.hi = h.hi AND c.cid <> h.id
+        GROUP BY h.id, c.cid, c.k * 128 - h.p),
+      fr2 AS (
+        SELECT m.pid, m.cid, m.off, m.nm,
+               CAST(m.nm AS DOUBLE) / LEAST(p.np, c2.nc) AS frac
+        FROM m
+        JOIN prbn p ON p.pid = m.pid AND p.r = ((-m.off) % 128 + 128) % 128
+        JOIN catn c2 ON c2.cid = m.cid
+        WHERE CAST(m.nm AS DOUBLE) / LEAST(p.np, c2.nc) >= 0.5),
+      best AS (
+        SELECT pid, cid, off, nm, frac,
+               ROW_NUMBER() OVER (PARTITION BY pid, cid
+                 ORDER BY frac DESC, nm DESC, off ASC) AS rn
+        FROM fr2)
+      SELECT CAST(pid AS BIGINT) AS probe_id, CAST(cid AS BIGINT) AS catalog_id,
+             CAST(off AS INT) AS offset, CAST(nm AS BIGINT) AS n_match,
+             frac AS match_frac
+      FROM best WHERE rn = 1 ORDER BY probe_id, catalog_id"""),
+    (s, dir) => {
+      def base(b: Int, add: Int)(g: Int): Int =
+        (((g * g % 4001) * b + g * 7 + add) % 4001) - 2000
+      val clips: Seq[(Long, Array[Byte])] = Seq(
+        0L -> operators.Multimodal.encodeWav(1, 8000, 500,
+          (_, f) => base(31, 101)(f)),
+        1L -> operators.Multimodal.encodeWav(1, 8000, 463,
+          (_, f) => 3 * base(31, 101)(f + 37)),
+        2L -> operators.Multimodal.encodeWav(1, 8000, 372,
+          (_, f) => base(31, 101)(f + 128)),
+        3L -> operators.Multimodal.encodeWav(1, 8000, 400,
+          (_, f) => base(37, 211)(f)),
+        4L -> "junk".getBytes("UTF-8"))
+      import s.implicits._
+      operators.Multimodal.audioNearDupPairsOffset(
+        clips.toDF("clip_id", "payload"), "clip_id", "payload",
+        segFrames = 128, hop = 1, minFrac = 0.5)
+        .transform(Queries.sortedSmall(_, "probe_id", "catalog_id"))
+    })
+
   val all: Seq[Queries.Q] =
-    Seq(qG711Stats)
+    Seq(qG711Stats, qAudioNearDupOffset)
 }

@@ -420,7 +420,8 @@ object ScaleStress {
       // join as image/simhash — the claim is decode volume + the
       // audited block/chunk machinery, nothing op-specific.
       if (opFilter.isEmpty || opFilter.exists(f =>
-          "audio_near_dup".contains(f) || "audio_near_dup_shifted".contains(f))) {
+          "audio_near_dup".contains(f) || "audio_near_dup_shifted".contains(f) ||
+            "audio_near_dup_offset".contains(f))) {
         val n = 500 * scale
         val feed = s"${sys.props("java.io.tmpdir")}/graft-awavfeed-$scale"
         locally {
@@ -453,6 +454,50 @@ object ScaleStress {
             spark.read.parquet(feed), "clip_id", "payload",
             segFrames = 128,
             chunkSize = sys.env.getOrElse("GRAFT_SHIFTED_CHUNK", "1024").toInt).count()
+        }
+        // ARBITRARY-offset form, own feed: the shared feed's linear
+        // sawtooth has a ~1.3-frame period — DEGENERATE for sliding
+        // windows (every offset hashes alike, flooding the value
+        // join), and real audio is not sub-window-periodic. This feed
+        // uses the oracle fixture's quadratic-phase signal
+        // (decorrelated shifts) with 10-clip families: 2 gain
+        // variants, one 37-frame NON-multiple trim (invisible to the
+        // fixed-phase forms), rest unique. hop=1 emits ~3873 sliding
+        // hashes per 4000-frame clip — the documented ~128× probe-
+        // volume price of full trim tolerance (catalog side stays
+        // single-phase). GRAFT_OFFSET_HOP trades it back.
+        val offFeed = s"${sys.props("java.io.tmpdir")}/graft-awoffeed-$scale"
+        locally {
+          import spark.implicits._
+          spark.range(n).repartition(spark.sparkContext.defaultParallelism)
+            .map { i =>
+              val id: Long = i
+              val fam = id - id % 10
+              val v = id % 10
+              val gain = if (v == 1) 3 else if (v == 2) 2 else 1
+              // Same-content classes must be exactly the 3-member
+              // families, or pair volume measures fixture aliasing
+              // instead of the operator: any fixed modulus collapses
+              // b mod it (b and b+4001 gave IDENTICAL clips —
+              // measured 19× genuine pairs at 50×), so the modulus
+              // itself varies with b: effective content space
+              // 37 moduli × ~4000 residues ≫ 100k clips.
+              val b = (if (v <= 2) fam else id).toInt + 1
+              val p = 3989 + 2 * (b % 37)
+              val trim = if (v == 2) 37 else 0
+              (id, operators.Multimodal.encodeWav(1, 8000, 4000 - trim,
+                (c, f) => {
+                  val g = f + trim
+                  (((g.toLong * g % p) * (b % p) + 7L * g + b) % p - p / 2).toInt * gain
+                }))
+            }.toDF("clip_id", "payload")
+            .write.mode("overwrite").parquet(offFeed)
+        }
+        measure("audio_near_dup_offset", scale) {
+          operators.Multimodal.audioNearDupPairsOffset(
+            spark.read.parquet(offFeed), "clip_id", "payload",
+            segFrames = 128,
+            hop = sys.env.getOrElse("GRAFT_OFFSET_HOP", "1").toInt).count()
         }
       }
       // ---- r19 media extensions: MJPEG decode volume, audio-in-video

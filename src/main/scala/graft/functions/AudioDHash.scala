@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
@@ -42,6 +42,50 @@ private[graft] object AudioEnvelope {
     while (b < 64) {
       if (e(b + 1) * len(b) > e(b) * len(b + 1)) hash |= 1L << b
       b += 1
+    }
+    hash
+  }
+
+  /** Per-frame prefix sums of total |amplitude| across channels:
+    * P(f) = Σ_{g<f} Σ_c |s(g,c)| — so any window's energy is one
+    * subtraction and [[hashRangePrefix]] costs O(65) per window
+    * regardless of window length. Makes DENSE sliding-window hashing
+    * (the arbitrary-offset probe) linear in nFrames instead of
+    * nFrames·segFrames. */
+  def prefixAbs(samples: Array[Short], ch: Int, nFrames: Int): Array[Long] = {
+    val p = new Array[Long](nFrames + 1)
+    var f = 0
+    while (f < nFrames) {
+      var acc = 0L
+      var i = f * ch
+      val end = i + ch
+      while (i < end) { acc += math.abs(samples(i).toLong); i += 1 }
+      p(f + 1) = p(f) + acc
+      f += 1
+    }
+    p
+  }
+
+  /** [[hashRange]] computed off a [[prefixAbs]] table — BIT-IDENTICAL
+    * by construction (same floor windows, same exact integer
+    * energies, same cross-multiplied comparisons; pinned by
+    * AudioOffsetSpec). */
+  def hashRangePrefix(p: Array[Long], from: Int, to: Int): Long = {
+    val n = to - from
+    var hash = 0L
+    var prevE = 0L
+    var prevLen = 0L
+    var wf = from
+    var w = 0
+    while (w < Windows) {
+      val wt = from + ((w + 1).toLong * n / Windows).toInt
+      val e = p(wt) - p(wf)
+      val len = (wt - wf).toLong
+      if (w > 0 && e * prevLen > prevE * len) hash |= 1L << (w - 1)
+      prevE = e
+      prevLen = len
+      wf = wt
+      w += 1
     }
     hash
   }
@@ -161,6 +205,73 @@ case class AudioSegmentDHashes(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): AudioSegmentDHashes =
     copy(left = newLeft, right = newRight)
+}
+
+/** SLIDING-window audio fingerprints in one decode:
+  * `array<struct<offset:int, dhash:long>>` — one [[AudioDHash64]]-
+  * style envelope hash per `segFrames`-frame window STARTING AT
+  * EVERY `hop`-th frame (offsets 0, hop, 2·hop, … while
+  * offset + segFrames ≤ nFrames), the PROBE side of
+  * arbitrary-offset trim tolerance
+  * ([[graft.operators.Multimodal.audioNearDupPairsOffset]]): the
+  * fixed-phase segmentation of [[AudioSegmentDHashes]] tolerates
+  * trims only at segFrames multiples (a 37-frame trim shifts every
+  * window and NO unit hash survives), whereas a dense probe emits a
+  * window at every phase — for any catalog segment there is a probe
+  * offset aligning with it EXACTLY (hop = 1), so the hash survives
+  * verbatim. hop > 1 trades probe volume for granularity: only
+  * trims ≡ 0 (mod hop) keep exact alignment (documented, not
+  * perceptual hand-waving — the envelope is too fine for partial
+  * alignment credit).
+  *
+  * Cost: one decode + one [[AudioEnvelope.prefixAbs]] pass, then
+  * O(65) per window off the prefix table — (nFrames − segFrames)/hop
+  * + 1 hashes per clip, linear in nFrames at hop = 1, NOT
+  * nFrames·segFrames. Window hashes at offsets k·segFrames are
+  * bit-identical to [[AudioSegmentDHashes]]' full segments (the
+  * aligned-case equivalence, spec-pinned). A clip shorter than
+  * segFrames but ≥ 65 frames emits one whole-clip window at offset 0
+  * (the segment form's clamp rule). Gain invariance carries per
+  * window. NULL when the payload is out of [[WavDecode]] scope,
+  * segFrames < 65, or hop < 1; empty when no window fits. */
+case class AudioSlidingDHashes(first: Expression, second: Expression, third: Expression)
+  extends TernaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (BinaryType, IntegerType | LongType, IntegerType | LongType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (binary, integral, integral), got ($a, $b, $c)")
+    }
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("offset", IntegerType, nullable = false),
+    StructField("dhash", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_audio_sliding_dhashes"
+
+  override protected def nullSafeEval(payload: Any, segAny: Any, hopAny: Any): Any = {
+    val segFrames = segAny match { case l: Long => l; case n: Int => n.toLong }
+    val hop = hopAny match { case l: Long => l; case n: Int => n.toLong }
+    if (segFrames < AudioEnvelope.Windows || hop < 1) return null
+    val d = WavDecode.decode(payload.asInstanceOf[Array[Byte]])
+    if (d == null) return null
+    // same Long-clamp discipline as AudioSegmentDHashes: a clip
+    // shorter than segFrames (but ≥ 65 frames) hashes once, whole
+    val seg = math.min(segFrames, d.nFrames.toLong).toInt
+    val h = math.min(hop, math.max(d.nFrames.toLong, 1L)).toInt
+    if (d.nFrames < AudioEnvelope.Windows) return new GenericArrayData(Array.empty[Any])
+    val p = AudioEnvelope.prefixAbs(d.samples, d.channels, d.nFrames)
+    val out = scala.collection.mutable.ArrayBuffer[Any]()
+    var from = 0
+    while (from + seg <= d.nFrames) {
+      out += InternalRow(from, AudioEnvelope.hashRangePrefix(p, from, from + seg))
+      from += h
+    }
+    new GenericArrayData(out.toArray)
+  }
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): AudioSlidingDHashes =
+    copy(first = newFirst, second = newSecond, third = newThird)
 }
 
 /** Per-SEGMENT level statistics in one decode:

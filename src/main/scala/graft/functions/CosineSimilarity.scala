@@ -227,6 +227,16 @@ object GraftFunctions {
     graftBridge.column(AudioSegmentDHashes(
       graftBridge.expression(payload), graftBridge.expression(segFrames)))
 
+  /** Column-API form of [[AudioSlidingDHashes]]:
+    * array<struct<offset:int, dhash:long>> — one envelope hash per
+    * segFrames-frame window at every hop-th start frame, the
+    * arbitrary-offset probe frontier (prefix-sum kernel, linear in
+    * nFrames at hop = 1). */
+  def audioSlidingDHashes(payload: Column, segFrames: Column, hop: Column): Column =
+    graftBridge.column(AudioSlidingDHashes(
+      graftBridge.expression(payload), graftBridge.expression(segFrames),
+      graftBridge.expression(hop)))
+
   /** Column-API form of [[AviMeta]]: struct<width, height, fps_num,
     * fps_den, n_frames> of an uncompressed AVI payload; NULL when
     * absent/undecodable. */

@@ -806,6 +806,177 @@ object Multimodal {
     hashSetOverlapPairs(hashes, idCol, minFrac, maxHamming, maxBucket, chunkSize)
   }
 
+  /** SLIDING-window audio fingerprints:
+    * array<struct<offset:int, dhash:long>> — one envelope hash per
+    * `segFrames`-frame window at every `hop`-th start frame, one
+    * decode + one prefix-sum pass
+    * ([[graft.functions.AudioSlidingDHashes]]). The probe frontier of
+    * ARBITRARY-offset trim tolerance. */
+  def audioSlidingDHashes(payload: Column, segFrames: Int, hop: Int): Column =
+    graft.functions.GraftFunctions.audioSlidingDHashes(
+      payload, lit(segFrames), lit(hop))
+
+  /** ARBITRARY-OFFSET audio near-dup pairs — closes the documented
+    * hole in [[audioNearDupPairsShifted]]: its fixed-phase
+    * segmentation tolerates trims only at segFrames MULTIPLES (a
+    * 37-frame trim shifts every window, NO unit hash survives,
+    * containment reads 0 — not reduced). Here every clip is hashed
+    * TWICE from one decode frontier: as a single-phase CATALOG
+    * (full `segFrames` segments at offsets k·segFrames — unchanged
+    * index-side semantics, so the per-clip fingerprint footprint a
+    * catalog persists stays [[audioSegmentHashIndex]]-sized) and as
+    * a DENSE PROBE ([[audioSlidingDHashes]], a window at every
+    * `hop`-th start frame). A probe window starting at p matches
+    * catalog segment k of another clip iff the underlying samples
+    * align exactly (gain aside) — and with hop = 1 (the default)
+    * such a p EXISTS for EVERY trim offset t: p = k·segFrames − t.
+    * hop > 1 trades probe volume for granularity (exact alignment
+    * survives only for trims ≡ 0 mod hop — documented, not
+    * perceptual hand-waving: the 65-window envelope is far too fine
+    * for partial-alignment credit).
+    *
+    * Matches GROUP BY THE IMPLIED ALIGNMENT: each matched (p, k)
+    * pair votes for offset φ = k·segFrames − p ("the probe's frame 0
+    * sits at catalog frame φ" — for a pure leading trim, φ IS the
+    * trim length, which the output exposes for audit). Per
+    * (probe, catalog, φ): n_match = aligned position matches (p
+    * determines k given φ, so the count is positional, never
+    * inflated by repeated hash values); match_frac = n_match /
+    * min(#probe windows in φ's phase class, #catalog full segments)
+    * — containment: a pure trim of a longer clip scores 1.0. Only
+    * the BEST alignment per ordered (probe, catalog) pair is emitted
+    * (highest frac, then n_match, then smallest φ), both
+    * orientations of each unordered pair, probe ≠ catalog.
+    *
+    * Scale shape: ONE decode per clip (the sliding kernel; catalog
+    * rows are its offsets ≡ 0 mod segFrames — trailing partial
+    * segments, which full-length probe windows can never match, stay
+    * out of BOTH match and denominator, keeping the fraction
+    * internally consistent), prefix sums make the dense probe O(65)
+    * per window, and the probe volume is the documented price:
+    * ~nFrames/hop narrow (id, offset, hash) rows per clip vs
+    * nFrames/segFrames single-phase — linear, never quadratic. The
+    * join is hash-VALUE keyed with the family's `maxBucket` flood
+    * cap (a hash in more than maxBucket catalog clips — silence —
+    * drops before matching and before the CATALOG size; the probe
+    * phase-class size stays the analytic window count); grouping keys are
+    * (probe, catalog, φ) — output-sized. The shared hash frontier is
+    * checkpointed once (both sides and both counts fan out from it).
+    * Output: (probe_id, catalog_id, offset, n_match, match_frac). */
+  def audioNearDupPairsOffset(
+      docs: DataFrame, idCol: String, payloadCol: String,
+      segFrames: Int, hop: Int = 1, minFrac: Double = 0.5,
+      maxBucket: Int = 65536): DataFrame = {
+    require(segFrames >= 65,
+      s"segFrames=$segFrames must be >= 65 (one frame per envelope window)")
+    require(hop >= 1 && segFrames % hop == 0,
+      s"hop=$hop must be positive and divide segFrames=$segFrames " +
+        "(the catalog phase reuses the sliding frontier's k*segFrames offsets)")
+    require(minFrac > 0 && minFrac <= 1, s"minFrac=$minFrac outside (0,1]")
+    require(maxBucket > 1, s"maxBucket=$maxBucket must exceed 1")
+    // NO checkpoint: at hop = 1 the per-clip hash arrays are
+    // ~segFrames× the catalog fingerprint volume — pinning them
+    // starves execution memory exactly when the dense join needs it
+    // (measured: the 200× arm OOM'd in a partial aggregation under a
+    // ~6 GB array checkpoint). The four consumers share the ONE
+    // repartition exchange below via ReuseExchange and re-run only
+    // the decode+prefix kernel above it, which is linear and cheap.
+    val arrs = docs
+      .select(col(idCol), col(payloadCol))
+      .repartition(Dedup.pinnedParts(docs)) // decode frontier spread
+      .select(col(idCol).as("__pid"),
+        audioSlidingDHashes(col(payloadCol), segFrames, hop).as("__sw"))
+      .filter(col("__sw").isNotNull && size(col("__sw")) > 0)
+    val hashes = arrs
+      .select(col("__pid"), explode(col("__sw")).as("__e"))
+      .select(col("__pid"), col("__e.offset").as("__p"), col("__e.dhash").as("__dh"))
+    // probe phase-class sizes are ANALYTIC (offsets are contiguous
+    // 0, hop, …, m by construction): #offsets ≡ r (mod segFrames) in
+    // [0, m] = ⌊(m − r)/segFrames⌋ + 1 — one row per clip, no shuffle
+    // of the dense rows. One row per clip broadcasts.
+    val clipMeta = arrs
+      .select(col("__pid"), ((size(col("__sw")) - 1) * hop).as("__m"))
+    // catalog side = the probe rows at phase 0 (hop divides segFrames
+    // by the require above, so every k·segFrames offset exists in the
+    // sliding set) — one decode serves both sides
+    val cat = hashes
+      .filter(pmod(col("__p"), lit(segFrames)) === 0)
+      .select(col("__pid").as("__cid"),
+        (col("__p") / segFrames).cast("int").as("__k"), col("__dh"))
+    // flood drop applies to MATCHING and the catalog-side size; the
+    // probe phase-class denominator counts every emitted window (its
+    // flood windows are real content that simply cannot testify)
+    val flood = cat.groupBy("__dh")
+      .agg(countDistinct(col("__cid")).as("__n"))
+      .filter(col("__n") > maxBucket)
+      .select("__dh")
+    val catF = cat.join(flood, Seq("__dh"), "left_anti")
+    val catN = catF.groupBy("__cid").agg(count(lit(1)).as("__nc"))
+    // shuffle_hash: SMJ would SORT the dense probe side — the one
+    // multi-hundred-million-row frame in the plan — for a join whose
+    // other side is catalog-segment-sized
+    prbFJoin(hashes.join(flood, Seq("__dh"), "left_anti"), catF)
+      .filter(col("__pid") =!= col("__cid"))
+      .withColumn("__off", col("__k") * segFrames - col("__p"))
+      .groupBy("__pid", "__cid", "__off")
+      .agg(count(lit(1)).as("n_match"))
+      .join(clipMeta, Seq("__pid"))
+      .withColumn("__r", pmod(-col("__off"), lit(segFrames)))
+      .withColumn("__np", floor((col("__m") - col("__r")) / segFrames) + 1)
+      .join(catN, Seq("__cid"))
+      .withColumn("match_frac",
+        col("n_match").cast("double") / least(col("__np"), col("__nc")))
+      .filter(col("match_frac") >= minFrac)
+      .groupBy("__pid", "__cid")
+      .agg(max(struct(col("match_frac").as("f"), col("n_match").as("m"),
+        (-col("__off")).as("no"))).as("__b"))
+      .select(col("__pid").as("probe_id"), col("__cid").as("catalog_id"),
+        (-col("__b.no")).as("offset"), col("__b.m").as("n_match"),
+        col("__b.f").as("match_frac"))
+  }
+
+  /** The dense-probe × catalog hash join of [[audioNearDupPairsOffset]],
+    * hash-hinted so the probe side streams unsorted. */
+  private def prbFJoin(prb: DataFrame, cat: DataFrame): DataFrame =
+    prb.join(cat.hint("shuffle_hash"), Seq("__dh"))
+
+  /** INCREMENTAL audio dedup with ARBITRARY-offset tolerance —
+    * [[dedupAudioAgainstIndex]] with the increment probed by its
+    * DENSE sliding hash set ([[audioSlidingDHashes]], hop = 1 for
+    * full tolerance) instead of single-phase segments. The persisted
+    * [[audioSegmentHashIndex]] is UNCHANGED — the catalog side stays
+    * single-phase, so index size and history cost don't move; only
+    * the increment pays the probe density. Set-overlap semantics
+    * against frozen history: the denominator min(|H(new)|, |H(old)|)
+    * resolves to the INDEX clip's hash-set size (the sliding set is
+    * far larger by construction), so the fraction reads "how much of
+    * the historical clip appears in the new one" — a new clip that
+    * is a trim of an indexed clip matches every full catalog segment
+    * regardless of the trim's offset. */
+  def dedupAudioAgainstIndexOffset(
+      newDocs: DataFrame, idCol: String, payloadCol: String, index: DataFrame,
+      segFrames: Int, hop: Int = 1, minFrac: Double = 0.5,
+      maxBucket: Int = 65536, chunkSize: Int = 1024): DataFrame = {
+    require(segFrames >= 65,
+      s"segFrames=$segFrames must be >= 65 (one frame per envelope window)")
+    require(hop >= 1, s"hop=$hop must be positive")
+    require(minFrac > 0 && minFrac <= 1, s"minFrac=$minFrac outside (0,1]")
+    require(maxBucket > 1, s"maxBucket=$maxBucket must exceed 1")
+    require(chunkSize > 0, s"chunkSize=$chunkSize must be positive")
+    val probe = newDocs
+      .select(col(idCol), col(payloadCol))
+      .repartition(Dedup.pinnedParts(newDocs))
+      .select(col(idCol).as("__nid"),
+        audioSlidingDHashes(col(payloadCol), segFrames, hop).as("__sw"))
+      .filter(col("__sw").isNotNull && size(col("__sw")) > 0)
+      .select(col("__nid"), explode(col("__sw.dhash")).as("__dh"))
+      .distinct()
+    newDocs.join(
+      setOverlapIdsAgainstIndex(probe, index, idCol,
+        minFrac, maxBucket, chunkSize, excludeSameId = false),
+      Seq(idCol), "left_anti")
+  }
+
   /** Video near-dup DEDUP output — [[dedupImageNearDups]] for the
     * video column: [[videoNearDupPairs]] (frame-aligned) →
     * [[Graph.connectedComponents]] → keep each cluster's smallest-id
