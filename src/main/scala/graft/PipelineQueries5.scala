@@ -179,6 +179,123 @@ object PipelineQueries5 {
         .transform(Queries.sortedSmall(_, "probe_id", "catalog_id"))
     })
 
+  // --------------------------- animated GIF compositing stats
+  // Palette arithmetic is exact, so the FULL animation semantics —
+  // partial rects, GCE transparency, disposal 2 (restore background)
+  // and 3 (restore previous), local palettes, interlaced frames —
+  // are oracle-checkable per composited canvas pixel: gif 0 pins
+  // full redraws + a local palette + an interlaced frame (layout-
+  // invariant for means; hash invariance is spec-pinned), gif 1 a
+  // transparent partial rect then disposal-2 background restore,
+  // gif 2 the disposal-3 previous-canvas restore, gif 3 the
+  // single-frame degenerate case; junk emits nothing.
+  private val qGifAnimStats = Queries.Q(
+    "p_gif_anim_stats",
+    Some("""
+      WITH pals AS (
+        SELECT 0 AS gid, 'g' AS pal, i,
+               ((i*3+40)%256 + (i*5+7)%256 + (i*11+3)%256) AS s
+        FROM generate_series(0, 255) t(i)
+        UNION ALL SELECT 0, 'l', i,
+               ((i*5+1)%256 + (i*7+2)%256 + (i*3+5)%256)
+        FROM generate_series(0, 255) t(i)
+        UNION ALL SELECT 1, 'g', i,
+               ((i*7+11)%256 + (i*2+3)%256 + (i*13+1)%256)
+        FROM generate_series(0, 255) t(i)
+        UNION ALL SELECT 2, 'g', i,
+               ((i*9+5)%256 + (i*4+1)%256 + (i*6+7)%256)
+        FROM generate_series(0, 255) t(i)
+        UNION ALL SELECT 3, 'g', i,
+               ((i*3+40)%256 + (i*5+7)%256 + (i*11+3)%256)
+        FROM generate_series(0, 255) t(i)),
+      allpx AS (
+        SELECT 0 AS gid, 12 AS w, 8 AS h, f, x, y,
+               CASE WHEN f = 1 THEN 'l' ELSE 'g' END AS pal,
+               CASE WHEN f = 0 THEN (x*7+y*13)%256
+                    WHEN f = 1 THEN (x*11+y*3+29)%256
+                    ELSE (x*7+y*13+58)%256 END AS idx
+        FROM generate_series(0, 2) fs(f),
+             generate_series(0, 11) xs(x), generate_series(0, 7) ys(y)
+        UNION ALL
+        SELECT 1, 14, 10, f, x, y, 'g',
+               CASE
+                 WHEN f = 0 THEN (x*7+y*13)%256
+                 WHEN f = 1 THEN
+                   CASE WHEN x BETWEEN 3 AND 8 AND y BETWEEN 2 AND 6
+                        THEN CASE WHEN ((x-3)+(y-2))%3 = 0 THEN (x*7+y*13)%256
+                                  ELSE ((x-3)*5+(y-2)*11+17)%246 + 10 END
+                        ELSE (x*7+y*13)%256 END
+                 ELSE
+                   CASE WHEN x BETWEEN 1 AND 4 AND y BETWEEN 1 AND 3
+                        THEN ((x-1)*3+(y-1)*7+23)%256
+                        WHEN x BETWEEN 3 AND 8 AND y BETWEEN 2 AND 6 THEN 5
+                        ELSE (x*7+y*13)%256 END
+               END
+        FROM generate_series(0, 2) fs(f),
+             generate_series(0, 13) xs(x), generate_series(0, 9) ys(y)
+        UNION ALL
+        SELECT 2, 10, 9, f, x, y, 'g',
+               CASE
+                 WHEN f = 0 THEN (x*11+y*5+7)%256
+                 WHEN f = 1 THEN
+                   CASE WHEN x BETWEEN 2 AND 6 AND y BETWEEN 3 AND 6
+                        THEN CASE WHEN ((x-2)*2+(y-3))%4 = 0 THEN (x*11+y*5+7)%256
+                                  ELSE ((x-2)*7+(y-3)*13+31)%251 + 5 END
+                        ELSE (x*11+y*5+7)%256 END
+                 ELSE
+                   CASE WHEN x BETWEEN 6 AND 8 AND y BETWEEN 0 AND 2
+                        THEN ((x-6)*5+y*3+11)%256
+                        ELSE (x*11+y*5+7)%256 END
+               END
+        FROM generate_series(0, 2) fs(f),
+             generate_series(0, 9) xs(x), generate_series(0, 8) ys(y)
+        UNION ALL
+        SELECT 3, 6, 5, 0, x, y, 'g', (x+y*6)%256
+        FROM generate_series(0, 5) xs(x), generate_series(0, 4) ys(y)),
+      agg AS (
+        SELECT a.gid, a.f, a.w, a.h, SUM(p.s) AS sums
+        FROM allpx a JOIN pals p ON p.gid = a.gid AND p.pal = a.pal AND p.i = a.idx
+        GROUP BY a.gid, a.f, a.w, a.h)
+      SELECT CAST(gid AS BIGINT) AS gif_id, CAST(f AS BIGINT) AS frame_idx,
+             CAST(sums AS DOUBLE) / (w * h * 3) AS mean
+      FROM agg ORDER BY gif_id, frame_idx"""),
+    (s, dir) => {
+      import operators.Multimodal.{GifFrameSpec, encodeGifAnim}
+      def pal0(i: Int) = ((i * 3 + 40) % 256, (i * 5 + 7) % 256, (i * 11 + 3) % 256)
+      def lpal0(i: Int) = ((i * 5 + 1) % 256, (i * 7 + 2) % 256, (i * 3 + 5) % 256)
+      def pal1(i: Int) = ((i * 7 + 11) % 256, (i * 2 + 3) % 256, (i * 13 + 1) % 256)
+      def pal2(i: Int) = ((i * 9 + 5) % 256, (i * 4 + 1) % 256, (i * 6 + 7) % 256)
+      val gifs: Seq[(Long, Array[Byte])] = Seq(
+        0L -> encodeGifAnim(12, 8, 0, pal0, Seq(
+          GifFrameSpec(0, 0, 12, 8, (x, y) => (x * 7 + y * 13) % 256),
+          GifFrameSpec(0, 0, 12, 8, (x, y) => (x * 11 + y * 3 + 29) % 256,
+            localPalette = Some(lpal0)),
+          GifFrameSpec(0, 0, 12, 8, (x, y) => (x * 7 + y * 13 + 58) % 256,
+            interlaced = true))),
+        1L -> encodeGifAnim(14, 10, 5, pal1, Seq(
+          GifFrameSpec(0, 0, 14, 10, (x, y) => (x * 7 + y * 13) % 256),
+          GifFrameSpec(3, 2, 6, 5,
+            (lx, ly) => if ((lx + ly) % 3 == 0) 9 else (lx * 5 + ly * 11 + 17) % 246 + 10,
+            disposal = 2, transparent = Some(9)),
+          GifFrameSpec(1, 1, 4, 3, (lx, ly) => (lx * 3 + ly * 7 + 23) % 256))),
+        2L -> encodeGifAnim(10, 9, 0, pal2, Seq(
+          GifFrameSpec(0, 0, 10, 9, (x, y) => (x * 11 + y * 5 + 7) % 256),
+          GifFrameSpec(2, 3, 5, 4,
+            (lx, ly) => if ((lx * 2 + ly) % 4 == 0) 4 else (lx * 7 + ly * 13 + 31) % 251 + 5,
+            disposal = 3, transparent = Some(4)),
+          GifFrameSpec(6, 0, 3, 3, (lx, ly) => (lx * 5 + ly * 3 + 11) % 256))),
+        3L -> encodeGifAnim(6, 5, 0, pal0, Seq(
+          GifFrameSpec(0, 0, 6, 5, (x, y) => (x + y * 6) % 256))),
+        4L -> "junk".getBytes("UTF-8"))
+      import s.implicits._
+      gifs.toDF("gif_id", "payload")
+        .select(col("gif_id"),
+          explode(operators.Multimodal.frameSample(col("payload"), 1)).as("e"))
+        .select(col("gif_id"), col("e.frame_idx").as("frame_idx"),
+          col("e.mean").as("mean"))
+        .transform(Queries.sortedSmall(_, "gif_id", "frame_idx"))
+    })
+
   val all: Seq[Queries.Q] =
-    Seq(qG711Stats, qAudioNearDupOffset)
+    Seq(qG711Stats, qAudioNearDupOffset, qGifAnimStats)
 }

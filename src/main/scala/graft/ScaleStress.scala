@@ -506,7 +506,8 @@ object ScaleStress {
           "video_near_dup_mjpeg".contains(f) || "audio_video_matches".contains(f) ||
             "incremental_image_dedup".contains(f) ||
             "incremental_video_dedup".contains(f) ||
-            "media_curation".contains(f))) {
+            "media_curation".contains(f) ||
+            "gif_anim_near_dup".contains(f))) {
         val prevBatch = spark.conf.get("spark.sql.parquet.columnarReaderBatchSize", "4096")
         spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "64")
         try {
@@ -676,6 +677,44 @@ object ScaleStress {
             operators.Multimodal.dedupVideosAgainstIndex(
               spark.read.parquet(incFeed), "vid_id", "payload",
               spark.read.parquet(idxDir), stride = 4, minFrac = 0.5).count()
+          }
+        }
+        // animated GIF in the video family (r20): 100 GIFs/unit
+        // scale, ~10 composited frames each, 3-member families every
+        // 10 ids (original, palette-permuted byte-different
+        // re-encode, 2-frame trim) — the shifted set-overlap family
+        // over the GIF container, every frame's LZW paid (delta
+        // compositing is sequential by nature, documented).
+        if (opFilter.isEmpty || opFilter.exists("gif_anim_near_dup".contains)) {
+          val n = 100 * scale
+          val feed = s"${sys.props("java.io.tmpdir")}/graft-giffeed-$scale"
+          locally {
+            import spark.implicits._
+            spark.range(n).repartition(spark.sparkContext.defaultParallelism)
+              .map { i =>
+                val id: Long = i
+                val fam = id - id % 10
+                val v = id % 10
+                val b = (if (v <= 2) fam else id).toInt + 1
+                val rot = if (v == 1) 77 else 0
+                val trim = if (v == 2) 2 else 0
+                def pal(k: Int) = (((k + rot) % 256 * 3 + b) % 256,
+                  ((k + rot) % 256 * 5 + 7) % 256, ((k + rot) % 256 * 11 + 3) % 256)
+                // x·y·(b/251) term: a plain +b wraps content mod 256
+                // (ids 256 apart encoded IDENTICAL pixels) — the
+                // per-block slope keeps content unique across blocks
+                (id, operators.Multimodal.encodeGifAnim(24, 18, 0,
+                  i2 => pal(i2),
+                  (0 until (10 - trim)).map(f =>
+                    operators.Multimodal.GifFrameSpec(0, 0, 24, 18,
+                      (x, y) => ((x * 7 + y * 13 + (f + trim) * 29 + b
+                        + x * y * (b / 251)) % 256 + 256 - rot) % 256))))
+              }.toDF("gif_id", "payload")
+              .write.mode("overwrite").parquet(feed)
+          }
+          measure("gif_anim_near_dup", scale) {
+            operators.Multimodal.videoNearDupPairsShifted(
+              spark.read.parquet(feed), "gif_id", "payload", stride = 1).count()
           }
         }
         // the composite media curation report over a MIXED feed

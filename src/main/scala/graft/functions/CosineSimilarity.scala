@@ -227,6 +227,24 @@ object GraftFunctions {
     graftBridge.column(AudioSegmentDHashes(
       graftBridge.expression(payload), graftBridge.expression(segFrames)))
 
+  /** Column-API form of [[GifAnimMeta]]: struct<width, height,
+    * n_frames> of a GIF payload (directory walk, no decode). */
+  def gifAnimMeta(payload: Column): Column =
+    graftBridge.column(GifAnimMeta(graftBridge.expression(payload)))
+
+  /** Column-API form of [[GifFrameDHashes]]: per-frame dHashes of the
+    * composited animation canvas — the AviFrameDHashes shape for the
+    * GIF container, one kernel across containers. */
+  def gifFrameDHashes(payload: Column, stride: Column): Column =
+    graftBridge.column(GifFrameDHashes(
+      graftBridge.expression(payload), graftBridge.expression(stride)))
+
+  /** Column-API form of [[GifFrameStats]]: per-frame mean brightness
+    * of the composited animation canvas (exact palette arithmetic). */
+  def gifFrameStats(payload: Column, stride: Column): Column =
+    graftBridge.column(GifFrameStats(
+      graftBridge.expression(payload), graftBridge.expression(stride)))
+
   /** Column-API form of [[AudioSlidingDHashes]]:
     * array<struct<offset:int, dhash:long>> — one envelope hash per
     * segFrames-frame window at every hop-th start frame, the

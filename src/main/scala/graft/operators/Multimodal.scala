@@ -1518,9 +1518,26 @@ object Multimodal {
     * the sample-and-fingerprint frontier of [[videoNearDupPairs]],
     * frame-for-frame bit-identical to
     * `imageDHash64(videoFramePixels(p, f), w, h, 3)` but 1 container
-    * walk instead of 1 + n_frames/stride full decodes. */
+    * walk instead of 1 + n_frames/stride full decodes.
+    *
+    * Container dispatch by magic number: AVI (BI_RGB / MJPEG) or
+    * ANIMATED GIF ([[graft.functions.GifFrameDHashes]] — composited
+    * canvas frames through the SAME grid/luma/gradient kernel, so
+    * the entire video near-dup family — aligned, shifted, shot-keyed,
+    * incremental-vs-index, cross-modal — accepts GIF animations
+    * unchanged, and a GIF re-encode of an AVI pairs with it). The
+    * CaseWhen evaluates only the matched branch per row. */
   def videoFrameDHashes(payload: Column, stride: Int): Column =
-    graft.functions.GraftFunctions.aviFrameDHashes(payload, lit(stride))
+    when(isAvi(payload),
+      graft.functions.GraftFunctions.aviFrameDHashes(payload, lit(stride)))
+      .when(isGif(payload),
+        graft.functions.GraftFunctions.gifFrameDHashes(payload, lit(stride)))
+
+  /** Animation container metadata of a GIF payload:
+    * struct<width, height, n_frames> — directory walk only. The
+    * "animated or still?" dispatch signal (n_frames). */
+  def gifAnimMeta(payload: Column): Column =
+    graft.functions.GraftFunctions.gifAnimMeta(payload)
 
   /** Segment envelope fingerprints of an AVI's PCM AUDIO TRACK
     * (`array<struct<seg_idx:int, dhash:long>>`) — the 'auds'-stream
@@ -1560,14 +1577,16 @@ object Multimodal {
         x => x >= 0))
   }
 
-  /** REAL frame sampling for uncompressed AVI payloads: every
+  /** REAL frame sampling for AVI and animated-GIF payloads: every
     * `stride`-th frame's index + mean RGB brightness
     * (`array<struct<frame_idx, mean>>`, one decode pass, pixels never
-    * materialized into the row); non-AVI payloads return NULL — route
+    * materialized into the row); other payloads return NULL — route
     * those through [[frameSampleStub]] until a codec bridge lands. */
   def frameSample(payload: Column, stride: Int): Column =
     when(isAvi(payload),
       graft.functions.GraftFunctions.aviFrameStats(payload, lit(stride)))
+      .when(isGif(payload),
+        graft.functions.GraftFunctions.gifFrameStats(payload, lit(stride)))
 
   /** STUB frame sampling: every `stride`-th byte as lowercase hex —
     * the plumbing (array column, deterministic order, bounded size)
@@ -1782,6 +1801,94 @@ object Multimodal {
     }
     out.write(0) // block terminator
     out.write(0x3B) // trailer
+    out.toByteArray
+  }
+
+  /** One animation frame spec for [[encodeGifAnim]] (fixture
+    * machinery): a rect at (left, top), per-pixel palette index
+    * (rect-local coordinates), optional 256-entry LOCAL palette,
+    * GIF89a disposal method (0–3), optional transparent index, and
+    * the 4-pass interlaced row layout. */
+  final case class GifFrameSpec(
+      left: Int, top: Int, w: Int, h: Int,
+      index: (Int, Int) => Int,
+      localPalette: Option[Int => (Int, Int, Int)] = None,
+      disposal: Int = 0,
+      transparent: Option[Int] = None,
+      interlaced: Boolean = false)
+
+  /** Driver-side ANIMATED GIF ENCODER (fixture machinery, not a data
+    * path): GIF89a, logical screen width×height with background
+    * index `bgIndex` into the 256-entry global palette, one GCE +
+    * image descriptor per [[GifFrameSpec]] — partial rects, local
+    * palettes, transparency, disposal methods and interlacing all
+    * wire-real, with [[encodeGif]]'s spec-valid uncompressed LZW
+    * form, so decode oracles stay byte-predictable. */
+  def encodeGifAnim(width: Int, height: Int, bgIndex: Int,
+      globalPalette: Int => (Int, Int, Int),
+      frames: Seq[GifFrameSpec]): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dims ${width}x$height")
+    require(frames.nonEmpty, "at least one frame")
+    val out = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    out.write("GIF89a".getBytes("US-ASCII"))
+    u16(width); u16(height)
+    out.write(0xF7) // global table present, size 2^8
+    out.write(bgIndex & 0xFF); out.write(0)
+    for (i <- 0 until 256) {
+      val (r, g, b) = globalPalette(i)
+      out.write(r & 0xFF); out.write(g & 0xFF); out.write(b & 0xFF)
+    }
+    frames.foreach { f =>
+      require(f.left >= 0 && f.top >= 0 && f.left + f.w <= width &&
+        f.top + f.h <= height, s"rect escapes canvas: $f")
+      require(f.disposal >= 0 && f.disposal <= 3, s"disposal ${f.disposal}")
+      // graphic control extension (one per frame — governs exactly it)
+      out.write(0x21); out.write(0xF9); out.write(4)
+      out.write((f.disposal << 2) | (if (f.transparent.isDefined) 1 else 0))
+      u16(2) // delay: 2 centiseconds
+      out.write(f.transparent.getOrElse(0) & 0xFF)
+      out.write(0) // GCE terminator
+      out.write(0x2C) // image descriptor
+      u16(f.left); u16(f.top); u16(f.w); u16(f.h)
+      out.write((if (f.localPalette.isDefined) 0x87 else 0x00) |
+        (if (f.interlaced) 0x40 else 0x00))
+      f.localPalette.foreach { pal =>
+        for (i <- 0 until 256) {
+          val (r, g, b) = pal(i)
+          out.write(r & 0xFF); out.write(g & 0xFF); out.write(b & 0xFF)
+        }
+      }
+      out.write(8) // LZW min code size
+      // 9-bit uncompressed LZW (CLEAR every 200 symbols), as encodeGif
+      val lzw = new java.io.ByteArrayOutputStream()
+      var cur = 0L; var nbits = 0
+      def put(code: Int): Unit = {
+        cur |= (code.toLong & 0x1FF) << nbits; nbits += 9
+        while (nbits >= 8) { lzw.write((cur & 0xFF).toInt); cur >>= 8; nbits -= 8 }
+      }
+      val rows: Seq[Int] =
+        if (!f.interlaced) 0 until f.h
+        else Seq((0, 8), (4, 8), (2, 4), (1, 2)).flatMap { case (s, st) => s until f.h by st }
+      put(256)
+      var sinceClear = 0
+      for (y <- rows; x <- 0 until f.w) {
+        if (sinceClear == 200) { put(256); sinceClear = 0 }
+        put(f.index(x, y) & 0xFF)
+        sinceClear += 1
+      }
+      put(257)
+      if (nbits > 0) lzw.write((cur & 0xFF).toInt)
+      val bytes = lzw.toByteArray
+      var off = 0
+      while (off < bytes.length) {
+        val n = math.min(255, bytes.length - off)
+        out.write(n); out.write(bytes, off, n)
+        off += n
+      }
+      out.write(0) // block terminator
+    }
+    out.write(0x3B)
     out.toByteArray
   }
 
