@@ -296,6 +296,88 @@ object PipelineQueries5 {
         .transform(Queries.sortedSmall(_, "gif_id", "frame_idx"))
     })
 
+  // --------------------------- shot-keyed frame sampling
+  // One representative fingerprint per SHOT (p_video_shots' cut rule:
+  // frame 0 + every frame more than 16 bits from its predecessor) —
+  // the same scene-keyed gradient fixture as the boundary query, so
+  // the two verbs cross-check; the oracle rebuilds every frame hash,
+  // re-derives the cut set, ranks shots per video, and emits each
+  // opener's hash as two 32-bit halves (DuckDB range-checks 1<<63).
+  private val qVideoShotFrames = Queries.Q(
+    "p_video_shot_frames",
+    Some("""
+      WITH vids(i, b, w, h, nf, cut1, cut2) AS (
+        SELECT * FROM (VALUES
+          (0, 0, 12, 10, 10, 3, 7),
+          (1, 1, 13, 11, 10, 4, 7),
+          (2, 2, 14, 10, 10, 3, 99),
+          (3, 3, 12, 11, 10, 99, 99))),
+      fr AS (SELECT i, b, w, h, cut1, cut2,
+                    unnest(generate_series(0, nf - 1)) AS f
+             FROM vids),
+      sc AS (SELECT *, CASE WHEN f >= cut2 THEN 2
+                            WHEN f >= cut1 THEN 1 ELSE 0 END AS scene
+             FROM fr),
+      cells AS (
+        SELECT i, f, b, scene, gx, gy,
+               ((gx * w) // 9) AS sx, ((gy * h) // 8) AS sy
+        FROM sc, generate_series(0, 8) gxs(gx), generate_series(0, 7) gys(gy)),
+      px AS (
+        SELECT i, f, gx, gy, (f0 + f1 + f2) // 3 AS luma
+        FROM (SELECT *,
+                ((sx*(2+scene) + sy*(3+2*scene) + b*53) * (scene*97+13)) % 180 AS f0,
+                ((sx*(2+scene) + sy*(3+2*scene) + 37 + b*53) * (scene*97+13)) % 180 AS f1,
+                ((sx*(2+scene) + sy*(3+2*scene) + 74 + b*53) * (scene*97+13)) % 180 AS f2
+              FROM cells)),
+      bits AS (
+        SELECT a.i, a.f, (a.gy * 8 + a.gx) AS bb,
+               CASE WHEN n.luma > a.luma THEN 1 ELSE 0 END AS bit
+        FROM px a JOIN px n ON n.i = a.i AND n.f = a.f AND n.gy = a.gy
+                           AND n.gx = a.gx + 1
+        WHERE a.gx < 8),
+      hs AS (
+        SELECT i, f,
+               bit_or(CASE WHEN bit = 1 AND bb < 32
+                           THEN (CAST(1 AS BIGINT) << bb) ELSE 0 END) AS lo,
+               bit_or(CASE WHEN bit = 1 AND bb >= 32
+                           THEN (CAST(1 AS BIGINT) << (bb - 32)) ELSE 0 END) AS hi
+        FROM bits GROUP BY i, f),
+      reps AS (
+        SELECT cur.i, cur.f, cur.lo, cur.hi
+        FROM hs cur LEFT JOIN hs prev ON prev.i = cur.i AND prev.f = cur.f - 1
+        WHERE prev.f IS NULL OR
+              bit_count(xor(cur.lo, prev.lo)) + bit_count(xor(cur.hi, prev.hi)) > 16)
+      SELECT CAST(i AS BIGINT) AS video_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY i ORDER BY f) - 1 AS INT) AS shot_idx,
+             CAST(f AS INT) AS frame_idx,
+             lo AS dhash_lo, hi AS dhash_hi
+      FROM reps ORDER BY video_id, frame_idx"""),
+    (s, dir) => {
+      val cuts = Seq((3, 7), (4, 7), (3, 99), (99, 99))
+      val vids: Seq[(Long, Array[Byte])] = (0 until 4).map { b =>
+        val (w, h) = (12 + b % 3, 10 + b % 2)
+        val (cut1, cut2) = cuts(b)
+        (b.toLong, operators.Multimodal.encodeAvi(w, h, 10,
+          (f, x, y, c) => {
+            val scene = if (f >= cut2) 2 else if (f >= cut1) 1 else 0
+            ((x * (2 + scene) + y * (3 + 2 * scene) + c * 37 + b * 53) *
+              (scene * 97 + 13)) % 180
+          },
+          topDown = b % 2 == 1))
+      }
+      val junk: Seq[(Long, Array[Byte])] = Seq(4L -> "junk".getBytes("UTF-8"))
+      import s.implicits._
+      (vids ++ junk).toDF("video_id", "payload")
+        .select(col("video_id"),
+          explode(operators.Multimodal.videoShotFrameDHashes(col("payload"), 16))
+            .as("e"))
+        .select(col("video_id"), col("e.shot_idx").as("shot_idx"),
+          col("e.frame_idx").as("frame_idx"),
+          col("e.dhash").bitwiseAND(lit(0xFFFFFFFFL)).as("dhash_lo"),
+          shiftrightunsigned(col("e.dhash"), 32).as("dhash_hi"))
+        .transform(Queries.sortedSmall(_, "video_id", "frame_idx"))
+    })
+
   val all: Seq[Queries.Q] =
-    Seq(qG711Stats, qAudioNearDupOffset, qGifAnimStats)
+    Seq(qG711Stats, qAudioNearDupOffset, qGifAnimStats, qVideoShotFrames)
 }

@@ -1577,6 +1577,74 @@ object Multimodal {
         x => x >= 0))
   }
 
+  /** SHOT-KEYED frame sampling — the curation-grade sampling verb
+    * [[videoShotBoundaries]] exists for:
+    * `array<struct<shot_idx:int, frame_idx:int, dhash:long>>`, ONE
+    * representative (the opening frame) per detected shot. Per-stride
+    * sampling OVERSAMPLES static scenes (a 10-minute slate yields
+    * thousands of near-identical samples) and undersamples fast
+    * cuts; keying on shots yields exactly one fingerprint per scene
+    * regardless of its duration, so a time-stretched re-cut of the
+    * same scenes produces the SAME representative hash set.
+    *
+    * Declarative composition, no new Expression: one
+    * [[videoFrameDHashes]] walk at stride 1, folded by
+    * `functions.aggregate` — frame 0 opens shot 0, every frame whose
+    * dHash is more than `maxHamming` bits from its predecessor opens
+    * the next (the [[videoShotBoundaries]] rule, so the two verbs
+    * agree by construction; spec-pinned). The hash array is
+    * referenced ONCE, so the container walk runs once per row. NULL
+    * for undecodable payloads; empty array for zero-frame clips. */
+  def videoShotFrameDHashes(payload: Column, maxHamming: Int = 16): Column = {
+    val fh = videoFrameDHashes(payload, 1)
+    val repType = "array<struct<shot_idx:int,frame_idx:int,dhash:bigint>>"
+    aggregate(
+      fh,
+      struct(lit(null).cast("bigint").as("prev"), lit(-1).as("shot"),
+        array().cast(repType).as("reps")),
+      (st, e) => {
+        val isCut = st.getField("prev").isNull ||
+          bit_count(st.getField("prev").bitwiseXOR(e.getField("dhash"))) > maxHamming
+        val shot = when(isCut, st.getField("shot") + 1).otherwise(st.getField("shot"))
+        struct(
+          e.getField("dhash").as("prev"),
+          shot.as("shot"),
+          when(isCut,
+            concat(st.getField("reps"), array(struct(
+              shot.as("shot_idx"),
+              e.getField("frame_idx").as("frame_idx"),
+              e.getField("dhash").as("dhash")))))
+            .otherwise(st.getField("reps")).as("reps"))
+      },
+      st => st.getField("reps"))
+  }
+
+  /** SHOT-KEYED video near-dup pairs — [[videoNearDupPairsShifted]]
+    * with the hash SET reduced to one representative per shot
+    * ([[videoShotFrameDHashes]]): videos pair when ≥ `minFrac` of
+    * the smaller side's SHOT fingerprints match, so re-cuts that
+    * stretch or shorten scenes (same scenes, different durations —
+    * which skew the per-frame distinct-hash sets whenever scenes
+    * carry internal motion) still pair at full containment. Composes
+    * with the audited [[hashSetOverlapPairs]] core UNCHANGED — same
+    * flood cap, same chunk-cell machinery, same output shape
+    * (id_a, id_b, n_match, match_frac). `cutHamming` is the shot
+    * detector's threshold; `maxHamming` the (optional) near-match
+    * band on representative hashes. */
+  def videoNearDupPairsShotKeyed(
+      docs: DataFrame, idCol: String, payloadCol: String,
+      cutHamming: Int = 16, minFrac: Double = 0.5, maxHamming: Int = 0,
+      maxBucket: Int = 65536, chunkSize: Int = 1024): DataFrame = {
+    val hashes = docs
+      .select(col(idCol), col(payloadCol))
+      .repartition(Dedup.pinnedParts(docs)) // decode frontier spread
+      .select(col(idCol),
+        videoShotFrameDHashes(col(payloadCol), cutHamming).as("__sh"))
+      .filter(col("__sh").isNotNull && size(col("__sh")) > 0)
+      .select(col(idCol), explode(col("__sh.dhash")).as("__dh"))
+    hashSetOverlapPairs(hashes, idCol, minFrac, maxHamming, maxBucket, chunkSize)
+  }
+
   /** REAL frame sampling for AVI and animated-GIF payloads: every
     * `stride`-th frame's index + mean RGB brightness
     * (`array<struct<frame_idx, mean>>`, one decode pass, pixels never
