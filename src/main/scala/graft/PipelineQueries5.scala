@@ -378,6 +378,434 @@ object PipelineQueries5 {
         .transform(Queries.sortedSmall(_, "video_id", "frame_idx"))
     })
 
+  /** Shared two-run media fixture for the incremental + lineage
+    * queries: an OLD corpus (3 image families of 3, 2 video families
+    * of 3, 2 audio families of 3 + an audio singleton, junk) and a
+    * NEW corpus with unchanged ids, a changed image (fresh content),
+    * a changed audio that became a trim of ITS OWN old content (the
+    * same-id-exclusion pin), a removed image, and additions that
+    * near-dup history (one per modality), pair within the delta
+    * (an image pair), or are fresh. Content is the p_media_curation
+    * formula family, so the oracles rebuild every hash bit. */
+  private object MediaTwoRuns {
+    import operators.Multimodal._
+    def img(b: Int, v: Int): Array[Byte] = {
+      val (w, h) = (12 + b, 10 + b % 4)
+      val ch = Seq(1, 3, 2, 4)(b % 4)
+      def base(x: Int, y: Int, c: Int): Int = (x * 17 + y * 29 + c * 37 + b * 53) % 180
+      if (v == 1)
+        encodePng(2 * w, 2 * h, ch, (x, y, c) => base(x / 2, y / 2, c) + 40,
+          y => (y + b) % 5)
+      else
+        encodePng(w, h, ch,
+          (x, y, c) => base(x, y, c) + (if (v == 2 && (x + y) % 11 == 0) 25 else 0),
+          y => (y + b) % 5)
+    }
+    def vid(b: Int, v: Int): Array[Byte] = {
+      val (w, h, nf0) = (12 + b % 3, 10 + b % 2, 8 + b % 2)
+      val trim = if (v == 1) 2 else if (v == 3) 4 else 0
+      encodeAvi(w, h, nf0 - trim, (pf, x, y, c) => {
+        val f = pf + trim
+        (x * 17 + y * 29 + c * 37 + f * 41 + b * 53) % 180 +
+          (if (v == 2 && (x + y) % 3 == 0 && f % 2 == 1) 25 else 0)
+      }, topDown = (b + v) % 2 == 1)
+    }
+    def aud(b: Int, v: Int): Array[Byte] = {
+      val (nf0, ch) = (500 + b * 61, 1 + b % 2)
+      val trim = if (v == 1) 128 else if (v == 3) 256 else 0
+      val gain = if (v == 1) 3 else if (v == 3) 2 else 1
+      encodeWav(ch, 8000, nf0 - trim, (c, f) => {
+        val mult =
+          if (v == 2 && f % 128 < 64 && (f / 128) % 2 == 1) 4 else gain
+        ((((f + trim) * 31 + c * 17 + b * 101) % 4001) - 2000) * mult
+      })
+    }
+    val oldImgs = Seq((0, 0, 0), (1, 0, 1), (2, 0, 2), (3, 1, 0), (4, 1, 1),
+      (5, 1, 2), (6, 2, 0), (7, 2, 1), (8, 2, 2))
+    val newImgs = Seq((0, 0, 0), (1, 0, 1), (3, 1, 0), (4, 1, 1), (5, 1, 2),
+      (6, 2, 0), (7, 2, 1), (2, 7, 0), (10, 1, 0), (11, 8, 0), (12, 8, 1))
+    val oldVids = Seq((100, 0, 0), (101, 0, 1), (102, 0, 2), (103, 1, 0),
+      (104, 1, 1), (105, 1, 2))
+    val newVids = oldVids ++ Seq((110, 0, 3), (111, 9, 0))
+    val oldAuds = Seq((200, 0, 0), (201, 0, 1), (202, 0, 2), (203, 1, 0),
+      (204, 1, 1), (205, 1, 2), (206, 5, 0))
+    val newAuds = Seq((200, 0, 0), (201, 0, 1), (202, 0, 2), (203, 1, 0),
+      (204, 1, 1), (205, 1, 2), (206, 5, 1), (210, 0, 3))
+    def corpus(imgs: Seq[(Int, Int, Int)], vids: Seq[(Int, Int, Int)],
+        auds: Seq[(Int, Int, Int)], junks: Seq[(Long, Array[Byte])]): Seq[(Long, Array[Byte])] =
+      imgs.map { case (id, b, v) => (id.toLong, img(b, v)) } ++
+        vids.map { case (id, b, v) => (id.toLong, vid(b, v)) } ++
+        auds.map { case (id, b, v) => (id.toLong, aud(b, v)) } ++ junks
+    def oldCorpus: Seq[(Long, Array[Byte])] =
+      corpus(oldImgs, oldVids, oldAuds,
+        Seq(300L -> "not media at all".getBytes("UTF-8")))
+    def newCorpus: Seq[(Long, Array[Byte])] =
+      corpus(newImgs, newVids, newAuds,
+        Seq(300L -> "not media at all".getBytes("UTF-8"),
+          301L -> Array[Byte](0x1, 0x2, 0x3)))
+  }
+
+  /** The shared hash-derivation + old/new chain SQL of the two-run
+    * media oracles (DuckDB rebuilds every image dHash, video frame
+    * hash and audio segment envelope for BOTH corpora from the
+    * fixture formulas, then both runs' pair sets and closures). The
+    * incremental and lineage queries append different tails. */
+  private val twoRunsSqlPrefix: String = """
+      WITH RECURSIVE
+      imgs(c, id, b, v) AS (
+        SELECT * FROM (VALUES
+          ('o',0,0,0),('o',1,0,1),('o',2,0,2),('o',3,1,0),('o',4,1,1),
+          ('o',5,1,2),('o',6,2,0),('o',7,2,1),('o',8,2,2),
+          ('n',0,0,0),('n',1,0,1),('n',3,1,0),('n',4,1,1),('n',5,1,2),
+          ('n',6,2,0),('n',7,2,1),('n',2,7,0),('n',10,1,0),('n',11,8,0),
+          ('n',12,8,1))),
+      vids(c, id, b, v) AS (
+        SELECT * FROM (VALUES
+          ('o',100,0,0),('o',101,0,1),('o',102,0,2),('o',103,1,0),
+          ('o',104,1,1),('o',105,1,2),
+          ('n',100,0,0),('n',101,0,1),('n',102,0,2),('n',103,1,0),
+          ('n',104,1,1),('n',105,1,2),('n',110,0,3),('n',111,9,0))),
+      auds(c, id, b, v) AS (
+        SELECT * FROM (VALUES
+          ('o',200,0,0),('o',201,0,1),('o',202,0,2),('o',203,1,0),
+          ('o',204,1,1),('o',205,1,2),('o',206,5,0),
+          ('n',200,0,0),('n',201,0,1),('n',202,0,2),('n',203,1,0),
+          ('n',204,1,1),('n',205,1,2),('n',206,5,1),('n',210,0,3))),
+      junks(c, id) AS (
+        SELECT * FROM (VALUES ('o',300),('n',300),('n',301))),
+      -- ---- image dHashes (upscale+40 is grid/brightness-invariant:
+      -- sx from the ORIGINAL dims — floor(floor(2a)/2)=floor(a))
+      imgd AS (SELECT c, id, b, v, 12 + b AS w, 10 + b % 4 AS h,
+                      CASE b % 4 WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 2 THEN 2 ELSE 4 END AS ch
+               FROM imgs),
+      icells AS (
+        SELECT c, id, b, v, ch, gx, gy,
+               ((gx * w) // 9) AS sx, ((gy * h) // 8) AS sy
+        FROM imgd, generate_series(0, 8) gxs(gx), generate_series(0, 7) gys(gy)),
+      ipx AS (
+        SELECT c, id, gx, gy,
+               CASE WHEN ch >= 3 THEN (f0 + f1 + f2) // 3 ELSE f0 END AS luma
+        FROM (SELECT *,
+                (sx*17 + sy*29 + b*53) % 180 + sh AS f0,
+                (sx*17 + sy*29 + 37 + b*53) % 180 + sh AS f1,
+                (sx*17 + sy*29 + 74 + b*53) % 180 + sh AS f2
+              FROM (SELECT *,
+                      CASE WHEN v = 1 THEN 40
+                           WHEN v = 2 AND (sx + sy) % 11 = 0 THEN 25
+                           ELSE 0 END AS sh
+                    FROM icells))),
+      ibits AS (
+        SELECT a.c, a.id, (a.gy * 8 + a.gx) AS bb,
+               CASE WHEN n.luma > a.luma THEN 1 ELSE 0 END AS bit
+        FROM ipx a JOIN ipx n ON n.c = a.c AND n.id = a.id AND n.gy = a.gy
+                            AND n.gx = a.gx + 1
+        WHERE a.gx < 8),
+      ihs AS (
+        SELECT c, id,
+               bit_or(CASE WHEN bit = 1 AND bb < 32
+                           THEN (CAST(1 AS BIGINT) << bb) ELSE 0 END) AS lo,
+               bit_or(CASE WHEN bit = 1 AND bb >= 32
+                           THEN (CAST(1 AS BIGINT) << (bb - 32)) ELSE 0 END) AS hi
+        FROM ibits GROUP BY c, id),
+      -- ---- video frame-hash sets
+      vmeta AS (SELECT c, id, b, v, 12 + b % 3 AS w, 10 + b % 2 AS h,
+                       8 + b % 2 AS nf0,
+                       CASE v WHEN 1 THEN 2 WHEN 3 THEN 4 ELSE 0 END AS trim
+                FROM vids),
+      vfr AS (SELECT c, id, b, v, w, h,
+                     unnest(generate_series(trim, nf0 - 1)) AS f
+              FROM vmeta),
+      vcells AS (
+        SELECT c, id, f, b, v, gx, gy,
+               ((gx * w) // 9) AS sx, ((gy * h) // 8) AS sy
+        FROM vfr, generate_series(0, 8) gxs(gx), generate_series(0, 7) gys(gy)),
+      vpx AS (
+        SELECT c, id, f, gx, gy, (f0 + f1 + f2) // 3 AS luma
+        FROM (SELECT *,
+                (sx*17 + sy*29 + f*41 + b*53) % 180 + sh AS f0,
+                (sx*17 + sy*29 + 37 + f*41 + b*53) % 180 + sh AS f1,
+                (sx*17 + sy*29 + 74 + f*41 + b*53) % 180 + sh AS f2
+              FROM (SELECT *,
+                      CASE WHEN v = 2 AND (sx + sy) % 3 = 0 AND f % 2 = 1
+                           THEN 25 ELSE 0 END AS sh
+                    FROM vcells))),
+      vbits AS (
+        SELECT a.c, a.id, a.f, (a.gy * 8 + a.gx) AS bb,
+               CASE WHEN n.luma > a.luma THEN 1 ELSE 0 END AS bit
+        FROM vpx a JOIN vpx n ON n.c = a.c AND n.id = a.id AND n.f = a.f
+                            AND n.gy = a.gy AND n.gx = a.gx + 1
+        WHERE a.gx < 8),
+      vhs AS (
+        SELECT c, id, f,
+               bit_or(CASE WHEN bit = 1 AND bb < 32
+                           THEN (CAST(1 AS BIGINT) << bb) ELSE 0 END) AS lo,
+               bit_or(CASE WHEN bit = 1 AND bb >= 32
+                           THEN (CAST(1 AS BIGINT) << (bb - 32)) ELSE 0 END) AS hi
+        FROM vbits GROUP BY c, id, f),
+      vhset AS (SELECT DISTINCT c, id, lo, hi FROM vhs),
+      vns AS (SELECT c, id, COUNT(*) AS n FROM vhset GROUP BY c, id),
+      -- ---- audio segment-envelope hash sets
+      ameta AS (SELECT c, id, b, v, 500 + b * 61 AS nf0, 1 + b % 2 AS ch,
+                       CASE v WHEN 1 THEN 128 WHEN 3 THEN 256 ELSE 0 END AS trim
+                FROM auds),
+      aphys AS (SELECT *, nf0 - trim AS pn FROM ameta),
+      asegs AS (
+        SELECT c, id, ch, s, s * 128 AS sfrom, LEAST(s * 128 + 128, pn) AS sto
+        FROM aphys, generate_series(0, 10) ss(s)
+        WHERE s * 128 + 65 <= pn),
+      awin AS (
+        SELECT c, id, s, w,
+               sfrom + (w * (sto - sfrom)) // 65 AS wf,
+               sfrom + ((w + 1) * (sto - sfrom)) // 65 AS wt
+        FROM asegs, generate_series(0, 64) ws(w)),
+      afr AS (
+        SELECT c, id, b, v, ch, trim, unnest(generate_series(0, pn - 1)) AS f
+        FROM aphys),
+      acs AS (SELECT c, id, b, v, trim, f,
+                     CASE WHEN v = 2 AND f % 128 < 64 AND (f // 128) % 2 = 1
+                          THEN 4 ELSE 1 END AS mult,
+                     unnest(generate_series(0, ch - 1)) AS ck
+              FROM afr),
+      asmp AS (
+        SELECT c, id, f,
+               SUM(ABS(((((f + trim) * 31 + ck * 17 + b * 101) % 4001) - 2000)
+                       * mult)) AS aamp
+        FROM acs GROUP BY c, id, f),
+      ae AS (
+        SELECT awin.c, awin.id, awin.s, awin.w, (awin.wt - awin.wf) AS len,
+               SUM(asmp.aamp) AS e
+        FROM awin JOIN asmp ON asmp.c = awin.c AND asmp.id = awin.id
+                           AND asmp.f >= awin.wf AND asmp.f < awin.wt
+        GROUP BY awin.c, awin.id, awin.s, awin.w, awin.wt, awin.wf),
+      abits AS (
+        SELECT a.c, a.id, a.s, a.w AS bb,
+               CASE WHEN n.e * a.len > a.e * n.len THEN 1 ELSE 0 END AS bit
+        FROM ae a JOIN ae n ON n.c = a.c AND n.id = a.id AND n.s = a.s
+                           AND n.w = a.w + 1
+        WHERE a.w < 64),
+      ahs AS (
+        SELECT c, id, s,
+               bit_or(CASE WHEN bit = 1 AND bb < 32
+                           THEN (CAST(1 AS BIGINT) << bb) ELSE 0 END) AS lo,
+               bit_or(CASE WHEN bit = 1 AND bb >= 32
+                           THEN (CAST(1 AS BIGINT) << (bb - 32)) ELSE 0 END) AS hi
+        FROM abits GROUP BY c, id, s),
+      ahset AS (SELECT DISTINCT c, id, lo, hi FROM ahs),
+      ans AS (SELECT c, id, COUNT(*) AS n FROM ahset GROUP BY c, id),
+      -- ---- per-corpus pair sets and closures (one template, both
+      -- corpora; the tails pick the runs they need)
+      ipairs AS (
+        SELECT x.c, x.id AS ia, y.id AS ib
+        FROM ihs x JOIN ihs y ON y.c = x.c AND x.id < y.id
+         AND bit_count(xor(x.lo, y.lo)) + bit_count(xor(x.hi, y.hi)) <= 3),
+      vpairs AS (
+        SELECT vmm.c, ia, ib
+        FROM (SELECT x.c, x.id AS ia, y.id AS ib, COUNT(*) AS nm
+              FROM vhset x JOIN vhset y
+                ON y.c = x.c AND x.lo = y.lo AND x.hi = y.hi AND x.id < y.id
+              GROUP BY x.c, x.id, y.id) vmm
+        JOIN vns na ON na.c = vmm.c AND na.id = vmm.ia
+        JOIN vns nb ON nb.c = vmm.c AND nb.id = vmm.ib
+        WHERE CAST(nm AS DOUBLE) / LEAST(na.n, nb.n) >= 0.5),
+      apairs AS (
+        SELECT amm.c, ia, ib
+        FROM (SELECT x.c, x.id AS ia, y.id AS ib, COUNT(*) AS nm
+              FROM ahset x JOIN ahset y
+                ON y.c = x.c AND x.lo = y.lo AND x.hi = y.hi AND x.id < y.id
+              GROUP BY x.c, x.id, y.id) amm
+        JOIN ans na ON na.c = amm.c AND na.id = amm.ia
+        JOIN ans nb ON nb.c = amm.c AND nb.id = amm.ib
+        WHERE CAST(nm AS DOUBLE) / LEAST(na.n, nb.n) >= 0.5),
+      allpairs AS (
+        SELECT c, ia, ib, 'image_near_dup' AS reason FROM ipairs
+        UNION ALL SELECT c, ia, ib, 'video_near_dup' FROM vpairs
+        UNION ALL SELECT c, ia, ib, 'audio_near_dup' FROM apairs),
+      g AS (SELECT c, ia AS u, ib AS w FROM allpairs
+            UNION SELECT c, ib, ia FROM allpairs),
+      reach(c, node, r) AS (
+        SELECT c, u, u FROM (SELECT DISTINCT c, u FROM g)
+        UNION
+        SELECT g.c, g.w, reach.r FROM reach JOIN g ON g.c = reach.c AND g.u = reach.node),
+      losers AS (
+        SELECT c, node, MIN(r) AS grp FROM reach GROUP BY c, node
+        HAVING node <> MIN(r)),
+      fams AS (
+        SELECT c, id, 'png' AS kind, 'image_near_dup' AS famreason FROM imgs
+        UNION ALL SELECT c, id, 'avi', 'video_near_dup' FROM vids
+        UNION ALL SELECT c, id, 'wav', 'audio_near_dup' FROM auds
+        UNION ALL SELECT c, id, 'other', NULL FROM junks),
+      report AS ( -- the FULL report of each corpus
+        SELECT f.c, f.id, f.kind,
+               CASE WHEN l.node IS NOT NULL THEN 'drop' ELSE 'keep' END AS verdict,
+               CASE WHEN l.node IS NOT NULL THEN f.famreason
+                    WHEN f.kind = 'other' THEN 'undecodable'
+                    ELSE 'unique' END AS reason,
+               l.grp AS dup_of
+        FROM fams f LEFT JOIN losers l ON l.c = f.c AND l.node = f.id),
+      reused AS ( -- same id, same construction params ⇔ same bytes
+        SELECT n.id FROM imgs n JOIN imgs o
+          ON n.c = 'n' AND o.c = 'o' AND o.id = n.id AND o.b = n.b AND o.v = n.v
+        UNION ALL SELECT n.id FROM vids n JOIN vids o
+          ON n.c = 'n' AND o.c = 'o' AND o.id = n.id AND o.b = n.b AND o.v = n.v
+        UNION ALL SELECT n.id FROM auds n JOIN auds o
+          ON n.c = 'n' AND o.c = 'o' AND o.id = n.id AND o.b = n.b AND o.v = n.v
+        UNION ALL SELECT n.id FROM junks n JOIN junks o
+          ON n.c = 'n' AND o.c = 'o' AND o.id = n.id)"""
+
+  // --------------------------- incremental media curation
+  // Unchanged payloads (id + md5) reuse run N's verdict rows; only
+  // the delta decodes, deduping within itself AND against the three
+  // persisted fingerprint indexes with same-id exclusion (the
+  // changed audio clip that became a trim of its OWN old content
+  // must keep — its only index match is itself). The oracle derives
+  // both corpora's hashes, the old run's full chains (for the reused
+  // rows), the delta-restricted chains, and the index matches.
+  private val qIncrementalMediaCuration = Queries.Q(
+    "p_incremental_media_curation",
+    Some(twoRunsSqlPrefix + """,
+      delta AS (SELECT id FROM fams WHERE c = 'n'
+                AND id NOT IN (SELECT id FROM reused)),
+      dpairs AS (
+        SELECT p.ia, p.ib FROM allpairs p
+        WHERE p.c = 'n' AND p.ia IN (SELECT id FROM delta)
+          AND p.ib IN (SELECT id FROM delta)),
+      dg AS (SELECT ia AS u, ib AS w2 FROM dpairs
+             UNION SELECT ib, ia FROM dpairs),
+      dreach(node, r) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM dg)
+        UNION
+        SELECT dg.w2, dreach.r FROM dreach JOIN dg ON dg.u = dreach.node),
+      dlosers AS (SELECT node, MIN(r) AS grp FROM dreach GROUP BY node
+                  HAVING node <> MIN(r)),
+      ihist AS (
+        SELECT n.id AS nid, MIN(o.id) AS oid
+        FROM ihs n JOIN ihs o ON n.c = 'n' AND o.c = 'o' AND o.id <> n.id
+         AND bit_count(xor(n.lo, o.lo)) + bit_count(xor(n.hi, o.hi)) <= 3
+        WHERE n.id IN (SELECT id FROM delta)
+        GROUP BY n.id),
+      vhist AS (
+        SELECT nid, MIN(oid) AS oid FROM (
+          SELECT x.id AS nid, y.id AS oid, COUNT(*) AS nm
+          FROM vhset x JOIN vhset y
+            ON x.c = 'n' AND y.c = 'o' AND x.lo = y.lo AND x.hi = y.hi
+           AND y.id <> x.id
+          WHERE x.id IN (SELECT id FROM delta)
+          GROUP BY x.id, y.id) m
+        JOIN vns nn ON nn.c = 'n' AND nn.id = m.nid
+        JOIN vns no ON no.c = 'o' AND no.id = m.oid
+        WHERE CAST(nm AS DOUBLE) / LEAST(nn.n, no.n) >= 0.5
+        GROUP BY nid),
+      ahist AS (
+        SELECT nid, MIN(oid) AS oid FROM (
+          SELECT x.id AS nid, y.id AS oid, COUNT(*) AS nm
+          FROM ahset x JOIN ahset y
+            ON x.c = 'n' AND y.c = 'o' AND x.lo = y.lo AND x.hi = y.hi
+           AND y.id <> x.id
+          WHERE x.id IN (SELECT id FROM delta)
+          GROUP BY x.id, y.id) m
+        JOIN ans nn ON nn.c = 'n' AND nn.id = m.nid
+        JOIN ans no ON no.c = 'o' AND no.id = m.oid
+        WHERE CAST(nm AS DOUBLE) / LEAST(nn.n, no.n) >= 0.5
+        GROUP BY nid),
+      cand AS (
+        SELECT node AS id, grp AS dup_of FROM dlosers
+        UNION ALL SELECT nid, oid FROM ihist
+        UNION ALL SELECT nid, oid FROM vhist
+        UNION ALL SELECT nid, oid FROM ahist),
+      bestdup AS (SELECT id, MIN(dup_of) AS dup_of FROM cand GROUP BY id),
+      freshrows AS (
+        SELECT f.id, f.kind,
+               CASE WHEN bd.id IS NOT NULL THEN 'drop' ELSE 'keep' END AS verdict,
+               CASE WHEN bd.id IS NOT NULL THEN f.famreason
+                    WHEN f.kind = 'other' THEN 'undecodable'
+                    ELSE 'unique' END AS reason,
+               bd.dup_of, FALSE AS reused
+        FROM fams f LEFT JOIN bestdup bd ON bd.id = f.id
+        WHERE f.c = 'n' AND f.id IN (SELECT id FROM delta)),
+      reusedrows AS (
+        SELECT r.id, r.kind, r.verdict, r.reason, r.dup_of, TRUE AS reused
+        FROM report r JOIN reused u ON u.id = r.id
+        WHERE r.c = 'o')
+      SELECT CAST(id AS BIGINT) AS media_id, kind, verdict, reason,
+             CAST(dup_of AS BIGINT) AS dup_of, reused
+      FROM (SELECT * FROM reusedrows UNION ALL SELECT * FROM freshrows)
+      ORDER BY media_id"""),
+    (s, dir) => {
+      import s.implicits._
+      val old = MediaTwoRuns.oldCorpus.toDF("media_id", "payload")
+      val nw = MediaTwoRuns.newCorpus.toDF("media_id", "payload")
+      val oldReport = operators.Multimodal.mediaCurationReport(
+        old, "media_id", "payload",
+        imageMaxHamming = 3, videoStride = 1, videoMinFrac = 0.5,
+        audioSegFrames = 128, audioMinFrac = 0.5)
+        .join(old.select(col("media_id"),
+          operators.Multimodal.payloadMd5(col("payload")).as("payload_md5")),
+          "media_id")
+      operators.Multimodal.incrementalMediaCurationReport(
+        nw, "media_id", "payload", oldReport,
+        operators.Multimodal.imageHashIndex(old, "media_id", "payload"),
+        operators.Multimodal.videoFrameHashIndex(old, "media_id", "payload", 1),
+        operators.Multimodal.audioSegmentHashIndex(old, "media_id", "payload", 128))
+        .transform(Queries.sortedSmall(_, "media_id"))
+    })
+
+  // --------------------------- media curation lineage
+  // Run the media chain twice, classify every id's content status
+  // (payload md5) and decision transition, and name the flipped
+  // fields — the provenance surface of the media report. Same
+  // two-run fixture; the oracle rebuilds BOTH runs' full reports.
+  private val qMediaCurationLineage = Queries.Q(
+    "p_media_curation_lineage",
+    Some(twoRunsSqlPrefix + """,
+      status AS (
+        SELECT COALESCE(o.id, n.id) AS id,
+               CASE WHEN o.id IS NULL THEN 'added'
+                    WHEN n.id IS NULL THEN 'removed'
+                    WHEN o.id IN (SELECT id FROM reused) THEN 'unchanged'
+                    ELSE 'changed' END AS status
+        FROM (SELECT id FROM fams WHERE c = 'o') o
+        FULL OUTER JOIN (SELECT id FROM fams WHERE c = 'n') n ON n.id = o.id)
+      SELECT CAST(s.id AS BIGINT) AS media_id, s.status,
+             CASE WHEN s.status = 'removed' THEN 'retired'
+                  WHEN s.status = 'added' THEN
+                    CASE WHEN nr.verdict = 'keep' THEN 'entered_kept'
+                         ELSE 'entered_dropped' END
+                  WHEN orp.verdict = 'keep' AND nr.verdict = 'keep' THEN 'still_kept'
+                  WHEN orp.verdict = 'drop' AND nr.verdict = 'drop' THEN 'still_dropped'
+                  WHEN orp.verdict = 'drop' AND nr.verdict = 'keep' THEN 'promoted'
+                  ELSE 'demoted' END AS transition,
+             orp.verdict AS old_verdict, nr.verdict AS new_verdict,
+             orp.reason AS old_reason, nr.reason AS new_reason,
+             CAST(orp.dup_of AS BIGINT) AS old_dup_of,
+             CAST(nr.dup_of AS BIGINT) AS new_dup_of,
+             CASE WHEN s.status IN ('changed', 'unchanged') THEN
+               CONCAT(
+                 CASE WHEN orp.reason IS DISTINCT FROM nr.reason
+                      THEN 'reason' ELSE '' END,
+                 CASE WHEN orp.reason IS DISTINCT FROM nr.reason
+                       AND orp.dup_of IS DISTINCT FROM nr.dup_of
+                      THEN ',' ELSE '' END,
+                 CASE WHEN orp.dup_of IS DISTINCT FROM nr.dup_of
+                      THEN 'dup_of' ELSE '' END)
+             ELSE '' END AS flipped
+      FROM status s
+      LEFT JOIN report orp ON orp.c = 'o' AND orp.id = s.id
+      LEFT JOIN report nr ON nr.c = 'n' AND nr.id = s.id
+      ORDER BY media_id"""),
+    (s, dir) => {
+      import s.implicits._
+      val old = MediaTwoRuns.oldCorpus.toDF("media_id", "payload")
+      val nw = MediaTwoRuns.newCorpus.toDF("media_id", "payload")
+      def rep(df: org.apache.spark.sql.DataFrame) =
+        operators.Multimodal.mediaCurationReport(df, "media_id", "payload",
+          imageMaxHamming = 3, videoStride = 1, videoMinFrac = 0.5,
+          audioSegFrames = 128, audioMinFrac = 0.5)
+      operators.Multimodal.mediaCurationLineage(
+        old, nw, rep(old), rep(nw), "media_id", "payload")
+        .transform(Queries.sortedSmall(_, "media_id"))
+    })
+
   val all: Seq[Queries.Q] =
-    Seq(qG711Stats, qAudioNearDupOffset, qGifAnimStats, qVideoShotFrames)
+    Seq(qG711Stats, qAudioNearDupOffset, qGifAnimStats, qVideoShotFrames,
+      qIncrementalMediaCuration, qMediaCurationLineage)
 }

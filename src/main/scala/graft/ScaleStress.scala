@@ -507,6 +507,7 @@ object ScaleStress {
             "incremental_image_dedup".contains(f) ||
             "incremental_video_dedup".contains(f) ||
             "media_curation".contains(f) ||
+            "incremental_media_curation".contains(f) ||
             "gif_anim_near_dup".contains(f))) {
         val prevBatch = spark.conf.get("spark.sql.parquet.columnarReaderBatchSize", "4096")
         spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "64")
@@ -724,7 +725,9 @@ object ScaleStress {
         // join in one measured body. The filter on the computed
         // verdict blocks the count()-prune trap (left-join subtree
         // must execute).
-        if (opFilter.isEmpty || opFilter.exists("media_curation".contains)) {
+        if (opFilter.isEmpty || opFilter.exists(f =>
+            "media_curation".contains(f) ||
+              "incremental_media_curation".contains(f))) {
           val nImg = 1000 * scale
           val nVid = 100 * scale
           val nAud = 250 * scale
@@ -784,6 +787,100 @@ object ScaleStress {
               imageMaxHamming = 3, videoStride = 4, videoMinFrac = 0.5,
               audioSegFrames = 128, audioMinFrac = 0.5)
               .filter(col("verdict") === "drop").count()
+          }
+          // INCREMENTAL media curation (r20): history artifacts (the
+          // report + md5 keys + all three fingerprint indexes) built
+          // OUTSIDE the timed body; the new corpus = history + 5%
+          // additions per modality (half near-dups of history
+          // families, half fresh). The timed body pays ONE md5 scan
+          // over the corpus plus decode/judge for the increment only
+          // — history is never re-decoded, so walls are increment-
+          // bound as the history grows with scale.
+          val oldRepDir = s"${sys.props("java.io.tmpdir")}/graft-medrep-$scale"
+          val idxImgDir = s"${sys.props("java.io.tmpdir")}/graft-medixi-$scale"
+          val idxVidDir = s"${sys.props("java.io.tmpdir")}/graft-medixv-$scale"
+          val idxAudDir = s"${sys.props("java.io.tmpdir")}/graft-medixa-$scale"
+          val newFeed = s"${sys.props("java.io.tmpdir")}/graft-mednew-$scale"
+          locally {
+            import spark.implicits._
+            val old = spark.read.parquet(feed)
+            operators.Multimodal.mediaCurationReport(old, "media_id", "payload",
+              imageMaxHamming = 3, videoStride = 4, videoMinFrac = 0.5,
+              audioSegFrames = 128, audioMinFrac = 0.5)
+              .join(old.select(col("media_id"),
+                operators.Multimodal.payloadMd5(col("payload")).as("payload_md5")),
+                "media_id")
+              .write.mode("overwrite").parquet(oldRepDir)
+            operators.Multimodal.imageHashIndex(old, "media_id", "payload")
+              .write.mode("overwrite").parquet(idxImgDir)
+            operators.Multimodal.videoFrameHashIndex(old, "media_id", "payload", 4)
+              .write.mode("overwrite").parquet(idxVidDir)
+            operators.Multimodal.audioSegmentHashIndex(old, "media_id", "payload", 128)
+              .write.mode("overwrite").parquet(idxAudDir)
+            val base = (nImg + nVid + nAud + nJunk).toLong
+            val addImgs = spark.range(nImg / 20)
+              .repartition(spark.sparkContext.defaultParallelism)
+              .map { i =>
+                val id: Long = base + i
+                if (i % 2 == 0) { // brightness-shifted copy of a history head
+                  val b = ((i * 10) % nImg).toInt
+                  (id, operators.Multimodal.encodePng(48, 32, 3,
+                    (x, y, c) =>
+                      ((x * 7 + y * 13 + c * 31) * (b % 9973 + 1) + b) % 190 + 20,
+                    y => (y + b) % 5))
+                } else { // fresh content
+                  val b = id.toInt
+                  (id, operators.Multimodal.encodePng(48, 32, 3,
+                    (x, y, c) =>
+                      ((x * 11 + y * 3 + c * 7) * (b % 9973 + 3) + b * 2) % 200,
+                    y => (y + b) % 5))
+                }
+              }
+            val addVids = spark.range(nVid / 20)
+              .repartition(spark.sparkContext.defaultParallelism)
+              .map { i =>
+                val id: Long = base + nImg / 20 + i
+                if (i % 2 == 0) { // 4-frame trim of a history head
+                  val b = ((i * 10) % nVid).toInt
+                  (id, operators.Multimodal.encodeAvi(32, 24, 20,
+                    (f, x, y, c) =>
+                      ((x * 7 + y * 13 + c * 31 + (f + 4) * 17) * (b % 9973 + 1) + b) % 190))
+                } else {
+                  val b = id.toInt
+                  (id, operators.Multimodal.encodeAvi(32, 24, 24,
+                    (f, x, y, c) =>
+                      ((f * 7 + x) * (y * 5 + c) * 73 + x * y * (b % 41 + 2) + b) % 256))
+                }
+              }
+            val addAuds = spark.range(nAud / 20)
+              .repartition(spark.sparkContext.defaultParallelism)
+              .map { i =>
+                val id: Long = base + nImg / 20 + nVid / 20 + i
+                if (i % 2 == 0) { // 512-frame trim + gain of a history head
+                  val b = ((i * 10) % nAud).toInt
+                  (id, operators.Multimodal.encodeWav(1, 8000, 4000 - 512,
+                    (c, f) =>
+                      (((((f + 512) * 31 + c * 17) * (b % 9973 + 1) + b) % 4001) - 2000) * 2))
+                } else {
+                  val b = id.toInt
+                  (id, operators.Multimodal.encodeWav(1, 8000, 4000,
+                    (c, f) =>
+                      ((((f * 13 + c * 7) * (b % 9973 + 5) + b * 3) % 4001) - 2000)))
+                }
+              }
+            old.unionByName(
+              addImgs.union(addVids).union(addAuds).toDF("media_id", "payload"))
+              .write.mode("overwrite").parquet(newFeed)
+          }
+          measure("incremental_media_curation", scale) {
+            operators.Multimodal.incrementalMediaCurationReport(
+              spark.read.parquet(newFeed), "media_id", "payload",
+              spark.read.parquet(oldRepDir),
+              spark.read.parquet(idxImgDir), spark.read.parquet(idxVidDir),
+              spark.read.parquet(idxAudDir),
+              imageMaxHamming = 3, videoStride = 4, videoMinFrac = 0.5,
+              audioSegFrames = 128, audioMinFrac = 0.5)
+              .filter(col("reason").isNotNull).count() // no count()-prune
           }
         }
         } finally spark.conf.set(

@@ -28,8 +28,13 @@ import org.apache.spark.sql.types._
   * element; these bitmaps are plain JVM Long arrays on the
   * expression — two loads and a shift per band.
   *
-  * Returns DOUBLE matched/|hashes| ∈ [0,1]; NULL for a NULL or empty
-  * array (no evidence — the gates keep such rows). */
+  * Returns DOUBLE matched/|hashes| ∈ [0,1]; −1.0 for an EMPTY array
+  * (the payload DECODED but was too short to fingerprint — it
+  * testified and matched nothing, so gates keep it below any
+  * positive threshold); NULL only for a NULL array (undecodable —
+  * no testimony at all). The distinction lets one column reference
+  * drive both the drop decision and the 'undecodable' reason in the
+  * streaming curation verdicts. */
 case class BlockBitmapMatchFrac(
     child: Expression, bitmaps: Array[Array[Long]])
   extends UnaryExpression with CodegenFallback {
@@ -50,7 +55,7 @@ case class BlockBitmapMatchFrac(
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    if (n == 0) return null
+    if (n == 0) return -1.0
     var matched = 0
     var i = 0
     while (i < n) {

@@ -69,9 +69,19 @@ case class ImageDHash64(children: Seq[Expression])
       if (v == null) return null
       v match { case i: Int => i.toLong; case l: Long => l; case s: Short => s.toLong; case b: Byte => b.toLong }
     }
-    val Seq(w, h, ch) = dims
-    if (w <= 0 || h <= 0 || ch <= 0) return null
+    val Seq(w, h, ch0) = dims
+    if (w <= 0 || h <= 0) return null
     val pix = pixAny.asInstanceOf[Array[Byte]]
+    // ch = −1 derives the channel count from the BUFFER: palette
+    // formats (GIF, palette PNG) decode their index plane to expanded
+    // RGB/RGBA, so the header's channel count is not the buffer's —
+    // the buffer itself is the layout authority
+    val ch =
+      if (ch0 == -1L) {
+        if (pix.length.toLong % (w * h) != 0) return null
+        pix.length.toLong / (w * h)
+      } else ch0
+    if (ch <= 0) return null
     if (pix.length.toLong != w * h * ch) return null // layout contract violated
     // luma of the NN-sampled source pixel for grid cell (gx, gy)
     def luma(gx: Int, gy: Int): Int = {

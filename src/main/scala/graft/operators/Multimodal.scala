@@ -220,11 +220,16 @@ object Multimodal {
     * rides a shuffle. */
   def imageDHash(payload: Column): Column = {
     val m = imageMeta(payload)
+    // channels = −1: derive from the decoded buffer. The header's
+    // channel count is WRONG for palette formats (GIF and palette
+    // PNG report 1 index channel while their decoders expand to
+    // RGB/RGBA) — passing it silently nulled every GIF / palette-PNG
+    // dHash until r20; the buffer length is the layout authority.
     graft.functions.GraftFunctions.imageDHash64(
       imagePixels(payload),
       m.getField("width").cast("int"),
       m.getField("height").cast("int"),
-      m.getField("channels").cast("int"))
+      lit(-1))
   }
 
   /** Perceptual image NEAR-DUP pairs — the multimodal twin of
@@ -350,16 +355,30 @@ object Multimodal {
       newDocs: DataFrame, idCol: String, payloadCol: String, index: DataFrame,
       maxHamming: Int = 3, maxBucket: Int = 65536, chunkSize: Int = 1024,
       excludeSameId: Boolean = false): DataFrame = {
-    require(maxBucket > 1, s"maxBucket=$maxBucket must exceed 1")
     Dedup.requireHammingArgs(maxHamming, chunkSize) // before the decode job
-    def blocks(h: Column): Column = array((0 until 4).map(b =>
-      shiftrightunsigned(h, 48 - 16 * b)
-        .bitwiseAND(lit(0xFFFFL)).cast("int")): _*)
     val probe = newDocs
       .select(col(idCol), col(payloadCol))
       .repartition(Dedup.pinnedParts(newDocs)) // decode frontier spread
       .select(col(idCol).as("__nid"), imageDHash(col(payloadCol)).as("__dhn"))
       .filter(col("__dhn").isNotNull)
+    imageIdxMatches(probe, index, maxHamming, maxBucket, chunkSize, excludeSameId)
+      .select(col("__nid").as(idCol)).distinct()
+  }
+
+  /** The (increment id, index id) MATCH pairs behind
+    * [[imageNearDupIdsAgainstIndex]], from a pre-computed probe of
+    * (__nid, __dhn) hash rows — no decode here, so callers holding a
+    * [[mediaFingerprints]] frame pay nothing twice. Returns distinct
+    * (__nid, __oid). */
+  private def imageIdxMatches(
+      probe: DataFrame, index: DataFrame,
+      maxHamming: Int, maxBucket: Int, chunkSize: Int,
+      excludeSameId: Boolean): DataFrame = {
+    require(maxBucket > 1, s"maxBucket=$maxBucket must exceed 1")
+    Dedup.requireHammingArgs(maxHamming, chunkSize)
+    def blocks(h: Column): Column = array((0 until 4).map(b =>
+      shiftrightunsigned(h, 48 - 16 * b)
+        .bitwiseAND(lit(0xFFFFL)).cast("int")): _*)
     val pb = probe.select(col("__nid"), col("__dhn"),
       posexplode(blocks(col("__dhn"))).as(Seq("__band", "__bv")))
     val ib0 = index
@@ -389,7 +408,7 @@ object Multimodal {
       if (excludeSameId) cand.filter(col("__oid") =!= col("__nid")) else cand
     scoped
       .filter(bit_count(col("__dhn").bitwiseXOR(col("__dho"))) <= maxHamming)
-      .select(col("__nid").as(idCol)).distinct()
+      .select(col("__nid"), col("__oid")).distinct()
   }
 
   /** INCREMENTAL image dedup: keep the rows of `newDocs` that are
@@ -1201,6 +1220,17 @@ object Multimodal {
   private def setOverlapIdsAgainstIndex(
       probe: DataFrame, index: DataFrame, idCol: String,
       minFrac: Double, maxBucket: Int, chunkSize: Int,
+      excludeSameId: Boolean): DataFrame =
+    setOverlapMatchesAgainstIndex(probe, index, minFrac, maxBucket, chunkSize,
+      excludeSameId)
+      .select(col("__nid").as(idCol)).distinct()
+
+  /** The (increment id, index id) MATCH pairs behind
+    * [[setOverlapIdsAgainstIndex]] — same semantics, both ids kept
+    * (the incremental curation report's `dup_of` provenance). */
+  private def setOverlapMatchesAgainstIndex(
+      probe: DataFrame, index: DataFrame,
+      minFrac: Double, maxBucket: Int, chunkSize: Int,
       excludeSameId: Boolean): DataFrame = {
     val idx = index
       .select(col("id").as("__oid"), col("dhash").as("__dh"))
@@ -1245,7 +1275,7 @@ object Multimodal {
       .join(oldSizes, Seq("__oid"))
       .filter(col("__nm").cast("double") / least(col("__n_new"), col("__n_old"))
         >= minFrac)
-      .select(col("__nid").as(idCol)).distinct()
+      .select(col("__nid"), col("__oid"))
   }
 
   /** INCREMENTAL shift-tolerant VIDEO dedup: keep the rows of
@@ -1397,9 +1427,13 @@ object Multimodal {
     * [[Graph.connectedComponents]] → smallest-id representative;
     * losers carry verdict 'drop', reason '<family>_near_dup', and
     * `dup_of` = their cluster representative (the lineage a curation
-    * pass audits). Undecodable payloads KEEP with reason
-    * 'undecodable' (absence of evidence — the family rule);
-    * everything else keeps as 'unique'.
+    * pass audits). Payloads that are unrecognized OR sniff as a
+    * known format yet fail its decoder KEEP with reason 'undecodable'
+    * (absence of evidence — the family rule, decode-derived); a
+    * decodable payload too short to fingerprint keeps as 'unique'
+    * like everything else that testified and matched nothing.
+    * ANIMATED GIFs (n_frames > 1) dedup through the VIDEO family;
+    * still GIFs as images.
     *
     * Scale shape: the three pair generators are the audited
     * banded/bucketed/chunked joins (never all-pairs), CC runs on
@@ -1410,34 +1444,254 @@ object Multimodal {
       docs: DataFrame, idCol: String, payloadCol: String,
       imageMaxHamming: Int = 3,
       videoStride: Int = 1, videoMinFrac: Double = 0.5,
-      audioSegFrames: Int = 128, audioMinFrac: Double = 0.5): DataFrame = {
-    val kinds = docs.select(col(idCol), col(payloadCol))
-      .withColumn("kind", mediaKind(col(payloadCol)))
-    val images = kinds.filter(col("kind").isin("png", "bmp", "gif", "jpeg"))
-    val videos = kinds.filter(col("kind") === "avi")
-    val audios = kinds.filter(col("kind") === "wav")
+      audioSegFrames: Int = 128, audioMinFrac: Double = 0.5): DataFrame =
+    mediaCurationFromFingerprints(
+      mediaFingerprints(docs, idCol, payloadCol, videoStride, audioSegFrames),
+      idCol, imageMaxHamming, videoMinFrac, audioMinFrac)
+
+  /** Per-payload media fingerprints in ONE decode pass — the shared
+    * frontier of [[mediaCurationReport]] and
+    * [[incrementalMediaCurationReport]]: (idCol, kind, fam, __idh,
+    * __vfh, __ash) where `fam` is the DEDUP FAMILY the payload
+    * routes to — 'video' for AVI and ANIMATED GIF (n_frames > 1 by
+    * the [[gifAnimMeta]] directory walk — a multi-frame GIF dedups
+    * as the video it is, a still GIF as an image), 'image' for
+    * PNG/BMP/JPEG/still-GIF, 'audio' for WAV, 'other' for
+    * unrecognized payloads — and the family's fingerprint column is
+    * populated CaseWhen-lazily (an image row never walks the AVI
+    * decoder). A NULL fingerprint on a recognized kind means the
+    * payload SNIFFED as its format but failed to decode —
+    * 'undecodable' downstream (the decode-derived reason); an EMPTY
+    * array (a decodable clip too short to fingerprint) is evidence
+    * of nothing and stays 'unique'. The result is checkpointed: the
+    * payload never rides past this projection — three pair
+    * machineries, their flood sizings, and the final assembly all
+    * fan out from these narrow rows. */
+  private[graft] def mediaFingerprints(
+      docs: DataFrame, idCol: String, payloadCol: String,
+      videoStride: Int, audioSegFrames: Int): DataFrame = {
+    val p = col(payloadCol)
+    docs.select(col(idCol), p)
+      .repartition(Dedup.pinnedParts(docs)) // decode frontier spread
+      .withColumn("kind", mediaKind(p))
+      .withColumn("__gifn",
+        when(col("kind") === "gif", gifAnimMeta(p).getField("n_frames")))
+      .withColumn("fam",
+        when(col("kind") === "avi" ||
+          (col("kind") === "gif" && col("__gifn") > 1), "video")
+          .when(col("kind").isin("png", "bmp", "jpeg", "gif"), "image")
+          .when(col("kind") === "wav", "audio")
+          .otherwise("other"))
+      .withColumn("__idh", when(col("fam") === "image", imageDHash(p)))
+      .withColumn("__vfh", when(col("fam") === "video",
+        videoFrameDHashes(p, videoStride).getField("dhash")))
+      .withColumn("__ash", when(col("fam") === "audio",
+        audioSegmentDHashes(p, audioSegFrames).getField("dhash")))
+      .select(col(idCol), col("kind"), col("fam"),
+        col("__idh"), col("__vfh"), col("__ash"))
+      .localCheckpoint(true)
+  }
+
+  /** The per-family LOSER rows of a fingerprint frame — pairs through
+    * the family's audited machinery (image pigeonhole band join,
+    * video/audio set overlap), CC, smallest-id representative:
+    * (idCol, dup_of, __reason). Shared by the full and incremental
+    * report forms (the incremental form runs it on the delta only). */
+  private def mediaIntraLosers(
+      fp: DataFrame, idCol: String,
+      imageMaxHamming: Int, videoMinFrac: Double, audioMinFrac: Double): DataFrame = {
     def losers(pairs: DataFrame, reason: String): DataFrame =
       Graph.connectedComponents(pairs, "id_a", "id_b")
         .filter(col("node") =!= col("component"))
         .select(col("node").as(idCol), col("component").as("dup_of"),
           lit(reason).as("__reason"))
-    val allLosers =
-      losers(imageNearDupPairs(images, idCol, payloadCol, imageMaxHamming),
-        "image_near_dup")
-        .unionByName(losers(
-          videoNearDupPairsShifted(videos, idCol, payloadCol,
-            videoStride, videoMinFrac), "video_near_dup"))
-        .unionByName(losers(
-          audioNearDupPairsShifted(audios, idCol, payloadCol,
-            audioSegFrames, audioMinFrac), "audio_near_dup"))
-    kinds.join(allLosers, Seq(idCol), "left")
+    val imgSig = fp.filter(col("__idh").isNotNull)
+      .select(
+        col(idCol).as("id") +:
+          (0 until 4).map(b =>
+            shiftrightunsigned(col("__idh"), 48 - 16 * b)
+              .bitwiseAND(lit(0xFFFFL)).cast("int").as(s"__b$b")): _*)
+      .localCheckpoint(true)
+    val vidHashes = fp.filter(col("__vfh").isNotNull && size(col("__vfh")) > 0)
+      .select(col(idCol), explode(col("__vfh")).as("__dh"))
+    val audHashes = fp.filter(col("__ash").isNotNull && size(col("__ash")) > 0)
+      .select(col(idCol), explode(col("__ash")).as("__dh"))
+    losers(Dedup.hammingBandPairs(imgSig, imageMaxHamming, 65536, 256),
+      "image_near_dup")
+      .unionByName(losers(
+        hashSetOverlapPairs(vidHashes, idCol, videoMinFrac, 0, 65536, 1024),
+        "video_near_dup"))
+      .unionByName(losers(
+        hashSetOverlapPairs(audHashes, idCol, audioMinFrac, 0, 65536, 1024),
+        "audio_near_dup"))
+  }
+
+  /** Assemble the curation report from a [[mediaFingerprints]] frame:
+    * same pair parameters, CC and representative rule as before the
+    * refactor (bit-identical decisions), with the REASON now
+    * DECODE-DERIVED — 'undecodable' covers both unrecognized payloads
+    * AND payloads that sniff as a known format yet fail its decoder
+    * (null fingerprint); a decodable payload too short to fingerprint
+    * (empty array) keeps as 'unique' (it testified: there is nothing
+    * to match). */
+  private def mediaCurationFromFingerprints(
+      fp: DataFrame, idCol: String,
+      imageMaxHamming: Int, videoMinFrac: Double, audioMinFrac: Double): DataFrame = {
+    val allLosers = mediaIntraLosers(fp, idCol, imageMaxHamming, videoMinFrac, audioMinFrac)
+    fp.join(allLosers, Seq(idCol), "left")
       .select(col(idCol), col("kind"),
         when(col("dup_of").isNotNull, "drop").otherwise("keep").as("verdict"),
-        coalesce(col("__reason"),
-          when(col("kind") === "other", "undecodable").otherwise("unique"))
-          .as("reason"),
+        coalesce(col("__reason"), mediaUndecodableReason()).as("reason"),
         col("dup_of"))
   }
+
+  /** INCREMENTAL media curation — re-curate a GROWN media corpus
+    * paying only for its delta, the media twin of
+    * [[Curation.incrementalReport]]: unchanged payloads (same id,
+    * same bytes — one map-side [[payloadMd5]] equi-join against the
+    * `payload_md5` column persisted WITH the previous report) reuse
+    * run N's verdict rows VERBATIM; only the delta (added or changed
+    * payloads) decodes, and it is judged against history through the
+    * three persisted fingerprint indexes ([[imageHashIndex]] /
+    * [[videoFrameHashIndex]] / [[audioSegmentHashIndex]]) — history
+    * payloads are NEVER re-decoded.
+    *
+    * THE INCREMENTAL CONTRACT (the text form's, verbatim): history is
+    * FROZEN — an unchanged payload keeps its old verdict even if a
+    * full re-run would flip it (e.g. its duplicate partner left the
+    * corpus). Delta payloads dedup (a) WITHIN the delta through the
+    * same three pair machineries + CC as [[mediaCurationReport]] and
+    * (b) against the indexes at the same thresholds, with SAME-ID
+    * matches excluded (a changed video must not drop as a near-dup
+    * of its own previous version). When both testify, the smallest
+    * `dup_of` wins (deterministic provenance). Convergence to the
+    * full-recompute answer is restored at the next full re-baseline.
+    *
+    * Output: [[mediaCurationReport]]'s columns + `reused BOOLEAN`,
+    * one row per payload of `newDocs`.
+    *
+    * Scale shape (100 TB): the reuse decision is one narrow
+    * (id, md5) equi-join — payload bytes ride only the md5
+    * projection and the delta's ONE fingerprint pass; history cost
+    * is index-sized (8-byte hash rows). The whole call scales with
+    * |delta| + |indexes|, not |corpus|. */
+  def incrementalMediaCurationReport(
+      newDocs: DataFrame, idCol: String, payloadCol: String,
+      oldReport: DataFrame,
+      imageIndex: DataFrame, videoIndex: DataFrame, audioIndex: DataFrame,
+      imageMaxHamming: Int = 3,
+      videoStride: Int = 1, videoMinFrac: Double = 0.5,
+      audioSegFrames: Int = 128, audioMinFrac: Double = 0.5): DataFrame = {
+    val newKeys = newDocs.select(col(idCol), payloadMd5(col(payloadCol)).as("__md5"))
+    val histKeys = oldReport.select(col(idCol), col("payload_md5").as("__md5"))
+    val reusedIds = newKeys.join(histKeys, Seq(idCol, "__md5"), "left_semi")
+      .select(idCol)
+    val reusedRows = oldReport.join(reusedIds, Seq(idCol), "left_semi")
+      .select(col(idCol), col("kind"), col("verdict"), col("reason"),
+        col("dup_of"), lit(true).as("reused"))
+    val delta = newDocs.join(reusedIds, Seq(idCol), "left_anti")
+    val fp = mediaFingerprints(delta, idCol, payloadCol, videoStride, audioSegFrames)
+    val intra = mediaIntraLosers(fp, idCol, imageMaxHamming, videoMinFrac, audioMinFrac)
+    val imgProbe = fp.filter(col("__idh").isNotNull)
+      .select(col(idCol).as("__nid"), col("__idh").as("__dhn"))
+    val vidProbe = fp.filter(col("__vfh").isNotNull && size(col("__vfh")) > 0)
+      .select(col(idCol).as("__nid"), explode(col("__vfh")).as("__dh"))
+      .distinct()
+    val audProbe = fp.filter(col("__ash").isNotNull && size(col("__ash")) > 0)
+      .select(col(idCol).as("__nid"), explode(col("__ash")).as("__dh"))
+      .distinct()
+    val hist =
+      imageIdxMatches(imgProbe, imageIndex, imageMaxHamming, 65536, 1024,
+        excludeSameId = true)
+        .withColumn("__reason", lit("image_near_dup"))
+        .unionByName(
+          setOverlapMatchesAgainstIndex(vidProbe, videoIndex, videoMinFrac,
+            65536, 1024, excludeSameId = true)
+            .withColumn("__reason", lit("video_near_dup")))
+        .unionByName(
+          setOverlapMatchesAgainstIndex(audProbe, audioIndex, audioMinFrac,
+            65536, 1024, excludeSameId = true)
+            .withColumn("__reason", lit("audio_near_dup")))
+        .select(col("__nid").as(idCol), col("__oid").as("dup_of"), col("__reason"))
+    val allLosers = intra.unionByName(hist)
+      .groupBy(idCol)
+      .agg(min(struct(col("dup_of"), col("__reason"))).as("__b"))
+      .select(col(idCol), col("__b.dup_of").as("dup_of"),
+        col("__b.__reason").as("__reason"))
+    val freshRows = fp.join(allLosers, Seq(idCol), "left")
+      .select(col(idCol), col("kind"),
+        when(col("dup_of").isNotNull, "drop").otherwise("keep").as("verdict"),
+        coalesce(col("__reason"), mediaUndecodableReason()).as("reason"),
+        col("dup_of"), lit(false).as("reused"))
+    reusedRows.unionByName(freshRows)
+  }
+
+  /** CROSS-RUN media curation lineage — [[Curation.lineage]] for the
+    * media report: per id across two runs, what happened to the
+    * CONTENT (added / removed / changed / unchanged by
+    * [[payloadMd5]]) and to the DECISION (the two runs'
+    * [[mediaCurationReport]] rows side by side), with the fields
+    * that flipped. Output, one row per id in either corpus:
+    * (idCol, status, transition, old_verdict, new_verdict,
+    * old_reason, new_reason, old_dup_of, new_dup_of, flipped) —
+    * `transition` follows the text lineage vocabulary ('retired',
+    * 'entered_kept'/'entered_dropped', 'still_kept',
+    * 'still_dropped', 'promoted', 'demoted'); `flipped` comma-joins
+    * 'reason'/'dup_of' when those fields differ between runs (ids
+    * present in both corpora only). Scale shape: one md5-keyed full
+    * outer join + two id-keyed report joins of narrow decision rows
+    * — payloads ride only the md5 projections. */
+  def mediaCurationLineage(
+      oldDocs: DataFrame, newDocs: DataFrame,
+      oldReport: DataFrame, newReport: DataFrame,
+      idCol: String, payloadCol: String): DataFrame = {
+    val o = oldDocs.select(col(idCol), payloadMd5(col(payloadCol)).as("__om"))
+    val n = newDocs.select(col(idCol), payloadMd5(col(payloadCol)).as("__nm"))
+    val d = o.join(n, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("__om").isNull, "added")
+          .when(col("__nm").isNull, "removed")
+          .when(col("__om") === col("__nm"), "unchanged")
+          .otherwise("changed").as("status"))
+    def side(rep: DataFrame, p: String): DataFrame = rep.select(col(idCol),
+      col("verdict").as(s"${p}_verdict"), col("reason").as(s"${p}_reason"),
+      col("dup_of").as(s"${p}_dup_of"))
+    d.join(side(oldReport, "old"), Seq(idCol), "left")
+      .join(side(newReport, "new"), Seq(idCol), "left")
+      .withColumn("transition",
+        when(col("status") === "removed", "retired")
+          .when(col("status") === "added",
+            when(col("new_verdict") === "keep", "entered_kept")
+              .otherwise("entered_dropped"))
+          .when(col("old_verdict") === "keep" && col("new_verdict") === "keep",
+            "still_kept")
+          .when(col("old_verdict") === "drop" && col("new_verdict") === "drop",
+            "still_dropped")
+          .when(col("old_verdict") === "drop" && col("new_verdict") === "keep",
+            "promoted")
+          .otherwise("demoted"))
+      .withColumn("flipped",
+        when(col("status").isin("changed", "unchanged"),
+          array_join(concat(
+            when(!(col("old_reason") <=> col("new_reason")), array(lit("reason")))
+              .otherwise(array().cast("array<string>")),
+            when(!(col("old_dup_of") <=> col("new_dup_of")), array(lit("dup_of")))
+              .otherwise(array().cast("array<string>"))), ","))
+          .otherwise(lit("")))
+      .select(col(idCol), col("status"), col("transition"),
+        col("old_verdict"), col("new_verdict"),
+        col("old_reason"), col("new_reason"),
+        col("old_dup_of"), col("new_dup_of"), col("flipped"))
+  }
+
+  /** The decode-derived keep reason of a fingerprint row: columns
+    * `fam`/`__idh`/`__vfh`/`__ash` must be in scope. */
+  private def mediaUndecodableReason(): Column =
+    when(col("fam") === "other", "undecodable")
+      .when(col("fam") === "image" && col("__idh").isNull, "undecodable")
+      .when(col("fam") === "video" && col("__vfh").isNull, "undecodable")
+      .when(col("fam") === "audio" && col("__ash").isNull, "undecodable")
+      .otherwise("unique")
 
   /** Build the 4×65,536-bit block bitmaps of a 64-bit-hash column —
     * the catalog artifact of the streaming trim-tolerant gates

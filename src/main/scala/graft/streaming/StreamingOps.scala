@@ -405,8 +405,13 @@ object StreamingOps {
     * artifact (`imageBlockBitmaps` / `videoFrameBlockBitmaps` /
     * `audioSegmentBlockBitmaps`). A row drops when its matched
     * fraction clears `minFrac` (reason '<family>_near_dup');
-    * undecodable payloads keep as 'undecodable', the rest as
-    * 'unique'. PURE per-row — no join, no watermark, no state; the
+    * 'undecodable' is DECODE-DERIVED — unrecognized payloads AND
+    * payloads that sniff as a known format yet fail its decoder
+    * (NULL fingerprint; the batch report's rule) — while a decodable
+    * payload too short to fingerprint keeps as 'unique' (the kernel
+    * returns −1.0 for an empty hash set, so one column reference
+    * drives both drop and reason). PURE per-row — no join, no
+    * watermark, no state; the
     * per-kind branch evaluates only the matched kind's decode
     * (CaseWhen laziness), so an image arrival never walks the AVI
     * decoder. Emitting VERDICTS rather than filtering lets a
@@ -441,7 +446,7 @@ object StreamingOps {
         when(isDup && kind === "avi", "video_near_dup")
           .when(isDup && kind === "wav", "audio_near_dup")
           .when(isDup, "image_near_dup")
-          .when(kind === "other", "undecodable")
+          .when(kind === "other" || matchedFrac.isNull, "undecodable")
           .otherwise("unique"))
   }
 
