@@ -124,11 +124,28 @@ object ScaleStress {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-scale-stress")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // GRAFT_SHUFFLE_PARTITIONS: reduce-partition count, default =
+      // thread count (the bench convention). The 500× curation_v3 arm
+      // documents 128: its LM-model aggregation keys grow with the
+      // corpus (the fixture's vocabulary inflation), so at 500× a
+      // 32-partition reduce side puts ~16× the r19-tuned per-task
+      // group volume against a fixed ~300 MB/task execution share —
+      // AGGREGATE_OUT_OF_MEMORY, the textbook "partitions must scale
+      // with data, not cores" failure. 128 restores the per-task
+      // volume the 32-partition 100× leg carried.
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("GRAFT_SHUFFLE_PARTITIONS", cpus))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.memory.fraction", sys.env.getOrElse("GRAFT_MEM_FRACTION", "0.6"))
+      // GRAFT_IO_CODEC: shuffle/spill compression codec. Default lz4
+      // (Spark's own). The 500× curation_v3 arm documents zstd: its
+      // LM-stage shuffle outgrows this box's scratch disk under lz4
+      // (ENOSPC at >79 GB; ~19.5 GB measured at 200×) — zstd roughly
+      // halves the on-disk bytes for the text-heavy spill at ~10-20%
+      // CPU, the standard cluster setting for shuffle-heavy jobs.
+      .config("spark.io.compression.codec", sys.env.getOrElse("GRAFT_IO_CODEC", "lz4"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark)
@@ -282,20 +299,25 @@ object ScaleStress {
         val feed = s"${sys.props("java.io.tmpdir")}/graft-imgfeed-$scale"
         locally {
           import spark.implicits._
-          (0 until n).map { i =>
-            val fam = i - i % 10 // family head
-            val v = i % 10 // 0 = head; 1,2 = its near-dup variants
-            val shift = if (v == 1) 35 else if (v == 2) 60 else 0
-            val b = if (v <= 2) fam else i // variants share the head's formula
-            // formula injective in b over the arm's id range (two
-            // ids share it only when b1≡b2 mod 9973 AND mod 190 —
-            // lcm ≈ 1.9M, past any measured N), so unrelated images
-            // never collapse into accidental mega-families
-            (i.toLong, operators.Multimodal.encodePng(48, 32, 3,
-              (x, y, c) => ((x * 7 + y * 13 + c * 31) * (b % 9973 + 1) + b) % 190 + shift,
-              y => (y + b) % 5))
-          }.toDF("img_id", "payload")
-            .repartition(spark.sparkContext.defaultParallelism)
+          // generated DISTRIBUTED like the video feed (a driver-side
+          // Seq pins ~5 GB at the 500× scale = 1M PNGs); content is a
+          // pure function of the id, so the feed is bit-identical to
+          // the former driver-side form
+          spark.range(n).repartition(spark.sparkContext.defaultParallelism)
+            .map { iL =>
+              val i = iL.toInt
+              val fam = i - i % 10 // family head
+              val v = i % 10 // 0 = head; 1,2 = its near-dup variants
+              val shift = if (v == 1) 35 else if (v == 2) 60 else 0
+              val b = if (v <= 2) fam else i // variants share the head's formula
+              // formula injective in b over the arm's id range (two
+              // ids share it only when b1≡b2 mod 9973 AND mod 190 —
+              // lcm ≈ 1.9M, past any measured N), so unrelated images
+              // never collapse into accidental mega-families
+              (i.toLong, operators.Multimodal.encodePng(48, 32, 3,
+                (x, y, c) => ((x * 7 + y * 13 + c * 31) * (b % 9973 + 1) + b) % 190 + shift,
+                y => (y + b) % 5))
+            }.toDF("img_id", "payload")
             .write.mode("overwrite").parquet(feed)
         }
         measure("image_near_dup", scale) {
