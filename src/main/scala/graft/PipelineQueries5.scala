@@ -7,8 +7,11 @@ import org.apache.spark.sql.functions._
   * offset audio trim tolerance (sliding probe-side segment hashes
   * against a single-phase catalog), animated-GIF-as-video (palette
   * arithmetic is exact, so composited frame stats get a full
-  * oracle), shot-keyed video frame sampling, and the incremental +
-  * lineage forms of the media curation report. Oracle discipline as
+  * oracle), shot-keyed video frame sampling, the incremental +
+  * lineage forms of the media curation report, and sample-rate-
+  * tolerant audio near-dup (time-based segmentation — the tolerance
+  * axis frame-count segmentation structurally lacks). Oracle
+  * discipline as
   * everywhere: DuckDB recomputes every sample/pixel from the fixture
   * formula, every hash bit, and every recursive closure — the Spark
   * side decodes real containers. */
@@ -805,7 +808,136 @@ object PipelineQueries5 {
         .transform(Queries.sortedSmall(_, "media_id"))
     })
 
+  // --------------------------- sample-rate-tolerant audio near-dup
+  // The third tolerance axis of the audio family (shifted = trim at
+  // segment multiples, offset = arbitrary trim, THIS = rate
+  // conversion): frame-count segmentation puts different audio in
+  // every segment once the rate changes, so a 44.1→48 kHz re-encode
+  // matches NOTHING at any alignment; millisecond segmentation
+  // (segFrames = ⌊rate·ms/1000⌋ per clip) makes segment k cover the
+  // same TIME span at every rate. Fixture: 4 families × (8 kHz
+  // original, 16 kHz ideal-upsample at gain 3, 4 kHz source with
+  // sub-segment edits) — every clip an integer resample of one
+  // logical source, ms = 65 so every derived segFrames (260/520/
+  // 1040) is 65-divisible: all windows of a segment have EQUAL
+  // length, each cross-multiplied envelope comparison reduces to
+  // sign(E_{w+1} − E_w), and rate factor × gain scales both sides —
+  // the three rates' hashes are PROVABLY bit-identical, so the
+  // oracle computes each hash ONCE from the logical source. Content
+  // is quadratic-phase per family (g² decorrelates families and
+  // segments — a shared linear sawtooth gives whole families
+  // near-identical envelope SHAPES and floods the output with
+  // accidental cross-family 0.5-frac pairs, measured before this
+  // form); edited 4 kHz segments REPLACE their content (g+7777 —
+  // replacement flips the whole segment hash where a prefix gain
+  // perturbs only the boundary window's bits, measured leaving
+  // hashes intact): families 0/1/3 keep surviving fractions ≥ 0.5
+  // and pair; family 2 (4 of 6 segments edited) drops below the
+  // gate and must NOT pair its edited copy. Junk bytes and a 900 Hz
+  // clip (derived segFrames 58 < 65 → NULL by contract) sample no
+  // segments.
+  private val qAudioResamplePairs = Queries.Q(
+    "p_audio_resample_pairs",
+    Some("""
+      WITH clips AS (
+        SELECT i, (i // 3) AS b, (i % 3) AS v,
+               260 * (4 + (i // 3)) AS L, 1 + (i // 3) % 2 AS ch,
+               4 + (i // 3) AS nseg
+        FROM generate_series(0, 11) t(i)),
+      lg AS ( -- logical source frames (shared by all rates of a family)
+        SELECT i, b, v, ch, unnest(generate_series(0, L - 1)) AS g
+        FROM clips),
+      lm AS ( -- edit = CONTENT REPLACEMENT (shifted source phase) in
+              -- masked segments of v2; gain 3 on v1
+        SELECT i, b, ch, g,
+               CASE WHEN v = 2 AND
+                         CASE WHEN b % 2 = 0 THEN (g // 260) % 3 <> 0
+                              ELSE (g // 260) % 2 = 1 END
+                    THEN g + 7777 ELSE g END AS ge,
+               CASE WHEN v = 1 THEN 3 ELSE 1 END AS mult
+        FROM lg),
+      cs AS (SELECT i, b, g, ge, mult, unnest(generate_series(0, ch - 1)) AS c
+             FROM lm),
+      smp AS ( -- total |amplitude| per (clip, logical frame) over channels;
+               -- quadratic-phase source (g² decorrelates families/segments)
+        SELECT i, g,
+               SUM(ABS(((((ge * ge) % 4001) * (31 + b) + ge * 7 + c * 17
+                         + b * 101) % 4001 - 2000) * mult)) AS aamp
+        FROM cs GROUP BY i, g),
+      segs AS (SELECT i, unnest(generate_series(0, nseg - 1)) AS s FROM clips),
+      win AS ( -- time window w of segment s in LOGICAL frames: every
+               -- fixture rate is an ideal integer resample with a
+               -- 65-divisible segFrames, so all 65 physical windows
+               -- have equal length and each engine comparison
+               -- E_{w+1}·len_w > E_w·len_{w+1} reduces to
+               -- sign(E_{w+1} − E_w) of these logical energies
+        SELECT i, s, w, s * 260 + w * 4 AS wf, s * 260 + w * 4 + 4 AS wt
+        FROM segs, generate_series(0, 64) ws(w)),
+      e AS (
+        SELECT win.i, win.s, win.w, SUM(smp.aamp) AS e
+        FROM win JOIN smp ON smp.i = win.i AND smp.g >= win.wf AND smp.g < win.wt
+        GROUP BY win.i, win.s, win.w),
+      bits AS (
+        SELECT a.i, a.s, a.w AS bb,
+               CASE WHEN n.e > a.e THEN 1 ELSE 0 END AS bit
+        FROM e a JOIN e n ON n.i = a.i AND n.s = a.s AND n.w = a.w + 1
+        WHERE a.w < 64),
+      hs AS (
+        SELECT i, s,
+               bit_or(CASE WHEN bit = 1 AND bb < 32
+                           THEN (CAST(1 AS BIGINT) << bb) ELSE 0 END) AS lo,
+               bit_or(CASE WHEN bit = 1 AND bb >= 32
+                           THEN (CAST(1 AS BIGINT) << (bb - 32)) ELSE 0 END) AS hi
+        FROM bits GROUP BY i, s),
+      hset AS (SELECT DISTINCT i, lo, hi FROM hs),
+      ns AS (SELECT i, COUNT(*) AS n FROM hset GROUP BY i),
+      mm AS (SELECT x.i AS ia, y.i AS ib, COUNT(*) AS nm
+             FROM hset x JOIN hset y
+               ON x.lo = y.lo AND x.hi = y.hi AND x.i < y.i
+             GROUP BY x.i, y.i)
+      SELECT CAST(ia AS BIGINT) AS id_a, CAST(ib AS BIGINT) AS id_b,
+             CAST(nm AS BIGINT) AS n_match,
+             CAST(nm AS DOUBLE) / LEAST(na.n, nb.n) AS match_frac
+      FROM mm JOIN ns na ON na.i = mm.ia JOIN ns nb ON nb.i = mm.ib
+      WHERE CAST(nm AS DOUBLE) / LEAST(na.n, nb.n) >= 0.5
+      ORDER BY id_a, id_b"""),
+    (s, dir) => {
+      def u(b: Int)(c: Int, ge: Int): Int =
+        ((ge * ge % 4001) * (31 + b) + ge * 7 + c * 17 + b * 101) % 4001 - 2000
+      val clips: Seq[(Long, Array[Byte])] = (0 until 12).map { i =>
+        val b = i / 3
+        val v = i % 3
+        val L = 260 * (4 + b)
+        val ch = 1 + b % 2
+        def smp(c: Int, g: Int): Int = {
+          val edited = v == 2 &&
+            (if (b % 2 == 0) (g / 260) % 3 != 0 else (g / 260) % 2 == 1)
+          val gain = if (v == 1) 3 else 1
+          u(b)(c, if (edited) g + 7777 else g) * gain
+        }
+        val wav = v match {
+          case 0 => operators.Multimodal.encodeWav(ch, 8000, 2 * L,
+            (c, f) => smp(c, f / 2))
+          case 1 => operators.Multimodal.encodeWav(ch, 16000, 4 * L,
+            (c, f) => smp(c, f / 4))
+          case _ => operators.Multimodal.encodeWav(ch, 4000, L,
+            (c, f) => smp(c, f))
+        }
+        (i.toLong, wav)
+      }
+      val extra: Seq[(Long, Array[Byte])] = Seq(
+        12L -> "definitely not audio".getBytes("UTF-8"),
+        13L -> Array[Byte](0x7, 0x8),
+        // 900 Hz: derived segFrames = 900·65/1000 = 58 < 65 → NULL
+        14L -> operators.Multimodal.encodeWav(1, 900, 1800, (c, f) => u(0)(c, f)))
+      import s.implicits._
+      operators.Multimodal.audioNearDupPairsResampled(
+        (clips ++ extra).toDF("clip_id", "payload"), "clip_id", "payload",
+        msPerSeg = 65, minFrac = 0.5)
+        .transform(Queries.sortedSmall(_, "id_a", "id_b"))
+    })
+
   val all: Seq[Queries.Q] =
     Seq(qG711Stats, qAudioNearDupOffset, qGifAnimStats, qVideoShotFrames,
-      qIncrementalMediaCuration, qMediaCurationLineage)
+      qIncrementalMediaCuration, qMediaCurationLineage, qAudioResamplePairs)
 }

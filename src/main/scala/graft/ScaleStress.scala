@@ -522,6 +522,53 @@ object ScaleStress {
             hop = sys.env.getOrElse("GRAFT_OFFSET_HOP", "1").toInt).count()
         }
       }
+      // ---- sample-rate-tolerant near-dup (r20): the ms-segmentation
+      // matcher over a MIXED-RATE corpus — 3-member families every 10
+      // ids where the head's recording also exists as a 16 kHz ideal
+      // upsample (gain 3) and a 4 kHz ideal downsample (gain 5); all
+      // other ids unique content at 8 kHz. 2080 logical frames = 8
+      // ms=65 segments per clip at every rate (260/520/1040 derived
+      // frames — the 65-divisible exactness regime), so the planted
+      // cross-rate pairs match on full segment sets; like the other
+      // near-dup feeds the sawtooth family also collides ACROSS ids
+      // (envelope sign patterns recur mod the formula's period), so
+      // output grows quadratically dup-heavy (192 pairs at 1x, 145k
+      // at 50x — the flood-block machinery's honest load, not
+      // planted-only). Same set-overlap core as the shifted arm; the
+      // claim is mixed-rate decode volume through the same audited
+      // machinery.
+      if (opFilter.isEmpty || opFilter.exists("audio_resample_near_dup".contains)) {
+        val n = 500 * scale
+        val feed = s"${sys.props("java.io.tmpdir")}/graft-arsfeed-$scale"
+        locally {
+          import spark.implicits._
+          spark.range(n).repartition(spark.sparkContext.defaultParallelism)
+            .map { i =>
+              val id: Long = i
+              val fam = id - id % 10
+              val v = id % 10
+              val b = (if (v <= 2) fam else id).toInt
+              val (rate, rep, gain) =
+                if (v == 1) (16000, 4, 3) else if (v == 2) (4000, 1, 5) else (8000, 2, 1)
+              def u(c: Int, g: Int): Int =
+                (((g * 31 + c * 17) * (b % 9973 + 1) + b) % 4001) - 2000
+              (id, operators.Multimodal.encodeWav(1, rate, 2080 * rep,
+                (c, f) => u(c, f / rep) * gain))
+            }.toDF("clip_id", "payload")
+            .write.mode("overwrite").parquet(feed)
+        }
+        measure("audio_resample_near_dup", scale) {
+          operators.Multimodal.audioNearDupPairsResampled(
+            spark.read.parquet(feed), "clip_id", "payload",
+            msPerSeg = 65,
+            // 256, not the media-family 1024: same-session 200× A/B
+            // (BASELINE.md r20) — identical 1,994,968 rows, wall-
+            // neutral, max-task/stage-median 1.50→1.12 (this feed's
+            // flood cells are smaller than the shifted arm's, so the
+            // finer chunk balances where 1024 under-splits)
+            chunkSize = sys.env.getOrElse("GRAFT_RESAMPLE_CHUNK", "256").toInt).count()
+        }
+      }
       // ---- r19 media extensions: MJPEG decode volume, audio-in-video
       // containment, incremental image dedup vs a persisted index.
       if (opFilter.isEmpty || opFilter.exists(f =>

@@ -207,6 +207,76 @@ case class AudioSegmentDHashes(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** TIME-based segment fingerprints — [[AudioSegmentDHashes]] with the
+  * segment length given in MILLISECONDS instead of frames, the
+  * sample-rate-tolerant form: `segFrames = ⌊sample_rate · ms / 1000⌋`
+  * is derived PER CLIP from the decoded header, so segment k covers
+  * the same span of TIME at every rate and two ideal resamples of
+  * one recording fingerprint the same audio with the same segment
+  * indexes — the cross-rate match [[AudioSegmentDHashes]]' fixed
+  * frame count structurally cannot make (a 44.1→48 kHz re-encode
+  * changes frames-per-second, so a fixed 128-frame segment covers
+  * different audio and NO unit hash survives).
+  *
+  * Exactness contract (documented, not perceptual hand-waving):
+  * when the derived segFrames is a MULTIPLE of 65 the floor-rule
+  * windows all have equal length segFrames/65, so every envelope
+  * bit reduces to E_{w+1} > E_w over same-duration time windows —
+  * and an ideal integer-factor resample (each source sample
+  * repeated m times, rate ×m) scales every window's energy AND
+  * length uniformly by m, leaving each cross-multiplied comparison
+  * bit-identical. AudioResampleSpec pins 4/8/16 kHz twins of one
+  * source to byte-equal hash arrays. Rates where sr·ms/1000 is not
+  * 65-divisible keep the same time-window semantics with ±1-frame
+  * floor wobble at window boundaries — near-tie bits may differ and
+  * matching falls back to the set-overlap fraction, never to a
+  * claimed exactness.
+  *
+  * Same output schema, trailing-partial rule, and NULL semantics as
+  * [[AudioSegmentDHashes]]; additionally NULL when the derived
+  * segFrames is under 65 (rate too low for one frame per window at
+  * the asked granularity — an 8 kHz clip needs ms ≥ 9). */
+case class AudioSegmentDHashesMs(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, IntegerType | LongType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (binary, integral), got ($l, $r)")
+    }
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("seg_idx", IntegerType, nullable = false),
+    StructField("dhash", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_audio_segment_dhashes_ms"
+
+  override protected def nullSafeEval(payload: Any, msAny: Any): Any = {
+    val ms = msAny match { case l: Long => l; case n: Int => n.toLong }
+    if (ms < 1) return null
+    val d = WavDecode.decode(payload.asInstanceOf[Array[Byte]])
+    if (d == null) return null
+    // sampleRate ≤ u32 and ms is caller-bounded; do the product in
+    // Long BEFORE the divide so 192 kHz · 10 min never wraps.
+    val segFrames = d.sampleRate.toLong * ms / 1000L
+    if (segFrames < AudioEnvelope.Windows) return null
+    // same clamp discipline as AudioSegmentDHashes (see its comment)
+    val seg = math.min(segFrames, d.nFrames.toLong).toInt
+    val out = scala.collection.mutable.ArrayBuffer[Any]()
+    var s = 0
+    var from = 0
+    while (from + AudioEnvelope.Windows <= d.nFrames) {
+      val to = math.min(from + seg, d.nFrames)
+      out += InternalRow(s, AudioEnvelope.hashRange(d.samples, d.channels, from, to))
+      s += 1
+      from += seg
+    }
+    new GenericArrayData(out.toArray)
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): AudioSegmentDHashesMs =
+    copy(left = newLeft, right = newRight)
+}
+
 /** SLIDING-window audio fingerprints in one decode:
   * `array<struct<offset:int, dhash:long>>` — one [[AudioDHash64]]-
   * style envelope hash per `segFrames`-frame window STARTING AT

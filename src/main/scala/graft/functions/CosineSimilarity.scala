@@ -227,6 +227,13 @@ object GraftFunctions {
     graftBridge.column(AudioSegmentDHashes(
       graftBridge.expression(payload), graftBridge.expression(segFrames)))
 
+  /** Column-API form of [[AudioSegmentDHashesMs]]: segment length in
+    * MILLISECONDS, frames derived per clip from the header rate; the
+    * sample-rate-tolerant form. */
+  def audioSegmentDHashesMs(payload: Column, ms: Column): Column =
+    graftBridge.column(AudioSegmentDHashesMs(
+      graftBridge.expression(payload), graftBridge.expression(ms)))
+
   /** Column-API form of [[GifAnimMeta]]: struct<width, height,
     * n_frames> of a GIF payload (directory walk, no decode). */
   def gifAnimMeta(payload: Column): Column =
@@ -398,6 +405,13 @@ object GraftFunctions {
         (args: Seq[Expression]) => {
           require(args.length == 2, s"graft_audio_segment_dhashes expects 2 arguments, got ${args.length}")
           AudioSegmentDHashes(args(0), args(1))
+        }),
+      (
+        FunctionIdentifier("graft_audio_segment_dhashes_ms"),
+        new ExpressionInfo(classOf[AudioSegmentDHashesMs].getName, "graft_audio_segment_dhashes_ms"),
+        (args: Seq[Expression]) => {
+          require(args.length == 2, s"graft_audio_segment_dhashes_ms expects 2 arguments, got ${args.length}")
+          AudioSegmentDHashesMs(args(0), args(1))
         }),
       (
         FunctionIdentifier("graft_avi_frame_dhashes"),

@@ -825,6 +825,55 @@ object Multimodal {
     hashSetOverlapPairs(hashes, idCol, minFrac, maxHamming, maxBucket, chunkSize)
   }
 
+  /** TIME-based segment fingerprints — [[audioSegmentDHashes]] with
+    * the segment length in MILLISECONDS, frames derived per clip
+    * from the decoded header rate
+    * ([[graft.functions.AudioSegmentDHashesMs]]): the
+    * sample-rate-tolerant fingerprint frontier. */
+  def audioSegmentDHashesMs(payload: Column, ms: Int): Column =
+    graft.functions.GraftFunctions.audioSegmentDHashesMs(payload, lit(ms))
+
+  /** SAMPLE-RATE-TOLERANT audio near-dup pairs — closes the hole
+    * neither [[audioNearDupPairsShifted]] nor
+    * [[audioNearDupPairsOffset]] covers: a 44.1→48 kHz (or any
+    * rate-converted) re-encode of a clip changes frames-per-second,
+    * so FRAME-count segmentation puts different audio in every
+    * segment at the two rates and no unit hash survives at ANY
+    * alignment — containment reads 0, not reduced. Segmenting by
+    * TIME ([[audioSegmentDHashesMs]]) makes segment k cover the same
+    * span of the recording at every rate, so ideal resamples
+    * fingerprint identically (bit-exactly when the derived frame
+    * counts are 65-divisible — see the expression's exactness
+    * contract; near-tie envelope bits otherwise, absorbed by the
+    * same `minFrac` set-overlap gate every media family uses). Gain
+    * invariance carries per segment as everywhere.
+    *
+    * Same set semantics and scale shape as the shifted form: one
+    * decode per clip, narrow (id, hash) rows into the shared
+    * [[hashSetOverlapPairs]] core (value-bucketed, flood-capped,
+    * chunk-cell identity join — never all-pairs); n_match over
+    * distinct matched hash values, frac against min(|H(a)|, |H(b)|).
+    * Tolerance axes COMPOSE by construction: rate conversion is
+    * handled here, segment-multiple trims by the shifted form,
+    * arbitrary trims by the offset probe — one kernel, three
+    * frontiers. Undecodable payloads and clips whose derived
+    * segFrames falls under 65 sample no segments and never pair.
+    * Output: (id_a, id_b, n_match, match_frac), id_a < id_b. */
+  def audioNearDupPairsResampled(
+      docs: DataFrame, idCol: String, payloadCol: String,
+      msPerSeg: Int, minFrac: Double = 0.5, maxHamming: Int = 0,
+      maxBucket: Int = 65536, chunkSize: Int = 1024): DataFrame = {
+    require(msPerSeg >= 1, s"msPerSeg=$msPerSeg must be >= 1")
+    val hashes = docs
+      .select(col(idCol), col(payloadCol))
+      .repartition(Dedup.pinnedParts(docs)) // decode frontier spread
+      .select(col(idCol),
+        audioSegmentDHashesMs(col(payloadCol), msPerSeg).as("__sh"))
+      .filter(col("__sh").isNotNull && size(col("__sh")) > 0)
+      .select(col(idCol), explode(col("__sh.dhash")).as("__dh"))
+    hashSetOverlapPairs(hashes, idCol, minFrac, maxHamming, maxBucket, chunkSize)
+  }
+
   /** SLIDING-window audio fingerprints:
     * array<struct<offset:int, dhash:long>> — one envelope hash per
     * `segFrames`-frame window at every `hop`-th start frame, one

@@ -140,7 +140,8 @@ class FunctionsSpec extends SparkSpec {
         "graft_png_pixels", "graft_png_stats",
         "graft_jpeg_pixels", "graft_jpeg_stats",
         "graft_avi_meta", "graft_avi_frame", "graft_avi_frame_stats",
-        "graft_audio_segment_dhashes", "graft_avi_frame_dhashes",
+        "graft_audio_segment_dhashes", "graft_audio_segment_dhashes_ms",
+        "graft_avi_frame_dhashes",
         "graft_audio_segment_stats", "graft_avi_audio_segment_dhashes",
         "graft_bmp_pixels", "graft_bmp_stats",
         "graft_jaro_winkler",
