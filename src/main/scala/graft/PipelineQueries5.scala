@@ -937,7 +937,221 @@ object PipelineQueries5 {
         .transform(Queries.sortedSmall(_, "id_a", "id_b"))
     })
 
+  // --------------------------- rate-tolerant dedup output (decision)
+  // The decision p_audio_resample_pairs' pairs feed: pairs → CC →
+  // smallest-id representative. Same 15-row fixture; family 2's
+  // edited copy survives as its own content (it never cleared the
+  // gate), junk and the sub-65-derived 900 Hz clip always keep.
+  private val qAudioResampleDedup = Queries.Q(
+    "p_audio_resample_dedup",
+    Some("""
+      WITH RECURSIVE clips AS (
+        SELECT i, (i // 3) AS b, (i % 3) AS v,
+               260 * (4 + (i // 3)) AS L, 1 + (i // 3) % 2 AS ch,
+               4 + (i // 3) AS nseg
+        FROM generate_series(0, 11) t(i)),
+      lg AS (
+        SELECT i, b, v, ch, unnest(generate_series(0, L - 1)) AS g
+        FROM clips),
+      lm AS (
+        SELECT i, b, ch, g,
+               CASE WHEN v = 2 AND
+                         CASE WHEN b % 2 = 0 THEN (g // 260) % 3 <> 0
+                              ELSE (g // 260) % 2 = 1 END
+                    THEN g + 7777 ELSE g END AS ge,
+               CASE WHEN v = 1 THEN 3 ELSE 1 END AS mult
+        FROM lg),
+      cs AS (SELECT i, b, g, ge, mult, unnest(generate_series(0, ch - 1)) AS c
+             FROM lm),
+      smp AS (
+        SELECT i, g,
+               SUM(ABS(((((ge * ge) % 4001) * (31 + b) + ge * 7 + c * 17
+                         + b * 101) % 4001 - 2000) * mult)) AS aamp
+        FROM cs GROUP BY i, g),
+      segs AS (SELECT i, unnest(generate_series(0, nseg - 1)) AS s FROM clips),
+      win AS (
+        SELECT i, s, w, s * 260 + w * 4 AS wf, s * 260 + w * 4 + 4 AS wt
+        FROM segs, generate_series(0, 64) ws(w)),
+      e AS (
+        SELECT win.i, win.s, win.w, SUM(smp.aamp) AS e
+        FROM win JOIN smp ON smp.i = win.i AND smp.g >= win.wf AND smp.g < win.wt
+        GROUP BY win.i, win.s, win.w),
+      bits AS (
+        SELECT a.i, a.s, a.w AS bb,
+               CASE WHEN n.e > a.e THEN 1 ELSE 0 END AS bit
+        FROM e a JOIN e n ON n.i = a.i AND n.s = a.s AND n.w = a.w + 1
+        WHERE a.w < 64),
+      hs AS (
+        SELECT i, s,
+               bit_or(CASE WHEN bit = 1 AND bb < 32
+                           THEN (CAST(1 AS BIGINT) << bb) ELSE 0 END) AS lo,
+               bit_or(CASE WHEN bit = 1 AND bb >= 32
+                           THEN (CAST(1 AS BIGINT) << (bb - 32)) ELSE 0 END) AS hi
+        FROM bits GROUP BY i, s),
+      hset AS (SELECT DISTINCT i, lo, hi FROM hs),
+      ns AS (SELECT i, COUNT(*) AS n FROM hset GROUP BY i),
+      mm AS (SELECT x.i AS ia, y.i AS ib, COUNT(*) AS nm
+             FROM hset x JOIN hset y
+               ON x.lo = y.lo AND x.hi = y.hi AND x.i < y.i
+             GROUP BY x.i, y.i),
+      pairs AS (
+        SELECT ia, ib
+        FROM mm JOIN ns na ON na.i = mm.ia JOIN ns nb ON nb.i = mm.ib
+        WHERE CAST(nm AS DOUBLE) / LEAST(na.n, nb.n) >= 0.5),
+      g AS (SELECT ia AS u, ib AS v FROM pairs
+            UNION SELECT ib AS u, ia AS v FROM pairs),
+      reach(node, r) AS (SELECT u, u FROM (SELECT DISTINCT u FROM g)
+                         UNION
+                         SELECT g.v, reach.r FROM reach JOIN g ON g.u = reach.node),
+      losers AS (SELECT node FROM (SELECT node, MIN(r) AS grp FROM reach GROUP BY node)
+                 WHERE node <> grp)
+      SELECT CAST(i AS BIGINT) AS clip_id,
+             CASE WHEN i IN (12, 13) THEN 'other' ELSE 'wav' END AS kind
+      FROM generate_series(0, 14) t(i)
+      WHERE i NOT IN (SELECT node FROM losers)
+      ORDER BY clip_id"""),
+    (s, dir) => {
+      def u(b: Int)(c: Int, ge: Int): Int =
+        ((ge * ge % 4001) * (31 + b) + ge * 7 + c * 17 + b * 101) % 4001 - 2000
+      val clips: Seq[(Long, Array[Byte])] = (0 until 12).map { i =>
+        val b = i / 3
+        val v = i % 3
+        val L = 260 * (4 + b)
+        val ch = 1 + b % 2
+        def smp(c: Int, g: Int): Int = {
+          val edited = v == 2 &&
+            (if (b % 2 == 0) (g / 260) % 3 != 0 else (g / 260) % 2 == 1)
+          val gain = if (v == 1) 3 else 1
+          u(b)(c, if (edited) g + 7777 else g) * gain
+        }
+        val wav = v match {
+          case 0 => operators.Multimodal.encodeWav(ch, 8000, 2 * L,
+            (c, f) => smp(c, f / 2))
+          case 1 => operators.Multimodal.encodeWav(ch, 16000, 4 * L,
+            (c, f) => smp(c, f / 4))
+          case _ => operators.Multimodal.encodeWav(ch, 4000, L,
+            (c, f) => smp(c, f))
+        }
+        (i.toLong, wav)
+      }
+      val extra: Seq[(Long, Array[Byte])] = Seq(
+        12L -> "definitely not audio".getBytes("UTF-8"),
+        13L -> Array[Byte](0x7, 0x8),
+        14L -> operators.Multimodal.encodeWav(1, 900, 1800, (c, f) => u(0)(c, f)))
+      import s.implicits._
+      operators.Multimodal.dedupAudioNearDupsResampled(
+        (clips ++ extra).toDF("clip_id", "payload"), "clip_id", "payload",
+        msPerSeg = 65, minFrac = 0.5)
+        .select(col("clip_id"),
+          operators.Multimodal.mediaKind(col("payload")).as("kind"))
+        .transform(Queries.sortedSmall(_, "clip_id"))
+    })
+
+  // --------------- incremental rate-tolerant dedup vs persisted index
+  // The case the frame-count index form structurally KEEPS: history
+  // fingerprinted once at 8 kHz into the ms-keyed index; the
+  // increment holds a 16 kHz re-encode (gain 3) of history-0 and a
+  // 2 kHz downsample of history-1 — both drop against the UNCHANGED
+  // index because the time-keyed hashes coincide; fresh content, a
+  // 700 Hz clip (derived segFrames 45 < 65 → NULL) and junk keep.
+  // Logical sources at 2 kHz granularity, L = 130·(4+b) frames, so
+  // every emission (2/8/16 kHz = rep 1/4/8) is in the 65-divisible
+  // exactness regime (130/520/1040 derived frames).
+  private val qIncrementalAudioResample = Queries.Q(
+    "p_incremental_audio_resample",
+    Some("""
+      WITH clips(side, id, b, ch, nseg, gain) AS (
+        SELECT * FROM (VALUES
+          (0, 0, 0, 1, 4, 1),
+          (0, 1, 1, 2, 5, 1),
+          (0, 2, 2, 1, 6, 1),
+          (1, 100, 0, 1, 4, 3),
+          (1, 101, 9, 1, 4, 1),
+          (1, 102, 1, 2, 5, 1))),
+      lg AS (
+        SELECT side, id, b, ch, gain,
+               unnest(generate_series(0, 130 * nseg - 1)) AS g
+        FROM clips),
+      cs AS (SELECT side, id, b, g, gain, unnest(generate_series(0, ch - 1)) AS c
+             FROM lg),
+      smp AS (
+        SELECT side, id, g,
+               SUM(ABS(((((g * g) % 4001) * (31 + b) + g * 7 + c * 17
+                         + b * 101) % 4001 - 2000) * gain)) AS aamp
+        FROM cs GROUP BY side, id, g),
+      segs AS (SELECT side, id, unnest(generate_series(0, nseg - 1)) AS s
+               FROM clips),
+      win AS (
+        SELECT side, id, s, w, s * 130 + w * 2 AS wf, s * 130 + w * 2 + 2 AS wt
+        FROM segs, generate_series(0, 64) ws(w)),
+      e AS (
+        SELECT win.side, win.id, win.s, win.w, SUM(smp.aamp) AS e
+        FROM win JOIN smp ON smp.side = win.side AND smp.id = win.id
+                         AND smp.g >= win.wf AND smp.g < win.wt
+        GROUP BY win.side, win.id, win.s, win.w),
+      bits AS (
+        SELECT a.side, a.id, a.s, a.w AS bb,
+               CASE WHEN n.e > a.e THEN 1 ELSE 0 END AS bit
+        FROM e a JOIN e n ON n.side = a.side AND n.id = a.id AND n.s = a.s
+                         AND n.w = a.w + 1
+        WHERE a.w < 64),
+      hs AS (
+        SELECT side, id, s,
+               bit_or(CASE WHEN bit = 1 AND bb < 32
+                           THEN (CAST(1 AS BIGINT) << bb) ELSE 0 END) AS lo,
+               bit_or(CASE WHEN bit = 1 AND bb >= 32
+                           THEN (CAST(1 AS BIGINT) << (bb - 32)) ELSE 0 END) AS hi
+        FROM bits GROUP BY side, id, s),
+      hset AS (SELECT DISTINCT side, id, lo, hi FROM hs),
+      ns AS (SELECT side, id, COUNT(*) AS n FROM hset GROUP BY side, id),
+      mm AS (SELECT n.id AS nid, o.id AS oid, COUNT(*) AS nm
+             FROM hset n JOIN hset o
+               ON n.side = 1 AND o.side = 0 AND n.lo = o.lo AND n.hi = o.hi
+             GROUP BY n.id, o.id),
+      matched AS (
+        SELECT DISTINCT mm.nid
+        FROM mm JOIN ns nn ON nn.side = 1 AND nn.id = mm.nid
+                JOIN ns no ON no.side = 0 AND no.id = mm.oid
+        WHERE CAST(mm.nm AS DOUBLE) / LEAST(nn.n, no.n) >= 0.5)
+      SELECT CAST(i AS BIGINT) AS clip_id,
+             CASE WHEN i = 104 THEN 'other' ELSE 'wav' END AS kind
+      FROM (SELECT unnest([100, 101, 102, 103, 104]) AS i)
+      WHERE i NOT IN (SELECT nid FROM matched)
+      ORDER BY clip_id"""),
+    (s, dir) => {
+      def u(b: Int)(c: Int, g: Int): Int =
+        ((g * g % 4001) * (31 + b) + g * 7 + c * 17 + b * 101) % 4001 - 2000
+      def at(rate: Int, rep: Int, b: Int, ch: Int, nseg: Int, gain: Int) =
+        operators.Multimodal.encodeWav(ch, rate, 130 * nseg * rep,
+          (c, f) => u(b)(c, f / rep) * gain)
+      val history: Seq[(Long, Array[Byte])] = Seq(
+        0L -> at(8000, 4, b = 0, ch = 1, nseg = 4, gain = 1),
+        1L -> at(8000, 4, b = 1, ch = 2, nseg = 5, gain = 1),
+        2L -> at(8000, 4, b = 2, ch = 1, nseg = 6, gain = 1))
+      val increment: Seq[(Long, Array[Byte])] = Seq(
+        // 16 kHz re-encode (gain 3) of history 0: drops cross-rate
+        100L -> at(16000, 8, b = 0, ch = 1, nseg = 4, gain = 3),
+        101L -> at(8000, 4, b = 9, ch = 1, nseg = 4, gain = 1), // fresh
+        // 2 kHz downsample of history 1: drops cross-rate
+        102L -> at(2000, 1, b = 1, ch = 2, nseg = 5, gain = 1),
+        // 700 Hz: derived segFrames 45 < 65 → NULL → kept by contract
+        103L -> operators.Multimodal.encodeWav(1, 700, 1400, (c, f) => u(0)(c, f)),
+        104L -> "junk".getBytes("UTF-8"))
+      import s.implicits._
+      val idxDir = s"${sys.props("java.io.tmpdir")}/graft-audidxms-oracle"
+      operators.Multimodal.audioSegmentHashIndexMs(
+        history.toDF("clip_id", "payload"), "clip_id", "payload", msPerSeg = 65)
+        .write.mode("overwrite").parquet(idxDir)
+      operators.Multimodal.dedupAudioAgainstIndexMs(
+        increment.toDF("clip_id", "payload"), "clip_id", "payload",
+        s.read.parquet(idxDir), msPerSeg = 65, minFrac = 0.5)
+        .select(col("clip_id"),
+          operators.Multimodal.mediaKind(col("payload")).as("kind"))
+        .transform(Queries.sortedSmall(_, "clip_id"))
+    })
+
   val all: Seq[Queries.Q] =
     Seq(qG711Stats, qAudioNearDupOffset, qGifAnimStats, qVideoShotFrames,
-      qIncrementalMediaCuration, qMediaCurationLineage, qAudioResamplePairs)
+      qIncrementalMediaCuration, qMediaCurationLineage, qAudioResamplePairs,
+      qAudioResampleDedup, qIncrementalAudioResample)
 }

@@ -874,6 +874,72 @@ object Multimodal {
     hashSetOverlapPairs(hashes, idCol, minFrac, maxHamming, maxBucket, chunkSize)
   }
 
+  /** DEDUP OUTPUT for the sample-rate-tolerant pairs — the decision
+    * [[audioNearDupPairsResampled]] feeds, same shape as
+    * [[dedupAudioNearDupsShifted]]: pairs → contraction CC →
+    * smallest-id representative; undecodable payloads and clips
+    * whose derived segFrames falls under 65 never pair, so they are
+    * always kept. */
+  def dedupAudioNearDupsResampled(
+      docs: DataFrame, idCol: String, payloadCol: String,
+      msPerSeg: Int, minFrac: Double = 0.5, maxHamming: Int = 0,
+      maxBucket: Int = 65536, chunkSize: Int = 1024): DataFrame = {
+    val pairs = audioNearDupPairsResampled(
+      docs, idCol, payloadCol, msPerSeg, minFrac, maxHamming, maxBucket, chunkSize)
+    val losers = Graph.connectedComponents(pairs, "id_a", "id_b")
+      .filter(col("node") =!= col("component"))
+      .select(col("node").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** Persisted TIME-based audio fingerprint index — one row per
+    * (id, DISTINCT ms-segment hash), the [[audioSegmentHashIndex]]
+    * artifact for the sample-rate-tolerant axis: history persists as
+    * 8-byte hash rows keyed by the same time units at every rate, so
+    * a later rate-converted re-encode still probes the same keys. */
+  def audioSegmentHashIndexMs(
+      docs: DataFrame, idCol: String, payloadCol: String, msPerSeg: Int): DataFrame = {
+    require(msPerSeg >= 1, s"msPerSeg=$msPerSeg must be >= 1")
+    docs
+      .select(col(idCol), col(payloadCol))
+      .repartition(Dedup.pinnedParts(docs)) // decode frontier spread
+      .select(col(idCol).as("id"),
+        audioSegmentDHashesMs(col(payloadCol), msPerSeg).as("__sh"))
+      .filter(col("__sh").isNotNull && size(col("__sh")) > 0)
+      .select(col("id"), explode(col("__sh.dhash")).as("dhash"))
+      .distinct()
+  }
+
+  /** INCREMENTAL sample-rate-tolerant dedup vs a persisted
+    * [[audioSegmentHashIndexMs]] — [[dedupAudioAgainstIndex]] for the
+    * rate axis: a 16 kHz (or any rate-converted) re-encode of a clip
+    * the history holds at 8 kHz drops WITHOUT re-decoding history,
+    * the case the frame-count index form structurally keeps (its
+    * fixed-frame segments cover different audio at the new rate).
+    * Same incremental set-overlap core, flood caps, and
+    * sub-65/undecodable keep semantics. */
+  def dedupAudioAgainstIndexMs(
+      newDocs: DataFrame, idCol: String, payloadCol: String, index: DataFrame,
+      msPerSeg: Int, minFrac: Double = 0.5,
+      maxBucket: Int = 65536, chunkSize: Int = 1024): DataFrame = {
+    require(msPerSeg >= 1, s"msPerSeg=$msPerSeg must be >= 1")
+    require(minFrac > 0 && minFrac <= 1, s"minFrac=$minFrac outside (0,1]")
+    require(maxBucket > 1, s"maxBucket=$maxBucket must exceed 1")
+    require(chunkSize > 0, s"chunkSize=$chunkSize must be positive")
+    val probe = newDocs
+      .select(col(idCol), col(payloadCol))
+      .repartition(Dedup.pinnedParts(newDocs))
+      .select(col(idCol).as("__nid"),
+        audioSegmentDHashesMs(col(payloadCol), msPerSeg).as("__sh"))
+      .filter(col("__sh").isNotNull && size(col("__sh")) > 0)
+      .select(col("__nid"), explode(col("__sh.dhash")).as("__dh"))
+      .distinct()
+    newDocs.join(
+      setOverlapIdsAgainstIndex(probe, index, idCol,
+        minFrac, maxBucket, chunkSize, excludeSameId = false),
+      Seq(idCol), "left_anti")
+  }
+
   /** SLIDING-window audio fingerprints:
     * array<struct<offset:int, dhash:long>> — one envelope hash per
     * `segFrames`-frame window at every `hop`-th start frame, one

@@ -91,6 +91,47 @@ class AudioResampleSpec extends SparkSpec {
       res.head._3 >= 0.5, s"rate-doubled copy must clear the gate, got $res")
   }
 
+  test("ms index drops a rate-converted re-encode the frame-count index keeps") {
+    import spark.implicits._
+    val history = Seq(0L -> clipAt(8000, 2, 1040)).toDF("clip_id", "payload")
+    val increment = Seq(
+      100L -> clipAt(16000, 4, 1040, gain = 3), // 16 kHz re-encode of history 0
+      101L -> clipAt(8000, 2, 1040, b = 9))     // fresh recording
+      .toDF("clip_id", "payload")
+    val msIdx = Multimodal.audioSegmentHashIndexMs(
+      history, "clip_id", "payload", msPerSeg = 65)
+    val keptMs = Multimodal.dedupAudioAgainstIndexMs(
+      increment, "clip_id", "payload", msIdx, msPerSeg = 65)
+      .select("clip_id").as[Long].collect().toSet
+    assert(keptMs == Set(101L),
+      s"ms index must drop the cross-rate re-encode, kept $keptMs")
+    // the frame-count index at the history's own segmentation keeps
+    // BOTH: the 16 kHz clip's 520-frame segments cover half the time
+    // span, so no unit hash coincides
+    val frIdx = Multimodal.audioSegmentHashIndex(
+      history, "clip_id", "payload", segFrames = 520)
+    val keptFr = Multimodal.dedupAudioAgainstIndex(
+      increment, "clip_id", "payload", frIdx, segFrames = 520)
+      .select("clip_id").as[Long].collect().toSet
+    assert(keptFr == Set(100L, 101L),
+      s"frame-count index structurally keeps the re-encode, kept $keptFr")
+  }
+
+  test("resampled dedup output keeps one representative per cross-rate family") {
+    import spark.implicits._
+    val docs = Seq(
+      0L -> clipAt(8000, 2, 1040),
+      1L -> clipAt(16000, 4, 1040, gain = 3),
+      2L -> clipAt(4000, 1, 1040),
+      3L -> clipAt(8000, 2, 1040, b = 9),
+      4L -> "junk".getBytes("UTF-8"))
+      .toDF("clip_id", "payload")
+    val kept = Multimodal.dedupAudioNearDupsResampled(
+      docs, "clip_id", "payload", msPerSeg = 65)
+      .select("clip_id").as[Long].collect().toSet
+    assert(kept == Set(0L, 3L, 4L), s"got $kept")
+  }
+
   test("NULL contract: junk, sub-65 derived segFrames, ms < 1") {
     assert(msHashes("not audio".getBytes("UTF-8"), 65) == null)
     // 900 Hz at ms=65 → segFrames 58 < 65 → NULL by contract
