@@ -216,6 +216,7 @@ object StreamScaleStress {
       if (opFilter.isEmpty || opFilter.exists(f =>
           "stream_image_gate".contains(f) || "stream_audio_gate".contains(f) ||
             "stream_audio_gate_shifted".contains(f) ||
+            "stream_audio_gate_resampled".contains(f) ||
             "stream_video_gate_shifted".contains(f) ||
             "stream_media_verdicts".contains(f))) {
         import spark.implicits._
@@ -263,6 +264,36 @@ object StreamScaleStress {
         measure("stream_audio_gate_shifted", scale, wavFeed, "append") { s =>
           StreamingOps.dropAudioNearDupsShifted(
             s, "payload", wavBitmaps, segFrames = 128)
+        }
+        // rate-tolerant twin over a MIXED-RATE feed: families where
+        // the catalog's 8 kHz recording re-arrives as a 16 kHz and a
+        // 4 kHz ideal resample (gains 3/5); the ms-keyed bitmaps hit
+        // all three rates (the frame-count gate's structural pass on
+        // the exact forms). Same claims: zero state, flat walls,
+        // join-free plan. 520 logical frames = 2 ms=65 segments per
+        // clip at every rate.
+        val arsFeed = s"$work/arsfeed-$scale"
+        spark.range(nMedia).repartition(spark.sparkContext.defaultParallelism)
+          .map { i =>
+            val id: Long = i
+            val fam = id - id % 10
+            val v = id % 10
+            val b = (if (v <= 2) fam else id).toInt
+            val (rate, rep, gain) =
+              if (v == 1) (16000, 4, 3) else if (v == 2) (4000, 1, 5) else (8000, 2, 1)
+            (id, graft.operators.Multimodal.encodeWav(1, rate, 520 * rep,
+              (c, f) => {
+                val g = f / rep
+                (((g * 31 + c * 17) * (b % 9973 + 1) + b) % 4001 - 2000) * gain
+              }))
+          }.toDF("clip_id", "payload")
+          .repartition(nBatches).write.mode("overwrite").parquet(arsFeed)
+        val arsBitmaps = graft.operators.Multimodal.audioSegmentBlockBitmapsMs(
+          spark.read.parquet(arsFeed).filter(pmod(col("clip_id"), lit(10)) === 0),
+          "payload", msPerSeg = 65)
+        measure("stream_audio_gate_resampled", scale, arsFeed, "append") { s =>
+          StreamingOps.dropAudioNearDupsResampled(
+            s, "payload", arsBitmaps, msPerSeg = 65)
         }
         // video gate (bitmap form — the video column's only stream
         // gate): REAL AVI container walks per arriving row, catalog =

@@ -1844,6 +1844,17 @@ object Multimodal {
       explode(audioSegmentDHashes(col(payloadCol), segFrames)
         .getField("dhash")).as("__dh")))
 
+  /** [[segmentBlockBitmaps]] over TIME-based (ms) segment hashes —
+    * the rate-tolerant catalog artifact: clips recorded into the
+    * catalog at ANY sample rate set the same blocks a re-encode at
+    * any OTHER rate probes, because the hashes are keyed by time
+    * units ([[audioSegmentDHashesMs]]). Same 32 KB bound. */
+  def audioSegmentBlockBitmapsMs(
+      docs: DataFrame, payloadCol: String, msPerSeg: Int): Array[Array[Long]] =
+    segmentBlockBitmaps(docs.select(
+      explode(audioSegmentDHashesMs(col(payloadCol), msPerSeg)
+        .getField("dhash")).as("__dh")))
+
   /** [[segmentBlockBitmaps]] over an AVI corpus's FRAME hashes. */
   def videoFrameBlockBitmaps(
       docs: DataFrame, payloadCol: String, stride: Int): Array[Array[Long]] =

@@ -355,6 +355,30 @@ object StreamingOps {
     stream.filter(frac.isNull || frac < minFrac)
   }
 
+  /** STREAMING rate-tolerant audio gate — [[dropAudioNearDupsShifted]]
+    * with TIME-based segment hashes
+    * ([[graft.operators.Multimodal.audioSegmentDHashesMs]] against an
+    * [[graft.operators.Multimodal.audioSegmentBlockBitmapsMs]]
+    * catalog): drop an arriving clip iff ≥ `minFrac` of its ms-keyed
+    * segment hashes hit the bitmaps — and because both sides key
+    * segments by TIME, a re-upload RE-ENCODED AT A DIFFERENT SAMPLE
+    * RATE still hits, the case the frame-count gate structurally
+    * passes (its fixed-frame segments cover different audio at the
+    * new rate, so no probe coincides). Same purity contract as the
+    * whole family: one expression per row, no join, no watermark, no
+    * state; undecodable and sub-65-derived-segFrames payloads have no
+    * segments and are KEPT. */
+  def dropAudioNearDupsResampled(
+      stream: DataFrame, payloadCol: String,
+      refBitmaps: Array[Array[Long]], msPerSeg: Int,
+      minFrac: Double = 0.5): DataFrame = {
+    require(minFrac > 0 && minFrac <= 1, s"minFrac=$minFrac outside (0,1]")
+    val frac = graft.functions.GraftFunctions.blockBitmapMatchFrac(
+      graft.operators.Multimodal.audioSegmentDHashesMs(col(payloadCol), msPerSeg)
+        .getField("dhash"), refBitmaps)
+    stream.filter(frac.isNull || frac < minFrac)
+  }
+
   /** STREAMING trim-tolerant video gate — [[dropAudioNearDupsShifted]]
     * on frame hashes ([[graft.operators.Multimodal.videoFrameDHashes]],
     * one container walk per row; tolerance modulo `stride`). */
