@@ -377,8 +377,13 @@ object ScaleStress {
         // the aligned arm); the extra cost is the distinct over
         // (id, hash) rows instead of the frame-keyed join
         measure("video_near_dup_shifted", scale) {
+          // 256, not the media-family 1024: 500× A/B (BASELINE.md r20)
+          // — identical 7,791,265 rows, 17.5→12.5 s, max-task/stage-
+          // median 3.15→1.13 (frame-hash flood cells densify with
+          // scale; 1024 under-splits them at 500×)
           operators.Multimodal.videoNearDupPairsShifted(
-            spark.read.parquet(feed), "vid_id", "payload", stride = 4).count()
+            spark.read.parquet(feed), "vid_id", "payload", stride = 4,
+            chunkSize = sys.env.getOrElse("GRAFT_SHIFTED_CHUNK", "256").toInt).count()
         }
         // FRAMES-linearity leg (the r17 verdict's exact question —
         // the pre-fix form was quadratic in frames PER VIDEO, which
@@ -612,9 +617,14 @@ object ScaleStress {
               .write.mode("overwrite").parquet(feed)
           }
           measure("video_near_dup_mjpeg", scale) {
+            // 128 by the same 500× A/B ladder: 1024→32.0 s @2.57,
+            // 256→23.0 s @1.46, 128→16.6 s @1.02, rows identical —
+            // the Hamming-3 band join amplifies this feed's cells
+            // harder than the exact-match shifted arm's
             operators.Multimodal.videoNearDupPairsShifted(
               spark.read.parquet(feed), "vid_id", "payload",
-              stride = 4, minFrac = 0.5, maxHamming = 3).count()
+              stride = 4, minFrac = 0.5, maxHamming = 3,
+              chunkSize = sys.env.getOrElse("GRAFT_SHIFTED_CHUNK", "128").toInt).count()
           }
         }
         // audio-in-video containment: 200 videos per unit scale with
