@@ -14,11 +14,17 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    // Shuffle scratch on the fastest local medium (RAM-backed tmpfs
+    // when available) — see graft.util.LocalScratch: the sandbox's
+    // ext4 serializes the metadata-heavy small-shuffle file traffic
+    // and was the dominant non-compute wall of the composite queries
+    // (r21 task sampling + A/B in OPTIMIZATION_r21.md). Overridable
+    // via GRAFT_LOCAL_DIR / SPARK_LOCAL_DIRS.
+    val spark = graft.util.LocalScratch.configure(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.functions.GraftFunctions.register(spark)

@@ -1710,11 +1710,24 @@ object PipelineQueries2 {
             concat(col("text"), lit(" drifted crawl content here")))
             .otherwise(col("text")).as("text"))
       val newDocs = docs.select("doc_id", "text")
+      // The history artifacts are MATERIALIZED once (eager
+      // localCheckpoint — rows identical, corpus-bounded narrow
+      // tables): incrementalReport consumes oldReport from THREE
+      // differently-pruned branches (reuse keys, reused rows, history
+      // fingerprints), and the pruning divergence de-canonicalizes the
+      // report subtree's exchanges so each branch re-executed the full
+      // old-corpus curation chain (r21 probe: the query spent most of
+      // its 12.9 s warm wall re-running report(old)). In production
+      // these artifacts are persisted parquet between runs by
+      // contract; the checkpoint models exactly that within the one
+      // timed run.
       val oldRep = operators.Curation.report(oldDocs, "doc_id", "text",
           n = 3, k = 12, rowsPerBand = 3, threshold = 0.5)
         .join(oldDocs.select(col("doc_id"),
           Dedup.fingerprint(col("text")).as("fingerprint")), Seq("doc_id"))
+        .localCheckpoint(true)
       val oldIdx = Dedup.minhashIndex(oldDocs, "doc_id", "text", n = 3, k = 12)
+        .localCheckpoint(true)
       operators.Curation.incrementalReport(newDocs, "doc_id", "text",
         oldRep, oldIdx, n = 3, k = 12, rowsPerBand = 3, threshold = 0.5,
         minAgree = 0.5)

@@ -381,7 +381,7 @@ object PipelineQueries4 {
       import s.implicits._
       // the index round-trips through parquet — the persisted-artifact
       // contract under test, not an in-memory shortcut
-      val idxDir = s"${sys.props("java.io.tmpdir")}/graft-imgidx-oracle"
+      val idxDir = Queries.scratchPath(s, "graft-imgidx-oracle")
       operators.Multimodal.imageHashIndex(
         history.toDF("img_id", "payload"), "img_id", "payload")
         .write.mode("overwrite").parquet(idxDir)
@@ -582,7 +582,7 @@ object PipelineQueries4 {
         102L -> operators.Multimodal.encodeAvi(13, 11, 13, pix(7, 0, 0)), // fresh
         103L -> "not a video".getBytes("UTF-8"))
       import s.implicits._
-      val idxDir = s"${sys.props("java.io.tmpdir")}/graft-vididx-oracle"
+      val idxDir = Queries.scratchPath(s, "graft-vididx-oracle")
       operators.Multimodal.videoFrameHashIndex(
         history.toDF("video_id", "payload"), "video_id", "payload", stride = 1)
         .write.mode("overwrite").parquet(idxDir)
@@ -682,7 +682,7 @@ object PipelineQueries4 {
         102L -> operators.Multimodal.encodeWav(1, 8000, 64, base(0)),
         103L -> "junk".getBytes("UTF-8"))
       import s.implicits._
-      val idxDir = s"${sys.props("java.io.tmpdir")}/graft-audidx-oracle"
+      val idxDir = Queries.scratchPath(s, "graft-audidx-oracle")
       operators.Multimodal.audioSegmentHashIndex(
         history.toDF("clip_id", "payload"), "clip_id", "payload", segFrames = 128)
         .write.mode("overwrite").parquet(idxDir)

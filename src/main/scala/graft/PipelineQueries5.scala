@@ -737,6 +737,14 @@ object PipelineQueries5 {
       import s.implicits._
       val old = MediaTwoRuns.oldCorpus.toDF("media_id", "payload")
       val nw = MediaTwoRuns.newCorpus.toDF("media_id", "payload")
+      // History artifacts MATERIALIZED once (eager localCheckpoint,
+      // rows identical — the text twin qIncrementalCuration's r21
+      // pattern): the incremental operator consumes oldReport from
+      // two differently-pruned branches and each index's bucket-cap +
+      // match branches would otherwise re-execute the old-corpus
+      // decode/pair chains per consumer. In production these are
+      // persisted parquet between runs; the checkpoint models exactly
+      // that within the one timed run.
       val oldReport = operators.Multimodal.mediaCurationReport(
         old, "media_id", "payload",
         imageMaxHamming = 3, videoStride = 1, videoMinFrac = 0.5,
@@ -744,11 +752,15 @@ object PipelineQueries5 {
         .join(old.select(col("media_id"),
           operators.Multimodal.payloadMd5(col("payload")).as("payload_md5")),
           "media_id")
+        .localCheckpoint(true)
       operators.Multimodal.incrementalMediaCurationReport(
         nw, "media_id", "payload", oldReport,
-        operators.Multimodal.imageHashIndex(old, "media_id", "payload"),
-        operators.Multimodal.videoFrameHashIndex(old, "media_id", "payload", 1),
-        operators.Multimodal.audioSegmentHashIndex(old, "media_id", "payload", 128))
+        operators.Multimodal.imageHashIndex(old, "media_id", "payload")
+          .localCheckpoint(true),
+        operators.Multimodal.videoFrameHashIndex(old, "media_id", "payload", 1)
+          .localCheckpoint(true),
+        operators.Multimodal.audioSegmentHashIndex(old, "media_id", "payload", 128)
+          .localCheckpoint(true))
         .transform(Queries.sortedSmall(_, "media_id"))
     })
 
@@ -1138,7 +1150,7 @@ object PipelineQueries5 {
         103L -> operators.Multimodal.encodeWav(1, 700, 1400, (c, f) => u(0)(c, f)),
         104L -> "junk".getBytes("UTF-8"))
       import s.implicits._
-      val idxDir = s"${sys.props("java.io.tmpdir")}/graft-audidxms-oracle"
+      val idxDir = Queries.scratchPath(s, "graft-audidxms-oracle")
       operators.Multimodal.audioSegmentHashIndexMs(
         history.toDF("clip_id", "payload"), "clip_id", "payload", msPerSeg = 65)
         .write.mode("overwrite").parquet(idxDir)

@@ -45,6 +45,19 @@ object Queries {
   def sortedSmallBy(df: DataFrame, cols: Column*): DataFrame =
     df.repartition(1).sortWithinPartitions(cols: _*)
 
+  /** Per-run scratch path for queries that round-trip a persisted
+    * artifact (index parquet) through disk as part of their contract:
+    * unique per Spark application (two concurrent harness runs can no
+    * longer read each other's artifact — ADVICE r20), on the fast
+    * scratch medium when available ([[graft.util.LocalScratch]] — the
+    * parquet commit protocol's create/rename/delete dance sits on the
+    * sandbox's slow ext4 metadata path otherwise). */
+  def scratchPath(spark: SparkSession, name: String): String = {
+    val base = graft.util.LocalScratch.dir()
+      .getOrElse(sys.props("java.io.tmpdir"))
+    s"$base/$name-${spark.sparkContext.applicationId}"
+  }
+
   /** The TPC-H revenue term, computed entirely in exact decimal:
     * the 2dp operands cast exactly to decimal(9,2), multiplied without
     * rescale. Never cast a computed double product to decimal — DuckDB

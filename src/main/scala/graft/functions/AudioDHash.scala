@@ -255,9 +255,19 @@ case class AudioSegmentDHashesMs(left: Expression, right: Expression)
     if (ms < 1) return null
     val d = WavDecode.decode(payload.asInstanceOf[Array[Byte]])
     if (d == null) return null
-    // sampleRate ≤ u32 and ms is caller-bounded; do the product in
-    // Long BEFORE the divide so 192 kHz · 10 min never wraps.
-    val segFrames = d.sampleRate.toLong * ms / 1000L
+    // sampleRate ≤ u32; do the product in Long BEFORE the divide so
+    // 192 kHz · 10 min never wraps. ms itself is clamped first: the
+    // Scala operator wrappers bound it, but the registered SQL
+    // function accepts an arbitrary Long column and rate·ms could
+    // wrap Long to a small positive segFrames — a silently wrong
+    // segmentation instead of the intended whole-clip clamp
+    // (ADVICE r20). The clamp bounds ms so rate·ms cannot exceed
+    // Long.MaxValue; a clamped ms still yields segFrames ≥ nFrames
+    // (every such ms exceeds any representable clip length), so the
+    // clamp only ever lands on the whole-clip path below.
+    val rate = d.sampleRate.toLong
+    val msC = math.min(ms, Long.MaxValue / math.max(rate, 1L))
+    val segFrames = rate * msC / 1000L
     if (segFrames < AudioEnvelope.Windows) return null
     // same clamp discipline as AudioSegmentDHashes (see its comment)
     val seg = math.min(segFrames, d.nFrames.toLong).toInt

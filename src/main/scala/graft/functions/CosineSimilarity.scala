@@ -118,6 +118,23 @@ object GraftFunctions {
     graftBridge.column(
       CosineSimilarity(graftBridge.expression(a), graftBridge.expression(b)))
 
+  /** Column-API form of [[MinhashSignature]]: the k seeded-md5 minima
+    * of a shingle array in one fused pass (array<string> of length k,
+    * element j = min md5('<j>:' || s)). */
+  def minhashSig(shingles: Column, k: Int): Column =
+    graftBridge.column(
+      MinhashSignature(graftBridge.expression(shingles), k))
+
+  /** Column-API form of [[FingerprintMd5]]: fused
+    * `md5(lower(regexp_replace(text, "\\s+", " ")))`. */
+  def fingerprintMd5(text: Column): Column =
+    graftBridge.column(FingerprintMd5(graftBridge.expression(text)))
+
+  /** Column-API form of [[Md5Prefix64]]: first 8 md5 digest bytes of
+    * a string as a big-endian long (the simhash token hash). */
+  def md5Prefix64(s: Column): Column =
+    graftBridge.column(Md5Prefix64(graftBridge.expression(s)))
+
   /** Column-API form of [[L2Squared]]: fused one-pass squared L2. */
   def l2sq(a: Column, b: Column): Column =
     graftBridge.column(

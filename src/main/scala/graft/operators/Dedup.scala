@@ -46,9 +46,14 @@ object Dedup {
 
   /** Canonical-text fingerprint: collapse whitespace, lowercase, md5.
     * This is the "document fingerprinting (rolling hash)" operator in
-    * its batch form — one deterministic 128-bit id per normal form. */
+    * its batch form — one deterministic 128-bit id per normal form.
+    * Computed by the fused one-pass kernel
+    * ([[graft.functions.FingerprintMd5]] — bit-identical to
+    * `md5(lower(regexp_replace(text, "\\s+", " ")))`, no regex engine
+    * or intermediate strings; equivalence property-tested in
+    * MinhashSignatureSpec). */
   def fingerprint(text: Column): Column =
-    md5(lower(regexp_replace(text, "\\s+", " ")))
+    graft.functions.GraftFunctions.fingerprintMd5(text)
 
   /** Exact dedup groups: one row per distinct normalized text with the
     * surviving (minimum) id and the duplicate count. */
@@ -59,14 +64,11 @@ object Dedup {
         min(col(idCol)).as("keep_id"),
         count(lit(1)).as("n_copies"))
 
-  /** One minhash value: the lexicographic minimum of seeded md5 hashes
-    * over the document's distinct tokens. Using the min of a keyed md5
-    * is the classic minwise-permutation estimator; strings order the
-    * same in Spark, DuckDB and Java, so signatures are portable. */
-  private def minhash(seed: Int, toks: Column): Column =
-    array_min(transform(toks, t => md5(concat(lit(s"$seed:"), t))))
-
-  /** Per-doc minhash signature of `k` hashes over distinct tokens. */
+  /** Per-doc minhash signature of `k` hashes over distinct tokens.
+    * Each h_j is the lexicographic minimum of seed-j md5 hex hashes
+    * over the array — the classic minwise-permutation estimator;
+    * strings order the same in Spark, DuckDB and Java, so signatures
+    * are portable. */
   def minhashSignature(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
     minhashSignatureOver(docs, idCol, array_distinct(tokens(col(textCol))), k)
 
@@ -74,11 +76,23 @@ object Dedup {
     * array expression. Small-vocabulary corpora MUST shingle first:
     * unigram token sets collide massively (measured: 44% of all doc
     * pairs at jaccard >= 0.7 on the driver corpus), while n-gram
-    * shingle space keeps only true near-dups together. */
+    * shingle space keeps only true near-dups together.
+    *
+    * The k minima are computed by the fused one-pass kernel
+    * ([[graft.functions.MinhashSignature]] — bit-identical to the
+    * k × `array_min(transform(md5(...)))` formulation, ~k× cheaper;
+    * property-tested against the HOF column in FunctionsSpec). The
+    * kernel array materializes in its own projection and the h0..h*
+    * columns are `element_at` slices of it — CollapseProject leaves
+    * the split alone (non-cheap producer referenced k times), so the
+    * kernel runs once per row. Output schema (h0..h{k-1} strings) is
+    * unchanged. */
   def minhashSignatureOver(docs: DataFrame, idCol: String, shingles: Column, k: Int): DataFrame =
-    docs.select(
-      col(idCol) +:
-        (0 until k).map(j => minhash(j, shingles).as(s"h$j")): _*)
+    docs
+      .select(col(idCol), graft.functions.GraftFunctions.minhashSig(shingles, k).as("__sig"))
+      .select(
+        col(idCol) +:
+          (0 until k).map(j => element_at(col("__sig"), lit(j + 1)).as(s"h$j")): _*)
 
   /** Un-partitioned (id, band, band_hash) membership rows — the
     * map-side banding shared by the batch pipeline (which
@@ -849,16 +863,16 @@ object Dedup {
       .select(col(idCol), col(textCol))
       .repartition(pinnedParts(docs), col(idCol))
       .select(col(idCol), explode(array_distinct(tokens(col(textCol)))).as("__tok"))
-      .select(col(idCol), substring(md5(col("__tok")), 1, 16).as("__w"))
-    // 16 nibbles extracted once per token row (hex char 1 = most significant)
-    val withNibs = words.select(
-      col(idCol) +:
-        (0 until 16).map(p => conv(substring(col("__w"), 16 - p, 1), 16, 10).cast("int").as(s"__n$p")): _*)
+      // 64-bit md5 prefix as ONE long per token (bit i of the vote ==
+      // bit i of the long — [[graft.functions.Md5Prefix64]]), instead
+      // of a 16-hex-char substring re-parsed through 16
+      // conv(substring(...)) nibble columns per token row.
+      .select(col(idCol), graft.functions.GraftFunctions.md5Prefix64(col("__tok")).as("__w"))
     val voteAggs = (0 until 64).map { i =>
-      val bit = shiftright(col(s"__n${i / 4}"), i % 4).bitwiseAND(1)
+      val bit = shiftright(col("__w"), i).bitwiseAND(1)
       sum(when(bit === 1, 1).otherwise(-1)).as(s"__v$i")
     }
-    val votes = withNibs.groupBy(col(idCol)).agg(voteAggs.head, voteAggs.tail: _*)
+    val votes = words.groupBy(col(idCol)).agg(voteAggs.head, voteAggs.tail: _*)
     def bitc(i: Int): Column = when(col(s"__v$i") > 0, 1).otherwise(0)
     val hexChars = (0 until 16).map { p => // p=0 → most-significant nibble (bits 63..60)
       val base = (15 - p) * 4
