@@ -23,6 +23,17 @@ object Bench {
     val spark = graft.util.LocalScratch.configure(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Codegen class cache sized for this suite's plan volume. The
+      // default 100 entries thrash INSIDE one composite query (the
+      // incremental media report alone carries hundreds of distinct
+      // codegen units): task-thread sampling showed executor threads
+      // serialized on CodeGenerator.compile, and one probed rep hit
+      // 43 s re-compiling units the same query had already compiled.
+      // 10000 entries measured 14.7 → 8.5 s warm on that query (r21,
+      // OPTIMIZATION_r21.md). Compiled-class caching is JVM-level —
+      // the same lever applies to long-lived executors at any scale.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("GRAFT_CODEGEN_CACHE", "5000"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false"))
       .getOrCreate()

@@ -83,8 +83,11 @@ object Queries {
       GROUP BY l_returnflag, l_linestatus
       ORDER BY l_returnflag, l_linestatus"""),
     (s, dir) => {
-      val l = Tables(s, dir).lineitem
-      l.filter(col("l_shipdate") <= lit("1999-09-02 00:00:00").cast("timestamp"))
+      val t = Tables(s, dir)
+      // spread the single-row-group scan before the eight decimal
+      // moment aggregates (Tables.spreadScan — measured r21)
+      t.spreadScan(
+        t.lineitem.filter(col("l_shipdate") <= lit("1999-09-02 00:00:00").cast("timestamp")))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           dsum(col("l_quantity")).as("sum_qty"),
@@ -646,15 +649,19 @@ object Queries {
       FROM lineitem
       GROUP BY l_returnflag
       ORDER BY l_returnflag"""),
-    (s, dir) =>
-      Tables(s, dir).lineitem
+    (s, dir) => {
+      val t = Tables(s, dir)
+      // exact percentile buffers every value partial-agg-side: spread
+      // the single-row-group scan first (Tables.spreadScan, r21)
+      t.spreadScan(t.lineitem)
         .groupBy("l_returnflag")
         .agg(
           expr("percentile(l_quantity, 0.25)").as("q25"),
           expr("percentile(l_quantity, 0.5)").as("median"),
           expr("percentile(l_quantity, 0.75)").as("q75"),
           count(lit(1)).as("n"))
-        .transform(sortedSmall(_, "l_returnflag")))
+        .transform(sortedSmall(_, "l_returnflag"))
+    })
 
   // ------------------------------------------------ q18 shape (HAVING)
   // Large-volume orders: aggregate-filter (HAVING over a keyed sum)

@@ -61,7 +61,9 @@ object Queries4 {
       ORDER BY nation, o_year"""),
     (s, dir) => {
       val t = Tables(s, dir)
-      t.lineitem
+      // spread the single-row-group lineitem scan off one core before
+      // the join + decimal revenue aggregate (Tables.spreadScan, r21)
+      t.spreadScan(t.lineitem)
         .join(t.orders, col("o_orderkey") === col("l_orderkey"))
         .join(broadcast(t.supplier), col("s_suppkey") === col("l_suppkey"))
         .join(broadcast(t.nation), col("n_nationkey") === col("s_nationkey"))
@@ -99,7 +101,10 @@ object Queries4 {
       ORDER BY l_returnflag"""),
     (s, dir) => {
       val nD = col("n").cast("double")
-      Tables(s, dir).lineitem
+      val t = Tables(s, dir)
+      // six decimal moment aggregates over 600k rows fused into a
+      // one-task scan stage: spread first (Tables.spreadScan, r21)
+      t.spreadScan(t.lineitem)
         .groupBy("l_returnflag")
         .agg(
           count(lit(1)).as("n"),
@@ -288,7 +293,10 @@ object Queries4 {
       GROUP BY o_orderpriority
       ORDER BY o_orderpriority"""),
     (s, dir) => {
-      Tables(s, dir).orders.createOrReplaceTempView("__orders_pd")
+      val t = Tables(s, dir)
+      // percentile_disc buffers each group's values partial-agg-side:
+      // spread the one-task orders scan first (Tables.spreadScan, r21)
+      t.spreadScan(t.orders).createOrReplaceTempView("__orders_pd")
       s.sql("""
         SELECT o_orderpriority,
                percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice) AS p25,

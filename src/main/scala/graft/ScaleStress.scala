@@ -121,32 +121,43 @@ object ScaleStress {
     // spill lever for heap-tight arms rides an env var. Default 0.6
     // (Spark's own) everywhere; the 100× exact-PPJoin arm documents
     // its setting in BASELINE.md.
+    // DATA-PROPORTIONAL defaults (VERDICT r20 #1 — "partitions must
+    // scale with data, not cores"; AQE coalesces down but cannot
+    // split an under-partitioned aggregate):
+    //  - reduce partitions grow with the amplification factor. The
+    //    r20 evidence: 32 (=cpus) partitions carried the ≤100× arms
+    //    but AGGREGATE_OUT_OF_MEMORY'd curation_v3/media_curation at
+    //    500×, where hand-set GRAFT_SHUFFLE_PARTITIONS=128 restored
+    //    the per-task volume the 100× legs carried. Derivation:
+    //    cpus × ceil(maxScale/125), capped ×32 — 32 at ≤125×, 128 at
+    //    500×, matching both measured regimes. Env override retained.
+    //  - shuffle codec flips lz4 → zstd when the scratch estimate
+    //    outgrows the disk: measured ~19.5 GB lz4 scratch at 200×
+    //    (≈ 0.1 GB × scale) and ENOSPC above ~79 GB at 500×; zstd
+    //    halves the text-heavy spill bytes for ~10-20% CPU. The flip
+    //    triggers when est. scratch > 40% of the scratch volume's
+    //    free space, so it also adapts to a fuller disk.
+    val maxScale = scales.max
+    val derivedParts =
+      (cpus.toInt * math.min(32, math.max(1, math.ceil(maxScale / 125.0).toInt))).toString
+    val estScratchGb = 0.1 * maxScale
+    val usableGb = new java.io.File(sys.props("java.io.tmpdir")).getUsableSpace / 1e9
+    val derivedCodec = if (estScratchGb > 0.4 * usableGb) "zstd" else "lz4"
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-scale-stress")
-      // GRAFT_SHUFFLE_PARTITIONS: reduce-partition count, default =
-      // thread count (the bench convention). The 500× curation_v3 arm
-      // documents 128: its LM-model aggregation keys grow with the
-      // corpus (the fixture's vocabulary inflation), so at 500× a
-      // 32-partition reduce side puts ~16× the r19-tuned per-task
-      // group volume against a fixed ~300 MB/task execution share —
-      // AGGREGATE_OUT_OF_MEMORY, the textbook "partitions must scale
-      // with data, not cores" failure. 128 restores the per-task
-      // volume the 32-partition 100× leg carried.
       .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("GRAFT_SHUFFLE_PARTITIONS", cpus))
+        sys.env.getOrElse("GRAFT_SHUFFLE_PARTITIONS", derivedParts))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.memory.fraction", sys.env.getOrElse("GRAFT_MEM_FRACTION", "0.6"))
-      // GRAFT_IO_CODEC: shuffle/spill compression codec. Default lz4
-      // (Spark's own). The 500× curation_v3 arm documents zstd: its
-      // LM-stage shuffle outgrows this box's scratch disk under lz4
-      // (ENOSPC at >79 GB; ~19.5 GB measured at 200×) — zstd roughly
-      // halves the on-disk bytes for the text-heavy spill at ~10-20%
-      // CPU, the standard cluster setting for shuffle-heavy jobs.
-      .config("spark.io.compression.codec", sys.env.getOrElse("GRAFT_IO_CODEC", "lz4"))
+      .config("spark.io.compression.codec",
+        sys.env.getOrElse("GRAFT_IO_CODEC", derivedCodec))
       .getOrCreate()
+    System.err.println(
+      s"[stress] maxScale=$maxScale shuffle.partitions=${sys.env.getOrElse("GRAFT_SHUFFLE_PARTITIONS", derivedParts)} " +
+        f"codec=${sys.env.getOrElse("GRAFT_IO_CODEC", derivedCodec)} (est scratch $estScratchGb%.0f GB, free ${usableGb.toInt} GB)")
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark)
     val stats = new TaskStats

@@ -13,6 +13,30 @@ final case class Tables(spark: SparkSession, dir: String) {
   private def t(name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Scale-adaptive scan spread for EXPRESSION-HEAVY aggregates over
+    * the single-file feeds (the [[graft.operators.Dedup]] `spreadText`
+    * lesson): the driver ships each table as ONE parquet file with
+    * ONE row group, so the scan — and every projection/filter/partial
+    * aggregate fused into the scan stage — runs on ONE core
+    * regardless of session parallelism (byte-splitting cannot help: a
+    * single row group is read whole). One round-robin exchange of the
+    * post-pushdown scan output moves the per-row work to cluster
+    * parallelism — but the exchange itself costs a full pass of the
+    * surviving rows, so this is applied PER QUERY where the per-row
+    * work measurably dominates (decimal moment aggregates, wide
+    * cube/rollup expansion), not blanket in [[t]]: a blanket spread
+    * A/B'd −4 s net across the relational block (join-shaped queries
+    * pay wide-row exchange for nothing; r21 bench pair). No-op when
+    * the scan already plans enough splits (≥ cores/2) — at real
+    * multi-row-group scale the spread never fires, and PushedFilters
+    * are unchanged either way (predicates push through Repartition).
+    */
+  def spreadScan(df: DataFrame): DataFrame = {
+    val cores = spark.sparkContext.defaultParallelism
+    val parts = df.rdd.getNumPartitions
+    if (parts < cores / 2) df.repartition(cores) else df
+  }
+
   def region: DataFrame     = t("region")
   def nation: DataFrame     = t("nation")
   def customer: DataFrame   = t("customer")
