@@ -960,16 +960,21 @@ object PipelineQueries {
       FROM q
       ORDER BY vec_id"""),
     (s, dir) =>
+      // fused one-pass kernel (graft.functions.QuantizeInt8Summary):
+      // the five interpreted HOF chains over the codes array cost ~2 s
+      // warm at sf0.1 (boxing + per-element interpreted eval);
+      // bit-identical summary columns, property-tested (r21)
       Tables(s, dir).embeddings
-        .select(col("vec_id"), Similarity.quantizeInt8(col("embedding")).as("q"))
+        .select(col("vec_id"),
+          graft.functions.GraftFunctions.quantizeInt8Summary(col("embedding")).as("q"))
         .select(
           col("vec_id"),
           col("q.scale").as("scale"),
-          size(col("q.codes")).cast("long").as("n_dims"),
-          aggregate(col("q.codes"), lit(0L), (acc, c) => acc + c).as("sum_code"),
-          array_min(col("q.codes")).as("min_code"),
-          array_max(col("q.codes")).as("max_code"),
-          size(filter(col("q.codes"), c => c === 0)).cast("long").as("n_zero"))
+          col("q.n_dims").as("n_dims"),
+          col("q.sum_code").as("sum_code"),
+          col("q.min_code").as("min_code"),
+          col("q.max_code").as("max_code"),
+          col("q.n_zero").as("n_zero"))
         .transform(Queries.sortedSmall(_, "vec_id")))
 
   // ------------------------------------------------ PII redaction
@@ -1414,8 +1419,11 @@ object PipelineQueries {
       FROM lineitem
       GROUP BY l_returnflag
       ORDER BY l_returnflag"""),
-    (s, dir) =>
-      Tables(s, dir).lineitem
+    (s, dir) => {
+      val t = Tables(s, dir)
+      // spread the one-task single-row-group scan before the two
+      // value-buffering percentile aggregates (Tables.spreadScan, r21)
+      t.spreadScan(t.lineitem)
         .groupBy("l_returnflag")
         .agg(
           count(lit(1)).as("n_items"),
@@ -1432,7 +1440,8 @@ object PipelineQueries {
             <= lit(0.02) * (col("hi") - col("lo"))).as("p50_within"),
           (abs(col("__a").getItem(1) - col("__e").getItem(1))
             <= lit(0.02) * (col("hi") - col("lo"))).as("p90_within"))
-        .transform(Queries.sortedSmall(_, "l_returnflag")))
+        .transform(Queries.sortedSmall(_, "l_returnflag"))
+    })
 
   // ------------------------------------ PNG pixel decode (end-to-end)
   // The decoder itself under oracle: 48 deterministic gradient PNGs

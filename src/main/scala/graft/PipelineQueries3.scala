@@ -444,6 +444,14 @@ object PipelineQueries3 {
         // IEEE division, so -hit_frac is exact and order-equivalent
         .select(col("doc_id"), col("hit_frac"),
           (-col("hit_frac")).as("__negf"))
+        // MATERIALIZED once (eager localCheckpoint, n_docs narrow
+        // rows): the scored frame feeds THREE consumers (the count,
+        // Rank.globalRank's boundary + rank passes, the hit_frac
+        // join-back) whose divergent pruning de-canonicalizes the
+        // full LM-perplexity chain below — each consumer re-executed
+        // the three gram-keyed joins (r21; the qIncrementalCuration
+        // history pattern)
+        .localCheckpoint(true)
       val n = scored.agg(count(lit(1)).as("__n"))
       graft.operators.Rank.globalRank(scored, "doc_id", "__negf")
         .crossJoin(broadcast(n))

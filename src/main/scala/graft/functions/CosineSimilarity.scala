@@ -130,6 +130,12 @@ object GraftFunctions {
   def fingerprintMd5(text: Column): Column =
     graftBridge.column(FingerprintMd5(graftBridge.expression(text)))
 
+  /** Column-API form of [[QuantizeInt8Summary]]: one-pass int8
+    * quantization audit summary struct(scale, n_dims, sum_code,
+    * min_code, max_code, n_zero). */
+  def quantizeInt8Summary(vec: Column): Column =
+    graftBridge.column(QuantizeInt8Summary(graftBridge.expression(vec)))
+
   /** Column-API form of [[Md5Prefix64]]: first 8 md5 digest bytes of
     * a string as a big-endian long (the simhash token hash). */
   def md5Prefix64(s: Column): Column =

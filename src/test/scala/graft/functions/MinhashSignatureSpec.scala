@@ -102,6 +102,36 @@ class MinhashSignatureSpec extends SparkSpec {
     assert(n.isNullAt(0))
   }
 
+  test("quantizeInt8Summary == HOF quantize + summary chain on random float vectors") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val vecs = Gen.listOfN(300, Gen.chooseNum(0, 24).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(
+        Gen.chooseNum(-10f, 10f), Gen.const(0f), Gen.const(127f), Gen.const(-127f)))))
+      .sample.get
+    val df = vecs.toDF("embedding")
+    val q = Similarity.quantizeInt8(col("embedding"))
+    val out = df.select(
+      GraftFunctions.quantizeInt8Summary(col("embedding")).as("fused"),
+      q.getField("scale").as("scale"),
+      size(q.getField("codes")).cast("long").as("n_dims"),
+      aggregate(q.getField("codes"), lit(0L), (acc, c) => acc + c).as("sum_code"),
+      array_min(q.getField("codes")).as("min_code"),
+      array_max(q.getField("codes")).as("max_code"),
+      size(filter(q.getField("codes"), c => c === 0)).cast("long").as("n_zero"))
+      .collect()
+    out.foreach { r =>
+      val f = r.getStruct(0)
+      def opt(row: org.apache.spark.sql.Row, i: Int): Any = if (row.isNullAt(i)) null else row.get(i)
+      assert(opt(f, 0) == opt(r, 1), "scale")
+      assert(f.getLong(1) == r.getLong(2), "n_dims")
+      assert(f.getLong(2) == r.getLong(3), "sum_code")
+      assert(opt(f, 3) == opt(r, 4), "min_code")
+      assert(opt(f, 4) == opt(r, 5), "max_code")
+      assert(f.getLong(5) == r.getLong(6), "n_zero")
+    }
+  }
+
   test("signature operator output schema and values unchanged (h0..h11 via element_at)") {
     import spark.implicits._
     val docs = Seq((1L, "the quick brown fox jumps over the lazy dog"),
