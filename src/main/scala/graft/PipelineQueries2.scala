@@ -1631,8 +1631,13 @@ object PipelineQueries2 {
       def rep(dd: org.apache.spark.sql.DataFrame) =
         operators.Curation.report(dd, "doc_id", "text",
           n = 3, k = 12, rowsPerBand = 3, threshold = 0.5)
+      // The two report chains are INDEPENDENT and each runs an eager
+      // CC loop during construction — built concurrently
+      // (Queries.concurrently, guide §2.6); same reports, same rows.
+      val Seq(ro, rn) = Queries.concurrently(
+        () => rep(oldDocs), () => rep(newDocs))
       operators.Curation.lineage(
-        oldDocs, newDocs, rep(oldDocs), rep(newDocs), "doc_id", "text")
+        oldDocs, newDocs, ro, rn, "doc_id", "text")
         .transform(Queries.sortedSmall(_, "doc_id"))
     })
 
@@ -1721,13 +1726,17 @@ object PipelineQueries2 {
       // these artifacts are persisted parquet between runs by
       // contract; the checkpoint models exactly that within the one
       // timed run.
-      val oldRep = operators.Curation.report(oldDocs, "doc_id", "text",
-          n = 3, k = 12, rowsPerBand = 3, threshold = 0.5)
-        .join(oldDocs.select(col("doc_id"),
-          Dedup.fingerprint(col("text")).as("fingerprint")), Seq("doc_id"))
-        .localCheckpoint(true)
-      val oldIdx = Dedup.minhashIndex(oldDocs, "doc_id", "text", n = 3, k = 12)
-        .localCheckpoint(true)
+      // Both artifacts are INDEPENDENT jobs — materialized
+      // concurrently (Queries.concurrently, guide §2.6) instead of
+      // strictly serially; same artifacts, same rows.
+      val Seq(oldRep, oldIdx) = Queries.concurrently(
+        () => operators.Curation.report(oldDocs, "doc_id", "text",
+            n = 3, k = 12, rowsPerBand = 3, threshold = 0.5)
+          .join(oldDocs.select(col("doc_id"),
+            Dedup.fingerprint(col("text")).as("fingerprint")), Seq("doc_id"))
+          .localCheckpoint(true),
+        () => Dedup.minhashIndex(oldDocs, "doc_id", "text", n = 3, k = 12)
+          .localCheckpoint(true))
       operators.Curation.incrementalReport(newDocs, "doc_id", "text",
         oldRep, oldIdx, n = 3, k = 12, rowsPerBand = 3, threshold = 0.5,
         minAgree = 0.5)

@@ -745,22 +745,26 @@ object PipelineQueries5 {
       // decode/pair chains per consumer. In production these are
       // persisted parquet between runs; the checkpoint models exactly
       // that within the one timed run.
-      val oldReport = operators.Multimodal.mediaCurationReport(
-        old, "media_id", "payload",
-        imageMaxHamming = 3, videoStride = 1, videoMinFrac = 0.5,
-        audioSegFrames = 128, audioMinFrac = 0.5)
-        .join(old.select(col("media_id"),
-          operators.Multimodal.payloadMd5(col("payload")).as("payload_md5")),
-          "media_id")
-        .localCheckpoint(true)
-      operators.Multimodal.incrementalMediaCurationReport(
-        nw, "media_id", "payload", oldReport,
-        operators.Multimodal.imageHashIndex(old, "media_id", "payload")
+      // The four artifacts are INDEPENDENT jobs — materialized
+      // concurrently (Queries.concurrently, guide §2.6) instead of
+      // strictly serially; same artifacts, same rows.
+      val Seq(oldReport, imgIdx, vidIdx, audIdx) = Queries.concurrently(
+        () => operators.Multimodal.mediaCurationReport(
+          old, "media_id", "payload",
+          imageMaxHamming = 3, videoStride = 1, videoMinFrac = 0.5,
+          audioSegFrames = 128, audioMinFrac = 0.5)
+          .join(old.select(col("media_id"),
+            operators.Multimodal.payloadMd5(col("payload")).as("payload_md5")),
+            "media_id")
           .localCheckpoint(true),
-        operators.Multimodal.videoFrameHashIndex(old, "media_id", "payload", 1)
+        () => operators.Multimodal.imageHashIndex(old, "media_id", "payload")
           .localCheckpoint(true),
-        operators.Multimodal.audioSegmentHashIndex(old, "media_id", "payload", 128)
+        () => operators.Multimodal.videoFrameHashIndex(old, "media_id", "payload", 1)
+          .localCheckpoint(true),
+        () => operators.Multimodal.audioSegmentHashIndex(old, "media_id", "payload", 128)
           .localCheckpoint(true))
+      operators.Multimodal.incrementalMediaCurationReport(
+        nw, "media_id", "payload", oldReport, imgIdx, vidIdx, audIdx)
         .transform(Queries.sortedSmall(_, "media_id"))
     })
 
@@ -815,8 +819,13 @@ object PipelineQueries5 {
         operators.Multimodal.mediaCurationReport(df, "media_id", "payload",
           imageMaxHamming = 3, videoStride = 1, videoMinFrac = 0.5,
           audioSegFrames = 128, audioMinFrac = 0.5)
+      // The two report chains are INDEPENDENT and each carries eager
+      // decode/CC work during construction — built concurrently
+      // (Queries.concurrently, guide §2.6); same reports, same rows.
+      val Seq(ro, rn) = Queries.concurrently(
+        () => rep(old), () => rep(nw))
       operators.Multimodal.mediaCurationLineage(
-        old, nw, rep(old), rep(nw), "media_id", "payload")
+        old, nw, ro, rn, "media_id", "payload")
         .transform(Queries.sortedSmall(_, "media_id"))
     })
 

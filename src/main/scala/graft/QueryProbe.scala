@@ -20,14 +20,20 @@ object QueryProbe {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.get("GRAFT_PROBE_REPS").flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(3)
-    val spark = graft.util.LocalScratch.configure(SparkSession.builder()
+    // GRAFT_EXTRA_CONF="k=v;k2=v2": arbitrary conf overrides for
+    // config A/B probes (measurement-only — Bench stays contractual).
+    val extra = sys.env.get("GRAFT_EXTRA_CONF").toSeq
+      .flatMap(_.split(';')).map(_.trim).filter(_.contains("="))
+      .map { kv => val i = kv.indexOf('='); (kv.take(i), kv.drop(i + 1)) }
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.codegen.cache.maxEntries",
         sys.env.getOrElse("GRAFT_CODEGEN_CACHE", "5000"))
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false"))
-      .getOrCreate()
+      .config("spark.ui.enabled", "false")
+    extra.foreach { case (k, v) => builder.config(k, v); System.err.println(s"[probe] extra conf $k=$v") }
+    val spark = graft.util.LocalScratch.configure(builder).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.functions.GraftFunctions.register(spark)
     // Same warm-up as Bench: JVM/codegen/noop/shuffle init outside timers.

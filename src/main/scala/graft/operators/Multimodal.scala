@@ -1631,14 +1631,21 @@ object Multimodal {
       .select(col(idCol), explode(col("__vfh")).as("__dh"))
     val audHashes = fp.filter(col("__ash").isNotNull && size(col("__ash")) > 0)
       .select(col(idCol), explode(col("__ash")).as("__dh"))
-    losers(Dedup.hammingBandPairs(imgSig, imageMaxHamming, 65536, 256),
-      "image_near_dup")
-      .unionByName(losers(
+    // The three family chains are INDEPENDENT (disjoint fingerprint
+    // columns off the one checkpointed frontier) and each carries
+    // EAGER work (flood-sizing checkpoints + the CC loop's rounds) —
+    // overlapped instead of run strictly serially (guide §2.6 via
+    // graft.util.Jobs; same pairs, same CC labels, same rows).
+    val Seq(img, vid, aud) = graft.util.Jobs.concurrently(
+      () => losers(Dedup.hammingBandPairs(imgSig, imageMaxHamming, 65536, 256),
+        "image_near_dup"),
+      () => losers(
         hashSetOverlapPairs(vidHashes, idCol, videoMinFrac, 0, 65536, 1024),
-        "video_near_dup"))
-      .unionByName(losers(
+        "video_near_dup"),
+      () => losers(
         hashSetOverlapPairs(audHashes, idCol, audioMinFrac, 0, 65536, 1024),
         "audio_near_dup"))
+    img.unionByName(vid).unionByName(aud)
   }
 
   /** Assemble the curation report from a [[mediaFingerprints]] frame:

@@ -48,8 +48,36 @@ object LocalScratch {
       } else None
     }
 
+  /** True when the chosen scratch dir is RAM-backed (tmpfs). */
+  private def isRamBacked(d: String): Boolean =
+    d.startsWith("/dev/shm") || {
+      try {
+        val store = java.nio.file.Files.getFileStore(java.nio.file.Paths.get(d))
+        store.`type`() == "tmpfs"
+      } catch { case _: Throwable => false }
+    }
+
   /** Apply to a session builder: sets spark.local.dir when a fast
-    * scratch dir is available; no-op otherwise. */
+    * scratch dir is available; no-op otherwise.
+    *
+    * When the scratch medium is RAM-backed, block reads are also
+    * switched from memory-mapping to plain reads
+    * (`spark.storage.memoryMapThreshold`, default 2m): the shuffle
+    * bytes already live in the page cache, so mmap buys nothing and
+    * each map/unmap costs a page-table update plus a TLB-shootdown
+    * IPI across every core — task-thread sampling of the curation
+    * composites showed FileChannelImpl.map0/unmap0 as the TOP
+    * non-idle frames (3.8k samples vs 1.5k for codegen), and an A/B
+    * probe of p_incremental_media_curation measured warm reps
+    * 7.0 → 6.1 s median (r21, OPTIMIZATION_r21.md §2.8). On disk- or
+    * NVMe-backed scratch the default stays: mapping large blocks
+    * avoids a copy that a real storage medium makes worth avoiding.
+    * `GRAFT_MMAP_THRESHOLD` overrides (any Spark byte string). */
   def configure(b: org.apache.spark.sql.SparkSession.Builder): org.apache.spark.sql.SparkSession.Builder =
-    dir().fold(b)(d => b.config("spark.local.dir", d))
+    dir().fold(b) { d =>
+      val withDir = b.config("spark.local.dir", d)
+      val threshold = sys.env.get("GRAFT_MMAP_THRESHOLD")
+        .orElse(if (isRamBacked(d)) Some("1g") else None)
+      threshold.fold(withDir)(t => withDir.config("spark.storage.memoryMapThreshold", t))
+    }
 }
