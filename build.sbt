@@ -29,6 +29,16 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // JIT code cache sized for a 190-query single-JVM run: the default
+  // 240 MB fills mid-suite (one composite query family alone JITs
+  // ~96 MB across the three segments — QueryProbe prints occupancy),
+  // and a tight cache makes the sweeper flush hot compiled methods,
+  // re-JITing them on the next query — the mechanism behind
+  // mid-suite slowdowns of the late-alphabet composites (r21).
+  // Standard sizing advice for long-lived executors running
+  // codegen-heavy Spark SQL; harmless when unused (virtual memory
+  // reservation, committed on demand).
+  "-XX:ReservedCodeCacheSize=512m",
 ) ++ {
   // Heap for the forked single-JVM Spark driver+executor. CLAMPED to
   // 16g: local[32] at the bench scale (sf0.1) peaks well under 8g,

@@ -1423,7 +1423,7 @@ object PipelineQueries {
       val t = Tables(s, dir)
       // spread the one-task single-row-group scan before the two
       // value-buffering percentile aggregates (Tables.spreadScan, r21)
-      t.spreadScan(t.lineitem)
+      t.lineitem
         .groupBy("l_returnflag")
         .agg(
           count(lit(1)).as("n_items"),

@@ -100,6 +100,16 @@ object Curation {
       outlierFraction: Double,
       maxBucket: Int = 1024): DataFrame = {
     val base = report(docs, idCol, textCol, n, k, rowsPerBand, threshold, maxBucket)
+    // The two-pass DSIR gate (counts, then scoring) deliberately
+    // stays: an r21 shared-frontier attempt (one materialized gram
+    // exchange feeding both consumers, the shingleFrontier pattern)
+    // was REVERTED on plan evidence — the consumers' divergent
+    // column pruning (counts reads (bucket, __t), scoring reads
+    // (id, bucket)) de-canonicalizes the exchange below the barrier,
+    // so the frontier still ran twice PLUS the added exchanges. The
+    // two-pass shape is sound at scale anyway: both passes are
+    // map-side projections feeding a dim-bounded aggregation and a
+    // broadcast join — no shuffle rides the duplication.
     val counts = Importance.targetAffinityCounts(
       docs, idCol, textCol, isTarget, n = 2, dim = dsirDim, salt = dsirSalt)
     val aff = Importance.scoreAffinity(
