@@ -1713,7 +1713,6 @@ object Multimodal {
         col("dup_of"), lit(true).as("reused"))
     val delta = newDocs.join(reusedIds, Seq(idCol), "left_anti")
     val fp = mediaFingerprints(delta, idCol, payloadCol, videoStride, audioSegFrames)
-    val intra = mediaIntraLosers(fp, idCol, imageMaxHamming, videoMinFrac, audioMinFrac)
     val imgProbe = fp.filter(col("__idh").isNotNull)
       .select(col(idCol).as("__nid"), col("__idh").as("__dhn"))
     val vidProbe = fp.filter(col("__vfh").isNotNull && size(col("__vfh")) > 0)
@@ -1722,18 +1721,25 @@ object Multimodal {
     val audProbe = fp.filter(col("__ash").isNotNull && size(col("__ash")) > 0)
       .select(col(idCol).as("__nid"), explode(col("__ash")).as("__dh"))
       .distinct()
+    // The intra-delta chains (CC rounds) and the two set-overlap
+    // index matchers (flood-sizing checkpoints) are INDEPENDENT
+    // eager jobs off the one checkpointed fingerprint frontier —
+    // overlapped (guide §2.6 via graft.util.Jobs; same rows).
+    // imageIdxMatches is fully lazy and needs no thunk.
+    val Seq(intra, vidHist, audHist) = graft.util.Jobs.concurrently(
+      () => mediaIntraLosers(fp, idCol, imageMaxHamming, videoMinFrac, audioMinFrac),
+      () => setOverlapMatchesAgainstIndex(vidProbe, videoIndex, videoMinFrac,
+        65536, 1024, excludeSameId = true)
+        .withColumn("__reason", lit("video_near_dup")),
+      () => setOverlapMatchesAgainstIndex(audProbe, audioIndex, audioMinFrac,
+        65536, 1024, excludeSameId = true)
+        .withColumn("__reason", lit("audio_near_dup")))
     val hist =
       imageIdxMatches(imgProbe, imageIndex, imageMaxHamming, 65536, 1024,
         excludeSameId = true)
         .withColumn("__reason", lit("image_near_dup"))
-        .unionByName(
-          setOverlapMatchesAgainstIndex(vidProbe, videoIndex, videoMinFrac,
-            65536, 1024, excludeSameId = true)
-            .withColumn("__reason", lit("video_near_dup")))
-        .unionByName(
-          setOverlapMatchesAgainstIndex(audProbe, audioIndex, audioMinFrac,
-            65536, 1024, excludeSameId = true)
-            .withColumn("__reason", lit("audio_near_dup")))
+        .unionByName(vidHist)
+        .unionByName(audHist)
         .select(col("__nid").as(idCol), col("__oid").as("dup_of"), col("__reason"))
     val allLosers = intra.unionByName(hist)
       .groupBy(idCol)
